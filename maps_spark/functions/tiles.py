@@ -1,0 +1,126 @@
+"""Tile addressing: global pixel -> tile XY, tile-local XY, buffer fan-out.
+
+Semantics mirror the reference (Tiles.java:55-127, TileXYUDF.java:69-181):
+
+- ``tile_xy``: clamp(floor(p / T)) into the tile grid.
+- ``local_xy``: p - tile*T, with dateline re-addressing for wrapX schemas
+  (a pixel near the right world edge appears in tile x=0's left buffer at
+  negative local x, and vice versa).
+- ``collect_to_tiles``: a pixel is written to its primary tile plus up to
+  3 adjacent tiles when it falls within ``buffer`` px of a tile edge
+  (8-direction test, toroidal adjacent addressing). This write-time
+  duplication is what lets the serving path render any tile without
+  reading neighbours.
+
+Deviation from the reference (deliberate, scale-motivated): the reference
+appends polar-wrapped copies whose local pixel lands thousands of px
+outside the target tile (TileXYUDF.java:180-196 appends unconditionally;
+serving filters them out later). We guard each copy with the reference's
+own ``tileContains`` test (Tiles.java:104-127) so those dead rows never
+enter the shuffle. ``contained_only=False`` restores byte parity.
+
+Everything here is integer Column arithmetic — whole-stage codegen, no
+UDFs, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from maps_spark.functions.projections import TILE_SIZE, TileSchema, schema_for
+
+DEFAULT_BUFFER = 64  # px at tileSize 512 (MapBuilder.java:106-108)
+
+
+def _lit(v: int) -> Column:
+    return F.lit(v).cast("long")
+
+
+def tile_coord(p: Column, z: int, zz_tiles: int, tile_size: int = TILE_SIZE) -> Column:
+    """Clamped tile address for one axis (Tiles.java:85-89)."""
+    tiles = zz_tiles * (1 << z)
+    t = F.floor(p / F.lit(tile_size)).cast("long")
+    return F.greatest(_lit(0), F.least(_lit(tiles - 1), t))
+
+
+def tile_xy(srs: str, z: int, px: Column, py: Column,
+            tile_size: int = TILE_SIZE) -> tuple[Column, Column]:
+    sch = schema_for(srs)
+    return (tile_coord(px, z, sch.zz_tiles_horizontal, tile_size),
+            tile_coord(py, z, sch.zz_tiles_vertical, tile_size))
+
+
+def local_x(sch: TileSchema, z: int, tx: Column, px: Column,
+            tile_size: int = TILE_SIZE, buffer: int = DEFAULT_BUFFER) -> Column:
+    """Tile-local x with dateline wrap (Tiles.java:55-74)."""
+    num_x = sch.num_x_tiles(z)
+    max_global = num_x * tile_size
+    plain = px - tx * F.lit(tile_size)
+    if not (sch.wrap_x and (sch.zz_tiles_horizontal > 1 or z > 0)):
+        return plain
+    return (
+        F.when((tx == 0) & (px >= max_global - buffer), px - F.lit(max_global))
+        .when((tx == num_x - 1) & (px < buffer),
+              px + F.lit(max_global) - tx * F.lit(tile_size))
+        .otherwise(plain)
+    )
+
+
+def local_y(tx_unused: None, ty: Column, py: Column,
+            tile_size: int = TILE_SIZE) -> Column:
+    return py - ty * F.lit(tile_size)
+
+
+def collect_to_tiles(srs: str, z: int, px: Column, py: Column,
+                     tile_size: int = TILE_SIZE, buffer: int = DEFAULT_BUFFER,
+                     contained_only: bool = True) -> Column:
+    """Array of distinct ``struct<tileX,tileY,pixelX,pixelY>`` targets.
+
+    Mirrors TileXYUDF.call: primary tile + 8-direction buffer test with
+    toroidal adjacent addressing; duplicates removed per input row.
+    Returned as an array Column to be ``explode``d — one expression tree,
+    no UDF, no extra scan.
+    """
+    sch = schema_for(srs)
+    num_x, num_y = sch.num_x_tiles(z), sch.num_y_tiles(z)
+    tx, ty = tile_xy(srs, z, px, py, tile_size)
+    lx = local_x(sch, z, tx, px, tile_size, buffer)
+    ly = py - ty * F.lit(tile_size)
+
+    near_n = ly < buffer
+    near_s = ly >= tile_size - buffer
+    near_w = lx < buffer
+    near_e = lx >= tile_size - buffer
+
+    def wrap(c: Column, n: int) -> Column:
+        # toroidal wrap (TileXYUDF.adjacentTileAddress)
+        return F.when(c < 0, F.lit(n - 1).cast("long")) \
+                .when(c >= n, _lit(0)).otherwise(c)
+
+    def candidate(cond: Column, dx: int, dy: int) -> Column:
+        atx = wrap(tx + dx, num_x) if dx else tx
+        aty = wrap(ty + dy, num_y) if dy else ty
+        alx = local_x(sch, z, atx, px, tile_size, buffer)
+        aly = py - aty * F.lit(tile_size)
+        if contained_only:
+            cond = cond & (alx >= -buffer) & (alx <= tile_size + buffer) \
+                        & (aly >= -buffer) & (aly <= tile_size + buffer)
+        st = F.struct(atx.alias("tileX"), aty.alias("tileY"),
+                      alx.alias("pixelX"), aly.alias("pixelY"))
+        return F.when(cond, st)
+
+    cands = [
+        candidate(F.lit(True), 0, 0),                    # primary
+        candidate(near_n, 0, -1),
+        candidate(near_n & near_w, -1, -1),
+        candidate(near_n & near_e, +1, -1),
+        candidate(near_e, +1, 0),
+        candidate(near_s, 0, +1),
+        candidate(near_s & near_w, -1, +1),
+        candidate(near_s & near_e, +1, +1),
+        candidate(near_w, -1, 0),
+    ]
+    arr = F.array_distinct(
+        F.filter(F.array(*cands), lambda c: c.isNotNull()))
+    return arr

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the same configuration keys are the
+ones that matter on a 1000-executor cluster (see BASELINE.md: the
+reference tuned ``spark.sql.shuffle.partitions`` to 2000 for 70x8 cores;
+we default to 4 x cores locally and expect the cluster deployment to set
+it to ~3-4 x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "maps-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the tile pipeline.
+
+    Notes on the choices (all matter at 100 TB, cost nothing locally):
+
+    - AQE on: runtime coalescing of the many small post-rollup partitions
+      at low zooms, and skew-join splitting for hot map keys (the "0:0"
+      all-data view is ~100% skewed by construction — the reference
+      handles this with app-level dictionary encoding; AQE + salting in
+      :mod:`maps_spark.operators.pyramid` handle it here).
+    - Arrow enabled: every Python-side encode (MVT/protobuf/minhash) is a
+      pandas UDF; Arrow batching is the difference between 10x and 100x
+      slower than JVM.
+    - ``maxRecordsPerFile`` mirrors MapBuilder.java:187 (10M records ≈
+      100 MB files at production row width) so the snapshot/staged tables
+      neither produce tiny files nor unsplittable monsters.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxRecordsPerFile", "10000000")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

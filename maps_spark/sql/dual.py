@@ -1,0 +1,190 @@
+"""Dual-dialect SQL expression templates.
+
+Every formula here is a SQL string valid in BOTH Spark SQL (used through
+``F.expr``) and DuckDB (used verbatim in the correctness oracle). Writing
+the math ONCE guarantees the Spark plan and the oracle evaluate the exact
+same IEEE-754 expression tree, so value-hash comparison is bit-stable.
+
+Dialect-compatibility rules observed throughout:
+
+- ``floor()`` returns BIGINT in Spark but DOUBLE in DuckDB -> always wrap
+  with ``CAST(... AS BIGINT)``.
+- never ``CAST(double AS BIGINT)`` directly: Spark truncates, DuckDB
+  ROUNDS. Always go through ``floor``/``least``/``greatest`` first.
+- powers of two are inlined as integer literals (computed in Python), not
+  ``pow(2, z)``, to stay in exact integer arithmetic.
+- ``ln``, ``sin``, ``radians``, ``pi()``, ``%``, ``||`` behave the same.
+- integer ``/`` is float division in both; use explicit ``floor`` for
+  integer division (DuckDB ``//`` does not exist in Spark).
+
+Pixel-space conventions (reference parity, GlobalPixelUDF.java:40-57):
+
+- tile size 512 px; global pixel space at zoom z is ``512 * 2^z`` px
+  square for EPSG:3857 / polar, and ``2 * 512 * 2^z`` x ``512 * 2^z``
+  for EPSG:4326 (2x1 tiles at z0, WGS84.java:37-44).
+- unplottable coordinates (|lat| > 85.0511 for Mercator etc.) map to
+  NULL and are filtered, mirroring GlobalPixelUDF.java:48-57.
+- pixel addresses at lower zooms are the max-zoom address right-shifted
+  (TileMapBuilder.java:129-138) — expressed as exact integer floor-div.
+"""
+
+from __future__ import annotations
+
+TILE_SIZE = 512
+MAX_ZOOM = 16
+# Web-Mercator latitude limit: atan(sinh(pi)) in degrees
+# (SphericalMercator.java:51-53).
+MERC_MAX_LAT = "85.0511287798066"
+
+
+# ---------------------------------------------------------------------------
+# EPSG:3857 spherical Mercator forward (SphericalMercator.java:36-48)
+# ---------------------------------------------------------------------------
+
+def merc_px(lng: str, z: int, tile_size: int = TILE_SIZE) -> str:
+    """Global pixel x at zoom ``z``: ``(lng+180)/360 * (T<<z)``, floored."""
+    n = tile_size * (1 << z)
+    return f"CAST(floor((({lng}) + 180.0) / 360.0 * {n}) AS BIGINT)"
+
+
+def merc_py(lat: str, z: int, tile_size: int = TILE_SIZE) -> str:
+    """Global pixel y at zoom ``z``; NULL when |lat| > Mercator limit.
+
+    ``y = (0.5 - ln((1+sin(phi))/(1-sin(phi))) / (4*pi())) * (T<<z)``
+    clamped into ``[0, n-1]`` (the boundary latitude itself can land an
+    epsilon outside due to fp).
+    """
+    n = tile_size * (1 << z)
+    yf = (
+        f"(0.5 - ln((1.0 + sin(radians({lat}))) / (1.0 - sin(radians({lat}))))"
+        f" / (4.0 * pi())) * {n}"
+    )
+    return (
+        f"CASE WHEN abs({lat}) <= {MERC_MAX_LAT} THEN "
+        f"greatest(CAST(0 AS BIGINT), least(CAST({n - 1} AS BIGINT), "
+        f"CAST(floor({yf}) AS BIGINT))) ELSE NULL END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EPSG:4326 Plate Carree forward (WGS84.java:37-44) — 2x1 tiles at z0
+# ---------------------------------------------------------------------------
+
+def wgs84_px(lng: str, z: int, tile_size: int = TILE_SIZE) -> str:
+    n = tile_size * (1 << z)
+    return f"CAST(floor((({lng}) + 180.0) * {n} / 180.0) AS BIGINT)"
+
+
+def wgs84_py(lat: str, z: int, tile_size: int = TILE_SIZE) -> str:
+    n = tile_size * (1 << z)
+    return f"CAST(floor((90.0 - ({lat})) * {n} / 180.0) AS BIGINT)"
+
+
+def pixel_exprs(srs: str, lat: str, lng: str, z: int,
+                tile_size: int = TILE_SIZE) -> tuple[str, str]:
+    """(px, py) template pair for a dual-dialect projection."""
+    if srs in ("EPSG:3857", "3857"):
+        return merc_px(lng, z, tile_size), merc_py(lat, z, tile_size)
+    if srs in ("EPSG:4326", "4326"):
+        return wgs84_px(lng, z, tile_size), wgs84_py(lat, z, tile_size)
+    raise ValueError(
+        f"no dual-dialect template for {srs}; polar projections are "
+        "pandas-UDF only (maps_spark.functions.projections)")
+
+
+# ---------------------------------------------------------------------------
+# Pyramid arithmetic (TileMapBuilder.java:129-138, Tiles.java:85-89)
+# ---------------------------------------------------------------------------
+
+def shift_down(px: str, levels: int) -> str:
+    """Lower-zoom pixel address: arithmetic right shift == floor-div 2^k.
+
+    Pixels are non-negative so ``floor(x / 2^k)`` is exact.
+    """
+    if levels == 0:
+        return f"CAST({px} AS BIGINT)"
+    return f"CAST(floor(({px}) / {1 << levels}) AS BIGINT)"
+
+
+def tile_xy(p: str, z: int, tile_size: int = TILE_SIZE,
+            zero_zoom_tiles: int = 1) -> str:
+    """Tile address with clamp: ``min(max(p/T, 0), tiles-1)``
+    (Tiles.java:85-89; zero_zoom_tiles=2 for the WGS84 x axis)."""
+    tiles = zero_zoom_tiles * (1 << z)
+    return (
+        f"greatest(CAST(0 AS BIGINT), least(CAST({tiles - 1} AS BIGINT), "
+        f"CAST(floor(({p}) / {tile_size}) AS BIGINT)))"
+    )
+
+
+def tile_local(p: str, tile: str, tile_size: int = TILE_SIZE) -> str:
+    """Tile-local pixel: ``p - tile*T`` (may be <0 / >=T in buffers)."""
+    return f"CAST({p} AS BIGINT) - CAST({tile} AS BIGINT) * {tile_size}"
+
+
+# ---------------------------------------------------------------------------
+# borYear dictionary packing (EncodeBorYearUDF.java:34-66)
+# ---------------------------------------------------------------------------
+
+# The 9 basisOfRecord values in the reference's exact 0-based code order
+# (EncodeBorYearUDF.java:34-42).
+BASIS_OF_RECORD = [
+    "PRESERVED_SPECIMEN",      # 0
+    "MACHINE_OBSERVATION",     # 1
+    "OCCURRENCE",              # 2
+    "HUMAN_OBSERVATION",       # 3
+    "LIVING_SPECIMEN",         # 4
+    "OBSERVATION",             # 5
+    "MATERIAL_CITATION",       # 6
+    "MATERIAL_SAMPLE",         # 7
+    "FOSSIL_SPECIMEN",         # 8
+]
+BOR_CODE = {b: i for i, b in enumerate(BASIS_OF_RECORD)}
+
+
+def bor_code(bor: str) -> str:
+    """CASE expression mapping basisOfRecord string -> its 0-based code.
+
+    Unknown values map to 99 (the reference would NPE; we stay total).
+    """
+    whens = " ".join(
+        f"WHEN '{b}' THEN {c}" for b, c in BOR_CODE.items())
+    return f"CAST(CASE {bor} {whens} ELSE 99 END AS BIGINT)"
+
+
+def encode_bor_year(bor: str, year: str) -> str:
+    """``year*100 + borCode``; NULL year encodes as year 0
+    (EncodeBorYearUDF.java:58-66)."""
+    return f"(coalesce(CAST({year} AS BIGINT), 0) * 100 + {bor_code(bor)})"
+
+
+def decode_year(bor_year: str) -> str:
+    return f"CAST(floor(({bor_year}) / 100) AS BIGINT)"
+
+
+def decode_bor(bor_year: str) -> str:
+    return f"(({bor_year}) % 100)"
+
+
+# ---------------------------------------------------------------------------
+# Decimal-stable floating aggregates
+# ---------------------------------------------------------------------------
+
+def sum_stable(col: str, scale: int = 6) -> str:
+    """Order-independent SUM over doubles for oracle-checked queries.
+
+    Plain ``SUM(double)`` depends on partition/accumulation order, so
+    Spark and DuckDB can disagree in the last ulps. Summing exact
+    decimals and casting back is deterministic in both engines.
+    """
+    return (
+        f"CAST(CAST(sum(CAST({col} AS DECIMAL(28,{scale}))) "
+        f"AS DECIMAL(38,{scale})) AS DOUBLE)"
+    )
+
+
+def avg_stable(col: str, scale: int = 6) -> str:
+    return (
+        f"CAST(CAST(sum(CAST({col} AS DECIMAL(28,{scale}))) "
+        f"AS DECIMAL(38,{scale})) AS DOUBLE) / count({col})"
+    )

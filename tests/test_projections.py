@@ -1,0 +1,120 @@
+"""Projection golden tests.
+
+Golden values pinned from the reference's behavior
+(SphericalMercatorTest.java:42-66, WGS84Test.java:24-41,
+NorthPoleLAEAEuropeTest.java:26-45, AntarcticPolarStereographicTest.java:29-42).
+"""
+
+import numpy as np
+import pytest
+
+from maps_spark.functions import projections as P
+
+EPS = 1e-5
+L85 = 85.0511287798066
+
+
+def xy(srs, lat, lng, z):
+    x, y = P.global_xy(srs, [lat], [lng], z)
+    return float(x[0]), float(y[0])
+
+
+class TestMercator:
+    @pytest.mark.parametrize("lat,lng,z,ex,ey", [
+        (0, 0, 0, 256, 256),
+        (0, -180, 0, 0, 256),
+        (0, 180, 0, 512, 256),
+        (L85, 0, 0, 256, 0),
+        (-L85, 0, 0, 256, 512),
+        (0, 0, 2, 1024, 1024),
+        (0, 180, 2, 2048, 1024),
+        (60.170833, 24.9375, 0, 291.46666, 148.19743),  # Helsinki
+        (60.170833, 24.9375, 1, 582.93333, 296.39486),
+        (60.170833, 24.9375, 2, 1165.86666, 592.78972),
+    ])
+    def test_golden(self, lat, lng, z, ex, ey):
+        x, y = xy("EPSG:3857", lat, lng, z)
+        assert x == pytest.approx(ex, abs=EPS)
+        assert y == pytest.approx(ey, abs=EPS)
+
+    def test_plottable(self):
+        ok = P.is_plottable("EPSG:3857", [L85, -L85, L85 + 1e-5, -L85 - 1e-5],
+                            [0, 0, 0, 0])
+        assert list(ok) == [True, True, False, False]
+
+
+class TestWGS84:
+    @pytest.mark.parametrize("lat,lng,z,ex,ey", [
+        (90, -180, 0, 0, 0),
+        (-90, 180, 0, 1024, 512),
+        (0, 0, 0, 512, 256),
+        (0, 0, 1, 1024, 512),
+    ])
+    def test_golden(self, lat, lng, z, ex, ey):
+        x, y = xy("EPSG:4326", lat, lng, z)
+        assert (x, y) == pytest.approx((ex, ey), abs=EPS)
+
+
+class TestLAEA3575:
+    @pytest.mark.parametrize("lat,lng,z,ex,ey", [
+        (90, 0, 0, 256, 256),
+        (0, -80, 0, 0, 256),
+        (0, 100, 0, 512, 256),
+        (0, -170, 0, 256, 0),
+        (0, 10, 0, 256, 512),
+        (90, 0, 2, 1024, 1024),
+        (0, -80, 2, 0, 1024),
+        (0, 100, 2, 2048, 1024),
+        (0, -170, 2, 1024, 0),
+        (0, 10, 2, 1024, 2048),
+    ])
+    def test_golden(self, lat, lng, z, ex, ey):
+        x, y = xy("EPSG:3575", lat, lng, z)
+        # the reference's goldens tolerate 1e-5 px; our independent
+        # ellipsoidal implementation should agree well within a pixel
+        assert (x, y) == pytest.approx((ex, ey), abs=1e-2)
+
+    def test_plottable_clips_at_equator(self):
+        ok = P.is_plottable("EPSG:3575", [0.0, -0.01], [0, 0])
+        assert list(ok) == [True, False]
+
+
+class TestStereo3031:
+    @pytest.mark.parametrize("lat,lng,z,ex,ey", [
+        (-90, 0, 0, 256, 256),
+        (0, -90, 0, 0, 256),
+        (0, 90, 0, 512, 256),
+        (0, 0, 0, 256, 0),
+        (0, 180, 0, 256, 512),
+        (-90, 0, 2, 1024, 1024),
+        (0, 180, 2, 1024, 2048),
+    ])
+    def test_golden(self, lat, lng, z, ex, ey):
+        x, y = xy("EPSG:3031", lat, lng, z)
+        assert (x, y) == pytest.approx((ex, ey), abs=1e-2)
+
+    def test_extent_constant(self):
+        # the reference derived its extent as x(lat=0, lng=90)
+        # (WGS84AntarcticPolarStereographic.java:45-49)
+        mx, _ = P.stereo3031_meters([0.0], [90.0])
+        assert float(mx[0]) == pytest.approx(P.STEREO_EXTENT, abs=1e-4)
+
+    def test_plottable_clips_at_equator(self):
+        ok = P.is_plottable("EPSG:3031", [0.0, 0.01], [0, 0])
+        assert list(ok) == [True, False]
+
+
+class TestPyramidShift:
+    def test_shift_consistency(self):
+        # pixel address at z-1 == pixel address at z >> 1 (same point)
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(-85, 85, 200)
+        lng = rng.uniform(-180, 180, 200)
+        for srs in P.SRS_ALL:
+            mask = P.is_plottable(srs, lat, lng)
+            hx, hy = P.global_xy(srs, lat[mask], lng[mask], 6)
+            lx, ly = P.global_xy(srs, lat[mask], lng[mask], 5)
+            assert (np.floor(hx).astype(np.int64) >> 1 ==
+                    np.floor(lx).astype(np.int64)).all()
+            assert (np.floor(hy).astype(np.int64) >> 1 ==
+                    np.floor(ly).astype(np.int64)).all()
