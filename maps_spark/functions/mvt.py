@@ -1,0 +1,289 @@
+"""Minimal Mapbox Vector Tile (MVT 2.1) codec, pure Python.
+
+The container has no protobuf/mapbox libraries, so this implements the
+MVT protobuf wire format directly (public spec:
+https://github.com/mapbox/vector-tile-spec/tree/master/2.1).
+
+Shape mirrors the reference's tiles (VectorTiles.java:38-82):
+one layer per basisOfRecord, one POINT feature per pixel, attributes
+``{str(year): count}`` with year "0" = unknown. Extent = tile size (512),
+coordinates may lie outside [0, extent) — buffer pixels are encoded
+as-is (autoScale=false in the reference encoder).
+
+Used from Arrow-batched pandas UDFs (grouped encode) — this is the
+deliberate Python slow path at the very end of the pipeline, matching
+the reference's own SQL->RDD encode boundary (TileMapBuilder.java:216-229).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+# -- protobuf wire helpers ---------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+# -- encode ------------------------------------------------------------------
+
+
+def _encode_value(v) -> bytes:
+    """MVT Value message. ints -> int_value(4), str -> string_value(1),
+    float -> double_value(3), bool -> bool_value(7)."""
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        if v >= 0:
+            return _tag(4, 0) + _varint(v)
+        return _tag(6, 0) + _varint(_zigzag(v))
+    if isinstance(v, float):
+        import struct
+        return _tag(3, 1) + struct.pack("<d", v)
+    s = str(v).encode("utf-8")
+    return _tag(1, 2) + _varint(len(s)) + s
+
+
+def encode_layer(name: str, features: list[tuple[int, int, dict]],
+                 extent: int = 512) -> bytes:
+    """One layer: ``features`` is [(x, y, {attr_key: attr_val}), ...]."""
+    keys: list[str] = []
+    key_idx: dict[str, int] = {}
+    vals: list[bytes] = []
+    val_idx: dict[bytes, int] = {}
+
+    body = bytearray()
+    body += _tag(15, 0) + _varint(2)                  # version = 2
+    nm = name.encode("utf-8")
+    body += _tag(1, 2) + _varint(len(nm)) + nm        # name
+    feats = bytearray()
+    for x, y, attrs in features:
+        tags = bytearray()
+        for k, v in attrs.items():
+            if k not in key_idx:
+                key_idx[k] = len(keys)
+                keys.append(k)
+            enc = _encode_value(v)
+            if enc not in val_idx:
+                val_idx[enc] = len(vals)
+                vals.append(enc)
+            tags += _varint(key_idx[k]) + _varint(val_idx[enc])
+        geom = _varint((1 << 3) | 1) + _varint(_zigzag(x)) + _varint(_zigzag(y))
+        f = bytearray()
+        f += _tag(2, 2) + _varint(len(tags)) + bytes(tags)   # tags packed
+        f += _tag(3, 0) + _varint(1)                         # type = POINT
+        f += _tag(4, 2) + _varint(len(geom)) + geom          # geometry packed
+        feats += _len_delim(2, bytes(f))
+    body += feats
+    for k in keys:
+        kb = k.encode("utf-8")
+        body += _tag(3, 2) + _varint(len(kb)) + kb
+    for v in vals:
+        body += _len_delim(4, v)
+    body += _tag(5, 0) + _varint(extent)
+    return _len_delim(3, bytes(body))
+
+
+def encode_tile(layers: dict[str, list[tuple[int, int, dict]]],
+                extent: int = 512) -> bytes:
+    """Encode {layer_name: [(x, y, attrs)]} into MVT bytes."""
+    return b"".join(encode_layer(n, f, extent) for n, f in layers.items())
+
+
+# -- decode ------------------------------------------------------------------
+
+
+def _decode_value(buf: bytes):
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 1:      # string
+            ln, pos = _read_varint(buf, pos)
+            return buf[pos:pos + ln].decode("utf-8")
+        if field == 3:      # double
+            import struct
+            return struct.unpack("<d", buf[pos:pos + 8])[0]
+        if field == 2:      # float
+            import struct
+            return struct.unpack("<f", buf[pos:pos + 4])[0]
+        if field in (4, 5):  # int/uint
+            v, pos = _read_varint(buf, pos)
+            return v
+        if field == 6:      # sint
+            v, pos = _read_varint(buf, pos)
+            return _unzigzag(v)
+        if field == 7:      # bool
+            v, pos = _read_varint(buf, pos)
+            return bool(v)
+        pos = _skip(buf, pos, wire)
+    return None
+
+
+def _skip(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire == 1:
+        pos += 8
+    elif wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire == 5:
+        pos += 4
+    else:
+        raise ValueError(f"bad wire type {wire}")
+    return pos
+
+
+def _decode_feature(buf: bytes, keys: list[str], vals: list):
+    pos = 0
+    tags: list[int] = []
+    geom: list[int] = []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 2 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                tags.append(v)
+        elif field == 4 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                geom.append(v)
+        else:
+            pos = _skip(buf, pos, wire)
+    # decode point geometry (possibly multipoint with cumulative deltas)
+    pts = []
+    i = 0
+    cx = cy = 0
+    while i < len(geom):
+        cmd = geom[i]
+        cid, cnt = cmd & 0x7, cmd >> 3
+        i += 1
+        if cid == 1:
+            for _ in range(cnt):
+                cx += _unzigzag(geom[i])
+                cy += _unzigzag(geom[i + 1])
+                i += 2
+                pts.append((cx, cy))
+        else:  # lines/polys not produced by this engine
+            i += cnt * 2
+    attrs = {keys[tags[j]]: vals[tags[j + 1]] for j in range(0, len(tags), 2)}
+    return pts, attrs
+
+
+def decode_tile(data: bytes) -> dict[str, list[tuple[int, int, dict]]]:
+    """MVT bytes -> {layer_name: [(x, y, attrs), ...]}."""
+    layers: dict[str, list] = {}
+    pos = 0
+    while pos < len(data):
+        key, pos = _read_varint(data, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 3 and wire == 2:
+            ln, pos = _read_varint(data, pos)
+            layer_buf = data[pos:pos + ln]
+            pos += ln
+            name, feats = _decode_layer(layer_buf)
+            layers.setdefault(name, []).extend(feats)
+        else:
+            pos = _skip(data, pos, wire)
+    return layers
+
+
+def _decode_layer(buf: bytes):
+    pos = 0
+    name = ""
+    raw_feats: list[bytes] = []
+    keys: list[str] = []
+    vals: list = []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 1 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            name = buf[pos:pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            raw_feats.append(buf[pos:pos + ln])
+            pos += ln
+        elif field == 3 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            keys.append(buf[pos:pos + ln].decode("utf-8"))
+            pos += ln
+        elif field == 4 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            vals.append(_decode_value(buf[pos:pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    feats = []
+    for rf in raw_feats:
+        pts, attrs = _decode_feature(rf, keys, vals)
+        for (x, y) in pts:
+            feats.append((x, y, attrs))
+    return name, feats
+
+
+# -- convenience for tests/serving -------------------------------------------
+
+
+def tile_totals(data: bytes, exclude_buffer: bool = False,
+                tile_size: int = 512) -> dict[str, int]:
+    """Sum of year counts per layer (optionally visible-region only)."""
+    out: dict[str, int] = defaultdict(int)
+    for layer, feats in decode_tile(data).items():
+        for x, y, attrs in feats:
+            if exclude_buffer and not (0 <= x < tile_size and 0 <= y < tile_size):
+                continue
+            out[layer] += sum(v for k, v in attrs.items() if _is_year(k))
+    return dict(out)
+
+
+def _is_year(k: str) -> bool:
+    try:
+        int(k)
+        return True
+    except ValueError:
+        return False

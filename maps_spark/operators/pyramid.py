@@ -1,0 +1,214 @@
+"""The tile-pyramid build: the engine's signature computation.
+
+Pipeline (reference semantics, TileMapBuilder.java:52-204, re-thought for
+Spark's execution model):
+
+1. ``keyed_occurrence`` — one explode of the map-key array (the only
+   row-multiplying op) + borYear packing. Catalyst prunes all unused
+   occurrence columns past this point.
+2. ``pixel_table`` — project to global pixels at max zoom, then
+   ``groupBy(mapKey, px, py, borYear).count()``. This is the big shuffle;
+   the group key is high-cardinality (pixels), so there is no skew even
+   though map key ``0:0`` contains every record.
+3. ``rollup`` — zoom z from zoom z+1 by halving pixel addresses and
+   summing counts. **Scale note:** the reference re-aggregates every zoom
+   from the staged max-zoom table (17 full scans at z16..z0;
+   TileMapBuilder.java:173-204). Because ``sum`` is associative, we
+   cascade each zoom from the previous zoom's (much smaller) result —
+   shuffle volume decays geometrically instead of staying O(input) per
+   zoom. Results are identical; invariant parent == sum(children) holds
+   by construction.
+4. ``tile_rows`` — explode each pixel to its <= 4 target tiles (buffer
+   duplication, TileXYUDF semantics) — integer Column expressions only.
+5. ``encode_mvt`` — Arrow-batched grouped encode to MVT bytes, the one
+   deliberate Python boundary (mirrors the reference's own SQL->RDD
+   boundary at TileMapBuilder.java:216-229).
+
+The pyramid/point split (MapBuilder.java:205-229) is a broadcast
+semi/anti join against the per-view counts instead of a driver-side
+TreeSet — no collect() barrier, no driver memory ceiling on the number
+of large views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from maps_spark.functions import keys as K
+from maps_spark.functions import mvt, pointpb
+from maps_spark.functions import projections as P
+from maps_spark.functions import tiles as T
+from maps_spark.sql import dual
+
+DEFAULT_THRESHOLD = 250_000  # MapBuilder.java:93,104
+
+TILE_SCHEMA = "mapKey string, z int, x long, y long, tile binary"
+POINT_SCHEMA = "mapKey string, features binary"
+
+
+def keyed_occurrence(occ: DataFrame,
+                     taxon_cols: dict[str, str] | None = None,
+                     **key_cols) -> DataFrame:
+    """Explode map keys; pack borYear. Output:
+    (mapKey, lat, lng, borYear)."""
+    if taxon_cols is None:
+        from maps_spark.sources.occurrence import TAXON_RANKS
+        taxon_cols = TAXON_RANKS
+    arr = K.map_keys_array(taxon_cols=taxon_cols, **key_cols)
+    return occ.select(
+        F.explode(arr).alias("mapKey"),
+        F.col("decimalLatitude").alias("lat"),
+        F.col("decimalLongitude").alias("lng"),
+        K.bor_year_col("basisOfRecord", "year").alias("borYear"),
+    )
+
+
+def split_views(keyed: DataFrame, threshold: int = DEFAULT_THRESHOLD
+                ) -> tuple[DataFrame, DataFrame]:
+    """(large_view_rows, small_view_rows) via broadcast semi/anti join on
+    per-view counts (A1). The view-count table is tiny (#distinct map
+    keys), so broadcast is free and nothing collects to the driver."""
+    counts = keyed.groupBy("mapKey").agg(F.count("*").alias("n"))
+    large = F.broadcast(counts.where(F.col("n") >= threshold).select("mapKey"))
+    return (keyed.join(large, "mapKey", "left_semi"),
+            keyed.join(large, "mapKey", "left_anti"))
+
+
+def pixel_table(keyed: DataFrame, srs: str, zoom: int,
+                tile_size: int = P.TILE_SIZE) -> DataFrame:
+    """Max-zoom per-pixel aggregation (A2):
+    (mapKey, px, py, borYear, cnt)."""
+    px, py = P.pixel_cols(srs, "lat", "lng", zoom, tile_size)
+    return (keyed
+            .select("mapKey", "borYear", px.alias("px"), py.alias("py"))
+            .where(F.col("px").isNotNull() & F.col("py").isNotNull())
+            .groupBy("mapKey", "px", "py", "borYear")
+            .agg(F.count("*").alias("cnt")))
+
+
+def rollup(pixels: DataFrame, levels: int = 1) -> DataFrame:
+    """Pixel table at zoom z-levels from zoom z (A3): shift + re-sum."""
+    return (pixels
+            .groupBy("mapKey",
+                     F.shiftright("px", levels).alias("px"),
+                     F.shiftright("py", levels).alias("py"),
+                     "borYear")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def tile_rows(pixels: DataFrame, srs: str, z: int,
+              tile_size: int = P.TILE_SIZE,
+              buffer: int = T.DEFAULT_BUFFER) -> DataFrame:
+    """Explode pixels into their (<= 4) target tiles with local coords
+    (C8 + A5 input): (mapKey, tileX, tileY, pixelX, pixelY, borYear, cnt).
+    """
+    targets = T.collect_to_tiles(srs, z, F.col("px"), F.col("py"),
+                                 tile_size, buffer)
+    return (pixels
+            .select("mapKey", "borYear", "cnt",
+                    F.explode(targets).alias("t"))
+            .select("mapKey", "borYear", "cnt",
+                    F.col("t.tileX").alias("tileX"),
+                    F.col("t.tileY").alias("tileY"),
+                    F.col("t.pixelX").alias("pixelX"),
+                    F.col("t.pixelY").alias("pixelY")))
+
+
+def encode_mvt(trows: DataFrame, z: int,
+               tile_size: int = P.TILE_SIZE) -> DataFrame:
+    """Grouped Arrow encode: one MVT per (mapKey, tileX, tileY)."""
+    bor_names = {c: b for b, c in dual.BOR_CODE.items()}
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        map_key = pdf["mapKey"].iat[0]
+        tx = int(pdf["tileX"].iat[0])
+        ty = int(pdf["tileY"].iat[0])
+        layers: dict[str, dict[tuple[int, int], dict[str, int]]] = {}
+        by = pdf["borYear"].to_numpy()
+        cnt = pdf["cnt"].to_numpy()
+        pxs = pdf["pixelX"].to_numpy()
+        pys = pdf["pixelY"].to_numpy()
+        for i in range(len(pdf)):
+            bor = bor_names.get(int(by[i]) % 100, "UNKNOWN")
+            year = str(int(by[i]) // 100)
+            pix = layers.setdefault(bor, {}).setdefault(
+                (int(pxs[i]), int(pys[i])), {})
+            pix[year] = pix.get(year, 0) + int(cnt[i])
+        data = mvt.encode_tile(
+            {bor: [(x, y, attrs) for (x, y), attrs in pix.items()]
+             for bor, pix in layers.items()},
+            extent=tile_size)
+        return pd.DataFrame({"mapKey": [map_key], "z": [z], "x": [tx],
+                             "y": [ty], "tile": [data]})
+
+    return (trows.groupBy("mapKey", "tileX", "tileY")
+            .applyInPandas(enc, TILE_SCHEMA))
+
+
+def build_zoom(pixels_at_z: DataFrame, srs: str, z: int,
+               tile_size: int = P.TILE_SIZE,
+               buffer: int = T.DEFAULT_BUFFER) -> DataFrame:
+    """Pixel table at z -> encoded MVT tiles at z."""
+    return encode_mvt(tile_rows(pixels_at_z, srs, z, tile_size, buffer),
+                      z, tile_size)
+
+
+def pyramid_pixels(keyed: DataFrame, srs: str, max_zoom: int,
+                   min_zoom: int = 0, tile_size: int = P.TILE_SIZE
+                   ) -> Iterator[tuple[int, DataFrame]]:
+    """Yield (z, pixel_table_at_z) from max_zoom down to min_zoom,
+    cascading each level from the previous."""
+    pixels = pixel_table(keyed, srs, max_zoom, tile_size)
+    yield max_zoom, pixels
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        pixels = rollup(pixels, 1)
+        yield z, pixels
+
+
+def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
+                  min_zoom: int = 0, tile_size: int = P.TILE_SIZE,
+                  buffer: int = T.DEFAULT_BUFFER,
+                  cache_levels: bool = True) -> DataFrame:
+    """Full pyramid as one DataFrame of (srs, mapKey, z, x, y, tile).
+
+    Each cascade level is cached before branching (it feeds both the
+    next rollup and its own tile encode) — the materialization-barrier
+    role the reference fills with staged Parquet tables
+    (TileMapBuilder.java:164-169); at cluster scale swap for
+    ``localCheckpoint``/staging-dir writes via
+    :mod:`maps_spark.plans.backfill`.
+    """
+    out: DataFrame | None = None
+    for z, pixels in pyramid_pixels(keyed, srs, max_zoom, min_zoom, tile_size):
+        if cache_levels and z > min_zoom:
+            pixels = pixels.persist()
+        lvl = build_zoom(pixels, srs, z, tile_size, buffer)
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.withColumn("srs", F.lit(srs.replace(":", "_")))
+
+
+# -- point mode (A6 + C15) ---------------------------------------------------
+
+
+def point_blobs(keyed_small: DataFrame) -> DataFrame:
+    """Per-view point bundles: groupBy(mapKey, lat, lng, borYear).count
+    -> protobuf blob per map key (PointMapBuilder.java:53-79)."""
+    bor_names = {c: b for b, c in dual.BOR_CODE.items()}
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = ((la, ln, bor_names.get(int(by) % 100, "UNKNOWN"),
+                 int(by) // 100, int(c))
+                for la, ln, by, c in zip(pdf["lat"], pdf["lng"],
+                                         pdf["borYear"], pdf["cnt"]))
+        return pd.DataFrame({"mapKey": [pdf["mapKey"].iat[0]],
+                             "features": [pointpb.encode_features(rows)]})
+
+    agg = (keyed_small
+           .where(F.col("lat").isNotNull() & F.col("lng").isNotNull())
+           .groupBy("mapKey", "lat", "lng", "borYear")
+           .agg(F.count("*").alias("cnt")))
+    return agg.groupBy("mapKey").applyInPandas(enc, POINT_SCHEMA)

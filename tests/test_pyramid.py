@@ -1,0 +1,130 @@
+"""End-to-end pyramid invariants (FIXTURES.md §5; the reference verifies
+the same properties in AggregationsTest.java:48-66 and
+YearFilteringTest.java:40-67 against golden production tiles)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from maps_spark.functions import mvt, pointpb
+from maps_spark.operators import pyramid as PY
+
+MAX_Z = 6
+
+
+@pytest.fixture(scope="module")
+def keyed(occ_small):
+    return PY.keyed_occurrence(occ_small).cache()
+
+
+@pytest.fixture(scope="module")
+def pixel_levels(keyed):
+    levels = dict(PY.pyramid_pixels(keyed, "EPSG:3857", MAX_Z))
+    for df in levels.values():
+        df.cache()
+    return levels
+
+
+def test_grand_total_conservation(occ_small, keyed, pixel_levels):
+    """Sum of pixel counts for view 0:0 at every zoom == number of
+    plottable filtered input rows (invariant 6)."""
+    n_plottable = (occ_small
+                   .where("decimalLatitude IS NOT NULL AND "
+                          "decimalLongitude IS NOT NULL AND "
+                          f"abs(decimalLatitude) <= 85.0511287798066")
+                   .count())
+    assert n_plottable > 0
+    for z in (MAX_Z, 3, 0):
+        total = (pixel_levels[z].where("mapKey = '0:0'")
+                 .agg(F.sum("cnt")).collect()[0][0])
+        assert total == n_plottable, f"zoom {z}"
+
+
+def test_parent_equals_children(pixel_levels):
+    """Every zoom's total per (mapKey, borYear) matches the zoom above
+    (invariant 2, in aggregate form)."""
+    hi = (pixel_levels[MAX_Z].groupBy("mapKey", "borYear")
+          .agg(F.sum("cnt").alias("c")))
+    lo = (pixel_levels[0].groupBy("mapKey", "borYear")
+          .agg(F.sum("cnt").alias("c")))
+    diff = hi.join(lo, ["mapKey", "borYear"], "full") \
+             .where("hi.c IS NULL OR lo.c IS NULL") if False else None
+    joined = (hi.alias("hi").join(lo.alias("lo"), ["mapKey", "borYear"], "outer")
+              .where(F.coalesce(F.col("hi.c"), F.lit(-1)) !=
+                     F.coalesce(F.col("lo.c"), F.lit(-2))))
+    assert joined.count() == 0
+
+
+def test_pixel_parent_exact(pixel_levels):
+    """Pixel-level: value at z-1 pixel == sum of its 4 children at z."""
+    child = PY.rollup(pixel_levels[MAX_Z], 1)
+    parent = pixel_levels[MAX_Z - 1]
+    bad = (child.alias("c").join(
+        parent.alias("p"), ["mapKey", "px", "py", "borYear"], "outer")
+        .where(F.coalesce(F.col("c.cnt"), F.lit(-1)) !=
+               F.coalesce(F.col("p.cnt"), F.lit(-2))))
+    assert bad.count() == 0
+
+
+def test_mvt_tiles_match_pixels(pixel_levels):
+    """Decoded MVT totals (buffer excluded) == pixel-table totals for a
+    sample of map views at z1."""
+    z = 1
+    tiles = PY.build_zoom(pixel_levels[z], "EPSG:3857", z).collect()
+    assert tiles
+    totals: dict[str, int] = {}
+    for r in tiles:
+        t = mvt.tile_totals(r.tile, exclude_buffer=True)
+        totals[r.mapKey] = totals.get(r.mapKey, 0) + sum(t.values())
+    expected = {r["mapKey"]: r["c"] for r in
+                pixel_levels[z].groupBy("mapKey").agg(F.sum("cnt").alias("c"))
+                .collect()}
+    assert totals == expected
+
+
+def test_buffer_duplication_roundtrip(pixel_levels):
+    """Features in a tile's buffer also exist as interior pixels of the
+    neighbouring tile (write-time duplication, TileXYUDF semantics)."""
+    z = 2
+    rows = PY.tile_rows(pixel_levels[z], "EPSG:3857", z).collect()
+    interior = {(r.mapKey, r.tileX * 512 + r.pixelX, r.tileY * 512 + r.pixelY,
+                 r.borYear) for r in rows
+                if 0 <= r.pixelX < 512 and 0 <= r.pixelY < 512}
+    n_buffered = 0
+    world = 512 * 2 ** z
+    for r in rows:
+        if not (0 <= r.pixelX < 512 and 0 <= r.pixelY < 512):
+            n_buffered += 1
+            gx = (r.tileX * 512 + r.pixelX) % world
+            gy = r.tileY * 512 + r.pixelY
+            assert (r.mapKey, gx, gy, r.borYear) in interior
+    assert n_buffered > 0  # the fixture data must exercise buffers
+
+
+def test_point_pyramid_equivalence(keyed):
+    """Invariant 7: a view rendered from its point bundle aggregates to
+    the same (borYear -> count) totals as the pyramid path."""
+    view = keyed.where("mapKey = '0:0'")
+    blob = PY.point_blobs(view).collect()[0].features
+    feats = pointpb.decode_features(blob)
+    from collections import Counter
+    from maps_spark.sql.dual import BOR_CODE
+    point_totals = Counter()
+    for lat, lng, bor, year, cnt in feats:
+        point_totals[year * 100 + BOR_CODE[bor]] += cnt
+    pix = PY.pixel_table(view, "EPSG:4326", 0)
+    pyr_totals = {r.borYear: r.c for r in
+                  pix.groupBy("borYear").agg(F.sum("cnt").alias("c")).collect()}
+    assert dict(point_totals) == pyr_totals
+
+
+def test_split_views_threshold(keyed):
+    threshold = 300
+    large, small = PY.split_views(keyed, threshold=threshold)
+    large_keys = {r.mapKey for r in large.select("mapKey").distinct().collect()}
+    small_keys = {r.mapKey for r in small.select("mapKey").distinct().collect()}
+    assert "0:0" in large_keys
+    assert not (large_keys & small_keys)
+    counts = {r.mapKey: r.n for r in
+              keyed.groupBy("mapKey").agg(F.count("*").alias("n")).collect()}
+    for k, n in counts.items():
+        assert (k in large_keys) == (n >= threshold)
