@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship density-tile pipeline at sf0.001;
+``queries``/``oracle_sql`` expose the operator inventory (SURVEY.md §2)
+with DuckDB oracles generated from the same dual-dialect SQL templates
+the engine executes, so value-hashes match bitwise.
 """
 
 from __future__ import annotations
@@ -15,24 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: max-zoom pixel aggregation for every map view at
+    sf0.001 (the first, biggest stage of the tile-pyramid build)."""
+    from maps_spark.operators import pyramid as PY
+    from maps_spark.sources.occurrence import occurrence_df
+
+    occ = occurrence_df(spark, "/root/testdata/sf0.001")
+    keyed = PY.keyed_occurrence(occ)
+    return PY.pixel_table(keyed, "EPSG:3857", 8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from maps_spark.plans.queries import MAPS_QUERIES
+    return dict(MAPS_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from maps_spark.plans.queries import maps_oracles
+    return maps_oracles()

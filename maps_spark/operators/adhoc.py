@@ -1,0 +1,69 @@
+"""Ad-hoc map queries: the Elasticsearch geo-grid path, Spark-native.
+
+The reference's /adhoc endpoint turns a tile request into an ES search
+with a geotile/geohash grid aggregation (AdHocMapsResource.java:126-239):
+bbox filter from the tile boundary, buckets with doc_count and either
+GEO_BOUNDS (per-bucket bbox) or GEO_CENTROID modes, plus a year-facet
+terms aggregation (RegressionResource.java:226-252).
+
+Spark-native: the "geo-grid bucket" at zoom z IS the tile address at
+zoom z, so the whole endpoint is a filter + groupBy over the occurrence
+table — Catalyst pushes the bbox filter into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from maps_spark.functions import projections as P
+
+
+def _grid_cols(srs: str, z: int) -> tuple[Column, Column]:
+    px, py = P.pixel_cols(srs, "lat", "lng", z, tile_size=1)
+    # tile_size=1 makes the "pixel" address the geotile cell address
+    return px, py
+
+
+def geo_grid(occ: DataFrame, z: int, srs: str = "EPSG:3857",
+             bbox: tuple[float, float, float, float] | None = None,
+             mode: str = "bounds") -> DataFrame:
+    """Geo-grid aggregation (A12).
+
+    mode='bounds': cell, count, bucket bbox (min/max lat/lng).
+    mode='centroid': cell, count, centroid (mean lat/lng).
+    ``bbox`` = (minLng, minLat, maxLng, maxLat) pre-filter.
+    """
+    df = occ.select(F.col("decimalLatitude").alias("lat"),
+                    F.col("decimalLongitude").alias("lng"))
+    if bbox:
+        min_lng, min_lat, max_lng, max_lat = bbox
+        df = df.where((F.col("lng") >= min_lng) & (F.col("lng") <= max_lng) &
+                      (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat))
+    cx, cy = _grid_cols(srs, z)
+    df = (df.select("lat", "lng", cx.alias("cellX"), cy.alias("cellY"))
+          .where(F.col("cellX").isNotNull()))
+    if mode == "bounds":
+        return df.groupBy("cellX", "cellY").agg(
+            F.count("*").alias("occCount"),
+            F.min("lat").alias("minLat"), F.max("lat").alias("maxLat"),
+            F.min("lng").alias("minLng"), F.max("lng").alias("maxLng"))
+    if mode == "centroid":
+        # decimal-stable mean so the DuckDB oracle matches bitwise
+        slat = F.sum(F.col("lat").cast("decimal(28,6)"))
+        slng = F.sum(F.col("lng").cast("decimal(28,6)"))
+        return df.groupBy("cellX", "cellY").agg(
+            F.count("*").alias("occCount"),
+            (slat.cast("decimal(38,6)").cast("double") / F.count("lat"))
+            .alias("centroidLat"),
+            (slng.cast("decimal(38,6)").cast("double") / F.count("lng"))
+            .alias("centroidLng"))
+    raise ValueError(mode)
+
+
+def year_facet(occ: DataFrame, limit: int = 300) -> DataFrame:
+    """Terms aggregation year -> count (A13, facet limit 300)."""
+    return (occ.where(F.col("year").isNotNull())
+            .groupBy("year").agg(F.count("*").alias("occCount"))
+            .orderBy(F.col("occCount").desc(), F.col("year"))
+            .limit(limit))

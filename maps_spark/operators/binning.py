@@ -1,0 +1,112 @@
+"""Hexagon and square binning of tile features (HexBin.java, SquareBin.java).
+
+Both bin a tile's point features into cells and sum per-cell totals:
+
+- square: ``cell = (x / cellSize, y / cellSize)`` over the visible
+  region only — squares tessellate so no buffer is needed
+  (SquareBin.java:67-141).
+- hex: flat-top hexagon grid sized so ~hexPerTile hexagons span the
+  tile, with a per-tile grid offset so hexagons align across tile
+  boundaries (HexBin.java:85-118). Assignment is the standard axial
+  coordinate + cube-rounding math (re-derived from public redblobgames
+  notes rather than the reference's Hexameter library; SURVEY §7 risk 3).
+
+Hex math as dual-dialect SQL so the oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_HEX_PER_TILE = 51   # TileResource defaults
+DEFAULT_SQUARE_SIZE = 16
+
+
+def square_bin(features: DataFrame, square_size: int = DEFAULT_SQUARE_SIZE,
+               tile_size: int = 512) -> DataFrame:
+    """(px, py, total) -> (cellX, cellY, total); buffer excluded
+    (SquareBin.java:86-109)."""
+    vis = features.where((F.col("px") >= 0) & (F.col("px") < tile_size) &
+                         (F.col("py") >= 0) & (F.col("py") < tile_size))
+    return (vis.groupBy(
+                F.floor(F.col("px") / square_size).cast("long").alias("cellX"),
+                F.floor(F.col("py") / square_size).cast("long").alias("cellY"))
+            .agg(F.sum("total").alias("total")))
+
+
+def hex_params(tile_size: int = 512,
+               min_hex_per_tile: int = DEFAULT_HEX_PER_TILE) -> dict:
+    """Grid geometry (HexBin.java:85-98)."""
+    w = 1.5 * ((min_hex_per_tile + 1) / 2.0)
+    hex_width = tile_size / w
+    radius = hex_width / 2.0
+    hex_height = math.sqrt(3.0) / 2.0 * hex_width
+    return {"hex_width": hex_width, "radius": radius,
+            "hex_height": hex_height}
+
+
+def hex_assign_sql(px: str, py: str, z: int, x: int, y: int,
+                   tile_size: int = 512,
+                   min_hex_per_tile: int = DEFAULT_HEX_PER_TILE
+                   ) -> tuple[str, str]:
+    """Dual-dialect (q, r) axial hex ids for a tile-local pixel.
+
+    Alignment: offset the pixel by the per-tile grid offset
+    (HexBin.java:113-118) so ids are consistent across tiles; then
+    flat-top axial conversion + cube rounding.
+    """
+    p = hex_params(tile_size, min_hex_per_tile)
+    r = p["radius"]
+    # per-tile grid offsets use the global tile address
+    off_x = (x * tile_size) % (1.5 * p["hex_width"])
+    off_y = (y * tile_size) % p["hex_height"]
+    xs = f"(({px}) + {off_x!r})"
+    ys = f"(({py}) + {off_y!r})"
+    qf = f"((2.0/3.0) * {xs} / {r!r})"
+    rf = f"((-1.0/3.0) * {xs} + (sqrt(3.0)/3.0) * {ys}) / {r!r}"
+    return cube_round_sql(qf, rf)
+
+
+def cube_round_sql(qf: str, rf: str) -> tuple[str, str]:
+    """Cube rounding (public hex-grid algorithm) as portable SQL."""
+    sf = f"(-({qf}) - ({rf}))"
+    rq, rr, rs = f"round({qf})", f"round({rf})", f"round({sf})"
+    dq = f"abs({rq} - ({qf}))"
+    dr = f"abs({rr} - ({rf}))"
+    ds = f"abs({rs} - ({sf}))"
+    q_final = (f"CAST(CASE WHEN {dq} > {dr} AND {dq} > {ds} "
+               f"THEN -({rr}) - ({rs}) ELSE {rq} END AS BIGINT)")
+    r_final = (f"CAST(CASE WHEN NOT ({dq} > {dr} AND {dq} > {ds}) "
+               f"AND {dr} > {ds} THEN -({rq}) - ({rs}) ELSE {rr} END AS BIGINT)")
+    return q_final, r_final
+
+
+def hex_bin(features: DataFrame, z: int, x: int, y: int,
+            tile_size: int = 512,
+            min_hex_per_tile: int = DEFAULT_HEX_PER_TILE) -> DataFrame:
+    """(px, py, total) -> (hexQ, hexR, total). Buffer pixels included
+    (hexagons straddle tile edges; duplication across neighbouring tiles
+    yields the same hex ids thanks to the grid offset)."""
+    q, r = hex_assign_sql("px", "py", z, x, y, tile_size, min_hex_per_tile)
+    return (features
+            .groupBy(F.expr(q).alias("hexQ"), F.expr(r).alias("hexR"))
+            .agg(F.sum("total").alias("total")))
+
+
+def hex_polygon(q: int, r: int, z: int, x: int, y: int, tile_size: int = 512,
+                min_hex_per_tile: int = DEFAULT_HEX_PER_TILE
+                ) -> list[tuple[float, float]]:
+    """Tile-local vertex ring for a hex id (for MVT polygon output)."""
+    p = hex_params(tile_size, min_hex_per_tile)
+    radius, h = p["radius"], p["hex_height"]
+    off_x = (x * tile_size) % (1.5 * p["hex_width"])
+    off_y = (y * tile_size) % p["hex_height"]
+    cx = radius * 1.5 * q - off_x
+    cy = h * (r + q / 2.0) - off_y
+    pts = [(cx + radius * math.cos(a), cy + radius * math.sin(a))
+           for a in (math.radians(60 * i) for i in range(6))]
+    pts.append(pts[0])
+    return pts

@@ -1,0 +1,148 @@
+"""Species-trend regression (A14 + J2, RegressionResource.java:204-355).
+
+The reference fits an OLS regression of normalized per-year counts
+(species count / higher-taxon count) against year — per hexagon for the
+tile endpoint, or for the whole query area.
+
+Implementation notes:
+
+- the species-vs-group join (J2) is a plain inner join on (cell, year);
+  both sides are pre-aggregated and small, so AQE broadcasts.
+- slope/intercept/r2 come from *integer* sufficient statistics
+  (n, Sx, Sy, Sxx, Sxy computed over exact ints/decimals) so results
+  are bit-deterministic and oracle-checkable — the closed forms match
+  ``F.regr_slope``/``regr_intercept`` semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def year_counts(keyed_view: DataFrame) -> DataFrame:
+    """(year, count) for one map view, null years dropped."""
+    year = F.floor(F.col("borYear") / 100).cast("long")
+    return (keyed_view.select(year.alias("year"))
+            .where(F.col("year") > 0)
+            .groupBy("year").agg(F.count("*").alias("cnt")))
+
+
+def ols_stats(pairs: DataFrame, x: str = "year", y: str = "ratio") -> DataFrame:
+    """One-row OLS over (x, y): slope, intercept, r2, n.
+
+    ``y`` may be a ratio column; computed via decimal-exact sums.
+    """
+    xd = F.col(x).cast("decimal(28,10)")
+    yd = F.col(y).cast("decimal(28,10)")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xd).cast("decimal(38,10)").cast("double").alias("sx"),
+        F.sum(yd).cast("decimal(38,10)").cast("double").alias("sy"),
+        F.sum((xd * xd).cast("decimal(38,10)")).cast("decimal(38,10)")
+        .cast("double").alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,10)")).cast("decimal(38,10)")
+        .cast("double").alias("sxy"),
+        F.sum((yd * yd).cast("decimal(38,10)")).cast("decimal(38,10)")
+        .cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = [F.col(c) for c in
+                                ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    r2_denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = F.when(r2_denom != 0,
+                F.pow(n * sxy - sx * sy, F.lit(2)) / r2_denom)
+    return agg.select(
+        slope.alias("slope"), intercept.alias("intercept"),
+        r2.alias("r2"), n.alias("n"))
+
+
+def trend_sql(species_pred: str, group_pred: str, keyed_table: str) -> str:
+    """Dual-dialect OLS trend SQL (RegressionResource.java:204-220
+    semantics): per-year species/group ratio regressed on year.
+
+    Bit-determinism: the ratio is quantized to an exact integer
+    ``floor(speciesCnt * 1e9 / groupCnt)`` (identical double division +
+    floor in both engines), all sufficient statistics are exact
+    integer/decimal sums, and only the final closed forms divide in
+    double — so Spark and DuckDB agree bitwise, with no dependence on
+    summation order or decimal rounding modes.
+    """
+    return f"""
+WITH sc AS (SELECT CAST(year AS BIGINT) AS year, count(*) AS speciesCnt
+            FROM {keyed_table} WHERE {species_pred} AND year IS NOT NULL
+            GROUP BY 1),
+gc AS (SELECT CAST(year AS BIGINT) AS year, count(*) AS groupCnt
+       FROM {keyed_table} WHERE {group_pred} AND year IS NOT NULL
+       GROUP BY 1),
+pairs AS (SELECT sc.year,
+                 CAST(floor(CAST(sc.speciesCnt AS DOUBLE) * 1000000000.0
+                            / CAST(gc.groupCnt AS DOUBLE)) AS BIGINT) AS rs
+          FROM sc JOIN gc ON sc.year = gc.year WHERE gc.groupCnt > 0),
+sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(year) AS BIGINT) AS sx,
+                CAST(sum(rs) AS BIGINT) AS sy,
+                CAST(sum(year * year) AS BIGINT) AS sxx,
+                CAST(sum(year * rs) AS BIGINT) AS sxy,
+                CAST(sum(CAST(rs AS DECIMAL(19,0)) * CAST(rs AS DECIMAL(19,0)))
+                     AS DECIMAL(38,0)) AS syy
+         FROM pairs),
+closed AS (SELECT n,
+                  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+                  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+                  CAST(CAST(n AS DECIMAL(19,0)) * syy -
+                       CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                       AS DOUBLE) AS den2
+           FROM sums)
+SELECT (num / den) / 1000000000.0 AS slope,
+       ((syd - (num / den) * sxd) / n) / 1000000000.0 AS intercept,
+       CASE WHEN den * den2 <> 0 THEN (num * num) / (den * den2) END AS r2,
+       n
+FROM closed"""
+
+
+def species_trend(spark, keyed: DataFrame, species_view: str,
+                  group_view: str) -> DataFrame:
+    """Engine entry: registers the keyed frame and runs the dual-dialect
+    trend SQL (the oracle runs the identical text over its own CTE).
+    borYear's null-year encoding (0) maps back to NULL year."""
+    year = F.floor(F.col("borYear") / 100).cast("bigint")
+    (keyed.select("mapKey", F.when(year > 0, year).alias("year"))
+     .createOrReplaceTempView("keyed_for_trend"))
+    sql = trend_sql(f"mapKey = '{species_view}'", f"mapKey = '{group_view}'",
+                    "keyed_for_trend")
+    return spark.sql(sql)
+
+
+def per_cell_trend(species_cells: DataFrame, group_cells: DataFrame,
+                   cell_cols: tuple[str, ...] = ("cellX", "cellY")
+                   ) -> DataFrame:
+    """J2: join species and higher-taxon per-(cell, year) counts, then a
+    per-cell OLS of the normalized ratio using window-free grouped sums."""
+    cols = list(cell_cols)
+    s = species_cells.withColumnRenamed("cnt", "speciesCnt")
+    g = group_cells.withColumnRenamed("cnt", "groupCnt")
+    pairs = (s.join(g, cols + ["year"])
+             .where(F.col("groupCnt") > 0)
+             .withColumn("ratio", F.col("speciesCnt").cast("double") /
+                         F.col("groupCnt").cast("double")))
+    xd = F.col("year").cast("decimal(28,10)")
+    yd = F.col("ratio").cast("decimal(28,10)")
+    agg = pairs.groupBy(*cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xd).cast("decimal(38,10)").cast("double").alias("sx"),
+        F.sum(yd).cast("decimal(38,10)").cast("double").alias("sy"),
+        F.sum((xd * xd).cast("decimal(38,10)")).cast("decimal(38,10)")
+        .cast("double").alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,10)")).cast("decimal(38,10)")
+        .cast("double").alias("sxy"))
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(denom != 0,
+                   (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   / denom)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(*cols, slope.alias("slope"),
+                      intercept.alias("intercept"), F.col("n").alias("n"))

@@ -1,0 +1,193 @@
+"""Serving-time query semantics as batch DataFrame queries.
+
+The reference's tile server filters/re-aggregates stored tiles in memory
+per request (VectorTileFilters.java:102-242, PointFeatureFilters.java:
+65-114). This module expresses the same semantics two ways:
+
+- DataFrame builders over the occurrence table (``density_tile``): the
+  engine path the correctness gate checks — for any (mapKey, srs, z, x,
+  y, year-range, BOR-set) they produce exactly the feature set a served
+  tile would contain (tile containment incl. dateline buffer, year/BOR
+  filtering, per-pixel merge, total).
+- ``filter_decoded_tile``: the single-tile in-memory path over a decoded
+  MVT (for the point-lookup serve flow against the tile store).
+
+Filter semantics (pinned to the reference):
+
+- year range is inclusive, null-unbounded either side (Range.java:50-60);
+  a feature is kept if ANY of its year attributes is in range, and only
+  in-range year attributes contribute to its counts/total
+  (VectorTileFilters.java:211-224, 255-268).
+- basisOfRecord filters select source layers (VectorTileFilters.java:52-54);
+  the response collapses everything into one layer with per-pixel merge.
+- tile containment includes the buffer and wraps at the dateline for
+  wrapX schemas (Tiles.java:104-127).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from maps_spark.functions import projections as P
+from maps_spark.functions import tiles as T
+from maps_spark.sql import dual
+
+TOTAL_KEY = "total"
+
+
+def year_in_range(year: Column, lo: int | None, hi: int | None) -> Column:
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (year >= lo)
+    if hi is not None:
+        cond = cond & (year <= hi)
+    return cond
+
+
+def tile_contains_cols(srs: str, z: int, x: int, y: int, px: Column,
+                       py: Column, tile_size: int = P.TILE_SIZE,
+                       buffer: int = T.DEFAULT_BUFFER) -> Column:
+    """Reference Tiles.tileContains incl. dateline wrap (Tiles.java:104-127)."""
+    sch = P.schema_for(srs)
+    vert = (py >= y * tile_size - buffer) & (py <= y * tile_size + buffer + tile_size)
+    horiz = (px >= x * tile_size - buffer) & (px <= x * tile_size + buffer + tile_size)
+    contained = horiz & vert
+    if sch.wrap_x:
+        max_tile = sch.num_x_tiles(z) - 1
+        world = sch.num_x_tiles(z) * tile_size
+        if x == 0:
+            contained = contained | (vert & (px >= world - buffer))
+        if x == max_tile:
+            contained = contained | (vert & (px < buffer))
+    return contained
+
+
+def local_px_cols(srs: str, z: int, x: int, y: int, px: Column, py: Column,
+                  tile_size: int = P.TILE_SIZE,
+                  buffer: int = T.DEFAULT_BUFFER) -> tuple[Column, Column]:
+    """Tile-local coords incl. dateline re-addressing (Tiles.java:55-74)."""
+    sch = P.schema_for(srs)
+    lx = px - F.lit(x * tile_size)
+    if sch.wrap_x and (sch.zz_tiles_horizontal > 1 or z > 0):
+        world = sch.num_x_tiles(z) * tile_size
+        if x == 0:
+            lx = F.when(px >= world - buffer, px - world).otherwise(lx)
+        if x == sch.num_x_tiles(z) - 1:
+            lx = F.when(px < buffer, px + world - x * tile_size).otherwise(lx)
+    return lx, py - F.lit(y * tile_size)
+
+
+def density_tile(keyed: DataFrame, map_key: str, srs: str, z: int, x: int,
+                 y: int, year_range: tuple[int | None, int | None] = (None, None),
+                 bors: list[str] | None = None, verbose: bool = False,
+                 tile_size: int = P.TILE_SIZE,
+                 buffer: int = T.DEFAULT_BUFFER) -> DataFrame:
+    """Feature rows of the served tile, straight from the keyed
+    occurrence table. Columns: (px, py, total) or verbose
+    (px, py, year, cnt)."""
+    pxc, pyc = P.pixel_cols(srs, "lat", "lng", z, tile_size)
+    df = (keyed.where(F.col("mapKey") == map_key)
+          .select(F.col("borYear"),
+                  pxc.alias("gpx"), pyc.alias("gpy"))
+          .where(F.col("gpx").isNotNull()))
+    if bors:
+        codes = [dual.BOR_CODE[b] for b in bors]
+        df = df.where((F.col("borYear") % 100).isin(codes))
+    lo, hi = year_range
+    df = df.where(year_in_range(F.floor(F.col("borYear") / 100), lo, hi))
+    df = df.where(tile_contains_cols(srs, z, x, y, F.col("gpx"), F.col("gpy"),
+                                     tile_size, buffer))
+    lx, ly = local_px_cols(srs, z, x, y, F.col("gpx"), F.col("gpy"),
+                           tile_size, buffer)
+    df = df.select(lx.alias("px"), ly.alias("py"),
+                   F.floor(F.col("borYear") / 100).cast("long").alias("year"))
+    if verbose:
+        return (df.groupBy("px", "py", "year")
+                .agg(F.count("*").alias("cnt")))
+    return (df.groupBy("px", "py")
+            .agg(F.count("*").cast("long").alias("total")))
+
+
+# -- single-tile in-memory path (tile-store serve flow) ----------------------
+
+
+def filter_decoded_tile(layers: dict, srs: str, z: int, x: int, y: int,
+                        source: tuple[int, int] | None = None,
+                        year_range=(None, None), bors=None,
+                        verbose: bool = False, tile_size: int = P.TILE_SIZE,
+                        buffer: int = T.DEFAULT_BUFFER):
+    """Reference collectInVectorTile over one decoded MVT
+    {layer: [(x, y, {year: cnt})]}. ``source`` is the (x, y) address the
+    tile was stored under when serving an adjacent/identical address.
+
+    Returns {(px, py): {year: cnt, 'total': n}} (verbose) or
+    {(px, py): total}.
+    """
+    sch = P.schema_for(srs)
+    sx, sy = source if source else (x, y)
+    lo, hi = year_range
+    out_verbose: dict = defaultdict(lambda: defaultdict(int))
+    out_simple: dict = defaultdict(int)
+    world = sch.num_x_tiles(z) * tile_size
+    for layer, feats in layers.items():
+        if bors and layer not in bors:
+            continue
+        for fx, fy, attrs in feats:
+            gx = sx * tile_size + fx
+            gy = sy * tile_size + fy
+            if not _contains(sch, z, x, y, gx, gy, tile_size, buffer):
+                continue
+            counts = {k: v for k, v in attrs.items()
+                      if _is_year(k) and _in_range(int(k), lo, hi)}
+            if (lo is not None or hi is not None) and not counts:
+                continue
+            lx = gx - x * tile_size
+            if sch.wrap_x and (sch.zz_tiles_horizontal > 1 or z > 0):
+                if x == 0 and gx >= world - buffer:
+                    lx = gx - world
+                elif x == sch.num_x_tiles(z) - 1 and gx < buffer:
+                    lx = gx + world - x * tile_size
+            ly = gy - y * tile_size
+            if verbose:
+                for k, v in counts.items():
+                    out_verbose[(lx, ly)][k] += v
+            else:
+                out_simple[(lx, ly)] += sum(counts.values())
+    if verbose:
+        final = {}
+        for pix, counts in out_verbose.items():
+            d = dict(counts)
+            d[TOTAL_KEY] = sum(counts.values())
+            final[pix] = d
+        return final
+    return dict(out_simple)
+
+
+def _contains(sch, z, x, y, gx, gy, tile_size, buffer):
+    vert = (y * tile_size - buffer) <= gy <= (y * tile_size + tile_size + buffer)
+    horiz = (x * tile_size - buffer) <= gx <= (x * tile_size + tile_size + buffer)
+    if horiz and vert:
+        return True
+    if sch.wrap_x and vert:
+        max_tile = sch.num_x_tiles(z) - 1
+        world = sch.num_x_tiles(z) * tile_size
+        if x == 0 and gx >= world - buffer:
+            return True
+        if x == max_tile and gx < buffer:
+            return True
+    return False
+
+
+def _is_year(k) -> bool:
+    try:
+        int(k)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _in_range(year: int, lo, hi) -> bool:
+    return (lo is None or year >= lo) and (hi is None or year <= hi)

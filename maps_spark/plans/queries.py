@@ -1,0 +1,179 @@
+"""Named engine queries: the operator inventory as runnable queries.
+
+Each entry is ``(spark, sf_dir) -> DataFrame`` and has a matching DuckDB
+oracle in :mod:`maps_spark.sql.oracle` (referenced from
+``__spark_entry__``). Column names/aliases are kept identical on both
+sides — the driver's comparator sorts columns by name before hashing.
+
+These run the engine's production code paths (explode fan-out, Column
+pixel math, cascade rollup) — not re-implementations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from maps_spark.functions import projections as P
+from maps_spark.operators import adhoc as AH
+from maps_spark.operators import binning as B
+from maps_spark.operators import capabilities as C
+from maps_spark.operators import pyramid as PY
+from maps_spark.operators import regression as R
+from maps_spark.operators import serving as SV
+from maps_spark.sources.occurrence import occurrence_df
+
+PIXEL_VIEWS = ["0:0", "2:ds-7", "4:CHINA"]
+ROLLUP_VIEWS = ["0:0"]
+ASSEMBLY_VIEWS = ["0:0", "3:org-3"]
+TREND_SPECIES, TREND_GROUP = "1:c0|s42", "1:c0|g8"
+
+
+def _keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PY.keyed_occurrence(occurrence_df(spark, sf_dir))
+
+
+def q_occ_country_counts(spark, sf_dir):
+    return (occurrence_df(spark, sf_dir)
+            .groupBy("countryCode").agg(F.count("*").alias("n_occ")))
+
+
+def q_map_view_counts(spark, sf_dir):
+    return _keyed(spark, sf_dir).groupBy("mapKey").agg(
+        F.count("*").alias("n_occ"))
+
+
+def q_pixel_agg_3857_z6(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(PIXEL_VIEWS))
+    return PY.pixel_table(keyed, "EPSG:3857", 6)
+
+
+def q_pixel_agg_4326_z6(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(PIXEL_VIEWS))
+    return PY.pixel_table(keyed, "EPSG:4326", 6)
+
+
+def q_pixel_agg_3575_z4(spark, sf_dir):
+    # polar projection: pandas-UDF path; no SQL oracle (rows-only check)
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey") == "0:0")
+    return PY.pixel_table(keyed, "EPSG:3575", 4)
+
+
+def q_pixel_agg_3031_z4(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey") == "0:0")
+    return PY.pixel_table(keyed, "EPSG:3031", 4)
+
+
+def q_pyramid_rollup_z6_to_z2(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ROLLUP_VIEWS))
+    return PY.rollup(PY.pixel_table(keyed, "EPSG:3857", 6), levels=4)
+
+
+def q_tile_assembly_3857_z2(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ASSEMBLY_VIEWS))
+    pix = PY.pixel_table(keyed, "EPSG:3857", 2)
+    return PY.tile_rows(pix, "EPSG:3857", 2).select(
+        "mapKey", "borYear", "cnt", "tileX", "tileY", "pixelX", "pixelY")
+
+
+def q_tile_assembly_4326_z1(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ROLLUP_VIEWS))
+    pix = PY.pixel_table(keyed, "EPSG:4326", 1)
+    return PY.tile_rows(pix, "EPSG:4326", 1).select(
+        "mapKey", "borYear", "cnt", "tileX", "tileY", "pixelX", "pixelY")
+
+
+DENSITY_PARAMS = dict(map_key="0:0", srs="EPSG:3857", z=1, x=1, y=0)
+
+
+def q_density_tile_simple(spark, sf_dir):
+    return SV.density_tile(_keyed(spark, sf_dir), **DENSITY_PARAMS)
+
+
+def q_density_tile_filtered(spark, sf_dir):
+    return SV.density_tile(
+        _keyed(spark, sf_dir), verbose=True,
+        year_range=(1900, 1980),
+        bors=["HUMAN_OBSERVATION", "OBSERVATION"], **DENSITY_PARAMS)
+
+
+def q_capabilities(spark, sf_dir):
+    return C.capabilities(_keyed(spark, sf_dir))
+
+
+def q_square_bin_z2(spark, sf_dir):
+    tile = SV.density_tile(_keyed(spark, sf_dir),
+                           map_key="0:0", srs="EPSG:3857", z=2, x=1, y=1)
+    return B.square_bin(tile)
+
+
+def q_hex_bin_z2(spark, sf_dir):
+    tile = SV.density_tile(_keyed(spark, sf_dir),
+                           map_key="0:0", srs="EPSG:3857", z=2, x=1, y=1)
+    return B.hex_bin(tile, z=2, x=1, y=1)
+
+
+def q_adhoc_grid_bounds_z5(spark, sf_dir):
+    return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="bounds")
+
+
+def q_adhoc_grid_centroid_z5(spark, sf_dir):
+    return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="centroid")
+
+
+def q_year_facet(spark, sf_dir):
+    return AH.year_facet(occurrence_df(spark, sf_dir))
+
+
+def q_species_trend(spark, sf_dir):
+    return R.species_trend(spark, _keyed(spark, sf_dir),
+                           TREND_SPECIES, TREND_GROUP)
+
+
+MAPS_QUERIES = {
+    "occ_country_counts": q_occ_country_counts,
+    "map_view_counts": q_map_view_counts,
+    "pixel_agg_3857_z6": q_pixel_agg_3857_z6,
+    "pixel_agg_4326_z6": q_pixel_agg_4326_z6,
+    "pixel_agg_3575_z4": q_pixel_agg_3575_z4,
+    "pixel_agg_3031_z4": q_pixel_agg_3031_z4,
+    "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
+    "tile_assembly_3857_z2": q_tile_assembly_3857_z2,
+    "tile_assembly_4326_z1": q_tile_assembly_4326_z1,
+    "density_tile_simple": q_density_tile_simple,
+    "density_tile_filtered": q_density_tile_filtered,
+    "capabilities": q_capabilities,
+    "square_bin_z2": q_square_bin_z2,
+    "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
+    "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
+    "year_facet": q_year_facet,
+    "species_trend": q_species_trend,
+}
+
+
+def maps_oracles() -> dict[str, str]:
+    from maps_spark.sql import oracle as O
+    return {
+        "occ_country_counts": O.occ_country_counts_select(),
+        "map_view_counts": O.map_view_counts_select(),
+        "pixel_agg_3857_z6": O.pixel_select("EPSG:3857", 6, PIXEL_VIEWS),
+        "pixel_agg_4326_z6": O.pixel_select("EPSG:4326", 6, PIXEL_VIEWS),
+        "pyramid_rollup_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
+                                                   ROLLUP_VIEWS),
+        "tile_assembly_3857_z2": O.tile_assembly_select("EPSG:3857", 2,
+                                                        ASSEMBLY_VIEWS),
+        "tile_assembly_4326_z1": O.tile_assembly_select("EPSG:4326", 1,
+                                                        ROLLUP_VIEWS),
+        "density_tile_simple": O.density_tile_select(
+            "EPSG:3857", 1, 1, 0, "0:0"),
+        "density_tile_filtered": O.density_tile_select(
+            "EPSG:3857", 1, 1, 0, "0:0", year_lo=1900, year_hi=1980,
+            bors=["HUMAN_OBSERVATION", "OBSERVATION"], verbose=True),
+        "capabilities": O.capabilities_select(),
+        "square_bin_z2": O.square_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
+        "adhoc_grid_bounds_z5": O.adhoc_grid_select(5, "bounds"),
+        "adhoc_grid_centroid_z5": O.adhoc_grid_select(5, "centroid"),
+        "year_facet": O.year_facet_select(),
+        "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
+        # pixel_agg_3575_z4 / 3031: pandas-UDF projections, rows-only
+    }

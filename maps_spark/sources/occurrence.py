@@ -23,8 +23,15 @@ from maps_spark.sql import dual
 
 # -- dual-dialect derivation -------------------------------------------------
 
-_LAT = "((e.user_id * 7919 + e.event_id * 13) % 18001) / 100.0 - 90.0"
-_LNG = "((e.event_id * 104729 + e.user_id * 17) % 36001) / 100.0 - 180.0"
+# CAST the division to DOUBLE *before* the subtraction: Spark types
+# `int / 100.0` as exact decimal while DuckDB divides in double; casting
+# the division result first makes both sides the correctly-rounded double
+# of the same exact rational, and the following subtraction is then the
+# same double op in both engines.
+_LAT = ("CAST(((e.user_id * 7919 + e.event_id * 13) % 18001) / 100.0"
+        " AS DOUBLE) - 90.0")
+_LNG = ("CAST(((e.event_id * 104729 + e.user_id * 17) % 36001) / 100.0"
+        " AS DOUBLE) - 180.0")
 
 _BOR_CASE = """CASE e.event_type
       WHEN 'click' THEN 'HUMAN_OBSERVATION'
@@ -69,17 +76,21 @@ TAXON_RANKS = {"kingdom": "kingdomKey", "family": "familyKey",
                "genus": "genusKey", "species": "speciesKey"}
 
 
-def occurrence_cte(sf_dir: str) -> str:
-    """DuckDB-oracle CTE: filtered occurrence view over raw parquet."""
-    sql = OCCURRENCE_SQL.replace(
-        "FROM events e",
-        f"FROM '{sf_dir}/events.parquet' e").replace(
-        "JOIN nation n",
-        f"JOIN '{sf_dir}/nation.parquet' n")
+def occurrence_cte(sf_dir: str | None = None) -> str:
+    """Oracle CTE: filtered occurrence view. With ``sf_dir`` the raw
+    parquet paths are inlined; without it the pre-registered DuckDB views
+    (``events``/``nation``) are used — the driver provides those."""
+    sql = OCCURRENCE_SQL
+    if sf_dir:
+        sql = sql.replace(
+            "FROM events e",
+            f"FROM '{sf_dir}/events.parquet' e").replace(
+            "JOIN nation n",
+            f"JOIN '{sf_dir}/nation.parquet' n")
     return f"WITH occ AS (SELECT * FROM ({sql}) WHERE {BASE_FILTER_SQL})"
 
 
-def mapkeys_cte(sf_dir: str) -> str:
+def mapkeys_cte(sf_dir: str | None = None) -> str:
     """Oracle CTE adding the exploded ``mapKey`` (UNION ALL per key type —
     semantically equal to the engine's single-explode fan-out)."""
     keys = ["SELECT o.*, '0:0' AS mapKey FROM occ o"]

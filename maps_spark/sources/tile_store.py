@@ -1,0 +1,84 @@
+"""Tile index storage: the Spark-native replacement for HBase.
+
+The reference bulk-loads salted HFiles into HBase and point-gets rows at
+serve time (TileMapBuilder.java:236-252, HBaseMaps.java:149-186). The
+idiomatic Spark equivalent is a Parquet table:
+
+- partitioned by ``(srs, z)`` — a tile lookup prunes to one directory;
+- sorted within files by ``(mapKey, x, y)`` — Parquet row-group min/max
+  stats turn a mapKey lookup into a near-point read;
+- repartitioned by mapKey hash before the sorted write, which plays the
+  role of the reference's salt-prefix partitioner (uniform file sizes,
+  no hot region) without needing byte-parity salts.
+
+A ``manifest.json`` under the root records generation timestamps per
+build, standing in for the ZooKeeper metastore (MapTables.java:37-47):
+readers resolve the active build through it, and a finished build swaps
+the pointer atomically (FinaliseBackfill.java:65-135 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_tiles(tiles: DataFrame, root: str, mode: str = "overwrite",
+                files_per_partition: int = 1) -> None:
+    """Write (srs, mapKey, z, x, y, tile) as the partitioned tile index."""
+    (tiles
+     .repartition(files_per_partition, "srs", "z", "mapKey")
+     .sortWithinPartitions("mapKey", "x", "y")
+     .write.partitionBy("srs", "z").mode(mode).parquet(f"{root}/tiles"))
+
+
+def write_points(points: DataFrame, root: str, mode: str = "overwrite",
+                 num_files: int = 1) -> None:
+    """Write (mapKey, features) point bundles."""
+    (points.repartition(num_files, "mapKey").sortWithinPartitions("mapKey")
+     .write.mode(mode).parquet(f"{root}/points"))
+
+
+def write_manifest(root: str, meta: dict | None = None) -> None:
+    m = {"generated": time.strftime("%Y%m%d_%H%M"),
+         "generated_unix": int(time.time()), **(meta or {})}
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{root}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, f"{root}/manifest.json")  # atomic swap
+
+
+def read_manifest(root: str) -> dict:
+    with open(f"{root}/manifest.json") as f:
+        return json.load(f)
+
+
+def read_tiles(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(f"{root}/tiles")
+
+
+def read_points(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(f"{root}/points")
+
+
+def get_tile_bytes(spark: SparkSession, root: str, map_key: str, srs: str,
+                   z: int, x: int, y: int) -> bytes | None:
+    """Point lookup; partition pruning on (srs, z) + row-group skip on
+    mapKey/x/y (check ``.explain``: PartitionFilters + PushedFilters)."""
+    rows = (read_tiles(spark, root)
+            .where((F.col("srs") == srs.replace(":", "_")) &
+                   (F.col("z") == z) & (F.col("mapKey") == map_key) &
+                   (F.col("x") == x) & (F.col("y") == y))
+            .select("tile").collect())
+    return rows[0].tile if rows else None
+
+
+def get_point_bytes(spark: SparkSession, root: str, map_key: str) -> bytes | None:
+    rows = (read_points(spark, root)
+            .where(F.col("mapKey") == map_key).select("features").collect())
+    return rows[0].features if rows else None

@@ -1,0 +1,277 @@
+"""DuckDB oracle SQL generation for the correctness gate.
+
+Every engine query in :mod:`maps_spark.plans.queries` has a matching
+generator here producing ANSI SQL that DuckDB runs over the same parquet
+tables (pre-registered views ``events``/``nation``/...). All floating-
+point math is emitted from the same dual-dialect templates the engine
+uses (:mod:`maps_spark.sql.dual`), so values match bit-for-bit; integer
+logic (tile fan-out, binning) is re-expressed as plain SQL with
+identical semantics.
+"""
+
+from __future__ import annotations
+
+from maps_spark.sql import dual
+from maps_spark.sources.occurrence import mapkeys_cte, occurrence_cte
+
+TILE = 512
+BUF = 64
+
+SCHEMA_SHAPE = {  # srs -> (zz_tiles_horizontal, zz_tiles_vertical, wrapX)
+    "EPSG:3857": (1, 1, True),
+    "EPSG:4326": (2, 1, True),
+}
+
+
+def _views_in(views: list[str]) -> str:
+    inner = ", ".join(f"'{v}'" for v in views)
+    return f"mapKey IN ({inner})"
+
+
+def pixel_select(srs: str, z: int, views: list[str]) -> str:
+    """A2: per-pixel aggregation at zoom z for chosen map views."""
+    pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", z)
+    plot = _plottable(srs)
+    return f"""{mapkeys_cte()}
+SELECT mapKey, {pxe} AS px, {pye} AS py,
+       {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear,
+       count(*) AS cnt
+FROM keyed WHERE {plot} AND {_views_in(views)}
+GROUP BY 1, 2, 3, 4"""
+
+
+def rollup_select(srs: str, hi_z: int, lo_z: int, views: list[str]) -> str:
+    """A3: rollup from hi_z pixels to lo_z by exact floor-div."""
+    k = hi_z - lo_z
+    pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", hi_z)
+    plot = _plottable(srs)
+    return f"""{mapkeys_cte()},
+pix AS (
+  SELECT mapKey, {pxe} AS px, {pye} AS py,
+         {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear,
+         count(*) AS cnt
+  FROM keyed WHERE {plot} AND {_views_in(views)}
+  GROUP BY 1, 2, 3, 4)
+SELECT mapKey, {dual.shift_down('px', k)} AS px,
+       {dual.shift_down('py', k)} AS py, borYear,
+       CAST(sum(cnt) AS BIGINT) AS cnt
+FROM pix GROUP BY 1, 2, 3, 4"""
+
+
+def _clamp_tile(p: str, z: int, zz: int) -> str:
+    tiles = zz * (1 << z)
+    return (f"greatest(CAST(0 AS BIGINT), least(CAST({tiles - 1} AS BIGINT), "
+            f"CAST(floor(({p}) / {TILE}) AS BIGINT)))")
+
+
+def _local_x(atx: str, px: str, z: int, zz_h: int, wrap: bool) -> str:
+    num_x = zz_h * (1 << z)
+    max_g = num_x * TILE
+    plain = f"({px}) - ({atx}) * {TILE}"
+    if not (wrap and (zz_h > 1 or z > 0)):
+        return plain
+    return (f"CASE WHEN ({atx}) = 0 AND ({px}) >= {max_g - BUF} "
+            f"THEN ({px}) - {max_g} "
+            f"WHEN ({atx}) = {num_x - 1} AND ({px}) < {BUF} "
+            f"THEN ({px}) + {max_g} - ({atx}) * {TILE} "
+            f"ELSE {plain} END")
+
+
+def _wrap(c: str, n: int) -> str:
+    return (f"CASE WHEN ({c}) < 0 THEN {n - 1} "
+            f"WHEN ({c}) >= {n} THEN 0 ELSE ({c}) END")
+
+
+def tile_assembly_select(srs: str, z: int, views: list[str]) -> str:
+    """C8 + A5 input: pixels fanned out to (<=4) tiles with buffer
+    duplication, expressed as a UNION of the 9 directional candidates
+    (UNION dedups = the reference's per-row distinct)."""
+    zz_h, zz_v, wrap = SCHEMA_SHAPE[srs]
+    num_x, num_y = zz_h * (1 << z), zz_v * (1 << z)
+    pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", z)
+    plot = _plottable(srs)
+
+    tx = _clamp_tile("px", z, zz_h)
+    ty = _clamp_tile("py", z, zz_v)
+    lx = _local_x("tx", "px", z, zz_h, wrap)
+
+    dirs = [  # (condition on primary lx/ly, dx, dy)
+        ("TRUE", 0, 0),
+        (f"ly < {BUF}", 0, -1),
+        (f"ly < {BUF} AND lx < {BUF}", -1, -1),
+        (f"ly < {BUF} AND lx >= {TILE - BUF}", 1, -1),
+        (f"lx >= {TILE - BUF}", 1, 0),
+        (f"ly >= {TILE - BUF}", 0, 1),
+        (f"ly >= {TILE - BUF} AND lx < {BUF}", -1, 1),
+        (f"ly >= {TILE - BUF} AND lx >= {TILE - BUF}", 1, 1),
+        (f"lx < {BUF}", -1, 0),
+    ]
+    branches = []
+    for cond, dx, dy in dirs:
+        atx = _wrap(f"tx + {dx}", num_x) if dx else "tx"
+        aty = _wrap(f"ty + {dy}", num_y) if dy else "ty"
+        alx = _local_x(f"({atx})", "px", z, zz_h, wrap)
+        aly = f"py - ({aty}) * {TILE}"
+        guard = (f"({alx}) >= {-BUF} AND ({alx}) <= {TILE + BUF} AND "
+                 f"({aly}) >= {-BUF} AND ({aly}) <= {TILE + BUF}")
+        branches.append(
+            f"SELECT mapKey, borYear, cnt, CAST({atx} AS BIGINT) AS tileX, "
+            f"CAST({aty} AS BIGINT) AS tileY, CAST({alx} AS BIGINT) AS pixelX, "
+            f"CAST({aly} AS BIGINT) AS pixelY "
+            f"FROM pixloc WHERE {cond} AND {guard}")
+    union = " UNION ".join(branches)
+    return f"""{mapkeys_cte()},
+pix AS (
+  SELECT mapKey, {pxe} AS px, {pye} AS py,
+         {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear,
+         count(*) AS cnt
+  FROM keyed WHERE {plot} AND {_views_in(views)}
+  GROUP BY 1, 2, 3, 4),
+pixloc AS (
+  SELECT mapKey, borYear, cnt, px, py, tx, ty,
+         {lx} AS lx, py - ty * {TILE} AS ly
+  FROM (SELECT mapKey, borYear, cnt, px, py, {tx} AS tx, {ty} AS ty FROM pix))
+SELECT * FROM ({union})"""
+
+
+def density_tile_select(srs: str, z: int, x: int, y: int, view: str,
+                        year_lo: int | None = None, year_hi: int | None = None,
+                        bors: list[str] | None = None,
+                        verbose: bool = False) -> str:
+    """A7/F4/F5/F6: the served tile's feature rows for one view."""
+    zz_h, zz_v, wrap = SCHEMA_SHAPE[srs]
+    num_x = zz_h * (1 << z)
+    world = num_x * TILE
+    pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", z)
+    plot = _plottable(srs)
+
+    vert = (f"py >= {y * TILE - BUF} AND py <= {y * TILE + TILE + BUF}")
+    horiz = (f"px >= {x * TILE - BUF} AND px <= {x * TILE + TILE + BUF}")
+    contains = f"({horiz} AND {vert})"
+    if wrap:
+        if x == 0:
+            contains += f" OR ({vert} AND px >= {world - BUF})"
+        if x == num_x - 1:
+            contains += f" OR ({vert} AND px < {BUF})"
+
+    lx = f"px - {x * TILE}"
+    if wrap and (zz_h > 1 or z > 0):
+        cases = []
+        if x == 0:
+            cases.append(f"WHEN px >= {world - BUF} THEN px - {world}")
+        if x == num_x - 1:
+            cases.append(f"WHEN px < {BUF} THEN px + {world} - {x * TILE}")
+        if cases:
+            lx = f"CASE {' '.join(cases)} ELSE px - {x * TILE} END"
+
+    filters = [f"({contains})"]
+    if bors:
+        codes = ", ".join(str(dual.BOR_CODE[b]) for b in bors)
+        filters.append(f"(borYear % 100) IN ({codes})")
+    if year_lo is not None:
+        filters.append(f"CAST(floor(borYear / 100) AS BIGINT) >= {year_lo}")
+    if year_hi is not None:
+        filters.append(f"CAST(floor(borYear / 100) AS BIGINT) <= {year_hi}")
+    where = " AND ".join(filters)
+
+    select = ("px, py, CAST(floor(borYear / 100) AS BIGINT) AS year, "
+              "count(*) AS cnt" if verbose
+              else "px, py, count(*) AS total")
+    group = "1, 2, 3" if verbose else "1, 2"
+    return f"""{mapkeys_cte()},
+pix AS (
+  SELECT {pxe} AS px, {pye} AS py,
+         {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear
+  FROM keyed WHERE {plot} AND mapKey = '{view}'),
+intile AS (
+  SELECT CAST({lx} AS BIGINT) AS px, CAST(py - {y * TILE} AS BIGINT) AS py,
+         borYear
+  FROM pix WHERE {where})
+SELECT {select} FROM intile GROUP BY {group}"""
+
+
+def capabilities_select() -> str:
+    """A11 (direct-from-source variant): per-view extent/years/total."""
+    return f"""{mapkeys_cte()}
+SELECT mapKey,
+       min(decimalLatitude) AS minLat, max(decimalLatitude) AS maxLat,
+       min(decimalLongitude) AS minLng, max(decimalLongitude) AS maxLng,
+       min(CASE WHEN year > 0 THEN CAST(year AS BIGINT) END) AS minYear,
+       max(CASE WHEN year > 0 THEN CAST(year AS BIGINT) END) AS maxYear,
+       count(*) AS total
+FROM keyed
+WHERE decimalLatitude IS NOT NULL AND decimalLongitude IS NOT NULL
+GROUP BY mapKey"""
+
+
+def square_bin_select(srs: str, z: int, x: int, y: int, view: str,
+                      square_size: int = 16) -> str:
+    """A10 over the served tile's visible features."""
+    inner = density_tile_select(srs, z, x, y, view)
+    return f"""{inner.rsplit('SELECT', 1)[0]}
+SELECT CAST(floor(px / {square_size}) AS BIGINT) AS cellX,
+       CAST(floor(py / {square_size}) AS BIGINT) AS cellY,
+       count(*) AS total
+FROM intile
+WHERE px >= 0 AND px < {TILE} AND py >= 0 AND py < {TILE}
+GROUP BY 1, 2"""
+
+
+def adhoc_grid_select(z: int, mode: str = "bounds",
+                      bbox: tuple[float, float, float, float] | None = None
+                      ) -> str:
+    """A12 geo-grid aggregation (cell address = pixel at tile_size=1)."""
+    pxe, pye = dual.pixel_exprs("EPSG:3857", "decimalLatitude",
+                                "decimalLongitude", z, tile_size=1)
+    plot = _plottable("EPSG:3857")
+    bb = ""
+    if bbox:
+        min_lng, min_lat, max_lng, max_lat = bbox
+        bb = (f" AND decimalLongitude >= {min_lng} AND decimalLongitude <= {max_lng}"
+              f" AND decimalLatitude >= {min_lat} AND decimalLatitude <= {max_lat}")
+    if mode == "bounds":
+        select = ("count(*) AS occCount, "
+                  "min(decimalLatitude) AS minLat, max(decimalLatitude) AS maxLat, "
+                  "min(decimalLongitude) AS minLng, max(decimalLongitude) AS maxLng")
+    else:
+        select = (
+            "count(*) AS occCount, "
+            f"{dual.sum_stable('decimalLatitude')} / count(decimalLatitude) AS centroidLat, "
+            f"{dual.sum_stable('decimalLongitude')} / count(decimalLongitude) AS centroidLng")
+    return f"""{occurrence_cte()}
+SELECT {pxe} AS cellX, {pye} AS cellY, {select}
+FROM occ WHERE {plot}{bb}
+GROUP BY 1, 2"""
+
+
+def year_facet_select(limit: int = 300) -> str:
+    return f"""{occurrence_cte()}
+SELECT CAST(year AS BIGINT) AS year, count(*) AS occCount
+FROM occ WHERE year IS NOT NULL
+GROUP BY 1 ORDER BY occCount DESC, year LIMIT {limit}"""
+
+
+def species_trend_select(species_view: str, group_view: str) -> str:
+    """A14: OLS on per-year species/group ratios. Shares the exact SQL
+    text with the engine (maps_spark.operators.regression.trend_sql)."""
+    from maps_spark.operators.regression import trend_sql
+    body = trend_sql(f"mapKey = '{species_view}'",
+                     f"mapKey = '{group_view}'", "keyed")
+    # merge the keyed CTE with the trend's own WITH clause
+    return f"{mapkeys_cte()},{body.strip().removeprefix('WITH')}"
+
+
+def map_view_counts_select() -> str:
+    """A1 threshold stats."""
+    return f"""{mapkeys_cte()}
+SELECT mapKey, count(*) AS n_occ FROM keyed GROUP BY 1"""
+
+
+def occ_country_counts_select() -> str:
+    return f"""{occurrence_cte()}
+SELECT countryCode, count(*) AS n_occ FROM occ GROUP BY 1"""
+
+
+def _plottable(srs: str) -> str:
+    from maps_spark.functions.projections import plottable_expr
+    return plottable_expr(srs, "decimalLatitude", "decimalLongitude")
