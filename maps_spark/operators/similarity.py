@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the query set,
+  score every corpus vector JVM-side (zip_with/aggregate Column math,
+  no Python), window row_number per query. The right baseline and the
+  correct choice whenever |queries| * |corpus| work fits the cluster.
+- ``lsh_topk``: random-hyperplane LSH (sign sketch) — corpus and query
+  vectors bucketed by sketch prefix; only same-bucket candidates are
+  scored. The 100 TB path: the candidate join is an equi-join on bucket
+  key, so the shuffle is O(candidates), not O(n*q). Probing multiple
+  rotated sketches trades recall for cost.
+
+Cosine is computed as ``floor(scale * dot / (na * nb))`` exact-integer
+when oracle parity is needed (`cosine_scaled`), plain double otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    # cast BEFORE multiplying: float*float then widen loses bits vs the
+    # oracle's double*double; fold left with 0.0 seed (0.0 + x == x, so
+    # this matches DuckDB list_reduce's first-element seeding exactly)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def cosine_col(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Exact top-k neighbours for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cos_scaled) where cos_scaled =
+    floor(1e9 * cosine) (exact integer — deterministic ordering and
+    oracle-safe). Self-matches excluded.
+    """
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("qvec")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    scored = (c.crossJoin(q)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(cosine_col("qvec", "cvec") * 1e9)
+                      .cast("long").alias("cos_scaled")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_scaled").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_scaled"))
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def sketch_udf(dim: int, n_bits: int = 16, seed: int = 7):
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    @pandas_udf("long")
+    def _sk(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(n_bits):
+            out |= signs[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    return _sk
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_bits: int = 12, n_tables: int = 4
+             ) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, multi-table probe.
+
+    Each of ``n_tables`` independent sketches buckets both sides; the
+    candidate set is the union of same-bucket matches, then exact cosine
+    rescoring. Recall is tested against brute force in the test suite.
+    """
+    cands = None
+    for t in range(n_tables):
+        sk = sketch_udf(dim, n_bits, seed=1000 + t)
+        cb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cvec"),
+                           sk(F.col(vec_col)).alias("bucket"))
+        qb = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qvec"),
+                            sk(F.col(vec_col)).alias("bucket"))
+        pair = (cb.join(F.broadcast(qb), "bucket")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id", "qvec", "cvec"))
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.floor(cosine_col("qvec", "cvec") * 1e9).cast("long")
+        .alias("cos_scaled"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_scaled").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_scaled"))
+
+
+def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         dim: int = 64, n_bits: int = 8) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked
+    (sign-sketch equality as the candidate filter)."""
+    sk = sketch_udf(dim, n_bits, seed=99)
+    b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   sk(F.col(vec_col)).alias("bucket"))
+    a2, b2 = b.alias("x"), b.alias("y")
+    thr = int(threshold * 1e9)
+    return (a2.join(b2, "bucket")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"),
+                    F.floor(cosine_col("x.v", "y.v") * 1e9).cast("long")
+                    .alias("cos_scaled"))
+            .where(F.col("cos_scaled") >= thr))

@@ -130,6 +130,73 @@ def q_species_trend(spark, sf_dir):
                            TREND_SPECIES, TREND_GROUP)
 
 
+# -- training-data pipeline queries -----------------------------------------
+
+
+def _docs(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.text_features(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
+
+
+def q_ann_topk(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = _emb(spark, sf_dir)
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 16), k=10)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.simhash_near_pairs(_docs(spark, sf_dir))
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    # synthetic embeddings are near-orthogonal (max cos ~0.51);
+    # 0.3 marks the top ~1% as "near-dup" so the operator has signal
+    return SIM.embedding_near_dupes(_emb(spark, sf_dir), threshold=0.3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = _emb(spark, sf_dir)
+    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 16), k=10)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -148,11 +215,23 @@ MAPS_QUERIES = {
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "year_facet": q_year_facet,
     "species_trend": q_species_trend,
+    # training-data pipeline
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "minhash_lsh_pairs": q_minhash_lsh,      # rows-only (hash UDF)
+    "simhash_pairs": q_simhash_pairs,        # rows-only (hash UDF)
+    "embedding_near_dupes": q_embedding_near_dupes,  # rows-only (sketch UDF)
+    "ann_lsh_topk": q_ann_lsh_topk,          # rows-only (sketch UDF)
+    "doc_fingerprint": q_doc_fingerprint,    # rows-only (rolling hash)
 }
 
 
 def maps_oracles() -> dict[str, str]:
     from maps_spark.sql import oracle as O
+    from maps_spark.sql import oracle_training as OT
     return {
         "occ_country_counts": O.occ_country_counts_select(),
         "map_view_counts": O.map_view_counts_select(),
@@ -176,4 +255,9 @@ def maps_oracles() -> dict[str, str]:
         "year_facet": O.year_facet_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         # pixel_agg_3575_z4 / 3031: pandas-UDF projections, rows-only
+        "dedup_exact": OT.dedup_exact_select(),
+        "text_stats": OT.text_stats_select(),
+        "lang_id": OT.lang_id_select(),
+        "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),
+        "ann_topk": OT.ann_topk_select(k=10, n_queries=16),
     }

@@ -1,0 +1,89 @@
+"""DuckDB oracles for the training-data pipeline operators."""
+
+from __future__ import annotations
+
+from maps_spark.operators.text import STOPWORDS, lang_id_sql, occurrences_sql
+
+
+def dedup_exact_select() -> str:
+    return """SELECT md5(text) AS text_hash, count(*) AS n_dupes,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+
+def text_stats_select() -> str:
+    padded = "(' ' || text || ' ')"
+    n_stop = " + ".join(occurrences_sql(padded, t) for t in STOPWORDS)
+    return f"""SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1
+    AS n_tokens,
+  {n_stop} AS n_stopwords,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+  CAST(length(text) AS DOUBLE) /
+    CAST(CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1
+         AS DOUBLE) AS mean_token_len
+FROM documents"""
+
+
+def lang_id_select() -> str:
+    return lang_id_sql("FROM documents")
+
+
+def ngram_jaccard_select(shingle_k: int = 3, threshold: float = 0.25,
+                         scale: int = 1_000_000) -> str:
+    """Exact shingle Jaccard pairs; docs assumed >= k tokens (true for
+    the synthetic corpus; asserted in tests)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 1)))
+                 AS i
+        FROM toks) s),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       sa.sz + sb.sz - inter AS uni,
+       CAST(floor(CAST(inter * {scale} AS DOUBLE) /
+                  CAST(sa.sz + sb.sz - inter AS DOUBLE)) AS BIGINT)
+         AS jaccard_scaled
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(CAST(inter * {scale} AS DOUBLE) /
+                 CAST(sa.sz + sb.sz - inter AS DOUBLE)) AS BIGINT)
+      >= {int(threshold * scale)}"""
+
+
+_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)")
+_NORM = ("sqrt(list_reduce(list_transform({a}, "
+         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v))")
+
+
+def ann_topk_select(k: int = 10, n_queries: int = 16) -> str:
+    """Exact cosine top-k for query vectors (vec_id < n_queries)."""
+    dot = _DOT.format(a="q.embedding", b="c.embedding")
+    na = _NORM.format(a="q.embedding")
+    nb = _NORM.format(a="c.embedding")
+    return f"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(({dot}) / (({na}) * ({nb})) * 1000000000.0) AS BIGINT)
+           AS cos_scaled
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_scaled,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_scaled DESC, neighbor_id)
+           AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
+FROM ranked WHERE rank <= {k}"""
