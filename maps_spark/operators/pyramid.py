@@ -120,33 +120,40 @@ def tile_rows(pixels: DataFrame, srs: str, z: int,
 
 def encode_mvt(trows: DataFrame, z: int,
                tile_size: int = P.TILE_SIZE) -> DataFrame:
-    """Grouped Arrow encode: one MVT per (mapKey, tileX, tileY)."""
+    """MVT encode: assemble per-tile feature arrays JVM-side
+    (``collect_list`` — the reference's A4/A5 stage), then stream tiles
+    through ``mapInPandas`` with many tiles per Arrow batch.
+
+    Deliberately NOT ``applyInPandas`` per tile group: a pyramid zoom
+    has millions of small tiles and per-group pandas overhead dwarfs the
+    encode (measured 20x slower at bench scale).
+    """
     bor_names = {c: b for b, c in dual.BOR_CODE.items()}
+    assembled = (trows.groupBy("mapKey", "tileX", "tileY")
+                 .agg(F.collect_list(F.struct("pixelX", "pixelY", "borYear",
+                                              "cnt")).alias("features")))
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        map_key = pdf["mapKey"].iat[0]
-        tx = int(pdf["tileX"].iat[0])
-        ty = int(pdf["tileY"].iat[0])
-        layers: dict[str, dict[tuple[int, int], dict[str, int]]] = {}
-        by = pdf["borYear"].to_numpy()
-        cnt = pdf["cnt"].to_numpy()
-        pxs = pdf["pixelX"].to_numpy()
-        pys = pdf["pixelY"].to_numpy()
-        for i in range(len(pdf)):
-            bor = bor_names.get(int(by[i]) % 100, "UNKNOWN")
-            year = str(int(by[i]) // 100)
-            pix = layers.setdefault(bor, {}).setdefault(
-                (int(pxs[i]), int(pys[i])), {})
-            pix[year] = pix.get(year, 0) + int(cnt[i])
-        data = mvt.encode_tile(
-            {bor: [(x, y, attrs) for (x, y), attrs in pix.items()]
-             for bor, pix in layers.items()},
-            extent=tile_size)
-        return pd.DataFrame({"mapKey": [map_key], "z": [z], "x": [tx],
-                             "y": [ty], "tile": [data]})
+    def enc_batches(batches):
+        for pdf in batches:
+            out_bytes = []
+            for feats in pdf["features"]:
+                layers: dict[str, dict[tuple[int, int], dict[str, int]]] = {}
+                for f in feats:
+                    by = int(f["borYear"])
+                    pix = layers.setdefault(
+                        bor_names.get(by % 100, "UNKNOWN"), {}).setdefault(
+                        (int(f["pixelX"]), int(f["pixelY"])), {})
+                    year = str(by // 100)
+                    pix[year] = pix.get(year, 0) + int(f["cnt"])
+                out_bytes.append(mvt.encode_tile(
+                    {bor: [(x, y, attrs) for (x, y), attrs in pix.items()]
+                     for bor, pix in layers.items()},
+                    extent=tile_size))
+            yield pd.DataFrame({"mapKey": pdf["mapKey"],
+                                "z": z, "x": pdf["tileX"],
+                                "y": pdf["tileY"], "tile": out_bytes})
 
-    return (trows.groupBy("mapKey", "tileX", "tileY")
-            .applyInPandas(enc, TILE_SCHEMA))
+    return assembled.mapInPandas(enc_batches, TILE_SCHEMA)
 
 
 def build_zoom(pixels_at_z: DataFrame, srs: str, z: int,

@@ -1,0 +1,68 @@
+"""The backfill driver: full map build, end to end.
+
+Mirrors the reference workflow (Backfill.java:39-66 ->
+MapBuilder.run:118-177 -> Prepare/FinaliseBackfill) as one Spark app:
+
+1. snapshot: read + base-filter occurrence, materialize once
+   (MapBuilder.java:184-199's staged table — defeats lazy re-read across
+   the many downstream branches).
+2. split views at the threshold (broadcast join, no driver collect).
+3. point bundles for small views; tile pyramids per projection for
+   large views.
+4. write the partitioned/sorted Parquet tile index + manifest, then
+   atomically swap the manifest pointer (FinaliseBackfill semantics).
+
+Cluster sizing notes (BASELINE.md parity): the reference runs 70x8
+cores with shuffle width 2000 for 2.5 B rows; this driver exposes
+``shuffle_partitions`` and ``max_zoom`` so a deployment scales the same
+two knobs. Stage boundaries are explicit materializations, mirroring
+the reference's staged Parquet tables.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from maps_spark.operators import pyramid as PY
+from maps_spark.sources import tile_store
+from maps_spark.sources.occurrence import occurrence_df
+
+
+def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
+                 srs_list: tuple[str, ...] = ("EPSG:3857", "EPSG:4326",
+                                              "EPSG:3575", "EPSG:3031"),
+                 max_zoom: int = 8, threshold: int = PY.DEFAULT_THRESHOLD,
+                 snapshot: bool = True) -> dict:
+    """Build the full tile index + point bundles. Returns manifest."""
+    t0 = time.time()
+    occ = occurrence_df(spark, sf_dir)
+    if snapshot:
+        # materialization barrier: one pass over the source feeds ~40
+        # downstream stages (4 projections x zooms + points + stats)
+        occ = occ.localCheckpoint(eager=True)
+    keyed = PY.keyed_occurrence(occ)
+    large, small = PY.split_views(keyed, threshold)
+
+    points = PY.point_blobs(small)
+    tile_store.write_points(points, out_root)
+
+    stats: dict[str, float] = {}
+    for srs in srs_list:
+        t = time.time()
+        # polar clip (F2, TileMapBuilder.java:68-69) is inside the
+        # projection's plottable mask — no extra filter needed
+        tiles = PY.build_pyramid(large, srs, max_zoom)
+        tile_store.write_tiles(tiles, out_root,
+                               mode="append" if srs != srs_list[0]
+                               else "overwrite")
+        stats[srs] = round(time.time() - t, 2)
+
+    manifest = {
+        "sf_dir": sf_dir, "max_zoom": max_zoom, "threshold": threshold,
+        "srs": list(srs_list), "build_sec": round(time.time() - t0, 2),
+        "stage_sec": stats,
+    }
+    tile_store.write_manifest(out_root, manifest)
+    return manifest

@@ -211,6 +211,7 @@ MAPS_QUERIES = {
     "density_tile_filtered": q_density_tile_filtered,
     "capabilities": q_capabilities,
     "square_bin_z2": q_square_bin_z2,
+    "hex_bin_z2": q_hex_bin_z2,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "year_facet": q_year_facet,
@@ -250,6 +251,7 @@ def maps_oracles() -> dict[str, str]:
             bors=["HUMAN_OBSERVATION", "OBSERVATION"], verbose=True),
         "capabilities": O.capabilities_select(),
         "square_bin_z2": O.square_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
+        "hex_bin_z2": O.hex_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
         "adhoc_grid_bounds_z5": O.adhoc_grid_select(5, "bounds"),
         "adhoc_grid_centroid_z5": O.adhoc_grid_select(5, "centroid"),
         "year_facet": O.year_facet_select(),

@@ -217,6 +217,22 @@ WHERE px >= 0 AND px < {TILE} AND py >= 0 AND py < {TILE}
 GROUP BY 1, 2"""
 
 
+def hex_bin_select(srs: str, z: int, x: int, y: int, view: str,
+                   min_hex_per_tile: int = 51) -> str:
+    """A9 over the served tile's features (buffer included — hexagons
+    straddle tile edges; HexBin.java:101-180). The (q, r) assignment SQL
+    is the very same dual-dialect string the engine runs."""
+    from maps_spark.operators.binning import hex_assign_sql
+    inner = density_tile_select(srs, z, x, y, view)
+    qe, re = hex_assign_sql("px", "py", z, x, y, TILE, min_hex_per_tile)
+    return f"""{inner.rsplit('SELECT', 1)[0]}
+SELECT {qe} AS hexQ,
+       {re} AS hexR,
+       count(*) AS total
+FROM intile
+GROUP BY 1, 2"""
+
+
 def adhoc_grid_select(z: int, mode: str = "bounds",
                       bbox: tuple[float, float, float, float] | None = None
                       ) -> str:
