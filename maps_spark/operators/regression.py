@@ -117,6 +117,19 @@ def species_trend(spark, keyed: DataFrame, species_view: str,
     return spark.sql(sql)
 
 
+def hex_trend(spark, keyed: DataFrame, species_view: str, group_view: str,
+              srs: str = "EPSG:3857", z: int = 0, x: int = 0, y: int = 0
+              ) -> DataFrame:
+    """J2: per-hexagon species trend over one served tile — runs the
+    same dual-dialect SQL text the oracle replays
+    (RegressionResource.java:258-342)."""
+    from maps_spark.sql.oracle import hex_trend_body
+    keyed.createOrReplaceTempView("keyed_hex_trend")
+    return spark.sql(hex_trend_body(
+        srs, z, x, y, species_view, group_view,
+        keyed="keyed_hex_trend", lat="lat", lng="lng", bor_year="borYear"))
+
+
 def per_cell_trend(species_cells: DataFrame, group_cells: DataFrame,
                    cell_cols: tuple[str, ...] = ("cellX", "cellY")
                    ) -> DataFrame:

@@ -111,6 +111,24 @@ def density_tile(keyed: DataFrame, map_key: str, srs: str, z: int, x: int,
             .agg(F.count("*").cast("long").alias("total")))
 
 
+def country_masked_tile(keyed: DataFrame, map_key: str, mask_key: str,
+                        srs: str, z: int, x: int, y: int,
+                        tile_size: int = P.TILE_SIZE,
+                        buffer: int = T.DEFAULT_BUFFER) -> DataFrame:
+    """J1 country mask (VectorTileFilters.java:83-99,
+    TileResource.java:576-583): keep the served tile's pixels that also
+    carry features of the mask view (``4:<ISO>``).
+
+    The mask side is one view's single-tile pixel set — small — so it
+    broadcasts; the semi-join never shuffles the source."""
+    src = density_tile(keyed, map_key, srs, z, x, y,
+                       tile_size=tile_size, buffer=buffer)
+    mask = density_tile(keyed, mask_key, srs, z, x, y,
+                        tile_size=tile_size, buffer=buffer
+                        ).select("px", "py")
+    return src.join(F.broadcast(mask), ["px", "py"], "left_semi")
+
+
 # -- single-tile in-memory path (tile-store serve flow) ----------------------
 
 

@@ -23,7 +23,7 @@ from maps_spark.operators import regression as R
 from maps_spark.operators import serving as SV
 from maps_spark.sources.occurrence import occurrence_df
 
-PIXEL_VIEWS = ["0:0", "2:ds-7", "4:CHINA"]
+PIXEL_VIEWS = ["0:0", "2:ds-7", "4:NATION_17"]
 ROLLUP_VIEWS = ["0:0"]
 ASSEMBLY_VIEWS = ["0:0", "3:org-3"]
 TREND_SPECIES, TREND_GROUP = "1:c0|s42", "1:c0|g8"
@@ -111,6 +111,36 @@ def q_hex_bin_z2(spark, sf_dir):
     tile = SV.density_tile(_keyed(spark, sf_dir),
                            map_key="0:0", srs="EPSG:3857", z=2, x=1, y=1)
     return B.hex_bin(tile, z=2, x=1, y=1)
+
+
+def q_country_mask_z2(spark, sf_dir):
+    return SV.country_masked_tile(_keyed(spark, sf_dir), map_key="0:0",
+                                  mask_key="4:NATION_17", srs="EPSG:3857",
+                                  z=2, x=1, y=1)
+
+
+def q_hex_trend_z0(spark, sf_dir):
+    return R.hex_trend(spark, _keyed(spark, sf_dir),
+                       species_view="1:c0|g8", group_view="1:c0|f2",
+                       srs="EPSG:3857", z=0, x=0, y=0)
+
+
+def q_media_features(spark, sf_dir):
+    from maps_spark.operators import multimodal as MM
+    feats = MM.extract_features(MM.synthesize_media(spark, n=64))
+    return (feats.groupBy("kind")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("decode_ok").cast("int")).alias("n_decoded"),
+                 F.round(F.sum(F.element_at("feat", 1)), 6)
+                 .alias("sum_feat0")))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from maps_spark.operators import multimodal as MM
+    frames = MM.frame_sample(MM.synthesize_media(spark, n=64), every_n=30)
+    return (frames.groupBy("media_id")
+            .agg(F.count("*").alias("n_frames_sampled"),
+                 F.max("frame_idx").alias("last_frame")))
 
 
 def q_adhoc_grid_bounds_z5(spark, sf_dir):
@@ -212,6 +242,10 @@ MAPS_QUERIES = {
     "capabilities": q_capabilities,
     "square_bin_z2": q_square_bin_z2,
     "hex_bin_z2": q_hex_bin_z2,
+    "country_mask_z2": q_country_mask_z2,
+    "hex_trend_z0": q_hex_trend_z0,
+    "media_features": q_media_features,        # rows-only (stubbed decode)
+    "media_frame_sample": q_media_frame_sample,  # rows-only
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "year_facet": q_year_facet,
@@ -252,6 +286,10 @@ def maps_oracles() -> dict[str, str]:
         "capabilities": O.capabilities_select(),
         "square_bin_z2": O.square_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
         "hex_bin_z2": O.hex_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
+        "country_mask_z2": O.country_mask_select("EPSG:3857", 2, 1, 1,
+                                                 "0:0", "4:NATION_17"),
+        "hex_trend_z0": O.hex_trend_select("EPSG:3857", 0, 0, 0,
+                                           "1:c0|g8", "1:c0|f2"),
         "adhoc_grid_bounds_z5": O.adhoc_grid_select(5, "bounds"),
         "adhoc_grid_centroid_z5": O.adhoc_grid_select(5, "centroid"),
         "year_facet": O.year_facet_select(),

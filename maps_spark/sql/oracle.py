@@ -134,16 +134,23 @@ pixloc AS (
 SELECT * FROM ({union})"""
 
 
-def density_tile_select(srs: str, z: int, x: int, y: int, view: str,
-                        year_lo: int | None = None, year_hi: int | None = None,
-                        bors: list[str] | None = None,
-                        verbose: bool = False) -> str:
-    """A7/F4/F5/F6: the served tile's feature rows for one view."""
+def tile_ctes(srs: str, z: int, x: int, y: int, view: str,
+              year_lo: int | None = None, year_hi: int | None = None,
+              bors: list[str] | None = None, prefix: str = "",
+              keyed: str = "keyed",
+              lat: str = "decimalLatitude",
+              lng: str = "decimalLongitude",
+              bor_year: str | None = None) -> str:
+    """The served tile's feature CTEs for one view, dual-dialect:
+    ``{prefix}pix`` (global pixel + borYear) and ``{prefix}intile``
+    (tile-local px/py after containment + dateline wrap + year/BOR
+    filters). Composable — a prefix lets one statement carry several
+    views (country mask J1, hex regression J2)."""
     zz_h, zz_v, wrap = SCHEMA_SHAPE[srs]
     num_x = zz_h * (1 << z)
     world = num_x * TILE
-    pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", z)
-    plot = _plottable(srs)
+    pxe, pye = dual.pixel_exprs(srs, lat, lng, z)
+    plot = _plottable(srs, lat, lng)
 
     vert = (f"py >= {y * TILE - BUF} AND py <= {y * TILE + TILE + BUF}")
     horiz = (f"px >= {x * TILE - BUF} AND px <= {x * TILE + TILE + BUF}")
@@ -174,20 +181,43 @@ def density_tile_select(srs: str, z: int, x: int, y: int, view: str,
         filters.append(f"CAST(floor(borYear / 100) AS BIGINT) <= {year_hi}")
     where = " AND ".join(filters)
 
+    bye = bor_year or dual.encode_bor_year('basisOfRecord', 'year')
+    return f"""{prefix}pix AS (
+  SELECT {pxe} AS px, {pye} AS py,
+         {bye} AS borYear
+  FROM {keyed} WHERE {plot} AND mapKey = '{view}'),
+{prefix}intile AS (
+  SELECT CAST({lx} AS BIGINT) AS px, CAST(py - {y * TILE} AS BIGINT) AS py,
+         borYear
+  FROM {prefix}pix WHERE {where})"""
+
+
+def density_tile_select(srs: str, z: int, x: int, y: int, view: str,
+                        year_lo: int | None = None, year_hi: int | None = None,
+                        bors: list[str] | None = None,
+                        verbose: bool = False) -> str:
+    """A7/F4/F5/F6: the served tile's feature rows for one view."""
     select = ("px, py, CAST(floor(borYear / 100) AS BIGINT) AS year, "
               "count(*) AS cnt" if verbose
               else "px, py, count(*) AS total")
     group = "1, 2, 3" if verbose else "1, 2"
     return f"""{mapkeys_cte()},
-pix AS (
-  SELECT {pxe} AS px, {pye} AS py,
-         {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear
-  FROM keyed WHERE {plot} AND mapKey = '{view}'),
-intile AS (
-  SELECT CAST({lx} AS BIGINT) AS px, CAST(py - {y * TILE} AS BIGINT) AS py,
-         borYear
-  FROM pix WHERE {where})
+{tile_ctes(srs, z, x, y, view, year_lo, year_hi, bors)}
 SELECT {select} FROM intile GROUP BY {group}"""
+
+
+def country_mask_select(srs: str, z: int, x: int, y: int, view: str,
+                        mask_view: str) -> str:
+    """J1 country mask: keep the served tile's pixels that also carry
+    features of the mask view (``4:<ISO>``) — a hash semi-join on the
+    tile-local pixel address (VectorTileFilters.java:83-99)."""
+    return f"""{mapkeys_cte()},
+{tile_ctes(srs, z, x, y, view)},
+{tile_ctes(srs, z, x, y, mask_view, prefix='m')}
+SELECT t.px, t.py, count(*) AS total
+FROM intile t
+WHERE EXISTS (SELECT 1 FROM mintile m WHERE m.px = t.px AND m.py = t.py)
+GROUP BY 1, 2"""
 
 
 def capabilities_select() -> str:
@@ -231,6 +261,68 @@ SELECT {qe} AS hexQ,
        count(*) AS total
 FROM intile
 GROUP BY 1, 2"""
+
+
+def hex_trend_body(srs: str, z: int, x: int, y: int, species_view: str,
+                   group_view: str, keyed: str = "keyed",
+                   lat: str = "decimalLatitude",
+                   lng: str = "decimalLongitude",
+                   bor_year: str | None = None,
+                   min_hex_per_tile: int = 51) -> str:
+    """J2 + A14 per-hexagon species trend: hex-binned per-year species
+    and higher-taxon counts joined on hexagon id, then a per-hex OLS of
+    the quantized ratio (RegressionResource.java:258-355 semantics).
+
+    Same bit-determinism scheme as :func:`trend_sql`: exact integer
+    sufficient statistics, double division only in the closed forms —
+    the full statement is one shared text for Spark and DuckDB.
+    """
+    from maps_spark.operators.binning import hex_assign_sql
+    qe, re = hex_assign_sql("px", "py", z, x, y, TILE, min_hex_per_tile)
+    s = tile_ctes(srs, z, x, y, species_view, prefix="s", keyed=keyed,
+                  lat=lat, lng=lng, bor_year=bor_year)
+    g = tile_ctes(srs, z, x, y, group_view, prefix="g", keyed=keyed,
+                  lat=lat, lng=lng, bor_year=bor_year)
+    return f"""WITH {s},
+{g},
+sc AS (SELECT {qe} AS hexQ, {re} AS hexR,
+              CAST(floor(borYear / 100) AS BIGINT) AS year,
+              count(*) AS speciesCnt
+       FROM sintile WHERE borYear >= 100 GROUP BY 1, 2, 3),
+gc AS (SELECT {qe} AS hexQ, {re} AS hexR,
+              CAST(floor(borYear / 100) AS BIGINT) AS year,
+              count(*) AS groupCnt
+       FROM gintile WHERE borYear >= 100 GROUP BY 1, 2, 3),
+pairs AS (SELECT sc.hexQ, sc.hexR, sc.year,
+                 CAST(floor(CAST(sc.speciesCnt AS DOUBLE) * 1000000000.0
+                            / CAST(gc.groupCnt AS DOUBLE)) AS BIGINT) AS rs
+          FROM sc JOIN gc ON sc.hexQ = gc.hexQ AND sc.hexR = gc.hexR
+                         AND sc.year = gc.year
+          WHERE gc.groupCnt > 0),
+sums AS (SELECT hexQ, hexR, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(year) AS BIGINT) AS sx,
+                CAST(sum(rs) AS BIGINT) AS sy,
+                CAST(sum(year * year) AS BIGINT) AS sxx,
+                CAST(sum(year * rs) AS BIGINT) AS sxy
+         FROM pairs GROUP BY 1, 2),
+closed AS (SELECT hexQ, hexR, n,
+                  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+                  CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+           FROM sums)
+SELECT hexQ, hexR, n,
+       CASE WHEN den <> 0 THEN (num / den) / 1000000000.0 END AS slope,
+       CASE WHEN den <> 0
+            THEN ((syd - (num / den) * sxd) / n) / 1000000000.0
+       END AS intercept
+FROM closed"""
+
+
+def hex_trend_select(srs: str, z: int, x: int, y: int, species_view: str,
+                     group_view: str) -> str:
+    """Oracle wrapper: prepend the keyed CTE to the shared body."""
+    body = hex_trend_body(srs, z, x, y, species_view, group_view)
+    return f"{mapkeys_cte()},{body.strip().removeprefix('WITH')}"
 
 
 def adhoc_grid_select(z: int, mode: str = "bounds",
@@ -288,6 +380,7 @@ def occ_country_counts_select() -> str:
 SELECT countryCode, count(*) AS n_occ FROM occ GROUP BY 1"""
 
 
-def _plottable(srs: str) -> str:
+def _plottable(srs: str, lat: str = "decimalLatitude",
+               lng: str = "decimalLongitude") -> str:
     from maps_spark.functions.projections import plottable_expr
-    return plottable_expr(srs, "decimalLatitude", "decimalLongitude")
+    return plottable_expr(srs, lat, lng)

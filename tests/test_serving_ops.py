@@ -1,0 +1,54 @@
+"""Serving-side operator invariants: country mask (J1), hex trend (J2),
+backfill + streaming smoke. Dataset-independent invariants in the
+reference's test style (SURVEY §5)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def keyed(spark, occ_small):
+    from maps_spark.operators import pyramid as PY
+    return PY.keyed_occurrence(occ_small).cache()
+
+
+class TestCountryMask:
+    def test_masked_subset_of_unmasked(self, spark, keyed):
+        from maps_spark.operators import serving as SV
+        full = SV.density_tile(keyed, "0:0", "EPSG:3857", 1, 0, 0)
+        masked = SV.country_masked_tile(keyed, "0:0", "4:NATION_3",
+                                        "EPSG:3857", 1, 0, 0)
+        # every masked pixel appears in the unmasked tile w/ same total
+        extra = masked.join(full, ["px", "py", "total"], "left_anti")
+        assert extra.count() == 0
+        assert 0 < masked.count() < full.count()
+
+    def test_self_mask_is_identity(self, spark, keyed):
+        from maps_spark.operators import serving as SV
+        view = "4:NATION_3"
+        own = SV.density_tile(keyed, view, "EPSG:3857", 1, 0, 0)
+        self_masked = SV.country_masked_tile(keyed, view, view,
+                                             "EPSG:3857", 1, 0, 0)
+        assert own.count() == self_masked.count()
+
+
+class TestHexTrend:
+    def test_slope_finite_and_join_semantics(self, spark, keyed):
+        from maps_spark.operators import regression as R
+        out = R.hex_trend(spark, keyed, "1:c0|g8", "1:c0|f2",
+                          "EPSG:3857", 0, 0, 0).toPandas()
+        assert len(out) > 0
+        assert {"hexq", "hexr", "n", "slope", "intercept"} <= set(
+            c.lower() for c in out.columns)
+        # n >= 1 everywhere; slope defined wherever n >= 2 with year spread
+        assert (out["n"] >= 1).all()
+        # n >= 2 means two distinct years joined -> OLS denominator != 0,
+        # so the slope must be defined (sf0.001 may have no such hex;
+        # the sf0.01 oracle gate exercises the dense case)
+        multi = out[out["n"] >= 2]
+        if len(multi):
+            assert multi["slope"].notna().all()
+        else:
+            assert out["slope"].isna().all()
