@@ -61,6 +61,17 @@ def centred_spread(values: list[int], max_value: int) -> tuple[int, int] | None:
             return vals[left], vals[right]
 
 
+def lng_spread_df(spark, keyed: DataFrame, view: str = "0:0",
+                  multiplier: int = 100) -> DataFrame:
+    """centredSpread as a distributed window query — the same
+    dual-dialect SQL text the oracle replays (one row:
+    minLng, maxLng; minLng > maxLng means antimeridian crossing)."""
+    from maps_spark.sql.oracle import lng_spread_body
+    keyed.createOrReplaceTempView("keyed_lng_spread")
+    return spark.sql(lng_spread_body(view, keyed="keyed_lng_spread",
+                                     lng="lng", multiplier=multiplier))
+
+
 def lng_spread(keyed_view: DataFrame, multiplier: int = 100
                ) -> tuple[float, float] | None:
     """Antimeridian-aware (minLng, maxLng) for one view: distinct rounded

@@ -39,6 +39,21 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .where(F.col("n_dupes") > 1))
 
 
+def prefix_duplicates(docs: DataFrame, text_col: str = "text",
+                      n_tokens: int = 10) -> DataFrame:
+    """Prefix dedup: documents sharing their first ``n_tokens`` tokens —
+    the cheap recall-first pass production pipelines run before
+    near-dup scoring (catches templated/boilerplate-led duplicates
+    that differ only in their tails)."""
+    prefix = F.array_join(
+        F.slice(F.split(F.col(text_col), " "), 1, n_tokens), " ")
+    return (docs
+            .groupBy(prefix.alias("prefix"))
+            .agg(F.count("*").alias("n_dupes"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .where(F.col("n_dupes") > 1))
+
+
 def _shingles(text: str, k: int) -> set[str]:
     toks = text.split()
     if len(toks) < k:

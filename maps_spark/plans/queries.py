@@ -101,6 +101,10 @@ def q_capabilities(spark, sf_dir):
     return C.capabilities(_keyed(spark, sf_dir))
 
 
+def q_lng_spread(spark, sf_dir):
+    return C.lng_spread_df(spark, _keyed(spark, sf_dir), view="4:NATION_17")
+
+
 def q_square_bin_z2(spark, sf_dir):
     tile = SV.density_tile(_keyed(spark, sf_dir),
                            map_key="0:0", srs="EPSG:3857", z=2, x=1, y=1)
@@ -178,6 +182,11 @@ def q_dedup_exact(spark, sf_dir):
     return DD.exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_dedup_prefix(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.prefix_duplicates(_docs(spark, sf_dir), n_tokens=10)
+
+
 def q_text_stats(spark, sf_dir):
     from maps_spark.operators import text as TX
     return TX.text_features(_docs(spark, sf_dir))
@@ -240,6 +249,7 @@ MAPS_QUERIES = {
     "density_tile_simple": q_density_tile_simple,
     "density_tile_filtered": q_density_tile_filtered,
     "capabilities": q_capabilities,
+    "lng_spread": q_lng_spread,
     "square_bin_z2": q_square_bin_z2,
     "hex_bin_z2": q_hex_bin_z2,
     "country_mask_z2": q_country_mask_z2,
@@ -252,6 +262,7 @@ MAPS_QUERIES = {
     "species_trend": q_species_trend,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
+    "dedup_prefix": q_dedup_prefix,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -284,6 +295,7 @@ def maps_oracles() -> dict[str, str]:
             "EPSG:3857", 1, 1, 0, "0:0", year_lo=1900, year_hi=1980,
             bors=["HUMAN_OBSERVATION", "OBSERVATION"], verbose=True),
         "capabilities": O.capabilities_select(),
+        "lng_spread": O.lng_spread_select("4:NATION_17"),
         "square_bin_z2": O.square_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
         "hex_bin_z2": O.hex_bin_select("EPSG:3857", 2, 1, 1, "0:0"),
         "country_mask_z2": O.country_mask_select("EPSG:3857", 2, 1, 1,
@@ -296,6 +308,7 @@ def maps_oracles() -> dict[str, str]:
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         # pixel_agg_3575_z4 / 3031: pandas-UDF projections, rows-only
         "dedup_exact": OT.dedup_exact_select(),
+        "dedup_prefix": OT.dedup_prefix_select(n_tokens=10),
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),

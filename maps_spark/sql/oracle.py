@@ -318,6 +318,45 @@ SELECT hexQ, hexR, n,
 FROM closed"""
 
 
+def lng_spread_body(view: str, keyed: str = "keyed",
+                    lng: str = "decimalLongitude",
+                    multiplier: int = 100) -> str:
+    """A11 centredSpread as dual-dialect SQL (Capabilities.java:288-334).
+
+    The reference's greedy expand-toward-nearest loop always ends with
+    the globally largest circular gap excluded (each crossed gap is <=
+    its opposing boundary, and boundaries chain up to the final gap), so
+    the set form is: largest gap over sorted distinct rounded
+    longitudes, wrap gap included; the spread is its complement —
+    (gap_end, gap_start), which crosses the antimeridian when
+    minLng > maxLng. Ties break deterministically on gap_start
+    (the reference's right-bias makes ties vanishingly rare at
+    multiplier resolution).
+    """
+    wrap = 360 * multiplier
+    return f"""WITH lv AS (
+  SELECT DISTINCT CAST(round({lng} * {multiplier}) AS BIGINT) AS v
+  FROM {keyed} WHERE {lng} IS NOT NULL AND mapKey = '{view}'),
+sg AS (SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM lv),
+gaps AS (
+  SELECT v AS gap_start, nxt AS gap_end, nxt - v AS gap
+  FROM sg WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT max_v, min_v + {wrap}, (min_v + {wrap}) - max_v
+  FROM (SELECT min(v) AS min_v, max(v) AS max_v FROM lv)),
+best AS (SELECT gap_start, gap_end FROM gaps
+         ORDER BY gap DESC, gap_start DESC LIMIT 1)
+SELECT CAST(CASE WHEN gap_end >= {wrap // 2} THEN gap_end - {wrap}
+                 ELSE gap_end END AS DOUBLE) / {multiplier} AS minLng,
+       CAST(gap_start AS DOUBLE) / {multiplier} AS maxLng
+FROM best"""
+
+
+def lng_spread_select(view: str) -> str:
+    body = lng_spread_body(view)
+    return f"{mapkeys_cte()},{body.strip().removeprefix('WITH')}"
+
+
 def hex_trend_select(srs: str, z: int, x: int, y: int, species_view: str,
                      group_view: str) -> str:
     """Oracle wrapper: prepend the keyed CTE to the shared body."""

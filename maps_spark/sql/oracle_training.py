@@ -11,6 +11,13 @@ def dedup_exact_select() -> str:
 FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
 
+def dedup_prefix_select(n_tokens: int = 10) -> str:
+    return f"""SELECT array_to_string((string_split(text, ' '))[1:{n_tokens}],
+                       ' ') AS prefix,
+       count(*) AS n_dupes, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+
 def text_stats_select() -> str:
     padded = "(' ' || text || ' ')"
     n_stop = " + ".join(occurrences_sql(padded, t) for t in STOPWORDS)
