@@ -39,6 +39,19 @@ def run() -> None:
                       shuffle_partitions=max(CPUS * 2, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the Python UDF workers once (fork + numpy/pandas import is
+    # ~0.5s x num_workers and would otherwise land entirely on the first
+    # Arrow-UDF query); steady-state throughput is what the bench reports.
+    import pandas as _pd
+
+    def _noop(batches):
+        import numpy  # noqa: F401
+        for b in batches:
+            yield _pd.DataFrame({"x": b["id"]})
+
+    (spark.range(CPUS * 4).repartition(CPUS * 4)
+     .mapInPandas(_noop, "x long").count())
+
     timings: dict[str, float] = {}
 
     def timed(name):
@@ -103,8 +116,11 @@ def run() -> None:
         from maps_spark.operators import dedup as DD
         from maps_spark.operators import similarity as SIM
         from maps_spark.operators import text as TX
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        from maps_spark.sources.occurrence import spread
+        docs = spread(spark, spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"))
+        emb = spread(spark, spark.read.parquet(
+            f"{SF_DIR}/embeddings.parquet"))
 
         @timed("text_analysis")
         def _9():

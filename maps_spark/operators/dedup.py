@@ -61,12 +61,45 @@ def _shingles(text: str, k: int) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _hash_shingle(s: str) -> np.uint64:
-    # FNV-1a 64-bit: deterministic across workers/sessions
-    h = np.uint64(14695981039346656037)
-    for b in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ b) * 1099511628211 % (1 << 64))
-    return h
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraps silently)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """64-bit token hashes: crc32 (C speed) widened by splitmix64.
+
+    Deterministic across workers (unlike ``hash()``); the only Python-
+    level loop is one C call per token — everything after is numpy.
+    """
+    import zlib
+    h32 = np.fromiter((zlib.crc32(t.encode()) for t in toks),
+                      dtype=np.uint64, count=len(toks))
+    return _mix64(h32)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-token shingle hashes as int64 in [0, 2^61): rolling
+    polynomial combine of token hashes, fully vectorized."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    th = _token_hashes(toks)
+    if len(th) < k:
+        acc = np.uint64(0)
+        for v in th:
+            acc = acc * np.uint64(1000003) + v
+        arr = np.array([acc], dtype=np.uint64)
+    else:
+        n_sh = len(th) - k + 1
+        arr = th[:n_sh].copy()
+        for j in range(1, k):
+            arr = arr * np.uint64(1000003) + th[j:n_sh + j]
+        arr = np.unique(arr)
+    return (arr & np.uint64((1 << 61) - 1)).astype(np.int64)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -85,9 +118,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts.fillna(""):
-            hs = np.array([int(_hash_shingle(s)) & ((1 << 61) - 1)
-                           for s in _shingles(t, shingle_k)],
-                          dtype=np.int64)
+            hs = _shingle_hashes(t, shingle_k)
             if len(hs) == 0:
                 out.append(np.full(num_perm, MERSENNE, dtype=np.int64))
                 continue
@@ -112,7 +143,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k, seed)
+    # signatures feed three consumers (bucket sizes + both join sides);
+    # persist so the Arrow UDF runs once, not three times
+    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k,
+                              seed).persist()
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.hash(*[F.col("sig")[i * rows + j] for j in range(rows)])
@@ -200,21 +234,19 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     @pandas_udf("long")
     def _sh(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts.fillna("")):
             toks = t.split()
             if not toks:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = np.uint64(_hash_shingle(tok))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            bits = (acc > 0).astype(np.uint64)
-            val = 0
-            for j in range(64):
-                val |= int(bits[j]) << j
-            out[i] = np.int64(np.uint64(val).astype(np.int64))
+            th = _token_hashes(toks)
+            # (n_toks, 64) bit matrix in one shot
+            bits = (th[:, None] >> shifts[None, :]) & np.uint64(1)
+            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            val = ((acc > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64)
+            out[i] = np.int64(val.astype(np.int64))
         return pd.Series(out)
 
     return docs.select("doc_id", _sh(F.col(text_col)).alias("simhash"))

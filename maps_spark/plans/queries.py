@@ -168,13 +168,15 @@ def q_species_trend(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
+    from maps_spark.sources.occurrence import spread
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
+    from maps_spark.sources.occurrence import spread
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -107,6 +107,24 @@ def mapkeys_cte(sf_dir: str | None = None) -> str:
 
 # -- Spark side --------------------------------------------------------------
 
+_FACT_TABLES = frozenset(("events", "documents", "embeddings", "lineitem",
+                          "orders"))
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure a fact input feeds every core.
+
+    The driver's small-SF tables are single-row-group parquet files, so
+    a scan yields ONE partition and the whole first stage (scan +
+    explode + partial agg) runs on one thread. Repartitioning a few MB
+    is free; on a real deployment inputs arrive in thousands of row
+    groups and this is a no-op."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def register_testdata(spark: SparkSession, sf_dir: str,
                       tables: tuple[str, ...] = (
                           "region", "nation", "customer", "supplier", "part",
@@ -116,7 +134,10 @@ def register_testdata(spark: SparkSession, sf_dir: str,
     # under externally-created SparkSessions (e.g. the driver's)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in _FACT_TABLES:
+            df = spread(spark, df)
+        df.createOrReplaceTempView(t)
 
 
 def occurrence_df(spark: SparkSession, sf_dir: str,

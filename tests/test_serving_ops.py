@@ -34,6 +34,32 @@ class TestCountryMask:
         assert own.count() == self_masked.count()
 
 
+class TestSalt:
+    def test_java_hashcode_parity(self, spark):
+        """Golden values from ModulusSaltTest.java:27-40 — 'bingo' mod 28
+        left-pads to '03'; Java hashCode must match exactly."""
+        import pyspark.sql.functions as F
+        from maps_spark.functions.keys import java_hash_salt, salted_key
+
+        def java_hash(s):
+            h = 0
+            for c in s:
+                h = (31 * h + ord(c)) & 0xFFFFFFFF
+            return h - (1 << 32) if h >= (1 << 31) else h
+
+        df = spark.createDataFrame([("bingo",), ("0:0",), ("1:c0|s42",)],
+                                   ["k"])
+        got = {r.k: (r.salt, r.full) for r in df.select(
+            "k", java_hash_salt(F.col("k"), 28).alias("salt"),
+            salted_key(F.col("k"), 28).alias("full")).collect()}
+        assert got["bingo"][0] == "03"          # golden from the reference
+        assert got["bingo"][1] == "03:bingo"
+        for k, (salt, full) in got.items():
+            expect = (java_hash(k) & 0xFFFFFFF) % 28
+            assert int(salt) == expect
+            assert full == f"{expect:02d}:{k}"
+
+
 class TestHexTrend:
     def test_slope_finite_and_join_semantics(self, spark, keyed):
         from maps_spark.operators import regression as R
