@@ -71,15 +71,11 @@ def run() -> None:
 
     @timed("pyramid_rollup_all_zooms")
     def _2():
-        # stages 2..: cascade rollup z -> 0, forcing each level
-        last = None
-        for z, pixels in PY.pyramid_pixels(keyed, "EPSG:3857", MAX_Z):
+        # stages 2..: all pixel levels z -> 0 via the span strategy
+        # (~3 shuffles total), forcing representative levels
+        for z, pixels in PY.pyramid_pixels_spans(keyed, "EPSG:3857", MAX_Z):
             if z in (MAX_Z, 8, 4, 0):
-                pixels.persist()
                 pixels.count()
-                if last is not None:
-                    last.unpersist()
-                last = pixels
 
     @timed("tile_fanout_z8")
     def _3():

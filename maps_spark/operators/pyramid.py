@@ -254,23 +254,109 @@ def pyramid_pixels(keyed: DataFrame, srs: str, max_zoom: int,
         yield z, pixels
 
 
+PIXEL_Z_SCHEMA = ("mapKey string, px long, py long, borYear int, "
+                  "cnt long, z int")
+
+
+def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
+                         min_zoom: int = 0, span: int = 6,
+                         tile_size: int = P.TILE_SIZE,
+                         partitions: int | None = None
+                         ) -> Iterator[tuple[int, DataFrame]]:
+    """All pyramid levels with ``ceil(levels / span)`` shuffles instead
+    of one per zoom.
+
+    Key insight: hash-partitioning rows by the ancestor pixel at
+    ``z - span`` co-locates every rollup group for zooms ``z-1 .. z-span``
+    (``px >> j`` determines ``px >> span`` for ``j <= span``), so the
+    whole span aggregates partition-locally — one Arrow pass computes
+    ``span`` levels with zero additional shuffles. At cluster scale this
+    turns the reference's 17 full shuffles (TileMapBuilder.java:173-204,
+    one re-agg per zoom) into 3.
+
+    Partition-grain / skew: the partition key at span boundary ``z-span``
+    has ``(#views x 4^(z-span))`` cells — at the default span the first
+    boundary sits at z8 (65k cells per view), far above any realistic
+    core count; hot cells are bounded by one view's densest z8 cell.
+
+    Yields (z, DataFrame) from max_zoom down to min_zoom; each span's
+    levels share one persisted parent DataFrame filtered by ``z``.
+    """
+    spark = keyed.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def span_agg(z_top: int, k: int, with_cnt: bool, pre_shift: bool):
+        group_base = ["mapKey", "px", "py", "borYear"]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            if not with_cnt:
+                pdf["cnt"] = 1
+            if pre_shift:  # continuation span: input is one zoom above
+                pdf = pdf.assign(px=pdf["px"] // 2, py=pdf["py"] // 2)
+            cur = (pdf.groupby(group_base, as_index=False, sort=False)
+                   .agg(cnt=("cnt", "sum")))
+            out = cur.copy()
+            out["z"] = z_top
+            yield out
+            for j in range(1, k + 1):
+                cur = cur.assign(px=cur["px"] // 2, py=cur["py"] // 2)
+                cur = (cur.groupby(group_base, as_index=False, sort=False)
+                       .agg(cnt=("cnt", "sum")))
+                lvl = cur.copy()
+                lvl["z"] = z_top - j
+                yield lvl
+
+        return run
+
+    px, py = P.pixel_cols(srs, "lat", "lng", max_zoom, tile_size)
+    current = (keyed
+               .select("mapKey", "borYear", px.alias("px"), py.alias("py"))
+               .where(F.col("px").isNotNull() & F.col("py").isNotNull()))
+    pre_shift = False
+    with_cnt = False
+    z_top = max_zoom
+    while z_top >= min_zoom:
+        k = min(span, z_top - min_zoom)
+        shift = k + (1 if pre_shift else 0)  # vs the INPUT's pixel zoom
+        part = current.repartition(
+            n_parts, "mapKey",
+            F.shiftright("px", shift), F.shiftright("py", shift))
+        levels = part.mapInPandas(span_agg(z_top, k, with_cnt, pre_shift),
+                                  PIXEL_Z_SCHEMA).persist()
+        for z in range(z_top, z_top - k - 1, -1):
+            yield z, levels.where(F.col("z") == z).drop("z")
+        current = levels.where(F.col("z") == z_top - k).drop("z")
+        with_cnt = True
+        pre_shift = True
+        z_top = z_top - k - 1
+
+
 def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
                   min_zoom: int = 0, tile_size: int = P.TILE_SIZE,
                   buffer: int = T.DEFAULT_BUFFER,
-                  cache_levels: bool = True) -> DataFrame:
+                  strategy: str = "spans") -> DataFrame:
     """Full pyramid as one DataFrame of (srs, mapKey, z, x, y, tile).
 
-    Each cascade level is cached before branching (it feeds both the
-    next rollup and its own tile encode) — the materialization-barrier
-    role the reference fills with staged Parquet tables
-    (TileMapBuilder.java:164-169); at cluster scale swap for
-    ``localCheckpoint``/staging-dir writes via
-    :mod:`maps_spark.plans.backfill`.
+    ``strategy="spans"`` (default) builds all pixel levels with
+    ~3 shuffles via :func:`pyramid_pixels_spans`; ``"cascade"`` is the
+    one-shuffle-per-zoom reference shape (TileMapBuilder.java:173-204)
+    kept for comparison. Span parents are persisted (the
+    materialization-barrier role the reference fills with staged
+    Parquet tables, TileMapBuilder.java:164-169); at cluster scale the
+    backfill driver swaps these for staging-dir writes.
     """
+    if strategy == "spans":
+        gen = pyramid_pixels_spans(keyed, srs, max_zoom, min_zoom,
+                                   tile_size=tile_size)
+    else:
+        gen = ((z, p.persist() if z > min_zoom else p) for z, p in
+               pyramid_pixels(keyed, srs, max_zoom, min_zoom, tile_size))
     out: DataFrame | None = None
-    for z, pixels in pyramid_pixels(keyed, srs, max_zoom, min_zoom, tile_size):
-        if cache_levels and z > min_zoom:
-            pixels = pixels.persist()
+    for z, pixels in gen:
         lvl = build_zoom(pixels, srs, z, tile_size, buffer)
         out = lvl if out is None else out.unionByName(lvl)
     return out.withColumn("srs", F.lit(srs.replace(":", "_")))

@@ -69,6 +69,16 @@ def q_pyramid_rollup_z6_to_z2(spark, sf_dir):
     return PY.rollup(PY.pixel_table(keyed, "EPSG:3857", 6), levels=4)
 
 
+def q_pyramid_span_z6_to_z2(spark, sf_dir):
+    # the ~3-shuffle span strategy must equal the per-level rollup
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ROLLUP_VIEWS))
+    for z, pixels in PY.pyramid_pixels_spans(keyed, "EPSG:3857", 6,
+                                             min_zoom=2, span=2):
+        if z == 2:
+            return pixels
+    raise AssertionError("span generator did not reach z2")
+
+
 def q_tile_assembly_3857_z2(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ASSEMBLY_VIEWS))
     pix = PY.pixel_table(keyed, "EPSG:3857", 2)
@@ -246,6 +256,7 @@ MAPS_QUERIES = {
     "pixel_agg_3575_z4": q_pixel_agg_3575_z4,
     "pixel_agg_3031_z4": q_pixel_agg_3031_z4,
     "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
+    "pyramid_span_z6_to_z2": q_pyramid_span_z6_to_z2,
     "tile_assembly_3857_z2": q_tile_assembly_3857_z2,
     "tile_assembly_4326_z1": q_tile_assembly_4326_z1,
     "density_tile_simple": q_density_tile_simple,
@@ -287,6 +298,8 @@ def maps_oracles() -> dict[str, str]:
         "pixel_agg_4326_z6": O.pixel_select("EPSG:4326", 6, PIXEL_VIEWS),
         "pyramid_rollup_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
                                                    ROLLUP_VIEWS),
+        "pyramid_span_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
+                                                 ROLLUP_VIEWS),
         "tile_assembly_3857_z2": O.tile_assembly_select("EPSG:3857", 2,
                                                         ASSEMBLY_VIEWS),
         "tile_assembly_4326_z1": O.tile_assembly_select("EPSG:4326", 1,
