@@ -25,6 +25,8 @@ UDFs, no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -124,3 +126,54 @@ def collect_to_tiles(srs: str, z: int, px: Column, py: Column,
     arr = F.array_distinct(
         F.filter(F.array(*cands), lambda c: c.isNotNull()))
     return arr
+
+
+def to_180_degrees(lng: float) -> float:
+    """Normalize any longitude to (-180, 180] (WGS84.java:80-87)."""
+    lng = math.fmod(lng, 360.0)
+    if lng > 180.0:
+        lng -= 360.0
+    elif lng < -180.0:
+        lng += 360.0
+    return lng
+
+
+def tile_boundary(srs: str, z: int, x: int, y: int,
+                  tile_buffer: float = 0.0
+                  ) -> tuple[float, float, float, float]:
+    """WGS84 bbox (minLng, minLat, maxLng, maxLat) of a tile + fractional
+    buffer — the ad-hoc path's inverse projection (C12;
+    SphericalMercator.java:56-77, WGS84.java:60-74). Polar projections
+    are served by four sub-requests in the reference
+    (AdHocMapsResource.java:156-170) and are out of the ad-hoc scope
+    here.
+    """
+    sch = schema_for(srs)
+    if srs in ("EPSG:3857", "EPSG_3857"):
+        if z == 0:
+            tile_buffer = 0.0
+        max_lat = 85.0511287798066
+
+        def tile_lat(yy: float) -> float:
+            n = math.pi - (2.0 * math.pi * yy) / (1 << z)
+            return math.fmod(math.degrees(math.atan(math.sinh(n))), 90.0)
+
+        def tile_lng(xx: float) -> float:
+            return xx / (1 << z) * 360.0 - 180.0
+
+        north = min(max_lat, max(-max_lat, tile_lat(y - tile_buffer)))
+        south = min(max_lat, max(-max_lat, tile_lat(y + tile_buffer + 1)))
+        west = to_180_degrees(tile_lng(x - tile_buffer))
+        east = to_180_degrees(tile_lng(x + 1 + tile_buffer))
+        return (west, south, east, north)
+    if srs in ("EPSG:4326", "EPSG_4326"):
+        degrees_per_tile = 180.0 / (1 << z)
+        buffer_degrees = tile_buffer * degrees_per_tile
+        min_lng = to_180_degrees(degrees_per_tile * x - 180.0
+                                 - buffer_degrees)
+        max_lng = to_180_degrees(min_lng + degrees_per_tile
+                                 + 2 * buffer_degrees)
+        max_lat = min(90.0 - degrees_per_tile * y + buffer_degrees, 90.0)
+        min_lat = max(max_lat - degrees_per_tile - 2 * buffer_degrees, -90.0)
+        return (min_lng, min_lat, max_lng, max_lat)
+    raise ValueError(f"tile_boundary unsupported for {srs}")

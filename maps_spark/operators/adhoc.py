@@ -38,7 +38,11 @@ def geo_grid(occ: DataFrame, z: int, srs: str = "EPSG:3857",
                     F.col("decimalLongitude").alias("lng"))
     if bbox:
         min_lng, min_lat, max_lng, max_lat = bbox
-        df = df.where((F.col("lng") >= min_lng) & (F.col("lng") <= max_lng) &
+        if min_lng <= max_lng:
+            lng_pred = (F.col("lng") >= min_lng) & (F.col("lng") <= max_lng)
+        else:  # bbox crosses the antimeridian (tile_boundary wrap)
+            lng_pred = (F.col("lng") >= min_lng) | (F.col("lng") <= max_lng)
+        df = df.where(lng_pred &
                       (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat))
     cx, cy = _grid_cols(srs, z)
     df = (df.select("lat", "lng", cx.alias("cellX"), cy.alias("cellY"))
@@ -59,6 +63,19 @@ def geo_grid(occ: DataFrame, z: int, srs: str = "EPSG:3857",
             (slng.cast("decimal(38,6)").cast("double") / F.count("lng"))
             .alias("centroidLng"))
     raise ValueError(mode)
+
+
+def adhoc_tile(occ: DataFrame, z: int, x: int, y: int,
+               srs: str = "EPSG:3857", mode: str = "bounds",
+               tile_buffer: float = 0.125, grid_zoom: int | None = None
+               ) -> DataFrame:
+    """The full /adhoc request: tile boundary (C12) -> bbox filter ->
+    geo-grid aggregation (AdHocMapsResource.java:126-239). ``grid_zoom``
+    defaults to z + 6 like the reference's geotile precision ramp."""
+    from maps_spark.functions.tiles import tile_boundary
+    bbox = tile_boundary(srs, z, x, y, tile_buffer)
+    return geo_grid(occ, grid_zoom if grid_zoom is not None else z + 6,
+                    srs=srs, bbox=bbox, mode=mode)
 
 
 def year_facet(occ: DataFrame, limit: int = 300) -> DataFrame:

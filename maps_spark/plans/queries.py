@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from maps_spark.functions import projections as P
+from maps_spark.functions import tiles as T
 from maps_spark.operators import adhoc as AH
 from maps_spark.operators import binning as B
 from maps_spark.operators import capabilities as C
@@ -165,6 +166,11 @@ def q_adhoc_grid_centroid_z5(spark, sf_dir):
     return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="centroid")
 
 
+def q_adhoc_tile_z2(spark, sf_dir):
+    return AH.adhoc_tile(occurrence_df(spark, sf_dir), z=2, x=1, y=1,
+                         mode="bounds")
+
+
 def q_year_facet(spark, sf_dir):
     return AH.year_facet(occurrence_df(spark, sf_dir))
 
@@ -271,6 +277,7 @@ MAPS_QUERIES = {
     "media_frame_sample": q_media_frame_sample,  # rows-only
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
+    "adhoc_tile_z2": q_adhoc_tile_z2,
     "year_facet": q_year_facet,
     "species_trend": q_species_trend,
     # training-data pipeline
@@ -319,6 +326,8 @@ def maps_oracles() -> dict[str, str]:
                                            "1:c0|g8", "1:c0|f2"),
         "adhoc_grid_bounds_z5": O.adhoc_grid_select(5, "bounds"),
         "adhoc_grid_centroid_z5": O.adhoc_grid_select(5, "centroid"),
+        "adhoc_tile_z2": O.adhoc_grid_select(
+            8, "bounds", T.tile_boundary("EPSG:3857", 2, 1, 1, 0.125)),
         "year_facet": O.year_facet_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         # pixel_agg_3575_z4 / 3031: pandas-UDF projections, rows-only

@@ -66,6 +66,17 @@ def read_points(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(f"{root}/points")
 
 
+def get_tile_png(spark: SparkSession, root: str, map_key: str, srs: str,
+                 z: int, x: int, y: int, style: str = "classic.point",
+                 scale: float = 1.0) -> bytes:
+    """Point-lookup + rasterize: the ``.png`` endpoint
+    (mapnik-server routes.js:287-300 semantics over the tile index)."""
+    from maps_spark.functions.png import render_density_png
+    return render_density_png(
+        get_tile_bytes(spark, root, map_key, srs, z, x, y),
+        style=style, scale=scale)
+
+
 def get_tile_bytes(spark: SparkSession, root: str, map_key: str, srs: str,
                    z: int, x: int, y: int) -> bytes | None:
     """Point lookup; partition pruning on (srs, z) + row-group skip on

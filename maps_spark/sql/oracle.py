@@ -374,8 +374,11 @@ def adhoc_grid_select(z: int, mode: str = "bounds",
     bb = ""
     if bbox:
         min_lng, min_lat, max_lng, max_lat = bbox
-        bb = (f" AND decimalLongitude >= {min_lng} AND decimalLongitude <= {max_lng}"
-              f" AND decimalLatitude >= {min_lat} AND decimalLatitude <= {max_lat}")
+        join = "AND" if min_lng <= max_lng else "OR"  # antimeridian wrap
+        bb = (f" AND (decimalLongitude >= {min_lng} {join} "
+              f"decimalLongitude <= {max_lng})"
+              f" AND decimalLatitude >= {min_lat}"
+              f" AND decimalLatitude <= {max_lat}")
     if mode == "bounds":
         select = ("count(*) AS occCount, "
                   "min(decimalLatitude) AS minLat, max(decimalLatitude) AS maxLat, "
