@@ -58,6 +58,8 @@ def keyed_occurrence(occ: DataFrame,
     if taxon_cols is None:
         from maps_spark.sources.occurrence import TAXON_RANKS
         taxon_cols = TAXON_RANKS
+    if "network_col" not in key_cols and "networkKey" in occ.columns:
+        key_cols["network_col"] = "networkKey"
     arr = K.map_keys_array(taxon_cols=taxon_cols, **key_cols)
     return occ.select(
         F.explode(arr).alias("mapKey"),

@@ -101,6 +101,11 @@ def mapkeys_cte(sf_dir: str | None = None) -> str:
     keys.append("SELECT o.*, '4:' || countryCode AS mapKey FROM occ o "
                 "WHERE countryCode IS NOT NULL")
     keys.append("SELECT o.*, '5:' || publishingCountry AS mapKey FROM occ o")
+    # networkKey array fan-out (engine: explode of the array column)
+    keys.append("SELECT o.*, '6:net-' || CAST(occurrenceId % 7 AS BIGINT) "
+                "AS mapKey FROM occ o WHERE occurrenceId % 3 = 0")
+    keys.append("SELECT o.*, '6:net-global' AS mapKey FROM occ o "
+                "WHERE occurrenceId % 10 = 0")
     union = " UNION ALL ".join(keys)
     return f"{occurrence_cte(sf_dir)}, keyed AS ({union})"
 
@@ -143,9 +148,24 @@ def register_testdata(spark: SparkSession, sf_dir: str,
 def occurrence_df(spark: SparkSession, sf_dir: str,
                   base_filter: bool = True) -> DataFrame:
     """Occurrence DataFrame. The nation join is broadcast (25 rows); the
-    filter + projection push into the parquet scan via Catalyst."""
+    filter + projection push into the parquet scan via Catalyst.
+
+    ``networkKey`` is an array<string> (0-2 networks per record) —
+    exercising the reference's array-typed key fan-out
+    (MapKeysUDF.java:119, WrappedArray<String>). The oracle mirrors the
+    fan-out with per-network UNION ALL arms (mapkeys_cte)."""
     register_testdata(spark, sf_dir, ("events", "nation"))
     df = spark.sql(OCCURRENCE_SQL)
     if base_filter:
         df = df.where(BASE_FILTER_SQL)
-    return df
+    return with_network_key(df)
+
+
+def with_network_key(df: DataFrame) -> DataFrame:
+    """Attach the array<string> ``networkKey`` (0-2 networks/record)."""
+    import pyspark.sql.functions as F
+    oid = F.col("occurrenceId")
+    return df.withColumn("networkKey", F.array_compact(F.array(
+        F.when(oid % 3 == 0,
+               F.concat(F.lit("net-"), (oid % 7).cast("string"))),
+        F.when(oid % 10 == 0, F.lit("net-global")))))

@@ -50,11 +50,12 @@ def stream_occurrence(spark: SparkSession, input_dir: str,
     The static nation dim joins stream-static (broadcast) — supported
     natively by Structured Streaming.
     """
+    from maps_spark.sources.occurrence import with_network_key
     stream = _stream_parquet(spark, input_dir)
     stream.createOrReplaceTempView("events")
     (spark.read.parquet(nation_dir)
      .createOrReplaceTempView("nation"))
-    return spark.sql(OCCURRENCE_SQL).where(BASE_FILTER_SQL)
+    return with_network_key(spark.sql(OCCURRENCE_SQL).where(BASE_FILTER_SQL))
 
 
 def stream_pixel_deltas(occ_stream: DataFrame, srs: str = "EPSG:3857",
