@@ -39,16 +39,29 @@ def map_keys_array(
     country_col: str | None = "countryCode",
     publishing_country_col: str | None = "publishingCountry",
     network_col: str | None = None,
+    classifications_col: str | None = None,
 ) -> Column:
     """Array of map-view keys for one record, nulls compacted.
 
     ``taxon_cols`` maps rank name -> column name; each non-null rank
     yields ``1:<checklist>|<value>`` (MapKeysUDF.java:225-235 format).
-    ``network_col`` names an array<string> column (fan-out per element).
+    ``network_col`` names an array<string> column (fan-out per element);
+    ``classifications_col`` a map<string, array<string>> column
+    (checklistKey -> taxon path, fan-out per entry per element).
     """
     keys: list[Column] = [F.lit(ALL_KEY)]
     for _rank, c in (taxon_cols or {}).items():
         keys.append(_typed(1, F.concat(F.lit(f"{checklist}|"), F.col(c))))
+    if classifications_col:
+        # map<checklistKey, array<taxonID>> fan-out: one key per
+        # (checklist, path element) — MapKeysUDF.java:125-133
+        cls = F.flatten(F.transform(
+            F.map_entries(F.coalesce(
+                F.col(classifications_col),
+                F.expr("map()").cast("map<string,array<string>>"))),
+            lambda e: F.transform(
+                e["value"],
+                lambda t: F.concat(F.lit("1:"), e["key"], F.lit("|"), t))))
     if dataset_col:
         keys.append(_typed(2, F.col(dataset_col)))
     if publisher_col:
@@ -58,6 +71,8 @@ def map_keys_array(
     if publishing_country_col:
         keys.append(_typed(5, F.col(publishing_country_col)))
     arr = F.array(*keys)
+    if classifications_col:
+        arr = F.concat(arr, cls)
     if network_col:
         nets = F.transform(
             F.coalesce(F.col(network_col), F.array()),

@@ -55,7 +55,12 @@ def keyed_occurrence(occ: DataFrame,
                      **key_cols) -> DataFrame:
     """Explode map keys; pack borYear. Output:
     (mapKey, lat, lng, borYear)."""
-    if taxon_cols is None:
+    if "classifications" in occ.columns and \
+            "classifications_col" not in key_cols:
+        # taxon keys come from the map-typed classifications fan-out
+        key_cols["classifications_col"] = "classifications"
+        taxon_cols = taxon_cols or {}
+    elif taxon_cols is None:
         from maps_spark.sources.occurrence import TAXON_RANKS
         taxon_cols = TAXON_RANKS
     if "network_col" not in key_cols and "networkKey" in occ.columns:

@@ -106,6 +106,11 @@ def mapkeys_cte(sf_dir: str | None = None) -> str:
                 "AS mapKey FROM occ o WHERE occurrenceId % 3 = 0")
     keys.append("SELECT o.*, '6:net-global' AS mapKey FROM occ o "
                 "WHERE occurrenceId % 10 = 0")
+    # c1 checklist arms (engine: classifications map fan-out)
+    keys.append("SELECT o.*, '1:c1|' || familyKey AS mapKey FROM occ o "
+                "WHERE occurrenceId % 2 = 0")
+    keys.append("SELECT o.*, '1:c1|' || speciesKey AS mapKey FROM occ o "
+                "WHERE occurrenceId % 2 = 0")
     union = " UNION ALL ".join(keys)
     return f"{occurrence_cte(sf_dir)}, keyed AS ({union})"
 
@@ -162,10 +167,24 @@ def occurrence_df(spark: SparkSession, sf_dir: str,
 
 
 def with_network_key(df: DataFrame) -> DataFrame:
-    """Attach the array<string> ``networkKey`` (0-2 networks/record)."""
+    """Attach the reference's two nested-typed columns:
+
+    - ``networkKey``: array<string>, 0-2 networks per record;
+    - ``classifications``: map<string, array<string>> — checklistKey ->
+      taxon path (MapKeysUDF.java:114). ``c0`` is the full 4-rank path;
+      even records additionally carry a sparser ``c1`` checklist
+      (family + species only).
+    """
     import pyspark.sql.functions as F
     oid = F.col("occurrenceId")
-    return df.withColumn("networkKey", F.array_compact(F.array(
+    df = df.withColumn("networkKey", F.array_compact(F.array(
         F.when(oid % 3 == 0,
                F.concat(F.lit("net-"), (oid % 7).cast("string"))),
         F.when(oid % 10 == 0, F.lit("net-global")))))
+    c0 = F.array("kingdomKey", "familyKey", "genusKey", "speciesKey")
+    c1 = F.when(oid % 2 == 0, F.array("familyKey", "speciesKey"))
+    return df.withColumn(
+        "classifications",
+        F.map_filter(F.map_from_arrays(
+            F.array(F.lit("c0"), F.lit("c1")), F.array(c0, c1)),
+            lambda _, v: v.isNotNull()))
