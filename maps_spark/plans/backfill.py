@@ -34,9 +34,18 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                  srs_list: tuple[str, ...] = ("EPSG:3857", "EPSG:4326",
                                               "EPSG:3575", "EPSG:3031"),
                  max_zoom: int = 8, threshold: int = PY.DEFAULT_THRESHOLD,
-                 snapshot: bool = True) -> dict:
-    """Build the full tile index + point bundles. Returns manifest."""
+                 snapshot: bool = True, versioned: bool = True,
+                 keep_builds: int = 2) -> dict:
+    """Build the full tile index + point bundles. Returns manifest.
+
+    ``versioned`` writes into ``out_root/builds/<ts>/`` and atomically
+    repoints the manifest on success (readers never see a half-written
+    build), keeping the newest ``keep_builds`` for rollback — the
+    Prepare/FinaliseBackfill lifecycle."""
     t0 = time.time()
+    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
+
     occ = occurrence_df(spark, sf_dir)
     if snapshot:
         # materialization barrier: one pass over the source feeds ~40
@@ -46,7 +55,7 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     large, small = PY.split_views(keyed, threshold)
 
     points = PY.point_blobs(small)
-    tile_store.write_points(points, out_root)
+    tile_store.write_points(points, out_dir)
 
     stats: dict[str, float] = {}
     for srs in srs_list:
@@ -54,7 +63,7 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
         # polar clip (F2, TileMapBuilder.java:68-69) is inside the
         # projection's plottable mask — no extra filter needed
         tiles = PY.build_pyramid(large, srs, max_zoom)
-        tile_store.write_tiles(tiles, out_root,
+        tile_store.write_tiles(tiles, out_dir,
                                mode="append" if srs != srs_list[0]
                                else "overwrite")
         stats[srs] = round(time.time() - t, 2)
@@ -64,5 +73,9 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
         "srs": list(srs_list), "build_sec": round(time.time() - t0, 2),
         "stage_sec": stats,
     }
-    tile_store.write_manifest(out_root, manifest)
-    return manifest
+    if versioned:
+        tile_store.finalise_build(out_root, build_id, manifest,
+                                  keep=keep_builds)
+    else:
+        tile_store.write_manifest(out_root, manifest)
+    return tile_store.read_manifest(out_root)

@@ -58,12 +58,56 @@ def read_manifest(root: str) -> dict:
         return json.load(f)
 
 
+def resolve_root(root: str) -> str:
+    """Active data directory: versioned builds resolve through the
+    manifest pointer (the ZK-metastore read, MapTables.java:105+);
+    unversioned layouts are their own root."""
+    try:
+        build_id = read_manifest(root).get("build_id")
+    except FileNotFoundError:
+        build_id = None
+    return f"{root}/builds/{build_id}" if build_id else root
+
+
+def finalise_build(root: str, build_id: str, meta: dict | None = None,
+                   keep: int = 2) -> None:
+    """FinaliseBackfill semantics (FinaliseBackfill.java:65-135,157-199):
+    atomically repoint the manifest at the finished build, then drop all
+    but the newest ``keep`` builds (lexicographic timestamp ids)."""
+    import shutil
+    write_manifest(root, {"build_id": build_id, **(meta or {})})
+    builds_dir = f"{root}/builds"
+    if os.path.isdir(builds_dir):
+        builds = sorted(os.listdir(builds_dir))
+        for old in builds[:-keep] if keep else builds:
+            if old != build_id:
+                shutil.rmtree(f"{builds_dir}/{old}", ignore_errors=True)
+
+
 def read_tiles(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(f"{root}/tiles")
+    return spark.read.parquet(f"{resolve_root(root)}/tiles")
 
 
 def read_points(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(f"{root}/points")
+    return spark.read.parquet(f"{resolve_root(root)}/points")
+
+
+def etag(root: str) -> str | None:
+    """Serving ETag: the active build's generated date
+    (TileResource.java:494-497 uses the table date the same way)."""
+    try:
+        return str(read_manifest(root).get("generated"))
+    except FileNotFoundError:
+        return None
+
+
+def get_point_bytes(spark: SparkSession, root: str,
+                    map_key: str) -> bytes | None:
+    """Point-bundle lookup (HBaseMaps.java:213-222 equivalent)."""
+    rows = (read_points(spark, root)
+            .where(F.col("mapKey") == map_key)
+            .select("features").collect())
+    return bytes(rows[0].features) if rows else None
 
 
 def get_tile_png(spark: SparkSession, root: str, map_key: str, srs: str,

@@ -60,6 +60,48 @@ class TestSalt:
             assert full == f"{expect:02d}:{k}"
 
 
+class TestPointModeServing:
+    def test_point_path_equals_density_tile(self, spark, keyed):
+        """A8: projecting a view's point bundle at request time must give
+        the same per-pixel totals as aggregating from source."""
+        import pyspark.sql.functions as F
+
+        from maps_spark.functions import pointpb
+        from maps_spark.operators import pyramid as PY
+        from maps_spark.operators import serving as SV
+
+        view = "3:org-3"
+        small = keyed.where(F.col("mapKey") == view)
+        blob = PY.point_blobs(small).collect()[0].features
+        got = SV.points_to_tile(pointpb.decode_features(bytes(blob)),
+                                "EPSG:3857", 1, 0, 0)
+        expect = {(r.px, r.py): r.total
+                  for r in SV.density_tile(keyed, view, "EPSG:3857",
+                                           1, 0, 0).collect()}
+        assert got == expect
+
+    def test_point_path_year_filter(self, spark, keyed):
+        import pyspark.sql.functions as F
+
+        from maps_spark.functions import pointpb
+        from maps_spark.operators import pyramid as PY
+        from maps_spark.operators import serving as SV
+
+        view = "3:org-3"
+        blob = PY.point_blobs(
+            keyed.where(F.col("mapKey") == view)).collect()[0].features
+        feats = pointpb.decode_features(bytes(blob))
+        unfiltered = SV.points_to_tile(feats, "EPSG:3857", 0, 0, 0,
+                                       verbose=True)
+        filtered = SV.points_to_tile(feats, "EPSG:3857", 0, 0, 0,
+                                     year_range=(1900, 1950), verbose=True)
+        # filtered totals == the 1900-1950 slice of unfiltered years
+        for pix, counts in filtered.items():
+            expect = sum(v for k, v in unfiltered[pix].items()
+                         if k != "total" and 1900 <= int(k) <= 1950)
+            assert counts["total"] == expect
+
+
 class TestHexTrend:
     def test_slope_finite_and_join_semantics(self, spark, keyed):
         from maps_spark.operators import regression as R
