@@ -232,6 +232,13 @@ def points_to_tile(features, srs: str, z: int, x: int, y: int,
     return dict(out_simple)
 
 
+def apply_country_mask(tile: dict, mask: dict) -> dict:
+    """J1 at serve time (VectorTileFilters.java:83-99 maskTileByTile):
+    keep the served tile's pixels present in the mask view's pixel set.
+    Works on either output shape of :func:`filter_decoded_tile`."""
+    return {pix: v for pix, v in tile.items() if pix in mask}
+
+
 def serve_tile(spark, root: str, map_key: str, srs: str, z: int, x: int,
                y: int, year_range=(None, None), bors=None,
                verbose: bool = False, tile_size: int = P.TILE_SIZE,

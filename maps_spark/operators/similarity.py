@@ -124,6 +124,64 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cos_scaled"))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_clusters: int = 16, n_probe: int = 4, kmeans_iters: int = 2,
+             train_sample: int = 2048, seed: int = 11) -> DataFrame:
+    """IVF approximate top-k: the inverted-file scale path.
+
+    Train: a deterministic driver-side mini k-means over the first
+    ``train_sample`` vectors (ordered by id — reproducible) yields the
+    coarse centroids; the centroid table is tiny and broadcast.
+    Search: corpus vectors are assigned to their nearest centroid (one
+    vectorized Arrow pass); each query probes its ``n_probe`` nearest
+    centroids, and only same-cluster candidates are scored — the
+    candidate join is an equi-join on cluster id, so shuffle volume is
+    O(corpus / n_clusters * n_probe) per query instead of O(corpus).
+    """
+    train = np.array(
+        [r[0] for r in corpus.select(vec_col).orderBy(id_col)
+         .limit(train_sample).collect()], dtype=np.float64)
+    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = train[rng.choice(len(train), size=min(n_clusters, len(train)),
+                            replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (train @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    def assign_udf(top_n: int):
+        @pandas_udf("array<int>")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cent.T
+            order = np.argsort(-sims, axis=1)[:, :top_n]
+            return pd.Series([row.astype(np.int32) for row in order])
+        return _assign
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        F.element_at(assign_udf(1)(F.col(vec_col)), 1).alias("cluster"))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(assign_udf(n_probe)(F.col(vec_col))).alias("cluster"))
+    scored = (cb.join(F.broadcast(qb), "cluster")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(cosine_col("qvec", "cvec") * 1e9).cast("long")
+                      .alias("cos_scaled")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_scaled").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_scaled"))
+
+
 def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          dim: int = 64, n_bits: int = 8) -> DataFrame:

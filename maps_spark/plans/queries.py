@@ -249,6 +249,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 16), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = _emb(spark, sf_dir)
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 16), k=10,
+                        n_clusters=16, n_probe=4)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from maps_spark.operators import text as TX
     return TX.fingerprint(_docs(spark, sf_dir))
@@ -291,6 +298,7 @@ MAPS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,        # rows-only (hash UDF)
     "embedding_near_dupes": q_embedding_near_dupes,  # rows-only (sketch UDF)
     "ann_lsh_topk": q_ann_lsh_topk,          # rows-only (sketch UDF)
+    "ann_ivf_topk": q_ann_ivf_topk,          # rows-only (kmeans UDF)
     "doc_fingerprint": q_doc_fingerprint,    # rows-only (rolling hash)
 }
 

@@ -132,3 +132,22 @@ def test_exact_dedup_finds_planted_dupes(spark, docs):
     dupes = exact_duplicates(with_dupes).collect()
     assert len(dupes) == 3
     assert all(r.n_dupes == 2 for r in dupes)
+
+
+def test_ann_ivf_recall(spark, emb):
+    from maps_spark.operators.similarity import brute_force_topk, ivf_topk
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # weak cluster structure on near-orthogonal vectors; half the
+    # centroids probed must still recover most true neighbours
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # probing more clusters must never reduce the candidate set quality
+    approx4 = ivf_topk(emb, queries, k=10, n_clusters=16,
+                       n_probe=4).collect()
+    recall4 = len(exact_set & {(r.query_id, r.neighbor_id)
+                               for r in approx4}) / len(exact_set)
+    assert recall >= recall4
