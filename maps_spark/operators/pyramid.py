@@ -74,6 +74,32 @@ def keyed_occurrence(occ: DataFrame,
     )
 
 
+def dictionary_encode(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A15 (TileMapBuilder.java:56-61): replace the mapKey string with a
+    dense int before the wide shuffles; the dictionary is tiny
+    (#views) and broadcast both ways. Opt-in — string keys are ~12-20
+    bytes vs 8 for a long, so at billions of fan-out rows per shuffle
+    this trims shuffle volume ~20-40%; locally it's noise.
+
+    Returns (dictionary, keyed_with_int_id) where the dictionary is
+    (mapKey, mapKeyId) and ids are deterministic (sorted key order).
+    """
+    from pyspark.sql import Window
+    w = Window.orderBy("mapKey")
+    dict_df = (keyed.select("mapKey").distinct()
+               .withColumn("mapKeyId", F.row_number().over(w)))
+    encoded = (keyed.join(F.broadcast(dict_df), "mapKey")
+               .drop("mapKey").withColumnRenamed("mapKeyId", "mapKey"))
+    return dict_df, encoded
+
+
+def dictionary_decode(df: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Restore the string mapKey on a result keyed by mapKeyId."""
+    return (df.withColumnRenamed("mapKey", "mapKeyId")
+            .join(F.broadcast(dict_df), "mapKeyId")
+            .drop("mapKeyId"))
+
+
 def split_views(keyed: DataFrame, threshold: int = DEFAULT_THRESHOLD
                 ) -> tuple[DataFrame, DataFrame]:
     """(large_view_rows, small_view_rows) via broadcast semi/anti join on

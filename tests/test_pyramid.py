@@ -128,3 +128,14 @@ def test_split_views_threshold(keyed):
               keyed.groupBy("mapKey").agg(F.count("*").alias("n")).collect()}
     for k, n in counts.items():
         assert (k in large_keys) == (n >= threshold)
+
+
+def test_dictionary_encode_roundtrip(keyed):
+    """A15: int-keyed aggregation decodes back to the exact string-keyed
+    result (shuffle-volume option for billion-row fan-outs)."""
+    from maps_spark.operators import pyramid as PY
+    d, enc = PY.dictionary_encode(keyed)
+    plain = PY.pixel_table(keyed, "EPSG:3857", 4)
+    dec = PY.dictionary_decode(PY.pixel_table(enc, "EPSG:3857", 4), d)
+    assert dec.select(*plain.columns).exceptAll(plain).count() == 0
+    assert plain.exceptAll(dec.select(*plain.columns)).count() == 0
