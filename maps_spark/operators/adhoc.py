@@ -78,6 +78,21 @@ def adhoc_tile(occ: DataFrame, z: int, x: int, y: int,
                     srs=srs, bbox=bbox, mode=mode)
 
 
+def adhoc_search(occ: DataFrame, z: int, x: int, y: int,
+                 params: dict | None = None, srs: str = "EPSG:3857",
+                 mode: str = "bounds", tile_buffer: float = 0.125
+                 ) -> DataFrame:
+    """The complete /adhoc request: search-predicate DSL + tile bbox +
+    geo-grid aggregation (AdHocMapsResource.all semantics, Spark-native
+    instead of ES)."""
+    from maps_spark.plans.params import search_predicate
+    pred = search_predicate(params or {})
+    if pred is not None:
+        occ = occ.where(pred)
+    return adhoc_tile(occ, z, x, y, srs=srs, mode=mode,
+                      tile_buffer=tile_buffer)
+
+
 def year_facet(occ: DataFrame, limit: int = 300) -> DataFrame:
     """Terms aggregation year -> count (A13, facet limit 300)."""
     return (occ.where(F.col("year").isNotNull())

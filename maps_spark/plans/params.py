@@ -176,6 +176,82 @@ def v1_layers_to_filters(layers: list[str] | str | None
             "no_year": no_year}
 
 
+#: HTTP search param -> occurrence column (direct equality params)
+SEARCH_COLUMNS = {
+    "datasetKey": "datasetKey", "publishingOrg": "publishingOrgKey",
+    "country": "countryCode", "publishingCountry": "publishingCountry",
+    "basisOfRecord": "basisOfRecord",
+    "occurrenceStatus": "occurrenceStatus",
+}
+
+TAXON_COLUMNS = ("kingdomKey", "familyKey", "genusKey", "speciesKey")
+
+
+def search_predicate(params: dict):
+    """The ad-hoc predicate DSL (S7): recognized GBIF-style search
+    params compiled to one Spark Column (Params.java:178-188 semantics:
+    multiple values of a param OR together, params AND together; empty
+    values dropped). Unrecognized params are ignored like the
+    reference's ``findSearchParam`` miss. Returns None when nothing
+    recognized (no filter).
+    """
+    import pyspark.sql.functions as F
+
+    def clean(v) -> list[str]:
+        vals = v if isinstance(v, list) else [v]
+        return [s.strip() for s in vals
+                if s is not None and str(s).strip() != ""]
+
+    preds = []
+    for name, raw in params.items():
+        vals = clean(raw)
+        if not vals:
+            continue
+        if name in SEARCH_COLUMNS:
+            col = F.col(SEARCH_COLUMNS[name])
+            preds.append(col.isin(vals) if len(vals) > 1
+                         else col == vals[0])
+        elif name == "taxonKey":
+            # a taxon matches at any rank of the classification path
+            per_val = [
+                F.array_contains(F.array(*[F.col(c) for c in TAXON_COLUMNS]),
+                                 v) for v in vals]
+            p = per_val[0]
+            for q in per_val[1:]:
+                p = p | q
+            preds.append(p)
+        elif name == "networkKey":
+            per_val = [F.array_contains(F.col("networkKey"), v)
+                       for v in vals]
+            p = per_val[0]
+            for q in per_val[1:]:
+                p = p | q
+            preds.append(p)
+        elif name == "year":
+            per_val = []
+            for v in vals:
+                lo, hi = parse_year(v)
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & (F.col("year") >= lo)
+                if hi is not None:
+                    c = c & (F.col("year") <= hi)
+                per_val.append(c)
+            p = per_val[0]
+            for q in per_val[1:]:
+                p = p | q
+            preds.append(p)
+        elif name == "hasGeospatialIssue":
+            preds.append(F.col("hasGeospatialIssues") ==
+                         (vals[0].lower() == "true"))
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
 def _first(v) -> str | None:
     if v is None:
         return None

@@ -120,3 +120,36 @@ class TestHexTrend:
             assert multi["slope"].notna().all()
         else:
             assert out["slope"].isna().all()
+
+
+class TestSearchPredicate:
+    def test_params_compile_and_filter(self, spark, occ_small):
+        from maps_spark.operators.adhoc import adhoc_search
+        from maps_spark.plans.params import search_predicate
+
+        base = occ_small.count()
+        one = occ_small.where(search_predicate(
+            {"datasetKey": "ds-7"})).count()
+        multi = occ_small.where(search_predicate(
+            {"datasetKey": ["ds-7", "ds-8"]})).count()
+        assert 0 < one < multi < base  # values OR together
+
+        anded = occ_small.where(search_predicate(
+            {"datasetKey": "ds-7", "year": "1900,1950"})).count()
+        assert anded < one  # params AND together
+
+        taxon = occ_small.where(search_predicate(
+            {"taxonKey": "g8"})).count()
+        species = occ_small.where(search_predicate(
+            {"taxonKey": "s42"})).count()
+        assert taxon > species > 0  # genus matches more than a species
+
+        net = occ_small.where(search_predicate(
+            {"networkKey": "net-global"})).count()
+        assert net > 0
+
+        assert search_predicate({"nosuch": "x", "empty": ""}) is None
+
+        grid = adhoc_search(occ_small, 1, 0, 0,
+                            {"basisOfRecord": ["OBSERVATION"]})
+        assert grid.count() > 0
