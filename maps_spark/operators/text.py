@@ -66,6 +66,25 @@ def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and
+# RE2 agree on (no lookahead — RE2 has none): contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting, JVM-side (``regexp_count`` stays in
+    codegen — no Python in the hot path): (doc_id, n_bpe_tokens,
+    n_ws_tokens)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN))
+        .cast("long").alias("n_bpe_tokens"),
+        (F.length(text_col) - F.length(F.replace(F.col(text_col),
+                                                 F.lit(" "), F.lit(""))) + 1)
+        .cast("long").alias("n_ws_tokens"))
+
+
 def quality_score(docs: DataFrame, text_col: str = "text",
                   min_tokens: int = 16, max_mean_token_len: float = 12.0
                   ) -> DataFrame:

@@ -37,6 +37,17 @@ def lang_id_select() -> str:
     return lang_id_sql("FROM documents")
 
 
+def token_count_select() -> str:
+    from maps_spark.operators.text import BPE_PATTERN
+    # RE2 needs the same pattern; len(regexp_extract_all) == match count
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+    AS n_ws_tokens
+FROM documents"""
+
+
 def ngram_jaccard_select(shingle_k: int = 3, threshold: float = 0.25,
                          scale: int = 1_000_000) -> str:
     """Exact shingle Jaccard pairs; docs assumed >= k tokens (true for
