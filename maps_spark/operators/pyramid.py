@@ -162,22 +162,28 @@ def encode_mvt(trows: DataFrame, z: int,
     encode (measured 20x slower at bench scale).
     """
     bor_names = {c: b for b, c in dual.BOR_CODE.items()}
+    # column-aligned collect_lists (all evaluated over the same input
+    # row order within a group): Arrow delivers plain int lists, never
+    # materializing a python dict per feature like array<struct> would
     assembled = (trows.groupBy("mapKey", "tileX", "tileY")
-                 .agg(F.collect_list(F.struct("pixelX", "pixelY", "borYear",
-                                              "cnt")).alias("features")))
+                 .agg(F.collect_list("pixelX").alias("fx"),
+                      F.collect_list("pixelY").alias("fy"),
+                      F.collect_list("borYear").alias("fb"),
+                      F.collect_list("cnt").alias("fc")))
 
     def enc_batches(batches):
         for pdf in batches:
             out_bytes = []
-            for feats in pdf["features"]:
+            for fx, fy, fb, fc in zip(pdf["fx"], pdf["fy"], pdf["fb"],
+                                      pdf["fc"]):
                 layers: dict[str, dict[tuple[int, int], dict[str, int]]] = {}
-                for f in feats:
-                    by = int(f["borYear"])
+                for px_, py_, by, cnt in zip(fx.tolist(), fy.tolist(),
+                                             fb.tolist(), fc.tolist()):
                     pix = layers.setdefault(
                         bor_names.get(by % 100, "UNKNOWN"), {}).setdefault(
-                        (int(f["pixelX"]), int(f["pixelY"])), {})
+                        (px_, py_), {})
                     year = str(by // 100)
-                    pix[year] = pix.get(year, 0) + int(f["cnt"])
+                    pix[year] = pix.get(year, 0) + cnt
                 out_bytes.append(mvt.encode_tile(
                     {bor: [(x, y, attrs) for (x, y), attrs in pix.items()]
                      for bor, pix in layers.items()},
