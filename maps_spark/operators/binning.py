@@ -96,6 +96,53 @@ def hex_bin(features: DataFrame, z: int, x: int, y: int,
             .agg(F.sum("total").alias("total")))
 
 
+def square_bin_dict(tile: dict, square_size: int = DEFAULT_SQUARE_SIZE,
+                    tile_size: int = 512) -> dict:
+    """Serve-time square binning over a filtered tile dict
+    ({(px, py): total}) — TileResource.java:586-609's re-aggregation
+    without going back to Spark (per-request, in-memory)."""
+    out: dict[tuple[int, int], int] = {}
+    for (px, py), total in tile.items():
+        if 0 <= px < tile_size and 0 <= py < tile_size:
+            cell = (px // square_size, py // square_size)
+            out[cell] = out.get(cell, 0) + _total(total)
+    return out
+
+
+def hex_bin_dict(tile: dict, z: int, x: int, y: int, tile_size: int = 512,
+                 min_hex_per_tile: int = DEFAULT_HEX_PER_TILE) -> dict:
+    """Serve-time hex binning over a filtered tile dict (buffer pixels
+    included — hexagons straddle edges). Python twin of the dual-dialect
+    assignment SQL: same offsets, same cube rounding."""
+    p = hex_params(tile_size, min_hex_per_tile)
+    radius = p["radius"]
+    off_x = (x * tile_size) % (1.5 * p["hex_width"])
+    off_y = (y * tile_size) % p["hex_height"]
+    out: dict[tuple[int, int], int] = {}
+    for (px, py), total in tile.items():
+        xs = px + off_x
+        ys = py + off_y
+        qf = (2.0 / 3.0) * xs / radius
+        rf = ((-1.0 / 3.0) * xs + (math.sqrt(3.0) / 3.0) * ys) / radius
+        sf = -qf - rf
+        # half-away-from-zero, matching SQL round() (python round is
+        # banker's and would diverge on .5 ties)
+        rnd = lambda v: math.copysign(math.floor(abs(v) + 0.5), v)
+        rq, rr, rs = rnd(qf), rnd(rf), rnd(sf)
+        dq, dr, ds = abs(rq - qf), abs(rr - rf), abs(rs - sf)
+        if dq > dr and dq > ds:
+            rq = -rr - rs
+        elif dr > ds:
+            rr = -rq - rs
+        cell = (int(rq), int(rr))
+        out[cell] = out.get(cell, 0) + _total(total)
+    return out
+
+
+def _total(v) -> int:
+    return v["total"] if isinstance(v, dict) else v
+
+
 def hex_polygon(q: int, r: int, z: int, x: int, y: int, tile_size: int = 512,
                 min_hex_per_tile: int = DEFAULT_HEX_PER_TILE
                 ) -> list[tuple[float, float]]:

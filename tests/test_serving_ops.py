@@ -153,3 +153,22 @@ class TestSearchPredicate:
         grid = adhoc_search(occ_small, 1, 0, 0,
                             {"basisOfRecord": ["OBSERVATION"]})
         assert grid.count() > 0
+
+
+class TestServeTimeBinning:
+    def test_dict_binning_matches_spark_binning(self, spark, keyed):
+        """Serve-time (dict) hex/square binning must equal the
+        Spark-side binning of the same served tile."""
+        from maps_spark.operators import binning as B
+        from maps_spark.operators import serving as SV
+
+        tile_df = SV.density_tile(keyed, "0:0", "EPSG:3857", 2, 1, 1)
+        tile = {(r.px, r.py): r.total for r in tile_df.collect()}
+
+        sq_spark = {(r.cellX, r.cellY): r.total
+                    for r in B.square_bin(tile_df).collect()}
+        assert B.square_bin_dict(tile) == sq_spark
+
+        hx_spark = {(r.hexQ, r.hexR): r.total
+                    for r in B.hex_bin(tile_df, 2, 1, 1).collect()}
+        assert B.hex_bin_dict(tile, 2, 1, 1) == hx_spark
