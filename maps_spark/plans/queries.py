@@ -210,6 +210,11 @@ def q_text_stats(spark, sf_dir):
     return TX.text_features(_docs(spark, sf_dir))
 
 
+def q_quality_score(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
 def q_token_count(spark, sf_dir):
     from maps_spark.operators import text as TX
     return TX.token_count(_docs(spark, sf_dir))
@@ -298,6 +303,7 @@ MAPS_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "token_count_bpe": q_token_count,
+    "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "minhash_lsh_pairs": q_minhash_lsh,      # rows-only (hash UDF)
@@ -350,6 +356,7 @@ def maps_oracles() -> dict[str, str]:
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "token_count_bpe": OT.token_count_select(),
+        "quality_score": OT.quality_score_select(),
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),
         "ann_topk": OT.ann_topk_select(k=10, n_queries=16),
     }

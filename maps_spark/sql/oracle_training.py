@@ -37,6 +37,18 @@ def lang_id_select() -> str:
     return lang_id_sql("FROM documents")
 
 
+def quality_score_select(min_tokens: int = 16,
+                         max_mean_token_len: float = 12.0) -> str:
+    ratio = "CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+    return f"""WITH f AS ({text_stats_select()})
+SELECT doc_id, n_tokens, mean_token_len,
+       {ratio} AS stopword_ratio,
+       (n_tokens >= {min_tokens}
+        AND mean_token_len <= {max_mean_token_len}
+        AND {ratio} > 0.001) AS keep
+FROM f"""
+
+
 def token_count_select() -> str:
     from maps_spark.operators.text import BPE_PATTERN
     # RE2 needs the same pattern; len(regexp_extract_all) == match count
