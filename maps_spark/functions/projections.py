@@ -250,3 +250,55 @@ def plottable_expr(srs: str, lat: str, lng: str) -> str:
     if srs == "EPSG:3031":
         return f"({base} AND ({lat}) <= 0.0)"
     raise ValueError(srs)
+
+
+# -- inverse polar projections (for the ad-hoc tile boundary, C12) -----------
+
+
+def _invert_lat_for_rho(rho_of_lat, target: float, lo: float,
+                        hi: float, iters: int = 60) -> float:
+    """Bisection inverse of a monotonic rho(lat) — exactly consistent
+    with OUR forward math (no series truncation drift)."""
+    f_lo = rho_of_lat(lo)
+    f_hi = rho_of_lat(hi)
+    increasing = f_hi > f_lo
+    t = min(max(target, min(f_lo, f_hi)), max(f_lo, f_hi))
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if (rho_of_lat(mid) < t) == increasing:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def polar_pixel_to_latlng(srs: str, gx: float, gy: float, z: int,
+                          tile_size: int = TILE_SIZE
+                          ) -> tuple[float, float]:
+    """Global pixel -> (lat, lng) for EPSG:3575/3031 (inverse of
+    azimuthal_global_xy + the meters formulas)."""
+    srs = _norm(srs)
+    extent = LAEA_EXTENT if srs == "EPSG:3575" else STEREO_EXTENT
+    n = tile_size * (1 << z)
+    ppm = n / extent / 2.0
+    mx = gx / ppm - extent
+    my = (n - gy) / ppm - extent
+    rho = math.hypot(mx, my)
+    if srs == "EPSG:3575":
+        lat = _invert_lat_for_rho(
+            lambda p: float(_A * math.sqrt(max(
+                _QP - float(_authalic_q(np.float64(math.sin(
+                    math.radians(p))))), 0.0))),
+            rho, -90.0, 90.0)
+        lng = math.degrees(math.atan2(mx, -my)) + 10.0 if rho > 0 else 10.0
+    else:
+        def rho3031(p: float) -> float:
+            x_, _ = stereo3031_meters(np.float64(p), np.float64(90.0))
+            return float(math.hypot(float(x_), 0.0))
+        lat = _invert_lat_for_rho(rho3031, rho, -90.0, 84.0)
+        lng = math.degrees(math.atan2(mx, my)) if rho > 0 else 0.0
+    if lng > 180.0:
+        lng -= 360.0
+    elif lng < -180.0:
+        lng += 360.0
+    return lat, lng

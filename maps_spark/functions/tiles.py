@@ -177,3 +177,64 @@ def tile_boundary(srs: str, z: int, x: int, y: int,
         min_lat = max(max_lat - degrees_per_tile - 2 * buffer_degrees, -90.0)
         return (min_lng, min_lat, max_lng, max_lat)
     raise ValueError(f"tile_boundary unsupported for {srs}")
+
+
+def tile_boundaries(srs: str, z: int, x: int, y: int,
+                    tile_buffer: float = 0.0, tile_size: int = TILE_SIZE,
+                    samples: int = 16
+                    ) -> list[tuple[float, float, float, float]]:
+    """WGS84 bbox(es) of a buffered tile, all projections (C12).
+
+    3857/4326: the closed-form :func:`tile_boundary`, one bbox.
+    3575/3031: the buffered tile rectangle is edge-sampled in global
+    pixel space and inverse-projected; a tile containing the pole can't
+    be a lat/lng bbox, so it expands to four quadrant requests exactly
+    like the reference (AdHocMapsResource.java:156-170). A bbox whose
+    minLng > maxLng crosses the antimeridian (callers OR the halves).
+    """
+    from maps_spark.functions import projections as P
+    srs_n = srs.replace("_", ":")
+    if srs_n in ("EPSG:3857", "EPSG:4326"):
+        return [tile_boundary(srs_n, z, x, y, tile_buffer)]
+    if srs_n not in ("EPSG:3575", "EPSG:3031"):
+        raise ValueError(srs)
+    north = srs_n == "EPSG:3575"
+    n = tile_size * (1 << z)
+    x0 = (x - tile_buffer) * tile_size
+    x1 = (x + 1 + tile_buffer) * tile_size
+    y0 = (y - tile_buffer) * tile_size
+    y1 = (y + 1 + tile_buffer) * tile_size
+    pole = n / 2.0  # both polar grids center the pole
+    if x0 <= pole <= x1 and y0 <= pole <= y1:
+        # pole inside: four quadrant requests, pole-side latitude open
+        corners = [polar_pixel_to_latlng_clamped(srs_n, cx, cy, z, tile_size)
+                   for cx in (x0, x1) for cy in (y0, y1)]
+        lat_edge = (min if north else max)(lat for lat, _ in corners)
+        lo, hi = (lat_edge, 90.0) if north else (-90.0, lat_edge)
+        return [(-180.0, lo, -90.0, hi), (-90.0, lo, 0.0, hi),
+                (0.0, lo, 90.0, hi), (90.0, lo, 180.0, hi)]
+    pts = []
+    for i in range(samples + 1):
+        f = i / samples
+        pts.append((x0 + f * (x1 - x0), y0))
+        pts.append((x0 + f * (x1 - x0), y1))
+        pts.append((x0, y0 + f * (y1 - y0)))
+        pts.append((x1, y0 + f * (y1 - y0)))
+    lls = [polar_pixel_to_latlng_clamped(srs_n, px, py, z, tile_size)
+           for px, py in pts]
+    lats = [lat for lat, _ in lls]
+    lngs = [lng for _, lng in lls]
+    # antimeridian-aware longitude extent: complement of the max gap
+    from maps_spark.operators.capabilities import centred_spread
+    got = centred_spread([int(round(v * 1e5)) for v in lngs], 360 * 100000)
+    min_lng, max_lng = (got[0] / 1e5, got[1] / 1e5) if got else (-180.0,
+                                                                 180.0)
+    return [(min_lng, min(lats), max_lng, max(lats))]
+
+
+def polar_pixel_to_latlng_clamped(srs: str, gx: float, gy: float, z: int,
+                                  tile_size: int = TILE_SIZE
+                                  ) -> tuple[float, float]:
+    from maps_spark.functions import projections as P
+    lat, lng = P.polar_pixel_to_latlng(srs, gx, gy, z, tile_size)
+    return (max(-90.0, min(90.0, lat)), max(-180.0, min(180.0, lng)))

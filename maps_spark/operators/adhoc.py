@@ -37,13 +37,7 @@ def geo_grid(occ: DataFrame, z: int, srs: str = "EPSG:3857",
     df = occ.select(F.col("decimalLatitude").alias("lat"),
                     F.col("decimalLongitude").alias("lng"))
     if bbox:
-        min_lng, min_lat, max_lng, max_lat = bbox
-        if min_lng <= max_lng:
-            lng_pred = (F.col("lng") >= min_lng) & (F.col("lng") <= max_lng)
-        else:  # bbox crosses the antimeridian (tile_boundary wrap)
-            lng_pred = (F.col("lng") >= min_lng) | (F.col("lng") <= max_lng)
-        df = df.where(lng_pred &
-                      (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat))
+        df = df.where(_bbox_pred(bbox))
     cx, cy = _grid_cols(srs, z)
     df = (df.select("lat", "lng", cx.alias("cellX"), cy.alias("cellY"))
           .where(F.col("cellX").isNotNull()))
@@ -65,17 +59,41 @@ def geo_grid(occ: DataFrame, z: int, srs: str = "EPSG:3857",
     raise ValueError(mode)
 
 
+def _bbox_pred(bbox: tuple[float, float, float, float]):
+    """(minLng, minLat, maxLng, maxLat) -> Column predicate; minLng >
+    maxLng means the box crosses the antimeridian (OR form)."""
+    min_lng, min_lat, max_lng, max_lat = bbox
+    if min_lng <= max_lng:
+        lng_pred = (F.col("lng") >= min_lng) & (F.col("lng") <= max_lng)
+    else:
+        lng_pred = (F.col("lng") >= min_lng) | (F.col("lng") <= max_lng)
+    return (lng_pred & (F.col("lat") >= min_lat) &
+            (F.col("lat") <= max_lat))
+
+
 def adhoc_tile(occ: DataFrame, z: int, x: int, y: int,
                srs: str = "EPSG:3857", mode: str = "bounds",
                tile_buffer: float = 0.125, grid_zoom: int | None = None
                ) -> DataFrame:
     """The full /adhoc request: tile boundary (C12) -> bbox filter ->
     geo-grid aggregation (AdHocMapsResource.java:126-239). ``grid_zoom``
-    defaults to z + 6 like the reference's geotile precision ramp."""
-    from maps_spark.functions.tiles import tile_boundary
-    bbox = tile_boundary(srs, z, x, y, tile_buffer)
-    return geo_grid(occ, grid_zoom if grid_zoom is not None else z + 6,
-                    srs=srs, bbox=bbox, mode=mode)
+    defaults to z + 6 like the reference's geotile precision ramp.
+    Polar tiles may expand to several bboxes (pole-containing tiles:
+    four quadrant requests, AdHocMapsResource.java:156-170) — their
+    predicates OR together."""
+    from maps_spark.functions.tiles import tile_boundaries
+    boxes = tile_boundaries(srs, z, x, y, tile_buffer)
+    gz = grid_zoom if grid_zoom is not None else z + 6
+    if len(boxes) == 1:
+        return geo_grid(occ, gz, srs=srs, bbox=boxes[0], mode=mode)
+    df = occ.select(F.col("decimalLatitude").alias("lat"),
+                    F.col("decimalLongitude").alias("lng"))
+    pred = _bbox_pred(boxes[0])
+    for b in boxes[1:]:
+        pred = pred | _bbox_pred(b)
+    pre = df.where(pred).select(F.col("lat").alias("decimalLatitude"),
+                                F.col("lng").alias("decimalLongitude"))
+    return geo_grid(pre, gz, srs=srs, mode=mode)
 
 
 def adhoc_search(occ: DataFrame, z: int, x: int, y: int,

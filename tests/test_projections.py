@@ -118,3 +118,34 @@ class TestPyramidShift:
                     np.floor(lx).astype(np.int64)).all()
             assert (np.floor(hy).astype(np.int64) >> 1 ==
                     np.floor(ly).astype(np.int64)).all()
+
+
+class TestPolarInverse:
+    def test_roundtrip(self):
+        import numpy as np
+        from maps_spark.functions import projections as P
+        for srs in ("EPSG:3575", "EPSG:3031"):
+            for lat, lng in ((80.0, 10.0), (45.0, -120.0), (10.0, 179.0),
+                             (-60.0, 5.0), (-85.0, 100.0)):
+                if srs == "EPSG:3031" and lat > 80:
+                    continue
+                gx, gy = P.azimuthal_global_xy(srs, lat, lng, 4)
+                rl, rg = P.polar_pixel_to_latlng(srs, float(gx),
+                                                 float(gy), 4)
+                assert abs(rl - lat) < 1e-6
+                assert min(abs(rg - lng), abs(abs(rg - lng) - 360)) < 1e-6
+
+    def test_pole_tile_expands_to_quadrants(self):
+        from maps_spark.functions.tiles import tile_boundaries
+        boxes = tile_boundaries("EPSG:3575", 0, 0, 0)
+        assert len(boxes) == 4
+        assert all(hi == 90.0 for (_, _, _, hi) in boxes)
+        lngs = sorted(b[0] for b in boxes)
+        assert lngs == [-180.0, -90.0, 0.0, 90.0]
+
+    def test_off_pole_tile_single_bbox(self):
+        from maps_spark.functions.tiles import tile_boundaries
+        boxes = tile_boundaries("EPSG:3031", 2, 1, 3, 0.125)
+        assert len(boxes) == 1
+        (min_lng, min_lat, max_lng, max_lat) = boxes[0]
+        assert min_lat < max_lat
