@@ -172,3 +172,26 @@ class TestServeTimeBinning:
         hx_spark = {(r.hexQ, r.hexR): r.total
                     for r in B.hex_bin(tile_df, 2, 1, 1).collect()}
         assert B.hex_bin_dict(tile, 2, 1, 1) == hx_spark
+
+
+class TestPolarAdhoc:
+    def test_bbox_prefilter_loses_no_cells(self, spark, occ_small):
+        """The polar tile-boundary pre-filter must keep every grid cell
+        that falls inside the requested tile's pixel window."""
+        import math
+
+        from maps_spark.operators import adhoc as AH
+
+        srs, z, x, y, gz = "EPSG:3575", 2, 0, 1, 4
+        got = AH.adhoc_tile(occ_small, z, x, y, srs=srs, grid_zoom=gz)
+        full = AH.geo_grid(occ_small, gz, srs=srs)
+        scale = (1 << gz) / (1 << z)
+        win = full.where(
+            (F.col("cellX") >= math.floor((x - 0.125) * scale)) &
+            (F.col("cellX") < (x + 1.125) * scale) &
+            (F.col("cellY") >= math.floor((y - 0.125) * scale)) &
+            (F.col("cellY") < (y + 1.125) * scale))
+        missing = (win.select("cellX", "cellY")
+                   .exceptAll(got.select("cellX", "cellY")).count())
+        assert missing == 0
+        assert 0 < got.count() < full.count()  # it actually pruned
