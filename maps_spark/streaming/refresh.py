@@ -58,11 +58,19 @@ def stream_occurrence(spark: SparkSession, input_dir: str,
     return with_network_key(spark.sql(OCCURRENCE_SQL).where(BASE_FILTER_SQL))
 
 
-def stream_pixel_deltas(occ_stream: DataFrame, srs: str = "EPSG:3857",
+def stream_pixel_deltas(occ: DataFrame, srs: str = "EPSG:3857",
                         zoom: int = 8) -> DataFrame:
-    """Update-mode per-pixel counts — the streaming twin of
-    ``pyramid.pixel_table`` (same Column expressions, same semantics)."""
-    keyed = PY.keyed_occurrence(occ_stream)
+    """Per-pixel counts — the streaming twin of ``pyramid.pixel_table``
+    (same Column expressions, same semantics).
+
+    On a BATCH DataFrame (the ``foreachBatch`` path ``run_refresh``
+    uses) this is a plain aggregation, so the result is a true
+    per-batch delta. On a STREAMING DataFrame in update mode it is a
+    stateful aggregation emitting CUMULATIVE counts — do NOT sum-merge
+    that variant across batches (cumulative + sum double-counts);
+    ``run_refresh`` deliberately aggregates inside ``foreachBatch`` so
+    no unbounded per-pixel streaming state is kept."""
+    keyed = PY.keyed_occurrence(occ)
     from maps_spark.functions import projections as P
     px, py = P.pixel_cols(srs, "lat", "lng", zoom)
     return (keyed
@@ -89,28 +97,72 @@ def windowed_event_counts(spark: SparkSession, input_dir: str,
                     "event_type", "n", "total_value"))
 
 
-def merge_into_pixels(delta: DataFrame, pixel_store: str) -> None:
-    """foreachBatch body: merge a delta micro-batch into the staged
-    pixel table (sum on conflict). Parquet has no MERGE, so this
-    re-writes only the affected (mapKey-hash) partitions; a Delta/
-    Iceberg deployment would use MERGE INTO directly."""
+N_BUCKETS = 256
+
+
+def merge_into_pixels(delta: DataFrame, pixel_store: str,
+                      n_buckets: int = N_BUCKETS) -> None:
+    """foreachBatch body: merge a delta micro-batch into the LIVE
+    bucketed pixel store (sum on conflict). Parquet has no MERGE, so
+    the store is hive-partitioned by ``bucket = xxhash64(mapKey) mod
+    n_buckets`` and each batch:
+
+    1. buckets the delta and collects the touched bucket ids (bounded
+       by ``n_buckets`` — a few hundred ints, driver-safe);
+    2. reads ONLY those buckets back (partition-pruned scan; untouched
+       buckets are never read);
+    3. re-aggregates existing+delta and overwrites ONLY the touched
+       partitions via dynamic partition overwrite.
+
+    Untouched bucket directories are neither read nor rewritten, so the
+    per-batch working set is proportional to the delta, and batches
+    accumulate: batch N merges into the result of batches 1..N-1. A
+    Delta/Iceberg deployment would use MERGE INTO directly.
+    """
+    from pyspark.errors import AnalysisException
+
     spark = delta.sparkSession
+    bucketed = delta.withColumn(
+        "bucket", F.pmod(F.xxhash64("mapKey"), F.lit(n_buckets)).cast("int"))
+    touched = [r[0] for r in bucketed.select("bucket").distinct().collect()]
+    if not touched:
+        return
+    merged = bucketed
     try:
-        existing = spark.read.parquet(pixel_store)
-        merged = (existing.unionByName(delta)
-                  .groupBy("mapKey", "px", "py", "borYear")
-                  .agg(F.sum("cnt").alias("cnt")))
-    except Exception:
-        merged = delta
-    merged.write.mode("overwrite").parquet(pixel_store + ".next")
-    # atomic-ish swap left to the deployment's table format
+        existing = (spark.read.parquet(pixel_store)
+                    .where(F.col("bucket").isin(touched)))
+        merged = existing.unionByName(bucketed)
+    except AnalysisException:  # first batch: store does not exist yet
+        pass
+    merged = (merged
+              .groupBy("bucket", "mapKey", "px", "py", "borYear")
+              .agg(F.sum("cnt").alias("cnt"))
+              .localCheckpoint())  # cut lineage: overwrite-in-place is legal
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(pixel_store))
+
+
+def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
+    """Read the merged pixel store without the internal bucket column."""
+    return spark.read.parquet(pixel_store).drop("bucket")
 
 
 def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
                 pixel_store: str, srs: str = "EPSG:3857", zoom: int = 8):
-    """Wire the incremental refresh: stream -> deltas -> merge."""
+    """Wire the incremental refresh: stream -> per-batch delta -> merge.
+
+    The per-pixel aggregation runs INSIDE ``foreachBatch`` (a plain
+    batch agg over that micro-batch's rows), so each merge receives a
+    true additive delta and Spark keeps no unbounded per-pixel
+    aggregation state between batches — at 100 TB the state store would
+    otherwise grow with the number of distinct (mapKey, px, py, year)
+    groups, which is the corpus size."""
     occ = stream_occurrence(spark, input_dir, nation_dir)
-    deltas = stream_pixel_deltas(occ, srs, zoom)
-    return (deltas.writeStream.outputMode("update")
-            .foreachBatch(lambda df, _id: merge_into_pixels(df, pixel_store))
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_into_pixels(stream_pixel_deltas(batch_df, srs, zoom),
+                          pixel_store)
+
+    return (occ.writeStream.foreachBatch(_merge)
             .trigger(availableNow=True).start())

@@ -1,18 +1,34 @@
 """Structured Streaming refresh: the merged incremental pixel store
-must equal the batch pipeline exactly (counts are associative)."""
+must equal the batch pipeline exactly (counts are associative), and the
+merge must (a) accumulate across micro-batches and (b) rewrite only the
+touched hash-bucket partitions."""
 
-import shutil
+import hashlib
+import os
 
 import pyspark.sql.functions as F
 
 from tests.conftest import SF_SMALL
 
 
+def _dir_digest(root):
+    """(relpath -> md5) of every data file under a store directory."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = hashlib.md5(
+                open(p, "rb").read()).hexdigest()
+    return out
+
+
 class TestRefresh:
     def test_stream_merge_equals_batch(self, spark, tmp_path):
         from maps_spark.operators import pyramid as PY
         from maps_spark.sources.occurrence import occurrence_df
-        from maps_spark.streaming.refresh import run_refresh
+        from maps_spark.streaming.refresh import read_pixel_store, run_refresh
 
         store = str(tmp_path / "pixels")
         q = run_refresh(spark, f"{SF_SMALL}/events.parquet",
@@ -20,13 +36,74 @@ class TestRefresh:
                         srs="EPSG:3857", zoom=6)
         q.awaitTermination(300)
 
-        merged = spark.read.parquet(store + ".next")
+        merged = read_pixel_store(spark, store)
         batch = PY.pixel_table(
             PY.keyed_occurrence(occurrence_df(spark, SF_SMALL)),
             "EPSG:3857", 6)
         diff = (merged.exceptAll(batch).count() +
                 batch.exceptAll(merged).count())
         assert diff == 0
+
+    def test_multi_batch_accumulates(self, spark, tmp_path):
+        """>maxFilesPerTrigger input files -> multiple micro-batches; the
+        final store must still equal the batch pipeline over ALL files
+        (regression: earlier merge dropped all but the last batch)."""
+        from maps_spark.operators import pyramid as PY
+        from maps_spark.sources.occurrence import occurrence_df
+        from maps_spark.streaming.refresh import read_pixel_store, run_refresh
+
+        landing = str(tmp_path / "landing")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+         .repartition(9).write.parquet(landing))
+        n_files = len([f for f in os.listdir(landing)
+                       if f.endswith(".parquet")])
+        assert n_files > 4  # maxFilesPerTrigger=4 -> at least 3 batches
+
+        store = str(tmp_path / "pixels")
+        q = run_refresh(spark, landing, f"{SF_SMALL}/nation.parquet",
+                        store, srs="EPSG:3857", zoom=6)
+        q.awaitTermination(300)
+
+        merged = read_pixel_store(spark, store)
+        batch = PY.pixel_table(
+            PY.keyed_occurrence(occurrence_df(spark, SF_SMALL)),
+            "EPSG:3857", 6)
+        diff = (merged.exceptAll(batch).count() +
+                batch.exceptAll(merged).count())
+        assert diff == 0
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        """A delta touching one mapKey must leave every other bucket's
+        files byte-identical (dynamic partition overwrite, pruned read)."""
+        from maps_spark.streaming.refresh import merge_into_pixels
+
+        store = str(tmp_path / "pixels")
+        base = spark.createDataFrame(
+            [(f"2:ds-{i}", i, i, 2000 + i, 1) for i in range(50)],
+            "mapKey string, px int, py int, borYear int, cnt bigint")
+        merge_into_pixels(base, store, n_buckets=16)
+        before = _dir_digest(store)
+
+        delta = spark.createDataFrame(
+            [("2:ds-0", 0, 0, 2000, 5)],
+            "mapKey string, px int, py int, borYear int, cnt bigint")
+        merge_into_pixels(delta, store, n_buckets=16)
+        after = _dir_digest(store)
+
+        touched = spark.createDataFrame([("2:ds-0",)], "mapKey string") \
+            .select(F.pmod(F.xxhash64("mapKey"), F.lit(16)).cast("int")) \
+            .first()[0]
+        touched_dir = f"bucket={touched}"
+        for rel, digest in before.items():
+            if rel.startswith(touched_dir):
+                continue
+            assert after.get(rel) == digest, f"untouched file rewritten: {rel}"
+
+        # and the touched pixel really merged (1 + 5)
+        got = (spark.read.parquet(store)
+               .where("mapKey = '2:ds-0' AND px = 0").first())
+        assert got["cnt"] == 6
 
     def test_windowed_watermark_agg(self, spark):
         from maps_spark.streaming.refresh import windowed_event_counts
