@@ -7,20 +7,29 @@ golden values in the reference's projection tests):
   at z0, x wraps at the dateline.
 - EPSG:4326 Plate Carree (WGS84.java:37-49): 2x1 tiles at z0, x wraps.
 - EPSG:3575 North-Pole LAEA Europe (NorthPoleLAEAEurope.java:35-57,
-  WGS84Azimuthal.java:44-96): 1x1, no wrap, clipped to lat >= 0,
+  WGS84Azimuthal.java:44-96): 1x1, no wrap, clipped to lat > -1 (the
+  reference's ~100 km buffer past the equator, TileMapBuilder.java:68),
   extent = sqrt(2) * 6_371_007.2 m.
 - EPSG:3031 Antarctic Polar Stereographic
   (WGS84AntarcticPolarStereographic.java:36-77): 1x1, no wrap, clipped
-  to lat <= 0, extent = 12_367_396.21845986 m.
+  to lat < 1 (TileMapBuilder.java:69), extent = 12_367_396.21845986 m.
+
+Buffer-band records (the sub-equator strip for 3575 / above-equator for
+3031) project to rho > extent; those whose floored global pixel still
+lands inside the zoom-z canvas are kept, the rest are dropped — the
+canvas-bounds filter is part of the pixel semantics and is mirrored
+verbatim in the SQL oracle.
 
 Execution strategy (Spark-first):
 
-- 3857/4326 are pure Column arithmetic generated from the dual-dialect
-  templates in :mod:`maps_spark.sql.dual` — they run inside whole-stage
-  codegen AND are verbatim reproducible in the DuckDB oracle.
-- 3575/3031 need ellipsoidal math (the reference delegates to geotools);
-  we implement the Snyder/EPSG formulas vectorized in numpy inside an
-  Arrow-batched pandas UDF. No per-row Python.
+- ALL four SRS are pure Column arithmetic generated from the
+  dual-dialect templates in :mod:`maps_spark.sql.dual` — they run
+  inside whole-stage codegen AND are verbatim reproducible in the
+  DuckDB oracle. The polar ellipsoidal Snyder/EPSG formulas (the
+  reference delegates these to geotools) compile to
+  sin/cos/tan/ln/sqrt/pow expression trees, dialect-identical.
+- The numpy kernels below are the same formulas vectorized for the
+  serving point path, the tile-boundary inverse, and golden tests.
 """
 
 from __future__ import annotations
@@ -29,10 +38,8 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
-from pyspark.sql.functions import pandas_udf
 
 from maps_spark.sql import dual
 
@@ -181,10 +188,10 @@ def is_plottable(srs: str, lat, lng):
         return in_range & (np.abs(lat) <= MERC_MAX_LAT)
     if srs == "EPSG:4326":
         return in_range
-    if srs == "EPSG:3575":  # clipped to equator by choice
-        return in_range & (lat >= 0)
+    if srs == "EPSG:3575":  # 1-degree (~100 km) buffer past the equator
+        return in_range & (lat > -1.0)
     if srs == "EPSG:3031":
-        return in_range & (lat <= 0)
+        return in_range & (lat < 1.0)
     raise ValueError(srs)
 
 
@@ -201,39 +208,20 @@ def pixel_cols(srs: str, lat_col: str, lng_col: str, z: int,
                tile_size: int = TILE_SIZE) -> tuple[Column, Column]:
     """(px, py) integer global-pixel Columns at zoom ``z``.
 
-    3857/4326: pure ``F.expr`` over the dual-dialect templates (stays in
-    whole-stage codegen, oracle-identical). Polar: Arrow pandas UDF.
-    Unplottable rows -> NULL (caller filters, TileMapBuilder.java:159).
+    All four SRS are pure ``F.expr`` over the dual-dialect templates —
+    they stay inside whole-stage codegen AND are verbatim reproducible
+    in the DuckDB oracle (the polar ellipsoidal math uses only
+    sin/cos/tan/ln/sqrt/pow, dialect-identical). Unplottable rows ->
+    NULL (caller filters, TileMapBuilder.java:159); polar buffer-band
+    rows whose pixel overshoots the canvas also -> NULL.
     """
     srs = _norm(srs)
-    if srs in ("EPSG:3857", "EPSG:4326"):
-        pxe, pye = dual.pixel_exprs(srs, lat_col, lng_col, z, tile_size)
-        plot = plottable_expr(srs, lat_col, lng_col)
-        return (
-            F.when(F.expr(plot), F.expr(pxe)),
-            F.when(F.expr(plot), F.expr(pye)),
-        )
-    # polar: one Arrow batch per projection; floor to ints in numpy
-    n = tile_size * (1 << z)
-
-    @pandas_udf("struct<x: long, y: long>")
-    def _polar(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
-        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
-        lo = lng.to_numpy(dtype=np.float64, na_value=np.nan)
-        ok = is_plottable(srs, la, lo) & ~np.isnan(la) & ~np.isnan(lo)
-        x = np.full(la.shape, np.nan)
-        y = np.full(la.shape, np.nan)
-        if ok.any():
-            fx, fy = azimuthal_global_xy(srs, la[ok], lo[ok], z, tile_size)
-            x[ok] = np.clip(np.floor(fx), 0, n - 1)
-            y[ok] = np.clip(np.floor(fy), 0, n - 1)
-        return pd.DataFrame({
-            "x": pd.array(x, dtype="Int64"),
-            "y": pd.array(y, dtype="Int64"),
-        })
-
-    st = _polar(F.col(lat_col), F.col(lng_col))
-    return st["x"], st["y"]
+    pxe, pye = dual.pixel_exprs(srs, lat_col, lng_col, z, tile_size)
+    plot = plottable_expr(srs, lat_col, lng_col)
+    return (
+        F.when(F.expr(plot), F.expr(pxe)),
+        F.when(F.expr(plot), F.expr(pye)),
+    )
 
 
 def plottable_expr(srs: str, lat: str, lng: str) -> str:
@@ -246,9 +234,9 @@ def plottable_expr(srs: str, lat: str, lng: str) -> str:
     if srs == "EPSG:4326":
         return f"({base})"
     if srs == "EPSG:3575":
-        return f"({base} AND ({lat}) >= 0.0)"
+        return f"({base} AND ({lat}) > -1.0)"
     if srs == "EPSG:3031":
-        return f"({base} AND ({lat}) <= 0.0)"
+        return f"({base} AND ({lat}) < 1.0)"
     raise ValueError(srs)
 
 

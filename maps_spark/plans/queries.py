@@ -55,7 +55,6 @@ def q_pixel_agg_4326_z6(spark, sf_dir):
 
 
 def q_pixel_agg_3575_z4(spark, sf_dir):
-    # polar projection: pandas-UDF path; no SQL oracle (rows-only check)
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey") == "0:0")
     return PY.pixel_table(keyed, "EPSG:3575", 4)
 
@@ -350,7 +349,8 @@ def maps_oracles() -> dict[str, str]:
             8, "bounds", T.tile_boundary("EPSG:3857", 2, 1, 1, 0.125)),
         "year_facet": O.year_facet_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
-        # pixel_agg_3575_z4 / 3031: pandas-UDF projections, rows-only
+        "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
+        "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),
         "dedup_exact": OT.dedup_exact_select(),
         "dedup_prefix": OT.dedup_prefix_select(n_tokens=10),
         "text_stats": OT.text_stats_select(),

@@ -30,6 +30,8 @@ Pixel-space conventions (reference parity, GlobalPixelUDF.java:40-57):
 
 from __future__ import annotations
 
+import math
+
 TILE_SIZE = 512
 MAX_ZOOM = 16
 # Web-Mercator latitude limit: atan(sinh(pi)) in degrees
@@ -80,6 +82,87 @@ def wgs84_py(lat: str, z: int, tile_size: int = TILE_SIZE) -> str:
     return f"CAST(floor((90.0 - ({lat})) * {n} / 180.0) AS BIGINT)"
 
 
+# ---------------------------------------------------------------------------
+# Polar projections (WGS84Azimuthal.java:44-96) — ellipsoidal forward math
+# as dual-dialect SQL. Uses only sin/cos/tan/ln/sqrt/pow/radians, which
+# evaluate identically in Spark SQL and DuckDB; all derived constants are
+# inlined as full-precision Python double literals so both engines parse
+# the exact same IEEE-754 expression tree.
+# ---------------------------------------------------------------------------
+
+_A = 6378137.0                      # WGS84 semi-major axis
+_FLAT = 1.0 / 298.257223563
+_E2 = _FLAT * (2.0 - _FLAT)
+_E = math.sqrt(_E2)
+EARTH_RADIUS_AUTHALIC = 6371007.2   # AbstractTileProjection.java:23
+LAEA_EXTENT = math.sqrt(2.0) * EARTH_RADIUS_AUTHALIC
+STEREO_EXTENT = 12367396.21845986   # WGS84AntarcticPolarStereographic.java:49
+
+# authalic q at the pole (Snyder eq. 3-12 with sin(phi)=1)
+_QP = (1.0 - _E2) * (1.0 / (1.0 - _E2)
+                     - (1.0 / (2.0 * _E)) * math.log((1.0 - _E) / (1.0 + _E)))
+
+# polar stereographic constants at the standard parallel 71S
+_PHI_F = math.radians(-71.0)
+_TF = math.tan(math.pi / 4.0 + _PHI_F / 2.0) / (
+    (1.0 + _E * math.sin(_PHI_F)) / (1.0 - _E * math.sin(_PHI_F))
+) ** (_E / 2.0)
+_MF = math.cos(_PHI_F) / math.sqrt(1.0 - _E2 * math.sin(_PHI_F) ** 2)
+
+
+def _laea_meters(lat: str, lng: str) -> tuple[str, str]:
+    """EPSG:3575 forward to meters (Snyder 24-23/24-24, north aspect,
+    lon0=10E): rho = a*sqrt(qp-q), x = rho*sin(lam), y = -rho*cos(lam)."""
+    s = f"sin(radians({lat}))"
+    q = (f"({1.0 - _E2!r} * ({s} / (1.0 - {_E2!r} * {s} * {s})"
+         f" - {1.0 / (2.0 * _E)!r}"
+         f" * ln((1.0 - {_E!r} * {s}) / (1.0 + {_E!r} * {s}))))")
+    rho = f"({_A!r} * sqrt(greatest({_QP!r} - {q}, 0.0)))"
+    lam = f"radians(({lng}) - 10.0)"
+    return f"({rho} * sin({lam}))", f"(0.0 - {rho} * cos({lam}))"
+
+
+def _stereo_meters(lat: str, lng: str) -> tuple[str, str]:
+    """EPSG:3031 forward to meters (EPSG GN7-2 variant B, south aspect,
+    standard parallel 71S, lon0=0)."""
+    s = f"sin(radians({lat}))"
+    t = (f"(tan({math.pi / 4.0!r} + radians({lat}) / 2.0)"
+         f" / pow((1.0 + {_E!r} * {s}) / (1.0 - {_E!r} * {s}),"
+         f" {_E / 2.0!r}))")
+    rho = f"({_A * _MF!r} * {t} / {_TF!r})"
+    lam = f"radians({lng})"
+    return f"({rho} * sin({lam}))", f"({rho} * cos({lam}))"
+
+
+def _azimuthal_exprs(mx: str, my: str, extent: float, z: int,
+                     tile_size: int) -> tuple[str, str]:
+    """Meters -> floored global pixel, NULL when the floored pixel falls
+    outside the zoom-z canvas (buffer-band rows can overshoot; the
+    canvas-bounds filter is part of the pixel semantics on BOTH the
+    engine and the oracle side)."""
+    n = tile_size * (1 << z)
+    ppm = n / extent / 2.0
+    fx = f"(({mx} + {extent!r}) * {ppm!r})"
+    fy = f"({float(n)!r} - ({my} + {extent!r}) * {ppm!r})"
+    cond = (f"{fx} >= 0.0 AND {fx} < {float(n)!r} AND "
+            f"{fy} >= 0.0 AND {fy} < {float(n)!r}")
+    px = f"CASE WHEN {cond} THEN CAST(floor({fx}) AS BIGINT) ELSE NULL END"
+    py = f"CASE WHEN {cond} THEN CAST(floor({fy}) AS BIGINT) ELSE NULL END"
+    return px, py
+
+
+def laea_pixel_exprs(lat: str, lng: str, z: int,
+                     tile_size: int = TILE_SIZE) -> tuple[str, str]:
+    mx, my = _laea_meters(lat, lng)
+    return _azimuthal_exprs(mx, my, LAEA_EXTENT, z, tile_size)
+
+
+def stereo_pixel_exprs(lat: str, lng: str, z: int,
+                       tile_size: int = TILE_SIZE) -> tuple[str, str]:
+    mx, my = _stereo_meters(lat, lng)
+    return _azimuthal_exprs(mx, my, STEREO_EXTENT, z, tile_size)
+
+
 def pixel_exprs(srs: str, lat: str, lng: str, z: int,
                 tile_size: int = TILE_SIZE) -> tuple[str, str]:
     """(px, py) template pair for a dual-dialect projection."""
@@ -87,9 +170,11 @@ def pixel_exprs(srs: str, lat: str, lng: str, z: int,
         return merc_px(lng, z, tile_size), merc_py(lat, z, tile_size)
     if srs in ("EPSG:4326", "4326"):
         return wgs84_px(lng, z, tile_size), wgs84_py(lat, z, tile_size)
-    raise ValueError(
-        f"no dual-dialect template for {srs}; polar projections are "
-        "pandas-UDF only (maps_spark.functions.projections)")
+    if srs in ("EPSG:3575", "3575"):
+        return laea_pixel_exprs(lat, lng, z, tile_size)
+    if srs in ("EPSG:3031", "3031"):
+        return stereo_pixel_exprs(lat, lng, z, tile_size)
+    raise ValueError(f"no dual-dialect template for {srs}")
 
 
 # ---------------------------------------------------------------------------

@@ -29,14 +29,19 @@ def _views_in(views: list[str]) -> str:
 
 
 def pixel_select(srs: str, z: int, views: list[str]) -> str:
-    """A2: per-pixel aggregation at zoom z for chosen map views."""
+    """A2: per-pixel aggregation at zoom z for chosen map views.
+
+    The inner projection can yield NULL pixels (polar buffer-band rows
+    overshooting the canvas) — those rows are dropped before the
+    grouping, mirroring the engine's ``px IS NOT NULL`` filter."""
     pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", z)
     plot = _plottable(srs)
     return f"""{mapkeys_cte()}
-SELECT mapKey, {pxe} AS px, {pye} AS py,
-       {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear,
-       count(*) AS cnt
-FROM keyed WHERE {plot} AND {_views_in(views)}
+SELECT mapKey, px, py, borYear, count(*) AS cnt FROM (
+  SELECT mapKey, {pxe} AS px, {pye} AS py,
+         {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear
+  FROM keyed WHERE {plot} AND {_views_in(views)})
+WHERE px IS NOT NULL
 GROUP BY 1, 2, 3, 4"""
 
 

@@ -74,9 +74,11 @@ class TestLAEA3575:
         # ellipsoidal implementation should agree well within a pixel
         assert (x, y) == pytest.approx((ex, ey), abs=1e-2)
 
-    def test_plottable_clips_at_equator(self):
-        ok = P.is_plottable("EPSG:3575", [0.0, -0.01], [0, 0])
-        assert list(ok) == [True, False]
+    def test_plottable_buffer_past_equator(self):
+        # reference keeps decimalLatitude > -1 (TileMapBuilder.java:68)
+        ok = P.is_plottable("EPSG:3575", [0.0, -0.5, -0.999, -1.0, -1.01],
+                            [0, 0, 0, 0, 0])
+        assert list(ok) == [True, True, True, False, False]
 
 
 class TestStereo3031:
@@ -99,9 +101,40 @@ class TestStereo3031:
         mx, _ = P.stereo3031_meters([0.0], [90.0])
         assert float(mx[0]) == pytest.approx(P.STEREO_EXTENT, abs=1e-4)
 
-    def test_plottable_clips_at_equator(self):
-        ok = P.is_plottable("EPSG:3031", [0.0, 0.01], [0, 0])
-        assert list(ok) == [True, False]
+    def test_plottable_buffer_past_equator(self):
+        # reference keeps decimalLatitude < 1 (TileMapBuilder.java:69)
+        ok = P.is_plottable("EPSG:3031", [0.0, 0.5, 0.999, 1.0, 1.01],
+                            [0, 0, 0, 0, 0])
+        assert list(ok) == [True, True, True, False, False]
+
+
+class TestPolarBufferBand:
+    """Records in the 1-degree buffer past the equator are kept when
+    their floored pixel lands on the canvas, dropped otherwise."""
+
+    def test_buffer_band_pixed(self, spark):
+        import pyspark.sql.functions as F
+        from maps_spark.functions.projections import pixel_cols
+
+        n = P.TILE_SIZE * (1 << 4)
+        df = spark.createDataFrame(
+            [(-0.5, 55.0), (-0.5, 10.0), (-1.5, 55.0)], "lat double, lng double")
+        px, py = pixel_cols("EPSG:3575", "lat", "lng", 4)
+        rows = {(r["lat"], r["lng"]): (r["px"], r["py"])
+                for r in df.select("lat", "lng", px.alias("px"),
+                                   py.alias("py")).collect()}
+        # diagonal buffer-band point: on canvas, kept
+        got = rows[(-0.5, 55.0)]
+        assert got[0] is not None and 0 <= got[0] < n and 0 <= got[1] < n
+        # straight-down buffer-band point: overshoots canvas, dropped
+        assert rows[(-0.5, 10.0)] == (None, None)
+        # beyond the buffer: not plottable at all
+        assert rows[(-1.5, 55.0)] == (None, None)
+
+    def test_numpy_matches_spark_semantics(self):
+        fx, fy = P.azimuthal_global_xy("EPSG:3575", [-0.5], [55.0], 4)
+        n = P.TILE_SIZE * (1 << 4)
+        assert 0 <= fx[0] < n and 0 <= fy[0] < n
 
 
 class TestPyramidShift:
