@@ -130,6 +130,20 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", _sig(F.col(text_col)).alias("sig"))
 
 
+def cap_buckets(buckets: DataFrame, keys: list[str],
+                max_bucket: int) -> DataFrame:
+    """Boilerplate guard shared by every LSH-family candidate generator:
+    drop bucket keys holding more than ``max_bucket`` members before the
+    self-join. A single hot bucket (empty docs, templated boilerplate,
+    zero vectors) otherwise contributes O(bucket^2) join rows — the one
+    thing that goes quadratic at 100 TB. The oversized-key set is tiny
+    (it's the skew tail), so it broadcasts."""
+    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("bsz"))
+    return buckets.join(
+        F.broadcast(sizes.where(F.col("bsz") > max_bucket)), keys,
+        "left_anti")
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, seed: int = 42,
@@ -156,10 +170,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
                        F.col("b.bh").alias("bh")))
-    # boilerplate guard: drop degenerate buckets before the self-join
-    sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("bsz"))
-    buckets = (buckets.join(F.broadcast(sizes.where(F.col("bsz") > max_bucket)),
-                            ["band", "bh"], "left_anti"))
+    buckets = cap_buckets(buckets, ["band", "bh"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, ["band", "bh"])
@@ -188,19 +199,30 @@ def minhash_verify(pairs: DataFrame, sigs: DataFrame,
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         shingle_k: int = 3, threshold: float = 0.5,
-                        scale: int = 1_000_000) -> DataFrame:
+                        scale: int = 1_000_000,
+                        max_df: int = 1000) -> DataFrame:
     """Exact shingle-set Jaccard for all overlapping pairs.
 
     Distributed: explode distinct shingles -> self-equi-join on shingle
     -> per-pair intersection counts vs per-doc set sizes. Jaccard is
     emitted as an exact integer ``floor(inter * scale / union)`` so the
-    DuckDB oracle matches bitwise. Quadratic only within shared-shingle
-    groups (not across the corpus).
+    DuckDB oracle matches bitwise.
+
+    Hot-shingle guard: shingles appearing in more than ``max_df``
+    documents are excluded ENTIRELY (from both the intersection join
+    and the per-doc set sizes, so the Jaccard stays internally
+    consistent — it is the exact Jaccard over non-boilerplate
+    shingles). A shingle shared by k docs contributes k^2 join rows,
+    so without the cap one boilerplate phrase dominates the shuffle at
+    corpus scale. The oracle SQL applies the identical cap.
     """
     sh = (docs.select("doc_id",
                       F.explode(F.array_distinct(
                           _shingle_array(text_col, shingle_k)))
                       .alias("shingle")))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(F.broadcast(df_counts.where(F.col("df") > max_df)),
+                 ["shingle"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -253,10 +275,14 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4, max_bucket: int = 1000) -> DataFrame:
     """Near-dup candidates: docs sharing any of ``bands`` 16-bit simhash
-    bands (hamming distance <= bands-1 guaranteed recall)."""
-    sh = simhash(docs, text_col)
+    bands (hamming distance <= bands-1 guaranteed recall).
+
+    Band buckets larger than ``max_bucket`` are dropped before the
+    self-join (same boilerplate guard as minhash LSH — e.g. all empty
+    docs simhash to 0 and would otherwise go quadratic)."""
+    sh = simhash(docs, text_col).persist()
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [F.struct(
@@ -265,6 +291,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .bitwiseAND(F.lit(mask)).alias("key")) for i in range(bands)]
     buckets = (sh.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
                .select("doc_id", "b.band", "b.key"))
+    buckets = cap_buckets(buckets, ["band", "key"], max_bucket)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, ["band", "key"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -184,17 +184,41 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         dim: int = 64, n_bits: int = 8) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked
-    (sign-sketch equality as the candidate filter)."""
-    sk = sketch_udf(dim, n_bits, seed=99)
-    b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   sk(F.col(vec_col)).alias("bucket"))
-    a2, b2 = b.alias("x"), b.alias("y")
+                         dim: int = 64, n_bits: int = 12, n_tables: int = 4,
+                         max_bucket: int = 10_000) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Multi-table sign-sketch blocking (same shape as :func:`lsh_topk`):
+    ``n_tables`` independent ``n_bits``-bit random-hyperplane sketches
+    each bucket the corpus; same-bucket pairs from any table form the
+    candidate set, then exact cosine rescoring. More tables -> higher
+    recall; more bits -> smaller buckets. At billion-vector scale raise
+    ``n_bits`` to ~24 so expected bucket size stays O(100).
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join
+    (boilerplate/zero-vector guard — a hot bucket is O(bucket^2) join
+    rows). The cap bounds worst-case work at
+    ``n_tables * n_buckets * max_bucket^2``.
+    """
+    from maps_spark.operators.dedup import cap_buckets
+
+    emb = emb.persist()
     thr = int(threshold * 1e9)
-    return (a2.join(b2, "bucket")
-            .where(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"),
-                    F.floor(cosine_col("x.v", "y.v") * 1e9).cast("long")
+    cands = None
+    for t in range(n_tables):
+        sk = sketch_udf(dim, n_bits, seed=99 + t)
+        b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       sk(F.col(vec_col)).alias("bucket"))
+        b = cap_buckets(b, ["bucket"], max_bucket)
+        a2, b2 = b.alias("x"), b.alias("y")
+        pair = (a2.join(b2, "bucket")
+                .where(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id").alias("doc_a"),
+                        F.col("y.id").alias("doc_b"),
+                        F.col("x.v").alias("va"), F.col("y.v").alias("vb")))
+        cands = pair if cands is None else cands.unionByName(pair)
+    return (cands.dropDuplicates(["doc_a", "doc_b"])
+            .select("doc_a", "doc_b",
+                    F.floor(cosine_col("va", "vb") * 1e9).cast("long")
                     .alias("cos_scaled"))
             .where(F.col("cos_scaled") >= thr))

@@ -61,18 +61,24 @@ FROM documents"""
 
 
 def ngram_jaccard_select(shingle_k: int = 3, threshold: float = 0.25,
-                         scale: int = 1_000_000) -> str:
+                         scale: int = 1_000_000, max_df: int = 1000) -> str:
     """Exact shingle Jaccard pairs; docs assumed >= k tokens (true for
-    the synthetic corpus; asserted in tests)."""
+    the synthetic corpus; asserted in tests). Mirrors the engine's
+    hot-shingle guard: shingles with document frequency > max_df are
+    excluded from both the intersection and the set sizes."""
     return f"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
   FROM (SELECT doc_id, t,
                unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 1)))
                  AS i
         FROM toks) s),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM sh0
+                        GROUP BY 1 HAVING count(*) > {max_df})),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

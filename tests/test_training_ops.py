@@ -151,3 +151,55 @@ def test_ann_ivf_recall(spark, emb):
     recall4 = len(exact_set & {(r.query_id, r.neighbor_id)
                                for r in approx4}) / len(exact_set)
     assert recall >= recall4
+
+
+class TestHotBucketGuards:
+    """Plant a boilerplate hot bucket and assert the candidate
+    generators stay bounded (the 100 TB quadratic-blowup guards)."""
+
+    def _hot_docs(self, spark):
+        # 40 identical boilerplate docs + one genuine near-dup pair
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        rows = [(i, boiler) for i in range(40)]
+        rows += [(100, near_a), (101, near_b)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_simhash_hot_bucket_capped(self, spark):
+        from maps_spark.operators.dedup import simhash_near_pairs
+        docs = self._hot_docs(spark)
+        pairs = simhash_near_pairs(docs, max_bucket=10).collect()
+        ids = {(p.doc_a, p.doc_b) for p in pairs}
+        # the 40-doc boilerplate bucket (780 pairs) must be dropped
+        assert all(a >= 100 for a, _ in ids), ids
+        # the genuine near-dup pair survives (its buckets have size 2)
+        assert (100, 101) in ids
+
+    def test_ngram_hot_shingle_capped(self, spark):
+        from maps_spark.operators.dedup import ngram_jaccard_pairs
+        docs = self._hot_docs(spark)
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5,
+                                    max_df=10).collect()
+        ids = {(p.doc_a, p.doc_b) for p in pairs}
+        # boilerplate shingles (df=40 > 10) excluded -> boilerplate
+        # docs have no shingles left, no pairs among them
+        assert all(a >= 100 for a, _ in ids), ids
+        assert (100, 101) in ids
+
+    def test_embedding_hot_bucket_capped(self, spark):
+        import numpy as np
+        from maps_spark.operators.similarity import embedding_near_dupes
+        rng = np.random.default_rng(3)
+        hot = rng.standard_normal(64)
+        near = rng.standard_normal(64)
+        rows = [(i, (hot + 1e-6 * rng.standard_normal(64)).tolist())
+                for i in range(40)]
+        rows += [(100, near.tolist()),
+                 (101, (near + 1e-3 * rng.standard_normal(64)).tolist())]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = embedding_near_dupes(emb, threshold=0.99,
+                                     max_bucket=10).collect()
+        ids = {(p.doc_a, p.doc_b) for p in pairs}
+        assert all(a >= 100 for a, _ in ids), ids
+        assert (100, 101) in ids
