@@ -60,8 +60,11 @@ def ols_stats(pairs: DataFrame, x: str = "year", y: str = "ratio") -> DataFrame:
 
 
 def trend_sql(species_pred: str, group_pred: str, keyed_table: str) -> str:
-    """Dual-dialect OLS trend SQL (RegressionResource.java:204-220
-    semantics): per-year species/group ratio regressed on year.
+    """Dual-dialect OLS trend SQL (RegressionResource.java:204-220,
+    output fields per :347-355): per-year species/group ratio regressed
+    on year, returning the full SimpleRegression surface — slope,
+    intercept, r2, n, SSE, slope/intercept standard errors, and the
+    two-sided slope significance.
 
     Bit-determinism: the ratio is quantized to an exact integer
     ``floor(speciesCnt * 1e9 / groupCnt)`` (identical double division +
@@ -69,6 +72,17 @@ def trend_sql(species_pred: str, group_pred: str, keyed_table: str) -> str:
     integer/decimal sums, and only the final closed forms divide in
     double — so Spark and DuckDB agree bitwise, with no dependence on
     summation order or decimal rounding modes.
+
+    Standard errors and SSE are the exact OLS closed forms
+    (SSE = Syy' - b*Sxy', se_b = sqrt(MSE/Sxx'), se_a =
+    sqrt(MSE*(1/n + xbar^2/Sxx'))). The significance is the two-sided
+    p-value of t = slope/se_b at n-2 df; since neither dialect has a
+    Student-t CDF builtin, it uses Hill's (1970) elementary t->normal
+    transform plus the Abramowitz-Stegun 26.2.17 normal tail — within
+    ~0.7% relative of the exact t CDF (commons-math uses the exact
+    distribution; fields and semantics match, values agree to ~3
+    decimals). The tail is computed as 2*pdf*poly directly (never
+    1-CDF) to avoid cancellation.
     """
     return f"""
 WITH sc AS (SELECT CAST(year AS BIGINT) AS year, count(*) AS speciesCnt
@@ -96,12 +110,53 @@ closed AS (SELECT n,
                   CAST(CAST(n AS DECIMAL(19,0)) * syy -
                        CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
                        AS DOUBLE) AS den2
-           FROM sums)
+           FROM sums),
+ex1 AS (SELECT n, num, den, syd, sxd, den2,
+               CAST(n AS DOUBLE) AS nd, CAST(n - 2 AS DOUBLE) AS df,
+               CASE WHEN den <> 0
+                    THEN (den2 - num * num / den) / nd END AS sse_rs
+        FROM closed),
+ex2 AS (SELECT *,
+               CASE WHEN df > 0 AND den <> 0 AND sse_rs >= 0
+                    THEN sqrt((sse_rs / df) * nd / den) END AS se_rs,
+               CASE WHEN df > 0 AND den <> 0 AND sse_rs >= 0
+                    THEN sqrt((sse_rs / df)
+                              * (1.0 / nd + sxd * sxd / (nd * den)))
+                    END AS ise_rs
+        FROM ex1),
+ex3 AS (SELECT *, CASE WHEN se_rs > 0
+                       THEN abs(num / den) / se_rs END AS tt
+        FROM ex2),
+ex4 AS (SELECT *, CASE WHEN tt IS NOT NULL AND df > 0.5
+                       THEN sqrt((df - 0.5) * ln(1.0 + tt * tt / df))
+                       END AS hz,
+               48.0 * (df - 0.5) * (df - 0.5) AS hb
+        FROM ex3),
+ex5 AS (SELECT *, CASE WHEN hz IS NOT NULL THEN
+               hz + (hz * hz * hz + 3.0 * hz) / hb
+                  - (4.0 * pow(hz, 7.0) + 33.0 * pow(hz, 5.0)
+                     + 240.0 * pow(hz, 3.0) + 855.0 * hz)
+                    / (10.0 * hb * (hb + 0.8 * pow(hz, 4.0) + 100.0))
+               END AS zc
+        FROM ex4),
+ex6 AS (SELECT *, CASE WHEN zc IS NOT NULL
+                       THEN 1.0 / (1.0 + 0.2316419 * zc) END AS nt
+        FROM ex5)
 SELECT (num / den) / 1000000000.0 AS slope,
        ((syd - (num / den) * sxd) / n) / 1000000000.0 AS intercept,
        CASE WHEN den * den2 <> 0 THEN (num * num) / (den * den2) END AS r2,
-       n
-FROM closed"""
+       n,
+       sse_rs / 1000000000.0 / 1000000000.0 AS sse,
+       se_rs / 1000000000.0 AS slope_stderr,
+       ise_rs / 1000000000.0 AS intercept_stderr,
+       CASE WHEN zc IS NOT NULL THEN
+         least(1.0, 2.0 * (exp(0.0 - zc * zc / 2.0)
+                           / sqrt(2.0 * pi()))
+                    * (nt * (0.319381530 + nt * (-0.356563782
+                       + nt * (1.781477937 + nt * (-1.821255978
+                       + nt * 1.330274429))))))
+       END AS significance
+FROM ex6"""
 
 
 def species_trend(spark, keyed: DataFrame, species_view: str,
