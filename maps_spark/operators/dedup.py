@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
 
 MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: the signature hash field. Chosen so every hash
+# in the minhash/simhash family is a polynomial fold whose intermediate
+# values fit in int64/BIGINT (products < 2^62), making the IDENTICAL
+# computation expressible in numpy, Spark Column arithmetic, AND DuckDB
+# SQL — the signatures themselves are oracle-checkable, not rows-only.
+P31 = (1 << 31) - 1
+SHINGLE_BASE = 1000003
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,45 +68,48 @@ def _shingles(text: str, k: int) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer, vectorized (uint64 wraps silently)."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
-
-
 def _token_hashes(toks: list[str]) -> np.ndarray:
-    """64-bit token hashes: crc32 (C speed) widened by splitmix64.
+    """31-bit polynomial token hashes: utf-8 bytes base-256 mod 2^31-1.
 
-    Deterministic across workers (unlike ``hash()``); the only Python-
-    level loop is one C call per token — everything after is numpy.
+    Deterministic across workers, and the identical fold is expressible
+    in DuckDB SQL (``list_reduce`` over ``ord(char)``), so downstream
+    signatures are oracle-checkable. Vectorized: tokens are LEFT-padded
+    with zero bytes into one matrix (leading zeros do not change a
+    polynomial hash) and the fold runs per char position over the whole
+    batch — no per-token Python loop. ``h*256 < 2^39``: int64-exact.
     """
-    import zlib
-    h32 = np.fromiter((zlib.crc32(t.encode()) for t in toks),
-                      dtype=np.uint64, count=len(toks))
-    return _mix64(h32)
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    bs = [t.encode("utf-8") for t in toks]
+    width = max(len(b) for b in bs) or 1
+    m = np.zeros((len(bs), width), dtype=np.int64)
+    for i, b in enumerate(bs):
+        if b:
+            m[i, width - len(b):] = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(len(bs), dtype=np.int64)
+    for j in range(width):
+        h = (h * 256 + m[:, j]) % P31
+    return h
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-token shingle hashes as int64 in [0, 2^61): rolling
-    polynomial combine of token hashes, fully vectorized."""
-    toks = text.split()
+    """Distinct k-token shingle hashes in [0, 2^31): rolling polynomial
+    combine of token hashes mod 2^31-1 (``(acc*B + th) % P`` per step,
+    values < 2^51 — int64/BIGINT-exact in every engine)."""
+    toks = text.split(" ") if text else []
     if not toks:
         return np.empty(0, dtype=np.int64)
     th = _token_hashes(toks)
     if len(th) < k:
-        acc = np.uint64(0)
+        acc = np.zeros(1, dtype=np.int64)
         for v in th:
-            acc = acc * np.uint64(1000003) + v
-        arr = np.array([acc], dtype=np.uint64)
-    else:
-        n_sh = len(th) - k + 1
-        arr = th[:n_sh].copy()
-        for j in range(1, k):
-            arr = arr * np.uint64(1000003) + th[j:n_sh + j]
-        arr = np.unique(arr)
-    return (arr & np.uint64((1 << 61) - 1)).astype(np.int64)
+            acc = (acc * SHINGLE_BASE + v) % P31
+        return acc
+    n_sh = len(th) - k + 1
+    arr = th[:n_sh].copy()
+    for j in range(1, k):
+        arr = (arr * SHINGLE_BASE + th[j:n_sh + j]) % P31
+    return np.unique(arr)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -110,9 +120,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     Permutations are the universal-hash family (a*x + b) mod p with a/b
     from a seeded RNG — identical on every executor.
     """
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64)
+    a, b = minhash_perm_consts(num_perm, seed)
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
@@ -120,14 +128,37 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         for t in texts.fillna(""):
             hs = _shingle_hashes(t, shingle_k)
             if len(hs) == 0:
-                out.append(np.full(num_perm, MERSENNE, dtype=np.int64))
+                out.append(np.full(num_perm, P31, dtype=np.int64))
                 continue
-            # (num_perm, n_shingles) universal hashes, min per row
-            m = (a[:, None] * hs[None, :] + b[:, None]) % MERSENNE
+            # (num_perm, n_shingles) universal hashes, min per row;
+            # a*x < 2^62 so the products are int64-exact
+            m = (a[:, None] * hs[None, :] + b[:, None]) % P31
             out.append(m.min(axis=1))
         return pd.Series(out)
 
     return docs.select("doc_id", _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_perm_consts(num_perm: int, seed: int) -> tuple[np.ndarray,
+                                                           np.ndarray]:
+    """Seeded universal-hash constants — shared with the oracle SQL
+    generator so both sides inline identical literals."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, P31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def band_key_col(sig_col: str, band: int, rows: int):
+    """Dual-reproducible band bucket key: polynomial fold of the band's
+    signature rows mod 2^31-1 (replaces engine-private murmur3 so the
+    oracle can recompute the exact bucket keys). Values < 2^51 per
+    step — BIGINT-safe in Spark and DuckDB alike."""
+    key = None
+    for j in range(rows):
+        v = F.col(sig_col)[band * rows + j]
+        key = v if key is None else (key * SHINGLE_BASE + v) % P31
+    return key
 
 
 def cap_buckets(buckets: DataFrame, keys: list[str],
@@ -163,8 +194,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                               seed).persist()
     band_cols = [
         F.struct(F.lit(i).alias("band"),
-                 F.hash(*[F.col("sig")[i * rows + j] for j in range(rows)])
-                 .alias("bh"))
+                 band_key_col("sig", i, rows).alias("bh"))
         for i in range(bands)
     ]
     buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
@@ -251,24 +281,47 @@ def _shingle_array(text_col: str, k: int):
         .otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit simhash over tokens (vectorized batch computation)."""
+SIMHASH_BITS = 64
+SIMHASH_THRESHOLD = 1 << 30  # sign test on the 31-bit hash field
+
+
+def simhash_proj_consts(seed: int = 5, bits: int = SIMHASH_BITS
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded per-bit universal-hash constants — shared with the oracle
+    SQL generator."""
+    rng = np.random.default_rng(seed)
+    c = rng.integers(1, P31, size=bits, dtype=np.int64)
+    d = rng.integers(0, P31, size=bits, dtype=np.int64)
+    return c, d
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            seed: int = 5) -> DataFrame:
+    """64-bit simhash over tokens (vectorized batch computation).
+
+    Each output bit b is the majority sign of the universal hash
+    ``(c_b * token_hash + d_b) mod 2^31-1 >= 2^30`` over the document's
+    tokens — 64 seeded random projections of the token multiset. Every
+    step is 31-bit polynomial arithmetic, so the identical computation
+    runs in DuckDB SQL and the simhash pair generation is
+    oracle-checkable (not rows-only).
+    """
+    c, d = simhash_proj_consts(seed)
 
     @pandas_udf("long")
     def _sh(texts: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts.fillna("")):
-            toks = t.split()
+            toks = t.split(" ") if t else []
             if not toks:
                 continue
             th = _token_hashes(toks)
-            # (n_toks, 64) bit matrix in one shot
-            bits = (th[:, None] >> shifts[None, :]) & np.uint64(1)
-            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            val = ((acc > 0).astype(np.uint64) << shifts).sum(
-                dtype=np.uint64)
-            out[i] = np.int64(val.astype(np.int64))
+            proj = (c[:, None] * th[None, :] + d[:, None]) % P31
+            acc = np.where(proj >= SIMHASH_THRESHOLD, 1, -1).sum(axis=1)
+            val = int(((acc > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64))
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
         return pd.Series(out)
 
     return docs.select("doc_id", _sh(F.col(text_col)).alias("simhash"))

@@ -305,12 +305,12 @@ MAPS_QUERIES = {
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
-    "minhash_lsh_pairs": q_minhash_lsh,      # rows-only (hash UDF)
-    "simhash_pairs": q_simhash_pairs,        # rows-only (hash UDF)
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
     "embedding_near_dupes": q_embedding_near_dupes,  # rows-only (sketch UDF)
     "ann_lsh_topk": q_ann_lsh_topk,          # rows-only (sketch UDF)
     "ann_ivf_topk": q_ann_ivf_topk,          # rows-only (kmeans UDF)
-    "doc_fingerprint": q_doc_fingerprint,    # rows-only (rolling hash)
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 
@@ -359,4 +359,7 @@ def maps_oracles() -> dict[str, str]:
         "quality_score": OT.quality_score_select(),
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),
         "ann_topk": OT.ann_topk_select(k=10, n_queries=16),
+        "minhash_lsh_pairs": OT.minhash_lsh_select(),
+        "simhash_pairs": OT.simhash_pairs_select(),
+        "doc_fingerprint": OT.doc_fingerprint_select(),
     }

@@ -123,3 +123,134 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
 FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Signature-family oracles. The engine computes every hash in these
+# pipelines as 31-bit Mersenne polynomial folds (operators/dedup.py), so
+# the oracle recomputes the IDENTICAL signatures in DuckDB SQL — the
+# minhash/simhash candidate generation gets a real hash verdict instead
+# of a rows-only check. Corpus assumption: ASCII text (ord(char) ==
+# utf-8 byte), single-space tokenization — both hold for the synthetic
+# documents table and are asserted in tests.
+# ---------------------------------------------------------------------------
+
+_P31 = 2147483647
+_B = 1000003
+
+# per-token polynomial hash: bytes base-256 mod 2^31-1 (engine twin:
+# operators.dedup._token_hashes)
+_TOKEN_HASH = ("CASE WHEN t = '' THEN 0 ELSE list_reduce("
+               "list_prepend(CAST(0 AS BIGINT), "
+               "list_transform(string_split(t, ''), "
+               "c -> CAST(ord(c) AS BIGINT))), "
+               f"(h, c) -> (h * 256 + c) % {_P31}) END")
+
+_TOKEN_HASH_LIST = ("list_transform(string_split(text, ' '), "
+                    f"t -> {_TOKEN_HASH})")
+
+
+def _shingle_fold(elems: list[str]) -> str:
+    acc = elems[0]
+    for e in elems[1:]:
+        acc = f"(({acc}) * {_B} + {e}) % {_P31}"
+    return acc
+
+
+def minhash_lsh_select(num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 3, seed: int = 42,
+                       max_bucket: int = 1000) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs."""
+    from maps_spark.operators.dedup import minhash_perm_consts
+
+    rows = num_perm // bands
+    a, b = minhash_perm_consts(num_perm, seed)
+    k = shingle_k
+    windowed = _shingle_fold([f"hs[i + {j}]" for j in range(k)])
+    whole = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
+             f"(x, v) -> (x * {_B} + v) % {_P31})")
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(sset, s -> ({int(a[i])} * s "
+        f"+ {int(b[i])}) % {_P31})) AS m{i}"
+        for i in range(num_perm))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS bh FROM sigs".format(
+            i=i, key=_shingle_fold([f"m{i * rows + j}"
+                                    for j in range(rows)]))
+        for i in range(bands))
+    return f"""WITH th AS (
+  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM documents),
+shing AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {k}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(hs) - {k - 1}),
+                     i -> {windowed}))
+              ELSE [{whole}] END AS sset
+  FROM th),
+sigs AS (SELECT doc_id, {sig_exprs} FROM shing),
+buckets AS ({band_selects}),
+capped AS (
+  SELECT bu.* FROM buckets bu
+  ANTI JOIN (SELECT band, bh FROM buckets
+             GROUP BY 1, 2 HAVING count(*) > {max_bucket}) hot
+  USING (band, bh))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+
+def simhash_pairs_select(bands: int = 4, max_bucket: int = 1000,
+                         seed: int = 5) -> str:
+    """DuckDB twin of operators.dedup.simhash_near_pairs."""
+    from maps_spark.operators.dedup import (SIMHASH_BITS,
+                                            SIMHASH_THRESHOLD,
+                                            simhash_proj_consts)
+
+    c, d = simhash_proj_consts(seed)
+    width = SIMHASH_BITS // bands
+    bit_exprs = ",\n    ".join(
+        "CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN "
+        f"({int(c[i])} * h + {int(d[i])}) % {_P31} >= {SIMHASH_THRESHOLD} "
+        "THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS b{i}".format(i=i)
+        .format(i=i)
+        for i in range(SIMHASH_BITS))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS bkey FROM bits".format(
+            i=i, key=" + ".join(f"b{i * width + t} * {1 << t}"
+                                for t in range(width)))
+        for i in range(bands))
+    return f"""WITH th AS (
+  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM documents),
+bits AS (SELECT doc_id, {bit_exprs} FROM th),
+buckets AS ({band_selects}),
+capped AS (
+  SELECT bu.* FROM buckets bu
+  ANTI JOIN (SELECT band, bkey FROM buckets
+             GROUP BY 1, 2 HAVING count(*) > {max_bucket}) hot
+  USING (band, bkey))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+
+
+def doc_fingerprint_select(modulus: int = (1 << 61) - 1,
+                           base: int = 257) -> str:
+    """DuckDB twin of operators.text.fingerprint: 61-bit polynomial
+    rolling hash. ``h*257`` overflows BIGINT, so the fold uses the
+    Mersenne identity 2^61 = 1 (mod p): with h = hi*2^53 + lo,
+    h*256 = hi + lo*256 (mod p), hence
+    h*257 + c = hi + lo*256 + h + c (mod p) — every intermediate
+    < 2^62, BIGINT-exact."""
+    assert modulus == (1 << 61) - 1 and base == 257, \
+        "split-trick constants are specific to p=2^61-1, base=257"
+    m53 = (1 << 53) - 1
+    return f"""SELECT doc_id,
+  CASE WHEN text = '' THEN 0 ELSE list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''),
+                                c -> CAST(ord(c) AS BIGINT))),
+    (h, c) -> ((h >> 53) + ((h & {m53}) * 256) + h + c) % {modulus})
+  END AS fingerprint
+FROM documents"""

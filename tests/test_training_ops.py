@@ -159,9 +159,13 @@ class TestHotBucketGuards:
 
     def _hot_docs(self, spark):
         # 40 identical boilerplate docs + one genuine near-dup pair
+        # (same token bag, different order: identical simhash, high
+        # shingle overlap — survives every generator deterministically)
         boiler = "the quick brown fox jumps over the lazy dog again and again"
-        near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-        near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        toks = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa mu nu xi omicron rho sigma tau upsilon").split()
+        near_a = " ".join(toks)
+        near_b = " ".join(toks[:-2] + toks[-1:] + toks[-2:-1])
         rows = [(i, boiler) for i in range(40)]
         rows += [(100, near_a), (101, near_b)]
         return spark.createDataFrame(rows, "doc_id long, text string")
