@@ -242,20 +242,28 @@ def apply_country_mask(tile: dict, mask: dict) -> dict:
 def serve_tile(spark, root: str, map_key: str, srs: str, z: int, x: int,
                y: int, year_range=(None, None), bors=None,
                verbose: bool = False, tile_size: int = P.TILE_SIZE,
-               buffer: int = T.DEFAULT_BUFFER):
+               buffer: int = T.DEFAULT_BUFFER, reader=None):
     """The getTile router (TileResource.java:552-610): pre-built tile
     hit -> decode + re-filter; miss -> point-bundle fallback projected
     at request time. Returns the filtered per-pixel dict (see
-    :func:`filter_decoded_tile`) or None when the view has no data."""
+    :func:`filter_decoded_tile`) or None when the view has no data.
+
+    Pass a :class:`maps_spark.sources.tile_store.TileReader` as
+    ``reader`` for cached serving (warm lookups skip Spark entirely);
+    without one, each lookup is a partition-pruned Spark job."""
     from maps_spark.functions import mvt, pointpb
     from maps_spark.sources import tile_store
-    data = tile_store.get_tile_bytes(spark, root, map_key, srs, z, x, y)
+    if reader is not None:
+        data = reader.get_tile_bytes(map_key, srs, z, x, y)
+    else:
+        data = tile_store.get_tile_bytes(spark, root, map_key, srs, z, x, y)
     if data is not None:
         return filter_decoded_tile(mvt.decode_tile(data), srs, z, x, y,
                                    year_range=year_range, bors=bors,
                                    verbose=verbose, tile_size=tile_size,
                                    buffer=buffer)
-    blob = tile_store.get_point_bytes(spark, root, map_key)
+    blob = (reader.get_point_bytes(map_key) if reader is not None
+            else tile_store.get_point_bytes(spark, root, map_key))
     if blob is None:
         return None
     return points_to_tile(pointpb.decode_features(blob), srs, z, x, y,

@@ -133,7 +133,68 @@ def get_tile_bytes(spark: SparkSession, root: str, map_key: str, srs: str,
     return rows[0].tile if rows else None
 
 
-def get_point_bytes(spark: SparkSession, root: str, map_key: str) -> bytes | None:
-    rows = (read_points(spark, root)
-            .where(F.col("mapKey") == map_key).select("features").collect())
-    return rows[0].features if rows else None
+class TileReader:
+    """Serve-time cached reader — the cache2k equivalent of the
+    reference's HBaseMaps (HBaseMaps.java:109-144: tile and point
+    caches in front of HBase point-gets).
+
+    ``get_tile_bytes``/``get_point_bytes`` above launch one Spark job
+    per lookup — correct, but nowhere near the reference's sub-5 ms
+    serving envelope. The reader amortizes: ONE partition-pruned Spark
+    job loads a whole ``(mapKey, srs, z)`` view-zoom slice into an
+    in-process dict, and every subsequent tile of that slice is a dict
+    lookup (sub-ms warm). Point bundles cache per mapKey the same way.
+
+    Cache keys embed the active build id, so a ``finalise_build``
+    manifest swap invalidates stale entries naturally; an LRU bound
+    (``max_slices``/``max_points``) caps memory. Serving deployments
+    shard views across reader processes, so per-slice granularity is
+    the right unit: a slice at low/mid zooms is a few MB; the z16
+    long tail is point-bundle-backed anyway.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 max_slices: int = 64, max_points: int = 1024):
+        from collections import OrderedDict
+        self.spark, self.root = spark, root
+        self.max_slices, self.max_points = max_slices, max_points
+        self._slices: dict = OrderedDict()
+        self._points: dict = OrderedDict()
+
+    def _build_id(self):
+        try:
+            return read_manifest(self.root).get("build_id")
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _lru_put(cache, key, value, cap):
+        cache[key] = value
+        cache.move_to_end(key)
+        while len(cache) > cap:
+            cache.popitem(last=False)
+
+    def get_tile_bytes(self, map_key: str, srs: str, z: int,
+                       x: int, y: int) -> bytes | None:
+        key = (self._build_id(), map_key, srs.replace(":", "_"), int(z))
+        if key not in self._slices:
+            rows = (read_tiles(self.spark, self.root)
+                    .where((F.col("srs") == key[2]) & (F.col("z") == z) &
+                           (F.col("mapKey") == map_key))
+                    .select("x", "y", "tile").collect())
+            self._lru_put(self._slices, key,
+                          {(r.x, r.y): bytes(r.tile) for r in rows},
+                          self.max_slices)
+        else:
+            self._slices.move_to_end(key)
+        return self._slices[key].get((int(x), int(y)))
+
+    def get_point_bytes(self, map_key: str) -> bytes | None:
+        key = (self._build_id(), map_key)
+        if key not in self._points:
+            self._lru_put(self._points, key,
+                          get_point_bytes(self.spark, self.root, map_key),
+                          self.max_points)
+        else:
+            self._points.move_to_end(key)
+        return self._points[key]

@@ -1,0 +1,74 @@
+"""Cached serving reader: correctness vs the per-lookup Spark path and
+the warm-latency envelope (the cache2k-equivalent, HBaseMaps.java:109-144)."""
+
+import time
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    from maps_spark.plans.backfill import run_backfill
+    root = str(tmp_path_factory.mktemp("tilestore"))
+    run_backfill(spark, SF_SMALL, root, srs_list=("EPSG:3857",),
+                 max_zoom=4, threshold=500)
+    return root
+
+
+class TestTileReader:
+    def test_reader_matches_spark_path(self, spark, store):
+        from maps_spark.operators.serving import serve_tile
+        from maps_spark.sources.tile_store import TileReader
+        reader = TileReader(spark, store)
+        for z, x, y in ((0, 0, 0), (1, 1, 0), (2, 1, 1), (4, 7, 7)):
+            direct = serve_tile(spark, store, "0:0", "EPSG:3857", z, x, y)
+            cached = serve_tile(spark, store, "0:0", "EPSG:3857", z, x, y,
+                                reader=reader)
+            assert cached == direct
+
+    def test_warm_lookups_fast(self, spark, store):
+        from maps_spark.sources.tile_store import TileReader
+        reader = TileReader(spark, store)
+        reader.get_tile_bytes("0:0", "EPSG:3857", 2, 1, 1)  # cold load
+        t0 = time.time()
+        n = 50
+        for i in range(n):
+            reader.get_tile_bytes("0:0", "EPSG:3857", 2, i % 4, (i // 4) % 4)
+        per_lookup = (time.time() - t0) / n
+        assert per_lookup < 0.05, f"warm lookup {per_lookup * 1e3:.1f} ms"
+
+    def test_point_bundle_fallback_via_reader(self, spark, store):
+        import pyspark.sql.functions as F
+        from maps_spark.operators.serving import serve_tile
+        from maps_spark.sources.tile_store import TileReader, read_points
+        reader = TileReader(spark, store)
+        small_key = read_points(spark, store).select("mapKey").first()[0]
+        direct = serve_tile(spark, store, small_key, "EPSG:3857", 0, 0, 0)
+        cached = serve_tile(spark, store, small_key, "EPSG:3857", 0, 0, 0,
+                            reader=reader)
+        assert cached == direct
+        # second call never touches Spark (cache hit) and is identical
+        again = serve_tile(spark, store, small_key, "EPSG:3857", 0, 0, 0,
+                           reader=reader)
+        assert again == direct
+
+    def test_missing_view_returns_none(self, spark, store):
+        from maps_spark.operators.serving import serve_tile
+        from maps_spark.sources.tile_store import TileReader
+        reader = TileReader(spark, store)
+        assert serve_tile(spark, store, "9:nope", "EPSG:3857", 0, 0, 0,
+                          reader=reader) is None
+
+    def test_build_swap_invalidates(self, spark, store):
+        from maps_spark.sources.tile_store import (TileReader,
+                                                   read_manifest,
+                                                   write_manifest)
+        reader = TileReader(spark, store)
+        reader.get_tile_bytes("0:0", "EPSG:3857", 0, 0, 0)
+        assert len(reader._slices) == 1
+        m = read_manifest(store)
+        write_manifest(store, {**m, "build_id": m["build_id"]})  # same build
+        reader.get_tile_bytes("0:0", "EPSG:3857", 0, 0, 0)
+        assert len(reader._slices) == 1  # same key, no reload
