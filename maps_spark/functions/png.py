@@ -34,7 +34,33 @@ STYLES: dict[str, list[tuple[float, tuple[int, int, int]]]] = {
         (5000, (0xEE, 0xAB, 0x79)), (10000, (0xF7, 0xCB, 0x8E)),
         (float("inf"), (0xFF, 0xEB, 0xAA)),
     ],
+    # heat styles (screen-composited markers; styles.js:14-18,50):
+    # flat single-colour ramps from the *-heat-dot.mss sheets, plus the
+    # breakpointed fire/glacier sheets
+    "purpleHeat.point": [(float("inf"), (0xFF, 0x21, 0xFD))],
+    "blueHeat.point": [(float("inf"), (0x20, 0x6E, 0xFF))],
+    "orangeHeat.point": [(float("inf"), (0xC0, 0x67, 0x19))],
+    "greenHeat.point": [(float("inf"), (0x36, 0x96, 0x17))],
+    "fire.point": [
+        (10, (0x5E, 0x07, 0x00)), (100, (0xEF, 0x47, 0x12)),
+        (1000, (0xDC, 0x69, 0x02)), (10000, (0xF0, 0x9C, 0x00)),
+        (float("inf"), (0xF2, 0xF7, 0xF0)),
+    ],
+    "glacier.point": [
+        (10, (0x04, 0x5A, 0x8D)), (100, (0x2B, 0x8C, 0xBE)),
+        (1000, (0x74, 0xA9, 0xCF)), (10000, (0xBD, 0xC9, 0xE1)),
+        (float("inf"), (0xF1, 0xEE, 0xF6)),
+    ],
 }
+
+HEAT_STYLES = frozenset((
+    "purpleHeat.point", "blueHeat.point", "orangeHeat.point",
+    "greenHeat.point", "fire.point", "glacier.point"))
+
+
+def is_heat_style(style: str) -> bool:
+    """styles.js:97-99 — heat styles composite 4 z+1 tiles."""
+    return style in HEAT_STYLES
 
 
 def write_png(rgba: np.ndarray) -> bytes:
@@ -88,4 +114,57 @@ def render_density_png(tile_bytes: bytes | None, style: str = "classic.point",
                 canvas[y0:y1, x0:x1, 1] = rgb[1]
                 canvas[y0:y1, x0:x1, 2] = rgb[2]
                 canvas[y0:y1, x0:x1, 3] = 255
+    return write_png(canvas)
+
+
+def _tile_totals(tile_bytes: bytes, tile_size: int) -> dict:
+    totals: dict[tuple[int, int], int] = {}
+    for _, feats in mvt.decode_tile(tile_bytes).items():
+        for x, y, attrs in feats:
+            if 0 <= x < tile_size and 0 <= y < tile_size:
+                t = sum(v for k, v in attrs.items()
+                        if isinstance(v, int) and k not in ("total",))
+                t = attrs.get("total", t)
+                totals[(x, y)] = totals.get((x, y), 0) + t
+    return totals
+
+
+def render_heat_png(children: list, style: str = "purpleHeat.point",
+                    tile_size: int = 512, dot_width: int = 2,
+                    scale: float = 1.0) -> bytes:
+    """Heat-style raster from the FOUR z+1 child tiles
+    (renderer.js:70-100 heatMapRender + routes.js heatVectorRequest).
+
+    ``children`` = [TL, TR, BL, BR] MVT bytes (None for empty): the
+    (2x,2y)..(2x+1,2y+1) children of the requested tile, each rendered
+    into its quadrant at half resolution, dots accumulated with SCREEN
+    blending (marker-comp-op: screen in every heat stylesheet) so
+    overlapping markers brighten. ``scale=0.5`` yields the 256 px
+    ``@Hx`` tile (routes.js:63).
+    """
+    size = int(tile_size * scale)
+    half = size // 2
+    acc = np.zeros((size, size, 3), dtype=np.float64)
+    ramp = STYLES[style]
+    d = max(1, int(round(dot_width * scale)))
+    for qi, tile_bytes in enumerate(children[:4]):
+        if not tile_bytes:
+            continue
+        dx, dy = (qi % 2) * half, (qi // 2) * half
+        for (x, y), total in _tile_totals(tile_bytes, tile_size).items():
+            for hi, rgb in ramp:
+                if total <= hi:
+                    break
+            sx = dx + int(x * half / tile_size)
+            sy = dy + int(y * half / tile_size)
+            x0, x1 = max(0, sx), min(size, sx + d)
+            y0, y1 = max(0, sy), min(size, sy + d)
+            if x0 < x1 and y0 < y1:
+                # screen blend: out = 255 - (255-a)(255-b)/255
+                a = acc[y0:y1, x0:x1]
+                b = np.array(rgb, dtype=np.float64)
+                acc[y0:y1, x0:x1] = 255.0 - (255.0 - a) * (255.0 - b) / 255.0
+    canvas = np.zeros((size, size, 4), dtype=np.uint8)
+    canvas[:, :, :3] = np.clip(np.rint(acc), 0, 255).astype(np.uint8)
+    canvas[:, :, 3] = np.where(acc.sum(axis=2) > 0, 255, 0).astype(np.uint8)
     return write_png(canvas)

@@ -38,6 +38,61 @@ def capabilities(keyed: DataFrame, by_view: bool = True) -> DataFrame:
     return df.groupBy("mapKey").agg(*aggs) if by_view else df.agg(*aggs)
 
 
+MERC_MAX_LAT = 85.0511287798066
+
+# v1 type names -> map key prefixes (BackwardCompatibility.java:89-110)
+V1_MAP_TYPES = {
+    "TAXON": "1", "DATASET": "2", "PUBLISHER": "3",
+    "COUNTRY": "4", "PUBLISHING_COUNTRY": "5",
+}
+
+
+def v1_map_key(type_: str | None, key: str | None,
+               checklist: str = "c0") -> str:
+    """v1 (type, key) -> engine map key. Unknown/missing type -> the
+    all-data key (BackwardCompatibility.java:110-111). Taxon keys embed
+    the checklist (this engine's keyed fan-out is
+    ``1:<checklist>|<id>``; the default checklist is ``c0``)."""
+    code = V1_MAP_TYPES.get((type_ or "").upper())
+    if code is None or key is None:
+        return "0:0"
+    if code == "1":
+        return f"1:{checklist}|{key}"
+    return f"{code}:{key}"
+
+
+def v1_tile_json(keyed: DataFrame, type_: str | None = None,
+                 key: str | None = None, generated: str | None = None,
+                 checklist: str = "c0") -> dict:
+    """The ``/v1/map/density/tile.json`` document
+    (BackwardCompatibility.java:72-160): occurrence count + lat/lng
+    extent for one view, latitudes clamped to the Web-Mercator limit
+    (V1TileJson:132-138). ``generated`` (the build date) doubles as the
+    ETag the endpoint sets.
+
+    The reference derives this from the two z0 EPSG:4326 tiles; the
+    engine aggregates the view exactly — same semantics, not
+    pixel-quantized.
+    """
+    mk = v1_map_key(type_, key, checklist)
+    row = (capabilities(keyed.where(F.col("mapKey") == mk), by_view=False)
+           .first())
+    if row is None or row["total"] in (None, 0):
+        doc = {"count": 0, "minimumLatitude": 0.0, "maximumLatitude": 0.0,
+               "minimumLongitude": 0.0, "maximumLongitude": 0.0}
+    else:
+        doc = {
+            "count": int(row["total"]),
+            "minimumLatitude": max(-MERC_MAX_LAT, float(row["minLat"])),
+            "maximumLatitude": min(MERC_MAX_LAT, float(row["maxLat"])),
+            "minimumLongitude": float(row["minLng"]),
+            "maximumLongitude": float(row["maxLng"]),
+        }
+    if generated is not None:
+        doc["etag"] = f'"{generated}"'
+    return doc
+
+
 def centred_spread(values: list[int], max_value: int) -> tuple[int, int] | None:
     """Faithful port of the reference greedy loop
     (Capabilities.java:288-334): expand left/right toward the nearest

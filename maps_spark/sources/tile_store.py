@@ -121,6 +121,28 @@ def get_tile_png(spark: SparkSession, root: str, map_key: str, srs: str,
         style=style, scale=scale)
 
 
+def get_heat_png(spark: SparkSession, root: str, map_key: str, srs: str,
+                 z: int, x: int, y: int, style: str = "purpleHeat.point",
+                 scale: float = 1.0, reader=None) -> bytes:
+    """Heat-style ``.png``: fetches the FOUR z+1 children of the
+    requested tile ((2x,2y)..(2x+1,2y+1), routes.js heatVectorRequest)
+    and composites them quadrant-wise (renderer.js:70-100). Pass
+    ``scale=0.5`` for the 256 px ``@Hx`` size; a :class:`TileReader`
+    makes the four child lookups one cached slice load."""
+    from maps_spark.functions.png import render_heat_png
+    children = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx, cy = 2 * x + dx, 2 * y + dy
+            if reader is not None:
+                children.append(reader.get_tile_bytes(map_key, srs,
+                                                      z + 1, cx, cy))
+            else:
+                children.append(get_tile_bytes(spark, root, map_key, srs,
+                                               z + 1, cx, cy))
+    return render_heat_png(children, style=style, scale=scale)
+
+
 def get_tile_bytes(spark: SparkSession, root: str, map_key: str, srs: str,
                    z: int, x: int, y: int) -> bytes | None:
     """Point lookup; partition pruning on (srs, z) + row-group skip on

@@ -59,3 +59,59 @@ class TestRenderPng:
             _tile(), style="purpleYellow.point"))
         assert tuple(img[10, 10]) == (0x5E, 0x00, 0x63, 255)
         assert tuple(img[100, 100]) == (0xFF, 0xEB, 0xAA, 255)
+
+
+def _child(x, y, total):
+    return mvt.encode_tile({
+        "HUMAN_OBSERVATION": [(x, y, {"2000": total, "total": total})]},
+        extent=512)
+
+
+class TestHeatRender:
+    def test_quadrant_compositing(self):
+        # four z+1 children, one dot each at (100, 100): the composite
+        # places them at quadrant_offset + 100/2
+        children = [_child(100, 100, 5)] * 4
+        img = _decode_png(png.render_heat_png(children, "fire.point"))
+        assert img.shape == (512, 512, 4)
+        for dx in (0, 256):
+            for dy in (0, 256):
+                assert tuple(img[dy + 50, dx + 50]) == (0x5E, 0x07, 0x00, 255)
+        # nothing outside the dots
+        assert img[0, 0, 3] == 0
+
+    def test_hx_256px(self):
+        img = _decode_png(png.render_heat_png(
+            [_child(100, 100, 5), None, None, None], "purpleHeat.point",
+            scale=0.5))
+        assert img.shape == (256, 256, 4)
+        assert tuple(img[25, 25]) == (0xFF, 0x21, 0xFD, 255)
+
+    def test_screen_blend_brightens_overlap(self):
+        # two coincident dots in the SAME child: screen blend must give
+        # 255 - (255-c)^2/255 > c for a non-saturated colour
+        t = mvt.encode_tile({
+            "HUMAN_OBSERVATION": [(100, 100, {"2000": 5, "total": 5})],
+            "OBSERVATION": [(100, 100, {"2000": 5, "total": 5})],
+        }, extent=512)
+        # same pixel across layers is summed pre-ramp (one dot), so use
+        # two children mapping to the same canvas pixel instead:
+        img = _decode_png(png.render_heat_png(
+            [t, None, None, None], "purpleHeat.point"))
+        base = (0xFF, 0x21, 0xFD)
+        assert tuple(img[50, 50, :3]) == base  # single dot: flat colour
+
+        # overlapping dots from adjacent source pixels (dot width 2)
+        t2 = mvt.encode_tile({
+            "HUMAN_OBSERVATION": [(100, 100, {"total": 5}),
+                                  (101, 101, {"total": 5})]}, extent=512)
+        img2 = _decode_png(png.render_heat_png(
+            [t2, None, None, None], "purpleHeat.point"))
+        g = img2[50, 50, 1]
+        expected = round(255 - (255 - 0x21) * (255 - 0x21) / 255)
+        assert g == expected and g > 0x21
+
+    def test_is_heat_style(self):
+        assert png.is_heat_style("purpleHeat.point")
+        assert png.is_heat_style("fire.point")
+        assert not png.is_heat_style("classic.point")

@@ -195,3 +195,36 @@ class TestPolarAdhoc:
                    .exceptAll(got.select("cellX", "cellY")).count())
         assert missing == 0
         assert 0 < got.count() < full.count()  # it actually pruned
+
+
+class TestV1TileJson:
+    def test_document_shape_and_clamp(self, spark, keyed):
+        from maps_spark.operators.capabilities import v1_tile_json
+        doc = v1_tile_json(keyed, generated="20260813_0800")
+        assert set(doc) == {"count", "minimumLatitude", "maximumLatitude",
+                           "minimumLongitude", "maximumLongitude", "etag"}
+        assert doc["count"] > 0
+        assert -85.0511288 <= doc["minimumLatitude"] <= doc["maximumLatitude"]
+        assert doc["maximumLatitude"] <= 85.0511288
+        assert -180.0 <= doc["minimumLongitude"] <= doc["maximumLongitude"]
+        assert doc["etag"] == '"20260813_0800"'
+
+    def test_view_count_matches_keyed(self, spark, keyed):
+        from maps_spark.operators.capabilities import v1_tile_json
+        doc = v1_tile_json(keyed, "DATASET", "ds-7")
+        direct = keyed.where(
+            (F.col("mapKey") == "2:ds-7") & F.col("lat").isNotNull()
+            & F.col("lng").isNotNull()).count()
+        assert doc["count"] == direct
+
+    def test_taxon_embeds_checklist_and_unknown_type(self, keyed):
+        from maps_spark.operators.capabilities import v1_map_key
+        assert v1_map_key("TAXON", "s42") == "1:c0|s42"
+        assert v1_map_key("COUNTRY", "DE") == "4:DE"
+        assert v1_map_key("BOGUS", "x") == "0:0"
+        assert v1_map_key(None, None) == "0:0"
+
+    def test_empty_view_zero_doc(self, spark, keyed):
+        from maps_spark.operators.capabilities import v1_tile_json
+        doc = v1_tile_json(keyed, "DATASET", "no-such-dataset")
+        assert doc["count"] == 0
