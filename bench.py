@@ -84,8 +84,16 @@ def run() -> None:
 
     @timed("mvt_encode_z6")
     def _4():
+        # the default (flat streaming) encoder
         pix = PY.pixel_table(keyed, "EPSG:3857", 6)
         PY.build_zoom(pix, "EPSG:3857", 6).count()
+
+    @timed("mvt_encode_z6_collect_list")
+    def _4b():
+        # the collect_list variant, kept in the bench so encoder
+        # regressions stay visible round over round
+        pix = PY.pixel_table(keyed, "EPSG:3857", 6)
+        PY.encode_mvt(PY.tile_rows(pix, "EPSG:3857", 6), 6).count()
 
     @timed("point_blobs")
     def _5():

@@ -82,8 +82,15 @@ def adhoc_tile(occ: DataFrame, z: int, x: int, y: int,
     four quadrant requests, AdHocMapsResource.java:156-170) — their
     predicates OR together."""
     from maps_spark.functions.tiles import tile_boundaries
-    boxes = tile_boundaries(srs, z, x, y, tile_buffer)
     gz = grid_zoom if grid_zoom is not None else z + 6
+    # F9 empty-tile guard (AdHocMapsResource.java:175-178): a degenerate
+    # boundary (zero width or height) answers empty WITHOUT a scan — the
+    # constant-false filter folds to an empty LocalRelation, so no
+    # parquet read is ever scheduled.
+    boxes = [b for b in tile_boundaries(srs, z, x, y, tile_buffer)
+             if b[0] != b[2] and b[1] != b[3]]
+    if not boxes:
+        return geo_grid(occ.where(F.lit(False)), gz, srs=srs, mode=mode)
     if len(boxes) == 1:
         return geo_grid(occ, gz, srs=srs, bbox=boxes[0], mode=mode)
     df = occ.select(F.col("decimalLatitude").alias("lat"),

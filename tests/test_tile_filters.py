@@ -91,3 +91,35 @@ class TestCountryMask:
         tile = {(1, 1): 5, (2, 2): 7}
         mask = {(2, 2): 1, (9, 9): 1}
         assert apply_country_mask(tile, mask) == {(2, 2): 7}
+
+
+class TestEmptyTileGuard:
+    def test_degenerate_bbox_skips_scan(self, spark, monkeypatch):
+        """F9 (AdHocMapsResource.java:175-178): a degenerate tile
+        boundary answers empty without scheduling a scan."""
+        import maps_spark.functions.tiles as T
+        from maps_spark.operators import adhoc as AH
+
+        monkeypatch.setattr(T, "tile_boundaries",
+                            lambda *a, **k: [(10.0, 10.0, 10.0, 20.0)])
+        occ = spark.createDataFrame(
+            [(1.0, 2.0)], "decimalLatitude double, decimalLongitude double")
+        out = AH.adhoc_tile(occ, z=2, x=1, y=1)
+        assert out.count() == 0
+        # constant-false filter folds the scan away entirely
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" in plan and "Scan" not in plan
+
+    def test_mixed_boxes_keep_nondegenerate(self, spark, monkeypatch):
+        import maps_spark.functions.tiles as T
+        from maps_spark.operators import adhoc as AH
+
+        monkeypatch.setattr(
+            T, "tile_boundaries",
+            lambda *a, **k: [(10.0, 10.0, 10.0, 20.0),   # zero width
+                            (-20.0, -10.0, 20.0, 10.0)])  # real box
+        occ = spark.createDataFrame(
+            [(1.0, 2.0), (50.0, 2.0)],
+            "decimalLatitude double, decimalLongitude double")
+        out = AH.adhoc_tile(occ, z=2, x=1, y=1, grid_zoom=3)
+        assert out.count() == 1  # only the in-box record
