@@ -74,19 +74,22 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
 
 
-def sketch_udf(dim: int, n_bits: int = 16, seed: int = 7):
-    planes = _hyperplanes(dim, n_bits, seed)
+def sketch_col(vec: str | Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane sign sketch as pure Column math (JVM-side).
 
-    @pandas_udf("long")
-    def _sk(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        signs = (m @ planes.T) > 0
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(n_bits):
-            out |= signs[:, j].astype(np.int64) << j
-        return pd.Series(out)
-
-    return _sk
+    One sign bit per hyperplane, dot products as the same cast-then-
+    left-fold used by :func:`cosine_col`, so the identical expression
+    (same literals, same summation order) runs in DuckDB SQL — the LSH
+    bucket keys are oracle-checkable bit-for-bit. No Python boundary:
+    the sketch stays inside codegen next to the scan, which also beats
+    the Arrow round-trip a pandas-UDF sketch would pay.
+    """
+    key = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        key = key + F.when(_dot(vec, plane) > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return key
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -101,13 +104,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     cands = None
     for t in range(n_tables):
-        sk = sketch_udf(dim, n_bits, seed=1000 + t)
+        planes = _hyperplanes(dim, n_bits, seed=1000 + t)
         cb = corpus.select(F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).alias("cvec"),
-                           sk(F.col(vec_col)).alias("bucket"))
+                           sketch_col(vec_col, planes).alias("bucket"))
         qb = queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("qvec"),
-                            sk(F.col(vec_col)).alias("bucket"))
+                            sketch_col(vec_col, planes).alias("bucket"))
         pair = (cb.join(F.broadcast(qb), "bucket")
                 .where(F.col("neighbor_id") != F.col("query_id"))
                 .select("query_id", "neighbor_id", "qvec", "cvec"))
@@ -206,9 +209,9 @@ def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
     thr = int(threshold * 1e9)
     cands = None
     for t in range(n_tables):
-        sk = sketch_udf(dim, n_bits, seed=99 + t)
+        planes = _hyperplanes(dim, n_bits, seed=99 + t)
         b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       sk(F.col(vec_col)).alias("bucket"))
+                       sketch_col(vec_col, planes).alias("bucket"))
         b = cap_buckets(b, ["bucket"], max_bucket)
         a2, b2 = b.alias("x"), b.alias("y")
         pair = (a2.join(b2, "bucket")

@@ -307,9 +307,9 @@ MAPS_QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
-    "embedding_near_dupes": q_embedding_near_dupes,  # rows-only (sketch UDF)
-    "ann_lsh_topk": q_ann_lsh_topk,          # rows-only (sketch UDF)
-    "ann_ivf_topk": q_ann_ivf_topk,          # rows-only (kmeans UDF)
+    "embedding_near_dupes": q_embedding_near_dupes,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,          # rows-only (kmeans is iterative)
     "doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -360,6 +360,9 @@ def maps_oracles() -> dict[str, str]:
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),
         "ann_topk": OT.ann_topk_select(k=10, n_queries=16),
         "minhash_lsh_pairs": OT.minhash_lsh_select(),
+        "ann_lsh_topk": OT.ann_lsh_select(k=10, n_queries=16),
+        "embedding_near_dupes": OT.embedding_near_dupes_select(
+            threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),
         "doc_fingerprint": OT.doc_fingerprint_select(),
     }

@@ -125,6 +125,97 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
 FROM ranked WHERE rank <= {k}"""
 
 
+def _plane_sql(p) -> str:
+    # repr() is shortest-round-trip: DuckDB parses each literal back to
+    # the exact double Spark gets via F.lit, so the fold is bit-identical
+    return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+
+def _sketch_sql(vec: str, planes) -> str:
+    """DuckDB twin of operators.similarity.sketch_col: same plane
+    literals, same cast-then-left-fold dot, same sign test."""
+    terms = []
+    for j, p in enumerate(planes):
+        dot = _DOT.format(a=vec, b=_plane_sql(p))
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(CAST(" + " + ".join(terms) + " AS BIGINT))"
+
+
+def ann_lsh_select(k: int = 10, n_queries: int = 16, dim: int = 64,
+                   n_bits: int = 12, n_tables: int = 4) -> str:
+    """DuckDB twin of operators.similarity.lsh_topk (defaults as wired
+    in plans.queries.q_ann_lsh_topk)."""
+    from maps_spark.operators.similarity import _hyperplanes
+
+    sketches = ",\n         ".join(
+        f"{_sketch_sql('embedding', _hyperplanes(dim, n_bits, 1000 + t))}"
+        f" AS s{t}" for t in range(n_tables))
+    same_bucket = " OR ".join(f"q.s{t} = c.s{t}" for t in range(n_tables))
+    dot = _DOT.format(a="q.embedding", b="c.embedding")
+    na = _NORM.format(a="q.embedding")
+    nb = _NORM.format(a="c.embedding")
+    return f"""WITH sk AS (
+  SELECT vec_id, embedding,
+         {sketches}
+  FROM embeddings),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sk q JOIN sk c ON ({same_bucket})
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         CAST(floor(({dot}) / (({na}) * ({nb})) * 1000000000.0) AS BIGINT)
+           AS cos_scaled
+  FROM pairs p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = p.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_scaled,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_scaled DESC, neighbor_id)
+           AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
+FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_near_dupes_select(threshold: float = 0.3, dim: int = 64,
+                                n_bits: int = 12, n_tables: int = 4,
+                                max_bucket: int = 10_000) -> str:
+    """DuckDB twin of operators.similarity.embedding_near_dupes
+    (threshold as wired in plans.queries.q_embedding_near_dupes),
+    including the per-table hot-bucket cap."""
+    from maps_spark.operators.similarity import _hyperplanes
+
+    sketches = ",\n         ".join(
+        f"{_sketch_sql('embedding', _hyperplanes(dim, n_bits, 99 + t))}"
+        f" AS s{t}" for t in range(n_tables))
+    per_table = "\n  UNION\n".join(f"""  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM sk a JOIN sk b ON a.s{t} = b.s{t} AND a.vec_id < b.vec_id
+  WHERE a.s{t} NOT IN (SELECT s{t} FROM sk
+                       GROUP BY 1 HAVING count(*) > {max_bucket})
+    AND b.s{t} NOT IN (SELECT s{t} FROM sk
+                       GROUP BY 1 HAVING count(*) > {max_bucket})"""
+                                   for t in range(n_tables))
+    dot = _DOT.format(a="x.embedding", b="y.embedding")
+    na = _NORM.format(a="x.embedding")
+    nb = _NORM.format(a="y.embedding")
+    return f"""WITH sk AS (
+  SELECT vec_id, embedding,
+         {sketches}
+  FROM embeddings),
+pairs AS (
+{per_table})
+SELECT p.doc_a, p.doc_b,
+       CAST(floor(({dot}) / (({na}) * ({nb})) * 1000000000.0) AS BIGINT)
+         AS cos_scaled
+FROM pairs p
+JOIN embeddings x ON x.vec_id = p.doc_a
+JOIN embeddings y ON y.vec_id = p.doc_b
+WHERE CAST(floor(({dot}) / (({na}) * ({nb})) * 1000000000.0) AS BIGINT)
+      >= {int(threshold * 1e9)}"""
+
+
 # ---------------------------------------------------------------------------
 # Signature-family oracles. The engine computes every hash in these
 # pipelines as 31-bit Mersenne polynomial folds (operators/dedup.py), so
