@@ -9,9 +9,12 @@ module adds the missing incremental path as new scope:
   update mode. The pixel-count aggregation is associative, so deltas
   merge exactly into existing pyramid levels.
 - ``merge_into_pixels``: foreachBatch upsert of deltas into the staged
-  max-zoom pixel table; affected tiles are re-encoded from merged
-  pixels (only tiles whose pixel set changed — the re-encode working
-  set is proportional to the delta, not the corpus).
+  max-zoom pixel table (hash-bucketed, dynamic partition overwrite —
+  untouched buckets are neither read nor rewritten).
+- ``merge_into_tiles``: re-encodes ONLY tiles whose pixel set changed
+  (including buffer-band neighbours) from the merged store and upserts
+  them into a bucketed MVT tile store — the re-encode working set is
+  proportional to the delta's bucket/tile footprint, not the corpus.
 
 Event-time semantics: the events table's ``ts`` is nanoseconds; a
 10-minute watermark bounds state for the windowed variant.
@@ -143,26 +146,103 @@ def merge_into_pixels(delta: DataFrame, pixel_store: str,
      .partitionBy("bucket").parquet(pixel_store))
 
 
+def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
+                     srs: str, zoom: int,
+                     n_buckets: int = N_BUCKETS) -> None:
+    """Re-encode ONLY the tiles whose pixel set changed and upsert them
+    into a bucketed MVT tile store. Call after :func:`merge_into_pixels`
+    has folded ``delta`` into ``pixel_store``.
+
+    The touched-tile set is ``tile_rows(delta)`` — the same buffer
+    fan-out the encoder uses, so neighbour tiles that receive buffer
+    copies of a changed pixel are re-encoded too (a tile's bytes depend
+    on pixels up to ``buffer`` px outside it; re-encoding only the
+    containing tile would leave stale buffer bands). From the merged
+    store, only the touched mapKeys' hash-bucket partitions are read
+    (partition-pruned), their pixels fan out to tile rows, and a
+    broadcast semi-join on the touched (mapKey, tileX, tileY) keys cuts
+    the re-encode working set to exactly the affected tiles. The tile
+    store upserts with the same dynamic-partition-overwrite pattern as
+    the pixel store: untouched tile buckets are neither read nor
+    rewritten.
+
+    Scale note: the pruned read is per-bucket, not per-tile, so one
+    delta row in a hot view (e.g. ``0:0``) reads that view's bucket and
+    re-encodes only the touched tiles from it — working set is
+    O(bucket + affected tiles), not O(corpus).
+    """
+    from pyspark.errors import AnalysisException
+
+    from maps_spark.operators import pyramid as PY
+
+    spark = delta.sparkSession
+    touched_tiles = (PY.tile_rows(delta, srs, zoom)
+                     .select("mapKey", "tileX", "tileY").distinct()
+                     .localCheckpoint())
+    buckets = (touched_tiles
+               .select(F.pmod(F.xxhash64("mapKey"), F.lit(n_buckets))
+                       .cast("int").alias("bucket"))
+               .distinct().collect())
+    touched_buckets = [r[0] for r in buckets]
+    if not touched_buckets:
+        return
+    merged = (spark.read.parquet(pixel_store)
+              .where(F.col("bucket").isin(touched_buckets)).drop("bucket"))
+    trows = PY.tile_rows(merged, srs, zoom).join(
+        F.broadcast(touched_tiles), ["mapKey", "tileX", "tileY"],
+        "left_semi")
+    fresh = (PY.encode_mvt_flat(trows, zoom)
+             .withColumn("bucket", F.pmod(F.xxhash64("mapKey"),
+                                          F.lit(n_buckets)).cast("int")))
+    out = fresh
+    try:
+        existing = (spark.read.parquet(tile_store)
+                    .where(F.col("bucket").isin(touched_buckets)))
+        keep = existing.join(
+            F.broadcast(touched_tiles
+                        .select(F.col("mapKey"), F.col("tileX").alias("x"),
+                                F.col("tileY").alias("y"))),
+            ["mapKey", "x", "y"], "left_anti")
+        out = keep.unionByName(fresh)
+    except AnalysisException:  # first merge: tile store does not exist
+        pass
+    (out.localCheckpoint().write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(tile_store))
+
+
 def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
     """Read the merged pixel store without the internal bucket column."""
     return spark.read.parquet(pixel_store).drop("bucket")
 
 
+def read_tile_store(spark: SparkSession, tile_store: str) -> DataFrame:
+    """Read the incrementally-maintained tile store (mapKey, z, x, y,
+    tile) without the internal bucket column."""
+    return spark.read.parquet(tile_store).drop("bucket")
+
+
 def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
-                pixel_store: str, srs: str = "EPSG:3857", zoom: int = 8):
-    """Wire the incremental refresh: stream -> per-batch delta -> merge.
+                pixel_store: str, srs: str = "EPSG:3857", zoom: int = 8,
+                tile_store: str | None = None):
+    """Wire the incremental refresh: stream -> per-batch delta -> merge
+    -> (optional) incremental tile re-encode.
 
     The per-pixel aggregation runs INSIDE ``foreachBatch`` (a plain
     batch agg over that micro-batch's rows), so each merge receives a
     true additive delta and Spark keeps no unbounded per-pixel
     aggregation state between batches — at 100 TB the state store would
     otherwise grow with the number of distinct (mapKey, px, py, year)
-    groups, which is the corpus size."""
+    groups, which is the corpus size. With ``tile_store`` set, each
+    batch also re-encodes the tiles its delta touched from the merged
+    pixel state, so served MVTs stay fresh without a full rebuild."""
     occ = stream_occurrence(spark, input_dir, nation_dir)
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-        merge_into_pixels(stream_pixel_deltas(batch_df, srs, zoom),
-                          pixel_store)
+        delta = stream_pixel_deltas(batch_df, srs, zoom).localCheckpoint()
+        merge_into_pixels(delta, pixel_store)
+        if tile_store is not None:
+            merge_into_tiles(delta, pixel_store, tile_store, srs, zoom)
 
     return (occ.writeStream.foreachBatch(_merge)
             .trigger(availableNow=True).start())
