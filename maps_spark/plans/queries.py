@@ -240,6 +240,13 @@ def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_verify(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    docs = _docs(spark, sf_dir)
+    return DD.minhash_verify(DD.minhash_lsh_pairs(docs),
+                             DD.minhash_signatures(docs), threshold=0.25)
+
+
 def q_simhash_pairs(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     return DD.simhash_near_pairs(_docs(spark, sf_dir))
@@ -306,6 +313,7 @@ MAPS_QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "minhash_lsh_pairs": q_minhash_lsh,
+    "minhash_verify": q_minhash_verify,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dupes": q_embedding_near_dupes,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -360,6 +368,7 @@ def maps_oracles() -> dict[str, str]:
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),
         "ann_topk": OT.ann_topk_select(k=10, n_queries=16),
         "minhash_lsh_pairs": OT.minhash_lsh_select(),
+        "minhash_verify": OT.minhash_verify_select(threshold=0.25),
         "ann_lsh_topk": OT.ann_lsh_select(k=10, n_queries=16),
         "embedding_near_dupes": OT.embedding_near_dupes_select(
             threshold=0.3),

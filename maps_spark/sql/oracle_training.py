@@ -248,10 +248,11 @@ def _shingle_fold(elems: list[str]) -> str:
     return acc
 
 
-def minhash_lsh_select(num_perm: int = 64, bands: int = 16,
-                       shingle_k: int = 3, seed: int = 42,
-                       max_bucket: int = 1000) -> str:
-    """DuckDB twin of operators.dedup.minhash_lsh_pairs."""
+def _minhash_ctes(num_perm: int = 64, bands: int = 16,
+                  shingle_k: int = 3, seed: int = 42,
+                  max_bucket: int = 1000) -> str:
+    """Shared CTE prefix (token hashes -> shingle sets -> signatures ->
+    capped band buckets -> candidate pairs) for the minhash oracles."""
     from maps_spark.operators.dedup import minhash_perm_consts
 
     rows = num_perm // bands
@@ -285,11 +286,39 @@ capped AS (
   SELECT bu.* FROM buckets bu
   ANTI JOIN (SELECT band, bh FROM buckets
              GROUP BY 1, 2 HAVING count(*) > {max_bucket}) hot
-  USING (band, bh))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-GROUP BY 1, 2"""
+  USING (band, bh)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)"""
+
+
+def minhash_lsh_select(num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 3, seed: int = 42,
+                       max_bucket: int = 1000) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs."""
+    return (_minhash_ctes(num_perm, bands, shingle_k, seed, max_bucket)
+            + "\nSELECT doc_a, doc_b, n_bands FROM pairs")
+
+
+def minhash_verify_select(threshold: float = 0.25, num_perm: int = 64,
+                          bands: int = 16, shingle_k: int = 3,
+                          seed: int = 42, max_bucket: int = 1000) -> str:
+    """DuckDB twin of operators.dedup.minhash_verify over the LSH
+    candidate pairs: estimated Jaccard = fraction of agreeing signature
+    components (i/num_perm is float-exact, so the hash matches)."""
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm))
+    return (_minhash_ctes(num_perm, bands, shingle_k, seed, max_bucket)
+            + f"""
+SELECT p.doc_a, p.doc_b,
+       CAST({agree} AS DOUBLE) / {num_perm} AS jaccard_est
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+WHERE CAST({agree} AS DOUBLE) / {num_perm} >= {threshold}""")
 
 
 def simhash_pairs_select(bands: int = 4, max_bucket: int = 1000,
