@@ -415,6 +415,16 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
 # -- point mode (A6 + C15) ---------------------------------------------------
 
 
+def point_locations(keyed_small: DataFrame) -> DataFrame:
+    """A6 location aggregation — the exact input of the point-bundle
+    protobuf (PointMapBuilder.java:53-79):
+    (mapKey, lat, lng, borYear, cnt)."""
+    return (keyed_small
+            .where(F.col("lat").isNotNull() & F.col("lng").isNotNull())
+            .groupBy("mapKey", "lat", "lng", "borYear")
+            .agg(F.count("*").alias("cnt")))
+
+
 def point_blobs(keyed_small: DataFrame) -> DataFrame:
     """Per-view point bundles: groupBy(mapKey, lat, lng, borYear).count
     -> protobuf blob per map key (PointMapBuilder.java:53-79)."""
@@ -428,8 +438,5 @@ def point_blobs(keyed_small: DataFrame) -> DataFrame:
         return pd.DataFrame({"mapKey": [pdf["mapKey"].iat[0]],
                              "features": [pointpb.encode_features(rows)]})
 
-    agg = (keyed_small
-           .where(F.col("lat").isNotNull() & F.col("lng").isNotNull())
-           .groupBy("mapKey", "lat", "lng", "borYear")
-           .agg(F.count("*").alias("cnt")))
-    return agg.groupBy("mapKey").applyInPandas(enc, POINT_SCHEMA)
+    return (point_locations(keyed_small)
+            .groupBy("mapKey").applyInPandas(enc, POINT_SCHEMA))

@@ -194,6 +194,11 @@ def _emb(spark, sf_dir):
     return spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_point_locations(spark, sf_dir):
+    keyed = _keyed(spark, sf_dir).where(F.col("mapKey").startswith("3:"))
+    return PY.point_locations(keyed)
+
+
 def q_dedup_exact(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     return DD.exact_duplicates(_docs(spark, sf_dir))
@@ -303,6 +308,7 @@ MAPS_QUERIES = {
     "adhoc_tile_z2": q_adhoc_tile_z2,
     "year_facet": q_year_facet,
     "species_trend": q_species_trend,
+    "point_locations": q_point_locations,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -356,6 +362,7 @@ def maps_oracles() -> dict[str, str]:
         "adhoc_tile_z2": O.adhoc_grid_select(
             8, "bounds", T.tile_boundary("EPSG:3857", 2, 1, 1, 0.125)),
         "year_facet": O.year_facet_select(),
+        "point_locations": O.point_locations_select("3:"),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),

@@ -422,6 +422,19 @@ def map_view_counts_select() -> str:
 SELECT mapKey, count(*) AS n_occ FROM keyed GROUP BY 1"""
 
 
+def point_locations_select(key_prefix: str = "3:") -> str:
+    """A6 point-mode location aggregation (the protobuf bundle's exact
+    input: PointMapBuilder.java:53-79) for small views."""
+    return f"""{mapkeys_cte()}
+SELECT mapKey, decimalLatitude AS lat, decimalLongitude AS lng,
+       {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear,
+       count(*) AS cnt
+FROM keyed
+WHERE mapKey LIKE '{key_prefix}%'
+  AND decimalLatitude IS NOT NULL AND decimalLongitude IS NOT NULL
+GROUP BY 1, 2, 3, 4"""
+
+
 def occ_country_counts_select() -> str:
     return f"""{occurrence_cte()}
 SELECT countryCode, count(*) AS n_occ FROM occ GROUP BY 1"""
