@@ -194,6 +194,12 @@ def _emb(spark, sf_dir):
     return spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_event_sessions(spark, sf_dir):
+    from maps_spark.operators.sessions import sessionize_batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_point_locations(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").startswith("3:"))
     return PY.point_locations(keyed)
@@ -309,6 +315,7 @@ MAPS_QUERIES = {
     "year_facet": q_year_facet,
     "species_trend": q_species_trend,
     "point_locations": q_point_locations,
+    "event_sessions": q_event_sessions,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -363,6 +370,9 @@ def maps_oracles() -> dict[str, str]:
             8, "bounds", T.tile_boundary("EPSG:3857", 2, 1, 1, 0.125)),
         "year_facet": O.year_facet_select(),
         "point_locations": O.point_locations_select("3:"),
+        "event_sessions": __import__(
+            "maps_spark.operators.sessions",
+            fromlist=["sessionize_sql"]).sessionize_sql(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),

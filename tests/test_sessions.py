@@ -1,0 +1,131 @@
+"""Sessionization: batch gap-and-islands vs its SQL twin, and the
+stateful-streaming variant (applyInPandasWithState) vs the batch twin."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+GAP_US = 12 * 3600 * 1_000_000
+
+
+def _batch_sessions(spark):
+    from maps_spark.operators.sessions import sessionize_batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    return sessionize_batch(ev, gap_us=GAP_US)
+
+
+class TestBatchSessions:
+    def test_matches_sql_twin_in_spark(self, spark):
+        """The dual-dialect SQL text must reproduce the DataFrame
+        version inside Spark itself (DuckDB parity is the gate's job)."""
+        from maps_spark.operators.sessions import sessionize_sql
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+         .createOrReplaceTempView("events"))
+        sql = sessionize_sql(gap_us=GAP_US, ts_expr="ts DIV 1000")
+        twin = spark.sql(sql)
+        df = _batch_sessions(spark)
+        assert df.exceptAll(twin).count() == 0
+        assert twin.exceptAll(df).count() == 0
+
+    def test_sessions_partition_users(self, spark):
+        """Sessions tile each user's events: counts sum to the user's
+        event total and sessions never overlap."""
+        df = _batch_sessions(spark).orderBy("user_id", "session_start")
+        rows = df.collect()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        totals = dict(spark.read.parquet(f"{SF_SMALL}/events.parquet")
+                      .groupBy("user_id").count().collect())
+        per_user: dict[int, int] = {}
+        last_end: dict[int, int] = {}
+        for r in rows:
+            u = r["user_id"]
+            per_user[u] = per_user.get(u, 0) + r["n_events"]
+            assert r["session_start"] <= r["session_end"]
+            if u in last_end:  # gap between consecutive sessions > GAP
+                assert r["session_start"] - last_end[u] > GAP_US
+            last_end[u] = r["session_end"]
+        assert per_user == {u: int(n) for u, n in totals.items()}
+
+
+class TestStreamingSessions:
+    def _landing(self, spark, tmp_path, n_files):
+        """Time-sliced landing files with increasing mtimes so the file
+        stream replays events in order."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        pdf = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+               .orderBy("ts", "event_id").toPandas())
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        chunk = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = pdf.iloc[i * chunk:(i + 1) * chunk]
+            path = os.path.join(landing, f"part-{i:04d}.parquet")
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                           path)
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+        return landing
+
+    def _run(self, spark, landing):
+        from maps_spark.streaming.sessions import sessionize_stream
+        out = sessionize_stream(spark, landing, gap_us=GAP_US)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("sess_test").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return {tuple(r) for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events,"
+            "       value_milli FROM sess_test").collect()}
+
+    def test_single_batch_emits_all_closed(self, spark, tmp_path):
+        """One data micro-batch (files <= maxFilesPerTrigger): every
+        gap-closed session must be emitted, exactly matching the batch
+        twin. availableNow runs a final no-data batch that advances the
+        watermark, so final sessions idle for > gap by stream end are
+        ALSO emitted (via event-time timeout) — both sets are exact."""
+        landing = self._landing(spark, tmp_path, n_files=3)
+        emitted = self._run(spark, landing)
+        batch = _batch_sessions(spark).collect()
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        wm_ms = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+                 .select(F.max(F.unix_millis(F.timestamp_seconds(
+                     F.col("ts") / F.lit(1e9)))))
+                 .first()[0]) - 60_000  # the 1-minute watermark delay
+
+        want = set()
+        last_start = {}
+        for r in batch:
+            last_start[r["user_id"]] = max(
+                last_start.get(r["user_id"], -1), r["session_start"])
+        gap_ms = GAP_US // 1000
+        for r in batch:
+            gap_closed = r["session_start"] != last_start[r["user_id"]]
+            timed_out = r["session_end"] // 1000 + gap_ms < wm_ms
+            if gap_closed or timed_out:
+                want.add(tuple(r))
+        assert want == emitted
+
+    def test_multi_batch_state_carries_over(self, spark, tmp_path):
+        """9 files -> >=3 micro-batches: open sessions must survive in
+        state across batches; everything emitted must be a real batch
+        session and every gap-closed session must be emitted."""
+        landing = self._landing(spark, tmp_path, n_files=9)
+        emitted = self._run(spark, landing)
+        batch = _batch_sessions(spark).collect()
+        batch_set = {tuple(r) for r in batch}
+        assert emitted <= batch_set  # nothing invented, nothing split
+        last_start = {}
+        for r in batch:
+            last_start[r["user_id"]] = max(
+                last_start.get(r["user_id"], -1), r["session_start"])
+        must_emit = {tuple(r) for r in batch
+                     if r["session_start"] != last_start[r["user_id"]]}
+        # gap-closed sessions all emitted; timeout may close some of the
+        # final ones too (also correct, hence subset above)
+        assert must_emit <= emitted
