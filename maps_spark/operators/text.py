@@ -140,20 +140,32 @@ def lang_id_sql(from_clause: str, text_col: str = "text") -> str:
 FROM (SELECT doc_id, {greatest} AS best, {inner_cols} {from_clause}) t"""
 
 
+def fingerprint_series(texts, modulus: int = (1 << 61) - 1,
+                       base: int = 257):
+    """Per-batch polynomial rolling hash: h = sum(byte_i * base^(n-1-i))
+    mod modulus. Every intermediate stays below 2^62 (python ints here;
+    the DuckDB twin uses the Mersenne split identity for the same fold,
+    sql/oracle_training.doc_fingerprint_select)."""
+    import numpy as np
+    import pandas as pd
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        h = 0
+        for ch in t.encode("utf-8"):
+            h = (h * base + ch) % modulus
+        out[i] = h
+    return pd.Series(out)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 modulus: int = (1 << 61) - 1, base: int = 257) -> DataFrame:
-    """Polynomial rolling-hash document fingerprint (64-bit), vectorized
-    per Arrow batch. No SQL twin (rows-only oracle check)."""
+    """Polynomial rolling-hash document fingerprint (61-bit Mersenne),
+    vectorized per Arrow batch; hash-checked against the DuckDB
+    split-identity twin in the gate."""
 
     @pandas_udf("long")
     def _fp(texts):
-        import numpy as np
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            h = 0
-            for ch in t.encode("utf-8"):
-                h = (h * base + ch) % modulus
-            out[i] = h
-        return __import__("pandas").Series(out)
+        return fingerprint_series(texts, modulus, base)
 
     return docs.select("doc_id", _fp(F.col(text_col)).alias("fingerprint"))

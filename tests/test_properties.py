@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the pure-Python codec and
+hash layers — the pieces whose wire formats / modular arithmetic must
+hold for ARBITRARY inputs, not just the synthetic corpus. No Spark
+session needed; these run in milliseconds.
+
+Model: SURVEY §5 — the reference pins its codecs with randomized
+round-trips (VectorTileDecoderTest, PointFeatureSerDeTest)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# --- MVT wire codec ---------------------------------------------------------
+
+attr_vals = st.integers(min_value=0, max_value=2**31 - 1)
+attr_keys = st.text(string.ascii_letters + string.digits + "_:", min_size=1,
+                    max_size=12)
+features = st.lists(
+    st.tuples(st.integers(-512, 1023), st.integers(-512, 1023),
+              st.dictionaries(attr_keys, attr_vals, max_size=4)),
+    max_size=8)
+layer_names = st.sampled_from(
+    ["OBSERVATION", "HUMAN_OBSERVATION", "MACHINE_OBSERVATION", "UNKNOWN"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(layer_names, features, max_size=4))
+def test_mvt_roundtrip(layers):
+    from maps_spark.functions import mvt
+
+    data = mvt.encode_tile(layers, extent=512)
+    decoded = mvt.decode_tile(data)
+
+    def canon(ls):
+        return {name: sorted((x, y, tuple(sorted(attrs.items())))
+                             for x, y, attrs in feats)
+                for name, feats in ls.items() if feats}
+
+    assert canon(decoded) == canon(layers)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_varint_roundtrip(n):
+    from maps_spark.functions.mvt import _read_varint, _varint
+
+    got, pos = _read_varint(_varint(n), 0)
+    assert got == n and pos == len(_varint(n))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-2**31, max_value=2**31 - 1))
+def test_zigzag_roundtrip(n):
+    from maps_spark.functions.mvt import _unzigzag, _zigzag
+
+    assert _unzigzag(_zigzag(n)) == n
+    assert _zigzag(n) >= 0
+
+
+# --- point-features protobuf ------------------------------------------------
+
+bors = st.sampled_from(["OBSERVATION", "HUMAN_OBSERVATION", "UNKNOWN"])
+point_rows = st.lists(
+    st.tuples(
+        st.floats(-90, 90, allow_nan=False).map(lambda v: round(v, 6)),
+        st.floats(-180, 180, allow_nan=False).map(lambda v: round(v, 6)),
+        bors,
+        st.integers(1600, 2030),
+        st.integers(1, 10**6)),
+    max_size=16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(point_rows)
+def test_pointpb_roundtrip(rows):
+    from maps_spark.functions import pointpb
+
+    data = pointpb.encode_features(rows)
+    decoded = pointpb.decode_features(data)
+    assert sorted(decoded) == sorted(rows)
+
+
+# --- Mersenne hash family (the dual-dialect signature arithmetic) -----------
+
+P31 = 2147483647
+tokens = st.text(string.printable.replace(" ", "").replace("\t", "")
+                 .replace("\n", "").replace("\r", "").replace("\x0b", "")
+                 .replace("\x0c", ""), max_size=24).filter(
+    lambda t: all(ord(c) < 128 for c in t))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(tokens, min_size=1, max_size=16))
+def test_token_hash_is_base256_mod_mersenne(toks):
+    """The vectorized numpy fold must equal the mathematical definition
+    int.from_bytes(utf8, 'big') % (2^31 - 1) — i.e. no silent int64
+    wraparound for any input, which is what makes the DuckDB SQL twin
+    exact."""
+    from maps_spark.operators.dedup import _token_hashes
+
+    got = _token_hashes(toks)
+    for t, h in zip(toks, got.tolist()):
+        b = t.encode()
+        want = int.from_bytes(b, "big") % P31 if b else 0
+        assert h == want
+        assert 0 <= h < P31
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(st.characters(min_codepoint=1, max_codepoint=127),
+               max_size=64))
+def test_fingerprint_is_polynomial_mod_2_61(text):
+    """operators.text.fingerprint's per-batch fold == the direct
+    polynomial sum(byte_i * 257^(n-1-i)) mod 2^61-1 (the split-identity
+    trick in the DuckDB twin relies on this)."""
+    import pandas as pd
+
+    from maps_spark.operators.text import fingerprint_series
+
+    p = (1 << 61) - 1
+    got = fingerprint_series(pd.Series([text])).iloc[0]
+    want = 0
+    for c in text.encode():
+        want = (want * 257 + c) % p
+    assert int(got) == want
