@@ -58,12 +58,15 @@ def run() -> None:
     def timed(name):
         # Report the best of ``repeats`` executions: this box shows up to
         # 2x wall-clock noise under contention, and steady-state (JIT- and
-        # page-cache-warm) throughput is the honest 100 TB proxy. Each
-        # execution rebuilds the full plan — nothing is cached between
-        # runs except the OS page cache and JVM JIT state.
+        # page-cache-warm) throughput is the honest 100 TB proxy. The
+        # Spark cache is cleared before every execution — queries that
+        # persist() intermediates (span rollup, minhash signatures) would
+        # otherwise be served from the previous run's cache by canonical-
+        # plan matching, and the repeat would time cache reads, not work.
         def deco(fn):
             best = None
             for _ in range(repeats):
+                spark.catalog.clearCache()
                 t0 = time.time()
                 fn()
                 dt = time.time() - t0
