@@ -198,9 +198,18 @@ def points_to_tile(features, srs: str, z: int, x: int, y: int,
 
     Returns the same shapes as :func:`filter_decoded_tile`.
     """
+    import math
+
     sch = P.schema_for(srs)
     lo, hi = year_range
     world = sch.num_x_tiles(z) * tile_size
+    world_y = sch.num_y_tiles(z) * tile_size
+    # polar SRS: the canvas-bounds filter is part of the pixel
+    # semantics (dual._azimuthal_exprs NULLs overshooting buffer-band
+    # rows) — the point path must drop the same records or a view
+    # served pre-threshold (points) vs post-threshold (tiles) would
+    # return different feature sets
+    polar = P._norm(srs) in ("EPSG:3575", "EPSG:3031")
     out_verbose: dict = defaultdict(lambda: defaultdict(int))
     out_simple: dict = defaultdict(int)
     for lat, lng, bor, year, cnt in features:
@@ -212,7 +221,10 @@ def points_to_tile(features, srs: str, z: int, x: int, y: int,
             continue
         if not bool(P.is_plottable(srs, lat, lng)):
             continue
-        gx, gy = (int(v) for v in P.global_xy(srs, lat, lng, z, tile_size))
+        fgx, fgy = P.global_xy(srs, lat, lng, z, tile_size)
+        if polar and not (0 <= fgx < world and 0 <= fgy < world_y):
+            continue
+        gx, gy = int(math.floor(fgx)), int(math.floor(fgy))
         if not _contains(sch, z, x, y, gx, gy, tile_size, buffer):
             continue
         lx = gx - x * tile_size

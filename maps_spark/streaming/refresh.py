@@ -237,12 +237,41 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
     batch also re-encodes the tiles its delta touched from the merged
     pixel state, so served MVTs stay fresh without a full rebuild."""
     occ = stream_occurrence(spark, input_dir, nation_dir)
+    marker = pixel_store.rstrip("/") + "_meta/last_batch.json"
 
-    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a failure between the
+        # sink write and the checkpoint commit, Structured Streaming
+        # re-delivers the same batch_id. A sum-on-conflict merge is NOT
+        # idempotent, so replayed batch ids are skipped via a marker
+        # written after both merges land (the standard batch-id guard;
+        # a Delta/Iceberg sink would make the merge itself
+        # transactional instead).
+        if _applied_batch(marker) >= batch_id:
+            return
         delta = stream_pixel_deltas(batch_df, srs, zoom).localCheckpoint()
         merge_into_pixels(delta, pixel_store)
         if tile_store is not None:
             merge_into_tiles(delta, pixel_store, tile_store, srs, zoom)
+        _commit_batch(marker, batch_id)
 
     return (occ.writeStream.foreachBatch(_merge)
             .trigger(availableNow=True).start())
+
+
+def _applied_batch(marker: str) -> int:
+    import json
+    try:
+        with open(marker) as f:
+            return int(json.load(f)["batch_id"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _commit_batch(marker: str, batch_id: int) -> None:
+    import json
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.replace(tmp, marker)  # atomic on POSIX

@@ -71,7 +71,13 @@ def sessionize_stream(spark: SparkSession, input_dir: str,
             if s is None:
                 s, last, n, v = tus, tus, 1, vm
             else:
-                last, n, v = tus, n + 1, v + vm
+                # a late (within-watermark) event from an earlier batch
+                # can arrive with tus < last: fold it into the open
+                # session WITHOUT regressing `last` (which would break
+                # start <= end and re-arm the timeout too early). The
+                # batch twin, which sorts globally, is the ground truth
+                # for fully out-of-order replays.
+                s, last, n, v = min(s, tus), max(last, tus), n + 1, v + vm
         state.update((int(s), int(last), int(n), int(v)))
         # close the open session once the watermark passes last + gap;
         # if that moment already passed, fire on the next trigger

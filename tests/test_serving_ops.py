@@ -228,3 +228,39 @@ class TestV1TileJson:
         from maps_spark.operators.capabilities import v1_tile_json
         doc = v1_tile_json(keyed, "DATASET", "no-such-dataset")
         assert doc["count"] == 0
+
+
+class TestPolarPointTileParity:
+    def test_point_path_drops_off_canvas_buffer_records(self):
+        """A 3575 buffer-band record (lat in (-1, 0)) whose pixel
+        overshoots the canvas is NULLed by the tile pipeline
+        (dual._azimuthal_exprs) — the point path must drop it too, or
+        point-mode and tile-mode serving disagree for the same view."""
+        import numpy as np
+
+        from maps_spark.functions import projections as P
+        from maps_spark.operators.serving import points_to_tile
+
+        z, ts = 0, 512
+        # find an off-canvas and an on-canvas plottable record
+        off = on = None
+        for lng in range(-180, 180, 5):
+            fx, fy = P.global_xy("EPSG:3575", -0.5, float(lng), z, ts)
+            if not (0 <= fx < ts and 0 <= fy < ts):
+                off = (-0.5, float(lng))
+            else:
+                on = (-0.5, float(lng))
+        assert off is not None and on is not None
+        assert bool(np.all(P.is_plottable("EPSG:3575", off[0], off[1])))
+
+        feats = [(off[0], off[1], "OBSERVATION", 2000, 3),
+                 (on[0], on[1], "OBSERVATION", 2000, 5)]
+        out = points_to_tile(feats, "EPSG:3575", z, 0, 0)
+        assert sum(out.values()) == 5  # only the on-canvas record
+
+    def test_mercator_point_path_unaffected(self):
+        from maps_spark.operators.serving import points_to_tile
+
+        feats = [(45.0, 10.0, "OBSERVATION", 2000, 2)]
+        out = points_to_tile(feats, "EPSG:3857", 0, 0, 0)
+        assert sum(out.values()) == 2

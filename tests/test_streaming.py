@@ -186,6 +186,29 @@ class TestRefresh:
         # copies, each carrying the merged count
         assert total % 5 == 0 and total >= 5
 
+    def test_replayed_batches_are_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-delivering already-applied
+        batch ids (fresh checkpoint over the same store) must NOT
+        double-count — the batch-id marker guard skips them."""
+        from maps_spark.streaming.refresh import read_pixel_store, run_refresh
+
+        store = str(tmp_path / "pixels")
+        q = run_refresh(spark, f"{SF_SMALL}/events.parquet",
+                        f"{SF_SMALL}/nation.parquet", store,
+                        srs="EPSG:3857", zoom=6)
+        q.awaitTermination(300)
+        before = sorted(map(tuple, read_pixel_store(spark, store).collect()))
+        assert before
+
+        # same input, same store, fresh (temp) checkpoint -> the stream
+        # replays batch 0; without the guard every count doubles
+        q2 = run_refresh(spark, f"{SF_SMALL}/events.parquet",
+                         f"{SF_SMALL}/nation.parquet", store,
+                         srs="EPSG:3857", zoom=6)
+        q2.awaitTermination(300)
+        after = sorted(map(tuple, read_pixel_store(spark, store).collect()))
+        assert after == before
+
     def test_windowed_watermark_agg(self, spark):
         from maps_spark.streaming.refresh import windowed_event_counts
 
