@@ -1,0 +1,112 @@
+"""Corpus-level training-data operators: benchmark decontamination and
+deterministic sampling.
+
+Both are standard steps between "raw documents" and "training set":
+
+- :func:`contamination_check` measures per-document n-gram overlap
+  against an evaluation-benchmark set so contaminated documents can be
+  dropped before training (the step every serious pretraining pipeline
+  runs against its eval suites).
+- :func:`stratified_sample` / :func:`hash_sample` draw reproducible
+  samples with NO RNG state: membership is a pure function of doc_id,
+  so the same call yields the same sample on any cluster, any engine,
+  any day — which is what makes train/val splits auditable.
+
+Scale notes: the benchmark shingle set is broadcast (benchmarks are
+small by construction — MMLU-sized suites are a few hundred thousand
+shingles); the per-document explode/agg is one shuffle keyed by
+doc_id; the samplers are pure Column arithmetic inside codegen — no
+shuffle at all for :func:`hash_sample`, one window shuffle per stratum
+for :func:`stratified_sample`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from maps_spark.operators.dedup import P31, _shingle_array
+
+# two-round 31-bit multiplicative mixer constants (seeded once, shared
+# with the DuckDB oracle; any odd multipliers < 2^31-1 work)
+HASH_A, HASH_B = 1103515245, 12345
+HASH_C, HASH_D = 69069, 362437
+
+SCALE = 1_000_000
+
+
+def _mix(col) -> F.Column:
+    """Deterministic uniform-ish value in [0, 2^31-1): two rounds of
+    (x*a + b) mod p. Products < 2^62 — int64-exact, so the identical
+    expression runs in DuckDB SQL (BIGINT) and matches bitwise."""
+    r1 = (col.cast("long") * HASH_A + HASH_B) % P31
+    return (r1 * HASH_C + HASH_D) % P31
+
+
+def mix_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_mix` (same constants, same fold)."""
+    return (f"(((CAST({expr} AS BIGINT) * {HASH_A} + {HASH_B}) % {P31})"
+            f" * {HASH_C} + {HASH_D}) % {P31}")
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame,
+                        shingle_k: int = 3, text_col: str = "text",
+                        threshold: float = 0.2) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of a doc's
+    distinct k-token shingles that also occur in the benchmark set.
+
+    The benchmark shingle set is deduplicated and broadcast — the
+    contamination join is therefore a map-side hash probe per shingle,
+    no shuffle of the corpus explode. Output per corpus document:
+    (doc_id, n_shingles, n_contaminated, contamination_scaled, flagged)
+    where contamination_scaled = floor(n_contaminated * 1e6 /
+    n_shingles) — exact integer, oracle-safe.
+    """
+    bench_sh = (benchmark
+                .select(F.explode(F.array_distinct(
+                    _shingle_array(text_col, shingle_k))).alias("shingle"))
+                .distinct())
+    doc_sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(
+            _shingle_array(text_col, shingle_k))).alias("shingle"))
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ratio = F.floor(F.col("n_contaminated") * SCALE
+                    / F.col("n_shingles")).cast("long")
+    return (sizes.join(hits, "doc_id", "left")
+            .withColumn("n_contaminated",
+                        F.coalesce("n_contaminated", F.lit(0)))
+            .select("doc_id", "n_shingles", "n_contaminated",
+                    ratio.alias("contamination_scaled"),
+                    (ratio >= int(threshold * SCALE)).alias("flagged")))
+
+
+def hash_sample(docs: DataFrame, rate: float,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep ~``rate`` of documents by deterministic id hash — a pure
+    filter (no shuffle, no RNG): kept iff mix(doc_id) < rate * (2^31-1).
+    Reproducible across runs and engines; disjoint rate bands give
+    disjoint splits (e.g. train = [0, .98), val = [.98, 1))."""
+    return docs.where(_mix(F.col(id_col)) < int(rate * P31))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "lang",
+                      n_per_stratum: int = 20,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exactly ``n_per_stratum`` docs per stratum (fewer if the stratum
+    is smaller), chosen by ranking the deterministic id hash within
+    each stratum — an order-statistics sample that is reproducible and
+    engine-independent. One shuffle (the per-stratum window); at 100 TB
+    with few strata, salt the window key or pre-filter with
+    ``hash_sample`` at a few× the target rate first so each stratum's
+    sort stays in one executor's memory.
+
+    Output: (doc_id, stratum, sample_rank).
+    """
+    h = _mix(F.col(id_col))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(strata_col).alias("stratum"),
+                        F.row_number().over(w).alias("sample_rank"))
+            .where(F.col("sample_rank") <= n_per_stratum))

@@ -281,6 +281,57 @@ def _shingle_array(text_col: str, k: int):
         .otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: the "keep one doc per
+    duplicate cluster" step that turns pairwise dedup output into an
+    actionable keep/drop list.
+
+    Algorithm: iterative min-label propagation — every node starts
+    labelled with its own id; each round every node takes the minimum
+    label among itself and its neighbours. Converges in O(diameter)
+    rounds; near-dup clusters are overwhelmingly star/clique shaped
+    (diameter 1-2), so a handful of rounds closes real corpora. For
+    adversarial long chains at 100 TB the standard fix is the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"), which this loop structure accommodates;
+    plain propagation is kept because each round is ONE shuffle
+    (edge join + min-agg) and the label table is |clustered docs|,
+    orders of magnitude smaller than the corpus.
+
+    Convergence is detected from ``sum(label)``: labels only ever
+    decrease, so an unchanged sum is a fixpoint — one cheap scalar agg
+    per round instead of a change-count join. ``localCheckpoint`` per
+    round truncates the lineage (an iterative plan otherwise grows
+    exponentially in Catalyst).
+
+    Output: (doc_id, cluster_id, cluster_size, keep) for every doc that
+    appears in at least one pair; cluster_id = min doc_id in the
+    component; keep = this doc is the cluster representative.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+             .unionByName(pairs.select(F.col("doc_b").alias("s"),
+                                       F.col("doc_a").alias("d")))
+             .persist())
+    labels = (edges.select(F.col("s").alias("doc_id")).distinct()
+              .withColumn("lbl", F.col("doc_id")).localCheckpoint())
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = (labels.join(edges, labels.doc_id == edges.s)
+                .select(F.col("d").alias("doc_id"), "lbl"))
+        labels = (labels.unionByName(prop)
+                  .groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+                  .localCheckpoint())
+        cur = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select("doc_id", F.col("lbl").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("doc_id") == F.col("lbl")).alias("keep")))
+
+
 SIMHASH_BITS = 64
 SIMHASH_THRESHOLD = 1 << 30  # sign test on the 31-bit hash field
 

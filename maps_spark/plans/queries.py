@@ -288,6 +288,29 @@ def q_doc_fingerprint(spark, sf_dir):
     return TX.fingerprint(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
+    return DD.dedup_clusters(pairs)
+
+
+BENCH_MOD = 25  # doc_id % 25 == 0 -> the held-out "benchmark" set
+
+
+def q_contamination(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    docs = _docs(spark, sf_dir)
+    return CP.contamination_check(
+        docs.where(F.col("doc_id") % BENCH_MOD != 0),
+        docs.where(F.col("doc_id") % BENCH_MOD == 0))
+
+
+def q_stratified_sample(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.stratified_sample(_docs(spark, sf_dir), strata_col="lang",
+                                n_per_stratum=20)
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -332,6 +355,9 @@ MAPS_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,          # rows-only (kmeans is iterative)
     "doc_fingerprint": q_doc_fingerprint,
+    "dedup_clusters": q_dedup_clusters,
+    "contamination": q_contamination,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -391,4 +417,7 @@ def maps_oracles() -> dict[str, str]:
             threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),
         "doc_fingerprint": OT.doc_fingerprint_select(),
+        "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
+        "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
+        "stratified_sample": OT.stratified_sample_select(),
     }

@@ -97,6 +97,87 @@ WHERE CAST(floor(CAST(inter * {scale} AS DOUBLE) /
       >= {int(threshold * scale)}"""
 
 
+def dedup_clusters_select(shingle_k: int = 3, threshold: float = 0.25,
+                          scale: int = 1_000_000,
+                          max_df: int = 1000) -> str:
+    """DuckDB twin of operators.dedup.dedup_clusters over the exact
+    n-gram Jaccard pairs: connected components via a recursive CTE —
+    each node's component label is the minimum doc_id reachable along
+    pair edges (labels propagate only downward, so the recursion's
+    UNION-dedup terminates)."""
+    pairs = ngram_jaccard_select(shingle_k, threshold, scale, max_df)
+    return f"""WITH RECURSIVE pr AS ({pairs}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+          UNION ALL SELECT doc_b, doc_a FROM pr),
+nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.doc_id
+  WHERE w.lbl < e.d),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       (c.doc_id = c.cluster_id) AS keep
+FROM comp c JOIN sizes s USING (cluster_id)"""
+
+
+def _shingle_cte(table: str, shingle_k: int) -> str:
+    """Distinct string k-token shingles per doc (same construction as
+    operators.dedup._shingle_array: docs shorter than k collapse to one
+    whole-text shingle)."""
+    return f"""(SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 1)))
+                 AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table}) tk)
+       s)"""
+
+
+def contamination_select(bench_mod: int = 25, shingle_k: int = 3,
+                         scale: int = 1_000_000,
+                         threshold: float = 0.2) -> str:
+    """DuckDB twin of operators.corpus.contamination_check with the
+    benchmark split used by plans.queries.q_contamination
+    (doc_id % bench_mod == 0 is the benchmark; the rest is corpus)."""
+    return f"""WITH doc_sh AS (
+  SELECT * FROM {_shingle_cte(
+      f"(SELECT * FROM documents WHERE doc_id % {bench_mod} <> 0)",
+      shingle_k)} x),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM {_shingle_cte(
+      f"(SELECT * FROM documents WHERE doc_id % {bench_mod} = 0)",
+      shingle_k)} y),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_sh GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated FROM doc_sh
+  WHERE shingle IN (SELECT shingle FROM bench_sh) GROUP BY 1)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(floor(COALESCE(h.n_contaminated, 0) * {scale} /
+                  s.n_shingles) AS BIGINT) AS contamination_scaled,
+       CAST(floor(COALESCE(h.n_contaminated, 0) * {scale} /
+                  s.n_shingles) AS BIGINT) >= {int(threshold * scale)}
+         AS flagged
+FROM sizes s LEFT JOIN hits h USING (doc_id)"""
+
+
+def stratified_sample_select(strata_col: str = "lang",
+                             n_per_stratum: int = 20) -> str:
+    """DuckDB twin of operators.corpus.stratified_sample."""
+    from maps_spark.operators.corpus import mix_sql
+
+    h = mix_sql("doc_id")
+    return f"""WITH ranked AS (
+  SELECT doc_id, {strata_col} AS stratum,
+         row_number() OVER (PARTITION BY {strata_col}
+                            ORDER BY {h}, doc_id) AS sample_rank
+  FROM documents)
+SELECT doc_id, stratum, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {n_per_stratum}"""
+
+
 _DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)")
 _NORM = ("sqrt(list_reduce(list_transform({a}, "

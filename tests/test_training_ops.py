@@ -207,3 +207,64 @@ class TestHotBucketGuards:
         ids = {(p.doc_a, p.doc_b) for p in pairs}
         assert all(a >= 100 for a, _ in ids), ids
         assert (100, 101) in ids
+
+
+class TestCorpusOps:
+    def test_dedup_clusters_on_planted_graph(self, spark):
+        # chain 1-2-3 + pair (10,11) + isolated doc 99 (no pairs)
+        from maps_spark.operators.dedup import dedup_clusters
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+        out = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+        assert set(out) == {1, 2, 3, 10, 11}
+        assert all(out[d].cluster_id == 1 and out[d].cluster_size == 3
+                   for d in (1, 2, 3))
+        assert all(out[d].cluster_id == 10 and out[d].cluster_size == 2
+                   for d in (10, 11))
+        assert {d for d, r in out.items() if r.keep} == {1, 10}
+
+    def test_dedup_clusters_long_chain_converges(self, spark):
+        from maps_spark.operators.dedup import dedup_clusters
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+        out = dedup_clusters(pairs).collect()
+        assert len(out) == 13
+        assert all(r.cluster_id == 0 and r.cluster_size == 13 for r in out)
+
+    def test_contamination_flags_benchmark_copy(self, spark):
+        from maps_spark.operators.corpus import contamination_check
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),   # full copy
+             (2, "alpha beta gamma unrelated words here"),  # partial
+             (3, "nothing shared with that suite at all")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               contamination_check(docs, bench).collect()}
+        assert out[1].contamination_scaled == 1_000_000 and out[1].flagged
+        assert 0 < out[2].contamination_scaled < 1_000_000
+        assert out[3].n_contaminated == 0 and not out[3].flagged
+
+    def test_stratified_sample_deterministic_and_sized(self, spark, docs):
+        from maps_spark.operators.corpus import stratified_sample
+        a = sorted(map(tuple, stratified_sample(docs, "lang", 20).collect()))
+        b = sorted(map(tuple, stratified_sample(docs, "lang", 20).collect()))
+        assert a == b and len(a) == 100  # 5 langs x 20
+        per = {}
+        for _, lang, rank in a:
+            per.setdefault(lang, []).append(rank)
+        assert all(sorted(v) == list(range(1, 21)) for v in per.values())
+
+    def test_hash_sample_rate_and_split_disjointness(self, spark, docs):
+        from maps_spark.operators.corpus import P31, _mix, hash_sample
+        import pyspark.sql.functions as F
+        n = docs.count()
+        train = hash_sample(docs, 0.8)
+        val = docs.where(_mix(F.col("doc_id")) >= int(0.8 * P31))
+        nt, nv = train.count(), val.count()
+        assert nt + nv == n
+        assert abs(nt / n - 0.8) < 0.1  # deterministic hash ~ uniform
+        ids = {r.doc_id for r in train.select("doc_id").collect()}
+        assert not ids & {r.doc_id for r in val.select("doc_id").collect()}
