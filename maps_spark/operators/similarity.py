@@ -127,15 +127,74 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cos_scaled"))
 
 
+IVF_QUANT = 1 << 20  # centroid-mean quantization scale (see ivf_centroids)
+
+
+def _fold_dots(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(rows, clusters) dot products accumulated dimension-by-dimension
+    — an explicit left fold with 0.0 seed, NOT BLAS ``@`` (whose
+    pairwise/SIMD summation order is implementation-defined). This
+    makes every dot bit-identical to a DuckDB ``list_reduce`` over the
+    same operands, which is what lets the IVF index be hash-checked."""
+    sims = np.zeros((m.shape[0], cent.shape[0]), dtype=np.float64)
+    for j in range(m.shape[1]):
+        sims += m[:, j:j + 1] * cent[None, :, j]
+    return sims
+
+
+def _fold_norms(m: np.ndarray) -> np.ndarray:
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc += m[:, j] * m[:, j]
+    return np.sqrt(acc)
+
+
+def ivf_centroids(train: np.ndarray, n_clusters: int, kmeans_iters: int
+                  ) -> np.ndarray:
+    """Deterministic, engine-reproducible mini k-means (spherical).
+
+    Every step is defined so an independent SQL engine reproduces the
+    centroids bit-for-bit from the same train sample:
+
+    - init: centroids are the normalized train vectors at ranks
+      ``floor(i*(n-1)/(k-1))`` — order statistics, no RNG;
+    - assignment: argmax of left-fold dot products, ties to the lowest
+      cluster id;
+    - update: member means are computed from vectors QUANTIZED to
+      integers (``floor(nv*2^20 + 0.5)``) and summed as int64 — integer
+      sums are order-independent and exact, so the mean does not depend
+      on aggregation order (a float sum would differ between engines
+      by summation order); the mean is then re-normalized with a
+      left-fold norm. Empty clusters keep their previous centroid.
+    """
+    n = len(train)
+    nv = train / np.maximum(_fold_norms(train), 1e-12)[:, None]
+    q = np.floor(nv * IVF_QUANT + 0.5).astype(np.int64)
+    k = min(n_clusters, n)
+    idx = [(i * (n - 1)) // (k - 1) if k > 1 else 0 for i in range(k)]
+    cent = nv[idx].copy()
+    for _ in range(kmeans_iters):
+        assign = _fold_dots(nv, cent).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                mean = q[mask].sum(axis=0).astype(np.float64) \
+                    / (int(mask.sum()) * IVF_QUANT)
+                nrm = _fold_norms(mean[None, :])[0]
+                cent[c] = mean / max(nrm, 1e-12)
+    return cent
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_clusters: int = 16, n_probe: int = 4, kmeans_iters: int = 2,
-             train_sample: int = 2048, seed: int = 11) -> DataFrame:
+             train_sample: int = 2048) -> DataFrame:
     """IVF approximate top-k: the inverted-file scale path.
 
     Train: a deterministic driver-side mini k-means over the first
-    ``train_sample`` vectors (ordered by id — reproducible) yields the
-    coarse centroids; the centroid table is tiny and broadcast.
+    ``train_sample`` vectors (ordered by id — reproducible, see
+    :func:`ivf_centroids`) yields the coarse centroids; the centroid
+    table is tiny and broadcast.
     Search: corpus vectors are assigned to their nearest centroid (one
     vectorized Arrow pass); each query probes its ``n_probe`` nearest
     centroids, and only same-cluster candidates are scored — the
@@ -145,25 +204,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     train = np.array(
         [r[0] for r in corpus.select(vec_col).orderBy(id_col)
          .limit(train_sample).collect()], dtype=np.float64)
-    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = train[rng.choice(len(train), size=min(n_clusters, len(train)),
-                            replace=False)]
-    for _ in range(kmeans_iters):
-        assign = (train @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            members = train[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    cent = ivf_centroids(train, n_clusters, kmeans_iters)
 
     def assign_udf(top_n: int):
         @pandas_udf("array<int>")
         def _assign(vecs: pd.Series) -> pd.Series:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ cent.T
-            order = np.argsort(-sims, axis=1)[:, :top_n]
+            # raw (unnormalized) dots: same argmax as cosine (positive
+            # per-row scale), and the fold matches the oracle exactly
+            sims = _fold_dots(m, cent)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
             return pd.Series([row.astype(np.int32) for row in order])
         return _assign
 

@@ -353,7 +353,7 @@ MAPS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dupes": q_embedding_near_dupes,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,          # rows-only (kmeans is iterative)
+    "ann_ivf_topk": q_ann_ivf_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
@@ -413,6 +413,8 @@ def maps_oracles() -> dict[str, str]:
         "minhash_lsh_pairs": OT.minhash_lsh_select(),
         "minhash_verify": OT.minhash_verify_select(threshold=0.25),
         "ann_lsh_topk": OT.ann_lsh_select(k=10, n_queries=16),
+        "ann_ivf_topk": OT.ann_ivf_select(k=10, n_queries=16,
+                                          n_clusters=16, n_probe=4),
         "embedding_near_dupes": OT.embedding_near_dupes_select(
             threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),

@@ -260,6 +260,110 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
 FROM ranked WHERE rank <= {k}"""
 
 
+def ann_ivf_select(k: int = 10, n_queries: int = 16, dim: int = 64,
+                   n_clusters: int = 16, n_probe: int = 4,
+                   kmeans_iters: int = 2, train_sample: int = 2048) -> str:
+    """DuckDB twin of operators.similarity.ivf_topk — including the
+    k-means TRAINING, unrolled as one CTE per iteration.
+
+    This works because ivf_centroids is defined engine-reproducibly
+    (rank-statistics init, integer-quantized centroid sums, left-fold
+    dots — see its docstring): the recursion-free fixed-iteration
+    k-means is just ``kmeans_iters`` copies of an
+    assign/sum/renormalize CTE block, and every float op has exactly
+    one evaluation order on both engines. Assumes the corpus has more
+    than ``n_clusters`` vectors (true for every testdata SF).
+    """
+    from maps_spark.operators.similarity import IVF_QUANT
+
+    S = float(IVF_QUANT)
+    norm_nv = _NORM.format(a="v")
+    it_blocks = []
+    for it in range(1, kmeans_iters + 1):
+        dot = _DOT.format(a="t.nv", b=f"c{it - 1}.cv")
+        norm_mv = _NORM.format(a="m.mv")
+        it_blocks.append(f"""asg{it} AS (
+  SELECT rn, c FROM (
+    SELECT t.rn, c{it - 1}.c,
+           row_number() OVER (PARTITION BY t.rn
+                              ORDER BY {dot} DESC, c{it - 1}.c) AS rk
+    FROM tnorm t CROSS JOIN cent{it - 1} c{it - 1}) z
+  WHERE rk = 1),
+csz{it} AS (SELECT c, count(*) AS cn FROM asg{it} GROUP BY 1),
+sums{it} AS (
+  SELECT a.c, q.d, CAST(sum(q.q) AS BIGINT) AS sq
+  FROM tq q JOIN asg{it} a USING (rn) GROUP BY 1, 2),
+cmean{it} AS (
+  SELECT s.c, list(CAST(s.sq AS DOUBLE) / (z.cn * {S!r}) ORDER BY s.d) AS mv
+  FROM sums{it} s JOIN csz{it} z USING (c) GROUP BY s.c),
+cent{it} AS (
+  SELECT p.c,
+         CASE WHEN m.c IS NULL THEN p.cv
+              ELSE list_transform(m.mv,
+                     x -> x / GREATEST({norm_mv}, 1e-12)) END AS cv
+  FROM cent{it - 1} p LEFT JOIN cmean{it} m USING (c))""")
+    last = f"cent{kmeans_iters}"
+    fdot = _DOT.format(a="e.v", b="cf.cv")
+    sdot = _DOT.format(a="qe.embedding", b="ce.embedding")
+    sna = _NORM.format(a="qe.embedding")
+    snb = _NORM.format(a="ce.embedding")
+    blocks = ",\n".join(it_blocks)
+    return f"""WITH trn0 AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+  LIMIT {train_sample}),
+trn AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM trn0),
+tnorm AS (
+  SELECT rn, list_transform(v, x -> x / GREATEST({norm_nv}, 1e-12)) AS nv
+  FROM trn),
+tq AS (
+  SELECT rn, t.d AS d,
+         CAST(floor(nv[t.d] * {S!r} + 0.5) AS BIGINT) AS q
+  FROM tnorm CROSS JOIN generate_series(1, {dim}) t(d)),
+nc AS (SELECT count(*) AS n FROM trn),
+cent0 AS (
+  SELECT gs.i AS c, t.nv AS cv
+  FROM generate_series(0, {n_clusters - 1}) gs(i)
+  CROSS JOIN nc
+  JOIN tnorm t ON t.rn = (gs.i * (nc.n - 1)) // {n_clusters - 1}),
+{blocks},
+emb_d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+fdots AS (
+  SELECT e.vec_id, cf.c, {fdot} AS dot
+  FROM emb_d e CROSS JOIN {last} cf),
+casg AS (
+  SELECT vec_id AS neighbor_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c) AS rk
+    FROM fdots) z WHERE rk = 1),
+qasg AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c) AS rk
+    FROM fdots WHERE vec_id < {n_queries}) z WHERE rk <= {n_probe}),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         CAST(floor(({sdot}) / (({sna}) * ({snb})) * 1000000000.0) AS BIGINT)
+           AS cos_scaled
+  FROM qasg q JOIN casg n USING (c)
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  JOIN embeddings ce ON ce.vec_id = n.neighbor_id
+  WHERE n.neighbor_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_scaled,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_scaled DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
+FROM ranked WHERE rank <= {k}"""
+
+
 def embedding_near_dupes_select(threshold: float = 0.3, dim: int = 64,
                                 n_bits: int = 12, n_tables: int = 4,
                                 max_bucket: int = 10_000) -> str:
