@@ -331,7 +331,7 @@ MAPS_QUERIES = {
     "country_mask_z2": q_country_mask_z2,
     "hex_trend_z0": q_hex_trend_z0,
     "media_features": q_media_features,        # rows-only (stubbed decode)
-    "media_frame_sample": q_media_frame_sample,  # rows-only
+    "media_frame_sample": q_media_frame_sample,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -422,4 +422,5 @@ def maps_oracles() -> dict[str, str]:
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
         "stratified_sample": OT.stratified_sample_select(),
+        "media_frame_sample": OT.media_frame_sample_select(),
     }

@@ -540,6 +540,26 @@ FROM capped a JOIN capped b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
 
 
+def media_frame_sample_select(n: int = 64, every_n: int = 30,
+                              n_frames: int = 300) -> str:
+    """DuckDB twin of plans.queries.q_media_frame_sample: the frame
+    schedule is pure metadata (kind = video for media_id % 3 == 2,
+    fixed n_frames), so the sequence-explode plumbing of
+    operators.multimodal.frame_sample is independently reproducible —
+    only the payload decode (zlib+sha256 synthesis) is not, and that
+    is not part of this query's output."""
+    return f"""WITH vids AS (
+  SELECT i AS media_id FROM generate_series(0, {n - 1}) t(i)
+  WHERE i % 3 = 2),
+frames AS (
+  SELECT media_id,
+         unnest(generate_series(0, {n_frames - 1}, {every_n})) AS frame_idx
+  FROM vids)
+SELECT media_id, count(*) AS n_frames_sampled,
+       CAST(max(frame_idx) AS INT) AS last_frame
+FROM frames GROUP BY 1"""
+
+
 def doc_fingerprint_select(modulus: int = (1 << 61) - 1,
                            base: int = 257) -> str:
     """DuckDB twin of operators.text.fingerprint: 61-bit polynomial
