@@ -82,6 +82,37 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame,
                     (ratio >= int(threshold * SCALE)).alias("flagged")))
 
 
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams: (ngram, n_occ, n_docs).
+
+    The workhorse behind boilerplate detection and contamination
+    triage — which phrases dominate the corpus, and how widely.
+    Deterministic: ties at the cutoff break on the ngram string.
+
+    Scale: one (ngram) shuffle with map-side partial aggregation; the
+    distinct-doc count re-shuffles (ngram, doc_id) pairs once. Hot
+    n-grams are safe — both stages are pure aggregation, and the
+    final top-k is a ``TakeOrdered`` (no global sort materializes).
+    """
+    from maps_spark.operators.text import _doc_tokens
+    toks = _doc_tokens(docs, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.col("word")
+    for i in range(1, n):
+        gram = F.concat_ws(" ", gram, F.lead("word", i).over(w))
+    # gram and the null-guard must be projected BEFORE the filter: a
+    # window evaluated after .where would see the truncated token set
+    grams = (toks.select("doc_id", gram.alias("ngram"),
+                         F.lead("word", n - 1).over(w).alias("last"))
+             .where(F.col("last").isNotNull())
+             .select("doc_id", "ngram"))
+    counts = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    return counts.orderBy(F.desc("n_occ"), "ngram").limit(k)
+
+
 def hash_sample(docs: DataFrame, rate: float,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep ~``rate`` of documents by deterministic id hash — a pure

@@ -14,7 +14,7 @@ on pattern dialects but agree exactly on ``length``/``replace``.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
 # language marker words: high-frequency function words per language.
@@ -138,6 +138,103 @@ def lang_id_sql(from_clause: str, text_col: str = "text") -> str:
        CASE WHEN best > 0 THEN (CASE {whens} END) ELSE 'und' END AS lang_pred,
        best AS evidence
 FROM (SELECT doc_id, {greatest} AS best, {inner_cols} {from_clause}) t"""
+
+
+REP_SCALE = 1_000_000
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, word) — one row per whitespace token, position
+    preserved so windowed n-gram/run logic can see adjacency."""
+    return (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+        .where(F.col("word") != ""))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, word-level.
+
+    Per document: token counts, duplicate-word fraction, the character
+    share of the most frequent word and bigram, and the longest run of
+    one word repeated consecutively. (The public Gopher/Dolma recipes
+    also use duplicate-*line* fractions; on single-line corpora the
+    word/bigram forms carry the signal.) Fractions are emitted as
+    ``floor(x * 1e6)`` integers so the DuckDB oracle matches exactly.
+
+    Scale: two shuffles keyed by (doc_id, word)/(doc_id, bigram) plus
+    one window keyed by doc_id — every group is bounded by document
+    length, so there is no hot key regardless of corpus size.
+    """
+    toks = _doc_tokens(docs, text_col)
+    wc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    words = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("cnt").alias("top_word_cnt"))
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (toks.withColumn("nxt", F.lead("word").over(w))
+           .where(F.col("nxt").isNotNull())
+           .select("doc_id",
+                   F.concat_ws(" ", "word", "nxt").alias("bigram")))
+    bg = (big.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+          .groupBy("doc_id").agg(F.sum("cnt").alias("n_bigrams"),
+                                 F.max("cnt").alias("top_bigram_cnt")))
+
+    runs = (toks
+            .withColumn("new_run",
+                        F.when(F.lag("word").over(w).isNull()
+                               | (F.lag("word").over(w) != F.col("word")),
+                               1).otherwise(0))
+            .withColumn("run_id", F.sum("new_run").over(w))
+            .groupBy("doc_id", "run_id").agg(F.count("*").alias("run_len"))
+            .groupBy("doc_id").agg(F.max("run_len").alias("max_word_run")))
+
+    def frac(num, den):
+        return F.floor(num * REP_SCALE / den)
+
+    return (words.join(bg, "doc_id", "left").join(runs, "doc_id")
+            .select(
+                "doc_id", "n_words", "n_distinct_words",
+                frac(F.col("n_words") - F.col("n_distinct_words"),
+                     F.col("n_words")).alias("dup_word_frac_scaled"),
+                frac(F.col("top_word_cnt"),
+                     F.col("n_words")).alias("top_word_frac_scaled"),
+                F.coalesce(frac(F.col("top_bigram_cnt"), F.col("n_bigrams")),
+                           F.lit(0)).alias("top_bigram_frac_scaled"),
+                "max_word_run"))
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text",
+           top_k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF keywords.
+
+    ``tfidf = tf * ln(n_docs / df)`` with the score emitted as a
+    ``floor(1e6 * ...)`` integer; ``ln`` is dual-dialect-exact (the
+    projection oracles already rely on it). Ties break on the term
+    itself so the top-k cut is deterministic.
+
+    Scale: tf is one (doc_id, word) shuffle; df re-aggregates the much
+    smaller tf table by word; n_docs rides along as a broadcast
+    1-row join (no driver collect); the final top-k is a window
+    partitioned by doc_id.
+    """
+    tf = (_doc_tokens(docs, text_col)
+          .groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  "doc_id", "word", "tf", "df",
+                  F.floor(F.lit(1000000.0) * F.col("tf").cast("double")
+                          * F.log(F.col("n_docs").cast("double")
+                                  / F.col("df").cast("double")))
+                  .alias("tfidf_scaled")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_scaled"), "word")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))
 
 
 def fingerprint_series(texts, modulus: int = (1 << 61) - 1,

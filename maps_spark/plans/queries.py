@@ -311,6 +311,21 @@ def q_stratified_sample(spark, sf_dir):
                                 n_per_stratum=20)
 
 
+def q_doc_repetition(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.tf_idf(_docs(spark, sf_dir), top_k=5)
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -358,6 +373,9 @@ MAPS_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
+    "doc_repetition": q_doc_repetition,
+    "tfidf_topk": q_tfidf_topk,
+    "corpus_top_ngrams": q_corpus_top_ngrams,
 }
 
 
@@ -422,5 +440,8 @@ def maps_oracles() -> dict[str, str]:
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
         "stratified_sample": OT.stratified_sample_select(),
+        "doc_repetition": OT.repetition_select(),
+        "tfidf_topk": OT.tf_idf_select(top_k=5),
+        "corpus_top_ngrams": OT.top_ngrams_select(n=2, k=50),
         "media_frame_sample": OT.media_frame_sample_select(),
     }

@@ -163,6 +163,94 @@ SELECT s.doc_id, s.n_shingles,
 FROM sizes s LEFT JOIN hits h USING (doc_id)"""
 
 
+_TOKS_CTE = """toks AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) s
+  WHERE word <> '')"""
+
+
+def repetition_select(scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.text.repetition_signals."""
+    return f"""WITH {_TOKS_CTE},
+wc AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+words AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, max(cnt) AS top_word_cnt
+  FROM wc GROUP BY 1),
+big AS (
+  SELECT doc_id, word || ' ' || nxt AS bigram FROM (
+    SELECT doc_id, word,
+           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks) b WHERE nxt IS NOT NULL),
+bg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         max(cnt) AS top_bigram_cnt
+  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM big GROUP BY 1, 2) c
+  GROUP BY 1),
+runs AS (
+  SELECT doc_id, max(run_len) AS max_word_run FROM (
+    SELECT doc_id, run_id, count(*) AS run_len FROM (
+      SELECT doc_id,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM (SELECT doc_id, pos,
+                   CASE WHEN lag(word) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) IS DISTINCT
+                             FROM word THEN 1 ELSE 0 END AS new_run
+            FROM toks) f) g
+    GROUP BY 1, 2) h
+  GROUP BY 1)
+SELECT w.doc_id, w.n_words, w.n_distinct_words,
+       CAST(floor((w.n_words - w.n_distinct_words) * {scale}
+                  / w.n_words) AS BIGINT) AS dup_word_frac_scaled,
+       CAST(floor(w.top_word_cnt * {scale} / w.n_words) AS BIGINT)
+         AS top_word_frac_scaled,
+       COALESCE(CAST(floor(b.top_bigram_cnt * {scale} / b.n_bigrams)
+                     AS BIGINT), 0) AS top_bigram_frac_scaled,
+       r.max_word_run
+FROM words w LEFT JOIN bg b USING (doc_id) JOIN runs r USING (doc_id)"""
+
+
+def tf_idf_select(top_k: int = 5) -> str:
+    """DuckDB twin of operators.text.tf_idf — same expression order in
+    the float product so ``floor`` cuts identically."""
+    return f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         CAST(floor(1000000.0 * CAST(tf AS DOUBLE)
+                    * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)))
+              AS BIGINT) AS tfidf_scaled
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+SELECT doc_id, word, tf, df, tfidf_scaled, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_scaled DESC, word) AS rank
+      FROM scored) t
+WHERE rank <= {top_k}"""
+
+
+def top_ngrams_select(n: int = 2, k: int = 50) -> str:
+    """DuckDB twin of operators.corpus.top_ngrams."""
+    parts = ["word"] + [
+        f"lead(word, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for i in range(1, n)]
+    gram = " || ' ' || ".join(parts)
+    last = (f"lead(word, {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos)"
+            if n > 1 else "word")
+    return f"""WITH {_TOKS_CTE},
+grams AS (
+  SELECT doc_id, ngram FROM (
+    SELECT doc_id, {gram} AS ngram, {last} AS last FROM toks) g
+  WHERE last IS NOT NULL)
+SELECT ngram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY 1
+ORDER BY n_occ DESC, ngram LIMIT {k}"""
+
+
 def stratified_sample_select(strata_col: str = "lang",
                              n_per_stratum: int = 20) -> str:
     """DuckDB twin of operators.corpus.stratified_sample."""

@@ -268,3 +268,59 @@ class TestCorpusOps:
         assert abs(nt / n - 0.8) < 0.1  # deterministic hash ~ uniform
         ids = {r.doc_id for r in train.select("doc_id").collect()}
         assert not ids & {r.doc_id for r in val.select("doc_id").collect()}
+
+
+class TestRepetitionAndTfidf:
+    def test_repetition_signals_planted(self, spark):
+        from maps_spark.operators.text import repetition_signals
+        docs = spark.createDataFrame(
+            [(1, "a a a b"), (2, "x y"), (3, "w")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+        r1 = rows[1]
+        assert (r1.n_words, r1.n_distinct_words, r1.max_word_run) == (4, 2, 3)
+        assert r1.dup_word_frac_scaled == 2 * 1_000_000 // 4
+        assert r1.top_word_frac_scaled == 3 * 1_000_000 // 4
+        # bigrams: "a a" x2, "a b" x1 -> top fraction 2/3
+        assert r1.top_bigram_frac_scaled == 2 * 1_000_000 // 3
+        r2 = rows[2]
+        assert (r2.n_words, r2.dup_word_frac_scaled, r2.max_word_run) == \
+            (2, 0, 1)
+        # single-word doc: no bigrams -> 0, not null
+        assert rows[3].top_bigram_frac_scaled == 0
+
+    def test_repetition_matches_python(self, spark, docs):
+        from maps_spark.operators.text import repetition_signals
+        got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+        for r in docs.limit(20).collect():
+            toks = [w for w in r.text.split(" ") if w]
+            g = got[r.doc_id]
+            assert g.n_words == len(toks)
+            assert g.n_distinct_words == len(set(toks))
+            run = best = 1
+            for a, b in zip(toks, toks[1:]):
+                run = run + 1 if a == b else 1
+                best = max(best, run)
+            assert g.max_word_run == best
+
+    def test_tfidf_rare_term_ranks_first(self, spark):
+        from maps_spark.operators.text import tf_idf
+        docs = spark.createDataFrame(
+            [(i, "common words here zebra" if i == 0 else "common words here")
+             for i in range(10)], "doc_id long, text string")
+        top = {r.rank: r for r in
+               tf_idf(docs, top_k=2).where(F.col("doc_id") == 0).collect()}
+        assert top[1].word == "zebra"           # df=1 -> highest idf
+        assert top[1].df == 1 and top[1].tf == 1
+        assert top[2].tfidf_scaled == 0         # df=10=N -> ln(1)=0
+
+    def test_top_ngrams_planted(self, spark):
+        from maps_spark.operators.corpus import top_ngrams
+        docs = spark.createDataFrame(
+            [(1, "p q p q p"), (2, "p q z")], "doc_id long, text string")
+        rows = top_ngrams(docs, n=2, k=3).collect()
+        assert rows[0].ngram == "p q" and rows[0].n_occ == 3 \
+            and rows[0].n_docs == 2
+        # trigram form counts the doc-final window correctly
+        tri = top_ngrams(docs, n=3, k=2).collect()
+        assert tri[0].ngram == "p q p" and tri[0].n_occ == 2
