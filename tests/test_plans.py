@@ -1,0 +1,117 @@
+"""Physical-plan audits: the 100 TB scale claims as executable asserts.
+
+Each test checks the *plan*, not the result — predicate pushdown reaches
+the parquet scan, column pruning shrinks ReadSchema, the tile-store
+lookup prunes partitions, and the small sides of the serving joins
+broadcast. A regression here is invisible at sf0.001 correctness but
+fatal at cluster scale, which is exactly why it's pinned in CI.
+
+(The synthetic occurrence view derives lat/lng/year from ``event_id``,
+so filters on those columns fold into event_id arithmetic rather than
+plain parquet filters; the pushdown asserts therefore target the real
+stored columns of each scan.)
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def scan_block(plan: str, table: str) -> str:
+    """The formatted-plan node that scans ``table``."""
+    blocks = [b for b in plan.split("\n\n")
+              if f"{table}.parquet" in b and "Scan parquet" in b]
+    assert blocks, f"no parquet scan of {table} in plan:\n{plan}"
+    return blocks[0]
+
+
+def test_occurrence_scan_prunes_and_pushes(spark):
+    from maps_spark.sources.occurrence import occurrence_df
+    plan = plan_of(occurrence_df(spark, SF_SMALL))
+    ev = scan_block(plan, "events")
+    # only the columns the derivation needs — ts and props are pruned
+    assert "event_id" in ev and "user_id" in ev
+    assert "props" not in ev and "ts:" not in ev
+    assert "PushedFilters: [IsNotNull(event_id)" in ev
+    # the tiny nation dim must broadcast, never shuffle the fact side
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pixel_table_prunes_unused_measure(spark):
+    # a fresh (uncached) view: pruning must reach the parquet scan
+    from maps_spark.operators import pyramid as PY
+    from maps_spark.sources.occurrence import occurrence_df
+    occ = occurrence_df(spark, SF_SMALL)
+    plan = plan_of(PY.pixel_table(PY.keyed_occurrence(occ),
+                                  "EPSG:3857", 6))
+    ev = scan_block(plan, "events")
+    # sampleValue (events.value) feeds no map key, pixel, or borYear —
+    # the fan-out scan must not read it
+    assert "value:double" not in ev, ev
+    assert "event_type" in ev  # borYear needs it
+
+
+def test_documents_filter_pushdown(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    blk = scan_block(plan_of(q), "documents")
+    assert "EqualTo(lang,en)" in blk, blk
+    # 2-column projection: the text payload (the wide column) is pruned
+    assert "text" not in blk.split("ReadSchema")[-1], blk
+
+
+def test_split_views_joins_broadcast(spark, occ_small):
+    from maps_spark.operators import pyramid as PY
+    large, small = PY.split_views(PY.keyed_occurrence(occ_small),
+                                  threshold=100)
+    for df, kind in ((large, "LeftSemi"), (small, "LeftAnti")):
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert kind in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_tile_store_lookup_prunes_partitions(spark, tmp_path):
+    from maps_spark.sources import tile_store as TS
+    tiles = spark.createDataFrame(
+        [("0:0", "EPSG_3857", z, x, 0, bytearray(b"\x1a\x02"))
+         for z in (0, 1, 2) for x in range(2 ** z)],
+        "mapKey string, srs string, z int, x long, y long, tile binary")
+    TS.write_tiles(tiles, str(tmp_path))
+    lookup = (TS.read_tiles(spark, str(tmp_path))
+              .where((F.col("srs") == "EPSG_3857") & (F.col("z") == 2) &
+                     (F.col("mapKey") == "0:0") & (F.col("x") == 1) &
+                     (F.col("y") == 0))
+              .select("tile"))
+    plan = plan_of(lookup)
+    # (srs, z) are directory partitions: the scan must carry them as
+    # PartitionFilters (directory pruning), with the row keys pushed
+    # down to parquet row-group stats
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and "srs" in part[0] and "z" in part[0], plan
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(mapKey,0:0)" in plan
+    assert lookup.count() == 1
+
+
+def test_no_cartesian_products_in_headline_queries(spark):
+    from maps_spark.plans.queries import MAPS_QUERIES
+    for name in ("density_tile_filtered", "hex_bin_z2", "species_trend",
+                 "country_mask_z2", "tfidf_topk"):
+        plan = plan_of(MAPS_QUERIES[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        # broadcast-able small sides must not sort-merge
+        if name in ("country_mask_z2", "species_trend"):
+            assert "SortMergeJoin" not in plan, name
