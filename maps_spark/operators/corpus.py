@@ -113,6 +113,31 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 50,
     return counts.orderBy(F.desc("n_occ"), "ngram").limit(k)
 
 
+def build_vocab(docs: DataFrame, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: (word, n_occ, n_docs, token_id) with
+    dense ids 0..V-1 assigned by (n_occ desc, word) — the tokenizer-prep
+    step of a training pipeline, deterministic across engines.
+
+    Scale: the (word) aggregation is one shuffle with map-side combine;
+    id assignment uses a distributed sort + ``zipWithIndex`` (same
+    pattern as ``pyramid.dictionary_encode``) so no single-partition
+    window materializes the vocabulary in one task.
+    """
+    from maps_spark.operators.text import _doc_tokens
+    toks = _doc_tokens(docs, text_col)
+    counts = (toks.groupBy("word").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_occ") >= min_count))
+    spark = docs.sparkSession
+    ranked = counts.sort(F.desc("n_occ"), "word")
+    return spark.createDataFrame(
+        ranked.rdd.map(tuple).zipWithIndex()
+        .map(lambda kv: kv[0] + (kv[1],)),
+        "word string, n_occ long, n_docs long, token_id long")
+
+
 def hash_sample(docs: DataFrame, rate: float,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep ~``rate`` of documents by deterministic id hash — a pure

@@ -326,6 +326,11 @@ def q_corpus_top_ngrams(spark, sf_dir):
     return CP.top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def q_vocab_build(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.build_vocab(_docs(spark, sf_dir), min_count=2)
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -376,6 +381,7 @@ MAPS_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "tfidf_topk": q_tfidf_topk,
     "corpus_top_ngrams": q_corpus_top_ngrams,
+    "vocab_build": q_vocab_build,
 }
 
 
@@ -443,5 +449,6 @@ def maps_oracles() -> dict[str, str]:
         "doc_repetition": OT.repetition_select(),
         "tfidf_topk": OT.tf_idf_select(top_k=5),
         "corpus_top_ngrams": OT.top_ngrams_select(n=2, k=50),
+        "vocab_build": OT.build_vocab_select(min_count=2),
         "media_frame_sample": OT.media_frame_sample_select(),
     }

@@ -251,6 +251,17 @@ FROM grams GROUP BY 1
 ORDER BY n_occ DESC, ngram LIMIT {k}"""
 
 
+def build_vocab_select(min_count: int = 1) -> str:
+    """DuckDB twin of operators.corpus.build_vocab."""
+    return f"""WITH {_TOKS_CTE},
+counts AS (
+  SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM toks GROUP BY 1 HAVING count(*) >= {min_count})
+SELECT word, n_occ, n_docs,
+       row_number() OVER (ORDER BY n_occ DESC, word) - 1 AS token_id
+FROM counts"""
+
+
 def stratified_sample_select(strata_col: str = "lang",
                              n_per_stratum: int = 20) -> str:
     """DuckDB twin of operators.corpus.stratified_sample."""

@@ -324,3 +324,13 @@ class TestRepetitionAndTfidf:
         # trigram form counts the doc-final window correctly
         tri = top_ngrams(docs, n=3, k=2).collect()
         assert tri[0].ngram == "p q p" and tri[0].n_occ == 2
+
+    def test_build_vocab_ids_follow_frequency(self, spark):
+        from maps_spark.operators.corpus import build_vocab
+        docs = spark.createDataFrame(
+            [(1, "b a b c b"), (2, "a b")], "doc_id long, text string")
+        rows = {r.word: r for r in build_vocab(docs).collect()}
+        assert rows["b"].token_id == 0 and rows["b"].n_occ == 4
+        assert rows["a"].token_id == 1 and rows["a"].n_docs == 2
+        assert rows["c"].token_id == 2
+        assert build_vocab(docs, min_count=2).count() == 2
