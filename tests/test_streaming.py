@@ -220,3 +220,70 @@ class TestRefresh:
         assert out.count() > 0
         assert {"window_start", "event_type", "n", "total_value"} <= set(
             out.columns)
+
+
+class TestIncrementalDedup:
+    """Streaming dedup against the persisted signature store."""
+
+    def _write_batches(self, spark, landing):
+        # batch files land one per trigger (maxFilesPerTrigger=1).
+        # Docs use pairwise-disjoint vocabularies so the only dupes are
+        # the planted ones.
+        os.makedirs(landing, exist_ok=True)
+        b1 = [(i, " ".join(f"w{i}t{j}" for j in range(40)))
+              for i in range(10)]
+        # batch 2: one exact copy of doc 3, one near-dup of doc 5
+        # (one token changed), three novel docs
+        near = b1[5][1].replace("w5t20", "changed")
+        b2 = ([(103, b1[3][1]), (105, near)] +
+              [(110 + i, " ".join(f"n{i}x{j}" for j in range(30)))
+               for i in range(3)])
+        # batch 3: exact copy of a batch-2 novel doc
+        b3 = [(120, b2[2][1]), (121, "yet another fresh document " * 8)]
+        for name, rows in (("a", b1), ("b", b2), ("c", b3)):
+            (spark.createDataFrame(rows, "doc_id long, text string")
+             .coalesce(1).write.parquet(f"{landing}/{name}"))
+            for f in os.listdir(f"{landing}/{name}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{landing}/{name}/{f}",
+                              f"{landing}/batch_{name}.parquet")
+            import shutil
+            shutil.rmtree(f"{landing}/{name}")
+
+    def test_cross_batch_dupes_detected(self, spark, tmp_path):
+        from maps_spark.streaming.dedup import (accepted_ids, rejected,
+                                                run_incremental_dedup)
+        landing = str(tmp_path / "landing")
+        store = str(tmp_path / "store")
+        self._write_batches(spark, landing)
+        q = run_incremental_dedup(spark, landing, store,
+                                  max_files_per_trigger=1, threshold=0.5)
+        q.awaitTermination(300)
+
+        rej = {r.doc_id: r for r in rejected(spark, store).collect()}
+        acc = {r.doc_id for r in accepted_ids(spark, store).collect()}
+        # exact cross-batch copy -> rejected with jaccard 1.0
+        assert rej[103].dup_of == 3 and rej[103].jaccard_est == 1.0
+        # near-dup (one word changed) -> rejected against stored doc 5
+        assert rej[105].dup_of == 5 and rej[105].jaccard_est >= 0.5
+        # batch-3 copy of a batch-2 NOVEL doc -> dup of that doc
+        assert rej[120].dup_of == 110
+        # novel docs accepted exactly once
+        assert 110 in acc and 121 in acc
+        assert 103 not in acc and 105 not in acc and 120 not in acc
+        assert len(acc) == 10 + 3 + 1
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        from maps_spark.streaming.dedup import accepted_ids, process_batch
+        store = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma " * 5), (2, "delta epsilon zeta " * 5)],
+            "doc_id long, text string")
+        from maps_spark.streaming.refresh import _applied_batch, _commit_batch
+        marker = store + "/_meta/last_batch.json"
+        for replay in range(2):  # same batch id delivered twice
+            if _applied_batch(marker) >= 0:
+                continue
+            process_batch(docs, store, batch_id=0)
+            _commit_batch(marker, 0)
+        assert accepted_ids(spark, store).count() == 2
