@@ -237,6 +237,33 @@ def tf_idf(docs: DataFrame, text_col: str = "text",
             .where(F.col("rank") <= top_k))
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 dialect (no
+# lookaround): the standard pre-training scrub set. Replacement order
+# matters (emails first, so their digits never feed the phone pattern)
+# and is identical in the DuckDB oracle.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9 -]{7,}[0-9]"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers, JVM-side (regexp_replace
+    + regexp_count stay in codegen — no Python in the hot path).
+
+    Output: (doc_id, scrubbed, n_email, n_ipv4, n_phone). Counts are
+    taken on the raw text per pattern; replacements apply sequentially.
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                      .cast("long").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", scrubbed.alias("scrubbed"), *counts)
+
+
 def fingerprint_series(texts, modulus: int = (1 << 61) - 1,
                        base: int = 257):
     """Per-batch polynomial rolling hash: h = sum(byte_i * base^(n-1-i))

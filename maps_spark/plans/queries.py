@@ -331,6 +331,11 @@ def q_vocab_build(spark, sf_dir):
     return CP.build_vocab(_docs(spark, sf_dir), min_count=2)
 
 
+def q_pii_scrub(spark, sf_dir):
+    from maps_spark.operators import text as TX
+    return TX.pii_scrub(_docs(spark, sf_dir))
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -382,6 +387,7 @@ MAPS_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "vocab_build": q_vocab_build,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -450,5 +456,6 @@ def maps_oracles() -> dict[str, str]:
         "tfidf_topk": OT.tf_idf_select(top_k=5),
         "corpus_top_ngrams": OT.top_ngrams_select(n=2, k=50),
         "vocab_build": OT.build_vocab_select(min_count=2),
+        "pii_scrub": OT.pii_scrub_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
     }

@@ -251,6 +251,20 @@ FROM grams GROUP BY 1
 ORDER BY n_occ DESC, ngram LIMIT {k}"""
 
 
+def pii_scrub_select() -> str:
+    """DuckDB twin of operators.text.pii_scrub (same pattern order)."""
+    from maps_spark.operators.text import PII_PATTERNS
+    scrub = "text"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        esc = pat.replace("'", "''")  # SQL strings keep backslashes literal
+        counts.append(f"CAST(len(regexp_extract_all(text, '{esc}')) "
+                      f"AS BIGINT) AS n_{name}")
+        scrub = f"regexp_replace({scrub}, '{esc}', '<{name.upper()}>', 'g')"
+    return (f"SELECT doc_id, {scrub} AS scrubbed, {', '.join(counts)} "
+            f"FROM documents")
+
+
 def build_vocab_select(min_count: int = 1) -> str:
     """DuckDB twin of operators.corpus.build_vocab."""
     return f"""WITH {_TOKS_CTE},

@@ -334,3 +334,17 @@ class TestRepetitionAndTfidf:
         assert rows["a"].token_id == 1 and rows["a"].n_docs == 2
         assert rows["c"].token_id == 2
         assert build_vocab(docs, min_count=2).count() == 2
+
+    def test_pii_scrub_planted(self, spark):
+        from maps_spark.operators.text import pii_scrub
+        docs = spark.createDataFrame(
+            [(1, "mail a.b@x.co or c@y.org ip 10.0.0.1 tel +1 555-123-4567"),
+             (2, "nothing sensitive here")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+        r1 = rows[1]
+        assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (2, 1, 1)
+        assert "<EMAIL>" in r1.scrubbed and "<IPV4>" in r1.scrubbed
+        assert "@" not in r1.scrubbed and "555" not in r1.scrubbed
+        assert rows[2].scrubbed == "nothing sensitive here"
+        assert rows[2].n_email == 0
