@@ -185,6 +185,19 @@ def ivf_centroids(train: np.ndarray, n_clusters: int, kmeans_iters: int
     return cent
 
 
+def cluster_assign_udf(cent: np.ndarray, top_n: int):
+    """Arrow UDF assigning each vector its ``top_n`` nearest centroids
+    (raw left-fold dots: same argmax as cosine — positive per-row scale
+    — and the fold matches the oracle exactly; ties to lowest id)."""
+    @pandas_udf("array<int>")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = _fold_dots(m, cent)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
+        return pd.Series([row.astype(np.int32) for row in order])
+    return _assign
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_clusters: int = 16, n_probe: int = 4, kmeans_iters: int = 2,
@@ -205,24 +218,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         [r[0] for r in corpus.select(vec_col).orderBy(id_col)
          .limit(train_sample).collect()], dtype=np.float64)
     cent = ivf_centroids(train, n_clusters, kmeans_iters)
-
-    def assign_udf(top_n: int):
-        @pandas_udf("array<int>")
-        def _assign(vecs: pd.Series) -> pd.Series:
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            # raw (unnormalized) dots: same argmax as cosine (positive
-            # per-row scale), and the fold matches the oracle exactly
-            sims = _fold_dots(m, cent)
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
-            return pd.Series([row.astype(np.int32) for row in order])
-        return _assign
-
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        F.element_at(assign_udf(1)(F.col(vec_col)), 1).alias("cluster"))
+        F.element_at(cluster_assign_udf(cent, 1)(F.col(vec_col)), 1)
+        .alias("cluster"))
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        F.explode(assign_udf(n_probe)(F.col(vec_col))).alias("cluster"))
+        F.explode(cluster_assign_udf(cent, n_probe)(F.col(vec_col)))
+        .alias("cluster"))
     scored = (cb.join(F.broadcast(qb), "cluster")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",

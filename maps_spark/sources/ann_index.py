@@ -1,0 +1,106 @@
+"""Persisted IVF ANN index: build once, serve partition-pruned queries.
+
+:func:`maps_spark.operators.similarity.ivf_topk` retrains its coarse
+quantizer on every call — right for one-shot analytics, wrong for a
+serving path. This module splits the lifecycle the same way the tile
+pipeline does (build → sorted/partitioned store → pruned lookups):
+
+- ``build_ivf_index`` trains the deterministic k-means once, assigns
+  every corpus vector to its nearest centroid, and writes the vectors
+  as Parquet partitioned by ``cluster`` (plus a tiny ``centroids``
+  table and a manifest, reusing the tile-store manifest helpers);
+- ``query_ivf_index`` loads the centroid table (a few KB), computes
+  each query's ``n_probe`` clusters, and reads ONLY those cluster
+  partitions — the scan is directory-pruned exactly like a tile
+  lookup, so serve cost is O(probed clusters), not O(corpus).
+
+At 10^9 vectors the cluster count should scale to ~sqrt(n) so each
+partition stays file-system friendly; the build is one Arrow pass plus
+a partitioned write, and incremental adds append to their cluster
+partition without touching the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from maps_spark.operators.similarity import (cluster_assign_udf, cosine_col,
+                                             ivf_centroids)
+from maps_spark.sources.tile_store import read_manifest, write_manifest
+
+
+def build_ivf_index(emb: DataFrame, root: str, n_clusters: int = 16,
+                    kmeans_iters: int = 2, train_sample: int = 2048,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> None:
+    """Train the quantizer and write the cluster-partitioned index."""
+    spark = emb.sparkSession
+    train = np.array(
+        [r[0] for r in emb.select(vec_col).orderBy(id_col)
+         .limit(train_sample).collect()], dtype=np.float64)
+    cent = ivf_centroids(train, n_clusters, kmeans_iters)
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        F.element_at(cluster_assign_udf(cent, 1)(F.col(vec_col)), 1)
+        .alias("cluster"))
+    (assigned.repartition("cluster").write.mode("overwrite")
+     .partitionBy("cluster").parquet(f"{root}/vectors"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    write_manifest(root, {"n_clusters": int(len(cent)),
+                          "dim": int(cent.shape[1]),
+                          "kmeans_iters": kmeans_iters,
+                          "train_sample": train_sample})
+
+
+def load_centroids(spark: SparkSession, root: str) -> np.ndarray:
+    rows = (spark.read.parquet(f"{root}/centroids")
+            .orderBy("cluster").collect())
+    return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+def query_ivf_index(spark: SparkSession, root: str, queries: DataFrame,
+                    k: int = 10, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """Top-k against the stored index, reading only probed clusters.
+
+    Output matches :func:`similarity.ivf_topk` exactly for the same
+    build parameters: (query_id, neighbor_id, rank, cos_scaled).
+    """
+    cent = load_centroids(spark, root)
+    qb = (queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(cluster_assign_udf(cent, n_probe)(F.col(vec_col)))
+        .alias("cluster"))
+        .localCheckpoint())  # probe set must not recompute per use
+    probed = sorted({r.cluster for r in
+                     qb.select("cluster").distinct().collect()})
+    # partition-pruned scan: only the probed cluster directories load
+    cb = (spark.read.parquet(f"{root}/vectors")
+          .where(F.col("cluster").isin(probed))
+          .select("cluster", F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("cvec")))
+    scored = (cb.join(F.broadcast(qb), "cluster")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(cosine_col("qvec", "cvec") * 1e9).cast("long")
+                      .alias("cos_scaled")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_scaled").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_scaled"))
+
+
+def index_stats(spark: SparkSession, root: str) -> dict:
+    """Manifest + per-cluster occupancy (skew visibility for rebalance
+    decisions)."""
+    sizes = (spark.read.parquet(f"{root}/vectors")
+             .groupBy("cluster").agg(F.count("*").alias("n")).collect())
+    return {"manifest": read_manifest(root),
+            "cluster_sizes": {r.cluster: r.n for r in sizes}}

@@ -348,3 +348,37 @@ class TestRepetitionAndTfidf:
         assert "@" not in r1.scrubbed and "555" not in r1.scrubbed
         assert rows[2].scrubbed == "nothing sensitive here"
         assert rows[2].n_email == 0
+
+
+class TestAnnIndex:
+    """Persisted IVF index: build/query parity and pruning."""
+
+    def test_stored_index_matches_on_the_fly_ivf(self, spark, emb, tmp_path):
+        from maps_spark.operators.similarity import ivf_topk
+        from maps_spark.sources.ann_index import (build_ivf_index,
+                                                  query_ivf_index)
+        root = str(tmp_path / "ivf")
+        build_ivf_index(emb, root, n_clusters=8, kmeans_iters=2)
+        queries = emb.where(F.col("vec_id") < 8)
+        got = query_ivf_index(spark, root, queries, k=5, n_probe=3)
+        want = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3,
+                        kmeans_iters=2)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_query_scan_prunes_cluster_partitions(self, spark, emb,
+                                                  tmp_path):
+        from maps_spark.sources.ann_index import (build_ivf_index,
+                                                  index_stats,
+                                                  query_ivf_index)
+        from tests.test_plans import plan_of
+        root = str(tmp_path / "ivf")
+        build_ivf_index(emb, root, n_clusters=8)
+        q = query_ivf_index(spark, root, emb.where(F.col("vec_id") == 0),
+                            k=3, n_probe=2)
+        plan = plan_of(q)
+        part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert part and "cluster#" in part[0] and " IN (" in part[0], plan
+        stats = index_stats(spark, root)
+        assert stats["manifest"]["n_clusters"] == 8
+        assert sum(stats["cluster_sizes"].values()) == emb.count()
