@@ -336,6 +336,26 @@ def q_pii_scrub(spark, sf_dir):
     return TX.pii_scrub(_docs(spark, sf_dir))
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    from maps_spark.operators import packing as PK
+    return PK.pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_pack_stats(spark, sf_dir):
+    from maps_spark.operators import packing as PK
+    return PK.pack_stats(
+        PK.pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET),
+        budget=PACK_BUDGET)
+
+
+def q_chunk_documents(spark, sf_dir):
+    from maps_spark.operators import packing as PK
+    return PK.chunk_documents(_docs(spark, sf_dir), chunk=64, stride=48)
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -388,6 +408,9 @@ MAPS_QUERIES = {
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "vocab_build": q_vocab_build,
     "pii_scrub": q_pii_scrub,
+    "pack_sequences": q_pack_sequences,
+    "pack_stats": q_pack_stats,
+    "chunk_documents": q_chunk_documents,
 }
 
 
@@ -457,5 +480,8 @@ def maps_oracles() -> dict[str, str]:
         "corpus_top_ngrams": OT.top_ngrams_select(n=2, k=50),
         "vocab_build": OT.build_vocab_select(min_count=2),
         "pii_scrub": OT.pii_scrub_select(),
+        "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),
+        "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),
+        "chunk_documents": OT.chunk_documents_select(chunk=64, stride=48),
         "media_frame_sample": OT.media_frame_sample_select(),
     }

@@ -291,6 +291,59 @@ SELECT doc_id, stratum, CAST(sample_rank AS INT) AS sample_rank
 FROM ranked WHERE sample_rank <= {n_per_stratum}"""
 
 
+def pack_sequences_select(budget: int = 512) -> str:
+    """DuckDB twin of operators.packing.pack_sequences: a plain global
+    window cumsum over the same deterministic mix order (the engine's
+    distributed prefix-sum must equal the single-sort answer)."""
+    from maps_spark.operators.corpus import mix_sql
+
+    h = mix_sql("doc_id")
+    return f"""WITH d AS (
+  SELECT doc_id, {h} AS ord,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ord, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM d)
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) // {budget} AS seq_id,
+       (cum - n_tokens) % {budget} AS seq_offset,
+       ((cum - 1) // {budget}) - ((cum - n_tokens) // {budget}) + 1
+         AS n_seqs
+FROM c"""
+
+
+def pack_stats_select(budget: int = 512) -> str:
+    """DuckDB twin of operators.packing.pack_stats over the same plan."""
+    return f"""WITH p AS ({pack_sequences_select(budget)})
+SELECT seq_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) AS BIGINT) * 1000000 // {budget} AS fill_scaled
+FROM p GROUP BY 1"""
+
+
+def chunk_documents_select(chunk: int = 64, stride: int = 48) -> str:
+    """DuckDB twin of operators.packing.chunk_documents (same 0-based
+    starts, same inclusive-end slice clipping)."""
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {stride})) AS start,
+         generate_subscripts(generate_series(0, len(toks) - 1, {stride}),
+                             1) - 1 AS chunk_id
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(LEAST({chunk}, len(toks) - start) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(toks[start + 1:start + {chunk}], ' ') AS chunk_text
+FROM s"""
+
+
 _DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, v) -> s + v)")
 _NORM = ("sqrt(list_reduce(list_transform({a}, "

@@ -382,3 +382,65 @@ class TestAnnIndex:
         stats = index_stats(spark, root)
         assert stats["manifest"]["n_clusters"] == 8
         assert sum(stats["cluster_sizes"].values()) == emb.count()
+
+
+class TestPacking:
+    """Sequence packing + chunking invariants."""
+
+    def test_distributed_cumsum_equals_single_sort(self, spark, docs):
+        from maps_spark.operators.corpus import _mix
+        from maps_spark.operators.packing import global_cumsum
+        from pyspark.sql import Window
+        base = docs.select("doc_id", _mix(F.col("doc_id")).alias("ord"),
+                           F.size(F.split("text", " ")).cast("long")
+                           .alias("n"))
+        got = global_cumsum(base, "n", ["ord", "doc_id"], partitions=7)
+        w = (Window.orderBy("ord", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = base.withColumn("cum", F.sum("n").over(w).cast("long"))
+        assert got.select("doc_id", "cum").exceptAll(
+            want.select("doc_id", "cum")).count() == 0
+        assert got.count() == want.count()
+
+    def test_pack_covers_every_token_exactly_once(self, spark, docs):
+        from maps_spark.operators.packing import pack_sequences
+        p = pack_sequences(docs, budget=512).collect()
+        total = sum(r.n_tokens for r in p)
+        # offsets stay inside the budget; spans are consistent with
+        # offset + length; the token stream is gap-free: sorting by
+        # (seq_id, seq_offset) walks 0..total-1 contiguously
+        pos = sorted((r.seq_id * 512 + r.seq_offset, r.n_tokens)
+                     for r in p)
+        cursor = 0
+        for start, n in pos:
+            assert start == cursor
+            cursor += n
+        assert cursor == total
+        for r in p:
+            assert 0 <= r.seq_offset < 512
+            assert r.n_seqs == (r.seq_offset + r.n_tokens - 1) // 512 + 1
+
+    def test_pack_stats_full_bins_except_last(self, spark, docs):
+        from maps_spark.operators.packing import pack_sequences, pack_stats
+        p = pack_sequences(docs, budget=512)
+        s = {r.seq_id: r for r in pack_stats(p, budget=512).collect()}
+        # every sequence that has a successor where a doc STARTS is
+        # accounted; token totals across docs == sum of stats
+        assert (sum(r.n_tokens for r in s.values())
+                == p.agg(F.sum("n_tokens")).first()[0])
+
+    def test_chunks_reassemble_document(self, spark, docs):
+        from maps_spark.operators.packing import chunk_documents
+        ch = chunk_documents(docs, chunk=64, stride=48)
+        rows = [r for r in ch.collect() if r.doc_id == 7]
+        doc = docs.where(F.col("doc_id") == 7).first().text.split(" ")
+        assert rows, "doc 7 missing from chunks"
+        for r in sorted(rows, key=lambda r: r.chunk_id):
+            start = r.chunk_id * 48
+            assert r.start_token == start
+            want = doc[start:start + 64]
+            assert r.chunk_text.split(" ") == want
+            assert r.n_chunk_tokens == len(want)
+        # stride coverage: last chunk reaches the end of the doc
+        last = max(rows, key=lambda r: r.chunk_id)
+        assert last.start_token + last.n_chunk_tokens == len(doc)
