@@ -138,6 +138,81 @@ def build_vocab(docs: DataFrame, text_col: str = "text",
         "word string, n_occ long, n_docs long, token_id long")
 
 
+def lm_score(docs: DataFrame, text_col: str = "text",
+             scale: int = SCALE) -> DataFrame:
+    """Per-document negative log-likelihood under a corpus-trained
+    bigram language model with add-one smoothing — the classic
+    KenLM-style quality signal: boilerplate and fluent text score low
+    NLL, gibberish and OCR noise score high.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) where c(w1,·) counts
+    bigrams headed by w1 and V is the corpus vocabulary size. Each
+    bigram's log-prob is floored to an integer at ``scale`` before the
+    per-document sum, so the aggregate is exact integer math in any
+    sum order — engine-independent (oracle-safe).
+
+    Scale: two aggregations keyed by (w1, w2) and (w1) with map-side
+    combine, one scalar (V) broadcast, one (w1, w2) equi-join back to
+    the exploded corpus — every stage shuffles on a key whose
+    cardinality is bounded by the vocabulary, not the corpus.
+
+    Output: (doc_id, n_bigrams, nll_scaled, avg_nll_scaled).
+    """
+    from maps_spark.operators.text import _doc_tokens
+    toks = _doc_tokens(docs, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (toks.select("doc_id", F.col("word").alias("w1"),
+                       F.lead("word").over(w).alias("w2"))
+           .where(F.col("w2").isNotNull()))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt").alias("head"))
+    v = toks.agg(F.countDistinct("word").alias("v"))
+    lp = (c2.join(c1, "w1").crossJoin(F.broadcast(v))
+          .select("w1", "w2",
+                  F.floor(F.lit(float(scale)) * F.log(
+                      (F.col("cnt") + 1).cast("double")
+                      / (F.col("head") + F.col("v")).cast("double")))
+                  .cast("long").alias("lp")))
+    return (big.join(lp, ["w1", "w2"])
+            .groupBy("doc_id").agg(
+                F.count("*").alias("n_bigrams"),
+                (-F.sum("lp")).cast("long").alias("nll_scaled"))
+            # nll is positive, so integer `div` == floor division ==
+            # DuckDB's `//` — exact at any magnitude (no double round-trip)
+            .withColumn("avg_nll_scaled",
+                        F.expr("nll_scaled div n_bigrams"))
+            .select("doc_id", "n_bigrams", "nll_scaled",
+                    "avg_nll_scaled"))
+
+
+def source_stats(docs: DataFrame, keep_threshold: float = 0.5,
+                 scale: int = SCALE) -> DataFrame:
+    """Per-source (domain-reputation-style) quality aggregation: how
+    many documents each source contributes, how many pass the quality
+    filter, and whether the source clears ``keep_threshold`` keep-rate
+    — the corpus-curation step that drops whole low-quality domains
+    rather than re-scoring every page (RefinedWeb/C4 pattern).
+
+    One doc_id equi-join (quality scores back to sources) and one
+    (source) aggregation with map-side combine; source cardinality is
+    tiny next to the corpus, so the final agg is never the bottleneck.
+
+    Output: (source, n_docs, n_tokens, n_kept, keep_rate_scaled,
+    reputable).
+    """
+    from maps_spark.operators.text import quality_score
+    q = quality_score(docs)
+    j = docs.select("doc_id", "source").join(q, "doc_id")
+    rate = F.floor(F.col("n_kept") * scale / F.col("n_docs")).cast("long")
+    return (j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"))
+        .select("source", "n_docs", "n_tokens", "n_kept",
+                rate.alias("keep_rate_scaled"),
+                (rate >= int(keep_threshold * scale)).alias("reputable")))
+
+
 def hash_sample(docs: DataFrame, rate: float,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep ~``rate`` of documents by deterministic id hash — a pure

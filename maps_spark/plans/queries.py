@@ -336,6 +336,16 @@ def q_pii_scrub(spark, sf_dir):
     return TX.pii_scrub(_docs(spark, sf_dir))
 
 
+def q_lm_score(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.lm_score(_docs(spark, sf_dir))
+
+
+def q_source_reputation(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.source_stats(_docs(spark, sf_dir), keep_threshold=0.5)
+
+
 PACK_BUDGET = 512
 
 
@@ -408,6 +418,8 @@ MAPS_QUERIES = {
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "vocab_build": q_vocab_build,
     "pii_scrub": q_pii_scrub,
+    "lm_score": q_lm_score,
+    "source_reputation": q_source_reputation,
     "pack_sequences": q_pack_sequences,
     "pack_stats": q_pack_stats,
     "chunk_documents": q_chunk_documents,
@@ -480,6 +492,8 @@ def maps_oracles() -> dict[str, str]:
         "corpus_top_ngrams": OT.top_ngrams_select(n=2, k=50),
         "vocab_build": OT.build_vocab_select(min_count=2),
         "pii_scrub": OT.pii_scrub_select(),
+        "lm_score": OT.lm_score_select(),
+        "source_reputation": OT.source_stats_select(keep_threshold=0.5),
         "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),
         "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),
         "chunk_documents": OT.chunk_documents_select(chunk=64, stride=48),

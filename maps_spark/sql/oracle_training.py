@@ -291,6 +291,47 @@ SELECT doc_id, stratum, CAST(sample_rank AS INT) AS sample_rank
 FROM ranked WHERE sample_rank <= {n_per_stratum}"""
 
 
+def lm_score_select(scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.corpus.lm_score — same smoothing, same
+    ``floor(scale * ln(...))`` per-bigram integer cut before the sum."""
+    return f"""WITH {_TOKS_CTE},
+big AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL),
+c2 AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS head FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT word) AS v FROM toks),
+lp AS (
+  SELECT w1, w2,
+         CAST(floor({float(scale)!r} * ln(CAST(cnt + 1 AS DOUBLE)
+                    / CAST(head + v AS DOUBLE))) AS BIGINT) AS lp
+  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(-sum(lp) AS BIGINT) AS nll_scaled,
+       CAST(-sum(lp) AS BIGINT) // count(*) AS avg_nll_scaled
+FROM big JOIN lp USING (w1, w2) GROUP BY 1"""
+
+
+def source_stats_select(keep_threshold: float = 0.5,
+                        scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.corpus.source_stats over the same
+    quality_score CTE."""
+    return f"""WITH q AS ({quality_score_select()}),
+j AS (SELECT d.source, q.n_tokens, q.keep FROM documents d
+      JOIN q ON q.doc_id = d.doc_id),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM j GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_kept,
+       n_kept * {scale} // n_docs AS keep_rate_scaled,
+       n_kept * {scale} // n_docs >= {int(keep_threshold * scale)}
+         AS reputable
+FROM agg"""
+
+
 def pack_sequences_select(budget: int = 512) -> str:
     """DuckDB twin of operators.packing.pack_sequences: a plain global
     window cumsum over the same deterministic mix order (the engine's

@@ -444,3 +444,51 @@ class TestPacking:
         # stride coverage: last chunk reaches the end of the doc
         last = max(rows, key=lambda r: r.chunk_id)
         assert last.start_token + last.n_chunk_tokens == len(doc)
+
+
+class TestLmAndSources:
+    def test_lm_score_matches_hand_computation(self, spark):
+        import math
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+        from maps_spark.operators.corpus import lm_score
+        got = {r.doc_id: r for r in lm_score(docs).collect()}
+        # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; heads: a->3, b->2;
+        # V = 3
+        def lp(c2, c1):
+            return math.floor(1e6 * math.log((c2 + 1) / (c1 + 3)))
+        ab, ba, bc = lp(3, 3), lp(1, 2), lp(1, 2)
+        assert got[1].n_bigrams == 3
+        assert got[1].nll_scaled == -(ab + ba + ab)
+        assert got[2].nll_scaled == -(ab + bc)
+        assert got[2].avg_nll_scaled == (-(ab + bc)) // 2
+
+    def test_lm_score_flags_gibberish(self, spark, docs):
+        # unique-word docs (every bigram unseen elsewhere) must score
+        # higher NLL than the repetitive synthetic corpus average
+        from maps_spark.operators.corpus import lm_score
+        import pyspark.sql.functions as F
+        gib = spark.createDataFrame(
+            [(100000 + i, " ".join(f"zq{i}x{j}" for j in range(30)))
+             for i in range(5)], "doc_id long, text string")
+        both = docs.select("doc_id", "text").unionByName(gib)
+        s = lm_score(both)
+        g = s.where(F.col("doc_id") >= 100000).agg(
+            F.min("avg_nll_scaled")).first()[0]
+        c = s.where(F.col("doc_id") < 100000).agg(
+            F.avg("avg_nll_scaled")).first()[0]
+        assert g > c
+
+    def test_source_stats_flags_junk_source(self, spark):
+        from maps_spark.operators.corpus import source_stats
+        good = " ".join(["the quick brown fox jumps over a lazy dog"] * 3)
+        junk = "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz x"
+        rows = ([(i, good, "en", "clean", len(good)) for i in range(4)]
+                + [(10 + i, junk, "en", "spam", len(junk))
+                   for i in range(4)])
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        got = {r.source: r for r in source_stats(docs).collect()}
+        assert got["clean"].reputable and got["clean"].n_kept == 4
+        assert not got["spam"].reputable and got["spam"].n_kept == 0
