@@ -213,6 +213,54 @@ def source_stats(docs: DataFrame, keep_threshold: float = 0.5,
                 (rate >= int(keep_threshold * scale)).alias("reputable")))
 
 
+def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """End-to-end curation pipeline: tag every document with the first
+    stage that drops it, composing the engine's own operators in the
+    order every production pretraining pipeline runs them —
+
+    1. ``quality`` — fails :func:`maps_spark.operators.text.
+       quality_score` (length / token-shape / stopword gates);
+    2. ``exact_dup`` — identical text to a surviving lower doc_id;
+    3. ``near_dup`` — non-canonical member of a minhash-LSH cluster
+       (:func:`maps_spark.operators.dedup.minhash_lsh_pairs` ->
+       :func:`maps_spark.operators.dedup.dedup_clusters`) among the
+       remaining docs;
+    4. ``kept`` — survives all three.
+
+    Later stages only see earlier survivors (dedup never resurrects a
+    quality-dropped doc, near-dedup never re-scores exact dupes), so
+    stage counts are directly the pipeline's funnel metrics.
+
+    Scale: quality is pure codegen; exact dedup is one (text)
+    aggregation — hash-partitioned, hot texts collapse map-side; the
+    minhash stage inherits the capped-bucket LSH design. Output:
+    (doc_id, stage).
+    """
+    from maps_spark.operators.dedup import (dedup_clusters,
+                                            minhash_lsh_pairs)
+    from maps_spark.operators.text import quality_score
+    q = quality_score(docs).select("doc_id", "keep")
+    d = docs.select("doc_id", text_col).join(q, "doc_id")
+    quality_failed = d.where(~F.col("keep")).select("doc_id")
+    s1 = (d.where(F.col("keep"))
+          .withColumn("keeper",
+                      F.min("doc_id").over(Window.partitionBy(text_col))))
+    exact_dropped = (s1.where(F.col("doc_id") != F.col("keeper"))
+                     .select("doc_id"))
+    s2 = (s1.where(F.col("doc_id") == F.col("keeper"))
+          .select("doc_id", text_col))
+    clus = dedup_clusters(minhash_lsh_pairs(s2, text_col=text_col))
+    near_dropped = clus.where(~F.col("keep")).select("doc_id")
+    tagged = (quality_failed.withColumn("stage", F.lit("quality"))
+              .unionByName(exact_dropped.withColumn(
+                  "stage", F.lit("exact_dup")))
+              .unionByName(near_dropped.withColumn(
+                  "stage", F.lit("near_dup"))))
+    return (docs.select("doc_id").join(tagged, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("stage", F.lit("kept")).alias("stage")))
+
+
 def hash_sample(docs: DataFrame, rate: float,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep ~``rate`` of documents by deterministic id hash — a pure

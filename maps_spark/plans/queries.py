@@ -336,6 +336,11 @@ def q_pii_scrub(spark, sf_dir):
     return TX.pii_scrub(_docs(spark, sf_dir))
 
 
+def q_curate_corpus(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.curate_corpus(_docs(spark, sf_dir))
+
+
 def q_lm_score(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     return CP.lm_score(_docs(spark, sf_dir))
@@ -418,6 +423,7 @@ MAPS_QUERIES = {
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "vocab_build": q_vocab_build,
     "pii_scrub": q_pii_scrub,
+    "curate_corpus": q_curate_corpus,
     "lm_score": q_lm_score,
     "source_reputation": q_source_reputation,
     "pack_sequences": q_pack_sequences,
@@ -492,6 +498,7 @@ def maps_oracles() -> dict[str, str]:
         "corpus_top_ngrams": OT.top_ngrams_select(n=2, k=50),
         "vocab_build": OT.build_vocab_select(min_count=2),
         "pii_scrub": OT.pii_scrub_select(),
+        "curate_corpus": OT.curate_corpus_select(),
         "lm_score": OT.lm_score_select(),
         "source_reputation": OT.source_stats_select(keep_threshold=0.5),
         "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),

@@ -291,6 +291,45 @@ SELECT doc_id, stratum, CAST(sample_rank AS INT) AS sample_rank
 FROM ranked WHERE sample_rank <= {n_per_stratum}"""
 
 
+def curate_corpus_select(num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 3, seed: int = 42,
+                         max_bucket: int = 1000) -> str:
+    """DuckDB twin of operators.corpus.curate_corpus: the same staged
+    funnel (quality -> exact dedup -> minhash near-dedup), with the
+    minhash CTE chain re-targeted at the exact-dedup survivors and the
+    cluster labels from the recursive min-label walk."""
+    mh_body = _minhash_ctes(num_perm, bands, shingle_k, seed,
+                            max_bucket, table="s2")[len("WITH "):]
+    return f"""WITH RECURSIVE q AS ({quality_score_select()}),
+d AS (SELECT doc.doc_id, doc.text, q.keep
+      FROM documents doc JOIN q ON q.doc_id = doc.doc_id),
+s1 AS (SELECT doc_id, text,
+              min(doc_id) OVER (PARTITION BY text) AS keeper
+       FROM d WHERE keep),
+s2 AS (SELECT doc_id, text FROM s1 WHERE doc_id = keeper),
+{mh_body},
+edges AS (SELECT doc_a AS s, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.s = w.doc_id
+  WHERE w.lbl < e.dst),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1)
+SELECT doc.doc_id,
+       CASE WHEN doc.doc_id IN (SELECT doc_id FROM d WHERE NOT keep)
+              THEN 'quality'
+            WHEN doc.doc_id IN (SELECT doc_id FROM s1
+                                WHERE doc_id <> keeper)
+              THEN 'exact_dup'
+            WHEN doc.doc_id IN (SELECT doc_id FROM comp
+                                WHERE doc_id <> cluster_id)
+              THEN 'near_dup'
+            ELSE 'kept' END AS stage
+FROM documents doc"""
+
+
 def lm_score_select(scale: int = 1_000_000) -> str:
     """DuckDB twin of operators.corpus.lm_score — same smoothing, same
     ``floor(scale * ln(...))`` per-bigram integer cut before the sum."""
@@ -642,9 +681,11 @@ def _shingle_fold(elems: list[str]) -> str:
 
 def _minhash_ctes(num_perm: int = 64, bands: int = 16,
                   shingle_k: int = 3, seed: int = 42,
-                  max_bucket: int = 1000) -> str:
+                  max_bucket: int = 1000,
+                  table: str = "documents") -> str:
     """Shared CTE prefix (token hashes -> shingle sets -> signatures ->
-    capped band buckets -> candidate pairs) for the minhash oracles."""
+    capped band buckets -> candidate pairs) for the minhash oracles.
+    ``table`` is any relation/CTE with (doc_id, text) columns."""
     from maps_spark.operators.dedup import minhash_perm_consts
 
     rows = num_perm // bands
@@ -663,7 +704,7 @@ def _minhash_ctes(num_perm: int = 64, bands: int = 16,
                                     for j in range(rows)]))
         for i in range(bands))
     return f"""WITH th AS (
-  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM documents),
+  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM {table}),
 shing AS (
   SELECT doc_id,
          CASE WHEN len(hs) >= {k}

@@ -492,3 +492,34 @@ class TestLmAndSources:
         got = {r.source: r for r in source_stats(docs).collect()}
         assert got["clean"].reputable and got["clean"].n_kept == 4
         assert not got["spam"].reputable and got["spam"].n_kept == 0
+
+
+class TestCurateCorpus:
+    def test_funnel_stages_on_planted_docs(self, spark):
+        from maps_spark.operators.corpus import curate_corpus
+        good = ("the quick brown fox jumps over the lazy dog while "
+                "a bird sings in the tall green tree near the old house "
+                "and the river runs to the sea past the busy town")
+        near = good.replace("busy town", "quiet village")
+        other = ("every morning the baker walks to the market with "
+                 "fresh bread and warm cakes for all the hungry people "
+                 "who wait in line near the fountain on the square there")
+        rows = [(1, good), (2, good),        # 2 -> exact_dup
+                (3, near),                   # near-dup of 1
+                (4, other),                  # kept
+                (5, "zz")]                   # quality (too short)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.stage
+               for r in curate_corpus(docs).collect()}
+        assert got[5] == "quality"
+        assert got[2] == "exact_dup"
+        assert got[1] == "kept" and got[4] == "kept"
+        assert got[3] == "near_dup"
+
+    def test_stages_partition_the_corpus(self, spark, docs):
+        from maps_spark.operators.corpus import curate_corpus
+        out = curate_corpus(docs)
+        assert out.count() == docs.count()
+        stages = {r.stage for r in
+                  out.select("stage").distinct().collect()}
+        assert stages <= {"kept", "quality", "exact_dup", "near_dup"}
