@@ -150,6 +150,21 @@ def run() -> None:
         @timed("ann_topk")
         def _11():
             SIM.brute_force_topk(emb, emb.limit(16), k=10).count()
+
+        from maps_spark.operators import corpus as CP
+        from maps_spark.operators import packing as PK
+
+        @timed("pack_sequences")
+        def _12():
+            PK.pack_sequences(docs, budget=512).count()
+
+        @timed("lm_score")
+        def _13():
+            CP.lm_score(docs).count()
+
+        @timed("curate_corpus")
+        def _14():
+            CP.curate_corpus(docs).count()
     except ImportError:
         pass
 

@@ -283,6 +283,22 @@ def q_ann_ivf_topk(spark, sf_dir):
                         n_clusters=16, n_probe=4)
 
 
+def q_ann_ivf_index(spark, sf_dir):
+    """Build-then-serve split of the IVF path: persist the cluster-
+    partitioned index, then answer the same top-k through the pruned
+    reader — must hash-match the on-the-fly ivf_topk oracle."""
+    import tempfile
+
+    from maps_spark.sources.ann_index import (build_ivf_index,
+                                              query_ivf_index)
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="maps-spark-ivf-") + "/index"
+    build_ivf_index(emb, root, n_clusters=16, kmeans_iters=2)
+    return query_ivf_index(spark, root,
+                           emb.where(F.col("vec_id") < 16),
+                           k=10, n_probe=4)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from maps_spark.operators import text as TX
     return TX.fingerprint(_docs(spark, sf_dir))
@@ -414,6 +430,7 @@ MAPS_QUERIES = {
     "embedding_near_dupes": q_embedding_near_dupes,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_index": q_ann_ivf_index,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
@@ -486,6 +503,8 @@ def maps_oracles() -> dict[str, str]:
         "ann_lsh_topk": OT.ann_lsh_select(k=10, n_queries=16),
         "ann_ivf_topk": OT.ann_ivf_select(k=10, n_queries=16,
                                           n_clusters=16, n_probe=4),
+        "ann_ivf_index": OT.ann_ivf_select(k=10, n_queries=16,
+                                           n_clusters=16, n_probe=4),
         "embedding_near_dupes": OT.embedding_near_dupes_select(
             threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),

@@ -523,3 +523,47 @@ class TestCurateCorpus:
         stages = {r.stage for r in
                   out.select("stage").distinct().collect()}
         assert stages <= {"kept", "quality", "exact_dup", "near_dup"}
+
+
+class TestDocStore:
+    """Bucketed curation store: co-located joins must not shuffle."""
+
+    def test_annotation_join_has_no_exchange(self, spark, docs, tmp_path):
+        from maps_spark.operators.text import quality_score
+        from maps_spark.sources import doc_store as DS
+        from tests.test_plans import plan_of
+        root = str(tmp_path / "store")
+        DS.create_store(spark, root, "tstore", buckets=8)
+        DS.write_table(docs.select("doc_id", "text", "source"),
+                       root, "corpus")
+        DS.write_table(quality_score(docs), root, "quality")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a non-broadcast join so the shuffle would be visible
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = DS.annotation_join(spark, root, "corpus", ["quality"])
+            plan = plan_of(j)
+            assert "Exchange" not in plan, plan
+            assert j.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the same files read WITHOUT the catalog bucket spec do shuffle
+        raw = spark.read.parquet(f"{root}/corpus")
+        rawq = spark.read.parquet(f"{root}/quality")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert "Exchange" in plan_of(raw.join(rawq, "doc_id"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_register_existing_recovers_bucket_spec(self, spark, docs,
+                                                    tmp_path):
+        from maps_spark.sources import doc_store as DS
+        root = str(tmp_path / "store2")
+        DS.create_store(spark, root, "tstore2", buckets=4)
+        DS.write_table(docs.select("doc_id", "lang"), root, "corpus")
+        spark.sql("DROP TABLE IF EXISTS tstore2_corpus")
+        names = DS.register_existing(spark, root)
+        assert names == ["tstore2_corpus"]
+        got = DS.read_table(spark, root, "corpus")
+        assert got.count() == docs.count()
