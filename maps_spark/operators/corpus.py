@@ -242,9 +242,14 @@ def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
     q = quality_score(docs).select("doc_id", "keep")
     d = docs.select("doc_id", text_col).join(q, "doc_id")
     quality_failed = d.where(~F.col("keep")).select("doc_id")
-    s1 = (d.where(F.col("keep"))
-          .withColumn("keeper",
-                      F.min("doc_id").over(Window.partitionBy(text_col))))
+    # exact dedup on md5(text), not a Window over the raw text: the
+    # group-agg combines map-side (a 10M-copy boilerplate text never
+    # lands in one task, unlike Window.partitionBy) and the join
+    # shuffles 16-byte digests instead of whole documents; AQE skew
+    # splitting covers the hot digest on the join side
+    s1 = d.where(F.col("keep")).withColumn("th", F.md5(F.col(text_col)))
+    keepers = s1.groupBy("th").agg(F.min("doc_id").alias("keeper"))
+    s1 = s1.join(keepers, "th")
     exact_dropped = (s1.where(F.col("doc_id") != F.col("keeper"))
                      .select("doc_id"))
     s2 = (s1.where(F.col("doc_id") == F.col("keeper"))
