@@ -16,7 +16,6 @@ binary cells; the synthesize helper models that.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,9 +38,11 @@ def synthesize_media(spark: SparkSession, n: int = 64,
             ids = pdf["id"].to_numpy()
             kinds = np.where(ids % 3 == 0, "image",
                              np.where(ids % 3 == 1, "audio", "video"))
-            payloads = [zlib.compress(
-                hashlib.sha256(f"media-{i}".encode()).digest() * 32)
-                for i in ids]
+            # payload = repeated sha256 digest: opaque binary that any
+            # engine with a sha256 builtin can re-derive, so the decode
+            # stub downstream is cross-engine verifiable (DuckDB oracle)
+            payloads = [hashlib.sha256(f"media-{i}".encode()).digest() * 32
+                        for i in ids]
             yield pd.DataFrame({
                 "media_id": ids, "kind": kinds, "payload": payloads,
                 "width": np.where(kinds == "image", 640, 0),
@@ -59,9 +60,11 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
     Raises NotImplementedError if real decoding is requested; the
     deterministic fake derives a pseudo-"pixel" array from the payload
-    hash so downstream shapes/aggregations are exercised honestly.
+    hash so downstream shapes/aggregations are exercised honestly. The
+    hash runs over the payload's hex text (not raw bytes) so the value
+    is reproducible in SQL engines whose sha256 builtin is string-only.
     """
-    digest = hashlib.sha256(payload).digest()
+    digest = hashlib.sha256(payload.hex().encode()).digest()
     arr = np.frombuffer((digest * ((width * 3 // len(digest)) + 1))
                         [: width * 3], dtype=np.uint8)
     return arr.astype(np.float32) / 255.0

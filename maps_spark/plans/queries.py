@@ -406,7 +406,7 @@ MAPS_QUERIES = {
     "hex_bin_z2": q_hex_bin_z2,
     "country_mask_z2": q_country_mask_z2,
     "hex_trend_z0": q_hex_trend_z0,
-    "media_features": q_media_features,        # rows-only (stubbed decode)
+    "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
@@ -524,4 +524,5 @@ def maps_oracles() -> dict[str, str]:
         "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),
         "chunk_documents": OT.chunk_documents_select(chunk=64, stride=48),
         "media_frame_sample": OT.media_frame_sample_select(),
+        "media_features": OT.media_features_select(),
     }

@@ -788,6 +788,29 @@ FROM capped a JOIN capped b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
 
 
+def media_features_select(n: int = 64) -> str:
+    """DuckDB twin of plans.queries.q_media_features.
+
+    The stub decode (operators.multimodal._decode_image) is
+    deterministic: payload = sha256('media-<i>') digest repeated 32x,
+    feat[0] = byte0(sha256(hex(payload))) / 255 as float32. hex(payload)
+    is just the digest hex repeated 32x, so DuckDB's string-only sha256
+    reproduces it as sha256(repeat(sha256('media-<i>'), 32)); the first
+    byte comes from the leading hex pair. Every decode succeeds, so
+    n_decoded = n."""
+    return f"""WITH m AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         ('0x' || substr(sha256(repeat(sha256('media-' || i), 32)),
+                         1, 2))::INT AS byte0
+  FROM generate_series(0, {n - 1}) t(i))
+SELECT kind, count(*) AS n, count(*) AS n_decoded,
+       round(sum(CAST(CAST(byte0 / 255.0 AS REAL) AS DOUBLE)), 6)
+         AS sum_feat0
+FROM m GROUP BY kind"""
+
+
 def media_frame_sample_select(n: int = 64, every_n: int = 30,
                               n_frames: int = 300) -> str:
     """DuckDB twin of plans.queries.q_media_frame_sample: the frame
