@@ -13,10 +13,11 @@ demonstrates the two canonical Spark shapes for it:
   (open sessions ride in the state store, event-time timeouts close
   idle ones as the watermark advances).
 
-Timestamps are epoch MICROseconds (``ts DIV 1000`` — integer division,
-exact): the synthetic ``ts`` is int64 nanoseconds, but DuckDB coerces
-TIMESTAMP(NANOS) parquet to microsecond TIMESTAMP by truncation, so
-microseconds are the finest grain both engines agree on bit-for-bit.
+Timestamps are epoch MICROseconds: the synthetic ``ts`` is
+TIMESTAMP(MICROS) parquet, read by Spark as TIMESTAMP_NTZ and by DuckDB
+as naive TIMESTAMP. Spark side converts with ``timestampdiff`` from the
+NTZ epoch (session-timezone-independent — the gate may run under any
+tz); DuckDB side uses ``epoch_us`` — both yield the identical int64.
 ``value`` is folded in as ``floor(value * 1000)`` per-row (exact in
 both engines) so the session sum is an order-independent integer.
 """
@@ -28,6 +29,13 @@ from pyspark.sql import DataFrame, Window
 
 GAP_US_DEFAULT = 12 * 3600 * 1_000_000  # 12 hours
 
+# epoch micros from the TIMESTAMP_NTZ `ts` — pure wall-clock arithmetic,
+# unaffected by spark.sql.session.timeZone (a cast through TIMESTAMP
+# would shift by the session offset; the oracle's epoch_us does not)
+TS_US_SPARK = ("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+TS_US_DUCKDB = "epoch_us(ts)"
+
 SESSION_SCHEMA = ("user_id long, session_start long, session_end long, "
                   "n_events long, value_milli long")
 
@@ -37,7 +45,7 @@ def session_events(events: DataFrame) -> DataFrame:
     arithmetic both engines reproduce: (user_id, tus, event_id, vm)."""
     return events.select(
         "user_id",
-        F.expr("ts DIV 1000").cast("long").alias("tus"),
+        F.expr(TS_US_SPARK).cast("long").alias("tus"),
         "event_id",
         F.floor(F.col("value") * 1000).cast("long").alias("vm"))
 
@@ -75,9 +83,9 @@ def sessionize_batch(events: DataFrame,
 
 def sessionize_sql(gap_us: int = GAP_US_DEFAULT,
                    events_table: str = "events",
-                   ts_expr: str = "epoch_us(ts)") -> str:
+                   ts_expr: str = TS_US_DUCKDB) -> str:
     """ANSI-SQL twin of :func:`sessionize_batch` (DuckDB oracle; also
-    valid Spark SQL with ``ts_expr='ts DIV 1000'``)."""
+    valid Spark SQL with ``ts_expr=TS_US_SPARK``)."""
     return f"""WITH e AS (
   SELECT user_id, CAST({ts_expr} AS BIGINT) AS tus, event_id,
          CAST(floor(value * 1000) AS BIGINT) AS vm

@@ -184,19 +184,16 @@ def q_species_trend(spark, sf_dir):
 
 def _docs(spark, sf_dir):
     from maps_spark.sources.occurrence import spread
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
     from maps_spark.sources.occurrence import spread
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_event_sessions(spark, sf_dir):
     from maps_spark.operators.sessions import sessionize_batch
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 

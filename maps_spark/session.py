@@ -46,8 +46,6 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # driver testdata writes TIMESTAMP(NANOS) parquet; read as long
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxRecordsPerFile", "10000000")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -140,9 +140,6 @@ def register_testdata(spark: SparkSession, sf_dir: str,
                           "region", "nation", "customer", "supplier", "part",
                           "orders", "lineitem", "events", "documents",
                           "embeddings")) -> None:
-    # testdata parquet uses TIMESTAMP(NANOS); set per-session so this works
-    # under externally-created SparkSessions (e.g. the driver's)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in _FACT_TABLES:

@@ -16,8 +16,9 @@ module adds the missing incremental path as new scope:
   them into a bucketed MVT tile store — the re-encode working set is
   proportional to the delta's bucket/tile footprint, not the corpus.
 
-Event-time semantics: the events table's ``ts`` is nanoseconds; a
-10-minute watermark bounds state for the windowed variant.
+Event-time semantics: the events table's ``ts`` is TIMESTAMP(MICROS)
+parquet (read as TIMESTAMP_NTZ); a 10-minute watermark bounds state for
+the windowed variant.
 """
 
 from __future__ import annotations
@@ -35,7 +36,6 @@ def _stream_parquet(spark: SparkSession, path: str):
     """File-stream reader that also accepts a single-file path
     (FileStreamSource requires a directory; testdata tables are bare
     files, a landing zone is a directory)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 4))
@@ -88,9 +88,10 @@ def windowed_event_counts(spark: SparkSession, input_dir: str,
                           watermark: str = "10 minutes") -> DataFrame:
     """Watermarked event-time aggregation over the raw event stream
     (late data beyond the watermark is dropped, state is bounded)."""
+    from maps_spark.operators.sessions import TS_US_SPARK
     stream = _stream_parquet(spark, input_dir)
     with_time = stream.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1e9)))
+        "event_time", F.timestamp_micros(F.expr(TS_US_SPARK).cast("long")))
     return (with_time
             .withWatermark("event_time", watermark)
             .groupBy(F.window("event_time", window).alias("w"), "event_type")

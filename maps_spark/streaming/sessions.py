@@ -20,7 +20,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from maps_spark.operators.sessions import GAP_US_DEFAULT, SESSION_SCHEMA
+from maps_spark.operators.sessions import (GAP_US_DEFAULT, SESSION_SCHEMA,
+                                           TS_US_SPARK)
 
 _STATE_SCHEMA = "start long, last long, n long, v long"
 _OUT_COLS = ["user_id", "session_start", "session_end",
@@ -57,7 +58,6 @@ def sessionize_stream(spark: SparkSession, input_dir: str,
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.assign(
-            tus=rows["ts"] // 1000,
             vm=np.floor(rows["value"] * 1000).astype("int64"),
         ).sort_values(["tus", "event_id"])
         if state.exists:
@@ -86,8 +86,11 @@ def sessionize_stream(spark: SparkSession, input_dir: str,
         yield pd.DataFrame(closed, columns=_OUT_COLS)
 
     stream = _stream_parquet(spark, input_dir)
-    with_time = stream.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1e9)))
+    # epoch micros computed JVM-side (tz-independent) so the Python
+    # state fn sees a plain int64, never a pandas datetime dtype
+    with_time = (stream
+                 .withColumn("tus", F.expr(TS_US_SPARK).cast("long"))
+                 .withColumn("event_time", F.timestamp_micros("tus")))
     return (with_time.withWatermark("event_time", watermark)
             .groupBy("user_id")
             .applyInPandasWithState(fn, SESSION_SCHEMA, _STATE_SCHEMA,

@@ -12,7 +12,6 @@ GAP_US = 12 * 3600 * 1_000_000
 
 def _batch_sessions(spark):
     from maps_spark.operators.sessions import sessionize_batch
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     return sessionize_batch(ev, gap_us=GAP_US)
 
@@ -21,11 +20,11 @@ class TestBatchSessions:
     def test_matches_sql_twin_in_spark(self, spark):
         """The dual-dialect SQL text must reproduce the DataFrame
         version inside Spark itself (DuckDB parity is the gate's job)."""
-        from maps_spark.operators.sessions import sessionize_sql
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from maps_spark.operators.sessions import (TS_US_SPARK,
+                                                   sessionize_sql)
         (spark.read.parquet(f"{SF_SMALL}/events.parquet")
          .createOrReplaceTempView("events"))
-        sql = sessionize_sql(gap_us=GAP_US, ts_expr="ts DIV 1000")
+        sql = sessionize_sql(gap_us=GAP_US, ts_expr=TS_US_SPARK)
         twin = spark.sql(sql)
         df = _batch_sessions(spark)
         assert df.exceptAll(twin).count() == 0
@@ -36,7 +35,6 @@ class TestBatchSessions:
         event total and sessions never overlap."""
         df = _batch_sessions(spark).orderBy("user_id", "session_start")
         rows = df.collect()
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         totals = dict(spark.read.parquet(f"{SF_SMALL}/events.parquet")
                       .groupBy("user_id").count().collect())
         per_user: dict[int, int] = {}
@@ -58,9 +56,10 @@ class TestStreamingSessions:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         pdf = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
                .orderBy("ts", "event_id").toPandas())
+        # keep the source's TIMESTAMP(MICROS) physical type on re-write
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
         landing = str(tmp_path / "landing")
         os.makedirs(landing)
         chunk = (len(pdf) + n_files - 1) // n_files
@@ -92,10 +91,10 @@ class TestStreamingSessions:
         emitted = self._run(spark, landing)
         batch = _batch_sessions(spark).collect()
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from maps_spark.operators.sessions import TS_US_SPARK
         wm_ms = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
-                 .select(F.max(F.unix_millis(F.timestamp_seconds(
-                     F.col("ts") / F.lit(1e9)))))
+                 .select(F.max(F.expr(TS_US_SPARK).cast("long") / 1000)
+                         .cast("long"))
                  .first()[0]) - 60_000  # the 1-minute watermark delay
 
         want = set()

@@ -53,7 +53,6 @@ class TestRefresh:
         from maps_spark.streaming.refresh import read_pixel_store, run_refresh
 
         landing = str(tmp_path / "landing")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         (spark.read.parquet(f"{SF_SMALL}/events.parquet")
          .repartition(9).write.parquet(landing))
         n_files = len([f for f in os.listdir(landing)
@@ -116,7 +115,6 @@ class TestRefresh:
         from maps_spark.streaming.refresh import read_tile_store, run_refresh
 
         landing = str(tmp_path / "landing")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         (spark.read.parquet(f"{SF_SMALL}/events.parquet")
          .repartition(9).write.parquet(landing))
 
