@@ -288,16 +288,31 @@ def hex_trend_body(srs: str, z: int, x: int, y: int, species_view: str,
                   lat=lat, lng=lng, bor_year=bor_year)
     g = tile_ctes(srs, z, x, y, group_view, prefix="g", keyed=keyed,
                   lat=lat, lng=lng, bor_year=bor_year)
+    # Two Spark-codegen guards, both also strictly-less-work rewrites:
+    # (1) the (px, py, year) pre-aggregation between `intile` and the
+    # hex assignment keeps Catalyst from inlining the full projection
+    # formula into every px/py occurrence of the cube-round CASEs (the
+    # generated processNext() otherwise overflows the JVM's 64 KB
+    # method limit and the stage silently loses whole-stage codegen);
+    # the hex id is also computed once per distinct pixel, not per
+    # record. (2) coalesce(...) makes hexQ/hexR non-nullable so the
+    # join's inferred isnotnull constraints cannot push back through
+    # both aggregates as a 30 KB hex-of-Mercator scan filter (same
+    # overflow; the ids are never null — containment already filtered).
     return f"""WITH {s},
 {g},
-sc AS (SELECT {qe} AS hexQ, {re} AS hexR,
-              CAST(floor(borYear / 100) AS BIGINT) AS year,
-              count(*) AS speciesCnt
-       FROM sintile WHERE borYear >= 100 GROUP BY 1, 2, 3),
-gc AS (SELECT {qe} AS hexQ, {re} AS hexR,
-              CAST(floor(borYear / 100) AS BIGINT) AS year,
-              count(*) AS groupCnt
-       FROM gintile WHERE borYear >= 100 GROUP BY 1, 2, 3),
+scp AS (SELECT px, py, CAST(floor(borYear / 100) AS BIGINT) AS year,
+               count(*) AS c
+        FROM sintile WHERE borYear >= 100 GROUP BY 1, 2, 3),
+gcp AS (SELECT px, py, CAST(floor(borYear / 100) AS BIGINT) AS year,
+               count(*) AS c
+        FROM gintile WHERE borYear >= 100 GROUP BY 1, 2, 3),
+sc AS (SELECT coalesce({qe}, 0) AS hexQ, coalesce({re}, 0) AS hexR, year,
+              CAST(sum(c) AS BIGINT) AS speciesCnt
+       FROM scp GROUP BY 1, 2, 3),
+gc AS (SELECT coalesce({qe}, 0) AS hexQ, coalesce({re}, 0) AS hexR, year,
+              CAST(sum(c) AS BIGINT) AS groupCnt
+       FROM gcp GROUP BY 1, 2, 3),
 pairs AS (SELECT sc.hexQ, sc.hexR, sc.year,
                  CAST(floor(CAST(sc.speciesCnt AS DOUBLE) * 1000000000.0
                             / CAST(gc.groupCnt AS DOUBLE)) AS BIGINT) AS rs
