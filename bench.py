@@ -55,7 +55,7 @@ def run() -> None:
     timings: dict[str, float] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
-    def timed(name):
+    def timed(name, n=None):
         # Report the best of ``repeats`` executions: this box shows up to
         # 2x wall-clock noise under contention, and steady-state (JIT- and
         # page-cache-warm) throughput is the honest 100 TB proxy. The
@@ -65,7 +65,7 @@ def run() -> None:
         # plan matching, and the repeat would time cache reads, not work.
         def deco(fn):
             best = None
-            for _ in range(repeats):
+            for _ in range(n or repeats):
                 spark.catalog.clearCache()
                 t0 = time.time()
                 fn()
@@ -107,6 +107,23 @@ def run() -> None:
         # regressions stay visible round over round
         pix = PY.pixel_table(keyed, "EPSG:3857", 6)
         PY.encode_mvt(PY.tile_rows(pix, "EPSG:3857", 6), 6).count()
+
+    @timed("backfill_z0_10_3857", n=1)
+    def _4c():
+        # the reference's headline workload end-to-end (BASELINE.md's
+        # stage times are exactly this pipeline at z16): snapshot ->
+        # pixel spans -> per-zoom MVT encode -> versioned sorted tile
+        # index + manifest swap. One repeat: it is a write pipeline.
+        import shutil
+        import tempfile
+
+        from maps_spark.plans.backfill import run_backfill
+        out = tempfile.mkdtemp(prefix="bench_bf_")
+        try:
+            run_backfill(spark, SF_DIR, out, max_zoom=10,
+                         threshold=250_000, srs_list=("EPSG:3857",))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     @timed("point_blobs")
     def _5():
