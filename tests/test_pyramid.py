@@ -65,6 +65,23 @@ def test_pixel_parent_exact(pixel_levels):
     assert bad.count() == 0
 
 
+def test_spans_match_cascade_at_z16(keyed):
+    """The span strategy must reproduce the per-zoom cascade EXACTLY at
+    the reference's max zoom — 17 levels cross two span boundaries, so
+    this exercises the continuation path (pre-shift + re-aggregate of
+    the previous span's deepest level) twice, which no single-span test
+    reaches."""
+    spans = dict(PY.pyramid_pixels_spans(keyed, "EPSG:3857", 16))
+    cascade = dict(PY.pyramid_pixels(keyed, "EPSG:3857", 16))
+    for z in (16, 10, 9, 4, 3, 0):  # boundary zooms + their successors
+        bad = (spans[z].alias("s").join(
+            cascade[z].alias("c"), ["mapKey", "px", "py", "borYear"],
+            "outer")
+            .where(F.coalesce(F.col("s.cnt"), F.lit(-1)) !=
+                   F.coalesce(F.col("c.cnt"), F.lit(-2))))
+        assert bad.count() == 0, f"zoom {z}"
+
+
 def test_mvt_tiles_match_pixels(pixel_levels):
     """Decoded MVT totals (buffer excluded) == pixel-table totals for a
     sample of map views at z1."""
