@@ -266,6 +266,69 @@ def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     F.coalesce("stage", F.lit("kept")).alias("stage")))
 
 
+def tokenize_docs(docs: DataFrame, vocab: DataFrame,
+                  text_col: str = "text", unk_id: int = -1) -> DataFrame:
+    """Apply a :func:`build_vocab` vocabulary to the corpus: every word
+    becomes its dense token id (OOV -> ``unk_id``), emitted as a
+    comma-joined string in document order — the id stream a training
+    loader consumes, and the step that closes the tokenizer loop
+    (vocab -> ids -> :func:`maps_spark.operators.packing.pack_sequences`).
+
+    The id stream is a STRING (not array) so the cross-engine value
+    hash is textual and exact. Documents with no tokens (empty text)
+    produce no row, matching the exploded-word grouping on both engines.
+
+    Scale: one (word) equi-join of the exploded corpus against the
+    vocabulary — the vocab is orders of magnitude smaller than the
+    corpus (broadcast under the session threshold, AQE otherwise) —
+    and one (doc_id) aggregation whose groups are bounded by document
+    length. The in-order reassembly is ``array_sort`` over
+    (pos, id) structs inside codegen, never a window over the corpus.
+
+    Output: (doc_id, n_tokens, n_oov, token_ids).
+    """
+    from maps_spark.operators.text import _doc_tokens
+    toks = _doc_tokens(docs, text_col)
+    j = toks.join(vocab.select("word", "token_id"), "word", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("long")
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), tid.alias("t"))))
+        .alias("arr"))
+    return agg.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.concat_ws(",", F.transform("arr", lambda s: s["t"].cast("string")))
+        .alias("token_ids"))
+
+
+def corpus_profile(docs: DataFrame, value_col: str = "n_chars",
+                   group_col: str = "source") -> DataFrame:
+    """Per-group exact distribution profile of a numeric column — the
+    corpus-audit step before curation thresholds are chosen (what does
+    "short" mean per source?).
+
+    Quantiles are EXACT (``percentile`` — sort-based rank
+    interpolation, the same p*(n-1) linear rule DuckDB's
+    ``quantile_cont`` uses on the same int64 operands, so the doubles
+    match bitwise); at 100 TB the per-group sort is bounded by the
+    group's row count and groups are independent — for corpus-sized
+    groups switch to ``percentile_approx`` and a rows-only check.
+
+    Output: (group, n_docs, min_v, max_v, sum_v, p25, p50, p75, p90).
+    """
+    v = F.col(value_col).cast("long")
+    return (docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.percentile(v, F.lit(0.25)).alias("p25"),
+        F.percentile(v, F.lit(0.5)).alias("p50"),
+        F.percentile(v, F.lit(0.75)).alias("p75"),
+        F.percentile(v, F.lit(0.9)).alias("p90")))
+
+
 def hash_sample(docs: DataFrame, rate: float,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep ~``rate`` of documents by deterministic id hash — a pure

@@ -384,6 +384,17 @@ def q_chunk_documents(spark, sf_dir):
     return PK.chunk_documents(_docs(spark, sf_dir), chunk=64, stride=48)
 
 
+def q_tokenize_docs(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    docs = _docs(spark, sf_dir)
+    return CP.tokenize_docs(docs, CP.build_vocab(docs, min_count=2))
+
+
+def q_corpus_profile(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.corpus_profile(_docs(spark, sf_dir))
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -443,6 +454,8 @@ MAPS_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_stats": q_pack_stats,
     "chunk_documents": q_chunk_documents,
+    "tokenize_docs": q_tokenize_docs,
+    "corpus_profile": q_corpus_profile,
 }
 
 
@@ -520,6 +533,8 @@ def maps_oracles() -> dict[str, str]:
         "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),
         "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),
         "chunk_documents": OT.chunk_documents_select(chunk=64, stride=48),
+        "tokenize_docs": OT.tokenize_docs_select(min_count=2),
+        "corpus_profile": OT.corpus_profile_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_features": OT.media_features_select(),
     }

@@ -276,6 +276,42 @@ SELECT word, n_occ, n_docs,
 FROM counts"""
 
 
+def tokenize_docs_select(min_count: int = 1, unk_id: int = -1) -> str:
+    """DuckDB twin of operators.corpus.tokenize_docs (vocab derived by
+    the same (n_occ DESC, word) ranking as build_vocab_select)."""
+    return f"""WITH {_TOKS_CTE},
+counts AS (
+  SELECT word, count(*) AS n_occ
+  FROM toks GROUP BY 1 HAVING count(*) >= {min_count}),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY n_occ DESC, word) - 1 AS token_id
+  FROM counts),
+j AS (
+  SELECT t.doc_id, t.pos, v.token_id
+  FROM toks t LEFT JOIN vocab v USING (word))
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       string_agg(CAST(coalesce(token_id, {unk_id}) AS VARCHAR),
+                  ',' ORDER BY pos) AS token_ids
+FROM j GROUP BY 1"""
+
+
+def corpus_profile_select(value_col: str = "n_chars",
+                          group_col: str = "source") -> str:
+    """DuckDB twin of operators.corpus.corpus_profile (quantile_cont ==
+    Spark's exact `percentile`: both interpolate at rank p*(n-1))."""
+    v = f"CAST({value_col} AS BIGINT)"
+    return f"""SELECT {group_col} AS grp, count(*) AS n_docs,
+       min({v}) AS min_v, max({v}) AS max_v,
+       CAST(sum({v}) AS BIGINT) AS sum_v,
+       quantile_cont({v}, 0.25) AS p25,
+       quantile_cont({v}, 0.5) AS p50,
+       quantile_cont({v}, 0.75) AS p75,
+       quantile_cont({v}, 0.9) AS p90
+FROM documents GROUP BY 1"""
+
+
 def stratified_sample_select(strata_col: str = "lang",
                              n_per_stratum: int = 20) -> str:
     """DuckDB twin of operators.corpus.stratified_sample."""

@@ -567,3 +567,42 @@ class TestDocStore:
         assert names == ["tstore2_corpus"]
         got = DS.read_table(spark, root, "corpus")
         assert got.count() == docs.count()
+
+
+class TestTokenizeAndProfile:
+    def test_tokenize_roundtrips_words(self, spark, docs):
+        """Ids decode back to the exact word sequence via the vocab
+        inverse, and token counts match the whitespace tokenizer."""
+        from maps_spark.operators import corpus as CP
+        vocab = CP.build_vocab(docs, min_count=1)
+        inv = {r.token_id: r.word for r in vocab.collect()}
+        out = {r.doc_id: r for r in
+               CP.tokenize_docs(docs, vocab).collect()}
+        for r in docs.limit(20).collect():
+            words = [w for w in r.text.split(" ") if w]
+            got = out[r.doc_id]
+            assert got.n_tokens == len(words)
+            assert got.n_oov == 0  # min_count=1: every word is in-vocab
+            ids = [int(t) for t in got.token_ids.split(",")]
+            assert [inv[i] for i in ids] == words
+
+    def test_tokenize_marks_oov(self, spark, docs):
+        """With a high min_count, rare words map to unk and are counted
+        as OOV; in-vocab ids stay consistent with the smaller vocab."""
+        from maps_spark.operators import corpus as CP
+        vocab = CP.build_vocab(docs, min_count=50)
+        n_vocab = vocab.count()
+        assert 0 < n_vocab
+        out = CP.tokenize_docs(docs, vocab, unk_id=-1)
+        bad = out.where(
+            F.expr("exists(split(token_ids, ','), "
+                   f"t -> CAST(t AS BIGINT) >= {n_vocab})")).count()
+        assert bad == 0
+        assert out.agg(F.sum("n_oov")).first()[0] > 0
+
+    def test_profile_brackets_quantiles(self, spark, docs):
+        from maps_spark.operators import corpus as CP
+        prof = CP.corpus_profile(docs).collect()
+        assert sum(r.n_docs for r in prof) == docs.count()
+        for r in prof:
+            assert r.min_v <= r.p25 <= r.p50 <= r.p75 <= r.p90 <= r.max_v
