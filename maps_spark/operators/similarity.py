@@ -92,6 +92,47 @@ def sketch_col(vec: str | Column, planes: np.ndarray) -> Column:
     return key
 
 
+def sketch_udf(planes_list: list[np.ndarray]):
+    """Arrow UDF computing every table's sign-sketch key in one pass:
+    the dots are :func:`_fold_dots` (explicit dimension-order left fold,
+    bit-identical to the Column/DuckDB ``aggregate`` fold — the same
+    equivalence the hash-checked IVF assignment relies on), so the keys
+    match :func:`sketch_col` exactly at vectorized speed. Returns
+    array<long>, one bucket key per table."""
+    @pandas_udf("array<long>")
+    def _sk(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        keys = []
+        for planes in planes_list:
+            dots = _fold_dots(m, planes)  # (rows, n_bits), fold order
+            bits = (dots > 0).astype(np.int64)
+            keys.append(bits @ (1 << np.arange(planes.shape[0],
+                                               dtype=np.int64)))
+        return pd.Series(list(np.stack(keys, axis=1)))
+    return _sk
+
+
+def _sketch_table(df: DataFrame, id_col: str, vec_col: str,
+                  out_id: str, out_vec: str, dim: int, n_bits: int,
+                  n_tables: int, seed0: int) -> DataFrame:
+    """(id, vec, b0..b{n-1}) — ALL tables' sketches computed in ONE scan
+    and pinned with localCheckpoint. Without the barrier every
+    downstream use — bucket-size cap, self-join sides, per-table probes
+    — re-evaluates the sketches, turning n_tables sketches into
+    ~4*n_tables full passes over the corpus. One scan + a materialized
+    sketch table is the 100 TB shape (and what a real deployment would
+    persist next to the vectors, cf. :mod:`maps_spark.sources.ann_index`)."""
+    planes = [_hyperplanes(dim, n_bits, seed=seed0 + t)
+              for t in range(n_tables)]
+    keyed = df.select(F.col(id_col).alias(out_id),
+                      F.col(vec_col).alias(out_vec),
+                      sketch_udf(planes)(F.col(vec_col)).alias("bs"))
+    return keyed.select(
+        out_id, out_vec,
+        *[F.element_at("bs", t + 1).alias(f"b{t}")
+          for t in range(n_tables)]).localCheckpoint()
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_bits: int = 12, n_tables: int = 4
@@ -101,16 +142,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Each of ``n_tables`` independent sketches buckets both sides; the
     candidate set is the union of same-bucket matches, then exact cosine
     rescoring. Recall is tested against brute force in the test suite.
+    All sketches are computed in one corpus scan (:func:`_sketch_table`).
     """
+    cs = _sketch_table(corpus, id_col, vec_col, "neighbor_id", "cvec",
+                       dim, n_bits, n_tables, seed0=1000)
+    qs = _sketch_table(queries, id_col, vec_col, "query_id", "qvec",
+                       dim, n_bits, n_tables, seed0=1000)
     cands = None
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed=1000 + t)
-        cb = corpus.select(F.col(id_col).alias("neighbor_id"),
-                           F.col(vec_col).alias("cvec"),
-                           sketch_col(vec_col, planes).alias("bucket"))
-        qb = queries.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("qvec"),
-                            sketch_col(vec_col, planes).alias("bucket"))
+        cb = cs.select("neighbor_id", "cvec",
+                       F.col(f"b{t}").alias("bucket"))
+        qb = qs.select("query_id", "qvec", F.col(f"b{t}").alias("bucket"))
         pair = (cb.join(F.broadcast(qb), "bucket")
                 .where(F.col("neighbor_id") != F.col("query_id"))
                 .select("query_id", "neighbor_id", "qvec", "cvec"))
@@ -254,17 +296,17 @@ def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
     Buckets larger than ``max_bucket`` are dropped before the self-join
     (boilerplate/zero-vector guard — a hot bucket is O(bucket^2) join
     rows). The cap bounds worst-case work at
-    ``n_tables * n_buckets * max_bucket^2``.
+    ``n_tables * n_buckets * max_bucket^2``. All sketches come from one
+    corpus scan (:func:`_sketch_table`).
     """
     from maps_spark.operators.dedup import cap_buckets
 
-    emb = emb.persist()
+    sk = _sketch_table(emb, id_col, vec_col, "id", "v",
+                       dim, n_bits, n_tables, seed0=99)
     thr = int(threshold * 1e9)
     cands = None
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed=99 + t)
-        b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       sketch_col(vec_col, planes).alias("bucket"))
+        b = sk.select("id", "v", F.col(f"b{t}").alias("bucket"))
         b = cap_buckets(b, ["bucket"], max_bucket)
         a2, b2 = b.alias("x"), b.alias("y")
         pair = (a2.join(b2, "bucket")
