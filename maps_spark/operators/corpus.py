@@ -66,9 +66,12 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame,
                 .select(F.explode(F.array_distinct(
                     _shingle_array(text_col, shingle_k))).alias("shingle"))
                 .distinct())
+    # materialized once: the shingle transform is an interpreted
+    # higher-order function and feeds two consumers (hits + sizes)
     doc_sh = docs.select(
         "doc_id", F.explode(F.array_distinct(
-            _shingle_array(text_col, shingle_k))).alias("shingle"))
+            _shingle_array(text_col, shingle_k))).alias("shingle")
+    ).localCheckpoint()
     hits = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

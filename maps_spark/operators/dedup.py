@@ -246,13 +246,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     so without the cap one boilerplate phrase dominates the shuffle at
     corpus scale. The oracle SQL applies the identical cap.
     """
+    # materialize the exploded shingle table once: the shingle transform
+    # is a higher-order-function expression (interpreted, re-evaluated
+    # by every consumer), and this plan consumes it five times — df
+    # counts, both anti-join sides, set sizes, both self-join sides.
+    # One pass + a staged table is also the production shape at scale.
     sh = (docs.select("doc_id",
                       F.explode(F.array_distinct(
                           _shingle_array(text_col, shingle_k)))
-                      .alias("shingle")))
+                      .alias("shingle"))
+          .localCheckpoint())
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(F.broadcast(df_counts.where(F.col("df") > max_df)),
-                 ["shingle"], "left_anti")
+                 ["shingle"], "left_anti").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
