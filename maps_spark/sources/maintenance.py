@@ -1,0 +1,90 @@
+"""Store maintenance: small-file compaction for append-mode stores.
+
+The streaming sinks append per micro-batch — the incremental dedup
+store (:mod:`maps_spark.streaming.dedup`) adds one file set per batch
+to ``sigs``/``bands``/``hashes``/``dupes`` — so after thousands of
+batches a scan pays thousands of file opens and the NameNode/listing
+cost grows without bound. The reference sidesteps this because HBase
+compacts regions itself (minor/major compactions); a Parquet store
+needs the equivalent as an explicit maintenance pass, the same way
+Delta/Iceberg expose OPTIMIZE.
+
+``compact_dir`` rewrites one directory to ``ceil(bytes / target)``
+files via a staging-dir + atomic rename, preserving hive partition
+columns (``partition_by``) so partition-pruned readers are unaffected.
+Readers racing a compaction see either the old or the new file set,
+never a mix (the swap is two renames; a production deployment would
+take the store's write lock, e.g. between streaming triggers).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path`` (recursive)."""
+    n, size = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                size += os.path.getsize(os.path.join(root, f))
+    return n, size
+
+
+def compact_dir(spark: SparkSession, path: str,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                partition_by: tuple[str, ...] = (),
+                sort_within: tuple[str, ...] = ()) -> dict:
+    """Rewrite the parquet directory at ``path`` into
+    ``max(1, ceil(total_bytes / target_file_bytes))`` files (per
+    partition directory when ``partition_by`` is set), optionally
+    sorted within files so row-group min/max stats stay selective.
+
+    Returns {"files_before", "files_after", "bytes"}. The rewrite is
+    read -> write to ``path + '.compact'`` -> atomic swap, so a crash
+    mid-compaction leaves the original store untouched.
+    """
+    n_before, size = dir_stats(path)
+    n_files = max(1, -(-size // target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files, *partition_by) if partition_by \
+        else df.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    staging = path.rstrip("/") + ".compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    n_after, _ = dir_stats(path)
+    return {"files_before": n_before, "files_after": n_after, "bytes": size}
+
+
+def compact_dedup_store(spark: SparkSession, store_dir: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Compact every table of a streaming dedup signature store
+    (:mod:`maps_spark.streaming.dedup`): per-batch appended files fold
+    into size-targeted ones; ``bands`` keeps its ``band=`` hive
+    partitioning (the probe join prunes on it) and stays sorted by
+    bucket key within files."""
+    out = {}
+    for sub, part, sort in (("sigs", (), ("doc_id",)),
+                            ("bands", ("band",), ("bh",)),
+                            ("hashes", (), ("text_hash",)),
+                            ("dupes", (), ("doc_id",))):
+        p = f"{store_dir}/{sub}"
+        if os.path.isdir(p):
+            out[sub] = compact_dir(spark, p, target_file_bytes,
+                                   partition_by=part, sort_within=sort)
+    return out

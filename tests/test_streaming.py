@@ -285,3 +285,48 @@ class TestIncrementalDedup:
             process_batch(docs, store, batch_id=0)
             _commit_batch(marker, 0)
         assert accepted_ids(spark, store).count() == 2
+
+
+class TestCompaction:
+    def test_compact_preserves_store_and_cuts_files(self, spark, tmp_path):
+        """After a multi-batch incremental dedup run, compaction must
+        fold the per-batch appended files into one file per table (tiny
+        store, big target) WITHOUT changing any query result, and keep
+        the bands table's hive partitioning."""
+        from maps_spark.sources.maintenance import (compact_dedup_store,
+                                                    dir_stats)
+        from maps_spark.streaming.dedup import (accepted_ids, rejected,
+                                                run_incremental_dedup)
+        landing = str(tmp_path / "landing")
+        store = str(tmp_path / "store")
+        TestIncrementalDedup._write_batches(
+            TestIncrementalDedup(), spark, landing)
+        q = run_incremental_dedup(spark, landing, store,
+                                  max_files_per_trigger=1, threshold=0.5)
+        q.awaitTermination(300)
+
+        acc_before = {r.doc_id for r in accepted_ids(spark, store).collect()}
+        rej_before = {(r.doc_id, r.dup_of, r.jaccard_est, r.batch_id)
+                      for r in rejected(spark, store).collect()}
+        files_before, _ = dir_stats(f"{store}/sigs")
+        assert files_before >= 3  # one append per batch
+
+        stats = compact_dedup_store(spark, store)
+        assert stats["sigs"]["files_after"] < stats["sigs"]["files_before"]
+        # band= hive partitioning survives (probe join prunes on it)
+        assert any(d.startswith("band=")
+                   for d in os.listdir(f"{store}/bands"))
+        acc_after = {r.doc_id for r in accepted_ids(spark, store).collect()}
+        rej_after = {(r.doc_id, r.dup_of, r.jaccard_est, r.batch_id)
+                     for r in rejected(spark, store).collect()}
+        assert acc_after == acc_before
+        assert rej_after == rej_before
+
+        # and the compacted store still serves incremental batches
+        from maps_spark.streaming.dedup import process_batch
+        extra = spark.createDataFrame(
+            [(200, "totally novel content " * 6)],
+            "doc_id long, text string")
+        process_batch(extra, store, batch_id=99)
+        assert 200 in {r.doc_id
+                       for r in accepted_ids(spark, store).collect()}
