@@ -332,6 +332,31 @@ def corpus_profile(docs: DataFrame, value_col: str = "n_chars",
         F.percentile(v, F.lit(0.9)).alias("p90")))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: which documents were added,
+    removed, or changed between two corpus versions — the trigger set
+    for incremental re-curation (only the diff re-enters the dedup /
+    quality / tokenize pipeline, cf. :mod:`maps_spark.streaming.dedup`).
+
+    One full outer join of 16-byte text digests keyed by doc_id; with
+    both snapshots in a :mod:`maps_spark.sources.doc_store` bucketed
+    store the join is co-partitioned and shuffle-free. Unchanged
+    documents (the overwhelming majority at 100 TB) are dropped before
+    any downstream work.
+
+    Output: (doc_id, change) with change in {added, removed, changed}.
+    """
+    o = old.select("doc_id", F.md5(F.col(text_col)).alias("h_old"))
+    n = new.select("doc_id", F.md5(F.col(text_col)).alias("h_new"))
+    change = (F.when(F.col("h_old").isNull(), F.lit("added"))
+              .when(F.col("h_new").isNull(), F.lit("removed"))
+              .when(F.col("h_old") != F.col("h_new"), F.lit("changed")))
+    return (o.join(n, "doc_id", "full")
+            .select("doc_id", change.alias("change"))
+            .where(F.col("change").isNotNull()))
+
+
 def hash_sample(docs: DataFrame, rate: float,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep ~``rate`` of documents by deterministic id hash — a pure

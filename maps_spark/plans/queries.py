@@ -395,6 +395,17 @@ def q_corpus_profile(spark, sf_dir):
     return CP.corpus_profile(_docs(spark, sf_dir))
 
 
+def q_corpus_diff(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    docs = _docs(spark, sf_dir)
+    old = docs.where("doc_id % 7 <> 0")
+    new = (docs.where("doc_id % 5 <> 0")
+           .withColumn("text", F.when(F.col("doc_id") % 11 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return CP.corpus_diff(old, new)
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -456,6 +467,7 @@ MAPS_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "tokenize_docs": q_tokenize_docs,
     "corpus_profile": q_corpus_profile,
+    "corpus_diff": q_corpus_diff,
 }
 
 
@@ -535,6 +547,7 @@ def maps_oracles() -> dict[str, str]:
         "chunk_documents": OT.chunk_documents_select(chunk=64, stride=48),
         "tokenize_docs": OT.tokenize_docs_select(min_count=2),
         "corpus_profile": OT.corpus_profile_select(),
+        "corpus_diff": OT.corpus_diff_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_features": OT.media_features_select(),
     }

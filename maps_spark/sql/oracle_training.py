@@ -297,6 +297,27 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM j GROUP BY 1"""
 
 
+def corpus_diff_select() -> str:
+    """DuckDB twin of operators.corpus.corpus_diff over the gate's
+    synthetic snapshot pair (old = doc_id % 7 <> 0; new = doc_id % 5
+    <> 0 with text revised when doc_id % 11 = 0)."""
+    return """WITH o AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+n AS (
+  SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+  FROM documents WHERE doc_id % 5 <> 0),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.h AS ho, n.h AS hn
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed' END AS change
+FROM j
+WHERE ho IS NULL OR hn IS NULL OR ho <> hn"""
+
+
 def corpus_profile_select(value_col: str = "n_chars",
                           group_col: str = "source") -> str:
     """DuckDB twin of operators.corpus.corpus_profile (quantile_cont ==

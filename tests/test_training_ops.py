@@ -606,3 +606,46 @@ class TestTokenizeAndProfile:
         assert sum(r.n_docs for r in prof) == docs.count()
         for r in prof:
             assert r.min_v <= r.p25 <= r.p50 <= r.p75 <= r.p90 <= r.max_v
+
+
+class TestCorpusDiff:
+    def test_diff_categories(self, spark, docs):
+        from maps_spark.operators import corpus as CP
+        old = docs.where("doc_id % 7 <> 0")
+        new = docs.where("doc_id % 5 <> 0").withColumn(
+            "text", F.when(F.col("doc_id") % 11 == 0,
+                           F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")))
+        got = {r.doc_id: r.change
+               for r in CP.corpus_diff(old, new).collect()}
+        for r in docs.select("doc_id").collect():
+            d = r.doc_id
+            in_old, in_new = d % 7 != 0, d % 5 != 0
+            want = ("added" if not in_old and in_new else
+                    "removed" if in_old and not in_new else
+                    "changed" if in_old and in_new and d % 11 == 0
+                    else None)
+            assert got.get(d) == want, d
+
+    def test_diff_is_shuffle_free_on_bucketed_store(self, spark, docs,
+                                                    tmp_path):
+        """Both snapshots in one bucketed doc store -> the full outer
+        join is co-partitioned and plans with no Exchange."""
+        from maps_spark.operators import corpus as CP
+        from maps_spark.sources import doc_store as DS
+        root = str(tmp_path / "diffstore")
+        DS.create_store(spark, root, "dstore", buckets=4)
+        DS.write_table(docs.where("doc_id % 7 <> 0")
+                       .select("doc_id", "text"), root, "snap_old")
+        DS.write_table(docs.where("doc_id % 5 <> 0")
+                       .select("doc_id", "text"), root, "snap_new")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            d = CP.corpus_diff(DS.read_table(spark, root, "snap_old"),
+                               DS.read_table(spark, root, "snap_new"))
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert d.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
