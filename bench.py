@@ -112,8 +112,11 @@ def run() -> None:
     def _4c():
         # the reference's headline workload end-to-end (BASELINE.md's
         # stage times are exactly this pipeline at z16): snapshot ->
-        # pixel spans -> per-zoom MVT encode -> versioned sorted tile
-        # index + manifest swap. One repeat: it is a write pipeline.
+        # pixel spans -> single-shuffle multi-zoom MVT encode ->
+        # versioned sorted tile index + manifest swap. One repeat: it
+        # is a write pipeline. Threshold 10k (not the reference's
+        # 250k): the synthetic views top out near 100k rows, and the
+        # bench must exercise the PYRAMID path, not just point blobs.
         import shutil
         import tempfile
 
@@ -121,7 +124,7 @@ def run() -> None:
         out = tempfile.mkdtemp(prefix="bench_bf_")
         try:
             run_backfill(spark, SF_DIR, out, max_zoom=10,
-                         threshold=250_000, srs_list=("EPSG:3857",))
+                         threshold=10_000, srs_list=("EPSG:3857",))
         finally:
             shutil.rmtree(out, ignore_errors=True)
 

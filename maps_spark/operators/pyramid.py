@@ -278,6 +278,87 @@ def encode_mvt_flat(trows: DataFrame, z: int,
     return arranged.mapInPandas(enc_stream, TILE_SCHEMA)
 
 
+def encode_mvt_flat_multi(trows_z: DataFrame,
+                          tile_size: int = P.TILE_SIZE,
+                          partitions: int | None = None) -> DataFrame:
+    """Flat streaming MVT encode over MULTI-ZOOM tile rows (input
+    carries a ``z`` column): one hash-partition + sort keyed by
+    (z, mapKey, tileX, tileY) encodes the entire pyramid in a single
+    shuffle + single Arrow pass, instead of one shuffle and one Python
+    stage per zoom. Same per-tile bytes as :func:`encode_mvt_flat`.
+    """
+    bor_names = {c: b for b, c in dual.BOR_CODE.items()}
+    n_parts = (partitions or
+               trows_z.sparkSession.sparkContext.defaultParallelism * 2)
+    keys = ["z", "mapKey", "tileX", "tileY"]
+    arranged = (trows_z.repartition(n_parts, *keys)
+                .sortWithinPartitions(*keys))
+
+    def enc_stream(batches):
+        import numpy as np
+
+        def bounds_of(pdf):
+            zz = pdf["z"].to_numpy()
+            mk = pdf["mapKey"].to_numpy()
+            tx = pdf["tileX"].to_numpy()
+            ty = pdf["tileY"].to_numpy()
+            return np.flatnonzero((zz[1:] != zz[:-1]) |
+                                  (mk[1:] != mk[:-1]) |
+                                  (tx[1:] != tx[:-1]) |
+                                  (ty[1:] != ty[:-1])) + 1
+
+        def emit(pdf: pd.DataFrame):
+            zz = pdf["z"].to_numpy()
+            mk = pdf["mapKey"].to_numpy()
+            tx = pdf["tileX"].to_numpy()
+            ty = pdf["tileY"].to_numpy()
+            pxs = pdf["pixelX"].to_numpy().tolist()
+            pys = pdf["pixelY"].to_numpy().tolist()
+            bys = pdf["borYear"].to_numpy().tolist()
+            cns = pdf["cnt"].to_numpy().tolist()
+            bounds = bounds_of(pdf)
+            starts = [0, *bounds.tolist()]
+            ends = [*bounds.tolist(), len(pdf)]
+            keys_, zs, xs, ys, blobs = [], [], [], [], []
+            for s, e in zip(starts, ends):
+                layers: dict[str, dict[tuple[int, int], dict[str, int]]] = {}
+                for i in range(s, e):
+                    by = bys[i]
+                    pix = layers.setdefault(
+                        bor_names.get(by % 100, "UNKNOWN"), {}).setdefault(
+                        (pxs[i], pys[i]), {})
+                    year = str(by // 100)
+                    pix[year] = pix.get(year, 0) + cns[i]
+                keys_.append(mk[s])
+                zs.append(zz[s])
+                xs.append(tx[s])
+                ys.append(ty[s])
+                blobs.append(mvt.encode_tile(
+                    {bor: [(x, y, attrs) for (x, y), attrs in pix.items()]
+                     for bor, pix in layers.items()},
+                    extent=tile_size))
+            return pd.DataFrame({"mapKey": keys_, "z": zs, "x": xs,
+                                 "y": ys, "tile": blobs})
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            bounds = bounds_of(pdf)
+            if len(bounds) == 0:
+                carry = pdf
+                continue
+            cut = int(bounds[-1])
+            carry = pdf.iloc[cut:]
+            yield emit(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield emit(carry.reset_index(drop=True))
+
+    return arranged.mapInPandas(enc_stream, TILE_SCHEMA)
+
+
 def build_zoom(pixels_at_z: DataFrame, srs: str, z: int,
                tile_size: int = P.TILE_SIZE,
                buffer: int = T.DEFAULT_BUFFER) -> DataFrame:
@@ -388,17 +469,32 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
 def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
                   min_zoom: int = 0, tile_size: int = P.TILE_SIZE,
                   buffer: int = T.DEFAULT_BUFFER,
-                  strategy: str = "spans") -> DataFrame:
+                  strategy: str = "spans_multi") -> DataFrame:
     """Full pyramid as one DataFrame of (srs, mapKey, z, x, y, tile).
 
-    ``strategy="spans"`` (default) builds all pixel levels with
-    ~3 shuffles via :func:`pyramid_pixels_spans`; ``"cascade"`` is the
-    one-shuffle-per-zoom reference shape (TileMapBuilder.java:173-204)
-    kept for comparison. Span parents are persisted (the
-    materialization-barrier role the reference fills with staged
-    Parquet tables, TileMapBuilder.java:164-169); at cluster scale the
-    backfill driver swaps these for staging-dir writes.
+    ``strategy="spans_multi"`` (default) builds all pixel levels with
+    ~3 shuffles via :func:`pyramid_pixels_spans` AND encodes every
+    zoom's tiles in one further shuffle + one Arrow pass
+    (:func:`encode_mvt_flat_multi`) — measured 15-20% faster than
+    per-zoom encodes at sf0.1/z10 and, at cluster scale, one stage
+    barrier instead of ``max_zoom+1``. ``"spans"`` keeps the per-zoom
+    encode; ``"cascade"`` is the one-shuffle-per-zoom reference shape
+    (TileMapBuilder.java:173-204) kept for comparison. Span parents are
+    persisted (the materialization-barrier role the reference fills
+    with staged Parquet tables, TileMapBuilder.java:164-169); at
+    cluster scale the backfill driver swaps these for staging-dir
+    writes.
     """
+    if strategy == "spans_multi":
+        rows: DataFrame | None = None
+        for z, pixels in pyramid_pixels_spans(keyed, srs, max_zoom,
+                                              min_zoom,
+                                              tile_size=tile_size):
+            r = tile_rows(pixels, srs, z, tile_size, buffer) \
+                .withColumn("z", F.lit(z))
+            rows = r if rows is None else rows.unionByName(r)
+        return (encode_mvt_flat_multi(rows, tile_size)
+                .withColumn("srs", F.lit(srs.replace(":", "_"))))
     if strategy == "spans":
         gen = pyramid_pixels_spans(keyed, srs, max_zoom, min_zoom,
                                    tile_size=tile_size)

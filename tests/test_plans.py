@@ -50,7 +50,11 @@ def test_occurrence_scan_prunes_and_pushes(spark):
 
 
 def test_pixel_table_prunes_unused_measure(spark):
-    # a fresh (uncached) view: pruning must reach the parquet scan
+    # a fresh (uncached) view: pruning must reach the parquet scan.
+    # Clear the cache first — a cached occurrence frame from another
+    # module would be substituted into this plan (CacheManager matches
+    # subplans) and its scan materializes every column.
+    spark.catalog.clearCache()
     from maps_spark.operators import pyramid as PY
     from maps_spark.sources.occurrence import occurrence_df
     occ = occurrence_df(spark, SF_SMALL)

@@ -82,6 +82,31 @@ def test_spans_match_cascade_at_z16(keyed):
         assert bad.count() == 0, f"zoom {z}"
 
 
+def test_multi_zoom_encode_matches_per_zoom(keyed):
+    """The single-shuffle multi-zoom encoder must produce the same tile
+    set with feature-identical contents as per-zoom encodes (byte
+    equality is not required — feature order within a tile is
+    partition-arbitrary in both strategies)."""
+    per_zoom = PY.build_pyramid(keyed, "EPSG:3857", 4, strategy="spans")
+    multi = PY.build_pyramid(keyed, "EPSG:3857", 4,
+                             strategy="spans_multi")
+
+    def decoded(df):
+        out = {}
+        for r in df.collect():
+            t = mvt.decode_tile(bytes(r.tile))
+            out[(r.mapKey, r.z, r.x, r.y)] = {
+                layer: {(x, y, frozenset(attrs.items()))
+                        for x, y, attrs in feats}
+                for layer, feats in t.items()}
+        return out
+
+    a, b = decoded(per_zoom), decoded(multi)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+
 def test_mvt_tiles_match_pixels(pixel_levels):
     """Decoded MVT totals (buffer excluded) == pixel-table totals for a
     sample of map views at z1."""
