@@ -211,71 +211,12 @@ def encode_mvt_flat(trows: DataFrame, z: int,
     numpy arrays.
 
     Same single shuffle as :func:`encode_mvt`; the shuffle payload is
-    flat columns instead of array<struct> blobs.
+    flat columns instead of array<struct> blobs. Delegates to
+    :func:`encode_mvt_flat_multi` with a constant ``z`` (the constant
+    key neither changes the hash distribution nor the sort).
     """
-    bor_names = {c: b for b, c in dual.BOR_CODE.items()}
-    n_parts = partitions or trows.sparkSession.sparkContext.defaultParallelism
-    arranged = (trows.repartition(n_parts, "mapKey", "tileX", "tileY")
-                .sortWithinPartitions("mapKey", "tileX", "tileY"))
-
-    def enc_stream(batches):
-        import numpy as np
-
-        def emit(pdf: pd.DataFrame):
-            mk = pdf["mapKey"].to_numpy()
-            tx = pdf["tileX"].to_numpy()
-            ty = pdf["tileY"].to_numpy()
-            pxs = pdf["pixelX"].to_numpy().tolist()
-            pys = pdf["pixelY"].to_numpy().tolist()
-            bys = pdf["borYear"].to_numpy().tolist()
-            cns = pdf["cnt"].to_numpy().tolist()
-            bounds = np.flatnonzero((mk[1:] != mk[:-1]) |
-                                    (tx[1:] != tx[:-1]) |
-                                    (ty[1:] != ty[:-1])) + 1
-            starts = [0, *bounds.tolist()]
-            ends = [*bounds.tolist(), len(pdf)]
-            keys, xs, ys, blobs = [], [], [], []
-            for s, e in zip(starts, ends):
-                layers: dict[str, dict[tuple[int, int], dict[str, int]]] = {}
-                for i in range(s, e):
-                    by = bys[i]
-                    pix = layers.setdefault(
-                        bor_names.get(by % 100, "UNKNOWN"), {}).setdefault(
-                        (pxs[i], pys[i]), {})
-                    year = str(by // 100)
-                    pix[year] = pix.get(year, 0) + cns[i]
-                keys.append(mk[s])
-                xs.append(tx[s])
-                ys.append(ty[s])
-                blobs.append(mvt.encode_tile(
-                    {bor: [(x, y, attrs) for (x, y), attrs in pix.items()]
-                     for bor, pix in layers.items()},
-                    extent=tile_size))
-            return pd.DataFrame({"mapKey": keys, "z": z, "x": xs,
-                                 "y": ys, "tile": blobs})
-
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            mk = pdf["mapKey"].to_numpy()
-            tx = pdf["tileX"].to_numpy()
-            ty = pdf["tileY"].to_numpy()
-            bounds = np.flatnonzero((mk[1:] != mk[:-1]) |
-                                    (tx[1:] != tx[:-1]) |
-                                    (ty[1:] != ty[:-1])) + 1
-            if len(bounds) == 0:
-                carry = pdf  # whole batch is one (possibly split) tile
-                continue
-            cut = int(bounds[-1])
-            carry = pdf.iloc[cut:]
-            yield emit(pdf.iloc[:cut])
-        if carry is not None and len(carry):
-            yield emit(carry.reset_index(drop=True))
-
-    return arranged.mapInPandas(enc_stream, TILE_SCHEMA)
+    return encode_mvt_flat_multi(trows.withColumn("z", F.lit(z)),
+                                 tile_size, partitions)
 
 
 def encode_mvt_flat_multi(trows_z: DataFrame,
