@@ -333,7 +333,8 @@ PIXEL_Z_SCHEMA = ("mapKey string, px long, py long, borYear int, "
 def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
                          min_zoom: int = 0, span: int = 6,
                          tile_size: int = P.TILE_SIZE,
-                         partitions: int | None = None
+                         partitions: int | None = None,
+                         persisted_out: list | None = None
                          ) -> Iterator[tuple[int, DataFrame]]:
     """All pyramid levels with ``ceil(levels / span)`` shuffles instead
     of one per zoom.
@@ -361,16 +362,51 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
         group_base = ["mapKey", "px", "py", "borYear"]
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            chunks = [pdf for pdf in batches if len(pdf)]
-            if not chunks:
+            # Incremental per-Arrow-batch aggregation: groups are
+            # partition-local by construction (the repartition key is an
+            # ancestor of every group key in the span), so merging a
+            # running grouped frame batch-by-batch is exact. Peak Python
+            # memory is O(distinct groups at z_top + pending buffer),
+            # NOT O(raw partition rows) — the raw keyed fan-out is the
+            # largest dataset in the system, and whole-partition
+            # materialization here is the wall the reference hits at
+            # 2.5B rows (example.yaml:98-101, forced sort-agg switch).
+            # Pending batch groupeds are flushed into the running frame
+            # once they reach its size, keeping merge cost amortized
+            # O(n log n)-ish instead of O(batches * |agg|).
+            agg: pd.DataFrame | None = None
+            pending: list[pd.DataFrame] = []
+            pending_rows = 0
+
+            def flush() -> pd.DataFrame | None:
+                nonlocal agg, pending, pending_rows
+                if pending:
+                    frames = ([agg, *pending] if agg is not None
+                              else pending)
+                    agg = (pd.concat(frames, ignore_index=True)
+                           .groupby(group_base, as_index=False, sort=False)
+                           .agg(cnt=("cnt", "sum")))
+                    pending = []
+                    pending_rows = 0
+                return agg
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if not with_cnt:
+                    pdf = pdf.assign(cnt=1)
+                if pre_shift:  # continuation span: input is one zoom above
+                    pdf = pdf.assign(px=pdf["px"] // 2, py=pdf["py"] // 2)
+                g = (pdf.groupby(group_base, as_index=False, sort=False)
+                     .agg(cnt=("cnt", "sum")))
+                pending.append(g)
+                pending_rows += len(g)
+                if pending_rows >= max(65536,
+                                       len(agg) if agg is not None else 0):
+                    flush()
+            cur = flush()
+            if cur is None:
                 return
-            pdf = pd.concat(chunks, ignore_index=True)
-            if not with_cnt:
-                pdf["cnt"] = 1
-            if pre_shift:  # continuation span: input is one zoom above
-                pdf = pdf.assign(px=pdf["px"] // 2, py=pdf["py"] // 2)
-            cur = (pdf.groupby(group_base, as_index=False, sort=False)
-                   .agg(cnt=("cnt", "sum")))
             out = cur.copy()
             out["z"] = z_top
             yield out
@@ -399,6 +435,8 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
             F.shiftright("px", shift), F.shiftright("py", shift))
         levels = part.mapInPandas(span_agg(z_top, k, with_cnt, pre_shift),
                                   PIXEL_Z_SCHEMA).persist()
+        if persisted_out is not None:
+            persisted_out.append(levels)
         for z in range(z_top, z_top - k - 1, -1):
             yield z, levels.where(F.col("z") == z).drop("z")
         current = levels.where(F.col("z") == z_top - k).drop("z")
@@ -426,27 +464,47 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
     cluster scale the backfill driver swaps these for staging-dir
     writes.
     """
+    persisted: list[DataFrame] = []
     if strategy == "spans_multi":
         rows: DataFrame | None = None
         for z, pixels in pyramid_pixels_spans(keyed, srs, max_zoom,
                                               min_zoom,
-                                              tile_size=tile_size):
+                                              tile_size=tile_size,
+                                              persisted_out=persisted):
             r = tile_rows(pixels, srs, z, tile_size, buffer) \
                 .withColumn("z", F.lit(z))
             rows = r if rows is None else rows.unionByName(r)
-        return (encode_mvt_flat_multi(rows, tile_size)
-                .withColumn("srs", F.lit(srs.replace(":", "_"))))
+        result = (encode_mvt_flat_multi(rows, tile_size)
+                  .withColumn("srs", F.lit(srs.replace(":", "_"))))
+        result._maps_spark_persisted = persisted
+        return result
     if strategy == "spans":
         gen = pyramid_pixels_spans(keyed, srs, max_zoom, min_zoom,
-                                   tile_size=tile_size)
+                                   tile_size=tile_size,
+                                   persisted_out=persisted)
     else:
-        gen = ((z, p.persist() if z > min_zoom else p) for z, p in
+        def _track(p: DataFrame) -> DataFrame:
+            persisted.append(p.persist())
+            return p
+        gen = ((z, _track(p) if z > min_zoom else p) for z, p in
                pyramid_pixels(keyed, srs, max_zoom, min_zoom, tile_size))
     out: DataFrame | None = None
     for z, pixels in gen:
         lvl = build_zoom(pixels, srs, z, tile_size, buffer)
         out = lvl if out is None else out.unionByName(lvl)
-    return out.withColumn("srs", F.lit(srs.replace(":", "_")))
+    result = out.withColumn("srs", F.lit(srs.replace(":", "_")))
+    result._maps_spark_persisted = persisted
+    return result
+
+
+def unpersist_pyramid(result: DataFrame) -> None:
+    """Release the span-parent cache of a :func:`build_pyramid` result.
+
+    Call after the final action on the returned DataFrame (write /
+    collect); repeated builds in one session otherwise accumulate
+    persisted span tables (each holds one span's pixel levels)."""
+    for df in getattr(result, "_maps_spark_persisted", []):
+        df.unpersist()
 
 
 # -- point mode (A6 + C15) ---------------------------------------------------

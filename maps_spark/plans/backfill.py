@@ -66,6 +66,7 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
         tile_store.write_tiles(tiles, out_dir,
                                mode="append" if srs != srs_list[0]
                                else "overwrite")
+        PY.unpersist_pyramid(tiles)  # release span-parent cache per SRS
         stats[srs] = round(time.time() - t, 2)
 
     manifest = {

@@ -82,6 +82,45 @@ def test_spans_match_cascade_at_z16(keyed):
         assert bad.count() == 0, f"zoom {z}"
 
 
+def test_spans_incremental_multi_batch(spark, keyed):
+    """The span stage must aggregate incrementally across many small
+    Arrow batches (the 100TB memory guard: Python-worker peak is
+    O(groups), not O(partition rows)). Forcing tiny batches makes every
+    partition span dozens of batches; results must be exact."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "37")  # prime, tiny: guarantees many batches
+    try:
+        spans = dict(PY.pyramid_pixels_spans(keyed, "EPSG:3857", 8))
+        cascade = dict(PY.pyramid_pixels(keyed, "EPSG:3857", 8))
+        for z in (8, 5, 2, 0):
+            bad = (spans[z].alias("s").join(
+                cascade[z].alias("c"), ["mapKey", "px", "py", "borYear"],
+                "outer")
+                .where(F.coalesce(F.col("s.cnt"), F.lit(-1)) !=
+                       F.coalesce(F.col("c.cnt"), F.lit(-2))))
+            assert bad.count() == 0, f"zoom {z}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_unpersist_pyramid_releases_cache(spark, keyed):
+    """build_pyramid tracks its persisted span parents; unpersist_pyramid
+    releases them (ADVICE: repeated builds must not accumulate cache)."""
+    tiles = PY.build_pyramid(keyed, "EPSG:3857", 3)
+    tiles.count()
+    persisted = getattr(tiles, "_maps_spark_persisted", [])
+    assert persisted, "spans_multi should track persisted span parents"
+    assert any(df.storageLevel.useMemory or df.storageLevel.useDisk
+               for df in persisted)
+    PY.unpersist_pyramid(tiles)
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+               for df in persisted)
+
+
 def test_multi_zoom_encode_matches_per_zoom(keyed):
     """The single-shuffle multi-zoom encoder must produce the same tile
     set with feature-identical contents as per-zoom encodes (byte
