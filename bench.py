@@ -53,6 +53,7 @@ def run() -> None:
      .mapInPandas(_noop, "x long").count())
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name, n=None):
@@ -63,15 +64,23 @@ def run() -> None:
         # persist() intermediates (span rollup, minhash signatures) would
         # otherwise be served from the previous run's cache by canonical-
         # plan matching, and the repeat would time cache reads, not work.
+        # All runs are kept in ``query_stats`` (best/median/spread) so
+        # round-over-round machine noise is distinguishable from real
+        # regressions.
         def deco(fn):
-            best = None
+            runs = []
             for _ in range(n or repeats):
                 spark.catalog.clearCache()
                 t0 = time.time()
                 fn()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(round(time.time() - t0, 3))
+            timings[name] = min(runs)
+            mid = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
+                sum(sorted(runs)[len(runs) // 2 - 1:len(runs) // 2 + 1]) / 2,
+                3)
+            stats[name] = {"best": min(runs), "median": mid,
+                           "spread": round(max(runs) - min(runs), 3),
+                           "runs": runs}
         return deco
 
     occ = occurrence_df(spark, SF_DIR)
@@ -124,6 +133,23 @@ def run() -> None:
         out = tempfile.mkdtemp(prefix="bench_bf_")
         try:
             run_backfill(spark, SF_DIR, out, max_zoom=10,
+                         threshold=10_000, srs_list=("EPSG:3857",))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    @timed("backfill_z0_12_3857", n=1)
+    def _4d():
+        # larger scale point for the headline pipeline (VERDICT r2 #7):
+        # z12 means 4x the max-zoom pixel cells and two more pyramid
+        # levels than the z10 entry — tracks whether the span/encode
+        # design holds as zoom (and thus fan-out volume) grows.
+        import shutil
+        import tempfile
+
+        from maps_spark.plans.backfill import run_backfill
+        out = tempfile.mkdtemp(prefix="bench_bf12_")
+        try:
+            run_backfill(spark, SF_DIR, out, max_zoom=12,
                          threshold=10_000, srs_list=("EPSG:3857",))
         finally:
             shutil.rmtree(out, ignore_errors=True)
@@ -191,7 +217,8 @@ def run() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({"metric": "maps_spark_bench_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": float(sf)}))
+                      "unit": "sec", "queries": timings,
+                      "query_stats": stats, "sf": float(sf)}))
     spark.stop()
 
 

@@ -216,7 +216,8 @@ def source_stats(docs: DataFrame, keep_threshold: float = 0.5,
                 (rate >= int(keep_threshold * scale)).alias("reputable")))
 
 
-def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def curate_corpus(docs: DataFrame, text_col: str = "text",
+                  hasher: str = "fast") -> DataFrame:
     """End-to-end curation pipeline: tag every document with the first
     stage that drops it, composing the engine's own operators in the
     order every production pretraining pipeline runs them —
@@ -257,7 +258,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
                      .select("doc_id"))
     s2 = (s1.where(F.col("doc_id") == F.col("keeper"))
           .select("doc_id", text_col))
-    clus = dedup_clusters(minhash_lsh_pairs(s2, text_col=text_col))
+    clus = dedup_clusters(minhash_lsh_pairs(s2, text_col=text_col,
+                                            hasher=hasher))
     near_dropped = clus.where(~F.col("keep")).select("doc_id")
     tagged = (quality_failed.withColumn("stage", F.lit("quality"))
               .unionByName(exact_dropped.withColumn(

@@ -77,6 +77,10 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     with zero bytes into one matrix (leading zeros do not change a
     polynomial hash) and the fold runs per char position over the whole
     batch — no per-token Python loop. ``h*256 < 2^39``: int64-exact.
+
+    This is the REPRODUCIBLE hasher (gate/audit path); cost is
+    O(max_token_len) numpy passes per batch. Production calls default
+    to :func:`_token_hashes_fast`.
     """
     if not toks:
         return np.empty(0, dtype=np.int64)
@@ -92,14 +96,40 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     return h
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+def _token_hashes_fast(toks: list[str]) -> np.ndarray:
+    """Fast token hashes: one C-speed ``zlib.crc32`` call per token +
+    a splitmix64 finalizer, reduced into the 31-bit signature domain.
+
+    Same output range [0, 2^31-1) and distribution quality as the
+    reproducible fold, ~5-10x cheaper (no per-character passes). NOT
+    oracle-expressible — production default; gate queries pass
+    ``hasher="reproducible"`` explicitly."""
+    from zlib import crc32
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    z = np.fromiter((crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64, count=len(toks))
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z % np.uint64(P31)).astype(np.int64)
+
+
+TOKEN_HASHERS = {"fast": _token_hashes_fast,
+                 "reproducible": _token_hashes}
+DEFAULT_HASHER = "fast"
+
+
+def _shingle_hashes(text: str, k: int,
+                    hasher: str = "reproducible") -> np.ndarray:
     """Distinct k-token shingle hashes in [0, 2^31): rolling polynomial
     combine of token hashes mod 2^31-1 (``(acc*B + th) % P`` per step,
     values < 2^51 — int64/BIGINT-exact in every engine)."""
     toks = text.split(" ") if text else []
     if not toks:
         return np.empty(0, dtype=np.int64)
-    th = _token_hashes(toks)
+    th = TOKEN_HASHERS[hasher](toks)
     if len(th) < k:
         acc = np.zeros(1, dtype=np.int64)
         for v in th:
@@ -114,11 +144,15 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_perm: int = 64, shingle_k: int = 3,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       hasher: str = DEFAULT_HASHER) -> DataFrame:
     """(doc_id, sig array<long>): minhash over k-token shingles.
 
     Permutations are the universal-hash family (a*x + b) mod p with a/b
-    from a seeded RNG — identical on every executor.
+    from a seeded RNG — identical on every executor. ``hasher`` picks
+    the token-hash backend: ``"fast"`` (crc32+splitmix64, production
+    default) or ``"reproducible"`` (the oracle-checkable polynomial
+    fold — what the hash-checked gates pass explicitly).
     """
     a, b = minhash_perm_consts(num_perm, seed)
 
@@ -126,7 +160,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts.fillna(""):
-            hs = _shingle_hashes(t, shingle_k)
+            hs = _shingle_hashes(t, shingle_k, hasher)
             if len(hs) == 0:
                 out.append(np.full(num_perm, P31, dtype=np.int64))
                 continue
@@ -178,7 +212,8 @@ def cap_buckets(buckets: DataFrame, keys: list[str],
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, seed: int = 42,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000,
+                      hasher: str = DEFAULT_HASHER) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
     rows_per_band = num_perm / bands sets the similarity knee
@@ -191,7 +226,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # signatures feed three consumers (bucket sizes + both join sides);
     # persist so the Arrow UDF runs once, not three times
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_k,
-                              seed).persist()
+                              seed, hasher).persist()
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  band_key_col("sig", i, rows).alias("bh"))
@@ -353,15 +388,17 @@ def simhash_proj_consts(seed: int = 5, bits: int = SIMHASH_BITS
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            seed: int = 5) -> DataFrame:
+            seed: int = 5, hasher: str = DEFAULT_HASHER) -> DataFrame:
     """64-bit simhash over tokens (vectorized batch computation).
 
     Each output bit b is the majority sign of the universal hash
     ``(c_b * token_hash + d_b) mod 2^31-1 >= 2^30`` over the document's
-    tokens — 64 seeded random projections of the token multiset. Every
-    step is 31-bit polynomial arithmetic, so the identical computation
-    runs in DuckDB SQL and the simhash pair generation is
-    oracle-checkable (not rows-only).
+    tokens — 64 seeded random projections of the token multiset. With
+    ``hasher="reproducible"`` every step is 31-bit polynomial
+    arithmetic, so the identical computation runs in DuckDB SQL and the
+    simhash pair generation is oracle-checkable (not rows-only); the
+    default ``"fast"`` backend swaps the token hash for crc32+splitmix64
+    (same domain, C speed) for production runs.
     """
     c, d = simhash_proj_consts(seed)
 
@@ -373,7 +410,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
             toks = t.split(" ") if t else []
             if not toks:
                 continue
-            th = _token_hashes(toks)
+            th = TOKEN_HASHERS[hasher](toks)
             proj = (c[:, None] * th[None, :] + d[:, None]) % P31
             acc = np.where(proj >= SIMHASH_THRESHOLD, 1, -1).sum(axis=1)
             val = int(((acc > 0).astype(np.uint64) << shifts).sum(
@@ -385,14 +422,15 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       bands: int = 4, max_bucket: int = 1000) -> DataFrame:
+                       bands: int = 4, max_bucket: int = 1000,
+                       hasher: str = DEFAULT_HASHER) -> DataFrame:
     """Near-dup candidates: docs sharing any of ``bands`` 16-bit simhash
     bands (hamming distance <= bands-1 guaranteed recall).
 
     Band buckets larger than ``max_bucket`` are dropped before the
     self-join (same boilerplate guard as minhash LSH — e.g. all empty
     docs simhash to 0 and would otherwise go quadratic)."""
-    sh = simhash(docs, text_col).persist()
+    sh = simhash(docs, text_col, hasher=hasher).persist()
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [F.struct(

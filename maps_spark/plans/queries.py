@@ -245,19 +245,26 @@ def q_ann_topk(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     from maps_spark.operators import dedup as DD
-    return DD.minhash_lsh_pairs(_docs(spark, sf_dir))
+    # gate query: the oracle SQL recomputes the signatures, so the
+    # dual-reproducible polynomial hasher is passed explicitly (the
+    # production default is the fast crc32+splitmix64 backend)
+    return DD.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                hasher="reproducible")
 
 
 def q_minhash_verify(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     docs = _docs(spark, sf_dir)
-    return DD.minhash_verify(DD.minhash_lsh_pairs(docs),
-                             DD.minhash_signatures(docs), threshold=0.25)
+    return DD.minhash_verify(
+        DD.minhash_lsh_pairs(docs, hasher="reproducible"),
+        DD.minhash_signatures(docs, hasher="reproducible"),
+        threshold=0.25)
 
 
 def q_simhash_pairs(spark, sf_dir):
     from maps_spark.operators import dedup as DD
-    return DD.simhash_near_pairs(_docs(spark, sf_dir))
+    return DD.simhash_near_pairs(_docs(spark, sf_dir),
+                                 hasher="reproducible")
 
 
 def q_embedding_near_dupes(spark, sf_dir):
@@ -351,7 +358,7 @@ def q_pii_scrub(spark, sf_dir):
 
 def q_curate_corpus(spark, sf_dir):
     from maps_spark.operators import corpus as CP
-    return CP.curate_corpus(_docs(spark, sf_dir))
+    return CP.curate_corpus(_docs(spark, sf_dir), hasher="reproducible")
 
 
 def q_lm_score(spark, sf_dir):

@@ -10,11 +10,18 @@ needs the equivalent as an explicit maintenance pass, the same way
 Delta/Iceberg expose OPTIMIZE.
 
 ``compact_dir`` rewrites one directory to ``ceil(bytes / target)``
-files via a staging-dir + atomic rename, preserving hive partition
-columns (``partition_by``) so partition-pruned readers are unaffected.
-Readers racing a compaction see either the old or the new file set,
-never a mix (the swap is two renames; a production deployment would
-take the store's write lock, e.g. between streaming triggers).
+files via a staging dir that is row-count-validated before any swap,
+preserving hive partition columns (``partition_by``) so
+partition-pruned readers are unaffected.
+
+Crash/concurrency contract: the swap is two renames (old -> ``.old``,
+staging -> live), which is NOT atomic as a pair — between them the
+live path is briefly absent, and a crash in that window leaves the
+only copy at ``.old``. Run compaction under the store's write lock
+(e.g. between streaming triggers) and call :func:`recover_compaction`
+at startup: it restores an orphaned ``.old`` and clears dead staging
+dirs. The original data is never deleted until the validated rewrite
+is live.
 """
 
 from __future__ import annotations
@@ -45,9 +52,12 @@ def compact_dir(spark: SparkSession, path: str,
     partition directory when ``partition_by`` is set), optionally
     sorted within files so row-group min/max stats stay selective.
 
-    Returns {"files_before", "files_after", "bytes"}. The rewrite is
-    read -> write to ``path + '.compact'`` -> atomic swap, so a crash
-    mid-compaction leaves the original store untouched.
+    Returns {"files_before", "files_after", "bytes", "rows"}. The
+    rewrite goes to ``path + '.compact'`` and is validated (row count
+    vs the source) BEFORE the swap; a crash before the swap leaves the
+    original untouched, a crash mid-swap is repaired by
+    :func:`recover_compaction`. See the module docstring for the
+    locking contract.
     """
     n_before, size = dir_stats(path)
     n_files = max(1, -(-size // target_file_bytes))
@@ -62,25 +72,61 @@ def compact_dir(spark: SparkSession, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
+    # validate the rewrite before touching the live store: parquet
+    # footer counts, no data scan
+    n_rows = df.count()
+    staged_rows = spark.read.parquet(staging).count()
+    if staged_rows != n_rows:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"compaction validation failed for {path}: "
+            f"{staged_rows} staged rows != {n_rows} source rows")
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(staging, path)
-    shutil.rmtree(old)
+    shutil.rmtree(old)  # validated rewrite is live; safe to drop
     n_after, _ = dir_stats(path)
-    return {"files_before": n_before, "files_after": n_after, "bytes": size}
+    return {"files_before": n_before, "files_after": n_after,
+            "bytes": size, "rows": n_rows}
+
+
+def recover_compaction(path: str) -> str | None:
+    """Startup repair for a crash during :func:`compact_dir`'s swap.
+
+    - live path missing but ``.old`` present -> the crash hit between
+      the two renames; restore ``.old`` as live (the validated staging
+      copy, if complete, is discarded — restoring the original is
+      always safe).
+    - stale ``.compact`` / leftover ``.old`` beside a live path ->
+      remove them.
+
+    Returns what was done ("restored", "cleaned") or None.
+    """
+    old = path.rstrip("/") + ".old"
+    staging = path.rstrip("/") + ".compact"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        return "restored"
+    cleaned = False
+    for p in (staging, old):
+        if os.path.isdir(p) and os.path.exists(path):
+            shutil.rmtree(p)
+            cleaned = True
+    return "cleaned" if cleaned else None
 
 
 def compact_dedup_store(spark: SparkSession, store_dir: str,
                         target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """Compact every table of a streaming dedup signature store
     (:mod:`maps_spark.streaming.dedup`): per-batch appended files fold
-    into size-targeted ones; ``bands`` keeps its ``band=`` hive
-    partitioning (the probe join prunes on it) and stays sorted by
-    bucket key within files."""
+    into size-targeted ones; ``bands`` keeps its ``(band, bb)`` hive
+    partitioning (the probe reads only touched sub-bucket dirs) and
+    stays sorted by bucket key within files."""
     out = {}
     for sub, part, sort in (("sigs", (), ("doc_id",)),
-                            ("bands", ("band",), ("bh",)),
+                            ("bands", ("band", "bb"), ("bh",)),
                             ("hashes", (), ("text_hash",)),
                             ("dupes", (), ("doc_id",))):
         p = f"{store_dir}/{sub}"

@@ -11,8 +11,12 @@ proportional to the batch:
 
 - ``store/sigs``   (doc_id, sig)            — minhash signatures of all
   accepted docs, for candidate verification;
-- ``store/bands``  (band, bh, doc_id), partitioned by band — the LSH
-  index the batch probes with an equi-join;
+- ``store/bands``  (band, bb, bh, doc_id), partitioned by
+  ``(band, bb)`` where ``bb = bh mod BAND_SUBBUCKETS`` — the LSH index
+  the batch probes. Every batch touches all ``band`` values, so the
+  sub-bucket ``bb`` is what makes the probe read O(batch): only the
+  batch's touched ``(band, bb)`` directories are opened, never the
+  whole accumulated index;
 - ``store/hashes`` (doc_id, text_hash)      — exact-dup fast path; also
   the safety net for boilerplate buckets the LSH cap drops (identical
   docs in an over-full band bucket would otherwise go unflagged);
@@ -25,12 +29,13 @@ only and every exact hash appears at most once. The foreachBatch body
 is guarded by the same batch-id marker as the pixel refresh
 (at-least-once replays of a non-idempotent append are skipped).
 
-Scale notes: the store probe is a band-partitioned equi-join (never a
-corpus scan — the bands read are pruned to the batch's band numbers,
-and signature verification reads only candidate old docs via a
-semi-join); hot band buckets are capped on BOTH sides with the shared
-``cap_buckets`` guard; within-batch exact dupes use groupBy-min, not a
-self-join, so a batch of identical docs stays linear.
+Scale notes: the store probe reads only the batch's touched
+``(band, bb)`` sub-bucket directories (a small batch opens a bounded
+file subset — per-batch cost O(batch), not O(store)), and signature
+verification reads only candidate old docs via a semi-join; hot band
+buckets are capped on BOTH sides with the shared ``cap_buckets``
+guard; within-batch exact dupes use groupBy-min, not a self-join, so a
+batch of identical docs stays linear.
 """
 
 from __future__ import annotations
@@ -44,17 +49,45 @@ from maps_spark.operators.dedup import (band_key_col, cap_buckets,
                                         minhash_signatures, minhash_verify)
 
 SIG_DIRS = ("sigs", "bands", "hashes", "dupes")
+# sub-partition fan-out of the band index: bands x sub-buckets dirs.
+# 64 keeps directory counts sane while letting a small batch prune to
+# a few percent of the store's files.
+BAND_SUBBUCKETS = 64
 
 
-def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(doc_id, band, bh) — one LSH bucket key per band per doc (same
-    fold as operators.dedup.minhash_lsh_pairs)."""
+def _band_table(sigs: DataFrame, bands: int, rows: int,
+                sub: int = BAND_SUBBUCKETS) -> DataFrame:
+    """(doc_id, band, bb, bh) — one LSH bucket key per band per doc
+    (same fold as operators.dedup.minhash_lsh_pairs) plus the store's
+    sub-bucket key ``bb = bh mod sub``."""
     cols = [F.struct(F.lit(i).alias("band"),
                      band_key_col("sig", i, rows).alias("bh"))
             for i in range(bands)]
     return (sigs.select("doc_id", F.explode(F.array(*cols)).alias("b"))
             .select("doc_id", F.col("b.band").alias("band"),
+                    F.pmod(F.col("b.bh"), F.lit(sub)).alias("bb"),
                     F.col("b.bh").alias("bh")))
+
+
+def read_store_bands(spark: SparkSession, store_dir: str,
+                     touched: list[tuple[int, int]] | None = None
+                     ) -> DataFrame | None:
+    """Read the band index, pruned to the given ``(band, bb)`` pairs.
+
+    The pruning is by explicit directory path (the touched set is
+    already driver-side and bounded by ``bands x BAND_SUBBUCKETS``), so
+    a small batch opens only its own sub-bucket files — no full-index
+    listing or scan. ``touched=None`` reads everything (maintenance /
+    inspection path)."""
+    root = f"{store_dir}/bands"
+    if touched is None:
+        return _try_read(spark, root)
+    paths = [p for p in (f"{root}/band={bnd}/bb={sb}"
+                         for bnd, sb in touched)
+             if os.path.isdir(p)]
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths)
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
@@ -68,7 +101,8 @@ def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
 def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                   text_col: str = "text", num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 3, seed: int = 42,
-                  threshold: float = 0.5, max_bucket: int = 1000) -> None:
+                  threshold: float = 0.5, max_bucket: int = 1000,
+                  hasher: str = "fast") -> None:
     """Dedup one batch of documents against the store (and itself),
     append novel docs' signatures, log rejected docs."""
     spark = docs.sparkSession
@@ -77,7 +111,7 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
 
     hashes = docs.select("doc_id", F.md5(text_col).alias("text_hash"))
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_k,
-                              seed).localCheckpoint()
+                              seed, hasher).localCheckpoint()
     batch_bands = cap_buckets(_band_table(sigs, bands, rows),
                               ["band", "bh"], max_bucket).localCheckpoint()
 
@@ -100,7 +134,9 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
             .where(F.col("a.doc_id") > F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
-    store_bands = _try_read(spark, f"{store_dir}/bands")
+    touched = [(r["band"], r["bb"]) for r in
+               batch_bands.select("band", "bb").distinct().collect()]
+    store_bands = read_store_bands(spark, store_dir, touched)
     all_sigs = sigs
     if store_bands is not None:
         store_bands = cap_buckets(store_bands, ["band", "bh"], max_bucket)
@@ -140,7 +176,7 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     (sigs.join(novel_ids, "doc_id", "left_semi")
      .write.mode("append").parquet(f"{store_dir}/sigs"))
     (batch_bands.join(novel_ids, "doc_id", "left_semi")
-     .write.mode("append").partitionBy("band")
+     .write.mode("append").partitionBy("band", "bb")
      .parquet(f"{store_dir}/bands"))
     (hashes.join(novel_ids, "doc_id", "left_semi")
      .write.mode("append").parquet(f"{store_dir}/hashes"))

@@ -271,6 +271,44 @@ class TestIncrementalDedup:
         assert 103 not in acc and 105 not in acc and 120 not in acc
         assert len(acc) == 10 + 3 + 1
 
+    def test_store_probe_reads_bounded_subset(self, spark, tmp_path):
+        """The store probe must open only the batch's touched
+        (band, bb) sub-bucket directories — per-batch read cost is
+        O(batch), not O(accumulated store)."""
+        from maps_spark.operators.dedup import minhash_signatures
+        from maps_spark.streaming.dedup import (_band_table, process_batch,
+                                                read_store_bands)
+        store = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"d{i}w{j}" for j in range(30)))
+             for i in range(300)],
+            "doc_id long, text string")
+        process_batch(docs, store, batch_id=0)
+        full = read_store_bands(spark, store)
+        n_full = len(full.inputFiles())
+        assert n_full > 16  # the index fans out across sub-buckets
+
+        probe = spark.createDataFrame(
+            [(999, " ".join(f"p{j}" for j in range(25)))],
+            "doc_id long, text string")
+        sigs = minhash_signatures(probe)
+        touched = [(r["band"], r["bb"]) for r in
+                   _band_table(sigs, 16, 4).select("band", "bb")
+                   .distinct().collect()]
+        pruned = read_store_bands(spark, store, touched)
+        n_pruned = 0 if pruned is None else len(pruned.inputFiles())
+        # a 1-doc probe touches at most one sub-bucket dir per band
+        assert n_pruned <= 16
+        assert n_pruned < n_full
+        if pruned is not None:
+            # pruned read returns exactly the full read's rows for the
+            # touched sub-buckets — pruning loses nothing
+            import pyspark.sql.functions as F
+            cond = F.lit(False)
+            for bnd, sb in touched:
+                cond = cond | ((F.col("band") == bnd) & (F.col("bb") == sb))
+            assert pruned.count() == full.where(cond).count()
+
     def test_replayed_batch_is_skipped(self, spark, tmp_path):
         from maps_spark.streaming.dedup import accepted_ids, process_batch
         store = str(tmp_path / "store")
@@ -330,3 +368,46 @@ class TestCompaction:
         process_batch(extra, store, batch_id=99)
         assert 200 in {r.doc_id
                        for r in accepted_ids(spark, store).collect()}
+
+    def test_recover_compaction(self, spark, tmp_path):
+        """Crash-repair: an orphaned .old is restored as live; stale
+        staging/.old dirs beside a live store are cleared."""
+        import os
+
+        from maps_spark.sources.maintenance import recover_compaction
+        p = str(tmp_path / "t")
+        spark.range(100).write.parquet(p)
+        # crash between the two swap renames: live path is absent
+        os.rename(p, p + ".old")
+        assert recover_compaction(p) == "restored"
+        assert spark.read.parquet(p).count() == 100
+        # stale staging beside a live store is cleaned up
+        os.makedirs(p + ".compact")
+        assert recover_compaction(p) == "cleaned"
+        assert not os.path.isdir(p + ".compact")
+        assert recover_compaction(p) is None
+
+    def test_compact_validation_rejects_short_rewrite(self, spark,
+                                                      tmp_path,
+                                                      monkeypatch):
+        """A staging rewrite that loses rows must abort before the swap
+        and leave the original store untouched."""
+        import os
+
+        import pytest
+
+        import maps_spark.sources.maintenance as M
+        p = str(tmp_path / "t")
+        spark.range(100).write.parquet(p)
+        cls = type(spark.range(1))  # the concrete DataFrame class
+        orig = cls.repartition
+
+        def lossy(self, n, *cols):  # the rewrite silently drops rows
+            return orig(self.limit(50), n, *cols)
+
+        monkeypatch.setattr(cls, "repartition", lossy)
+        with pytest.raises(RuntimeError, match="validation failed"):
+            M.compact_dir(spark, p)
+        monkeypatch.undo()
+        assert spark.read.parquet(p).count() == 100
+        assert not os.path.isdir(p + ".compact")
