@@ -118,6 +118,39 @@ def adhoc_search(occ: DataFrame, z: int, x: int, y: int,
                       tile_buffer=tile_buffer)
 
 
+def adhoc_event_search(events: DataFrame, params: dict | None = None,
+                       limit: int = 300) -> DataFrame:
+    """The event-index ad-hoc resource — the reference's
+    ``event-vectortile-server`` specialization: the SAME search-param
+    DSL bound to a second index's column registry
+    (params.EVENT_SEARCH_COLUMNS), aggregated into a per-day,
+    per-event-type facet with the standard facet limit.
+
+    The synthetic event index is non-geographic, so the "grid" here is
+    temporal: day buckets as epoch days (integer in both engines; the
+    NTZ-safe arithmetic mirrors operators.sessions). ``value`` folds in
+    as exact milli-units. Supported params: ``eventType`` / ``userId``
+    (equality, multi-value ORs), ``year`` (range DSL over
+    ``year(ts)``). Output: (day_bucket, event_type, n, value_milli),
+    ordered by count desc then bucket/type, first ``limit`` rows.
+    """
+    from maps_spark.operators.sessions import TS_US_SPARK
+    from maps_spark.plans.params import (EVENT_SEARCH_COLUMNS,
+                                         search_predicate)
+    df = events.withColumn("year", F.expr("extract(year from ts)"))
+    pred = search_predicate(params or {}, columns=EVENT_SEARCH_COLUMNS)
+    if pred is not None:
+        df = df.where(pred)
+    day = F.floor(F.expr(TS_US_SPARK).cast("long") /
+                  F.lit(86_400_000_000)).cast("long")
+    return (df.groupBy(day.alias("day_bucket"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                 .cast("long").alias("value_milli"))
+            .orderBy(F.col("n").desc(), "day_bucket", "event_type")
+            .limit(limit))
+
+
 def year_facet(occ: DataFrame, limit: int = 300) -> DataFrame:
     """Terms aggregation year -> count (A13, facet limit 300)."""
     return (occ.where(F.col("year").isNotNull())

@@ -67,7 +67,10 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame,
                     _shingle_array(text_col, shingle_k))).alias("shingle"))
                 .distinct())
     # materialized once: the shingle transform is an interpreted
-    # higher-order function and feeds two consumers (hits + sizes)
+    # higher-order function and feeds two consumers (hits + sizes).
+    # Eager + non-reliable barrier, deliberately — see the trade-off
+    # note in operators.dedup.ngram_jaccard_pairs (cluster deployments
+    # use staged-table writes instead)
     doc_sh = docs.select(
         "doc_id", F.explode(F.array_distinct(
             _shingle_array(text_col, shingle_k))).alias("shingle")

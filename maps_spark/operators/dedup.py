@@ -286,6 +286,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # by every consumer), and this plan consumes it five times — df
     # counts, both anti-join sides, set sizes, both self-join sides.
     # One pass + a staged table is also the production shape at scale.
+    # Trade-off (deliberate): localCheckpoint materializes eagerly (plan
+    # construction runs a job) and pins executor storage for the
+    # session; lineage is truncated, so executor loss is unrecoverable.
+    # That is acceptable for local/gate runs; a cluster deployment
+    # swaps these barriers for staging-table writes (the backfill
+    # driver's pattern) or reliable checkpoints.
     sh = (docs.select("doc_id",
                       F.explode(F.array_distinct(
                           _shingle_array(text_col, shingle_k)))

@@ -172,6 +172,27 @@ def species_trend(spark, keyed: DataFrame, species_view: str,
     return spark.sql(sql)
 
 
+def trend_response(spark, keyed: DataFrame, species_view: str,
+                   group_view: str) -> dict:
+    """The JSON regression endpoint (RegressionResource.java:347-355):
+    one dict with the full SimpleRegression surface.
+
+    The distributed computation is :func:`species_trend` (dual-dialect
+    SQL, oracle-checkable); this finisher then swaps the SQL's
+    Hill-approximate ``significance`` for the EXACT Student-t p-value
+    (commons-math ``SimpleRegression.getSignificance()`` semantics) via
+    the regularized incomplete beta — a driver-side scalar on the
+    single result row, so exactness costs nothing distributed."""
+    from maps_spark.functions.stats import slope_significance
+    row = species_trend(spark, keyed, species_view, group_view) \
+        .collect()[0].asDict()
+    if (row.get("slope") is not None and row.get("slope_stderr")
+            and row.get("n")):
+        row["significance"] = slope_significance(
+            row["slope"], row["slope_stderr"], int(row["n"]))
+    return row
+
+
 def hex_trend(spark, keyed: DataFrame, species_view: str, group_view: str,
               srs: str = "EPSG:3857", z: int = 0, x: int = 0, y: int = 0
               ) -> DataFrame:

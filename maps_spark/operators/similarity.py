@@ -101,6 +101,8 @@ def sketch_udf(planes_list: list[np.ndarray]):
     array<long>, one bucket key per table."""
     @pandas_udf("array<long>")
     def _sk(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype=object)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         keys = []
         for planes in planes_list:
@@ -121,7 +123,13 @@ def _sketch_table(df: DataFrame, id_col: str, vec_col: str,
     — re-evaluates the sketches, turning n_tables sketches into
     ~4*n_tables full passes over the corpus. One scan + a materialized
     sketch table is the 100 TB shape (and what a real deployment would
-    persist next to the vectors, cf. :mod:`maps_spark.sources.ann_index`)."""
+    persist next to the vectors, cf. :mod:`maps_spark.sources.ann_index`).
+
+    Trade-off (deliberate): the localCheckpoint barrier is eager and
+    non-reliable (lineage truncated; storage pinned for the session) —
+    right for local/gate runs; a cluster deployment persists the
+    sketch table as a real staged table instead (ann_index does
+    exactly that)."""
     planes = [_hyperplanes(dim, n_bits, seed=seed0 + t)
               for t in range(n_tables)]
     keyed = df.select(F.col(id_col).alias(out_id),

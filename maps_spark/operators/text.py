@@ -267,19 +267,53 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint_series(texts, modulus: int = (1 << 61) - 1,
                        base: int = 257):
     """Per-batch polynomial rolling hash: h = sum(byte_i * base^(n-1-i))
-    mod modulus. Every intermediate stays below 2^62 (python ints here;
-    the DuckDB twin uses the Mersenne split identity for the same fold,
-    sql/oracle_training.doc_fingerprint_select)."""
+    mod modulus.
+
+    Vectorized for the default (61-bit Mersenne, base 257): documents
+    are LEFT-padded with zero bytes into one matrix (leading zeros do
+    not change a polynomial hash) and the fold runs per byte position
+    over the whole batch. ``h*257`` would overflow int64, so each step
+    splits ``h = h1*2^32 + h0`` and reduces ``h1*257*2^32`` with the
+    Mersenne identity ``2^61 === 1 (mod M)`` — every intermediate stays
+    below 2^62. The DuckDB twin applies the identical split
+    (sql/oracle_training.doc_fingerprint_select). Non-default
+    modulus/base falls back to the exact python-int loop.
+    """
     import numpy as np
     import pandas as pd
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        h = 0
-        for ch in t.encode("utf-8"):
-            h = (h * base + ch) % modulus
-        out[i] = h
-    return pd.Series(out)
+    if modulus != (1 << 61) - 1 or base >= (1 << 8):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            h = 0
+            for ch in t.encode("utf-8"):
+                h = (h * base + ch) % modulus
+            out[i] = h
+        return pd.Series(out)
+
+    bs = [t.encode("utf-8") for t in texts.fillna("")]
+    if not bs:
+        return pd.Series(np.empty(0, dtype=np.int64))
+    width = max(len(b) for b in bs) or 1
+    m = np.zeros((len(bs), width), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        if b:
+            m[i, width - len(b):] = np.frombuffer(b, dtype=np.uint8)
+    M = modulus
+    mask29 = (1 << 29) - 1
+    mask32 = (1 << 32) - 1
+    h = np.zeros(len(bs), dtype=np.int64)
+    for j in range(width):
+        h1 = h >> 32                      # < 2^29
+        h0 = h & mask32                   # < 2^32
+        x = h1 * base                     # < 2^38
+        # x * 2^32 mod M via 2^61 === 1: high 29 bits wrap to the bottom
+        hi = (x >> 29) + ((x & mask29) << 32)       # < 2^61 + 2^9
+        y = hi + h0 * base + m[:, j]                # < 2^62: int64-safe
+        y = (y >> 61) + (y & M)
+        y = (y >> 61) + (y & M)
+        h = np.where(y >= M, y - M, y)
+    return pd.Series(h)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

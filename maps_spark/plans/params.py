@@ -184,18 +184,35 @@ SEARCH_COLUMNS = {
     "occurrenceStatus": "occurrenceStatus",
 }
 
+#: the event index's registry — the event-vectortile-server
+#: specialization re-exposes the same resource over a second index
+#: with its own searchable fields; the DSL itself is shared.
+EVENT_SEARCH_COLUMNS = {
+    "eventType": "event_type", "userId": "user_id",
+}
+
 TAXON_COLUMNS = ("kingdomKey", "familyKey", "genusKey", "speciesKey")
 
 
-def search_predicate(params: dict):
+def search_predicate(params: dict, columns: dict[str, str] | None = None):
     """The ad-hoc predicate DSL (S7): recognized GBIF-style search
     params compiled to one Spark Column (Params.java:178-188 semantics:
     multiple values of a param OR together, params AND together; empty
     values dropped). Unrecognized params are ignored like the
     reference's ``findSearchParam`` miss. Returns None when nothing
     recognized (no filter).
+
+    ``columns`` picks the index's equality-param registry (default: the
+    occurrence index; pass :data:`EVENT_SEARCH_COLUMNS` for the event
+    index — the event-vectortile-server pattern of one resource class
+    bound to a second index). The taxon/network/year special forms
+    reference occurrence columns and simply never fire for indexes
+    whose requests don't use them.
     """
     import pyspark.sql.functions as F
+
+    if columns is None:
+        columns = SEARCH_COLUMNS
 
     def clean(v) -> list[str]:
         vals = v if isinstance(v, list) else [v]
@@ -207,8 +224,8 @@ def search_predicate(params: dict):
         vals = clean(raw)
         if not vals:
             continue
-        if name in SEARCH_COLUMNS:
-            col = F.col(SEARCH_COLUMNS[name])
+        if name in columns:
+            col = F.col(columns[name])
             preds.append(col.isin(vals) if len(vals) > 1
                          else col == vals[0])
         elif name == "taxonKey":

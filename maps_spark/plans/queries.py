@@ -197,6 +197,13 @@ def q_event_sessions(spark, sf_dir):
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_event_adhoc_search(spark, sf_dir):
+    from maps_spark.operators.adhoc import adhoc_event_search
+    return adhoc_event_search(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        params={"eventType": ["click", "view"], "year": "2024"})
+
+
 def q_point_locations(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").startswith("3:"))
     return PY.point_locations(keyed)
@@ -441,6 +448,7 @@ MAPS_QUERIES = {
     "species_trend": q_species_trend,
     "point_locations": q_point_locations,
     "event_sessions": q_event_sessions,
+    "event_adhoc_search": q_event_adhoc_search,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -516,6 +524,8 @@ def maps_oracles() -> dict[str, str]:
         "event_sessions": __import__(
             "maps_spark.operators.sessions",
             fromlist=["sessionize_sql"]).sessionize_sql(),
+        "event_adhoc_search": O.event_adhoc_select(
+            ("click", "view"), 2024, 2024),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),

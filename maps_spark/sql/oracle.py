@@ -455,6 +455,28 @@ def occ_country_counts_select() -> str:
 SELECT countryCode, count(*) AS n_occ FROM occ GROUP BY 1"""
 
 
+def event_adhoc_select(event_types: tuple[str, ...] = ("click", "view"),
+                       year_lo: int = 2024, year_hi: int = 2024,
+                       limit: int = 300) -> str:
+    """DuckDB twin of operators.adhoc.adhoc_event_search — the
+    event-index specialization of the ad-hoc resource. Day buckets are
+    epoch days from epoch micros (NTZ-safe on both engines, see
+    operators.sessions); value folds in as exact milli-units."""
+    types = ", ".join(f"'{t}'" for t in event_types)
+    return f"""
+SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_bucket,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli
+FROM events
+WHERE event_type IN ({types})
+  AND year(ts) >= {year_lo} AND year(ts) <= {year_hi}
+GROUP BY 1, 2
+ORDER BY n DESC, day_bucket, event_type
+LIMIT {limit}"""
+
+
 def _plottable(srs: str, lat: str = "decimalLatitude",
                lng: str = "decimalLongitude") -> str:
     from maps_spark.functions.projections import plottable_expr

@@ -110,3 +110,43 @@ class TestV1Layers:
     def test_single_string_accepted(self):
         f = P.v1_layers_to_filters("OBS_1990_2000")
         assert f["year"] == (1990, 2000)
+
+
+class TestEventAdhocSearch:
+    """The event-vectortile-server specialization: the shared ad-hoc
+    DSL bound to the event index (second-table wiring demo)."""
+
+    def test_predicate_filters_and_facets(self, spark):
+        import os
+
+        from maps_spark.operators.adhoc import adhoc_event_search
+        sf = os.environ.get("SPARK_GRAFT_SF_SMALL",
+                            "/root/testdata/sf0.001")
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        out = adhoc_event_search(
+            events, params={"eventType": ["click", "view"],
+                            "year": "2024"}).collect()
+        assert out
+        assert {r.event_type for r in out} <= {"click", "view"}
+        # facet totals reconcile with a direct filtered count
+        n_direct = events.where(
+            "event_type IN ('click','view') AND "
+            "extract(year from ts) = 2024").count()
+        assert sum(r.n for r in out) == n_direct
+        # ordered by count desc (facet-limit semantics)
+        ns = [r.n for r in out]
+        assert ns == sorted(ns, reverse=True)
+
+    def test_user_param_and_empty_params(self, spark):
+        import os
+
+        from maps_spark.operators.adhoc import adhoc_event_search
+        sf = os.environ.get("SPARK_GRAFT_SF_SMALL",
+                            "/root/testdata/sf0.001")
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        one_user = adhoc_event_search(events, params={"userId": "3"})
+        direct = events.where("user_id = 3").count()
+        assert sum(r.n for r in one_user.collect()) == direct
+        # no params -> no filter, all events faceted
+        allrows = adhoc_event_search(events)
+        assert sum(r.n for r in allrows.collect()) == events.count()

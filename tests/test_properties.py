@@ -124,3 +124,25 @@ def test_fingerprint_is_polynomial_mod_2_61(text):
     for c in text.encode():
         want = (want * 257 + c) % p
     assert int(got) == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(st.characters(min_codepoint=1,
+                                      max_codepoint=0x10FF),
+                        max_size=200),
+                min_size=0, max_size=8))
+def test_fingerprint_batch_matches_scalar_loop(docs):
+    """The vectorized (padded-matrix, Mersenne-split) batch fold must
+    equal the exact python-int scalar loop for mixed-length unicode
+    batches — including empty strings and empty batches."""
+    import pandas as pd
+
+    from maps_spark.operators.text import fingerprint_series
+
+    p = (1 << 61) - 1
+    got = fingerprint_series(pd.Series(docs, dtype=object)).tolist()
+    for t, h in zip(docs, got):
+        want = 0
+        for c in t.encode("utf-8"):
+            want = (want * 257 + c) % p
+        assert h == want

@@ -90,6 +90,74 @@ def test_significance(trend_row):
     assert out["significance"] < 0.01
 
 
+class TestExactSignificance:
+    """The exact Student-t significance finisher (functions/stats.py)
+    vs independent closed forms — commons-math
+    SimpleRegression.getSignificance() parity."""
+
+    def test_closed_form_small_df(self):
+        # exact two-sided t tails have elementary closed forms at small
+        # integer df — an INDEPENDENT check of the continued fraction:
+        # df=1: p = 1 - (2/pi) atan(t);  df=2: p = 1 - t/sqrt(t^2+2)
+        # df=3: p = 1 - (2/pi)(atan(u) + u/(1+u^2)), u = t/sqrt(3)
+        from maps_spark.functions.stats import t_sf_two_sided
+        for t in (0.1, 0.5, 1.0, 2.0, 5.0, 20.0):
+            assert t_sf_two_sided(t, 1) == pytest.approx(
+                1.0 - 2.0 / math.pi * math.atan(t), rel=1e-12)
+            assert t_sf_two_sided(t, 2) == pytest.approx(
+                1.0 - t / math.sqrt(t * t + 2.0), rel=1e-12)
+            u = t / math.sqrt(3.0)
+            assert t_sf_two_sided(t, 3) == pytest.approx(
+                1.0 - 2.0 / math.pi * (math.atan(u) + u / (1 + u * u)),
+                rel=1e-12)
+
+    def test_normal_limit_large_df(self):
+        # df -> inf: the t tail approaches the normal tail
+        from maps_spark.functions.stats import t_sf_two_sided
+        p = t_sf_two_sided(1.959963984540054, 1_000_000)
+        assert p == pytest.approx(0.05, rel=1e-4)
+
+    def test_edge_cases(self):
+        from maps_spark.functions.stats import (slope_significance,
+                                                t_sf_two_sided)
+        assert t_sf_two_sided(0.0, 10) == 1.0
+        assert t_sf_two_sided(float("inf"), 10) == 0.0
+        assert math.isnan(t_sf_two_sided(1.0, 0))
+        assert math.isnan(slope_significance(1.0, 0.0, 10))
+        assert math.isnan(slope_significance(1.0, 1.0, 2))
+
+    def test_hill_within_documented_tolerance(self):
+        # the SQL keeps Hill's approximation (oracle-reproducible);
+        # pin its documented ~1e-3 absolute agreement with the exact
+        # tail over the df/t range the endpoint sees
+        from maps_spark.functions.stats import t_sf_two_sided
+        worst = 0.0
+        for df in (3, 5, 10, 18, 30, 100):
+            for t in (0.2, 0.5, 1.0, 1.5, 2.0, 3.0, 5.0):
+                exact = t_sf_two_sided(t, df)
+                approx = _hill_sig(t, df)
+                worst = max(worst, abs(exact - approx))
+        assert worst < 1e-3
+
+    def test_trend_response_uses_exact(self, spark, trend_row):
+        from maps_spark.functions.stats import t_sf_two_sided
+        from maps_spark.operators.regression import trend_response
+        out, exp = trend_row
+        keyed = spark.createDataFrame(
+            [(k, y * 100 + 1) for k, y in
+             [(r["mapKey"], r["year"]) for r in
+              spark.table("trend_test_keyed").collect()]],
+            "mapKey string, borYear long")
+        resp = trend_response(spark, keyed, "s", "g")
+        assert resp["n"] == exp["n"]
+        assert resp["slope"] == pytest.approx(exp["slope"], rel=1e-9)
+        assert resp["significance"] == pytest.approx(
+            t_sf_two_sided(exp["t"], exp["n"] - 2), rel=1e-12)
+        # exact and Hill agree to the documented tolerance on real data
+        assert resp["significance"] == pytest.approx(
+            out["significance"], abs=1e-3)
+
+
 def test_degenerate_inputs(spark):
     from maps_spark.operators.regression import trend_sql
 
