@@ -51,16 +51,124 @@ STYLES: dict[str, list[tuple[float, tuple[int, int, int]]]] = {
         (1000, (0x74, 0xA9, 0xCF)), (10000, (0xBD, 0xC9, 0xE1)),
         (float("inf"), (0xF1, 0xEE, 0xF6)),
     ],
+    "green.point": [
+        (5, (0x4D, 0x7C, 0x40)), (10, (0x60, 0x8A, 0x50)),
+        (50, (0x70, 0x95, 0x5E)), (100, (0x85, 0xA3, 0x6F)),
+        (500, (0x95, 0xAD, 0x7C)), (1000, (0xAA, 0xBA, 0x8D)),
+        (5000, (0xBA, 0xC5, 0x99)), (10000, (0xCC, 0xD0, 0xA8)),
+        (100000, (0xDF, 0xDC, 0xB7)), (float("inf"), (0xEF, 0xE6, 0xC4)),
+    ],
+}
+
+# ramps shared between the dot and poly variants of the same palette
+_CLASSIC_RAMP = STYLES["classic.point"]
+_PY_RAMP = STYLES["purpleYellow.point"]
+_GREEN_RAMP = STYLES["green.point"]
+_GREY_BORDER = ((0x7B, 0x7B, 0x7B), 1.0)
+
+#: polygon styles (the *-poly.mss sheets): fill ramp + optional
+#: (line_rgb, line_opacity) border + overall fill opacity. Line widths
+#: in the sheets are sub-pixel (0.25-0.5 px); rendered as a 1-px edge.
+POLY_STYLES: dict[str, dict] = {
+    "classic.poly": {"ramp": _CLASSIC_RAMP, "line": _GREY_BORDER,
+                     "opacity": 0.9},
+    "classic-noborder.poly": {"ramp": _CLASSIC_RAMP, "line": None,
+                              "opacity": 1.0},
+    "purpleYellow.poly": {"ramp": _PY_RAMP, "line": _GREY_BORDER,
+                          "opacity": 1.0},
+    "purpleYellow-noborder.poly": {"ramp": _PY_RAMP, "line": None,
+                                   "opacity": 1.0},
+    "green.poly": {"ramp": _GREEN_RAMP, "line": _GREY_BORDER,
+                   "opacity": 1.0},
+    "green-noborder.poly": {"ramp": _GREEN_RAMP, "line": None,
+                            "opacity": 1.0},
+    "green2.poly": {"ramp": [
+        (10, (0xED, 0xF8, 0xE9)), (100, (0xBA, 0xE4, 0xB3)),
+        (1000, (0x74, 0xC4, 0x76)), (10000, (0x31, 0xA3, 0x54)),
+        (float("inf"), (0x00, 0x6D, 0x2C))],
+        "line": _GREY_BORDER, "opacity": 1.0},
+    "green2-noborder.poly": {"ramp": [
+        (10, (0xED, 0xF8, 0xE9)), (100, (0xBA, 0xE4, 0xB3)),
+        (1000, (0x74, 0xC4, 0x76)), (10000, (0x31, 0xA3, 0x54)),
+        (float("inf"), (0x00, 0x6D, 0x2C))],
+        "line": None, "opacity": 1.0},
+    "iNaturalist.poly": {"ramp": [
+        (10, (0xF7, 0x00, 0x5A)), (100, (0xD5, 0x00, 0x67)),
+        (1000, (0xB5, 0x00, 0x6C)), (10000, (0x94, 0x00, 0x6A)),
+        (100000, (0x72, 0x00, 0x5F)), (float("inf"), (0x52, 0x03, 0x4E))],
+        "line": None, "opacity": 0.9},
+    "purpleWhite.poly": {"ramp": [
+        (5, (0xA0, 0x00, 0xA0)), (10, (0xAB, 0x1F, 0xAB)),
+        (50, (0xB7, 0x3F, 0xB7)), (100, (0xC3, 0x5F, 0xC3)),
+        (500, (0xCF, 0x7F, 0xCF)), (1000, (0xDB, 0x9F, 0xDB)),
+        (5000, (0xE7, 0xBF, 0xE7)), (10000, (0xF3, 0xDF, 0xF3)),
+        (float("inf"), (0xFF, 0xFF, 0xFF))],
+        "line": None, "opacity": 1.0},
+    "red.poly": {"ramp": [(float("inf"), (0xCC, 0x00, 0x00))],
+                 "line": None, "opacity": 1.0},
+    "outline.poly": {"ramp": None,  # no fill: border only
+                     "line": ((0x7B, 0x7B, 0x7B), 0.8), "opacity": 1.0},
+}
+
+#: marker styles (blue/orange-marker.mss, scaled-circles.mss):
+#: per-breakpoint circle width (+ per-bin fill/opacity for
+#: scaled.circles, whose first bin also carries a 1-px ring).
+MARKER_STYLES: dict[str, list[tuple[float, dict]]] = {
+    "blue.marker": [
+        (hi, {"width": w, "fill": (0x20, 0x9F, 0xFF), "opacity": 0.65,
+              "ring": None})
+        for hi, w in ((10, 4), (100, 8), (1000, 12), (10000, 14),
+                      (100000, 16), (float("inf"), 25))],
+    "orange.marker": [
+        (hi, {"width": w, "fill": (0xFF, 0x63, 0x47), "opacity": 0.8,
+              "ring": None})
+        for hi, w in ((10, 4), (100, 8), (1000, 12), (10000, 14),
+                      (100000, 16), (float("inf"), 25))],
+    "scaled.circles": [
+        (10, {"width": 6, "fill": (0xFE, 0xD9, 0x76), "opacity": 1.0,
+              "ring": (0xFE, 0x97, 0x24)}),
+        (100, {"width": 7, "fill": (0xFD, 0x8D, 0x3C), "opacity": 0.8,
+               "ring": None}),
+        (1000, {"width": 10, "fill": (0xFD, 0x8D, 0x3C), "opacity": 0.7,
+                "ring": None}),
+        (10000, {"width": 16, "fill": (0xF0, 0x3B, 0x20), "opacity": 0.6,
+                 "ring": None}),
+        (float("inf"), {"width": 30, "fill": (0xBD, 0x00, 0x26),
+                        "opacity": 0.6, "ring": None}),
+    ],
 }
 
 HEAT_STYLES = frozenset((
     "purpleHeat.point", "blueHeat.point", "orangeHeat.point",
     "greenHeat.point", "fire.point", "glacier.point"))
 
+#: hard pixel styles: fully-opaque dots, no semi-transparency
+#: (styles.js hardPointStyles)
+HARD_POINT_STYLES = frozenset((
+    "classic.point", "purpleYellow.point", "green.point"))
+
+DEFAULT_STYLE = "classic.point"
+
+
+def named_styles() -> frozenset[str]:
+    """Every style name the catalogue serves (styles.js namedStyles)."""
+    return frozenset(STYLES) | frozenset(POLY_STYLES) | \
+        frozenset(MARKER_STYLES)
+
+
+def get_style_name(style: str | None) -> str:
+    """styles.js getStyleName: unknown style -> the default."""
+    return style if style in named_styles() else DEFAULT_STYLE
+
 
 def is_heat_style(style: str) -> bool:
     """styles.js:97-99 — heat styles composite 4 z+1 tiles."""
     return style in HEAT_STYLES
+
+
+def is_hard_pixel_style(style: str) -> bool:
+    """styles.js:90-92 — hard pixel styles must not be semitransparent."""
+    return style in HARD_POINT_STYLES
 
 
 def write_png(rgba: np.ndarray) -> bytes:
@@ -115,6 +223,131 @@ def render_density_png(tile_bytes: bytes | None, style: str = "classic.point",
                 canvas[y0:y1, x0:x1, 2] = rgb[2]
                 canvas[y0:y1, x0:x1, 3] = 255
     return write_png(canvas)
+
+
+def _ramp_color(ramp, total):
+    for hi, rgb in ramp:
+        if total <= hi:
+            return rgb
+    return ramp[-1][1]
+
+
+def _blend_over(canvas: np.ndarray, mask: np.ndarray,
+                rgb: tuple[int, int, int], alpha: float) -> None:
+    """Source-over composite of a flat colour onto the RGBA canvas
+    under a boolean mask."""
+    if not mask.any():
+        return
+    sa = float(alpha)
+    src = np.array(rgb, dtype=np.float64) * sa
+    dst = canvas[mask].astype(np.float64)
+    out_a = sa * 255.0 + dst[:, 3] * (1.0 - sa)
+    out_rgb = src[None, :] + dst[:, :3] * (dst[:, 3:4] / 255.0) * (1.0 - sa)
+    # normalize premultiplied back to straight alpha
+    nz = out_a > 0
+    res = dst.copy()
+    res[nz, :3] = np.clip(out_rgb[nz] / (out_a[nz, None] / 255.0), 0, 255)
+    res[:, 3] = np.clip(out_a, 0, 255)
+    canvas[mask] = np.rint(res).astype(np.uint8)
+
+
+def _poly_mask(verts: list[tuple[float, float]], size: int) -> np.ndarray:
+    """Boolean inside-mask for a polygon over a size x size canvas:
+    even-odd rule against pixel centres, vectorized per edge (the
+    standard crossing-number test — handles the convex hex/square cells
+    the binning operators emit, and any simple polygon)."""
+    ys, xs = np.mgrid[0:size, 0:size]
+    px = xs + 0.5
+    py = ys + 0.5
+    inside = np.zeros((size, size), dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        x0, y0 = verts[i]
+        x1, y1 = verts[(i + 1) % n]
+        if y0 == y1:
+            continue
+        crosses = ((y0 > py) != (y1 > py)) & \
+            (px < (x1 - x0) * (py - y0) / (y1 - y0) + x0)
+        inside ^= crosses
+    return inside
+
+
+def _edge_mask(verts: list[tuple[float, float]], size: int) -> np.ndarray:
+    """1-px border: polygon pixels adjacent to a non-polygon pixel."""
+    inside = _poly_mask(verts, size)
+    eroded = inside.copy()
+    eroded[1:, :] &= inside[:-1, :]
+    eroded[:-1, :] &= inside[1:, :]
+    eroded[:, 1:] &= inside[:, :-1]
+    eroded[:, :-1] &= inside[:, 1:]
+    # the canvas boundary counts as outside: a cell clipped at the tile
+    # edge still strokes its border there
+    eroded[0, :] = eroded[-1, :] = False
+    eroded[:, 0] = eroded[:, -1] = False
+    return inside & ~eroded
+
+
+def render_poly_png(cells: list[tuple[list[tuple[float, float]], int]],
+                    style: str = "classic.poly", tile_size: int = 512,
+                    scale: float = 1.0) -> bytes:
+    """Polygon-style raster (the *-poly.mss catalogue): each cell is
+    (vertex ring in tile pixels, total). Fill colour from the style's
+    ``total`` breakpoints with the sheet's opacity; bordered styles
+    stroke a 1-px edge (the CartoCSS line widths are sub-pixel).
+    ``outline.poly`` strokes only. Cell rings come from the binning
+    operators (``binning.hex_polygon`` / square cell corners)."""
+    spec = POLY_STYLES[style]
+    size = int(tile_size * scale)
+    canvas = np.zeros((size, size, 4), dtype=np.uint8)
+    for verts, total in cells:
+        sv = [(x * scale, y * scale) for x, y in verts]
+        if spec["ramp"] is not None:
+            _blend_over(canvas, _poly_mask(sv, size),
+                        _ramp_color(spec["ramp"], total), spec["opacity"])
+        if spec["line"] is not None:
+            line_rgb, line_op = spec["line"]
+            _blend_over(canvas, _edge_mask(sv, size), line_rgb, line_op)
+    return write_png(canvas)
+
+
+def render_marker_png(markers: list[tuple[float, float, int]],
+                      style: str = "blue.marker", tile_size: int = 512,
+                      scale: float = 1.0) -> bytes:
+    """Marker-style raster (blue/orange-marker.mss, scaled-circles.mss):
+    each marker is (centreX, centreY, total) in tile pixels; circle
+    width, fill, and opacity follow the style's ``total`` breakpoints
+    (markers allow overlap — painted in input order, source-over)."""
+    bins = MARKER_STYLES[style]
+    size = int(tile_size * scale)
+    canvas = np.zeros((size, size, 4), dtype=np.uint8)
+    ys, xs = np.mgrid[0:size, 0:size]
+    for cx, cy, total in markers:
+        spec = None
+        for hi, s in bins:
+            if total <= hi:
+                spec = s
+                break
+        if spec is None:
+            spec = bins[-1][1]
+        r = spec["width"] * scale / 2.0
+        d2 = (xs + 0.5 - cx * scale) ** 2 + (ys + 0.5 - cy * scale) ** 2
+        _blend_over(canvas, d2 <= r * r, spec["fill"], spec["opacity"])
+        if spec["ring"] is not None:
+            ring = (d2 <= (r + 1.0) ** 2) & (d2 > r * r)
+            _blend_over(canvas, ring, spec["ring"], 1.0)
+    return write_png(canvas)
+
+
+def square_cell_polys(cells: dict, square_size: int
+                      ) -> list[tuple[list[tuple[float, float]], int]]:
+    """(cellX, cellY) -> total dict (binning.square_bin_dict output) to
+    the cell-corner rings render_poly_png consumes."""
+    out = []
+    for (cx, cy), total in cells.items():
+        x0, y0 = cx * square_size, cy * square_size
+        x1, y1 = x0 + square_size, y0 + square_size
+        out.append(([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], total))
+    return out
 
 
 def _tile_totals(tile_bytes: bytes, tile_size: int) -> dict:
