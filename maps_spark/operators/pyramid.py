@@ -334,7 +334,8 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
                          min_zoom: int = 0, span: int = 6,
                          tile_size: int = P.TILE_SIZE,
                          partitions: int | None = None,
-                         persisted_out: list | None = None
+                         persisted_out: list | None = None,
+                         min_chunk: int = 512 * 1024
                          ) -> Iterator[tuple[int, DataFrame]]:
     """All pyramid levels with ``ceil(levels / span)`` shuffles instead
     of one per zoom.
@@ -358,22 +359,25 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
     spark = keyed.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
 
-    def span_agg(z_top: int, k: int, with_cnt: bool, pre_shift: bool):
+    def span_agg(z_top: int, k: int, with_cnt: bool, pre_shift: bool,
+                 min_chunk: int = 512 * 1024):
         group_base = ["mapKey", "px", "py", "borYear"]
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # Incremental per-Arrow-batch aggregation: groups are
+            # Incremental chunked aggregation: groups are
             # partition-local by construction (the repartition key is an
-            # ancestor of every group key in the span), so merging a
-            # running grouped frame batch-by-batch is exact. Peak Python
-            # memory is O(distinct groups at z_top + pending buffer),
-            # NOT O(raw partition rows) — the raw keyed fan-out is the
+            # ancestor of every group key in the span), so folding raw
+            # Arrow batches into a running grouped frame is exact. Peak
+            # Python memory is O(distinct groups + bounded buffer), NOT
+            # O(raw partition rows) — the raw keyed fan-out is the
             # largest dataset in the system, and whole-partition
             # materialization here is the wall the reference hits at
             # 2.5B rows (example.yaml:98-101, forced sort-agg switch).
-            # Pending batch groupeds are flushed into the running frame
-            # once they reach its size, keeping merge cost amortized
-            # O(n log n)-ish instead of O(batches * |agg|).
+            # Raw batches buffer until they reach max(512k rows, |agg|)
+            # before each groupby+merge: big enough to amortize pandas
+            # groupby overhead (a per-batch groupby measured ~40% slower
+            # at sf0.1), small enough that the buffer never exceeds the
+            # running aggregate's own footprint asymptotically.
             agg: pd.DataFrame | None = None
             pending: list[pd.DataFrame] = []
             pending_rows = 0
@@ -397,11 +401,9 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
                     pdf = pdf.assign(cnt=1)
                 if pre_shift:  # continuation span: input is one zoom above
                     pdf = pdf.assign(px=pdf["px"] // 2, py=pdf["py"] // 2)
-                g = (pdf.groupby(group_base, as_index=False, sort=False)
-                     .agg(cnt=("cnt", "sum")))
-                pending.append(g)
-                pending_rows += len(g)
-                if pending_rows >= max(65536,
+                pending.append(pdf[group_base + ["cnt"]])
+                pending_rows += len(pdf)
+                if pending_rows >= max(min_chunk,
                                        len(agg) if agg is not None else 0):
                     flush()
             cur = flush()
@@ -433,8 +435,9 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
         part = current.repartition(
             n_parts, "mapKey",
             F.shiftright("px", shift), F.shiftright("py", shift))
-        levels = part.mapInPandas(span_agg(z_top, k, with_cnt, pre_shift),
-                                  PIXEL_Z_SCHEMA).persist()
+        levels = part.mapInPandas(
+            span_agg(z_top, k, with_cnt, pre_shift, min_chunk),
+            PIXEL_Z_SCHEMA).persist()
         if persisted_out is not None:
             persisted_out.append(levels)
         for z in range(z_top, z_top - k - 1, -1):

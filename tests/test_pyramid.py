@@ -91,7 +91,10 @@ def test_spans_incremental_multi_batch(spark, keyed):
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "37")  # prime, tiny: guarantees many batches
     try:
-        spans = dict(PY.pyramid_pixels_spans(keyed, "EPSG:3857", 8))
+        # tiny min_chunk: every few batches trigger a groupby+merge into
+        # the running aggregate, exercising the incremental-merge path
+        spans = dict(PY.pyramid_pixels_spans(keyed, "EPSG:3857", 8,
+                                             min_chunk=100))
         cascade = dict(PY.pyramid_pixels(keyed, "EPSG:3857", 8))
         for z in (8, 5, 2, 0):
             bad = (spans[z].alias("s").join(
