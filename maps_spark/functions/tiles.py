@@ -76,16 +76,30 @@ def local_y(tx_unused: None, ty: Column, py: Column,
 
 def collect_to_tiles(srs: str, z: int, px: Column, py: Column,
                      tile_size: int = TILE_SIZE, buffer: int = DEFAULT_BUFFER,
-                     contained_only: bool = True) -> Column:
+                     contained_only: bool = True,
+                     dedup: bool | None = None) -> Column:
     """Array of distinct ``struct<tileX,tileY,pixelX,pixelY>`` targets.
 
     Mirrors TileXYUDF.call: primary tile + 8-direction buffer test with
     toroidal adjacent addressing; duplicates removed per input row.
     Returned as an array Column to be ``explode``d — one expression tree,
     no UDF, no extra scan.
+
+    ``dedup`` controls the per-row duplicate/null cleanup.
+    ``array_distinct`` + ``F.filter`` are higher-order expressions that
+    Spark evaluates INTERPRETED (outside whole-stage codegen), and at
+    pyramid scale they dominated the fan-out stage (measured ~4x the
+    cost of the arithmetic itself at sf0.1). Candidate duplicates can
+    only arise from toroidal wrap collisions, which require a tile grid
+    narrower than 3 on some axis — so by default the cleanup runs only
+    at those tiny zooms, and larger zooms emit the raw 9-slot array
+    (nulls included) for the consumer to drop post-``explode`` with a
+    codegen-friendly ``IS NOT NULL`` filter.
     """
     sch = schema_for(srs)
     num_x, num_y = sch.num_x_tiles(z), sch.num_y_tiles(z)
+    if dedup is None:
+        dedup = min(num_x, num_y) < 3
     tx, ty = tile_xy(srs, z, px, py, tile_size)
     lx = local_x(sch, z, tx, px, tile_size, buffer)
     ly = py - ty * F.lit(tile_size)
@@ -123,9 +137,105 @@ def collect_to_tiles(srs: str, z: int, px: Column, py: Column,
         candidate(near_s & near_e, +1, +1),
         candidate(near_w, -1, 0),
     ]
-    arr = F.array_distinct(
-        F.filter(F.array(*cands), lambda c: c.isNotNull()))
-    return arr
+    if dedup:
+        return F.array_distinct(
+            F.filter(F.array(*cands), lambda c: c.isNotNull()))
+    return F.array(*cands)
+
+
+def explode_to_tiles(pixels, srs: str, z: int,
+                     tile_size: int = TILE_SIZE,
+                     buffer: int = DEFAULT_BUFFER,
+                     carry: tuple[str, ...] = ("mapKey", "borYear", "cnt")):
+    """Pixel rows -> one row per (<=4) target tile, staged for speed.
+
+    Same semantics as ``explode(collect_to_tiles(...))`` but built in
+    two projections: tile addresses and local coords are computed ONCE
+    as real columns (``tx``/``ty``/``lx``/``ly``) below the explode, so
+    each of the 9 candidate slots references plain attributes. Inlining
+    ``collect_to_tiles`` directly re-expands the
+    ``greatest(least(floor(px/size)))`` tree dozens of times inside the
+    generator expression — Catalyst does not eliminate common
+    subexpressions there, and the measured fan-out stage cost was ~5x
+    the arithmetic. Duplicate candidates are impossible when both tile
+    axes have >= 3 tiles; at smaller zooms this delegates to the
+    dedup'ing array form (row counts there are trivial).
+
+    Output: ``carry`` columns + (tileX, tileY, pixelX, pixelY).
+    """
+    sch = schema_for(srs)
+    num_x, num_y = sch.num_x_tiles(z), sch.num_y_tiles(z)
+    tcols = [F.col("t.tileX").alias("tileX"),
+             F.col("t.tileY").alias("tileY"),
+             F.col("t.pixelX").alias("pixelX"),
+             F.col("t.pixelY").alias("pixelY")]
+    if min(num_x, num_y) < 3:
+        targets = collect_to_tiles(srs, z, F.col("px"), F.col("py"),
+                                   tile_size, buffer, dedup=True)
+        return (pixels
+                .select(*carry, F.explode(targets).alias("t"))
+                .select(*carry, *tcols))
+
+    tx, ty = tile_xy(srs, z, F.col("px"), F.col("py"), tile_size)
+    staged = pixels.select(*carry, "px", "py",
+                           tx.alias("tx"), ty.alias("ty"))
+
+    def wrap(c: Column, n: int) -> Column:
+        return F.when(c < 0, F.lit(n - 1).cast("long")) \
+                .when(c >= n, _lit(0)).otherwise(c)
+
+    # stage every neighbour address and local coordinate ONCE; the
+    # candidate slots below are then pure attribute references
+    lx = local_x(sch, z, F.col("tx"), F.col("px"), tile_size, buffer)
+    staged = staged.select(
+        *carry, "px", "py", "tx", "ty", lx.alias("lx"),
+        (F.col("py") - F.col("ty") * F.lit(tile_size)).alias("ly"),
+        wrap(F.col("tx") - 1, num_x).alias("axw"),
+        wrap(F.col("tx") + 1, num_x).alias("axe"),
+        wrap(F.col("ty") - 1, num_y).alias("ayn"),
+        wrap(F.col("ty") + 1, num_y).alias("ays"))
+    staged = staged.select(
+        *carry, "tx", "ty", "lx", "ly", "axw", "axe", "ayn", "ays",
+        local_x(sch, z, F.col("axw"), F.col("px"), tile_size, buffer)
+        .alias("lxw"),
+        local_x(sch, z, F.col("axe"), F.col("px"), tile_size, buffer)
+        .alias("lxe"),
+        (F.col("py") - F.col("ayn") * F.lit(tile_size)).alias("lyn"),
+        (F.col("py") - F.col("ays") * F.lit(tile_size)).alias("lys"))
+
+    lxc, lyc = F.col("lx"), F.col("ly")
+    near_n = lyc < buffer
+    near_s = lyc >= tile_size - buffer
+    near_w = lxc < buffer
+    near_e = lxc >= tile_size - buffer
+    ax = {-1: F.col("axw"), 0: F.col("tx"), 1: F.col("axe")}
+    ay = {-1: F.col("ayn"), 0: F.col("ty"), 1: F.col("ays")}
+    alx_by = {-1: F.col("lxw"), 0: lxc, 1: F.col("lxe")}
+    aly_by = {-1: F.col("lyn"), 0: lyc, 1: F.col("lys")}
+
+    def candidate(cond: Column, dx: int, dy: int) -> Column:
+        alx, aly = alx_by[dx], aly_by[dy]
+        cond = cond & (alx >= -buffer) & (alx <= tile_size + buffer) \
+                    & (aly >= -buffer) & (aly <= tile_size + buffer)
+        st = F.struct(ax[dx].alias("tileX"), ay[dy].alias("tileY"),
+                      alx.alias("pixelX"), aly.alias("pixelY"))
+        return F.when(cond, st)
+
+    cands = [
+        candidate(F.lit(True), 0, 0),
+        candidate(near_n, 0, -1),
+        candidate(near_n & near_w, -1, -1),
+        candidate(near_n & near_e, +1, -1),
+        candidate(near_e, +1, 0),
+        candidate(near_s, 0, +1),
+        candidate(near_s & near_w, -1, +1),
+        candidate(near_s & near_e, +1, +1),
+        candidate(near_w, -1, 0),
+    ]
+    return (staged
+            .select(*carry, F.explode(F.array(*cands)).alias("t"))
+            .where(F.col("t").isNotNull())
+            .select(*carry, *tcols))
 
 
 def to_180_degrees(lng: float) -> float:

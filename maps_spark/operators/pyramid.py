@@ -144,16 +144,7 @@ def tile_rows(pixels: DataFrame, srs: str, z: int,
     """Explode pixels into their (<= 4) target tiles with local coords
     (C8 + A5 input): (mapKey, tileX, tileY, pixelX, pixelY, borYear, cnt).
     """
-    targets = T.collect_to_tiles(srs, z, F.col("px"), F.col("py"),
-                                 tile_size, buffer)
-    return (pixels
-            .select("mapKey", "borYear", "cnt",
-                    F.explode(targets).alias("t"))
-            .select("mapKey", "borYear", "cnt",
-                    F.col("t.tileX").alias("tileX"),
-                    F.col("t.tileY").alias("tileY"),
-                    F.col("t.pixelX").alias("pixelX"),
-                    F.col("t.pixelY").alias("pixelY")))
+    return T.explode_to_tiles(pixels, srs, z, tile_size, buffer)
 
 
 def encode_mvt(trows: DataFrame, z: int,
