@@ -94,7 +94,9 @@ def merc_global_xy(lat, lng, z: int, tile_size: int = TILE_SIZE):
     lat = np.asarray(lat, dtype=np.float64)
     lng = np.asarray(lng, dtype=np.float64)
     n = tile_size * (1 << z)
-    x = (lng + 180.0) / 360.0 * n
+    # mod n wraps lng=+180 onto pixel 0 (same meridian as -180),
+    # matching the dual-dialect SQL template (dual.merc_px)
+    x = np.mod((lng + 180.0) / 360.0 * n, n)
     siny = np.sin(np.radians(lat))
     y = (0.5 - np.log((1.0 + siny) / (1.0 - siny)) / (4.0 * np.pi)) * n
     return x, y
@@ -105,7 +107,9 @@ def wgs84_global_xy(lat, lng, z: int, tile_size: int = TILE_SIZE):
     lat = np.asarray(lat, dtype=np.float64)
     lng = np.asarray(lng, dtype=np.float64)
     n = tile_size * (1 << z)
-    return (lng + 180.0) * n / 180.0, (90.0 - lat) * n / 180.0
+    # world width is 2n; wrap the +180 meridian like dual.wgs84_px
+    return np.mod((lng + 180.0) * n / 180.0, 2 * n), \
+        (90.0 - lat) * n / 180.0
 
 
 def _authalic_q(sin_phi):

@@ -28,11 +28,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_tiles(tiles: DataFrame, root: str, mode: str = "overwrite",
-                files_per_partition: int = 1) -> None:
-    """Write (srs, mapKey, z, x, y, tile) as the partitioned tile index."""
+                files_per_z: int = 1,
+                partitions: int | None = None) -> None:
+    """Write (srs, mapKey, z, x, y, tile) as the partitioned tile index.
+
+    Scale shape: the shuffle key is ``(srs, z, bucket)`` with
+    ``bucket = hash(mapKey) mod files_per_z`` — every (srs, z)
+    directory is written by its own task(s) in parallel and receives
+    ~``files_per_z`` sorted files. (A plain ``repartition(1, ...)``
+    would funnel the ENTIRE index through one task — fine at sf0.1,
+    a serialization wall for a z16 pyramid.) Files stay sorted by
+    ``(mapKey, x, y)`` so row-group min/max stats keep point reads
+    near-O(1); ``files_per_z`` is the salt-prefix-partitioner knob
+    (SaltPrefixPartitioner.java:21-37) for hot builds.
+    """
+    spark = tiles.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    bucket = F.pmod(F.hash("mapKey"), F.lit(files_per_z))
     (tiles
-     .repartition(files_per_partition, "srs", "z", "mapKey")
-     .sortWithinPartitions("mapKey", "x", "y")
+     .withColumn("__bucket", bucket)
+     .repartition(n_parts, "srs", "z", "__bucket")
+     .sortWithinPartitions("srs", "z", "__bucket", "mapKey", "x", "y")
+     .drop("__bucket")
      .write.partitionBy("srs", "z").mode(mode).parquet(f"{root}/tiles"))
 
 

@@ -44,9 +44,17 @@ MERC_MAX_LAT = "85.0511287798066"
 # ---------------------------------------------------------------------------
 
 def merc_px(lng: str, z: int, tile_size: int = TILE_SIZE) -> str:
-    """Global pixel x at zoom ``z``: ``(lng+180)/360 * (T<<z)``, floored."""
+    """Global pixel x at zoom ``z``: ``(lng+180)/360 * (T<<z)``, floored.
+
+    The ``% n`` wraps the dateline: lng=+180 is the same meridian as
+    -180 and must land on pixel 0, not one past the canvas (px == n
+    leaks through every zoom as an out-of-range pixel and breaks the
+    cross-zoom visible-total invariant). Inputs are bounded to
+    [-180, 180] by the plottable mask, so the modulo only fires on the
+    exact +180 edge — identical in both dialects for non-negative
+    operands."""
     n = tile_size * (1 << z)
-    return f"CAST(floor((({lng}) + 180.0) / 360.0 * {n}) AS BIGINT)"
+    return f"CAST(floor((({lng}) + 180.0) / 360.0 * {n}) % {n} AS BIGINT)"
 
 
 def merc_py(lat: str, z: int, tile_size: int = TILE_SIZE) -> str:
@@ -73,8 +81,10 @@ def merc_py(lat: str, z: int, tile_size: int = TILE_SIZE) -> str:
 # ---------------------------------------------------------------------------
 
 def wgs84_px(lng: str, z: int, tile_size: int = TILE_SIZE) -> str:
+    # world width is 2n (2x1 tiles at z0); % wraps the +180 meridian
+    # onto pixel 0 — see merc_px
     n = tile_size * (1 << z)
-    return f"CAST(floor((({lng}) + 180.0) * {n} / 180.0) AS BIGINT)"
+    return f"CAST(floor((({lng}) + 180.0) * {n} / 180.0) % {2 * n} AS BIGINT)"
 
 
 def wgs84_py(lat: str, z: int, tile_size: int = TILE_SIZE) -> str:

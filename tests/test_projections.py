@@ -23,11 +23,11 @@ class TestMercator:
     @pytest.mark.parametrize("lat,lng,z,ex,ey", [
         (0, 0, 0, 256, 256),
         (0, -180, 0, 0, 256),
-        (0, 180, 0, 512, 256),
+        (0, 180, 0, 0, 256),  # +180 wraps to the -180 meridian
         (L85, 0, 0, 256, 0),
         (-L85, 0, 0, 256, 512),
         (0, 0, 2, 1024, 1024),
-        (0, 180, 2, 2048, 1024),
+        (0, 180, 2, 0, 1024),  # +180 wraps
         (60.170833, 24.9375, 0, 291.46666, 148.19743),  # Helsinki
         (60.170833, 24.9375, 1, 582.93333, 296.39486),
         (60.170833, 24.9375, 2, 1165.86666, 592.78972),
@@ -46,7 +46,7 @@ class TestMercator:
 class TestWGS84:
     @pytest.mark.parametrize("lat,lng,z,ex,ey", [
         (90, -180, 0, 0, 0),
-        (-90, 180, 0, 1024, 512),
+        (-90, 180, 0, 0, 512),  # +180 wraps
         (0, 0, 0, 512, 256),
         (0, 0, 1, 1024, 512),
     ])
