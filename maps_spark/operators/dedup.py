@@ -328,33 +328,50 @@ def _shingle_array(text_col: str, k: int):
         .otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
+                   method: str = "star") -> DataFrame:
     """Connected components over near-dup pairs: the "keep one doc per
     duplicate cluster" step that turns pairwise dedup output into an
     actionable keep/drop list.
 
-    Algorithm: iterative min-label propagation — every node starts
-    labelled with its own id; each round every node takes the minimum
-    label among itself and its neighbours. Converges in O(diameter)
-    rounds; near-dup clusters are overwhelmingly star/clique shaped
-    (diameter 1-2), so a handful of rounds closes real corpora. For
-    adversarial long chains at 100 TB the standard fix is the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce"), which this loop structure accommodates;
-    plain propagation is kept because each round is ONE shuffle
-    (edge join + min-agg) and the label table is |clustered docs|,
-    orders of magnitude smaller than the corpus.
+    ``method="star"`` (default) is the large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): alternating rounds where every node links its larger
+    neighbours (large-star) / its not-larger neighbours (small-star) to
+    the minimum of its neighbourhood. Converges in O(log n) rounds for
+    ANY graph shape — an adversarial 10k-node chain closes in ~15
+    rounds where plain min-label propagation needs 10k rounds (and a
+    bounded loop would silently stop early with WRONG clusters). Each
+    round is one groupBy + one join over the edge set, which is
+    |pairs|-sized — tiny next to the corpus.
 
-    Convergence is detected from ``sum(label)``: labels only ever
-    decrease, so an unchanged sum is a fixpoint — one cheap scalar agg
-    per round instead of a change-count join. ``localCheckpoint`` per
-    round truncates the lineage (an iterative plan otherwise grows
-    exponentially in Catalyst).
+    ``method="label"`` keeps the one-shuffle-per-round min-label
+    propagation — marginally cheaper per round on the star/clique
+    shapes real near-dup graphs take (diameter 1-2).
+
+    Convergence: an xxhash64 checksum of the edge set per round —
+    unchanged checksum means a fixpoint for star (all edges point at
+    their component root); label mode keeps its monotone sum(label)
+    fixpoint test. ``localCheckpoint`` per round truncates lineage
+    (iterative plans otherwise grow exponentially in Catalyst).
 
     Output: (doc_id, cluster_id, cluster_size, keep) for every doc that
     appears in at least one pair; cluster_id = min doc_id in the
     component; keep = this doc is the cluster representative.
     """
+    if method == "star":
+        labels = _cc_star(pairs, max_iters)
+    else:
+        labels = _cc_label(pairs, max_iters)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select("doc_id", F.col("lbl").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("doc_id") == F.col("lbl")).alias("keep")))
+
+
+def _cc_label(pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label propagation: (doc_id, lbl) for every paired doc."""
     edges = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
              .unionByName(pairs.select(F.col("doc_b").alias("s"),
                                        F.col("doc_a").alias("d")))
@@ -372,11 +389,61 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if cur == prev:
             break
         prev = cur
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return (labels.join(sizes, "lbl")
-            .select("doc_id", F.col("lbl").alias("cluster_id"),
-                    "cluster_size",
-                    (F.col("doc_id") == F.col("lbl")).alias("keep")))
+    edges.unpersist()
+    return labels
+
+
+def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Large-star/small-star contraction: (doc_id, lbl) per paired doc.
+
+    Edge invariant: (u, v) with v < u ("u links to v"). On fixpoint
+    every u links directly to its component's minimum id.
+    """
+    edges = (pairs.select(F.greatest("doc_a", "doc_b").alias("u"),
+                          F.least("doc_a", "doc_b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(F.count("*"),
+                    F.expr("bit_xor(xxhash64(u, v))")).collect()[0]
+        return (row[0], row[1])
+
+    prev = checksum(edges)
+    for _ in range(max_iters):
+        # large-star: neighbours of u that are LARGER than u link to
+        # min(N(u) + {u})
+        both = (edges.select("u", "v")
+                .unionByName(edges.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v"))))
+        m = (both.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("mv", "u").alias("m")))
+        large = (both.join(m, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        edges = large.where(F.col("u") != F.col("v")).distinct() \
+            .localCheckpoint()
+        # small-star: u and its not-larger neighbours link to
+        # min(N_small(u) + {u}); edges hold (larger, smaller), so
+        # min(v) < u already
+        m = edges.groupBy("u").agg(F.min("v").alias("m"))
+        with_self = (edges.join(m, "u")
+                     .select(F.col("v").alias("n"), "m")
+                     .unionByName(m.select(F.col("u").alias("n"), "m")))
+        edges = (with_self.where(F.col("n") != F.col("m"))
+                 .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                 .distinct().localCheckpoint())
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    roots = edges.select(F.col("v").alias("doc_id")).distinct() \
+        .join(edges.select(F.col("u").alias("doc_id")), "doc_id",
+              "left_anti")
+    return (edges.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("lbl"))
+            .unionByName(roots.select("doc_id",
+                                      F.col("doc_id").alias("lbl"))))
 
 
 SIMHASH_BITS = 64

@@ -231,6 +231,40 @@ class TestCorpusOps:
         assert len(out) == 13
         assert all(r.cluster_id == 0 and r.cluster_size == 13 for r in out)
 
+    def test_dedup_clusters_adversarial_chain_star(self, spark):
+        # a 400-node chain has diameter 400: plain min-label would need
+        # 400 rounds; large-star/small-star must close it in O(log n)
+        # rounds and still find the exact component
+        from maps_spark.operators.dedup import dedup_clusters
+        n = 400
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+        out = dedup_clusters(pairs, max_iters=15).collect()
+        assert len(out) == n + 1
+        assert all(r.cluster_id == 0 and r.cluster_size == n + 1
+                   for r in out)
+        assert sum(1 for r in out if r.keep) == 1
+
+    def test_dedup_clusters_methods_agree(self, spark):
+        # star and label propagation compute identical clusters on a
+        # mixed graph (cliques + chains + pairs, shuffled ids)
+        from maps_spark.operators.dedup import dedup_clusters
+        edges = ([(7, 3), (3, 9), (9, 7)] +            # clique
+                 [(20, 15), (15, 28), (28, 22)] +      # chain
+                 [(101, 100)] +                        # pair
+                 [(55, 55)])                           # self-loop noise
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = {(r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+                for r in dedup_clusters(pairs, method="star").collect()}
+        label = {(r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+                 for r in dedup_clusters(pairs, method="label").collect()}
+        # the self-loop node forms no pair edge in star mode; label
+        # mode sees it as its own singleton — align on shared docs
+        star_docs = {d for d, *_ in star}
+        label = {t for t in label if t[0] in star_docs}
+        star = {t for t in star if t[0] != 55}
+        assert star == label
+
     def test_contamination_flags_benchmark_copy(self, spark):
         from maps_spark.operators.corpus import contamination_check
         bench = spark.createDataFrame(
