@@ -127,6 +127,63 @@ def encode_tile(layers: dict[str, list[tuple[int, int, dict]]],
     return b"".join(encode_layer(n, f, extent) for n, f in layers.items())
 
 
+def encode_polygon_layer(name: str,
+                         features: list[tuple[list[tuple[int, int]], dict]],
+                         extent: int = 512) -> bytes:
+    """One POLYGON layer: ``features`` is [(ring, attrs), ...] with
+    ``ring`` an exterior vertex list (closing vertex optional — MVT
+    closes with ClosePath). The binned-tile wire shape
+    (HexBin.java:154-161 / SquareBin.java:97-99: one polygon per cell,
+    attrs ``{"total": n}``, layer "occurrence")."""
+    keys: list[str] = []
+    key_idx: dict[str, int] = {}
+    vals: list[bytes] = []
+    val_idx: dict[bytes, int] = {}
+
+    body = bytearray()
+    body += _tag(15, 0) + _varint(2)
+    nm = name.encode("utf-8")
+    body += _tag(1, 2) + _varint(len(nm)) + nm
+    for ring, attrs in features:
+        pts = list(ring)
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]  # ClosePath supplies the closing edge
+        if len(pts) < 3:
+            continue
+        tags = bytearray()
+        for k, v in attrs.items():
+            if k not in key_idx:
+                key_idx[k] = len(keys)
+                keys.append(k)
+            enc = _encode_value(v)
+            if enc not in val_idx:
+                val_idx[enc] = len(vals)
+                vals.append(enc)
+            tags += _varint(key_idx[k]) + _varint(val_idx[enc])
+        geom = bytearray()
+        x0, y0 = pts[0]
+        geom += _varint((1 << 3) | 1)                      # MoveTo x1
+        geom += _varint(_zigzag(x0)) + _varint(_zigzag(y0))
+        geom += _varint((len(pts) - 1) << 3 | 2)           # LineTo n-1
+        cx, cy = x0, y0
+        for x, y in pts[1:]:
+            geom += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+            cx, cy = x, y
+        geom += _varint((1 << 3) | 7)                      # ClosePath
+        f = bytearray()
+        f += _tag(2, 2) + _varint(len(tags)) + bytes(tags)
+        f += _tag(3, 0) + _varint(3)                       # type = POLYGON
+        f += _tag(4, 2) + _varint(len(geom)) + bytes(geom)
+        body += _len_delim(2, bytes(f))
+    for k in keys:
+        kb = k.encode("utf-8")
+        body += _tag(3, 2) + _varint(len(kb)) + kb
+    for v in vals:
+        body += _len_delim(4, v)
+    body += _tag(5, 0) + _varint(extent)
+    return _len_delim(3, bytes(body))
+
+
 # -- decode ------------------------------------------------------------------
 
 
@@ -211,6 +268,93 @@ def _decode_feature(buf: bytes, keys: list[str], vals: list):
             i += cnt * 2
     attrs = {keys[tags[j]]: vals[tags[j + 1]] for j in range(0, len(tags), 2)}
     return pts, attrs
+
+
+def decode_polygon_tile(data: bytes
+                        ) -> dict[str, list[tuple[list, dict]]]:
+    """MVT bytes -> {layer: [(exterior ring pts, attrs), ...]} for
+    POLYGON layers (the binned-tile decode twin). Rings are returned
+    open (no duplicated closing vertex)."""
+    out: dict[str, list] = {}
+    pos = 0
+    while pos < len(data):
+        key, pos = _read_varint(data, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 3 and wire == 2:
+            ln, pos = _read_varint(data, pos)
+            name, polys = _decode_layer_polys(data[pos:pos + ln])
+            pos += ln
+            out.setdefault(name, []).extend(polys)
+        else:
+            pos = _skip(data, pos, wire)
+    return out
+
+
+def _decode_layer_polys(buf: bytes):
+    pos = 0
+    name = ""
+    raw_feats: list[bytes] = []
+    keys: list[str] = []
+    vals: list = []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if field == 1 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            name = buf[pos:pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            raw_feats.append(buf[pos:pos + ln])
+            pos += ln
+        elif field == 3 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            keys.append(buf[pos:pos + ln].decode("utf-8"))
+            pos += ln
+        elif field == 4 and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            vals.append(_decode_value(buf[pos:pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    polys = []
+    for rf in raw_feats:
+        tags: list[int] = []
+        geom: list[int] = []
+        pos2 = 0
+        while pos2 < len(rf):
+            key, pos2 = _read_varint(rf, pos2)
+            field, wire = key >> 3, key & 0x7
+            if field in (2, 4) and wire == 2:
+                ln, pos2 = _read_varint(rf, pos2)
+                end = pos2 + ln
+                dest = tags if field == 2 else geom
+                while pos2 < end:
+                    v, pos2 = _read_varint(rf, pos2)
+                    dest.append(v)
+            else:
+                pos2 = _skip(rf, pos2, wire)
+        attrs = {keys[tags[j]]: vals[tags[j + 1]]
+                 for j in range(0, len(tags), 2)}
+        ring: list[tuple[int, int]] = []
+        i = 0
+        cx = cy = 0
+        while i < len(geom):
+            cmd = geom[i]
+            cid, cnt = cmd & 0x7, cmd >> 3
+            i += 1
+            if cid in (1, 2):  # MoveTo / LineTo
+                for _ in range(cnt):
+                    cx += _unzigzag(geom[i])
+                    cy += _unzigzag(geom[i + 1])
+                    i += 2
+                    ring.append((cx, cy))
+            elif cid == 7:     # ClosePath: ring complete
+                polys.append((ring, attrs))
+                ring = []
+        if ring:
+            polys.append((ring, attrs))
+    return name, polys
 
 
 def decode_tile(data: bytes) -> dict[str, list[tuple[int, int, dict]]]:

@@ -283,6 +283,71 @@ def serve_tile(spark, root: str, map_key: str, srs: str, z: int, x: int,
                           tile_size=tile_size, buffer=buffer)
 
 
+def serve_binned_tile(spark, root: str, map_key: str, srs: str, z: int,
+                      x: int, y: int, bin: str = "hex",
+                      hex_per_tile: int | None = None,
+                      square_size: int | None = None,
+                      year_range=(None, None), bors=None,
+                      tile_size: int = P.TILE_SIZE,
+                      buffer: int = T.DEFAULT_BUFFER,
+                      reader=None) -> bytes | None:
+    """The ``bin=hex|square`` density endpoint
+    (TileResource.java:552-610 -> HexBin/SquareBin.bin): serve the
+    filtered tile, re-bin it at request time, and return ONE MVT
+    POLYGON layer "occurrence" with a ``total`` attribute per cell —
+    hexagon rings from the aligned grid (HexBin.java:154-161), square
+    cell footprints for ``bin="square"`` (SquareBin.java:97-121).
+    Returns None when the view has no data on this tile."""
+    from maps_spark.functions import mvt
+    from maps_spark.operators import binning
+    tile = serve_tile(spark, root, map_key, srs, z, x, y,
+                      year_range=year_range, bors=bors, verbose=False,
+                      tile_size=tile_size, buffer=buffer, reader=reader)
+    if tile is None:
+        return None
+    if bin == "square":
+        size = square_size or binning.DEFAULT_SQUARE_SIZE
+        cells = binning.square_bin_dict(tile, size, tile_size)
+        feats = []
+        for (cx, cy), total in sorted(cells.items()):
+            x0, y0 = cx * size, cy * size
+            ring = [(x0, y0), (x0 + size, y0), (x0 + size, y0 + size),
+                    (x0, y0 + size)]
+            feats.append((ring, {TOTAL_KEY: int(total)}))
+    elif bin == "hex":
+        per_tile = hex_per_tile or binning.DEFAULT_HEX_PER_TILE
+        cells = binning.hex_bin_dict(tile, z, x, y, tile_size, per_tile)
+        feats = []
+        for (q, r), total in sorted(cells.items()):
+            ring = [(int(round(vx)), int(round(vy))) for vx, vy in
+                    binning.hex_polygon(q, r, z, x, y, tile_size,
+                                        per_tile)]
+            feats.append((ring, {TOTAL_KEY: int(total)}))
+    else:
+        raise ValueError(f"unknown bin mode: {bin}")
+    return mvt.encode_polygon_layer("occurrence", feats, extent=tile_size)
+
+
+def serve_binned_png(spark, root: str, map_key: str, srs: str, z: int,
+                     x: int, y: int, style: str = "classic.poly",
+                     bin: str = "hex", scale: float = 1.0,
+                     **kwargs) -> bytes | None:
+    """Binned tile -> styled polygon PNG (the poly-style raster path:
+    mapnik-server renderer.js over a binned MVT). ``kwargs`` pass
+    through to :func:`serve_binned_tile`."""
+    from maps_spark.functions import mvt, png
+    data = serve_binned_tile(spark, root, map_key, srs, z, x, y,
+                             bin=bin, **kwargs)
+    if data is None:
+        return None
+    cells = [(ring, attrs.get(TOTAL_KEY, 0))
+             for ring, attrs in mvt.decode_polygon_tile(data)
+             .get("occurrence", [])]
+    if style not in png.POLY_STYLES:
+        style = "classic.poly"  # poly endpoint default (styles.js fallback)
+    return png.render_poly_png(cells, style, scale=scale)
+
+
 def _contains(sch, z, x, y, gx, gy, tile_size, buffer):
     vert = (y * tile_size - buffer) <= gy <= (y * tile_size + tile_size + buffer)
     horiz = (x * tile_size - buffer) <= gx <= (x * tile_size + tile_size + buffer)

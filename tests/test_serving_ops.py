@@ -264,3 +264,79 @@ class TestPolarPointTileParity:
         feats = [(45.0, 10.0, "OBSERVATION", 2000, 2)]
         out = points_to_tile(feats, "EPSG:3857", 0, 0, 0)
         assert sum(out.values()) == 2
+
+
+class TestBinnedServing:
+    """bin=hex|square density endpoint: served tile -> re-bin ->
+    MVT polygon layer (TileResource -> HexBin/SquareBin parity)."""
+
+    @pytest.fixture(scope="class")
+    def store(self, spark, tmp_path_factory):
+        from maps_spark.plans.backfill import run_backfill
+        out = str(tmp_path_factory.mktemp("binstore"))
+        run_backfill(spark, SF_SMALL, out, max_zoom=4, threshold=500,
+                     srs_list=("EPSG:3857",))
+        return out
+
+    def test_square_bin_totals_conserved(self, spark, store):
+        from maps_spark.functions import mvt
+        from maps_spark.operators.serving import (serve_binned_tile,
+                                                  serve_tile)
+        tile = serve_tile(spark, store, "0:0", "EPSG:3857", 1, 0, 0)
+        assert tile
+        data = serve_binned_tile(spark, store, "0:0", "EPSG:3857",
+                                 1, 0, 0, bin="square", square_size=64)
+        polys = mvt.decode_polygon_tile(data)["occurrence"]
+        # every cell a 64px square; totals sum to the visible tile sum
+        for ring, attrs in polys:
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            assert max(xs) - min(xs) == 64 and max(ys) - min(ys) == 64
+            assert attrs["total"] > 0
+        visible = sum(v for (px, py), v in tile.items()
+                      if 0 <= px < 512 and 0 <= py < 512)
+        assert sum(a["total"] for _, a in polys) == visible
+
+    def test_hex_bin_totals_conserved(self, spark, store):
+        from maps_spark.functions import mvt
+        from maps_spark.operators.serving import (serve_binned_tile,
+                                                  serve_tile)
+        tile = serve_tile(spark, store, "0:0", "EPSG:3857", 1, 0, 0)
+        data = serve_binned_tile(spark, store, "0:0", "EPSG:3857",
+                                 1, 0, 0, bin="hex")
+        polys = mvt.decode_polygon_tile(data)["occurrence"]
+        assert polys
+        for ring, attrs in polys:
+            assert len(ring) == 6  # hexagon rings
+            assert attrs["total"] > 0
+        # hex binning includes buffer pixels (hexes straddle edges)
+        assert sum(a["total"] for _, a in polys) == sum(tile.values())
+
+    def test_year_filter_flows_through(self, spark, store):
+        from maps_spark.functions import mvt
+        from maps_spark.operators.serving import serve_binned_tile
+        all_years = serve_binned_tile(spark, store, "0:0", "EPSG:3857",
+                                      1, 0, 0, bin="square")
+        early = serve_binned_tile(spark, store, "0:0", "EPSG:3857",
+                                  1, 0, 0, bin="square",
+                                  year_range=(1900, 1950))
+        tot = lambda d: sum(
+            a["total"] for _, a in
+            mvt.decode_polygon_tile(d)["occurrence"]) if d else 0
+        assert tot(early) < tot(all_years)
+
+    def test_binned_png(self, spark, store):
+        from maps_spark.operators.serving import serve_binned_png
+        png_bytes = serve_binned_png(spark, store, "0:0", "EPSG:3857",
+                                     1, 0, 0, style="green2.poly",
+                                     bin="hex")
+        assert png_bytes[:4] == b"\x89PNG"
+        # unknown style falls back to classic.poly, still renders
+        assert serve_binned_png(spark, store, "0:0", "EPSG:3857", 1, 0,
+                                0, style="nope", bin="square")[:4] == \
+            b"\x89PNG"
+
+    def test_missing_view_returns_none(self, spark, store):
+        from maps_spark.operators.serving import serve_binned_tile
+        assert serve_binned_tile(spark, store, "9:none", "EPSG:3857",
+                                 1, 0, 0) is None
