@@ -151,6 +151,30 @@ def adhoc_event_search(events: DataFrame, params: dict | None = None,
             .limit(limit))
 
 
+def adhoc_png(occ: DataFrame, z: int, x: int, y: int,
+              params: dict | None = None, srs: str = "EPSG:3857",
+              scale: float = 1.0, tile_size: int = 512) -> bytes:
+    """The ad-hoc raster endpoint: GEO_CENTROID buckets rendered with
+    the ``scaled.circles`` marker style — the style styles.js registers
+    specifically for the ES-portal ad-hoc mode ("Adhoc map style for ES
+    portal (mode=GEO_CENTROID)"). Bucket counts pick the circle
+    width/fill/opacity breakpoints; centroids are projected into
+    tile-local pixels."""
+    from maps_spark.functions import png
+    from maps_spark.functions import projections as P
+    grid = adhoc_search(occ, z, x, y, params=params, srs=srs,
+                        mode="centroid")
+    markers = []
+    for r in grid.collect():
+        fx, fy = P.global_xy(srs, [r["centroidLat"]], [r["centroidLng"]],
+                             z, tile_size)
+        markers.append((float(fx[0]) - x * tile_size,
+                        float(fy[0]) - y * tile_size,
+                        int(r["occCount"])))
+    return png.render_marker_png(markers, "scaled.circles",
+                                 tile_size=tile_size, scale=scale)
+
+
 def year_facet(occ: DataFrame, limit: int = 300) -> DataFrame:
     """Terms aggregation year -> count (A13, facet limit 300)."""
     return (occ.where(F.col("year").isNotNull())

@@ -124,6 +124,42 @@ def test_unpersist_pyramid_releases_cache(spark, keyed):
                for df in persisted)
 
 
+def test_explode_to_tiles_matches_hof_form_on_edge_grid(spark):
+    """The staged fan-out must equal the array_distinct/HOF form on a
+    crafted grid of every edge class: tile corners, buffer bands,
+    dateline-wrap columns, canvas extremes — at a wrap zoom, a normal
+    zoom, and on the 2-wide WGS84 grid."""
+    from maps_spark.functions import tiles as T
+
+    for srs, z in (("EPSG:3857", 3), ("EPSG:3857", 2), ("EPSG:4326", 3)):
+        sch = T.schema_for(srs)
+        world_x = sch.num_x_tiles(z) * 512
+        world_y = sch.num_y_tiles(z) * 512
+        edge_vals_x = sorted({0, 1, 63, 64, 65, 255, 447, 448, 511, 512,
+                              513, world_x - 65, world_x - 64,
+                              world_x - 63, world_x - 1} &
+                             set(range(world_x)))
+        edge_vals_y = sorted({0, 1, 63, 64, 65, 511, 512, 513,
+                              world_y - 65, world_y - 64, world_y - 1} &
+                             set(range(world_y)))
+        rows = [("0:0", 100, 1, px, py)
+                for px in edge_vals_x for py in edge_vals_y]
+        pix = spark.createDataFrame(
+            rows, "mapKey string, borYear int, cnt long, px long, py long")
+        new = T.explode_to_tiles(pix, srs, z)
+        old_arr = T.collect_to_tiles(srs, z, F.col("px"), F.col("py"),
+                                     dedup=True)
+        old = (pix.select("mapKey", "borYear", "cnt",
+                          F.explode(old_arr).alias("t"))
+               .select("mapKey", "borYear", "cnt",
+                       F.col("t.tileX").alias("tileX"),
+                       F.col("t.tileY").alias("tileY"),
+                       F.col("t.pixelX").alias("pixelX"),
+                       F.col("t.pixelY").alias("pixelY")))
+        assert new.exceptAll(old).count() == 0, (srs, z)
+        assert old.exceptAll(new).count() == 0, (srs, z)
+
+
 def test_multi_zoom_encode_matches_per_zoom(keyed):
     """The single-shuffle multi-zoom encoder must produce the same tile
     set with feature-identical contents as per-zoom encodes (byte

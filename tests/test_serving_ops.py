@@ -340,3 +340,15 @@ class TestBinnedServing:
         from maps_spark.operators.serving import serve_binned_tile
         assert serve_binned_tile(spark, store, "9:none", "EPSG:3857",
                                  1, 0, 0) is None
+
+
+def test_adhoc_png_scaled_circles(spark, occ_small):
+    """Ad-hoc GEO_CENTROID raster: markers land on the tile, sized by
+    bucket count (the scaled.circles ES-portal style)."""
+    from maps_spark.operators.adhoc import adhoc_png
+    data = adhoc_png(occ_small, 1, 0, 0)
+    assert data[:4] == b"\x89PNG"
+    # a filtered request renders (possibly fewer markers) fine too
+    data2 = adhoc_png(occ_small, 1, 0, 0,
+                      params={"year": "1990,2000"})
+    assert data2[:4] == b"\x89PNG"
