@@ -392,7 +392,7 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
                     pdf = pdf.assign(cnt=1)
                 if pre_shift:  # continuation span: input is one zoom above
                     pdf = pdf.assign(px=pdf["px"] // 2, py=pdf["py"] // 2)
-                pending.append(pdf[group_base + ["cnt"]])
+                pending.append(pdf)  # exactly group_base + cnt columns
                 pending_rows += len(pdf)
                 if pending_rows >= max(min_chunk,
                                        len(agg) if agg is not None else 0):
