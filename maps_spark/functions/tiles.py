@@ -238,6 +238,109 @@ def explode_to_tiles(pixels, srs: str, z: int,
             .select(*carry, *tcols))
 
 
+def explode_to_tiles_multi(pixels_z, srs: str,
+                           tile_size: int = TILE_SIZE,
+                           buffer: int = DEFAULT_BUFFER,
+                           carry: tuple[str, ...] = ("mapKey", "borYear",
+                                                     "cnt")):
+    """Multi-zoom fan-out: same semantics as :func:`explode_to_tiles`
+    but ``z`` is a DATA COLUMN, so one scan fans out every zoom of a
+    span table at once (the span build concatenates 6-7 pixel levels
+    into one persisted parent; a per-zoom fan-out re-scans that parent
+    once per level — 11 scans for a z10 pyramid vs 2 with this form).
+
+    Valid for rows with ``z >= 2`` only (asserted by the caller): at
+    z >= 2 every schema's tile grid is at least 4 wide on both axes, so
+    toroidal wrap collisions (the only duplicate source —
+    TileXYUDF.java:104-181) are impossible and the dateline-wrap
+    precondition ``zz_h > 1 or z > 0`` (Tiles.java:55-74) is constant
+    true. Grid sizes become per-row expressions
+    (``zz << z`` via shiftleft) — still pure integer codegen.
+
+    Output: ``carry`` + z + (tileX, tileY, pixelX, pixelY).
+    """
+    sch = schema_for(srs)
+    zz_h, zz_v = sch.zz_tiles_horizontal, sch.zz_tiles_vertical
+    nx = F.expr(f"shiftleft(CAST({zz_h} AS BIGINT), z)")
+    ny = F.expr(f"shiftleft(CAST({zz_v} AS BIGINT), z)")
+    tsz = F.lit(tile_size)
+
+    def tcoord(p: Column, n: Column) -> Column:
+        return F.greatest(_lit(0),
+                          F.least(n - 1, F.floor(p / tsz).cast("long")))
+
+    staged = pixels_z.select(
+        *carry, "z", "px", "py", nx.alias("nx"), ny.alias("ny"),
+        tcoord(F.col("px"), nx).alias("tx"),
+        tcoord(F.col("py"), ny).alias("ty"))
+
+    def loc_x(tx: Column, px: Column, nx: Column) -> Column:
+        plain = px - tx * tsz
+        if not sch.wrap_x:
+            return plain
+        mgx = nx * tsz
+        return (F.when((tx == 0) & (px >= mgx - buffer), px - mgx)
+                .when((tx == nx - 1) & (px < buffer), px + mgx - tx * tsz)
+                .otherwise(plain))
+
+    def wrap(c: Column, n: Column) -> Column:
+        return (F.when(c < 0, n - 1).when(c >= n, _lit(0)).otherwise(c))
+
+    nxc, nyc = F.col("nx"), F.col("ny")
+    staged = staged.select(
+        *carry, "z", "px", "py", "nx", "tx", "ty",
+        loc_x(F.col("tx"), F.col("px"), nxc).alias("lx"),
+        (F.col("py") - F.col("ty") * tsz).alias("ly"),
+        wrap(F.col("tx") - 1, nxc).alias("axw"),
+        wrap(F.col("tx") + 1, nxc).alias("axe"),
+        wrap(F.col("ty") - 1, nyc).alias("ayn"),
+        wrap(F.col("ty") + 1, nyc).alias("ays"))
+    staged = staged.select(
+        *carry, "z", "tx", "ty", "lx", "ly", "axw", "axe", "ayn", "ays",
+        loc_x(F.col("axw"), F.col("px"), nxc).alias("lxw"),
+        loc_x(F.col("axe"), F.col("px"), nxc).alias("lxe"),
+        (F.col("py") - F.col("ayn") * tsz).alias("lyn"),
+        (F.col("py") - F.col("ays") * tsz).alias("lys"))
+
+    lxc, lyc = F.col("lx"), F.col("ly")
+    near_n = lyc < buffer
+    near_s = lyc >= tile_size - buffer
+    near_w = lxc < buffer
+    near_e = lxc >= tile_size - buffer
+    ax = {-1: F.col("axw"), 0: F.col("tx"), 1: F.col("axe")}
+    ay = {-1: F.col("ayn"), 0: F.col("ty"), 1: F.col("ays")}
+    alx_by = {-1: F.col("lxw"), 0: lxc, 1: F.col("lxe")}
+    aly_by = {-1: F.col("lyn"), 0: lyc, 1: F.col("lys")}
+
+    def candidate(cond: Column, dx: int, dy: int) -> Column:
+        alx, aly = alx_by[dx], aly_by[dy]
+        cond = cond & (alx >= -buffer) & (alx <= tile_size + buffer) \
+                    & (aly >= -buffer) & (aly <= tile_size + buffer)
+        st = F.struct(ax[dx].alias("tileX"), ay[dy].alias("tileY"),
+                      alx.alias("pixelX"), aly.alias("pixelY"))
+        return F.when(cond, st)
+
+    cands = [
+        candidate(F.lit(True), 0, 0),
+        candidate(near_n, 0, -1),
+        candidate(near_n & near_w, -1, -1),
+        candidate(near_n & near_e, +1, -1),
+        candidate(near_e, +1, 0),
+        candidate(near_s, 0, +1),
+        candidate(near_s & near_w, -1, +1),
+        candidate(near_s & near_e, +1, +1),
+        candidate(near_w, -1, 0),
+    ]
+    tcols = [F.col("t.tileX").alias("tileX"),
+             F.col("t.tileY").alias("tileY"),
+             F.col("t.pixelX").alias("pixelX"),
+             F.col("t.pixelY").alias("pixelY")]
+    return (staged
+            .select(*carry, "z", F.explode(F.array(*cands)).alias("t"))
+            .where(F.col("t").isNotNull())
+            .select(*carry, "z", *tcols))
+
+
 def to_180_degrees(lng: float) -> float:
     """Normalize any longitude to (-180, 180] (WGS84.java:80-87)."""
     lng = math.fmod(lng, 360.0)

@@ -347,6 +347,26 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
     Yields (z, DataFrame) from max_zoom down to min_zoom; each span's
     levels share one persisted parent DataFrame filtered by ``z``.
     """
+    for z_top, k, levels in pyramid_span_parents(
+            keyed, srs, max_zoom, min_zoom, span, tile_size, partitions,
+            persisted_out, min_chunk):
+        for z in range(z_top, z_top - k - 1, -1):
+            yield z, levels.where(F.col("z") == z).drop("z")
+
+
+def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
+                         min_zoom: int = 0, span: int = 6,
+                         tile_size: int = P.TILE_SIZE,
+                         partitions: int | None = None,
+                         persisted_out: list | None = None,
+                         min_chunk: int = 512 * 1024
+                         ) -> Iterator[tuple[int, int, DataFrame]]:
+    """The span engine behind :func:`pyramid_pixels_spans`: yields one
+    ``(z_top, k, levels)`` per span, where ``levels`` is the persisted
+    parent holding pixel levels ``z_top .. z_top - k`` stacked with a
+    ``z`` column (schema ``PIXEL_Z_SCHEMA``). Consumers that can work
+    multi-zoom (the single-scan tile fan-out) read the parent once
+    instead of once per level."""
     spark = keyed.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
 
@@ -431,8 +451,7 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
             PIXEL_Z_SCHEMA).persist()
         if persisted_out is not None:
             persisted_out.append(levels)
-        for z in range(z_top, z_top - k - 1, -1):
-            yield z, levels.where(F.col("z") == z).drop("z")
+        yield z_top, k, levels
         current = levels.where(F.col("z") == z_top - k).drop("z")
         with_cnt = True
         pre_shift = True
@@ -460,14 +479,25 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
     """
     persisted: list[DataFrame] = []
     if strategy == "spans_multi":
+        # One fan-out scan per span parent (z >= 2 via the z-column
+        # form), instead of one scan per zoom: a z10 pyramid reads its
+        # two persisted span tables 3 times total, not 11.
         rows: DataFrame | None = None
-        for z, pixels in pyramid_pixels_spans(keyed, srs, max_zoom,
-                                              min_zoom,
-                                              tile_size=tile_size,
-                                              persisted_out=persisted):
-            r = tile_rows(pixels, srs, z, tile_size, buffer) \
-                .withColumn("z", F.lit(z))
-            rows = r if rows is None else rows.unionByName(r)
+        for z_top, k, levels in pyramid_span_parents(
+                keyed, srs, max_zoom, min_zoom, tile_size=tile_size,
+                persisted_out=persisted):
+            z_lo = z_top - k
+            parts: list[DataFrame] = []
+            if z_top >= 2:
+                big = levels if z_lo >= 2 else levels.where(F.col("z") >= 2)
+                parts.append(T.explode_to_tiles_multi(
+                    big, srs, tile_size, buffer))
+            for z in range(min(z_top, 1), z_lo - 1, -1):
+                small = levels.where(F.col("z") == z).drop("z")
+                parts.append(tile_rows(small, srs, z, tile_size, buffer)
+                             .withColumn("z", F.lit(z)))
+            for r in parts:
+                rows = r if rows is None else rows.unionByName(r)
         result = (encode_mvt_flat_multi(rows, tile_size)
                   .withColumn("srs", F.lit(srs.replace(":", "_"))))
         result._maps_spark_persisted = persisted

@@ -160,6 +160,42 @@ def test_explode_to_tiles_matches_hof_form_on_edge_grid(spark):
         assert old.exceptAll(new).count() == 0, (srs, z)
 
 
+def test_explode_to_tiles_multi_matches_per_zoom_on_edge_grid(spark):
+    """The z-column fan-out (one scan per span parent) must equal the
+    literal-z staged form row-for-row on the edge grid at every z >= 2
+    it is used for — including the 2-wide WGS84 grid and a polar
+    (non-wrapping) schema."""
+    from maps_spark.functions import tiles as T
+
+    for srs in ("EPSG:3857", "EPSG:4326", "EPSG:3575"):
+        sch = T.schema_for(srs)
+        rows = []
+        for z in (2, 3, 5):
+            world_x = sch.num_x_tiles(z) * 512
+            world_y = sch.num_y_tiles(z) * 512
+            xs = sorted({0, 1, 63, 64, 65, 447, 448, 511, 512, 513,
+                         world_x - 65, world_x - 64, world_x - 1} &
+                        set(range(world_x)))
+            ys = sorted({0, 1, 63, 64, 65, 511, 512, 513,
+                         world_y - 65, world_y - 64, world_y - 1} &
+                        set(range(world_y)))
+            rows += [("0:0", 100, 1, px, py, z)
+                     for px in xs for py in ys]
+        pix = spark.createDataFrame(
+            rows, "mapKey string, borYear int, cnt long, px long, "
+                  "py long, z int")
+        multi = T.explode_to_tiles_multi(pix, srs)
+        per_z = None
+        for z in (2, 3, 5):
+            one = (T.explode_to_tiles(pix.where(F.col("z") == z)
+                                      .drop("z"), srs, z)
+                   .withColumn("z", F.lit(z))
+                   .select(*multi.columns))
+            per_z = one if per_z is None else per_z.unionByName(one)
+        assert multi.exceptAll(per_z).count() == 0, srs
+        assert per_z.exceptAll(multi).count() == 0, srs
+
+
 def test_multi_zoom_encode_matches_per_zoom(keyed):
     """The single-shuffle multi-zoom encoder must produce the same tile
     set with feature-identical contents as per-zoom encodes (byte
