@@ -61,6 +61,71 @@ def prefix_duplicates(docs: DataFrame, text_col: str = "text",
             .where(F.col("n_dupes") > 1))
 
 
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    sep: str = "\n\n", min_chars: int = 1) -> DataFrame:
+    """Corpus-level paragraph dedup (the RefinedWeb/Gopher sub-document
+    pass): split every document on ``sep``, mark each paragraph
+    occurrence that is not the canonical FIRST occurrence (smallest
+    ``(doc_id, para_idx)``) of its exact text. Paragraphs shorter than
+    ``min_chars`` (e.g. blank lines) are never marked.
+
+    Scale shape: one ``posexplode``, one md5-keyed aggregation (hot
+    boilerplate paragraphs collapse map-side), one digest join — the
+    corpus text is never shuffled twice (the canonical table carries
+    16-byte digests, not paragraphs). Skewed digests (a paragraph
+    repeated millions of times) ride AQE skew-join splitting.
+
+    Output: (doc_id, para_idx, is_dup, dup_of_doc, dup_of_idx) with
+    ``-1`` sentinels (not NULLs) on the non-dup rows so the columns
+    stay integral end-to-end.
+    """
+    paras = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("para_idx", "para"))
+    hashed = paras.select("doc_id", "para_idx",
+                          F.md5("para").alias("ph"),
+                          F.length("para").alias("plen"))
+    canon = (hashed.groupBy("ph")
+             .agg(F.min(F.struct("doc_id", "para_idx")).alias("c"))
+             .select("ph", F.col("c.doc_id").alias("cd"),
+                     F.col("c.para_idx").alias("ci")))
+    j = hashed.join(canon, "ph")
+    is_dup = ((F.col("plen") >= min_chars) &
+              ~((F.col("doc_id") == F.col("cd")) &
+                (F.col("para_idx") == F.col("ci"))))
+    neg = F.lit(-1).cast("int")
+    return j.select(
+        "doc_id", "para_idx", is_dup.alias("is_dup"),
+        F.when(is_dup, F.col("cd")).otherwise(neg).alias("dup_of_doc"),
+        F.when(is_dup, F.col("ci")).otherwise(neg).alias("dup_of_idx"))
+
+
+def drop_dup_paragraphs(docs: DataFrame, text_col: str = "text",
+                        sep: str = "\n\n", min_chars: int = 1) -> DataFrame:
+    """Rebuild each document with its duplicate paragraphs removed
+    (the apply-side of :func:`paragraph_dedup`): surviving paragraphs
+    re-join in original order on ``sep``. A document whose every
+    paragraph was marked duplicate drops out entirely.
+
+    Output: (doc_id, clean_text)."""
+    paras = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("para_idx", "para"))
+    verdict = paragraph_dedup(docs, text_col, sep, min_chars)
+    kept = (paras.join(verdict.where(~F.col("is_dup"))
+                       .select("doc_id", "para_idx"),
+                       ["doc_id", "para_idx"], "left_semi"))
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("para_idx", "para"))),
+                    lambda s: s["para"]),
+                sep).alias("clean_text")))
+
+
 def _shingles(text: str, k: int) -> set[str]:
     toks = text.split()
     if len(toks) < k:

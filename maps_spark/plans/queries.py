@@ -209,6 +209,32 @@ def q_point_locations(spark, sf_dir):
     return PY.point_locations(keyed)
 
 
+def _para_docs(spark, sf_dir):
+    """The synthetic corpus is a flat token stream; derive a paragraph
+    structure deterministically (8-token chunks joined on blank lines)
+    so the paragraph-dedup gates run over real multi-paragraph docs.
+    Mirrored exactly by the oracle CTE (oracle_training._para_docs_cte)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(toks) - 1) / 8).cast("int")
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_chunks),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 8 + 1, 8), " ")),
+        "\n\n")
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q_para_dedup(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.paragraph_dedup(_para_docs(spark, sf_dir))
+
+
+def q_para_clean(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.drop_dup_paragraphs(_para_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     return DD.exact_duplicates(_docs(spark, sf_dir))
@@ -452,6 +478,8 @@ MAPS_QUERIES = {
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
+    "para_dedup": q_para_dedup,
+    "para_clean": q_para_clean,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "token_count_bpe": q_token_count,
@@ -531,6 +559,8 @@ def maps_oracles() -> dict[str, str]:
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),
         "dedup_exact": OT.dedup_exact_select(),
         "dedup_prefix": OT.dedup_prefix_select(n_tokens=10),
+        "para_dedup": OT.para_dedup_select(),
+        "para_clean": OT.para_clean_select(),
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "token_count_bpe": OT.token_count_select(),

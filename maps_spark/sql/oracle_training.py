@@ -18,6 +18,67 @@ def dedup_prefix_select(n_tokens: int = 10) -> str:
 FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
 
+def _para_docs_cte() -> str:
+    """Derived multi-paragraph corpus: 8-token chunks joined on blank
+    lines — the DuckDB mirror of plans.queries._para_docs."""
+    return """pdocs AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             generate_series(0, (len(string_split(text, ' ')) - 1) // 8),
+             i -> array_to_string(string_split(text, ' ')[i*8+1:i*8+8],
+                                  ' ')),
+           chr(10) || chr(10)) AS text
+  FROM documents)"""
+
+
+def _paras_cte() -> str:
+    return """paras AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)||chr(10)), 1) - 1
+           AS para_idx,
+         unnest(string_split(text, chr(10)||chr(10))) AS para
+  FROM pdocs)"""
+
+
+def para_dedup_select(min_chars: int = 1) -> str:
+    """Canonical-first paragraph dedup verdicts (operators.dedup.
+    paragraph_dedup twin): lexicographic-min (doc_id, para_idx) per
+    exact paragraph text is canonical; everything else is a dup."""
+    dup = (f"(length(p.para) >= {min_chars} "
+           "AND NOT (p.doc_id = c2.cd AND p.para_idx = c2.ci))")
+    return f"""WITH {_para_docs_cte()},
+{_paras_cte()},
+c1 AS (SELECT md5(para) AS ph, min(doc_id) AS cd FROM paras GROUP BY 1),
+c2 AS (SELECT c1.ph, c1.cd, min(p.para_idx) AS ci
+       FROM paras p JOIN c1 ON md5(p.para) = c1.ph AND p.doc_id = c1.cd
+       GROUP BY 1, 2)
+SELECT p.doc_id, CAST(p.para_idx AS INT) AS para_idx,
+       {dup} AS is_dup,
+       CASE WHEN {dup} THEN c2.cd ELSE -1 END AS dup_of_doc,
+       CAST(CASE WHEN {dup} THEN c2.ci ELSE -1 END AS INT) AS dup_of_idx
+FROM paras p JOIN c2 ON md5(p.para) = c2.ph"""
+
+
+def para_clean_select(min_chars: int = 1) -> str:
+    """Documents rebuilt without duplicate paragraphs
+    (operators.dedup.drop_dup_paragraphs twin)."""
+    dup = (f"(length(p.para) >= {min_chars} "
+           "AND NOT (p.doc_id = c2.cd AND p.para_idx = c2.ci))")
+    return f"""WITH {_para_docs_cte()},
+{_paras_cte()},
+c1 AS (SELECT md5(para) AS ph, min(doc_id) AS cd FROM paras GROUP BY 1),
+c2 AS (SELECT c1.ph, c1.cd, min(p.para_idx) AS ci
+       FROM paras p JOIN c1 ON md5(p.para) = c1.ph AND p.doc_id = c1.cd
+       GROUP BY 1, 2)
+SELECT p.doc_id,
+       string_agg(p.para, chr(10)||chr(10) ORDER BY p.para_idx)
+         AS clean_text
+FROM paras p JOIN c2 ON md5(p.para) = c2.ph
+WHERE NOT {dup}
+GROUP BY p.doc_id"""
+
+
 def text_stats_select() -> str:
     padded = "(' ' || text || ' ')"
     n_stop = " + ".join(occurrences_sql(padded, t) for t in STOPWORDS)

@@ -683,3 +683,37 @@ class TestCorpusDiff:
             assert d.count() > 0
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Canonical-first marking across documents, blank-paragraph guard,
+    and clean-text rebuild on a crafted multi-paragraph corpus."""
+    from maps_spark.operators.dedup import (drop_dup_paragraphs,
+                                            paragraph_dedup)
+    rows = [
+        (1, "alpha beta\n\ncommon para\n\ngamma"),
+        (2, "common para\n\ndelta\n\ncommon para"),   # dup of doc1's,
+                                                      # and of itself
+        (3, "\n\nunique tail"),                       # leading blank
+        (4, "common para"),                           # whole doc is a dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    v = {(r.doc_id, r.para_idx): r
+         for r in paragraph_dedup(docs).collect()}
+    # canonical = (1, 1): first occurrence in doc order
+    assert not v[(1, 1)].is_dup
+    assert v[(2, 0)].is_dup and v[(2, 0)].dup_of_doc == 1 \
+        and v[(2, 0)].dup_of_idx == 1
+    assert v[(2, 2)].is_dup and v[(2, 2)].dup_of_doc == 1
+    assert v[(4, 0)].is_dup
+    # blank paragraphs are never marked (min_chars=1)
+    assert not v[(3, 0)].is_dup
+    assert v[(3, 0)].dup_of_doc == -1
+    # unique paragraphs untouched
+    assert not v[(1, 0)].is_dup and not v[(2, 1)].is_dup
+    clean = {r.doc_id: r.clean_text
+             for r in drop_dup_paragraphs(docs).collect()}
+    assert clean[1] == "alpha beta\n\ncommon para\n\ngamma"
+    assert clean[2] == "delta"
+    assert clean[3] == "\n\nunique tail"
+    assert 4 not in clean  # every paragraph was a duplicate
