@@ -372,7 +372,6 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
 
     def span_agg(z_top: int, k: int, with_cnt: bool, pre_shift: bool,
                  min_chunk: int = 512 * 1024):
-        group_base = ["mapKey", "px", "py", "borYear"]
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # Incremental chunked aggregation: groups are
@@ -389,9 +388,32 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
             # groupby overhead (a per-batch groupby measured ~40% slower
             # at sf0.1), small enough that the buffer never exceeds the
             # running aggregate's own footprint asymptotically.
+            # Grouping runs on INT keys throughout: the string mapKey is
+            # dictionary-coded per partition (the in-worker equivalent of
+            # the reference's A15 dictionary encode) and (px, py) pack
+            # into one int64 (27 bits each side — z16 x tileSize 512 x
+            # the 2-wide WGS84 grid tops out at 2^26). A pandas groupby
+            # over (int, int, int) measured ~2x the object-key form at
+            # 4M rows; strings are restored only at yield.
+            import numpy as np
+            M27 = (1 << 27) - 1
+            gcols = ["mk", "pxy", "borYear"]
+            key_to_code: dict = {}
+            code_to_key: list = []
             agg: pd.DataFrame | None = None
             pending: list[pd.DataFrame] = []
             pending_rows = 0
+
+            def encode_keys(s: pd.Series) -> np.ndarray:
+                c, u = pd.factorize(s)
+                trans = np.empty(len(u), dtype=np.int64)
+                for i, k_ in enumerate(u):
+                    code = key_to_code.get(k_)
+                    if code is None:
+                        code = key_to_code[k_] = len(code_to_key)
+                        code_to_key.append(k_)
+                    trans[i] = code
+                return trans[c]
 
             def flush() -> pd.DataFrame | None:
                 nonlocal agg, pending, pending_rows
@@ -399,37 +421,51 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
                     frames = ([agg, *pending] if agg is not None
                               else pending)
                     agg = (pd.concat(frames, ignore_index=True)
-                           .groupby(group_base, as_index=False, sort=False)
+                           .groupby(gcols, as_index=False, sort=False)
                            .agg(cnt=("cnt", "sum")))
                     pending = []
                     pending_rows = 0
                 return agg
 
+            def restore(frame: pd.DataFrame, z: int) -> pd.DataFrame:
+                pxy = frame["pxy"].to_numpy()
+                keys_arr = np.asarray(code_to_key, dtype=object)
+                return pd.DataFrame(
+                    {"mapKey": keys_arr[frame["mk"].to_numpy()],
+                     "px": pxy >> 27, "py": pxy & M27,
+                     "borYear": frame["borYear"],
+                     "cnt": frame["cnt"], "z": z})
+
             for pdf in batches:
                 if not len(pdf):
                     continue
-                if not with_cnt:
-                    pdf = pdf.assign(cnt=1)
-                if pre_shift:  # continuation span: input is one zoom above
-                    pdf = pdf.assign(px=pdf["px"] // 2, py=pdf["py"] // 2)
-                pending.append(pdf)  # exactly group_base + cnt columns
-                pending_rows += len(pdf)
+                mk = encode_keys(pdf["mapKey"])
+                px_ = pdf["px"].to_numpy().astype(np.int64, copy=False)
+                py_ = pdf["py"].to_numpy().astype(np.int64, copy=False)
+                if pre_shift:  # continuation span: input one zoom above
+                    px_ = px_ >> 1
+                    py_ = py_ >> 1
+                rec = pd.DataFrame(
+                    {"mk": mk, "pxy": (px_ << 27) | py_,
+                     "borYear": pdf["borYear"].to_numpy(),
+                     "cnt": (pdf["cnt"].to_numpy() if with_cnt else
+                             np.ones(len(pdf), dtype=np.int64))})
+                pending.append(rec)
+                pending_rows += len(rec)
                 if pending_rows >= max(min_chunk,
                                        len(agg) if agg is not None else 0):
                     flush()
             cur = flush()
             if cur is None:
                 return
-            out = cur.copy()
-            out["z"] = z_top
-            yield out
+            yield restore(cur, z_top)
             for j in range(1, k + 1):
-                cur = cur.assign(px=cur["px"] // 2, py=cur["py"] // 2)
-                cur = (cur.groupby(group_base, as_index=False, sort=False)
+                pxy = cur["pxy"].to_numpy()
+                halved = (((pxy >> 27) >> 1) << 27) | ((pxy & M27) >> 1)
+                cur = (cur.assign(pxy=halved)
+                       .groupby(gcols, as_index=False, sort=False)
                        .agg(cnt=("cnt", "sum")))
-                lvl = cur.copy()
-                lvl["z"] = z_top - j
-                yield lvl
+                yield restore(cur, z_top - j)
 
         return run
 
