@@ -157,6 +157,22 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    @timed("backfill_z0_8_all_srs", n=1)
+    def _4e():
+        # the full four-projection build (3857/4326 pure-Column math +
+        # both polar Snyder pandas-UDF paths) — the reference's actual
+        # production shape (TileMapBuilder.java:66-69 loops all four)
+        import shutil
+        import tempfile
+
+        from maps_spark.plans.backfill import run_backfill
+        out = tempfile.mkdtemp(prefix="bench_bf4_")
+        try:
+            run_backfill(spark, SF_DIR, out, max_zoom=8,
+                         threshold=10_000)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     @timed("point_blobs")
     def _5():
         small = keyed.where(F.col("mapKey").startswith("3:"))
