@@ -394,7 +394,8 @@ def _shingle_array(text_col: str, k: int):
 
 
 def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
-                   method: str = "star") -> DataFrame:
+                   method: str = "auto",
+                   driver_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over near-dup pairs: the "keep one doc per
     duplicate cluster" step that turns pairwise dedup output into an
     actionable keep/drop list.
@@ -420,11 +421,27 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
     fixpoint test. ``localCheckpoint`` per round truncates lineage
     (iterative plans otherwise grow exponentially in Catalyst).
 
+    ``method="auto"`` (default) counts the edge set first and, when it
+    fits ``driver_threshold``, runs union-find on the driver instead —
+    the near-dup graph after capped LSH is orders of magnitude smaller
+    than the corpus (it only contains docs that collided in a band), so
+    at every realistic scale the iterative rounds are pure job-latency
+    overhead for a graph that union-finds in milliseconds. This is the
+    reference's own data-size-adaptive plan split (count -> choose,
+    MapBuilder.java:205-229) applied to clustering; the collect is
+    BOUNDED by the explicit threshold, and larger graphs fall through
+    to the distributed star contraction.
+
     Output: (doc_id, cluster_id, cluster_size, keep) for every doc that
     appears in at least one pair; cluster_id = min doc_id in the
     component; keep = this doc is the cluster representative.
     """
-    if method == "star":
+    if method == "auto":
+        method = ("driver" if pairs.limit(driver_threshold + 1).count()
+                  <= driver_threshold else "star")
+    if method == "driver":
+        labels = _cc_driver(pairs)
+    elif method == "star":
         labels = _cc_star(pairs, max_iters)
     else:
         labels = _cc_label(pairs, max_iters)
@@ -433,6 +450,37 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
             .select("doc_id", F.col("lbl").alias("cluster_id"),
                     "cluster_size",
                     (F.col("doc_id") == F.col("lbl")).alias("keep")))
+
+
+def _cc_driver(pairs: DataFrame) -> DataFrame:
+    """Union-find on the driver for bounded edge sets: (doc_id, lbl).
+
+    Path-halving find + union-by-min keeps every root at its
+    component's minimum doc_id — identical labels to the distributed
+    forms."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in pairs.select("doc_a", "doc_b").toLocalIterator():
+        if a == b:  # self-loops carry no cluster info (star drops them)
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(d, find(d)) for d in parent]
+    from pyspark.sql.types import StructField, StructType
+    t = pairs.schema["doc_a"].dataType
+    schema = StructType([StructField("doc_id", t), StructField("lbl", t)])
+    return pairs.sparkSession.createDataFrame(rows, schema)
 
 
 def _cc_label(pairs: DataFrame, max_iters: int) -> DataFrame:

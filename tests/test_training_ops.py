@@ -239,7 +239,7 @@ class TestCorpusOps:
         n = 400
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
-        out = dedup_clusters(pairs, max_iters=15).collect()
+        out = dedup_clusters(pairs, max_iters=15, method="star").collect()
         assert len(out) == n + 1
         assert all(r.cluster_id == 0 and r.cluster_size == n + 1
                    for r in out)
@@ -264,6 +264,11 @@ class TestCorpusOps:
         label = {t for t in label if t[0] in star_docs}
         star = {t for t in star if t[0] != 55}
         assert star == label
+        # the bounded driver union-find (method="auto" on small graphs)
+        # must agree with star exactly, self-loop semantics included
+        driver = {(r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+                  for r in dedup_clusters(pairs, method="driver").collect()}
+        assert driver == star
 
     def test_contamination_flags_benchmark_copy(self, spark):
         from maps_spark.operators.corpus import contamination_check
