@@ -119,3 +119,40 @@ def test_no_cartesian_products_in_headline_queries(spark):
         # broadcast-able small sides must not sort-merge
         if name in ("country_mask_z2", "species_trend"):
             assert "SortMergeJoin" not in plan, name
+
+
+def test_multi_zoom_fanout_stays_in_codegen(spark):
+    """The z-column fan-out must remain pure integer codegen: no
+    BatchEvalPython, no interpreted higher-order functions, and the
+    per-row grid-size shiftlefts must not break the WholeStageCodegen
+    span around the explode's parent projections."""
+    from maps_spark.functions import tiles as T
+    pix = spark.createDataFrame(
+        [("0:0", 100, 1, 10, 10, 4)],
+        "mapKey string, borYear int, cnt long, px long, py long, z int")
+    plan = plan_of(T.explode_to_tiles_multi(pix, "EPSG:3857"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "array_distinct" not in plan  # z>=2 path has no dedup HOF
+    # '*' marks codegen nodes in formatted plans: the projections, the
+    # explode Generate, and the null filter must all carry it
+    assert "* Generate" in plan, plan
+    assert "* Filter" in plan and "* Project" in plan, plan
+
+
+def test_build_pyramid_spans_multi_low_max_zoom(spark, occ_small):
+    """max_zoom < 2 exercises the all-literal small-z branch of the
+    spans_multi strategy (no z-column fan-out at all)."""
+    from maps_spark.functions import mvt
+    from maps_spark.operators import pyramid as PY
+    keyed = PY.keyed_occurrence(occ_small)
+    tiles = PY.build_pyramid(keyed, "EPSG:3857", 1,
+                             strategy="spans_multi")
+    rows = tiles.where(F.col("mapKey") == "0:0").collect()
+    PY.unpersist_pyramid(tiles)
+    per_z = {}
+    for r in rows:
+        per_z[r.z] = per_z.get(r.z, 0) + sum(
+            mvt.tile_totals(bytes(r.tile), exclude_buffer=True).values())
+    assert set(per_z) == {0, 1}
+    assert per_z[0] == per_z[1] > 0
