@@ -232,8 +232,14 @@ def explode_to_tiles(pixels, srs: str, z: int,
         candidate(near_s & near_e, +1, +1),
         candidate(near_w, -1, 0),
     ]
+    # interior pixels (no edge within `buffer`, ~56% of rows at tile
+    # 512 / buffer 64) generate a 1-slot array — the 9-slot form made
+    # the Generate emit 9x the input rows before the null filter, and
+    # it was the single hottest stage of the z16 build
+    near_any = near_n | near_s | near_w | near_e
+    arr = F.when(near_any, F.array(*cands)).otherwise(F.array(cands[0]))
     return (staged
-            .select(*carry, F.explode(F.array(*cands)).alias("t"))
+            .select(*carry, F.explode(arr).alias("t"))
             .where(F.col("t").isNotNull())
             .select(*carry, *tcols))
 
@@ -335,8 +341,11 @@ def explode_to_tiles_multi(pixels_z, srs: str,
              F.col("t.tileY").alias("tileY"),
              F.col("t.pixelX").alias("pixelX"),
              F.col("t.pixelY").alias("pixelY")]
+    # 1-slot array for interior pixels — see explode_to_tiles
+    near_any = near_n | near_s | near_w | near_e
+    arr = F.when(near_any, F.array(*cands)).otherwise(F.array(cands[0]))
     return (staged
-            .select(*carry, "z", F.explode(F.array(*cands)).alias("t"))
+            .select(*carry, "z", F.explode(arr).alias("t"))
             .where(F.col("t").isNotNull())
             .select(*carry, "z", *tcols))
 
