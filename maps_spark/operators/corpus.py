@@ -219,6 +219,60 @@ def source_stats(docs: DataFrame, keep_threshold: float = 0.5,
                 (rate >= int(keep_threshold * scale)).alias("reputable")))
 
 
+def source_divergence(docs: DataFrame, text_col: str = "text",
+                      group_col: str = "source",
+                      vocab_k: int = 200) -> DataFrame:
+    """Token-distribution shift per source: total-variation distance
+    between each source's token distribution and the whole corpus,
+    restricted to the corpus's top-``vocab_k`` tokens — the curation
+    signal for "this domain's language is drifting from the mix"
+    (de-weighting / mixture-rebalance input).
+
+    TV over the shared vocab is kept INTEGER-exact for cross-engine
+    reproducibility: with per-token counts c_s (source) and c_c
+    (corpus) and totals N_s / N_c over the vocab,
+
+        TV = sum_t |c_s,t * N_c - c_c,t * N_s|  /  (2 * N_s * N_c)
+
+    and the output carries the numerator/denominator as exact BIGINTs
+    (no float division crosses an engine boundary). Vocab tokens a
+    source never uses still contribute (c_s = 0) via the
+    vocab x source cross join — both sides are tiny (k x #sources).
+
+    Scale: one token aggregation with map-side combine for the corpus
+    counts, one for the (source, token) counts semi-joined to the
+    broadcast vocab; the cross join is k x #sources rows. Counts at
+    extreme scale can overflow the int64 products — cap vocab_k /
+    pre-scale counts before calling if N_c * max(c) nears 2^63.
+
+    Output: (source, n_tokens_vocab, tv_num, tv_denom), one row per
+    source value.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    corpus = (toks.groupBy("word").agg(F.count("*").alias("c_c"))
+              .orderBy(F.desc("c_c"), "word").limit(vocab_k))
+    per_src = (toks.join(F.broadcast(corpus.select("word")), "word",
+                         "left_semi")
+               .groupBy("src", "word").agg(F.count("*").alias("c_s")))
+    totals = per_src.groupBy("src").agg(F.sum("c_s").alias("n_s"))
+    n_c = corpus.agg(F.sum("c_c").alias("n_c"))
+    grid = (corpus.crossJoin(F.broadcast(totals))
+            .join(per_src, ["src", "word"], "left")
+            .na.fill({"c_s": 0})
+            .crossJoin(F.broadcast(n_c)))
+    return (grid.groupBy("src", "n_s", "n_c")
+            .agg(F.sum(F.abs(F.col("c_s") * F.col("n_c") -
+                             F.col("c_c") * F.col("n_s")))
+                 .alias("tv_num"))
+            .select(F.col("src").alias(group_col),
+                    F.col("n_s").alias("n_tokens_vocab"),
+                    F.col("tv_num"),
+                    (F.lit(2) * F.col("n_s") * F.col("n_c"))
+                    .alias("tv_denom")))
+
+
 def curate_corpus(docs: DataFrame, text_col: str = "text",
                   hasher: str = "fast") -> DataFrame:
     """End-to-end curation pipeline: tag every document with the first

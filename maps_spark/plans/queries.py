@@ -235,6 +235,11 @@ def q_para_clean(spark, sf_dir):
     return DD.drop_dup_paragraphs(_para_docs(spark, sf_dir))
 
 
+def q_source_divergence(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.source_divergence(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     return DD.exact_duplicates(_docs(spark, sf_dir))
@@ -480,6 +485,7 @@ MAPS_QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "para_dedup": q_para_dedup,
     "para_clean": q_para_clean,
+    "source_divergence": q_source_divergence,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "token_count_bpe": q_token_count,
@@ -561,6 +567,7 @@ def maps_oracles() -> dict[str, str]:
         "dedup_prefix": OT.dedup_prefix_select(n_tokens=10),
         "para_dedup": OT.para_dedup_select(),
         "para_clean": OT.para_clean_select(),
+        "source_divergence": OT.source_divergence_select(),
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "token_count_bpe": OT.token_count_select(),

@@ -18,6 +18,30 @@ def dedup_prefix_select(n_tokens: int = 10) -> str:
 FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
 
+def source_divergence_select(vocab_k: int = 200) -> str:
+    """Integer-exact total-variation distance per source vs the corpus
+    over the top-k vocab (operators.corpus.source_divergence twin)."""
+    return f"""WITH toks AS (
+  SELECT source AS src, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+corpus AS (
+  SELECT word, count(*) AS c_c FROM toks
+  GROUP BY 1 ORDER BY c_c DESC, word LIMIT {vocab_k}),
+per_src AS (
+  SELECT src, word, count(*) AS c_s FROM toks
+  WHERE word IN (SELECT word FROM corpus) GROUP BY 1, 2),
+totals AS (SELECT src, sum(c_s) AS n_s FROM per_src GROUP BY 1),
+nc AS (SELECT sum(c_c) AS n_c FROM corpus),
+grid AS (
+  SELECT t.src, t.n_s, c.word, c.c_c, coalesce(p.c_s, 0) AS c_s, nc.n_c
+  FROM corpus c CROSS JOIN totals t CROSS JOIN nc
+  LEFT JOIN per_src p ON p.src = t.src AND p.word = c.word)
+SELECT src AS source, CAST(n_s AS BIGINT) AS n_tokens_vocab,
+       CAST(sum(abs(c_s * n_c - c_c * n_s)) AS BIGINT) AS tv_num,
+       CAST(2 * n_s * n_c AS BIGINT) AS tv_denom
+FROM grid GROUP BY src, n_s, n_c"""
+
+
 def _para_docs_cte() -> str:
     """Derived multi-paragraph corpus: 8-token chunks joined on blank
     lines — the DuckDB mirror of plans.queries._para_docs."""

@@ -722,3 +722,24 @@ def test_paragraph_dedup_semantics(spark):
     assert clean[2] == "delta"
     assert clean[3] == "\n\nunique tail"
     assert 4 not in clean  # every paragraph was a duplicate
+
+
+def test_source_divergence_hand_computed(spark):
+    """TV distance per source vs corpus, integer-exact: for sources
+    A = {a,a,b} and B = {a,b,b,b} the corpus is {a:3, b:4} and
+    TV(A) = 10/42, TV(B) = 10/56 (hand-derived)."""
+    from maps_spark.operators.corpus import source_divergence
+    docs = spark.createDataFrame(
+        [(1, "a a b", "A"), (2, "a b b b", "B")],
+        "doc_id long, text string, source string")
+    out = {r.source: r for r in source_divergence(docs).collect()}
+    assert out["A"].n_tokens_vocab == 3
+    assert out["A"].tv_num == 10 and out["A"].tv_denom == 42
+    assert out["B"].n_tokens_vocab == 4
+    assert out["B"].tv_num == 10 and out["B"].tv_denom == 56
+    # identical-distribution source: add C = one copy of the corpus mix
+    docs2 = spark.createDataFrame(
+        [(1, "a a a b b b b", "C"), (2, "a a a b b b b", "D")],
+        "doc_id long, text string, source string")
+    out2 = {r.source: r for r in source_divergence(docs2).collect()}
+    assert out2["C"].tv_num == 0 and out2["D"].tv_num == 0
