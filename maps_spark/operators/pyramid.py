@@ -225,6 +225,9 @@ def encode_mvt_flat_multi(trows_z: DataFrame,
     keys = ["z", "mapKey", "tileX", "tileY"]
     arranged = (trows_z.repartition(n_parts, *keys)
                 .sortWithinPartitions(*keys))
+    key_dt = trows_z.schema["mapKey"].dataType.simpleString()
+    out_schema = (TILE_SCHEMA if key_dt == "string" else
+                  TILE_SCHEMA.replace("mapKey string", f"mapKey {key_dt}"))
 
     def enc_stream(batches):
         import numpy as np
@@ -288,7 +291,7 @@ def encode_mvt_flat_multi(trows_z: DataFrame,
         if carry is not None and len(carry):
             yield emit(carry.reset_index(drop=True))
 
-    return arranged.mapInPandas(enc_stream, TILE_SCHEMA)
+    return arranged.mapInPandas(enc_stream, out_schema)
 
 
 def build_zoom(pixels_at_z: DataFrame, srs: str, z: int,
@@ -369,6 +372,9 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
     instead of once per level."""
     spark = keyed.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    key_dt = keyed.schema["mapKey"].dataType.simpleString()
+    z_schema = (PIXEL_Z_SCHEMA if key_dt == "string" else
+                PIXEL_Z_SCHEMA.replace("mapKey string", f"mapKey {key_dt}"))
 
     def span_agg(z_top: int, k: int, with_cnt: bool, pre_shift: bool,
                  min_chunk: int = 512 * 1024):
@@ -484,7 +490,7 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
             F.shiftright("px", shift), F.shiftright("py", shift))
         levels = part.mapInPandas(
             span_agg(z_top, k, with_cnt, pre_shift, min_chunk),
-            PIXEL_Z_SCHEMA).persist()
+            z_schema).persist()
         if persisted_out is not None:
             persisted_out.append(levels)
         yield z_top, k, levels
@@ -497,7 +503,8 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
 def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
                   min_zoom: int = 0, tile_size: int = P.TILE_SIZE,
                   buffer: int = T.DEFAULT_BUFFER,
-                  strategy: str = "spans_multi") -> DataFrame:
+                  strategy: str = "spans_multi",
+                  dictionary: bool = False) -> DataFrame:
     """Full pyramid as one DataFrame of (srs, mapKey, z, x, y, tile).
 
     ``strategy="spans_multi"`` (default) builds all pixel levels with
@@ -512,8 +519,25 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
     with staged Parquet tables, TileMapBuilder.java:164-169); at
     cluster scale the backfill driver swaps these for staging-dir
     writes.
+
+    ``dictionary=True`` (spans_multi only) applies the reference's A15
+    pre-shuffle dictionary encode (TileMapBuilder.java:56-61) across
+    the WHOLE pipeline: map keys travel every shuffle — the span
+    repartitions AND the pyramid-wide encode shuffle — as ints, and
+    the strings come back via one broadcast join over the (far
+    smaller) encoded-tile rows. ~12-20 bytes/key becomes 4 at billions
+    of fan-out rows; locally it is noise, which is why it is opt-in.
     """
     persisted: list[DataFrame] = []
+    if dictionary and strategy == "spans_multi":
+        dict_df, keyed = dictionary_encode(keyed)
+        inner = build_pyramid(keyed, srs, max_zoom, min_zoom, tile_size,
+                              buffer, strategy, dictionary=False)
+        result = (inner.withColumnRenamed("mapKey", "mapKeyId")
+                  .join(F.broadcast(dict_df), "mapKeyId")
+                  .select("srs", "mapKey", "z", "x", "y", "tile"))
+        result._maps_spark_persisted = inner._maps_spark_persisted
+        return result
     if strategy == "spans_multi":
         # One fan-out scan per span parent (z >= 2 via the z-column
         # form), instead of one scan per zoom: a z10 pyramid reads its

@@ -295,3 +295,27 @@ def test_dictionary_encode_roundtrip(keyed):
     dec = PY.dictionary_decode(PY.pixel_table(enc, "EPSG:3857", 4), d)
     assert dec.select(*plain.columns).exceptAll(plain).count() == 0
     assert plain.exceptAll(dec.select(*plain.columns)).count() == 0
+
+
+def test_dictionary_encoded_pyramid_matches_plain(keyed):
+    """dictionary=True routes every shuffle through int map keys and
+    restores strings via one broadcast join — tiles must be
+    feature-identical to the plain build."""
+    plain = PY.build_pyramid(keyed, "EPSG:3857", 3)
+    dicted = PY.build_pyramid(keyed, "EPSG:3857", 3, dictionary=True)
+
+    def decoded(df):
+        out = {}
+        for r in df.collect():
+            t = mvt.decode_tile(bytes(r.tile))
+            out[(r.mapKey, r.z, r.x, r.y)] = {
+                layer: {(x, y, frozenset(attrs.items()))
+                        for x, y, attrs in feats}
+                for layer, feats in t.items()}
+        return out
+
+    a, b = decoded(plain), decoded(dicted)
+    PY.unpersist_pyramid(plain)
+    PY.unpersist_pyramid(dicted)
+    assert a.keys() == b.keys()
+    assert a == b
