@@ -1,0 +1,202 @@
+"""Corpus mixture planning and importance-based data selection.
+
+Two curation steps that sit ABOVE per-document filtering — deciding how
+much of each source, and which documents, make the training mix:
+
+- :func:`mix_plan` / :func:`mix_sample` implement token-budgeted source
+  reweighting (the "data mixture" step of every pretraining recipe:
+  given target weights per source and a total token budget, compute a
+  per-source sampling rate and draw a deterministic hash sample at that
+  rate). No RNG state anywhere — the sample is a pure function of
+  doc_id, so the same mixture is reproducible on any cluster or engine.
+- :func:`lm_crossentropy` scores documents under a bigram language
+  model trained on a DIFFERENT corpus (with add-one smoothing and an
+  unseen-bigram backoff), generalizing
+  :func:`maps_spark.operators.corpus.lm_score` (whose model is the
+  scored corpus itself).
+- :func:`dsir_importance` / :func:`dsir_select` implement DSIR-style
+  importance resampling (Xie et al. 2023, "Data Selection for Language
+  Models via Importance Resampling", arXiv:2302.03169): importance =
+  (cross-entropy under the raw-corpus model) minus (cross-entropy under
+  the target-domain model); documents that look more like the target
+  than the raw pool score high and are selected first.
+
+Scale notes: the mixture plan aggregates per source (source cardinality
+is tiny — one shuffle with map-side combine), and the sampler joins the
+broadcast plan then filters in codegen — no corpus shuffle at all.
+Cross-entropy scoring shuffles on bigram keys whose cardinality is
+bounded by the model vocabulary, never the corpus; both model joins
+reuse the one exploded-bigram pass. The final top-n selection is a
+``TakeOrdered`` (no global sort materializes).
+
+All outputs are exact integers (scaled logs, integer division) so the
+DuckDB oracle (:mod:`maps_spark.sql.oracle_training`) matches bitwise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from maps_spark.operators.corpus import SCALE, _mix
+
+
+def mix_plan(docs: DataFrame, weights: dict[str, float],
+             budget_tokens: int, text_col: str = "text",
+             scale: int = SCALE) -> DataFrame:
+    """Per-source sampling plan for a token-budgeted mixture.
+
+    For each source s with target weight w_s (weights need not sum to
+    1; they are used as given), the plan allocates
+    ``target_tokens = floor(budget * w_s)`` and derives the keep rate
+    ``rate_scaled = min(scale, target_tokens * scale div n_tokens)`` —
+    a source with fewer tokens than its allocation is kept whole
+    (rate 1.0), never upsampled. Sources absent from ``weights`` get
+    weight 0 (dropped by :func:`mix_sample`).
+
+    Output: (source, n_docs, n_tokens, w_scaled, target_tokens,
+    rate_scaled) — exact integers throughout.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(round(w * scale))) for s, w in sorted(weights.items())],
+        "source string, w_scaled long")
+    per = (docs.select(
+        "source",
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("n_tokens"))
+        .groupBy("source").agg(F.count("*").alias("n_docs"),
+                               F.sum("n_tokens").alias("n_tokens")))
+    target = F.expr(f"{budget_tokens} * w_scaled div {scale}")
+    return (per.join(F.broadcast(wdf), "source", "left")
+            .withColumn("w_scaled", F.coalesce("w_scaled", F.lit(0)))
+            .withColumn("target_tokens", target.cast("long"))
+            .withColumn("rate_scaled",
+                        F.least(F.lit(scale).cast("long"),
+                                F.expr(f"target_tokens * {scale} "
+                                       "div n_tokens").cast("long")))
+            .select("source", "n_docs", "n_tokens", "w_scaled",
+                    "target_tokens", "rate_scaled"))
+
+
+def mix_sample(docs: DataFrame, weights: dict[str, float],
+               budget_tokens: int, text_col: str = "text",
+               id_col: str = "doc_id", scale: int = SCALE) -> DataFrame:
+    """Draw the deterministic mixture sample described by
+    :func:`mix_plan`: document d of source s is kept iff
+    ``mix(doc_id) % scale < rate_scaled(s)`` — the same id-hash
+    membership rule as :func:`maps_spark.operators.corpus.hash_sample`,
+    applied per source at the plan's rate.
+
+    The plan is broadcast (one row per source) and the filter runs
+    inside codegen — sampling 100 TB shuffles nothing.
+
+    Output: (doc_id, source, n_tokens) of kept documents.
+    """
+    plan = mix_plan(docs, weights, budget_tokens, text_col, scale)
+    return (docs.select(
+        F.col(id_col).alias("doc_id"), "source",
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("n_tokens"))
+        .join(F.broadcast(plan.select("source", "rate_scaled")), "source")
+        .where(_mix(F.col("doc_id")) % scale < F.col("rate_scaled"))
+        .select("doc_id", "source", "n_tokens"))
+
+
+def lm_crossentropy(docs: DataFrame, model_docs: DataFrame,
+                    text_col: str = "text",
+                    scale: int = SCALE) -> DataFrame:
+    """Per-document NLL of ``docs`` under a bigram model trained on
+    ``model_docs`` — add-one smoothing with an unseen backoff:
+
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1,.) + V)
+
+    where counts come from ``model_docs`` and V is the model vocabulary
+    size; a bigram (or head word) the model never saw contributes
+    c = 0 (so unseen-head bigrams cost ``-ln(1/V)``). Each bigram's
+    log-prob is floored to an integer at ``scale`` before the sum —
+    exact in any aggregation order, so the oracle matches bitwise.
+    When ``model_docs`` is ``docs`` itself this reduces exactly to
+    :func:`maps_spark.operators.corpus.lm_score`.
+
+    Scale: two model aggregations keyed by (w1, w2) / (w1) with
+    map-side combine (vocabulary-bounded), one scalar broadcast, one
+    (w1, w2) equi-join back to the scored corpus's exploded bigrams.
+
+    Output: (doc_id, n_bigrams, nll_scaled, avg_nll_scaled).
+    """
+    from maps_spark.operators.text import _doc_tokens
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        toks = _doc_tokens(d, text_col)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return (toks.select("doc_id", F.col("word").alias("w1"),
+                            F.lead("word").over(w).alias("w2"))
+                .where(F.col("w2").isNotNull()))
+
+    big_m = _bigrams(model_docs)
+    c2 = big_m.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    c1 = c2.groupBy("w1").agg(F.sum("cnt").alias("head"))
+    v = (_doc_tokens(model_docs, text_col)
+         .agg(F.countDistinct("word").alias("v")))
+    big_d = _bigrams(docs)
+    lp = F.floor(F.lit(float(scale)) * F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("head"), F.lit(0)) + F.col("v"))
+        .cast("double"))).cast("long")
+    return (big_d.join(c2, ["w1", "w2"], "left")
+            .join(c1, "w1", "left").crossJoin(F.broadcast(v))
+            .groupBy("doc_id").agg(
+                F.count("*").alias("n_bigrams"),
+                (-F.sum(lp)).cast("long").alias("nll_scaled"))
+            .withColumn("avg_nll_scaled",
+                        F.expr("nll_scaled div n_bigrams"))
+            .select("doc_id", "n_bigrams", "nll_scaled",
+                    "avg_nll_scaled"))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text",
+                    scale: int = SCALE) -> DataFrame:
+    """DSIR importance weights: for each document,
+
+        importance = avg NLL under the raw-corpus model
+                   - avg NLL under the target-domain model
+
+    (both per-bigram averages, integer-scaled). Positive importance
+    means the target model explains the document better than the raw
+    pool does — the document "looks like" the target domain. ``target``
+    is typically a small high-quality seed set (a Wikipedia slice, a
+    curated domain sample).
+
+    Output: (doc_id, n_bigrams, nll_target_scaled, nll_corpus_scaled,
+    importance_scaled).
+    """
+    t = (lm_crossentropy(docs, target, text_col, scale)
+         .select("doc_id", "n_bigrams",
+                 F.col("avg_nll_scaled").alias("nll_target_scaled")))
+    s = (lm_crossentropy(docs, docs, text_col, scale)
+         .select("doc_id",
+                 F.col("avg_nll_scaled").alias("nll_corpus_scaled")))
+    return (t.join(s, "doc_id")
+            .withColumn("importance_scaled",
+                        (F.col("nll_corpus_scaled")
+                         - F.col("nll_target_scaled")).cast("long"))
+            .select("doc_id", "n_bigrams", "nll_target_scaled",
+                    "nll_corpus_scaled", "importance_scaled"))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, n: int,
+                text_col: str = "text", scale: int = SCALE) -> DataFrame:
+    """Select the ``n`` documents most target-like by DSIR importance
+    (ties break on doc_id — fully deterministic). The final cut is an
+    ``orderBy().limit()`` — Spark plans it as TakeOrdered (per-partition
+    top-n then a bounded driver merge), not a global sort.
+
+    Output: (doc_id, importance_scaled, sel_rank).
+    """
+    imp = dsir_importance(docs, target, text_col, scale)
+    w = Window.orderBy(F.desc("importance_scaled"), "doc_id")
+    return (imp.orderBy(F.desc("importance_scaled"), "doc_id").limit(n)
+            .withColumn("sel_rank", F.row_number().over(w))
+            .select("doc_id", "importance_scaled", "sel_rank"))

@@ -451,6 +451,34 @@ def q_corpus_diff(spark, sf_dir):
     return CP.corpus_diff(old, new)
 
 
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+MIX_BUDGET = 2_000
+DSIR_TARGET = "lang = 'en'"
+DSIR_N = 100
+
+
+def q_mix_plan(spark, sf_dir):
+    from maps_spark.operators import mixture as MX
+    return MX.mix_plan(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
+
+
+def q_mix_sample(spark, sf_dir):
+    from maps_spark.operators import mixture as MX
+    return MX.mix_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
+
+
+def q_dsir_importance(spark, sf_dir):
+    from maps_spark.operators import mixture as MX
+    docs = _docs(spark, sf_dir)
+    return MX.dsir_importance(docs, docs.where(DSIR_TARGET))
+
+
+def q_dsir_select(spark, sf_dir):
+    from maps_spark.operators import mixture as MX
+    docs = _docs(spark, sf_dir)
+    return MX.dsir_select(docs, docs.where(DSIR_TARGET), DSIR_N)
+
+
 MAPS_QUERIES = {
     "occ_country_counts": q_occ_country_counts,
     "map_view_counts": q_map_view_counts,
@@ -517,6 +545,10 @@ MAPS_QUERIES = {
     "tokenize_docs": q_tokenize_docs,
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
+    "mix_plan": q_mix_plan,
+    "mix_sample": q_mix_sample,
+    "dsir_importance": q_dsir_importance,
+    "dsir_select": q_dsir_select,
 }
 
 
@@ -604,4 +636,8 @@ def maps_oracles() -> dict[str, str]:
         "corpus_diff": OT.corpus_diff_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_features": OT.media_features_select(),
+        "mix_plan": OT.mix_plan_select(MIX_WEIGHTS, MIX_BUDGET),
+        "mix_sample": OT.mix_sample_select(MIX_WEIGHTS, MIX_BUDGET),
+        "dsir_importance": OT.dsir_importance_select(DSIR_TARGET),
+        "dsir_select": OT.dsir_select_select(DSIR_TARGET, DSIR_N),
     }

@@ -992,3 +992,108 @@ def doc_fingerprint_select(modulus: int = (1 << 61) - 1,
     (h, c) -> ((h >> 53) + ((h & {m53}) * 256) + h + c) % {modulus})
   END AS fingerprint
 FROM documents"""
+
+
+def _weights_values(weights: dict[str, float], scale: int) -> str:
+    rows = ", ".join(f"('{s}', {int(round(w * scale))})"
+                     for s, w in sorted(weights.items()))
+    return f"w(source, w_scaled) AS (VALUES {rows})"
+
+
+def mix_plan_select(weights: dict[str, float], budget_tokens: int,
+                    scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.mixture.mix_plan (same integer
+    target/rate arithmetic, same whitespace token count)."""
+    tgt = f"{budget_tokens} * coalesce(w.w_scaled, 0) // {scale}"
+    return f"""WITH {_weights_values(weights, scale)},
+per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(coalesce(w.w_scaled, 0) AS BIGINT) AS w_scaled,
+       CAST({tgt} AS BIGINT) AS target_tokens,
+       CAST(LEAST({scale}, ({tgt}) * {scale} // p.n_tokens) AS BIGINT)
+         AS rate_scaled
+FROM per p LEFT JOIN w USING (source)"""
+
+
+def mix_sample_select(weights: dict[str, float], budget_tokens: int,
+                      scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.mixture.mix_sample: per-source keep
+    rate from the plan, membership by the shared id mixer."""
+    from maps_spark.operators.corpus import mix_sql
+
+    h = mix_sql("d.doc_id")
+    return f"""WITH plan AS ({mix_plan_select(weights, budget_tokens,
+                                              scale)})
+SELECT d.doc_id, d.source,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+FROM documents d JOIN plan p USING (source)
+WHERE ({h}) % {scale} < p.rate_scaled"""
+
+
+def _xent_ctes(prefix: str, model_from: str, scale: int) -> str:
+    """CTE block scoring the corpus's bigrams (CTE ``big``) under a
+    bigram model trained on ``model_from`` — add-one smoothing with
+    the coalesce-to-0 unseen backoff of
+    operators.mixture.lm_crossentropy."""
+    p = prefix
+    return f"""{p}toks AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM {model_from}) s
+  WHERE word <> ''),
+{p}big AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM {p}toks QUALIFY w2 IS NOT NULL),
+{p}c2 AS (SELECT w1, w2, count(*) AS cnt FROM {p}big GROUP BY 1, 2),
+{p}c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS head
+          FROM {p}c2 GROUP BY 1),
+{p}v AS (SELECT count(DISTINCT word) AS v FROM {p}toks),
+{p}score AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         CAST(-sum(CAST(floor({float(scale)!r} * ln(
+             CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+             / CAST(coalesce(h.head, 0) + v.v AS DOUBLE)))
+           AS BIGINT)) AS BIGINT) AS nll_scaled
+  FROM big b
+  LEFT JOIN {p}c2 c ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN {p}c1 h ON h.w1 = b.w1
+  CROSS JOIN {p}v v
+  GROUP BY 1)"""
+
+
+def dsir_importance_select(target_where: str,
+                           scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.mixture.dsir_importance: avg NLL under
+    the self-trained corpus model minus avg NLL under the model trained
+    on ``documents WHERE target_where``."""
+    return f"""WITH {_TOKS_CTE},
+big AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL),
+tdocs AS (SELECT doc_id, text FROM documents WHERE {target_where}),
+{_xent_ctes('t', 'tdocs', scale)},
+{_xent_ctes('s', 'documents', scale)}
+SELECT t.doc_id, t.n_bigrams,
+       t.nll_scaled // t.n_bigrams AS nll_target_scaled,
+       s.nll_scaled // s.n_bigrams AS nll_corpus_scaled,
+       CAST(s.nll_scaled // s.n_bigrams
+            - t.nll_scaled // t.n_bigrams AS BIGINT)
+         AS importance_scaled
+FROM tscore t JOIN sscore s USING (doc_id)"""
+
+
+def dsir_select_select(target_where: str, n: int,
+                       scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.mixture.dsir_select (same tie-break)."""
+    return f"""WITH imp AS ({dsir_importance_select(target_where, scale)})
+SELECT doc_id, importance_scaled,
+       CAST(row_number() OVER (ORDER BY importance_scaled DESC, doc_id)
+            AS INT) AS sel_rank
+FROM imp ORDER BY importance_scaled DESC, doc_id LIMIT {n}"""

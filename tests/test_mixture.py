@@ -1,0 +1,106 @@
+"""Mixture planning / DSIR selection tests: invariants of the
+token-budgeted sampler and the cross-model scorer."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+WEIGHTS = {"src0": 0.5, "src1": 0.5}
+BUDGET = 1_000
+SCALE = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+
+
+def test_mix_plan_arithmetic(spark, docs):
+    from maps_spark.operators.mixture import mix_plan
+    rows = {r["source"]: r for r in
+            mix_plan(docs, WEIGHTS, BUDGET).collect()}
+    # every source in the corpus appears; unweighted ones carry 0s
+    srcs = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert set(rows) == srcs
+    for s, r in rows.items():
+        if s not in WEIGHTS:
+            assert r["w_scaled"] == 0 and r["rate_scaled"] == 0
+        else:
+            assert r["target_tokens"] == BUDGET * r["w_scaled"] // SCALE
+            expect = min(SCALE,
+                         r["target_tokens"] * SCALE // r["n_tokens"])
+            assert r["rate_scaled"] == expect
+        assert 0 <= r["rate_scaled"] <= SCALE
+
+
+def test_mix_plan_small_source_kept_whole(spark, docs):
+    # a huge budget drives every weighted source to rate 1.0 (never >)
+    from maps_spark.operators.mixture import mix_plan
+    rows = mix_plan(docs, WEIGHTS, 10_000_000).where(
+        F.col("w_scaled") > 0).collect()
+    assert rows and all(r["rate_scaled"] == SCALE for r in rows)
+
+
+def test_mix_sample_deterministic_and_bounded(spark, docs):
+    from maps_spark.operators.mixture import mix_plan, mix_sample
+    s1 = sorted(r["doc_id"] for r in
+                mix_sample(docs, WEIGHTS, BUDGET).collect())
+    s2 = sorted(r["doc_id"] for r in
+                mix_sample(docs, WEIGHTS, BUDGET).collect())
+    assert s1 == s2 and len(s1) > 0
+    # only weighted sources contribute, and token mass lands near the
+    # per-source allocation (hash sampling is uniform-ish; wide bound)
+    samp = mix_sample(docs, WEIGHTS, BUDGET)
+    per = {r["source"]: r["toks"] for r in
+           samp.groupBy("source").agg(
+               F.sum("n_tokens").alias("toks")).collect()}
+    plan = {r["source"]: r for r in
+            mix_plan(docs, WEIGHTS, BUDGET).collect()}
+    assert set(per) <= set(WEIGHTS)
+    for s, toks in per.items():
+        assert toks <= 4 * plan[s]["target_tokens"]
+
+
+def test_lm_crossentropy_self_model_matches_lm_score(spark, docs):
+    from maps_spark.operators.corpus import lm_score
+    from maps_spark.operators.mixture import lm_crossentropy
+    a = {r["doc_id"]: (r["n_bigrams"], r["nll_scaled"])
+         for r in lm_score(docs).collect()}
+    b = {r["doc_id"]: (r["n_bigrams"], r["nll_scaled"])
+         for r in lm_crossentropy(docs, docs).collect()}
+    assert a == b
+
+
+def test_lm_crossentropy_unseen_backoff(spark):
+    # a doc whose bigrams the model never saw costs -ln(1/(0 + V)) per
+    # bigram: model vocab {a,b} => V=2, lp = floor(1e6*ln(1/2))
+    import math
+    from maps_spark.operators.mixture import lm_crossentropy
+    model = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    doc = spark.createDataFrame([(2, "x y z")], "doc_id long, text string")
+    [r] = lm_crossentropy(doc, model).collect()
+    lp = math.floor(1e6 * math.log(1 / 2))
+    assert r["n_bigrams"] == 2
+    assert r["nll_scaled"] == -2 * lp
+
+
+def test_dsir_target_docs_rank_high(spark, docs):
+    # documents of the target language must dominate the top of the
+    # importance ranking (that is the whole point of DSIR)
+    from maps_spark.operators.mixture import dsir_select
+    target = docs.where("lang = 'en'")
+    top = dsir_select(docs, target, 30)
+    langs = (top.join(docs.select("doc_id", "lang"), "doc_id")
+             .groupBy("lang").count().collect())
+    counts = {r["lang"]: r["count"] for r in langs}
+    assert counts.get("en", 0) >= 20
+
+
+def test_dsir_select_rank_is_dense_and_ordered(spark, docs):
+    from maps_spark.operators.mixture import dsir_select
+    rows = (dsir_select(docs, docs.where("lang = 'en'"), 25)
+            .orderBy("sel_rank").collect())
+    assert [r["sel_rank"] for r in rows] == list(range(1, 26))
+    imps = [r["importance_scaled"] for r in rows]
+    assert imps == sorted(imps, reverse=True)
