@@ -328,3 +328,54 @@ def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
                     F.floor(cosine_col("va", "vb") * 1e9).cast("long")
                     .alias("cos_scaled"))
             .where(F.col("cos_scaled") >= thr))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_clusters: int = 16, kmeans_iters: int = 2,
+                   train_sample: int = 2048,
+                   max_cluster: int = 100_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare pairs
+    only WITHIN a cluster — a vector is a duplicate iff some
+    lower-id cluster-mate has cosine >= ``threshold`` with it.
+
+    Uses the same deterministic, engine-reproducible k-means as
+    :func:`ivf_topk` (:func:`ivf_centroids`), so the verdicts are
+    hash-checkable against a SQL oracle. The keep rule (lowest id in
+    each near-dup neighborhood wins) is order-free and deterministic —
+    unlike greedy sequential SemDeDup it needs no iteration order.
+
+    Scale: the only corpus-sized work is one Arrow assignment pass and
+    one equi-join on cluster id; per-cluster cost is O(|c|^2), so
+    ``n_clusters`` must grow with the corpus (SemDeDup uses ~50k
+    clusters at billion scale; expected |c| a few thousand keeps the
+    self-join cheap). Clusters larger than ``max_cluster`` are dropped
+    from pairing (their members are all kept) — the degenerate-cluster
+    guard, same role as ``cap_buckets`` in the LSH family.
+
+    Output: (vec_id, cluster, dup_of, is_dup) — one row per input
+    vector; ``dup_of`` is the smallest qualifying cluster-mate id.
+    """
+    train = np.array(
+        [r[0] for r in emb.select(vec_col).orderBy(id_col)
+         .limit(train_sample).collect()], dtype=np.float64)
+    cent = ivf_centroids(train, n_clusters, kmeans_iters)
+    asg = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        F.element_at(cluster_assign_udf(cent, 1)(F.col(vec_col)), 1)
+        .alias("cluster")).localCheckpoint()
+    sizes = asg.groupBy("cluster").agg(F.count("*").alias("_cn"))
+    pairable = (asg.join(F.broadcast(sizes), "cluster")
+                .where(F.col("_cn") <= max_cluster).drop("_cn"))
+    a, b = pairable.alias("a"), pairable.alias("b")
+    thr = int(threshold * 1e9)
+    dup = (a.join(b, "cluster")
+           .where(F.col("a.vec_id") < F.col("b.vec_id"))
+           .where(F.floor(cosine_col("a.v", "b.v") * 1e9)
+                  .cast("long") >= thr)
+           .groupBy(F.col("b.vec_id").alias("vec_id"))
+           .agg(F.min(F.col("a.vec_id")).alias("dup_of")))
+    return (asg.join(dup, "vec_id", "left")
+            .select("vec_id", "cluster", "dup_of",
+                    F.col("dup_of").isNotNull().alias("is_dup")))

@@ -451,6 +451,12 @@ def q_corpus_diff(spark, sf_dir):
     return CP.corpus_diff(old, new)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.semantic_dedup(emb, threshold=0.3)
+
+
 MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 MIX_BUDGET = 2_000
 DSIR_TARGET = "lang = 'en'"
@@ -545,6 +551,7 @@ MAPS_QUERIES = {
     "tokenize_docs": q_tokenize_docs,
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
+    "semantic_dedup": q_semantic_dedup,
     "mix_plan": q_mix_plan,
     "mix_sample": q_mix_sample,
     "dsir_importance": q_dsir_importance,
@@ -636,6 +643,7 @@ def maps_oracles() -> dict[str, str]:
         "corpus_diff": OT.corpus_diff_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_features": OT.media_features_select(),
+        "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "mix_plan": OT.mix_plan_select(MIX_WEIGHTS, MIX_BUDGET),
         "mix_sample": OT.mix_sample_select(MIX_WEIGHTS, MIX_BUDGET),
         "dsir_importance": OT.dsir_importance_select(DSIR_TARGET),

@@ -648,11 +648,13 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
 FROM ranked WHERE rank <= {k}"""
 
 
-def ann_ivf_select(k: int = 10, n_queries: int = 16, dim: int = 64,
-                   n_clusters: int = 16, n_probe: int = 4,
+def _ivf_casg_ctes(dim: int = 64, n_clusters: int = 16,
                    kmeans_iters: int = 2, train_sample: int = 2048) -> str:
-    """DuckDB twin of operators.similarity.ivf_topk — including the
-    k-means TRAINING, unrolled as one CTE per iteration.
+    """CTE chain reproducing operators.similarity's IVF k-means
+    TRAINING plus the full-corpus cluster assignment (ends at ``casg``:
+    one (neighbor_id, c) row per corpus vector) — unrolled as one CTE
+    block per k-means iteration. Shared by :func:`ann_ivf_select` and
+    :func:`semantic_dedup_select`.
 
     This works because ivf_centroids is defined engine-reproducibly
     (rank-statistics init, integer-quantized centroid sums, left-fold
@@ -692,11 +694,8 @@ cent{it} AS (
   FROM cent{it - 1} p LEFT JOIN cmean{it} m USING (c))""")
     last = f"cent{kmeans_iters}"
     fdot = _DOT.format(a="e.v", b="cf.cv")
-    sdot = _DOT.format(a="qe.embedding", b="ce.embedding")
-    sna = _NORM.format(a="qe.embedding")
-    snb = _NORM.format(a="ce.embedding")
     blocks = ",\n".join(it_blocks)
-    return f"""WITH trn0 AS (
+    return f"""trn0 AS (
   SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
   LIMIT {train_sample}),
 trn AS (
@@ -728,7 +727,20 @@ casg AS (
     SELECT vec_id, c,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dot DESC, c) AS rk
-    FROM fdots) z WHERE rk = 1),
+    FROM fdots) z WHERE rk = 1)"""
+
+
+def ann_ivf_select(k: int = 10, n_queries: int = 16, dim: int = 64,
+                   n_clusters: int = 16, n_probe: int = 4,
+                   kmeans_iters: int = 2, train_sample: int = 2048) -> str:
+    """DuckDB twin of operators.similarity.ivf_topk — the shared
+    training/assignment chain (:func:`_ivf_casg_ctes`) plus query
+    probing and per-query top-k."""
+    sdot = _DOT.format(a="qe.embedding", b="ce.embedding")
+    sna = _NORM.format(a="qe.embedding")
+    snb = _NORM.format(a="ce.embedding")
+    return f"""WITH {_ivf_casg_ctes(dim, n_clusters, kmeans_iters,
+                                    train_sample)},
 qasg AS (
   SELECT vec_id AS query_id, c FROM (
     SELECT vec_id, c,
@@ -1097,3 +1109,33 @@ SELECT doc_id, importance_scaled,
        CAST(row_number() OVER (ORDER BY importance_scaled DESC, doc_id)
             AS INT) AS sel_rank
 FROM imp ORDER BY importance_scaled DESC, doc_id LIMIT {n}"""
+
+
+def semantic_dedup_select(threshold: float = 0.3, dim: int = 64,
+                          n_clusters: int = 16, kmeans_iters: int = 2,
+                          train_sample: int = 2048,
+                          max_cluster: int = 100_000) -> str:
+    """DuckDB twin of operators.similarity.semantic_dedup: the shared
+    IVF training/assignment chain, the same cluster-size cap, the same
+    within-cluster lowest-id-wins duplicate rule."""
+    sdot = _DOT.format(a="ea.embedding", b="eb.embedding")
+    sna = _NORM.format(a="ea.embedding")
+    snb = _NORM.format(a="eb.embedding")
+    thr = int(threshold * 1e9)
+    return f"""WITH {_ivf_casg_ctes(dim, n_clusters, kmeans_iters,
+                                    train_sample)},
+sizes AS (SELECT c, count(*) AS cn FROM casg GROUP BY 1),
+pairable AS (
+  SELECT n.neighbor_id AS vec_id, n.c
+  FROM casg n JOIN sizes s USING (c) WHERE s.cn <= {max_cluster}),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM pairable a JOIN pairable b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE CAST(floor(({sdot}) / (({sna}) * ({snb})) * 1000000000.0)
+             AS BIGINT) >= {thr}),
+dup AS (SELECT idb AS vec_id, min(ida) AS dup_of FROM pairs GROUP BY 1)
+SELECT g.neighbor_id AS vec_id, CAST(g.c AS INT) AS cluster, d.dup_of,
+       d.dup_of IS NOT NULL AS is_dup
+FROM casg g LEFT JOIN dup d ON d.vec_id = g.neighbor_id"""

@@ -104,3 +104,37 @@ def test_dsir_select_rank_is_dense_and_ordered(spark, docs):
     assert [r["sel_rank"] for r in rows] == list(range(1, 26))
     imps = [r["importance_scaled"] for r in rows]
     assert imps == sorted(imps, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+
+
+def test_semantic_dedup_verdict_invariants(spark, emb):
+    from maps_spark.operators.similarity import semantic_dedup
+    rows = semantic_dedup(emb, threshold=0.3).collect()
+    assert len(rows) == emb.count()  # one verdict per vector
+    cluster = {r["vec_id"]: r["cluster"] for r in rows}
+    for r in rows:
+        assert r["is_dup"] == (r["dup_of"] is not None)
+        if r["is_dup"]:
+            # the canonical mate is lower-id and in the same cluster
+            assert r["dup_of"] < r["vec_id"]
+            assert cluster[r["dup_of"]] == r["cluster"]
+
+
+def test_semantic_dedup_synthetic_twins(spark):
+    from maps_spark.operators.similarity import semantic_dedup
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows.append((40, rows[3][1]))  # exact twin of vec 3
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.999, n_clusters=4,
+                          train_sample=41).collect()}
+    assert out[40]["is_dup"] and out[40]["dup_of"] == 3
+    assert not out[3]["is_dup"]
