@@ -139,3 +139,49 @@ def chunk_documents(docs: DataFrame, chunk: int = 64, stride: int = 48,
                 F.array_join(F.slice("toks", F.col("start") + 1,
                                      F.lit(chunk)), " ")
                 .alias("chunk_text")))
+
+
+def shard_assign(docs: DataFrame, n_shards: int = 8,
+                 id_col: str = "doc_id",
+                 partitions: int | None = None) -> DataFrame:
+    """Deterministic global corpus shuffle + round-robin shard
+    assignment — the "shuffle then shard" step that turns a curated
+    corpus into data-parallel training inputs: rank every document by
+    the RNG-free id mix (the same order :func:`pack_sequences` packs
+    in), then deal ranks round-robin so shard sizes differ by at most
+    one and worker k streams shard k in a reproducible order.
+
+    The global rank comes from :func:`global_cumsum` (range-partition +
+    bounded driver prefix close), NOT a single-partition window — the
+    rank assignment scales.
+
+    Output: (doc_id, row_idx, shard) with row_idx 0-based in the
+    shuffled order and shard = row_idx % n_shards.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       _mix(F.col(id_col)).alias("ord"),
+                       F.lit(1).cast("long").alias("_one"))
+    cum = global_cumsum(base, "_one", ["ord", "doc_id"], partitions)
+    idx = (F.col("cum") - 1).cast("long")
+    return cum.select("doc_id", idx.alias("row_idx"),
+                      (idx % n_shards).cast("long").alias("shard"))
+
+
+def write_training_shards(docs: DataFrame, path: str, n_shards: int = 8,
+                          id_col: str = "doc_id",
+                          partitions: int | None = None) -> None:
+    """Materialize the shuffled corpus as ``shard=k`` hive partitions,
+    rows sorted by ``row_idx`` within each shard's files — a training
+    loader reads its shard directory sequentially and sees the global
+    shuffle order restricted to its rank, with no runtime shuffle and
+    no RNG state to checkpoint.
+
+    One corpus join against the (broadcast-sized per row) assignment,
+    one shuffle keyed by shard; files are written sorted so resuming
+    mid-epoch is an offset seek, not a re-sort.
+    """
+    asg = shard_assign(docs, n_shards, id_col, partitions)
+    out = (docs.withColumnRenamed(id_col, "doc_id").join(asg, "doc_id")
+           .repartition(n_shards, "shard")
+           .sortWithinPartitions("shard", "row_idx"))
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

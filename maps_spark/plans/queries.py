@@ -451,6 +451,11 @@ def q_corpus_diff(spark, sf_dir):
     return CP.corpus_diff(old, new)
 
 
+def q_shard_assign(spark, sf_dir):
+    from maps_spark.operators import packing as PK
+    return PK.shard_assign(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_semantic_dedup(spark, sf_dir):
     from maps_spark.operators import similarity as SIM
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -552,6 +557,7 @@ MAPS_QUERIES = {
     "corpus_profile": q_corpus_profile,
     "corpus_diff": q_corpus_diff,
     "semantic_dedup": q_semantic_dedup,
+    "shard_assign": q_shard_assign,
     "mix_plan": q_mix_plan,
     "mix_sample": q_mix_sample,
     "dsir_importance": q_dsir_importance,
@@ -644,6 +650,7 @@ def maps_oracles() -> dict[str, str]:
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
+        "shard_assign": OT.shard_assign_select(n_shards=8),
         "mix_plan": OT.mix_plan_select(MIX_WEIGHTS, MIX_BUDGET),
         "mix_sample": OT.mix_sample_select(MIX_WEIGHTS, MIX_BUDGET),
         "dsir_importance": OT.dsir_importance_select(DSIR_TARGET),

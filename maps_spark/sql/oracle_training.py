@@ -1139,3 +1139,20 @@ dup AS (SELECT idb AS vec_id, min(ida) AS dup_of FROM pairs GROUP BY 1)
 SELECT g.neighbor_id AS vec_id, CAST(g.c AS INT) AS cluster, d.dup_of,
        d.dup_of IS NOT NULL AS is_dup
 FROM casg g LEFT JOIN dup d ON d.vec_id = g.neighbor_id"""
+
+
+def shard_assign_select(n_shards: int = 8) -> str:
+    """DuckDB twin of operators.packing.shard_assign: the distributed
+    rank must equal the single-sort row_number over the same mix
+    order."""
+    from maps_spark.operators.corpus import mix_sql
+
+    h = mix_sql("doc_id")
+    return f"""WITH d AS (SELECT doc_id, {h} AS ord FROM documents),
+c AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ord, doc_id) - 1 AS row_idx
+  FROM d)
+SELECT doc_id, CAST(row_idx AS BIGINT) AS row_idx,
+       CAST(row_idx % {n_shards} AS BIGINT) AS shard
+FROM c"""

@@ -138,3 +138,41 @@ def test_semantic_dedup_synthetic_twins(spark):
                           train_sample=41).collect()}
     assert out[40]["is_dup"] and out[40]["dup_of"] == 3
     assert not out[3]["is_dup"]
+
+
+def test_shard_assign_balanced_and_total(spark, docs):
+    from maps_spark.operators.packing import shard_assign
+    asg = shard_assign(docs, n_shards=8)
+    n = docs.count()
+    sizes = {r["shard"]: r["count"] for r in
+             asg.groupBy("shard").count().collect()}
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # row_idx is a permutation of 0..n-1
+    idx = sorted(r["row_idx"] for r in asg.select("row_idx").collect())
+    assert idx == list(range(n))
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    import os
+    from maps_spark.operators.packing import shard_assign, \
+        write_training_shards
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) \
+        == [f"shard={k}" for k in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) >= set(docs.columns) | {"row_idx", "shard"}
+    # shard 0's file order IS the global shuffle order restricted to it
+    asg = shard_assign(docs, n_shards=4)
+    want = [r["doc_id"] for r in asg.where("shard = 0")
+            .orderBy("row_idx").collect()]
+    import pyarrow.parquet as pq
+    got = []
+    d0 = os.path.join(out, "shard=0")
+    for f in sorted(os.listdir(d0)):
+        if f.endswith(".parquet"):
+            got += pq.read_table(os.path.join(d0, f),
+                                 columns=["doc_id"])["doc_id"].to_pylist()
+    assert got == want
