@@ -230,6 +230,27 @@ def run() -> None:
         @timed("curate_corpus")
         def _14():
             CP.curate_corpus(docs).count()
+
+        from maps_spark.operators import mixture as MX
+        from maps_spark.operators import packing as PK2
+        from maps_spark.operators.similarity import semantic_dedup
+
+        @timed("semantic_dedup")
+        def _15():
+            semantic_dedup(emb).count()
+
+        @timed("dsir_select")
+        def _16():
+            MX.dsir_select(docs, docs.where("lang = 'en'"), 1000).count()
+
+        @timed("mix_sample")
+        def _17():
+            MX.mix_sample(docs, {f"src{i}": 0.05 for i in range(20)},
+                          200_000).count()
+
+        @timed("shard_assign")
+        def _18():
+            PK2.shard_assign(docs, n_shards=32).count()
     except ImportError:
         pass
 
