@@ -156,3 +156,48 @@ def test_build_pyramid_spans_multi_low_max_zoom(spark, occ_small):
             mvt.tile_totals(bytes(r.tile), exclude_buffer=True).values())
     assert set(per_z) == {0, 1}
     assert per_z[0] == per_z[1] > 0
+
+
+def test_mix_sample_no_corpus_shuffle(spark):
+    # the sampler must be broadcast-plan + codegen filter on the corpus
+    # side: the only Exchange feeds the tiny per-source aggregation
+    from maps_spark.operators.mixture import mix_sample
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = plan_of(mix_sample(docs, {"src0": 0.5}, 1000))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # corpus scans are joined broadcast-side; no exchange consumes the
+    # full documents scan directly (only the per-source agg shuffles)
+    assert "hashpartitioning(source" in plan
+
+
+def test_shard_assign_range_partitions_not_single_window(spark):
+    # the global rank must come from the range-partitioned prefix-sum,
+    # never a partition-less Window (single-task sort at scale). The
+    # prefix-sum stage sits behind global_cumsum's checkpoint barrier
+    # (and AQE coalesces tiny test partitions), so assert its
+    # observable shape: no SinglePartition exchange or global sort in
+    # the visible plan, and partition-count-independent ranks.
+    from maps_spark.operators.packing import shard_assign
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = shard_assign(docs, 8, partitions=6)
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "Sort [" not in plan  # no post-checkpoint global sort either
+    # the ranks of a range-partitioned run equal the single-sort
+    # answer at any partitioning (exercised further by the oracle gate)
+    a = sorted((r["doc_id"], r["row_idx"])
+               for r in out.collect())
+    b = sorted((r["doc_id"], r["row_idx"])
+               for r in shard_assign(docs, 8, partitions=2).collect())
+    assert a == b
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark):
+    # the within-cluster pairing must be an equi-join keyed on the
+    # cluster id (never a cartesian of the corpus with itself)
+    from maps_spark.operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = plan_of(semantic_dedup(emb, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert "cluster" in plan
