@@ -181,3 +181,37 @@ def year_facet(occ: DataFrame, limit: int = 300) -> DataFrame:
             .groupBy("year").agg(F.count("*").alias("occCount"))
             .orderBy(F.col("occCount").desc(), F.col("year"))
             .limit(limit))
+
+
+def extract_props(events: DataFrame, fields: tuple[str, ...] = ("k",),
+                  props_col: str = "props") -> DataFrame:
+    """Schema-on-read extraction of JSON event properties: each field
+    in ``fields`` becomes a typed BIGINT column ``p_<field>`` beside
+    the event columns. ``get_json_object`` is a JVM-side expression —
+    the extraction runs inside whole-stage codegen, no Python, and
+    unreferenced fields are never parsed (column pruning applies to
+    the generated projection like any other)."""
+    cols = [F.get_json_object(F.col(props_col), f"$.{f}").cast("long")
+            .alias(f"p_{f}") for f in fields]
+    return events.select("*", *cols)
+
+
+def event_props_facet(events: DataFrame, field: str = "k") -> DataFrame:
+    """Per-event-type facet over a JSON property: count, sum, min, max
+    and distinct-value cardinality of ``props.$field`` — the
+    "aggregate over a semi-structured payload" query every event
+    analytics store serves (the reference's ES documents carry exactly
+    such dynamic fields; Spark answers it schema-on-read without a
+    reindex).
+
+    One shuffle keyed by event_type with map-side combine; all
+    measures integer-exact (oracle-safe).
+    """
+    k = F.get_json_object(F.col("props"), f"$.{field}").cast("long")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+                F.countDistinct("k").alias("n_distinct_k")))

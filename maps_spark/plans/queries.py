@@ -204,6 +204,11 @@ def q_event_adhoc_search(spark, sf_dir):
         params={"eventType": ["click", "view"], "year": "2024"})
 
 
+def q_event_props_facet(spark, sf_dir):
+    from maps_spark.operators.adhoc import event_props_facet
+    return event_props_facet(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_point_locations(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").startswith("3:"))
     return PY.point_locations(keyed)
@@ -519,6 +524,7 @@ MAPS_QUERIES = {
     "point_locations": q_point_locations,
     "event_sessions": q_event_sessions,
     "event_adhoc_search": q_event_adhoc_search,
+    "event_props_facet": q_event_props_facet,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -605,6 +611,7 @@ def maps_oracles() -> dict[str, str]:
             fromlist=["sessionize_sql"]).sessionize_sql(),
         "event_adhoc_search": O.event_adhoc_select(
             ("click", "view"), 2024, 2024),
+        "event_props_facet": OT.event_props_facet_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),

@@ -1156,3 +1156,14 @@ c AS (
 SELECT doc_id, CAST(row_idx AS BIGINT) AS row_idx,
        CAST(row_idx % {n_shards} AS BIGINT) AS shard
 FROM c"""
+
+
+def event_props_facet_select(field: str = "k") -> str:
+    """DuckDB twin of operators.adhoc.event_props_facet (JSON
+    extraction via the built-in json extension)."""
+    k = f"CAST(json_extract(props, '$.{field}') AS BIGINT)"
+    return f"""SELECT event_type, count(*) AS n_events,
+       CAST(sum({k}) AS BIGINT) AS sum_k,
+       min({k}) AS min_k, max({k}) AS max_k,
+       count(DISTINCT {k}) AS n_distinct_k
+FROM events GROUP BY 1"""

@@ -128,3 +128,26 @@ class TestStreamingSessions:
         # gap-closed sessions all emitted; timeout may close some of the
         # final ones too (also correct, hence subset above)
         assert must_emit <= emitted
+
+
+def test_extract_props_typed_columns(spark):
+    from maps_spark.operators.adhoc import extract_props
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    out = extract_props(ev, fields=("k", "missing"))
+    row = out.select("p_k", "p_missing").first()
+    assert isinstance(row["p_k"], int)
+    assert row["p_missing"] is None  # absent field -> NULL, no error
+    assert dict(out.dtypes)["p_k"] == "bigint"
+
+
+def test_event_props_facet_totals(spark):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.adhoc import event_props_facet
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    out = event_props_facet(ev)
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    for r in out.collect():
+        assert 0 <= r["min_k"] <= r["max_k"]
+        assert r["n_distinct_k"] <= r["n_events"]
