@@ -631,3 +631,36 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")).distinct())
+
+
+def dup_ngram_coverage(docs: DataFrame, text_col: str = "text",
+                       k: int = 8, scale: int = 1_000_000) -> DataFrame:
+    """Cross-document duplicate n-gram coverage (the Dolma /
+    RefinedWeb "fraction of characters in duplicate n-grams" family,
+    word-level): for each document, the share of its k-gram INSTANCES
+    whose gram text also appears in at least one OTHER document.
+    Complements :func:`maps_spark.operators.text.repetition_signals`
+    (within-document repetition) with the corpus-wide signal that
+    catches boilerplate shared across pages.
+
+    Scale: strictly linear — one (gram) aggregation with map-side
+    combine for document frequencies, then one equi-join of the
+    per-instance explode back to those counts. Hot grams cost their
+    instance count, never a pairwise blowup (counts are joined, not
+    documents).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_coverage_scaled) with
+    coverage = floor(n_dup_grams * scale / n_grams) — integer-exact.
+    """
+    inst = docs.select(
+        "doc_id", F.explode(_shingle_array(text_col, k)).alias("gram"))
+    df_cnt = (inst.distinct().groupBy("gram")
+              .agg(F.count("*").alias("n_docs_gram")))
+    j = inst.join(df_cnt, "gram")
+    return (j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("n_docs_gram") >= 2).cast("long"))
+        .alias("n_dup_grams"))
+        .select("doc_id", "n_grams", "n_dup_grams",
+                F.floor(F.col("n_dup_grams") * scale / F.col("n_grams"))
+                .cast("long").alias("dup_coverage_scaled")))

@@ -240,6 +240,11 @@ def q_para_clean(spark, sf_dir):
     return DD.drop_dup_paragraphs(_para_docs(spark, sf_dir))
 
 
+def q_dup_ngram_coverage(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.dup_ngram_coverage(_docs(spark, sf_dir), k=8)
+
+
 def q_source_divergence(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     return CP.source_divergence(_docs(spark, sf_dir))
@@ -531,6 +536,7 @@ MAPS_QUERIES = {
     "para_dedup": q_para_dedup,
     "para_clean": q_para_clean,
     "source_divergence": q_source_divergence,
+    "dup_ngram_coverage": q_dup_ngram_coverage,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "token_count_bpe": q_token_count,
@@ -620,6 +626,7 @@ def maps_oracles() -> dict[str, str]:
         "para_dedup": OT.para_dedup_select(),
         "para_clean": OT.para_clean_select(),
         "source_divergence": OT.source_divergence_select(),
+        "dup_ngram_coverage": OT.dup_ngram_coverage_select(k=8),
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "token_count_bpe": OT.token_count_select(),

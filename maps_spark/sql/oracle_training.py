@@ -1167,3 +1167,31 @@ def event_props_facet_select(field: str = "k") -> str:
        min({k}) AS min_k, max({k}) AS max_k,
        count(DISTINCT {k}) AS n_distinct_k
 FROM events GROUP BY 1"""
+
+
+def dup_ngram_coverage_select(k: int = 8, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.dedup.dup_ngram_coverage (same shingle
+    construction as ngram_jaccard's CTE: docs shorter than k tokens
+    contribute one whole-text gram)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+inst AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN array_to_string(t[i:i+{k - 1}], ' ')
+              ELSE array_to_string(t, ' ') END AS gram
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {k - 1}, 1)))
+                 AS i
+        FROM toks) s
+  WHERE i = 1 OR len(t) >= {k}),
+dfc AS (
+  SELECT gram, count(*) AS n_docs_gram
+  FROM (SELECT DISTINCT doc_id, gram FROM inst) d GROUP BY 1)
+SELECT i.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.n_docs_gram >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_grams,
+       CAST(sum(CASE WHEN f.n_docs_gram >= 2 THEN 1 ELSE 0 END)
+            * {scale} // count(*) AS BIGINT) AS dup_coverage_scaled
+FROM inst i JOIN dfc f USING (gram)
+GROUP BY 1"""

@@ -743,3 +743,20 @@ def test_source_divergence_hand_computed(spark):
         "doc_id long, text string, source string")
     out2 = {r.source: r for r in source_divergence(docs2).collect()}
     assert out2["C"].tv_num == 0 and out2["D"].tv_num == 0
+
+
+def test_dup_ngram_coverage_detects_shared_boilerplate(spark):
+    from maps_spark.operators.dedup import dup_ngram_coverage
+    boiler = "subscribe to our newsletter for all the latest updates today"
+    rows = [(1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, "completely unrelated text with no shared grams at all ok")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dup_ngram_coverage(docs, k=8).collect()}
+    assert out[1]["n_dup_grams"] > 0 and out[2]["n_dup_grams"] > 0
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["dup_coverage_scaled"] == 0
+    for r in out.values():
+        assert 0 <= r["dup_coverage_scaled"] <= 1_000_000
+        assert r["n_dup_grams"] <= r["n_grams"]
