@@ -172,18 +172,50 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     Output: (doc_id, n_bigrams, nll_target_scaled, nll_corpus_scaled,
     importance_scaled).
     """
-    t = (lm_crossentropy(docs, target, text_col, scale)
-         .select("doc_id", "n_bigrams",
-                 F.col("avg_nll_scaled").alias("nll_target_scaled")))
-    s = (lm_crossentropy(docs, docs, text_col, scale)
-         .select("doc_id",
-                 F.col("avg_nll_scaled").alias("nll_corpus_scaled")))
-    return (t.join(s, "doc_id")
-            .withColumn("importance_scaled",
-                        (F.col("nll_corpus_scaled")
-                         - F.col("nll_target_scaled")).cast("long"))
-            .select("doc_id", "n_bigrams", "nll_target_scaled",
-                    "nll_corpus_scaled", "importance_scaled"))
+    from maps_spark.operators.text import _doc_tokens
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        toks = _doc_tokens(d, text_col)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return (toks.select("doc_id", F.col("word").alias("w1"),
+                            F.lead("word").over(w).alias("w2"))
+                .where(F.col("w2").isNotNull()))
+
+    def _model(big: DataFrame, toks_src: DataFrame, sfx: str):
+        c2 = big.groupBy("w1", "w2").agg(F.count("*").alias(f"cnt{sfx}"))
+        c1 = c2.groupBy("w1").agg(F.sum(f"cnt{sfx}").alias(f"head{sfx}"))
+        v = toks_src.agg(F.countDistinct("word").alias(f"v{sfx}"))
+        return c2, c1, v
+
+    # ONE corpus-bigram explode feeds both model joins — scoring under
+    # the target and the self model costs one corpus pass, not two
+    # (both per-bigram log-probs reduce in the same aggregation).
+    big_d = _bigrams(docs)
+    c2t, c1t, vt = _model(_bigrams(target), _doc_tokens(target, text_col),
+                          "_t")
+    c2s, c1s, vs = _model(big_d, _doc_tokens(docs, text_col), "_s")
+
+    def _lp(sfx: str):
+        return F.floor(F.lit(float(scale)) * F.log(
+            (F.coalesce(F.col(f"cnt{sfx}"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col(f"head{sfx}"), F.lit(0))
+               + F.col(f"v{sfx}")).cast("double"))).cast("long")
+
+    scored = (big_d.join(c2t, ["w1", "w2"], "left")
+              .join(c1t, "w1", "left").crossJoin(F.broadcast(vt))
+              .join(c2s, ["w1", "w2"], "left")
+              .join(c1s, "w1", "left").crossJoin(F.broadcast(vs))
+              .groupBy("doc_id").agg(
+                  F.count("*").alias("n_bigrams"),
+                  (-F.sum(_lp("_t"))).cast("long").alias("nt"),
+                  (-F.sum(_lp("_s"))).cast("long").alias("ns")))
+    return (scored.select(
+        "doc_id", "n_bigrams",
+        F.expr("nt div n_bigrams").alias("nll_target_scaled"),
+        F.expr("ns div n_bigrams").alias("nll_corpus_scaled"))
+        .withColumn("importance_scaled",
+                    (F.col("nll_corpus_scaled")
+                     - F.col("nll_target_scaled")).cast("long")))
 
 
 def dsir_select(docs: DataFrame, target: DataFrame, n: int,
@@ -196,6 +228,8 @@ def dsir_select(docs: DataFrame, target: DataFrame, n: int,
     Output: (doc_id, importance_scaled, sel_rank).
     """
     imp = dsir_importance(docs, target, text_col, scale)
+    # the partition-less window is applied AFTER limit(n): it ranks at
+    # most n rows (the selection size), never the corpus
     w = Window.orderBy(F.desc("importance_scaled"), "doc_id")
     return (imp.orderBy(F.desc("importance_scaled"), "doc_id").limit(n)
             .withColumn("sel_rank", F.row_number().over(w))
