@@ -104,3 +104,43 @@ def index_stats(spark: SparkSession, root: str) -> dict:
              .groupBy("cluster").agg(F.count("*").alias("n")).collect())
     return {"manifest": read_manifest(root),
             "cluster_sizes": {r.cluster: r.n for r in sizes}}
+
+
+def upsert_ivf_index(emb_new: DataFrame, root: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> dict:
+    """Incremental index growth WITHOUT retraining: assign the new
+    batch with the STORED centroids and append each vector to its
+    cluster partition. Ids already present are skipped (idempotent —
+    safe to replay a failed batch); replacing a changed vector is a
+    delete+compact concern, not an upsert.
+
+    The existing-id probe reads ONLY the cluster directories the new
+    batch lands in (partition-pruned, like the query path), so upsert
+    cost is O(batch + touched clusters), not O(index). Quantizer drift
+    is the operator's trade-off: centroids stay fixed until the next
+    ``build_ivf_index``; watch :func:`index_stats` occupancy skew to
+    decide when to retrain (the same minor-vs-major compaction split
+    HBase applies to regions).
+
+    Returns {"appended": n, "skipped_existing": m, "clusters": [...]}.
+    """
+    spark = emb_new.sparkSession
+    cent = load_centroids(spark, root)
+    assigned = (emb_new.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        F.element_at(cluster_assign_udf(cent, 1)(F.col(vec_col)), 1)
+        .alias("cluster")).localCheckpoint())
+    touched = sorted({r.cluster for r in
+                      assigned.select("cluster").distinct().collect()})
+    existing = (spark.read.parquet(f"{root}/vectors")
+                .where(F.col("cluster").isin(touched))
+                .select("vec_id"))
+    fresh = assigned.join(existing, "vec_id", "left_anti").localCheckpoint()
+    n_fresh = fresh.count()
+    if n_fresh:
+        (fresh.repartition("cluster").write.mode("append")
+         .partitionBy("cluster").parquet(f"{root}/vectors"))
+    return {"appended": int(n_fresh),
+            "skipped_existing": int(assigned.count() - n_fresh),
+            "clusters": [int(c) for c in touched]}

@@ -176,3 +176,35 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
             got += pq.read_table(os.path.join(d0, f),
                                  columns=["doc_id"])["doc_id"].to_pylist()
     assert got == want
+
+
+def test_upsert_ivf_index_incremental(spark, emb, tmp_path):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.similarity import cluster_assign_udf
+    from maps_spark.sources.ann_index import (build_ivf_index,
+                                              load_centroids,
+                                              query_ivf_index,
+                                              upsert_ivf_index)
+    root = str(tmp_path / "ivf")
+    old = emb.where("vec_id < 400")
+    new = emb.where("vec_id >= 400")
+    build_ivf_index(old, root, n_clusters=8, train_sample=400)
+    r = upsert_ivf_index(new, root)
+    assert r["appended"] == new.count() and r["skipped_existing"] == 0
+    # replay is a no-op (idempotent)
+    r2 = upsert_ivf_index(new, root)
+    assert r2["appended"] == 0
+    assert r2["skipped_existing"] == new.count()
+    # appended rows live in the cluster the STORED centroids assign
+    cent = load_centroids(spark, root)
+    stored = (spark.read.parquet(f"{root}/vectors")
+              .where("vec_id >= 400"))
+    want = {r["vec_id"]: r["c"] for r in new.select(
+        "vec_id", F.element_at(
+            cluster_assign_udf(cent, 1)(F.col("embedding")), 1)
+        .alias("c")).collect()}
+    for row in stored.collect():
+        assert row["cluster"] == want[row["vec_id"]]
+    # and the upserted vectors are reachable through the query path
+    hits = query_ivf_index(spark, root, new.limit(4), k=5)
+    assert hits.where("neighbor_id >= 400").count() > 0
