@@ -411,3 +411,34 @@ class TestCompaction:
         monkeypatch.undo()
         assert spark.read.parquet(p).count() == 100
         assert not os.path.isdir(p + ".compact")
+
+
+def test_streaming_ann_ingest_matches_bulk_upsert(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from maps_spark.sources.ann_index import (build_ivf_index,
+                                              query_ivf_index)
+    from maps_spark.streaming.ann import run_ann_ingest
+    from tests.conftest import SF_SMALL
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    root = str(tmp_path / "ivf")
+    landing = str(tmp_path / "landing")
+    build_ivf_index(emb.where("vec_id < 300"), root,
+                    n_clusters=8, train_sample=300)
+    # two landing files = two micro-batches (maxFilesPerTrigger=1)
+    (emb.where("vec_id >= 300 and vec_id < 400").coalesce(1)
+     .write.parquet(landing))
+    (emb.where("vec_id >= 400").coalesce(1)
+     .write.mode("append").parquet(landing))
+    q = run_ann_ingest(spark, landing, root)
+    q.awaitTermination(300)
+    idx = spark.read.parquet(f"{root}/vectors")
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
+    # the streamed-in vectors serve through the query path
+    hits = query_ivf_index(spark, root,
+                           emb.where("vec_id >= 450").limit(4), k=5)
+    assert hits.where("neighbor_id >= 300").count() > 0
+    # a replayed sweep over the same landing zone appends nothing
+    q2 = run_ann_ingest(spark, landing, root)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{root}/vectors").count() == emb.count()
