@@ -35,7 +35,7 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                                               "EPSG:3575", "EPSG:3031"),
                  max_zoom: int = 8, threshold: int = PY.DEFAULT_THRESHOLD,
                  snapshot: bool = True, versioned: bool = True,
-                 keep_builds: int = 2) -> dict:
+                 keep_builds: int = 2, parallel_srs: bool = False) -> dict:
     """Build the full tile index + point bundles. Returns manifest.
 
     ``versioned`` writes into ``out_root/builds/<ts>/`` and atomically
@@ -58,16 +58,35 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     tile_store.write_points(points, out_dir)
 
     stats: dict[str, float] = {}
-    for srs in srs_list:
-        t = time.time()
-        # polar clip (F2, TileMapBuilder.java:68-69) is inside the
-        # projection's plottable mask — no extra filter needed
-        tiles = PY.build_pyramid(large, srs, max_zoom)
-        tile_store.write_tiles(tiles, out_dir,
-                               mode="append" if srs != srs_list[0]
-                               else "overwrite")
-        PY.unpersist_pyramid(tiles)  # release span-parent cache per SRS
-        stats[srs] = round(time.time() - t, 2)
+    if parallel_srs:
+        # the four projections are independent DAGs over the shared
+        # snapshot; overlapping them fills scheduler troughs (shuffle
+        # barriers, driver-side coordination) that a sequential loop
+        # leaves idle. Safe because each SRS writes its own
+        # tiles/srs=<v>/ subtree — disjoint commit state
+        # (write_tiles_srs), no shared _temporary directory.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(srs: str) -> tuple[str, float]:
+            t = time.time()
+            tiles = PY.build_pyramid(large, srs, max_zoom)
+            tile_store.write_tiles_srs(tiles, out_dir, srs)
+            PY.unpersist_pyramid(tiles)
+            return srs, round(time.time() - t, 2)
+
+        with ThreadPoolExecutor(max_workers=len(srs_list)) as ex:
+            stats = dict(ex.map(_one, srs_list))
+    else:
+        for srs in srs_list:
+            t = time.time()
+            # polar clip (F2, TileMapBuilder.java:68-69) is inside the
+            # projection's plottable mask — no extra filter needed
+            tiles = PY.build_pyramid(large, srs, max_zoom)
+            tile_store.write_tiles(tiles, out_dir,
+                                   mode="append" if srs != srs_list[0]
+                                   else "overwrite")
+            PY.unpersist_pyramid(tiles)  # release span-parent cache
+            stats[srs] = round(time.time() - t, 2)
 
     manifest = {
         "sf_dir": sf_dir, "max_zoom": max_zoom, "threshold": threshold,

@@ -53,6 +53,42 @@ def write_tiles(tiles: DataFrame, root: str, mode: str = "overwrite",
      .write.partitionBy("srs", "z").mode(mode).parquet(f"{root}/tiles"))
 
 
+def _escape_partition(value: str) -> str:
+    """Hive/Spark partition-directory escaping for a partition VALUE
+    (ExternalCatalogUtils.escapePathName semantics for the chars our
+    SRS names use: ':' -> '%3A')."""
+    from urllib.parse import quote
+    return quote(value, safe="")
+
+
+def write_tiles_srs(tiles: DataFrame, root: str, srs: str,
+                    files_per_z: int = 1,
+                    partitions: int | None = None) -> None:
+    """Write ONE projection's tiles directly into its
+    ``tiles/srs=<srs>/`` partition subtree (partitioned by ``z``,
+    same ``(z, bucket)`` shuffle/sort shape as :func:`write_tiles`).
+
+    Because each SRS owns a disjoint output directory (its own
+    ``_temporary`` staging), independent projections can be built and
+    written CONCURRENTLY — the per-SRS pipelines share no commit state,
+    which is what :func:`maps_spark.plans.backfill.run_backfill`'s
+    ``parallel_srs`` mode relies on. The combined ``tiles/`` tree reads
+    back identically to a :func:`write_tiles` output (partition
+    discovery infers ``srs`` from the directory name).
+    """
+    spark = tiles.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    bucket = F.pmod(F.hash("mapKey"), F.lit(files_per_z))
+    stored = srs.replace(":", "_")  # the pyramid's stored srs literal
+    sub = f"{root}/tiles/srs={_escape_partition(stored)}"
+    (tiles.where(F.col("srs") == stored).drop("srs")
+     .withColumn("__bucket", bucket)
+     .repartition(n_parts, "z", "__bucket")
+     .sortWithinPartitions("z", "__bucket", "mapKey", "x", "y")
+     .drop("__bucket")
+     .write.partitionBy("z").mode("overwrite").parquet(sub))
+
+
 def write_points(points: DataFrame, root: str, mode: str = "overwrite",
                  num_files: int = 1) -> None:
     """Write (mapKey, features) point bundles."""

@@ -201,3 +201,22 @@ def test_semantic_dedup_pairs_join_on_cluster(spark):
     plan = plan_of(semantic_dedup(emb, threshold=0.3))
     assert "CartesianProduct" not in plan
     assert "cluster" in plan
+
+
+def test_parallel_srs_backfill_matches_sequential(spark, tmp_path):
+    # the concurrent per-SRS write path must produce a tile tree that
+    # reads back row-identical to the sequential append path
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources import tile_store
+    seq_root, par_root = str(tmp_path / "seq"), str(tmp_path / "par")
+    srs = ("EPSG:3857", "EPSG:3031")
+    for root, par in ((seq_root, False), (par_root, True)):
+        run_backfill(spark, SF_SMALL, root, max_zoom=3, threshold=500,
+                     srs_list=srs, parallel_srs=par)
+    a = tile_store.read_tiles(spark, seq_root)
+    b = tile_store.read_tiles(spark, par_root)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    aa = sorted(map(tuple, a.select(*cols).collect()))
+    bb = sorted(map(tuple, b.select(*cols).collect()))
+    assert aa == bb
