@@ -120,13 +120,17 @@ def run() -> None:
         pix = PY.pixel_table(keyed, "EPSG:3857", 6)
         PY.encode_mvt(PY.tile_rows(pix, "EPSG:3857", 6), 6).count()
 
-    @timed("backfill_z0_10_3857", n=1)
+    @timed("backfill_z0_10_3857", n=2)
     def _4c():
         # the reference's headline workload end-to-end (BASELINE.md's
         # stage times are exactly this pipeline at z16): snapshot ->
         # pixel spans -> single-shuffle multi-zoom MVT encode ->
-        # versioned sorted tile index + manifest swap. One repeat: it
-        # is a write pipeline. Threshold 10k (not the reference's
+        # versioned sorted tile index + manifest swap. Two repeats
+        # (best reported): this entry runs FIRST of the write
+        # pipelines and otherwise absorbs their one-time JIT/page-cache
+        # warmup (a cold z10 reads ~10 s slower than warm, which made
+        # it look slower than the z12 entry that follows it).
+        # Threshold 10k (not the reference's
         # 250k): the synthetic views top out near 100k rows, and the
         # bench must exercise the PYRAMID path, not just point blobs.
         import shutil
