@@ -106,3 +106,106 @@ sess AS (
 SELECT user_id, min(tus) AS session_start, max(tus) AS session_end,
        count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_milli
 FROM sess GROUP BY user_id, sid"""
+
+
+def funnel_stages(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase")
+                  ) -> DataFrame:
+    """Ordered-funnel analysis: for each user, how far through the
+    ``steps`` sequence their event history gets, where step i+1 must
+    occur STRICTLY AFTER the (earliest qualifying) step i — the
+    classic product-analytics subsequence match, made deterministic by
+    always advancing through the minimum qualifying timestamp.
+
+    Scale: one (user, step) pre-aggregation per stage, each an
+    equi-join on user_id against the previous stage's (tiny, one row
+    per surviving user) frame — k-1 user-keyed joins for a k-step
+    funnel, never a window over the whole event stream.
+
+    Output: (user_id, t1..tk epoch-micros nullable, stage_reached)
+    with the prefix property (t_i null implies t_{i+1} null).
+    """
+    ev = events.select(
+        "user_id", "event_type",
+        F.expr(TS_US_SPARK).cast("long").alias("tus"))
+    stages = []
+    cur = (ev.where(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min("tus").alias("t1")))
+    stages.append(cur)
+    for i, s in enumerate(steps[1:], start=2):
+        cur = (ev.where(F.col("event_type") == s)
+               .join(cur.select("user_id", f"t{i - 1}"), "user_id")
+               .where(F.col("tus") > F.col(f"t{i - 1}"))
+               .groupBy("user_id").agg(F.min("tus").alias(f"t{i}")))
+        stages.append(cur)
+    out = ev.select("user_id").distinct()
+    for st in stages:
+        out = out.join(st, "user_id", "left")
+    stage = sum((F.col(f"t{i}").isNotNull().cast("int")
+                 for i in range(1, len(steps) + 1)), F.lit(0))
+    return out.select(
+        "user_id", *[f"t{i}" for i in range(1, len(steps) + 1)],
+        stage.alias("stage_reached"))
+
+
+def funnel_counts(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase"),
+                  scale: int = 1_000_000) -> DataFrame:
+    """Funnel conversion table: users reaching AT LEAST stage k, with
+    the conversion rate from the previous stage (integer-scaled).
+    Stage 0 is "any event". One tiny aggregation over
+    :func:`funnel_stages`' per-user frame."""
+    st = funnel_stages(events, steps)
+    per = (st.groupBy("stage_reached")
+           .agg(F.count("*").alias("n")))
+    grid = st.sparkSession.range(0, len(steps) + 1).select(
+        F.col("id").cast("int").alias("stage"))
+    reach = (grid.join(per, per.stage_reached >= F.col("stage"), "left")
+             .groupBy("stage")
+             .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users")))
+    w = Window.orderBy("stage")  # k+1 rows — bounded by funnel depth
+    return (reach.withColumn("prev_users", F.lag("n_users").over(w))
+            .select(
+                "stage", "n_users",
+                F.when(F.col("prev_users") > 0,
+                       F.expr(f"n_users * {scale} div prev_users"))
+                .cast("long").alias("conv_from_prev_scaled"),
+                F.element_at(F.lit(["(any)"] + list(steps)),
+                             F.col("stage") + 1).alias("step")))
+
+
+def cohort_retention(events: DataFrame,
+                     period_us: int = 7 * 86400 * 1_000_000,
+                     scale: int = 1_000_000) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, then
+    counted in each later period they return — the analytics-store
+    staple. Periods are integer epoch-micros buckets (weeks by
+    default), so the whole table is exact integer math.
+
+    Scale: one distinct (user, period) aggregation, one broadcast-size
+    per-user first-period frame joined back on user_id, one final
+    (cohort, k) count — every shuffle keyed well below event
+    cardinality.
+
+    Output: (cohort_period, k, n_users, cohort_size, retained_scaled)
+    where k = periods since the cohort's first (k=0 row counts the
+    cohort itself).
+    """
+    ev = events.select(
+        "user_id",
+        F.expr(TS_US_SPARK).cast("long").alias("tus"))
+    act = (ev.select("user_id",
+                     F.expr(f"tus div {period_us}").alias("p"))
+           .distinct())
+    first = act.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    ret = (act.join(first, "user_id")
+           .select("user_id", "cohort", (F.col("p") - F.col("cohort"))
+                   .alias("k"))
+           .groupBy("cohort", "k").agg(F.count("*").alias("n_users")))
+    size = (ret.where(F.col("k") == 0)
+            .select("cohort", F.col("n_users").alias("cohort_size")))
+    return (ret.join(size, "cohort")
+            .select(F.col("cohort").alias("cohort_period"), "k",
+                    "n_users", "cohort_size",
+                    F.expr(f"n_users * {scale} div cohort_size")
+                    .cast("long").alias("retained_scaled")))

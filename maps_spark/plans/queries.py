@@ -204,6 +204,16 @@ def q_event_adhoc_search(spark, sf_dir):
         params={"eventType": ["click", "view"], "year": "2024"})
 
 
+def q_event_funnel(spark, sf_dir):
+    from maps_spark.operators.sessions import funnel_stages
+    return funnel_stages(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    from maps_spark.operators.sessions import cohort_retention
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_event_props_facet(spark, sf_dir):
     from maps_spark.operators.adhoc import event_props_facet
     return event_props_facet(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -530,6 +540,8 @@ MAPS_QUERIES = {
     "event_sessions": q_event_sessions,
     "event_adhoc_search": q_event_adhoc_search,
     "event_props_facet": q_event_props_facet,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -618,6 +630,8 @@ def maps_oracles() -> dict[str, str]:
         "event_adhoc_search": O.event_adhoc_select(
             ("click", "view"), 2024, 2024),
         "event_props_facet": OT.event_props_facet_select(),
+        "event_funnel": OT.funnel_stages_select(),
+        "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),

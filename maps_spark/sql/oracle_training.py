@@ -1195,3 +1195,49 @@ SELECT i.doc_id, count(*) AS n_grams,
             * {scale} // count(*) AS BIGINT) AS dup_coverage_scaled
 FROM inst i JOIN dfc f USING (gram)
 GROUP BY 1"""
+
+
+def funnel_stages_select(steps: tuple[str, ...] = ("view", "click",
+                                                   "purchase")) -> str:
+    """DuckDB twin of operators.sessions.funnel_stages: the same
+    min-qualifying-timestamp subsequence chain."""
+    k = len(steps)
+    ctes = [f"""s1 AS (
+  SELECT user_id, min(tus) AS t1 FROM ev
+  WHERE event_type = '{steps[0]}' GROUP BY 1)"""]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(f"""s{i} AS (
+  SELECT e.user_id, min(e.tus) AS t{i}
+  FROM ev e JOIN s{i - 1} p USING (user_id)
+  WHERE e.event_type = '{s}' AND e.tus > p.t{i - 1} GROUP BY 1)""")
+    joins = "\n".join(f"LEFT JOIN s{i} USING (user_id)"
+                      for i in range(1, k + 1))
+    stage = " + ".join(
+        f"CASE WHEN t{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, k + 1))
+    tcols = ", ".join(f"t{i}" for i in range(1, k + 1))
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+{",".join(ctes)}
+SELECT u.user_id, {tcols}, CAST({stage} AS INT) AS stage_reached
+FROM (SELECT DISTINCT user_id FROM ev) u
+{joins}"""
+
+
+def cohort_retention_select(period_us: int = 7 * 86400 * 1_000_000,
+                            scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.sessions.cohort_retention."""
+    return f"""WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events),
+act AS (SELECT DISTINCT user_id, tus // {period_us} AS p FROM ev),
+first AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY 1),
+ret AS (
+  SELECT cohort, p - cohort AS k, count(*) AS n_users
+  FROM act JOIN first USING (user_id) GROUP BY 1, 2),
+sz AS (SELECT cohort, n_users AS cohort_size FROM ret WHERE k = 0)
+SELECT r.cohort AS cohort_period, CAST(r.k AS BIGINT) AS k,
+       CAST(r.n_users AS BIGINT) AS n_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(r.n_users * {scale} // s.cohort_size AS BIGINT)
+         AS retained_scaled
+FROM ret r JOIN sz s USING (cohort)"""

@@ -151,3 +151,63 @@ def test_event_props_facet_totals(spark):
     for r in out.collect():
         assert 0 <= r["min_k"] <= r["max_k"]
         assert r["n_distinct_k"] <= r["n_events"]
+
+
+def test_funnel_prefix_property_and_order(spark):
+    from maps_spark.operators.sessions import funnel_stages
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = funnel_stages(ev).collect()
+    for r in rows:
+        ts = [r["t1"], r["t2"], r["t3"]]
+        # prefix property: a null stage is never followed by a match
+        seen_null = False
+        for t in ts:
+            if t is None:
+                seen_null = True
+            else:
+                assert not seen_null
+        # strict ordering along the matched prefix
+        got = [t for t in ts if t is not None]
+        assert got == sorted(got) and len(set(got)) == len(got)
+        assert r["stage_reached"] == len(got)
+
+
+def test_funnel_synthetic_chain(spark):
+    from maps_spark.operators.sessions import funnel_counts, funnel_stages
+    rows = [
+        # u1 completes the funnel in order
+        (1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 01:00:00", 2),
+        (1, "2024-01-01 02:00:00", 3),
+        # u2 clicks BEFORE viewing -> click can't count, stage 1
+        (2, "2024-01-01 00:30:00", 2), (2, "2024-01-01 01:30:00", 1),
+        # u3 never views -> stage 0
+        (3, "2024-01-01 00:00:00", 3),
+    ]
+    names = {1: "view", 2: "click", 3: "purchase"}
+    df = spark.createDataFrame(
+        [(u, t, names[s]) for u, t, s in rows],
+        "user_id long, ts_s string, event_type string"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts",
+                 "event_type")
+    st = {r["user_id"]: r["stage_reached"]
+          for r in funnel_stages(df).collect()}
+    assert st == {1: 3, 2: 1, 3: 0}
+    fc = {r["stage"]: r for r in funnel_counts(df).collect()}
+    assert fc[0]["n_users"] == 3 and fc[1]["n_users"] == 2
+    assert fc[3]["n_users"] == 1
+    assert fc[1]["conv_from_prev_scaled"] == 2 * 1_000_000 // 3
+    assert fc[0]["step"] == "(any)" and fc[3]["step"] == "purchase"
+
+
+def test_cohort_retention_invariants(spark):
+    from maps_spark.operators.sessions import cohort_retention
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = cohort_retention(ev).collect()
+    assert rows
+    for r in rows:
+        assert r["k"] >= 0 and 0 < r["n_users"] <= r["cohort_size"]
+        if r["k"] == 0:
+            assert r["n_users"] == r["cohort_size"]
+            assert r["retained_scaled"] == 1_000_000
