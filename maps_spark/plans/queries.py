@@ -488,6 +488,15 @@ DSIR_TARGET = "lang = 'en'"
 DSIR_N = 100
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    # no DuckDB oracle (sequential merge loop is not SQL-expressible);
+    # the driver records the weaker rows-only check, and
+    # tests/test_bpe.py pins golden/roundtrip/determinism
+    from maps_spark.operators.bpe import bpe_encode, train_bpe
+    docs = _docs(spark, sf_dir)
+    return bpe_encode(docs, train_bpe(docs, n_merges=100))
+
+
 def q_mix_plan(spark, sf_dir):
     from maps_spark.operators import mixture as MX
     return MX.mix_plan(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
@@ -582,6 +591,7 @@ MAPS_QUERIES = {
     "corpus_diff": q_corpus_diff,
     "semantic_dedup": q_semantic_dedup,
     "shard_assign": q_shard_assign,
+    "bpe_tokenize": q_bpe_tokenize,
     "mix_plan": q_mix_plan,
     "mix_sample": q_mix_sample,
     "dsir_importance": q_dsir_importance,
