@@ -209,3 +209,42 @@ def cohort_retention(events: DataFrame,
                     "n_users", "cohort_size",
                     F.expr(f"n_users * {scale} div cohort_size")
                     .cast("long").alias("retained_scaled")))
+
+
+def user_sketches(events: DataFrame,
+                  by: tuple[str, ...] = ("event_type",),
+                  lg_k: int = 14) -> DataFrame:
+    """Mergeable distinct-user sketches per group: Spark's native
+    Apache DataSketches HLL aggregate (JVM-side, no Python). The
+    binary ``user_sketch`` column is the point — stored per group it
+    lets ANY later rollup (:func:`sketch_union`) combine distinct
+    counts WITHOUT rescanning raw events, which is what makes
+    distinct-user reporting tractable at 100 TB (exact countDistinct
+    cannot merge across groups; sketches can).
+
+    Output: (*by, n_events, user_sketch binary, est_users). At low
+    cardinality (< ~thousands per group at lg_k=14) the sketch is in
+    exact "coupon" mode and est_users equals the true count; beyond
+    that the standard HLL ~1-2% relative error applies (pinned in
+    tests).
+    """
+    return (events.groupBy(*by).agg(
+        F.count("*").alias("n_events"),
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("user_sketch"))
+        .withColumn("est_users",
+                    F.hll_sketch_estimate("user_sketch")))
+
+
+def sketch_union(sketches: DataFrame,
+                 by: tuple[str, ...] = ()) -> DataFrame:
+    """Roll stored sketches up a hierarchy (drop grouping columns)
+    without touching raw events: one tiny aggregation over the sketch
+    table. ``by=()`` yields the single global row.
+
+    Output: (*by, n_events, user_sketch, est_users).
+    """
+    agg = [F.sum("n_events").alias("n_events"),
+           F.hll_union_agg("user_sketch").alias("user_sketch")]
+    g = sketches.groupBy(*by).agg(*agg) if by else sketches.agg(*agg)
+    return g.withColumn("est_users",
+                        F.hll_sketch_estimate("user_sketch"))

@@ -214,6 +214,17 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_user_distinct_sketch(spark, sf_dir):
+    # the HLL sketch is in exact coupon mode at gate-scale cardinality
+    # (150 users), so the estimate hash-matches the exact oracle; the
+    # large-cardinality ~1-2%-error regime is pinned in pytest instead
+    from maps_spark.operators.sessions import user_sketches
+    return (user_sketches(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .select("event_type", "n_events",
+                F.col("est_users").cast("long").alias("est_users")))
+
+
 def q_event_props_facet(spark, sf_dir):
     from maps_spark.operators.adhoc import event_props_facet
     return event_props_facet(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -550,6 +561,7 @@ MAPS_QUERIES = {
     "event_adhoc_search": q_event_adhoc_search,
     "event_props_facet": q_event_props_facet,
     "event_funnel": q_event_funnel,
+    "user_distinct_sketch": q_user_distinct_sketch,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
@@ -641,6 +653,7 @@ def maps_oracles() -> dict[str, str]:
             ("click", "view"), 2024, 2024),
         "event_props_facet": OT.event_props_facet_select(),
         "event_funnel": OT.funnel_stages_select(),
+        "user_distinct_sketch": OT.user_distinct_sketch_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),

@@ -1241,3 +1241,14 @@ SELECT r.cohort AS cohort_period, CAST(r.k AS BIGINT) AS k,
        CAST(r.n_users * {scale} // s.cohort_size AS BIGINT)
          AS retained_scaled
 FROM ret r JOIN sz s USING (cohort)"""
+
+
+def user_distinct_sketch_select() -> str:
+    """Exact twin of plans.queries.q_user_distinct_sketch: at the
+    gate's cardinality (150 users/group max) the DataSketches HLL
+    aggregate is in exact coupon mode, so its estimate equals the
+    true distinct count — the approximate regime is pinned by pytest,
+    not this gate."""
+    return """SELECT event_type, count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+FROM events GROUP BY 1"""

@@ -211,3 +211,37 @@ def test_cohort_retention_invariants(spark):
         if r["k"] == 0:
             assert r["n_users"] == r["cohort_size"]
             assert r["retained_scaled"] == 1_000_000
+
+
+def test_user_sketches_exact_at_low_cardinality(spark):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.sessions import sketch_union, user_sketches
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    sk = user_sketches(ev)
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    for r in sk.collect():
+        assert int(r["est_users"]) == exact[r["event_type"]]
+    # rollup via sketch union == global distinct, no raw-event rescan
+    [tot] = sketch_union(sk).collect()
+    assert int(tot["est_users"]) == \
+        ev.select("user_id").distinct().count()
+    assert tot["n_events"] == ev.count()
+
+
+def test_user_sketches_error_bound_at_scale(spark):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.sessions import sketch_union, user_sketches
+    # 200k events over 50k users split into 4 groups: the HLL estimate
+    # must stay within 5% and the union must match a direct sketch
+    big = spark.range(200_000).select(
+        (F.col("id") % 50_000).alias("user_id"),
+        (F.col("id") % 4).cast("string").alias("event_type"))
+    sk = user_sketches(big)
+    for r in sk.collect():
+        exact = 12_500
+        assert abs(r["est_users"] - exact) / exact < 0.05
+    [tot] = sketch_union(sk).collect()
+    assert abs(tot["est_users"] - 50_000) / 50_000 < 0.05
