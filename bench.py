@@ -257,6 +257,17 @@ def run() -> None:
         @timed("shard_assign")
         def _18():
             PK2.shard_assign(docs, n_shards=32).count()
+
+        from maps_spark.operators import sessions as SE
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+        @timed("event_analytics")
+        def _19():
+            # the event-index query family: funnel + cohort + sketches
+            SE.funnel_stages(events).count()
+            SE.cohort_retention(events).count()
+            SE.sketch_union(SE.user_sketches(
+                events, by=("event_type",))).count()
     except ImportError:
         pass
 

@@ -108,3 +108,137 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1,
                              F.lit(every_n))).alias("frame_idx")))
+
+
+# -- real codec path: PPM (P6) ------------------------------------------
+# Compressed codecs (JPEG/PNG/ffmpeg) stay stubbed — their decoders are
+# not in this container. Uncompressed P6 PPM needs only numpy, so this
+# path is REAL: header parse, pixel decode, resize, features.
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """P6 PPM bytes from a (h, w, 3) uint8 array."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary P6 PPM: returns (h, w, 3) uint8.
+    Raises ValueError on malformed input (truncated pixel data,
+    non-255 maxval, bad header)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 whitespace-separated ints (comments allowed)
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = payload[i:i + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("truncated pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure numpy index maps."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def synthesize_ppm_media(spark: SparkSession, n: int = 64,
+                         width: int = 32, height: int = 24,
+                         partitions: int = 4) -> DataFrame:
+    """Media table whose payloads are REAL P6 images (deterministic
+    per-id gradients), exercising the true decode path end-to-end."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                yy, xx = np.mgrid[0:height, 0:width]
+                img = np.stack([
+                    (xx * 255 // max(width - 1, 1)),
+                    (yy * 255 // max(height - 1, 1)),
+                    np.full_like(xx, int(i) % 256),
+                ], axis=-1).astype(np.uint8)
+                rows.append(encode_ppm(img))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "image",
+                "payload": rows,
+                "width": width, "height": height,
+                "sample_rate": 0, "n_frames": 0})
+
+    return (spark.range(n).repartition(partitions)
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
+    """REAL feature extraction over P6 payloads: decode, per-channel
+    means, and a ``grid x grid`` nearest-resized thumbnail — all in one
+    Arrow-batched mapInPandas stage (bytes never cross into Python row
+    objects). Non-PPM payloads yield decode_ok = false with a zero
+    vector, mirroring :func:`extract_features`' stub contract.
+
+    feat layout: [mean_r, mean_g, mean_b, grid*grid*3 thumbnail].
+    """
+    dim = 3 + grid * grid * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = decode_ppm(bytes(payload))
+                    thumb = resize_nearest(img, grid, grid)
+                    vec = np.concatenate([
+                        img.reshape(-1, 3).mean(axis=0),
+                        thumb.astype(np.float64).ravel(),
+                    ]).astype(np.float32) / 255.0
+                    feats.append(vec)
+                    oks.append(True)
+                except ValueError:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    oks.append(False)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "feat": feats, "decode_ok": oks})
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def ppm_channel_sums(media: DataFrame) -> DataFrame:
+    """Integer per-channel pixel sums from the REAL PPM decode — the
+    cross-engine check of the codec: for :func:`synthesize_ppm_media`
+    payloads the sums have a closed form the SQL oracle recomputes
+    (gradient arithmetic), so a hash match proves the binary decoder
+    read every pixel correctly. Output: (media_id, sum_r, sum_g,
+    sum_b) as exact BIGINTs."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "sum_r": [], "sum_g": [],
+                   "sum_b": []}
+            for payload in pdf["payload"]:
+                img = decode_ppm(bytes(payload)).astype(np.int64)
+                s = img.reshape(-1, 3).sum(axis=0)
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, sum_r long, sum_g long, sum_b long")

@@ -157,6 +157,12 @@ def q_media_frame_sample(spark, sf_dir):
                  F.max("frame_idx").alias("last_frame")))
 
 
+def q_media_ppm_decode(spark, sf_dir):
+    from maps_spark.operators.multimodal import (ppm_channel_sums,
+                                                 synthesize_ppm_media)
+    return ppm_channel_sums(synthesize_ppm_media(spark, n=64))
+
+
 def q_adhoc_grid_bounds_z5(spark, sf_dir):
     return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="bounds")
 
@@ -551,6 +557,7 @@ MAPS_QUERIES = {
     "hex_trend_z0": q_hex_trend_z0,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_ppm_decode": q_media_ppm_decode,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -699,6 +706,7 @@ def maps_oracles() -> dict[str, str]:
         "corpus_profile": OT.corpus_profile_select(),
         "corpus_diff": OT.corpus_diff_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
+        "media_ppm_decode": OT.ppm_channel_sums_select(n=64),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),

@@ -1252,3 +1252,22 @@ def user_distinct_sketch_select() -> str:
     return """SELECT event_type, count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
 FROM events GROUP BY 1"""
+
+
+def ppm_channel_sums_select(n: int = 64, width: int = 32,
+                            height: int = 24) -> str:
+    """Closed-form twin of operators.multimodal.ppm_channel_sums over
+    synthesize_ppm_media's gradient images: the decoder's pixel sums
+    must equal the synthesis arithmetic
+    (r = x*255//(w-1), g = y*255//(h-1), b = id%256)."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+xs AS (SELECT sum(x * 255 // {width - 1}) AS rx
+       FROM generate_series(0, {width - 1}) t(x)),
+ys AS (SELECT sum(y * 255 // {height - 1}) AS gy
+       FROM generate_series(0, {height - 1}) t(y))
+SELECT media_id,
+       CAST({height} * xs.rx AS BIGINT) AS sum_r,
+       CAST({width} * ys.gy AS BIGINT) AS sum_g,
+       CAST({width} * {height} * (media_id % 256) AS BIGINT) AS sum_b
+FROM ids CROSS JOIN xs CROSS JOIN ys"""
