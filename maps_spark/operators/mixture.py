@@ -138,7 +138,10 @@ def lm_crossentropy(docs: DataFrame, model_docs: DataFrame,
     c2 = big_m.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
     c1 = c2.groupBy("w1").agg(F.sum("cnt").alias("head"))
     v = (_doc_tokens(model_docs, text_col)
-         .agg(F.countDistinct("word").alias("v")))
+         .agg(F.greatest(F.countDistinct("word"), F.lit(1)).alias("v")))
+    # (the greatest(..,1) only matters for a degenerate EMPTY model
+    # corpus — V=0 would make every bigram's log-prob ln(1/0); with
+    # V=1 unseen bigrams cost ln(1) = 0 instead of crashing the cast)
     big_d = _bigrams(docs)
     lp = F.floor(F.lit(float(scale)) * F.log(
         (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
@@ -184,7 +187,9 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     def _model(big: DataFrame, toks_src: DataFrame, sfx: str):
         c2 = big.groupBy("w1", "w2").agg(F.count("*").alias(f"cnt{sfx}"))
         c1 = c2.groupBy("w1").agg(F.sum(f"cnt{sfx}").alias(f"head{sfx}"))
-        v = toks_src.agg(F.countDistinct("word").alias(f"v{sfx}"))
+        v = toks_src.agg(F.greatest(F.countDistinct("word"), F.lit(1))
+                         .alias(f"v{sfx}"))  # empty-model guard, see
+        # lm_crossentropy — only bites when the model corpus is empty
         return c2, c1, v
 
     # ONE corpus-bigram explode feeds both model joins — scoring under

@@ -208,3 +208,19 @@ def test_upsert_ivf_index_incremental(spark, emb, tmp_path):
     # and the upserted vectors are reachable through the query path
     hits = query_ivf_index(spark, root, new.limit(4), k=5)
     assert hits.where("neighbor_id >= 400").count() > 0
+
+
+def test_degenerate_inputs_do_not_crash(spark, docs):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.mixture import (dsir_importance,
+                                              lm_crossentropy, mix_sample)
+    # empty weight map -> every source rate 0 -> empty sample, no error
+    assert mix_sample(docs, {}, 1000).count() == 0
+    # empty model corpus -> V clamps to 1, unseen bigrams cost ln(1)=0
+    empty = docs.where(F.lit(False))
+    one = docs.limit(1)
+    [r] = lm_crossentropy(one, empty).collect()
+    assert r["nll_scaled"] == 0
+    # empty target in the fused DSIR path behaves the same way
+    rows = dsir_importance(one, empty).collect()
+    assert rows and rows[0]["nll_target_scaled"] == 0
