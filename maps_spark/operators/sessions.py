@@ -248,3 +248,24 @@ def sketch_union(sketches: DataFrame,
     g = sketches.groupBy(*by).agg(*agg) if by else sketches.agg(*agg)
     return g.withColumn("est_users",
                         F.hll_sketch_estimate("user_sketch"))
+
+
+def event_windows(events: DataFrame,
+                  window_us: int = 3600 * 1_000_000,
+                  scale: int = 1_000) -> DataFrame:
+    """Batch twin of ``streaming.refresh.windowed_event_counts``:
+    tumbling event-time windows per event type, with the value sum
+    integer-scaled (``floor(value*scale)`` per row) so the aggregate is
+    order-independent and oracle-exact. One shuffle keyed by
+    (window, event_type) with map-side combine.
+
+    Output: (window_start epoch-micros, event_type, n,
+    value_milli)."""
+    ev = events.select(
+        "event_type",
+        F.expr(TS_US_SPARK).cast("long").alias("tus"),
+        F.floor(F.col("value") * scale).cast("long").alias("vm"))
+    win = (F.expr(f"tus div {window_us}") * window_us).cast("long")
+    return (ev.groupBy(win.alias("window_start"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("vm").alias("value_milli")))

@@ -231,6 +231,11 @@ def q_user_distinct_sketch(spark, sf_dir):
                 F.col("est_users").cast("long").alias("est_users")))
 
 
+def q_event_windows(spark, sf_dir):
+    from maps_spark.operators.sessions import event_windows
+    return event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_event_props_facet(spark, sf_dir):
     from maps_spark.operators.adhoc import event_props_facet
     return event_props_facet(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -569,6 +574,7 @@ MAPS_QUERIES = {
     "event_props_facet": q_event_props_facet,
     "event_funnel": q_event_funnel,
     "user_distinct_sketch": q_user_distinct_sketch,
+    "event_windows": q_event_windows,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
@@ -661,6 +667,7 @@ def maps_oracles() -> dict[str, str]:
         "event_props_facet": OT.event_props_facet_select(),
         "event_funnel": OT.funnel_stages_select(),
         "user_distinct_sketch": OT.user_distinct_sketch_select(),
+        "event_windows": OT.event_windows_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),

@@ -1271,3 +1271,17 @@ SELECT media_id,
        CAST({width} * ys.gy AS BIGINT) AS sum_g,
        CAST({width} * {height} * (media_id % 256) AS BIGINT) AS sum_b
 FROM ids CROSS JOIN xs CROSS JOIN ys"""
+
+
+def event_windows_select(window_us: int = 3600 * 1_000_000,
+                         scale: int = 1_000) -> str:
+    """DuckDB twin of operators.sessions.event_windows."""
+    return f"""WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS tus,
+         CAST(floor(value * {scale}) AS BIGINT) AS vm
+  FROM events)
+SELECT CAST((tus // {window_us}) * {window_us} AS BIGINT)
+         AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(vm) AS BIGINT) AS value_milli
+FROM ev GROUP BY 1, 2"""

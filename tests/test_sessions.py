@@ -245,3 +245,20 @@ def test_user_sketches_error_bound_at_scale(spark):
         assert abs(r["est_users"] - exact) / exact < 0.05
     [tot] = sketch_union(sk).collect()
     assert abs(tot["est_users"] - 50_000) / 50_000 < 0.05
+
+
+def test_event_windows_partition_totals(spark):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.sessions import event_windows
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    win = event_windows(ev)
+    assert win.agg(F.sum("n")).first()[0] == ev.count()
+    # windows tile the time axis: starts are multiples of the width
+    assert win.where("window_start % 3600000000 <> 0").count() == 0
+    # per-type totals survive the windowing
+    a = {r["event_type"]: r["n"] for r in
+         win.groupBy("event_type").agg(F.sum("n").alias("n")).collect()}
+    b = {r["event_type"]: r["count"] for r in
+         ev.groupBy("event_type").count().collect()}
+    assert a == b
