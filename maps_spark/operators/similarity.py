@@ -379,3 +379,55 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
     return (asg.join(dup, "vec_id", "left")
             .select("vec_id", "cluster", "dup_of",
                     F.col("dup_of").isNotNull().alias("is_dup")))
+
+
+def token_hash_col(t: Column) -> Column:
+    """31-bit Mersenne polynomial token hash as a pure Column fold —
+    the JVM twin of the oracle's ``_TOKEN_HASH`` (and of
+    ``dedup._token_hashes``): bytes base-256 mod 2^31-1, empty -> 0.
+    Runs inside codegen; no Python."""
+    from maps_spark.operators.dedup import P31
+    return F.when(t == "", F.lit(0).cast("long")).otherwise(
+        F.aggregate(F.split(t, ""), F.lit(0).cast("long"),
+                    lambda h, c: (h * 256 + F.ascii(c)) % P31))
+
+
+def doc_vector_buckets(docs: DataFrame, dim: int = 64,
+                       text_col: str = "text") -> DataFrame:
+    """Feature-hashing ("hashing trick") term counts: every token maps
+    to ``token_hash % dim`` and the per-(doc, bucket) counts ARE the
+    document's sparse vector — the dependency-free way to give raw
+    text an embedding column the ANN/near-dup family can consume.
+    Exact integers, one (doc, bucket) shuffle with map-side combine.
+
+    Output: (doc_id, bucket, cnt) — sparse entries only.
+    """
+    toks = (docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .where(F.col("t") != ""))
+    return (toks.select(
+        "doc_id",
+        (token_hash_col(F.col("t")) % dim).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def hashed_doc_vectors(docs: DataFrame, dim: int = 64,
+                       text_col: str = "text") -> DataFrame:
+    """Dense L2-normalized hashed term-count vectors: (doc_id,
+    embedding array<float>) — drop-in input for
+    :func:`brute_force_topk` / :func:`lsh_topk` / :func:`ivf_topk` /
+    :func:`semantic_dedup`, deriving the vector column from text with
+    NO Python and no model dependency. Documents with identical token
+    multisets get identical vectors (cosine 1.0)."""
+    sparse = doc_vector_buckets(docs, dim, text_col)
+    m = (sparse.groupBy("doc_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("bucket", "cnt"))).alias("m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("int")),
+                             F.lit(0)).cast("double"))
+    vec = F.transform(
+        dense, lambda x: (x / F.greatest(_norm(dense), F.lit(1e-12)))
+        .cast("float"))
+    return m.select("doc_id", vec.alias("embedding"))

@@ -519,6 +519,11 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_encode(docs, train_bpe(docs, n_merges=100))
 
 
+def q_doc_hash_vectors(spark, sf_dir):
+    from maps_spark.operators.similarity import doc_vector_buckets
+    return doc_vector_buckets(_docs(spark, sf_dir), dim=64)
+
+
 def q_mix_plan(spark, sf_dir):
     from maps_spark.operators import mixture as MX
     return MX.mix_plan(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
@@ -617,6 +622,7 @@ MAPS_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "shard_assign": q_shard_assign,
     "bpe_tokenize": q_bpe_tokenize,
+    "doc_hash_vectors": q_doc_hash_vectors,
     "mix_plan": q_mix_plan,
     "mix_sample": q_mix_sample,
     "dsir_importance": q_dsir_importance,
@@ -717,6 +723,7 @@ def maps_oracles() -> dict[str, str]:
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),
+        "doc_hash_vectors": OT.doc_vector_buckets_select(dim=64),
         "mix_plan": OT.mix_plan_select(MIX_WEIGHTS, MIX_BUDGET),
         "mix_sample": OT.mix_sample_select(MIX_WEIGHTS, MIX_BUDGET),
         "dsir_importance": OT.dsir_importance_select(DSIR_TARGET),

@@ -1285,3 +1285,14 @@ SELECT CAST((tus // {window_us}) * {window_us} AS BIGINT)
        event_type, count(*) AS n,
        CAST(sum(vm) AS BIGINT) AS value_milli
 FROM ev GROUP BY 1, 2"""
+
+
+def doc_vector_buckets_select(dim: int = 64) -> str:
+    """DuckDB twin of operators.similarity.doc_vector_buckets (same
+    polynomial token hash, same bucket fold)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (
+  SELECT doc_id, CAST(({_TOKEN_HASH}) % {dim} AS INT) AS bucket
+  FROM toks WHERE t <> '')
+SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2"""

@@ -760,3 +760,23 @@ def test_dup_ngram_coverage_detects_shared_boilerplate(spark):
     for r in out.values():
         assert 0 <= r["dup_coverage_scaled"] <= 1_000_000
         assert r["n_dup_grams"] <= r["n_grams"]
+
+
+def test_hashed_doc_vectors_feed_ann(spark):
+    # identical texts -> identical vectors -> exact top-1 neighbor
+    from maps_spark.operators.similarity import (brute_force_topk,
+                                                 hashed_doc_vectors)
+    rows = [(1, "spark sorts the fast table"),
+            (2, "spark sorts the fast table"),       # dup of 1
+            (3, "completely different words here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_doc_vectors(docs, dim=32).withColumnRenamed(
+        "doc_id", "vec_id")
+    assert vecs.count() == 3
+    for r in vecs.collect():
+        n = sum(x * x for x in r["embedding"])
+        assert abs(n - 1.0) < 1e-5  # L2-normalized
+    top = brute_force_topk(vecs, vecs.where("vec_id = 1"), k=1)
+    [hit] = top.collect()
+    assert hit["neighbor_id"] == 2
+    assert hit["cos_scaled"] >= 999_999_000  # cosine == 1 up to fp
