@@ -55,7 +55,8 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     large, small = PY.split_views(keyed, threshold)
 
     points = PY.point_blobs(small)
-    tile_store.write_points(points, out_dir)
+    if not parallel_srs:
+        tile_store.write_points(points, out_dir)
 
     stats: dict[str, float] = {}
     if parallel_srs:
@@ -74,8 +75,10 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
             PY.unpersist_pyramid(tiles)
             return srs, round(time.time() - t, 2)
 
-        with ThreadPoolExecutor(max_workers=len(srs_list)) as ex:
+        with ThreadPoolExecutor(max_workers=len(srs_list) + 1) as ex:
+            pts = ex.submit(tile_store.write_points, points, out_dir)
             stats = dict(ex.map(_one, srs_list))
+            pts.result()
     else:
         for srs in srs_list:
             t = time.time()
