@@ -269,3 +269,51 @@ def event_windows(events: DataFrame,
     return (ev.groupBy(win.alias("window_start"), "event_type")
             .agg(F.count("*").alias("n"),
                  F.sum("vm").alias("value_milli")))
+
+
+def attribute_conversions(events: DataFrame,
+                          conversion: str = "purchase",
+                          touches: tuple[str, ...] = ("click", "view"),
+                          window_us: int = 7 * 86400 * 1_000_000
+                          ) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    LATEST qualifying touch event by the same user within the
+    attribution window (ties break on event_id — deterministic).
+    Conversions with no qualifying touch stay in the output with null
+    touch columns ("unattributed").
+
+    Scale: one user-keyed equi-join between the conversion and touch
+    event subsets (both filtered before the join, so shuffle volume is
+    the two subsets, not the stream), then a per-conversion window
+    rank — partitioned by conversion id, so the sort is bounded by one
+    conversion's candidate touches, never global.
+
+    Output: (conversion_id, user_id, conv_tus, touch_id, touch_type,
+    touch_tus, lag_us).
+    """
+    ev = events.select(
+        "user_id", "event_type", "event_id",
+        F.expr(TS_US_SPARK).cast("long").alias("tus"))
+    conv = (ev.where(F.col("event_type") == conversion)
+            .select("user_id", F.col("event_id").alias("conversion_id"),
+                    F.col("tus").alias("conv_tus")))
+    touch = (ev.where(F.col("event_type").isin(list(touches)))
+             .select("user_id", F.col("event_id").alias("touch_id"),
+                     F.col("event_type").alias("touch_type"),
+                     F.col("tus").alias("touch_tus")))
+    j = (conv.join(touch, "user_id", "left")
+         .where(F.col("touch_tus").isNull()
+                | ((F.col("touch_tus") <= F.col("conv_tus"))
+                   & (F.col("conv_tus") - F.col("touch_tus")
+                      <= window_us))))
+    w = Window.partitionBy("conversion_id").orderBy(
+        F.desc_nulls_last("touch_tus"), F.desc_nulls_last("touch_id"))
+    ranked = j.withColumn("rk", F.row_number().over(w)).where("rk = 1")
+    # a conversion whose only join rows were disqualified disappears
+    # from `ranked`; restore it as unattributed via the left join below
+    return (conv.join(
+        ranked.select("conversion_id", "touch_id", "touch_type",
+                      "touch_tus"), "conversion_id", "left")
+        .select("conversion_id", "user_id", "conv_tus", "touch_id",
+                "touch_type", "touch_tus",
+                (F.col("conv_tus") - F.col("touch_tus")).alias("lag_us")))

@@ -236,6 +236,12 @@ def q_event_windows(spark, sf_dir):
     return event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_attribution(spark, sf_dir):
+    from maps_spark.operators.sessions import attribute_conversions
+    return attribute_conversions(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_event_props_facet(spark, sf_dir):
     from maps_spark.operators.adhoc import event_props_facet
     return event_props_facet(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -580,6 +586,7 @@ MAPS_QUERIES = {
     "event_funnel": q_event_funnel,
     "user_distinct_sketch": q_user_distinct_sketch,
     "event_windows": q_event_windows,
+    "attribution": q_attribution,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
@@ -674,6 +681,7 @@ def maps_oracles() -> dict[str, str]:
         "event_funnel": OT.funnel_stages_select(),
         "user_distinct_sketch": OT.user_distinct_sketch_select(),
         "event_windows": OT.event_windows_select(),
+        "attribution": OT.attribute_conversions_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),

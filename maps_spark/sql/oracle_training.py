@@ -1296,3 +1296,33 @@ h AS (
   SELECT doc_id, CAST(({_TOKEN_HASH}) % {dim} AS INT) AS bucket
   FROM toks WHERE t <> '')
 SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2"""
+
+
+def attribute_conversions_select(conversion: str = "purchase",
+                                 touches: tuple[str, ...] = ("click",
+                                                             "view"),
+                                 window_us: int = 7 * 86400 * 1_000_000
+                                 ) -> str:
+    """DuckDB twin of operators.sessions.attribute_conversions."""
+    tl = ", ".join(f"'{t}'" for t in touches)
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events),
+conv AS (
+  SELECT user_id, event_id AS conversion_id, tus AS conv_tus
+  FROM ev WHERE event_type = '{conversion}'),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+         tus AS touch_tus
+  FROM ev WHERE event_type IN ({tl})),
+cand AS (
+  SELECT c.conversion_id, t.touch_id, t.touch_type, t.touch_tus,
+         row_number() OVER (PARTITION BY c.conversion_id
+                            ORDER BY t.touch_tus DESC,
+                                     t.touch_id DESC) AS rk
+  FROM conv c JOIN touch t USING (user_id)
+  WHERE t.touch_tus <= c.conv_tus
+    AND c.conv_tus - t.touch_tus <= {window_us})
+SELECT c.conversion_id, c.user_id, c.conv_tus, a.touch_id,
+       a.touch_type, a.touch_tus, c.conv_tus - a.touch_tus AS lag_us
+FROM conv c LEFT JOIN (SELECT * FROM cand WHERE rk = 1) a
+  USING (conversion_id)"""

@@ -262,3 +262,37 @@ def test_event_windows_partition_totals(spark):
     b = {r["event_type"]: r["count"] for r in
          ev.groupBy("event_type").count().collect()}
     assert a == b
+
+
+def test_attribution_last_touch_rules(spark):
+    from maps_spark.operators.sessions import attribute_conversions
+    rows = [
+        # u1: view then click then purchase -> credited to the click
+        (1, 10, "view"), (1, 11, "click"), (1, 12, "purchase"),
+        # u2: touch AFTER the purchase -> unattributed
+        (2, 20, "purchase"), (2, 21, "click"),
+        # u3: touch too old (outside window) -> unattributed
+        (3, 30, "view"), (3, 31, "purchase"),
+        # u4: no touches at all -> unattributed
+        (4, 40, "purchase"),
+    ]
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    ts = {10: base, 11: base + day, 12: base + 2 * day,
+          20: base, 21: base + day,
+          30: base, 31: base + 10 * day,
+          40: base}
+    df = spark.createDataFrame(
+        [(u, e, t, ts[e]) for u, e, t in rows],
+        "user_id long, event_id long, event_type string, tus long"
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(tus) AS ts0") \
+     .selectExpr("user_id", "event_id", "event_type",
+                 "CAST(ts0 AS TIMESTAMP_NTZ) AS ts")
+    out = {r["conversion_id"]: r
+           for r in attribute_conversions(df).collect()}
+    assert out[12]["touch_id"] == 11 and out[12]["touch_type"] == "click"
+    assert out[12]["lag_us"] == day
+    for cid in (20, 31, 40):
+        assert out[cid]["touch_id"] is None
+        assert out[cid]["lag_us"] is None
