@@ -113,7 +113,8 @@ def test_tile_store_lookup_prunes_partitions(spark, tmp_path):
 def test_no_cartesian_products_in_headline_queries(spark):
     from maps_spark.plans.queries import MAPS_QUERIES
     for name in ("density_tile_filtered", "hex_bin_z2", "species_trend",
-                 "country_mask_z2", "tfidf_topk"):
+                 "country_mask_z2", "tfidf_topk", "event_funnel",
+                 "attribution", "cohort_retention"):
         plan = plan_of(MAPS_QUERIES[name](spark, SF_SMALL))
         assert "CartesianProduct" not in plan, name
         # broadcast-able small sides must not sort-merge
