@@ -427,7 +427,10 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64,
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at("m", i.cast("int")),
                              F.lit(0)).cast("double"))
-    vec = F.transform(
-        dense, lambda x: (x / F.greatest(_norm(dense), F.lit(1e-12)))
-        .cast("float"))
-    return m.select("doc_id", vec.alias("embedding"))
+    # hoist the norm to its own column so it evaluates once per row,
+    # not once per array element inside the normalize lambda
+    d = m.select("doc_id", dense.alias("d")).withColumn(
+        "nrm", F.greatest(_norm(F.col("d")), F.lit(1e-12)))
+    vec = F.transform(F.col("d"),
+                      lambda x: (x / F.col("nrm")).cast("float"))
+    return d.select("doc_id", vec.alias("embedding"))

@@ -236,6 +236,12 @@ def q_event_windows(spark, sf_dir):
     return event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_rolling_active(spark, sf_dir):
+    from maps_spark.operators.sessions import rolling_active_users
+    return rolling_active_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), window_days=7)
+
+
 def q_attribution(spark, sf_dir):
     from maps_spark.operators.sessions import attribute_conversions
     return attribute_conversions(
@@ -587,6 +593,7 @@ MAPS_QUERIES = {
     "user_distinct_sketch": q_user_distinct_sketch,
     "event_windows": q_event_windows,
     "attribution": q_attribution,
+    "rolling_active_users": q_rolling_active,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
@@ -682,6 +689,7 @@ def maps_oracles() -> dict[str, str]:
         "user_distinct_sketch": OT.user_distinct_sketch_select(),
         "event_windows": OT.event_windows_select(),
         "attribution": OT.attribute_conversions_select(),
+        "rolling_active_users": OT.rolling_active_users_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),

@@ -1326,3 +1326,18 @@ SELECT c.conversion_id, c.user_id, c.conv_tus, a.touch_id,
        a.touch_type, a.touch_tus, c.conv_tus - a.touch_tus AS lag_us
 FROM conv c LEFT JOIN (SELECT * FROM cand WHERE rk = 1) a
   USING (conversion_id)"""
+
+
+def rolling_active_users_select(window_days: int = 7,
+                                day_us: int = 86_400_000_000) -> str:
+    """Exact twin of operators.sessions.rolling_active_users — valid
+    while per-window cardinality keeps the HLL in exact coupon mode
+    (true at gate scale; the approximate regime is pytest-pinned)."""
+    return f"""WITH ev AS (
+  SELECT epoch_us(ts) // {day_us} AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ev)
+SELECT d.day AS day, {window_days} AS window_days,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS est_active
+FROM days d JOIN ev e
+  ON e.day <= d.day AND e.day > d.day - {window_days}
+GROUP BY 1"""
