@@ -258,6 +258,20 @@ def run() -> None:
         def _18():
             PK2.shard_assign(docs, n_shards=32).count()
 
+        @timed("training_prep_e2e", n=1)
+        def _18b():
+            # the training-side flagship end-to-end: curate -> mixture
+            # -> pack -> sorted shard export + versioned manifest swap
+            import shutil
+            import tempfile
+
+            from maps_spark.plans.training import run_training_prep
+            out = tempfile.mkdtemp(prefix="bench_prep_")
+            try:
+                run_training_prep(spark, SF_DIR, out, n_shards=32)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
         from maps_spark.operators import sessions as SE
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
 
