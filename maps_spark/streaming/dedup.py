@@ -125,6 +125,9 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     exact_cross = (
         hashes.join(store_hashes.withColumnRenamed("doc_id", "dup_of"),
                     "text_hash")
+        # a re-submitted id (changed doc in incremental curation) must
+        # never count as a duplicate of its own stored version
+        .where(F.col("doc_id") != F.col("dup_of"))
         .select("doc_id", "dup_of")
         if store_hashes is not None else None)
 
@@ -142,6 +145,7 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
         store_bands = cap_buckets(store_bands, ["band", "bh"], max_bucket)
         cross = (batch_bands.join(
             store_bands.withColumnRenamed("doc_id", "doc_b"), ["band", "bh"])
+            .where(F.col("doc_id") != F.col("doc_b"))  # no self-match
             .select(F.col("doc_id").alias("doc_a"), "doc_b"))
         cand = cand.unionByName(cross)
         store_sigs = _try_read(spark, f"{store_dir}/sigs")

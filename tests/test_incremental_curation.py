@@ -1,0 +1,76 @@
+"""Incremental re-curation driver: only the diff pays curation cost,
+verdicts upsert correctly across snapshots."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_incremental_curation_two_snapshots(spark, tmp_path):
+    from maps_spark.plans.curation import (read_verdicts,
+                                           run_incremental_curation)
+    state = str(tmp_path / "state")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    snap1 = docs.where("doc_id % 5 <> 0")
+    r1 = run_incremental_curation(spark, snap1, state)
+    assert r1["delta_docs"] == snap1.count()  # first run = full corpus
+    v1 = {r["doc_id"]: r["stage"]
+          for r in read_verdicts(spark, state).collect()}
+    assert len(v1) == snap1.count()
+    assert set(v1.values()) <= {"kept", "quality", "exact_dup",
+                                "near_dup"}
+
+    # snapshot 2: some docs return, one changes, some are removed
+    snap2 = (docs.where("doc_id % 7 <> 0")
+             .withColumn("text",
+                         F.when(F.col("doc_id") == 11,
+                                F.concat(F.col("text"), F.lit(" v2")))
+                         .otherwise(F.col("text"))))
+    r2 = run_incremental_curation(spark, snap2, state)
+    # the delta is ONLY the added + changed docs, not the snapshot
+    n_added = snap2.join(snap1.select("doc_id"), "doc_id",
+                         "left_anti").count()
+    assert r2["delta_docs"] == n_added + 1  # +1 for changed doc 11
+    v2 = {r["doc_id"]: r["stage"]
+          for r in read_verdicts(spark, state).collect()}
+    assert len(v2) == snap2.count() == r2["corpus_docs"]
+    # removed docs dropped from the state
+    assert all(d % 7 != 0 for d in v2)
+    # untouched docs keep their snapshot-1 verdict
+    untouched = [d for d in v2 if d in v1 and d != 11]
+    assert untouched and all(v2[d] == v1[d] for d in untouched)
+
+
+def test_incremental_exact_dup_detected_across_snapshots(spark, tmp_path):
+    from maps_spark.plans.curation import (read_verdicts,
+                                           run_incremental_curation)
+    state = str(tmp_path / "state2")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going with plenty of ordinary words to pass quality")
+    s1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    run_incremental_curation(spark, s1, state)
+    # snapshot 2 adds an exact copy under a new id
+    s2 = spark.createDataFrame([(1, base), (2, base)],
+                               "doc_id long, text string")
+    run_incremental_curation(spark, s2, state)
+    v = {r["doc_id"]: r["stage"]
+         for r in read_verdicts(spark, state).collect()}
+    assert v[1] == "kept" and v[2] == "exact_dup"
+
+
+def test_changed_doc_not_dup_of_its_own_stale_signature(spark, tmp_path):
+    from maps_spark.plans.curation import (read_verdicts,
+                                           run_incremental_curation)
+    state = str(tmp_path / "state3")
+    base = ("a perfectly ordinary document with enough plain words in "
+            "it to clear the minimum quality token threshold easily")
+    s1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    run_incremental_curation(spark, s1, state)
+    # the doc changes slightly; its near-identical STALE signature is
+    # still in the store under the same id — it must not self-match
+    s2 = spark.createDataFrame([(1, base + " tail")],
+                               "doc_id long, text string")
+    run_incremental_curation(spark, s2, state)
+    v = {r["doc_id"]: r["stage"]
+         for r in read_verdicts(spark, state).collect()}
+    assert v == {1: "kept"}
