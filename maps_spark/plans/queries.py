@@ -236,6 +236,11 @@ def q_event_windows(spark, sf_dir):
     return event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_funnel_counts(spark, sf_dir):
+    from maps_spark.operators.sessions import funnel_counts
+    return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_rolling_active(spark, sf_dir):
     from maps_spark.operators.sessions import rolling_active_users
     return rolling_active_users(
@@ -594,6 +599,7 @@ MAPS_QUERIES = {
     "event_windows": q_event_windows,
     "attribution": q_attribution,
     "rolling_active_users": q_rolling_active,
+    "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
@@ -690,6 +696,7 @@ def maps_oracles() -> dict[str, str]:
         "event_windows": OT.event_windows_select(),
         "attribution": OT.attribute_conversions_select(),
         "rolling_active_users": OT.rolling_active_users_select(),
+        "funnel_counts": OT.funnel_counts_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),

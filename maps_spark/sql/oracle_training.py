@@ -1341,3 +1341,28 @@ SELECT d.day AS day, {window_days} AS window_days,
 FROM days d JOIN ev e
   ON e.day <= d.day AND e.day > d.day - {window_days}
 GROUP BY 1"""
+
+
+def funnel_counts_select(steps: tuple[str, ...] = ("view", "click",
+                                                   "purchase"),
+                         scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.sessions.funnel_counts over the same
+    stage frame."""
+    k = len(steps)
+    names = ", ".join(f"({i}, '{s}')"
+                      for i, s in enumerate(["(any)"] + list(steps)))
+    return f"""WITH st AS ({funnel_stages_select(steps)}),
+per AS (SELECT stage_reached, count(*) AS n FROM st GROUP BY 1),
+grid AS (SELECT i AS stage FROM generate_series(0, {k}) t(i)),
+reach AS (
+  SELECT g.stage, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_users
+  FROM grid g LEFT JOIN per p ON p.stage_reached >= g.stage
+  GROUP BY 1),
+names(stage, step) AS (VALUES {names})
+SELECT CAST(r.stage AS INT) AS stage, r.n_users,
+       CASE WHEN lag(r.n_users) OVER (ORDER BY r.stage) > 0
+            THEN r.n_users * {scale}
+                 // lag(r.n_users) OVER (ORDER BY r.stage) END
+         AS conv_from_prev_scaled,
+       n.step
+FROM reach r JOIN names n ON n.stage = r.stage"""
