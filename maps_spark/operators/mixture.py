@@ -239,3 +239,36 @@ def dsir_select(docs: DataFrame, target: DataFrame, n: int,
     return (imp.orderBy(F.desc("importance_scaled"), "doc_id").limit(n)
             .withColumn("sel_rank", F.row_number().over(w))
             .select("doc_id", "importance_scaled", "sel_rank"))
+
+
+def quality_tiers(scored: DataFrame, score_col: str,
+                  n_tiers: int = 4, ascending: bool = True,
+                  id_col: str = "doc_id",
+                  partitions: int | None = None) -> DataFrame:
+    """Curriculum bucketing: rank every document by ``score_col``
+    (ties on id — fully deterministic) and cut the ranking into
+    ``n_tiers`` near-equal tiers — the "easy→hard" schedule input for
+    curriculum training, or the "best quartile first" selection cut.
+
+    The global rank comes from the distributed prefix-sum
+    (:func:`maps_spark.operators.packing.global_cumsum` — range
+    partition + bounded driver close), never a single-partition
+    window. ``ascending=False`` ranks high scores first. Integer
+    scores (e.g. ``avg_nll_scaled``) keep the whole table oracle-exact.
+
+    Output: (doc_id, score, rank 0-based, tier 0..n_tiers-1).
+    """
+    from maps_spark.operators.packing import global_cumsum
+    base = scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("long").alias("score"),
+        (F.col(score_col).cast("long") if ascending
+         else (-F.col(score_col).cast("long"))).alias("_ord"),
+        F.lit(1).cast("long").alias("_one"))
+    cum = global_cumsum(base, "_one", ["_ord", "doc_id"], partitions)
+    total = scored.count()  # bounded driver scalar
+    rank = (F.col("cum") - 1).cast("long")
+    return cum.select(
+        "doc_id", "score", rank.alias("rank"),
+        F.expr(f"(cum - 1) * {n_tiers} div {total}").cast("int")
+        .alias("tier"))

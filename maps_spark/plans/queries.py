@@ -551,6 +551,13 @@ def q_mix_sample(spark, sf_dir):
     return MX.mix_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
 
 
+def q_quality_tiers(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    from maps_spark.operators.mixture import quality_tiers
+    return quality_tiers(CP.lm_score(_docs(spark, sf_dir)),
+                         "avg_nll_scaled", n_tiers=4)
+
+
 def q_dsir_importance(spark, sf_dir):
     from maps_spark.operators import mixture as MX
     docs = _docs(spark, sf_dir)
@@ -645,6 +652,7 @@ MAPS_QUERIES = {
     "doc_hash_vectors": q_doc_hash_vectors,
     "mix_plan": q_mix_plan,
     "mix_sample": q_mix_sample,
+    "quality_tiers": q_quality_tiers,
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
 }
@@ -749,6 +757,7 @@ def maps_oracles() -> dict[str, str]:
         "doc_hash_vectors": OT.doc_vector_buckets_select(dim=64),
         "mix_plan": OT.mix_plan_select(MIX_WEIGHTS, MIX_BUDGET),
         "mix_sample": OT.mix_sample_select(MIX_WEIGHTS, MIX_BUDGET),
+        "quality_tiers": OT.quality_tiers_select(n_tiers=4),
         "dsir_importance": OT.dsir_importance_select(DSIR_TARGET),
         "dsir_select": OT.dsir_select_select(DSIR_TARGET, DSIR_N),
     }

@@ -1366,3 +1366,18 @@ SELECT CAST(r.stage AS INT) AS stage, r.n_users,
          AS conv_from_prev_scaled,
        n.step
 FROM reach r JOIN names n ON n.stage = r.stage"""
+
+
+def quality_tiers_select(n_tiers: int = 4, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.mixture.quality_tiers over the
+    lm_score quality signal (ascending: low NLL = tier 0)."""
+    return f"""WITH lm AS ({lm_score_select(scale)}),
+n AS (SELECT count(*) AS total FROM lm),
+r AS (
+  SELECT doc_id, avg_nll_scaled AS score,
+         row_number() OVER (ORDER BY avg_nll_scaled, doc_id) - 1
+           AS rank
+  FROM lm)
+SELECT r.doc_id, r.score, CAST(r.rank AS BIGINT) AS rank,
+       CAST(r.rank * {n_tiers} // n.total AS INT) AS tier
+FROM r CROSS JOIN n"""

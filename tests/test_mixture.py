@@ -224,3 +224,31 @@ def test_degenerate_inputs_do_not_crash(spark, docs):
     # empty target in the fused DSIR path behaves the same way
     rows = dsir_importance(one, empty).collect()
     assert rows and rows[0]["nll_target_scaled"] == 0
+
+
+def test_quality_tiers_balanced_and_ordered(spark, docs):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.corpus import lm_score
+    from maps_spark.operators.mixture import quality_tiers
+    tiers = quality_tiers(lm_score(docs), "avg_nll_scaled", n_tiers=4)
+    rows = tiers.collect()
+    n = len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r["tier"]] = sizes.get(r["tier"], 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # ranks are a permutation and tiers respect score order
+    assert sorted(r["rank"] for r in rows) == list(range(n))
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores)
+    tiers_seq = [r["tier"] for r in by_rank]
+    assert tiers_seq == sorted(tiers_seq)
+    # descending mode flips tier 0 to the highest scores
+    from maps_spark.operators.mixture import quality_tiers as qt
+    desc = qt(lm_score(docs), "avg_nll_scaled", n_tiers=4,
+              ascending=False)
+    top0 = desc.where("tier = 0").agg(F.min("score")).first()[0]
+    bot3 = desc.where("tier = 3").agg(F.max("score")).first()[0]
+    assert top0 >= bot3
