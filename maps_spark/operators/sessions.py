@@ -350,3 +350,60 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
                        F.lit(window_days).alias("window_days"),
                        F.hll_sketch_estimate("u").cast("long")
                        .alias("est_active")))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str = "user_id", ts_col: str = "tus",
+              right_cols: tuple[str, ...] = (),
+              tolerance_us: int | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join — the time-series operator Spark's join
+    family lacks: every left row picks up the LATEST right row with
+    ``right.ts <= left.ts`` per key (optionally within
+    ``tolerance_us``). Kdb/pandas ``merge_asof`` semantics, ties on
+    equal timestamps resolve to the right row (right sorts first).
+
+    Implementation is the scalable union-and-window form, NOT a range
+    join: both inputs union into one stream tagged by side, one window
+    per key ordered by (ts, side) carries the last non-null right
+    attributes forward (``last(..., ignorenulls=True)``), then left
+    rows are filtered back out. ONE shuffle keyed by ``on``; per-key
+    sort only; no candidate-pair explosion however dense the right
+    side is (a range join would be O(left x right) per key).
+
+    Output: left columns + ``<ts_col><suffix>`` (matched right
+    timestamp, null if none) + each requested right column as
+    ``<col><suffix>``.
+    """
+    rc = list(right_cols)
+    l2 = (left.withColumn("_side", F.lit(1))
+          .withColumn("_rts", F.lit(None).cast("long")))
+    for c in rc:
+        l2 = l2.withColumn(f"_r_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    r2 = (right.select(
+        on, F.col(ts_col).alias(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).cast("long").alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in rc]))
+    for c in left.columns:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l2.unionByName(r2.select(l2.columns))
+    w = (Window.partitionBy(on).orderBy(ts_col, "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last("_rts", ignorenulls=True).over(w).alias("_m_ts")]
+    carried += [F.last(f"_r_{c}", ignorenulls=True).over(w)
+                .alias(f"_m_{c}") for c in rc]
+    out = (u.select("*", *carried).where(F.col("_side") == 1))
+    ok = F.col("_m_ts").isNotNull()
+    if tolerance_us is not None:
+        ok = ok & (F.col(ts_col).cast("long") - F.col("_m_ts")
+                   <= tolerance_us)
+    sel = [c for c in left.columns]
+    out = out.select(
+        *sel,
+        F.when(ok, F.col("_m_ts")).alias(f"{ts_col}{suffix}"),
+        *[F.when(ok, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
+          for c in rc])
+    return out

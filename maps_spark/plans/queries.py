@@ -241,6 +241,22 @@ def q_funnel_counts(spark, sf_dir):
     return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_asof_join(spark, sf_dir):
+    import pyspark.sql.functions as FF
+    from maps_spark.operators.sessions import TS_US_SPARK, asof_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_id", "event_type",
+                  FF.expr(TS_US_SPARK).cast("long").alias("tus"),
+                  FF.floor(FF.col("value") * 1000).cast("long")
+                  .alias("vm")))
+    left = (ev.where("event_type = 'purchase'")
+            .select("user_id", FF.col("event_id").alias("purchase_id"),
+                    "tus"))
+    right = ev.where("event_type = 'click'").select("user_id", "tus", "vm")
+    return asof_join(left, right, on="user_id", ts_col="tus",
+                     right_cols=("vm",))
+
+
 def q_rolling_active(spark, sf_dir):
     from maps_spark.operators.sessions import rolling_active_users
     return rolling_active_users(
@@ -606,6 +622,7 @@ MAPS_QUERIES = {
     "event_windows": q_event_windows,
     "attribution": q_attribution,
     "rolling_active_users": q_rolling_active,
+    "asof_join": q_asof_join,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
@@ -704,6 +721,7 @@ def maps_oracles() -> dict[str, str]:
         "event_windows": OT.event_windows_select(),
         "attribution": OT.attribute_conversions_select(),
         "rolling_active_users": OT.rolling_active_users_select(),
+        "asof_join": OT.asof_join_select(),
         "funnel_counts": OT.funnel_counts_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),

@@ -1381,3 +1381,36 @@ r AS (
 SELECT r.doc_id, r.score, CAST(r.rank AS BIGINT) AS rank,
        CAST(r.rank * {n_tiers} // n.total AS INT) AS tier
 FROM r CROSS JOIN n"""
+
+
+def asof_join_select(left_type: str = "purchase",
+                     right_type: str = "click",
+                     tolerance_us: int | None = None) -> str:
+    """DuckDB twin of the as-of join gate (union-and-window form, same
+    tie rule: right side sorts before left at equal timestamps)."""
+    tol = (f"AND l.tus - m_ts <= {tolerance_us}"
+           if tolerance_us is not None else "")
+    return f"""WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events),
+u AS (
+  SELECT user_id, tus, 1 AS side, event_id,
+         CAST(NULL AS BIGINT) AS rts, CAST(NULL AS BIGINT) AS rvm
+  FROM ev WHERE event_type = '{left_type}'
+  UNION ALL
+  SELECT user_id, tus, 0 AS side, CAST(NULL AS BIGINT), tus, vm
+  FROM ev WHERE event_type = '{right_type}'),
+c AS (
+  SELECT user_id, tus, side, event_id,
+         last_value(rts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, side
+                 ROWS UNBOUNDED PRECEDING) AS m_ts,
+         last_value(rvm IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, side
+                 ROWS UNBOUNDED PRECEDING) AS m_vm
+  FROM u)
+SELECT l.event_id AS purchase_id, l.user_id, l.tus,
+       CASE WHEN m_ts IS NOT NULL {tol} THEN m_ts END AS tus_asof,
+       CASE WHEN m_ts IS NOT NULL {tol} THEN m_vm END AS vm_asof
+FROM c l WHERE side = 1"""

@@ -323,3 +323,37 @@ def test_rolling_active_users_window_logic(spark):
     one = {r["day"]: r["est_active"]
            for r in rolling_active_users(ev, window_days=1).collect()}
     assert one == {d: len(u) for d, u in by_day.items()}
+
+
+def test_asof_join_semantics(spark):
+    from maps_spark.operators.sessions import asof_join
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 50), (2, 200, 10)],
+        "user_id long, lid long, tus long")
+    right = spark.createDataFrame(
+        [(1, 5, 7), (1, 40, 8), (1, 60, 9), (2, 90, 5)],
+        "user_id long, tus long, v long")
+    out = {r["lid"]: r for r in
+           asof_join(left, right, on="user_id", ts_col="tus",
+                     right_cols=("v",)).collect()}
+    # lid=100 at tus=10 -> latest right <= 10 is tus=5
+    assert out[100]["tus_asof"] == 5 and out[100]["v_asof"] == 7
+    # lid=101 at tus=50 -> latest right <= 50 is tus=40
+    assert out[101]["tus_asof"] == 40 and out[101]["v_asof"] == 8
+    assert out[200]["tus_asof"] is None  # right at 90 > left at 10
+    # tolerance drops stale matches
+    tol = {r["lid"]: r for r in
+           asof_join(left, right, on="user_id", ts_col="tus",
+                     right_cols=("v",), tolerance_us=4).collect()}
+    assert tol[100]["tus_asof"] is None  # 10 - 5 = 5 > 4
+    assert tol[101]["tus_asof"] is None  # 50 - 40 = 10 > 4
+
+
+def test_asof_join_equal_ts_matches_right(spark):
+    from maps_spark.operators.sessions import asof_join
+    left = spark.createDataFrame([(1, 1, 30)],
+                                 "user_id long, lid long, tus long")
+    right = spark.createDataFrame([(1, 30, 99)],
+                                  "user_id long, tus long, v long")
+    [r] = asof_join(left, right, right_cols=("v",)).collect()
+    assert r["tus_asof"] == 30 and r["v_asof"] == 99
