@@ -407,3 +407,35 @@ def asof_join(left: DataFrame, right: DataFrame,
         *[F.when(ok, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
           for c in rc])
     return out
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, start_col: str, end_col: str,
+               on: tuple[str, ...] = (), bucket: int = 3600_000_000
+               ) -> DataFrame:
+    """Point-in-interval range join — the other join Spark's equi-only
+    planner degrades on (a raw ``BETWEEN`` predicate plans as a
+    broadcast nested loop or cartesian): bucket the value axis, explode
+    each interval to the buckets it spans, equi-join on
+    (``on`` keys + bucket), then apply the exact BETWEEN filter.
+
+    Shuffle volume is O(points + interval-spans) on a real key — never
+    a cartesian; per-interval fan-out is ``len/bucket + 1`` rows, so
+    pick ``bucket`` near the typical interval length (the standard
+    banding trade-off). Matches every (point, interval) pair whose
+    keys agree and ``start <= point <= end``.
+
+    Output: all point columns + all interval columns (key columns
+    once).
+    """
+    pts = points.withColumn("_b", F.expr(f"{point_col} div {bucket}"))
+    ivs = (intervals.withColumn(
+        "_b", F.explode(F.sequence(
+            F.expr(f"{start_col} div {bucket}"),
+            F.expr(f"{end_col} div {bucket}")))))
+    j = pts.join(ivs, [*on, "_b"]).where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col)))
+    # a (point, interval) pair can meet in several buckets only if the
+    # point sits in exactly one bucket — it does — so no dedup needed
+    return j.drop("_b")

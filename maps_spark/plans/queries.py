@@ -241,6 +241,20 @@ def q_funnel_counts(spark, sf_dir):
     return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_range_join_sessions(spark, sf_dir):
+    import pyspark.sql.functions as FF
+    from maps_spark.operators.sessions import (TS_US_SPARK, range_join,
+                                               sessionize_batch)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize_batch(events)
+    pts = events.select("user_id",
+                        FF.expr(TS_US_SPARK).cast("long").alias("tus"))
+    j = range_join(pts, sess, "tus", "session_start", "session_end",
+                   on=("user_id",))
+    return (j.groupBy("user_id", "session_start", "session_end")
+            .agg(FF.count("*").alias("n_inside")))
+
+
 def q_asof_join(spark, sf_dir):
     import pyspark.sql.functions as FF
     from maps_spark.operators.sessions import TS_US_SPARK, asof_join
@@ -623,6 +637,7 @@ MAPS_QUERIES = {
     "attribution": q_attribution,
     "rolling_active_users": q_rolling_active,
     "asof_join": q_asof_join,
+    "range_join_sessions": q_range_join_sessions,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
     # training-data pipeline
@@ -722,6 +737,7 @@ def maps_oracles() -> dict[str, str]:
         "attribution": OT.attribute_conversions_select(),
         "rolling_active_users": OT.rolling_active_users_select(),
         "asof_join": OT.asof_join_select(),
+        "range_join_sessions": OT.session_events_range_select(),
         "funnel_counts": OT.funnel_counts_select(),
         "cohort_retention": OT.cohort_retention_select(),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),

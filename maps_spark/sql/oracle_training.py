@@ -1414,3 +1414,19 @@ SELECT l.event_id AS purchase_id, l.user_id, l.tus,
        CASE WHEN m_ts IS NOT NULL {tol} THEN m_ts END AS tus_asof,
        CASE WHEN m_ts IS NOT NULL {tol} THEN m_vm END AS vm_asof
 FROM c l WHERE side = 1"""
+
+
+def session_events_range_select(gap_us: int = 12 * 3600 * 1_000_000
+                                ) -> str:
+    """DuckDB twin of the range-join gate: events joined to their
+    user's session intervals with a plain BETWEEN (exact semantics the
+    bucketed Spark operator must reproduce), rolled up per session."""
+    from maps_spark.operators.sessions import sessionize_sql
+    return f"""WITH sess AS ({sessionize_sql(gap_us)}),
+ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events)
+SELECT s.user_id, s.session_start, s.session_end,
+       count(*) AS n_inside
+FROM sess s JOIN ev e
+  ON e.user_id = s.user_id
+ AND e.tus BETWEEN s.session_start AND s.session_end
+GROUP BY 1, 2, 3"""

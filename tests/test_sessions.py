@@ -357,3 +357,36 @@ def test_asof_join_equal_ts_matches_right(spark):
                                   "user_id long, tus long, v long")
     [r] = asof_join(left, right, right_cols=("v",)).collect()
     assert r["tus_asof"] == 30 and r["v_asof"] == 99
+
+
+def test_range_join_matches_between_semantics(spark):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.sessions import range_join
+    pts = spark.createDataFrame(
+        [(1, 5), (1, 50), (1, 150), (2, 50)],
+        "user_id long, tus long")
+    ivs = spark.createDataFrame(
+        [(1, 0, 100, "a"), (1, 40, 60, "b"), (2, 200, 300, "c")],
+        "user_id long, s long, e long, tag string")
+    # tiny bucket forces multi-bucket interval fan-out
+    out = range_join(pts, ivs, "tus", "s", "e", on=("user_id",),
+                     bucket=7)
+    got = sorted((r["tus"], r["tag"]) for r in out.collect())
+    # overlapping intervals both match; out-of-range points match none
+    assert got == [(5, "a"), (50, "a"), (50, "b")]
+    # exact equivalence with the naive BETWEEN join on a wider case
+    naive = (pts.join(ivs, "user_id")
+             .where("tus between s and e")
+             .select("user_id", "tus", "tag"))
+    banded = range_join(pts, ivs, "tus", "s", "e", on=("user_id",),
+                        bucket=33).select("user_id", "tus", "tag")
+    assert sorted(map(tuple, naive.collect())) == \
+        sorted(map(tuple, banded.collect()))
+    # and the plan is an equi-join, not a nested loop
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
