@@ -278,10 +278,26 @@ def run() -> None:
         @timed("event_analytics")
         def _19():
             # the event-index query family: funnel + cohort + sketches
+            # + attribution + the as-of / range join operators
             SE.funnel_stages(events).count()
             SE.cohort_retention(events).count()
             SE.sketch_union(SE.user_sketches(
                 events, by=("event_type",))).count()
+            SE.attribute_conversions(events).count()
+            ev = events.selectExpr(
+                "user_id", "event_id", "event_type",
+                f"CAST({SE.TS_US_SPARK} AS LONG) AS tus")
+            SE.asof_join(
+                ev.where("event_type = 'purchase'")
+                .select("user_id", "event_id", "tus"),
+                ev.where("event_type = 'click'")
+                .select("user_id", "tus"),
+            ).count()
+            SE.range_join(
+                ev.select("user_id", "tus"),
+                SE.sessionize_batch(events),
+                "tus", "session_start", "session_end",
+                on=("user_id",)).count()
     except ImportError:
         pass
 
