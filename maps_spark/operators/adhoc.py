@@ -215,3 +215,59 @@ def event_props_facet(events: DataFrame, field: str = "k") -> DataFrame:
                 F.min("k").alias("min_k"),
                 F.max("k").alias("max_k"),
                 F.countDistinct("k").alias("n_distinct_k")))
+
+
+def event_type_crosstab(events: DataFrame,
+                        types: tuple[str, ...] = ("click", "view",
+                                                  "purchase", "signup",
+                                                  "error")) -> DataFrame:
+    """Pivot the event stream into a per-user activity profile: one
+    column per event type (explicit ``types`` list keeps the schema
+    static — a two-pass inferred pivot is a needless extra job and a
+    nondeterministic column order). One shuffle keyed by user_id;
+    the pivot itself is a conditional aggregation inside codegen.
+
+    Output: (user_id, n_<type>... , n_total)."""
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long").alias(f"n_{t}") for t in types]
+    return (events.groupBy("user_id")
+            .agg(*aggs, F.count("*").alias("n_total")))
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical (event_type, year) counts via SQL ROLLUP — the
+    grouping-sets surface: per (type, year), per type subtotal, and
+    the grand total in ONE aggregation pass (Catalyst expands the
+    grouping sets; no per-level re-scan). Null grouping columns mark
+    subtotal rows, made explicit in ``is_total_*`` flags so the
+    oracle comparison is unambiguous.
+
+    Output: (event_type, year, is_total_type, is_total_year, n)."""
+    from maps_spark.operators.sessions import TS_US_SPARK
+    yr = F.expr(f"({TS_US_SPARK}) div {365 * 86400 * 1_000_000} + 1970")
+    base = events.select(F.col("event_type"),
+                         yr.cast("long").alias("year"))
+    return (base.rollup("event_type", "year")
+            .agg(F.count("*").alias("n"))
+            .select(F.coalesce("event_type", F.lit("(all)"))
+                    .alias("event_type"),
+                    F.coalesce("year", F.lit(-1)).alias("year"),
+                    F.col("event_type").isNull().alias("is_total_type"),
+                    F.col("year").isNull().alias("is_total_year"),
+                    "n"))
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Grouped top-k: each user's k highest-value events
+    (deterministic ties on event_id). The window partitions by
+    user_id — per-group sort, never a global one.
+
+    Output: (user_id, event_id, value_milli, rnk)."""
+    from pyspark.sql import Window
+    vm = F.floor(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value_milli"), F.col("event_id"))
+    return (events.select("user_id", "event_id",
+                          vm.alias("value_milli"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))

@@ -283,6 +283,23 @@ def q_attribution(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_event_crosstab(spark, sf_dir):
+    from maps_spark.operators.adhoc import event_type_crosstab
+    return event_type_crosstab(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_event_rollup(spark, sf_dir):
+    from maps_spark.operators.adhoc import event_rollup
+    return event_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_top_events_per_user(spark, sf_dir):
+    from maps_spark.operators.adhoc import top_events_per_user
+    return top_events_per_user(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), k=3)
+
+
 def q_event_props_facet(spark, sf_dir):
     from maps_spark.operators.adhoc import event_props_facet
     return event_props_facet(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -631,6 +648,9 @@ MAPS_QUERIES = {
     "event_sessions": q_event_sessions,
     "event_adhoc_search": q_event_adhoc_search,
     "event_props_facet": q_event_props_facet,
+    "event_crosstab": q_event_crosstab,
+    "event_rollup": q_event_rollup,
+    "top_events_per_user": q_top_events_per_user,
     "event_funnel": q_event_funnel,
     "user_distinct_sketch": q_user_distinct_sketch,
     "event_windows": q_event_windows,
@@ -731,6 +751,9 @@ def maps_oracles() -> dict[str, str]:
         "event_adhoc_search": O.event_adhoc_select(
             ("click", "view"), 2024, 2024),
         "event_props_facet": OT.event_props_facet_select(),
+        "event_crosstab": OT.event_type_crosstab_select(),
+        "event_rollup": OT.event_rollup_select(),
+        "top_events_per_user": OT.top_events_per_user_select(k=3),
         "event_funnel": OT.funnel_stages_select(),
         "user_distinct_sketch": OT.user_distinct_sketch_select(),
         "event_windows": OT.event_windows_select(),

@@ -1430,3 +1430,45 @@ FROM sess s JOIN ev e
   ON e.user_id = s.user_id
  AND e.tus BETWEEN s.session_start AND s.session_end
 GROUP BY 1, 2, 3"""
+
+
+def event_type_crosstab_select(types: tuple[str, ...] = (
+        "click", "view", "purchase", "signup", "error")) -> str:
+    """DuckDB twin of operators.adhoc.event_type_crosstab."""
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}" for t in types)
+    return f"""SELECT user_id,
+       {cols},
+       count(*) AS n_total
+FROM events GROUP BY 1"""
+
+
+def event_rollup_select() -> str:
+    """DuckDB twin of operators.adhoc.event_rollup (same epoch-year
+    bucketing, same subtotal flags)."""
+    yr = f"epoch_us(ts) // {365 * 86400 * 1_000_000} + 1970"
+    return f"""WITH base AS (
+  SELECT event_type, CAST({yr} AS BIGINT) AS year FROM events)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(year, -1) AS year,
+       event_type IS NULL AS is_total_type,
+       year IS NULL AS is_total_year,
+       count(*) AS n
+FROM base GROUP BY ROLLUP (event_type, year)"""
+
+
+def top_events_per_user_select(k: int = 3) -> str:
+    """DuckDB twin of operators.adhoc.top_events_per_user."""
+    return f"""WITH v AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events),
+r AS (
+  SELECT user_id, event_id, value_milli,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value_milli DESC, event_id)
+           AS rnk
+  FROM v)
+SELECT user_id, event_id, value_milli, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {k}"""

@@ -390,3 +390,37 @@ def test_range_join_matches_between_semantics(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_warehouse_surface_invariants(spark):
+    import pyspark.sql.functions as F
+    from maps_spark.operators.adhoc import (event_rollup,
+                                            event_type_crosstab,
+                                            top_events_per_user)
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n = ev.count()
+    ct = event_type_crosstab(ev)
+    # the pivot conserves totals, row-wise and corpus-wise
+    row_sum = sum(F.col(c) for c in ct.columns
+                  if c.startswith("n_") and c != "n_total")
+    assert ct.where(row_sum != F.col("n_total")).count() == 0
+    assert ct.agg(F.sum("n_total")).first()[0] == n
+    ru = event_rollup(ev).collect()
+    grand = [r for r in ru if r["is_total_type"]]
+    assert len(grand) == 1 and grand[0]["n"] == n
+    # per-type subtotals equal the sum of their (type, year) leaves
+    leaves, subs = {}, {}
+    for r in ru:
+        if r["is_total_type"]:
+            continue
+        if r["is_total_year"]:
+            subs[r["event_type"]] = r["n"]
+        else:
+            leaves[r["event_type"]] = \
+                leaves.get(r["event_type"], 0) + r["n"]
+    assert leaves == subs
+    tk = top_events_per_user(ev, k=3)
+    per = tk.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    assert tk.where("rnk < 1 or rnk > 3").count() == 0
