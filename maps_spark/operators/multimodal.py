@@ -16,6 +16,8 @@ binary cells; the synthesize helper models that.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -188,10 +190,11 @@ def synthesize_ppm_media(spark: SparkSession, n: int = 64,
 
 
 def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
-    """REAL feature extraction over P6 payloads: decode, per-channel
+    """REAL feature extraction over P6 PPM *or* PNG payloads
+    (magic-byte dispatch via :func:`decode_image`): decode, per-channel
     means, and a ``grid x grid`` nearest-resized thumbnail — all in one
     Arrow-batched mapInPandas stage (bytes never cross into Python row
-    objects). Non-PPM payloads yield decode_ok = false with a zero
+    objects). Undecodable payloads yield decode_ok = false with a zero
     vector, mirroring :func:`extract_features`' stub contract.
 
     feat layout: [mean_r, mean_g, mean_b, grid*grid*3 thumbnail].
@@ -203,7 +206,7 @@ def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
             feats, oks = [], []
             for payload in pdf["payload"]:
                 try:
-                    img = decode_ppm(bytes(payload))
+                    img = decode_image(bytes(payload))
                     thumb = resize_nearest(img, grid, grid)
                     vec = np.concatenate([
                         img.reshape(-1, 3).mean(axis=0),
@@ -219,6 +222,223 @@ def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
                                 "feat": feats, "decode_ok": oks})
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# -- real codec path: PNG (stdlib zlib) ---------------------------------
+# Non-interlaced 8-bit PNG needs only ``zlib`` (deflate) plus the five
+# scanline filters from the spec, so this path is REAL too: chunk/CRC
+# parse, IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth).
+# JPEG remains the one stubbed codec (its entropy coder is not stdlib).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (8-bit depth only; no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth_predictor(a, b, c):
+    """PNG Paeth predictor; works elementwise on numpy arrays or ints."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data +
+            struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "cycle",
+               level: int = 6) -> bytes:
+    """REAL PNG encoder for 8-bit (h, w[, ch]) uint8 arrays, ch in
+    {1 gray, 2 gray+alpha, 3 RGB, 4 RGBA}. ``filter_mode='cycle'``
+    applies scanline filter ``y % 5`` so every decoder filter branch is
+    exercised by round-trips; ``'none'`` writes filter 0 throughout."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    bpp, stride = ch, w * ch
+    lines = arr.reshape(h, stride).astype(np.int32)
+    zeros = np.zeros(bpp, dtype=np.int32)
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = (y % 5) if filter_mode == "cycle" else 0
+        line = lines[y]
+        left = np.concatenate([zeros, line[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = (line - left) % 256
+        elif f == 2:
+            filt = (line - prior) % 256
+        elif f == 3:
+            filt = (line - (left + prior) // 2) % 256
+        else:
+            ul = np.concatenate([zeros, prior[:-bpp]]) if stride > bpp \
+                else np.zeros(stride, dtype=np.int32)
+            filt = (line - _paeth_predictor(left, prior, ul)) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode: signature + chunk walk with CRC verification,
+    IDAT inflate, and scanline unfiltering per the spec's five filter
+    types. Supports non-interlaced 8-bit gray / gray+alpha / RGB /
+    RGBA; raises ValueError on anything else or on corrupt input.
+    Returns (h, w, channels) uint8."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not saw_iend:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported color type {color}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    bpp, stride = ch, w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=off + 1).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:
+            line = (line + prior) % 256
+        elif f == 1:  # Sub: sequential in x
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) % 256
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x]
+                           + int(_paeth_predictor(a, int(prior[x]), c))) \
+                    % 256
+        else:
+            raise ValueError(f"bad filter type {f}")
+        prior = line
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to 3 channels: gray replicates,
+    alpha drops (features don't model transparency)."""
+    ch = img.shape[2]
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to a REAL decoder (P6 PPM or PNG);
+    raises ValueError for unknown/compressed-only formats (JPEG stays
+    behind the declared :func:`_decode_image` stub)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return to_rgb(decode_png(payload))
+    raise ValueError("unrecognized image payload")
+
+
+def synthesize_png_media(spark: SparkSession, n: int = 64,
+                         width: int = 31, height: int = 17,
+                         partitions: int = 4) -> DataFrame:
+    """Media table whose payloads are REAL PNGs (same deterministic
+    per-id gradients as :func:`synthesize_ppm_media`, cycling scanline
+    filters), exercising the true decode path end-to-end. Odd default
+    dims stress non-aligned strides."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                yy, xx = np.mgrid[0:height, 0:width]
+                img = np.stack([
+                    (xx * 255 // max(width - 1, 1)),
+                    (yy * 255 // max(height - 1, 1)),
+                    np.full_like(xx, int(i) % 256),
+                ], axis=-1).astype(np.uint8)
+                rows.append(encode_png(img))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "image",
+                "payload": rows,
+                "width": width, "height": height,
+                "sample_rate": 0, "n_frames": 0})
+
+    return (spark.range(n).repartition(partitions)
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def png_channel_sums(media: DataFrame) -> DataFrame:
+    """Integer per-channel pixel sums from the REAL PNG decode — the
+    cross-engine check of the codec (twin of :func:`ppm_channel_sums`):
+    for :func:`synthesize_png_media` payloads the sums have the same
+    closed form the SQL oracle recomputes, so a hash match proves the
+    chunk walk, inflate, and all five unfilters read every pixel."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "sum_r": [], "sum_g": [],
+                   "sum_b": []}
+            for payload in pdf["payload"]:
+                img = decode_png(bytes(payload)).astype(np.int64)
+                s = img.reshape(-1, img.shape[-1]).sum(axis=0)
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, sum_r long, sum_g long, sum_b long")
 
 
 def ppm_channel_sums(media: DataFrame) -> DataFrame:

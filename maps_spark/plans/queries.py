@@ -163,6 +163,12 @@ def q_media_ppm_decode(spark, sf_dir):
     return ppm_channel_sums(synthesize_ppm_media(spark, n=64))
 
 
+def q_media_png_decode(spark, sf_dir):
+    from maps_spark.operators.multimodal import (png_channel_sums,
+                                                 synthesize_png_media)
+    return png_channel_sums(synthesize_png_media(spark, n=64))
+
+
 def q_adhoc_grid_bounds_z5(spark, sf_dir):
     return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="bounds")
 
@@ -639,6 +645,7 @@ MAPS_QUERIES = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "media_ppm_decode": q_media_ppm_decode,
+    "media_png_decode": q_media_png_decode,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -808,6 +815,10 @@ def maps_oracles() -> dict[str, str]:
         "corpus_diff": OT.corpus_diff_select(),
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_ppm_decode": OT.ppm_channel_sums_select(n=64),
+        # same closed-form oracle as PPM: pixels are the same gradient,
+        # only the container codec differs (31x17 stresses odd strides)
+        "media_png_decode": OT.ppm_channel_sums_select(
+            n=64, width=31, height=17),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),
