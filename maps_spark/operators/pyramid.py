@@ -329,7 +329,8 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
                          tile_size: int = P.TILE_SIZE,
                          partitions: int | None = None,
                          persisted_out: list | None = None,
-                         min_chunk: int = 512 * 1024
+                         min_chunk: int = 512 * 1024,
+                         stage_dir: str | None = None
                          ) -> Iterator[tuple[int, DataFrame]]:
     """All pyramid levels with ``ceil(levels / span)`` shuffles instead
     of one per zoom.
@@ -352,7 +353,7 @@ def pyramid_pixels_spans(keyed: DataFrame, srs: str, max_zoom: int,
     """
     for z_top, k, levels in pyramid_span_parents(
             keyed, srs, max_zoom, min_zoom, span, tile_size, partitions,
-            persisted_out, min_chunk):
+            persisted_out, min_chunk, stage_dir):
         for z in range(z_top, z_top - k - 1, -1):
             yield z, levels.where(F.col("z") == z).drop("z")
 
@@ -362,14 +363,25 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
                          tile_size: int = P.TILE_SIZE,
                          partitions: int | None = None,
                          persisted_out: list | None = None,
-                         min_chunk: int = 512 * 1024
+                         min_chunk: int = 512 * 1024,
+                         stage_dir: str | None = None
                          ) -> Iterator[tuple[int, int, DataFrame]]:
     """The span engine behind :func:`pyramid_pixels_spans`: yields one
     ``(z_top, k, levels)`` per span, where ``levels`` is the persisted
     parent holding pixel levels ``z_top .. z_top - k`` stacked with a
     ``z`` column (schema ``PIXEL_Z_SCHEMA``). Consumers that can work
     multi-zoom (the single-scan tile fan-out) read the parent once
-    instead of once per level."""
+    instead of once per level.
+
+    ``stage_dir`` selects RELIABLE materialization: each span parent is
+    written as a Parquet staged table under ``stage_dir/span_z<top>``
+    and read back — the reference's staged-table barrier
+    (TileMapBuilder.java:164-169). Unlike ``.persist()`` (whose lineage
+    is truncated to non-replicated block storage), a staged table
+    survives executor loss: at 2.5 B-row scale a lost executor costs a
+    re-read, not the job. The write is also the span's shuffle barrier,
+    so no extra stage is introduced — the cost is one round-trip
+    through the (columnar, compressed) Parquet codec per span."""
     spark = keyed.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
     key_dt = keyed.schema["mapKey"].dataType.simpleString()
@@ -488,10 +500,18 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
         part = current.repartition(
             n_parts, "mapKey",
             F.shiftright("px", shift), F.shiftright("py", shift))
-        levels = part.mapInPandas(
-            span_agg(z_top, k, with_cnt, pre_shift, min_chunk),
-            z_schema).persist()
+        computed = part.mapInPandas(
+            span_agg(z_top, k, with_cnt, pre_shift, min_chunk), z_schema)
+        if stage_dir is not None:
+            path = f"{stage_dir}/span_z{z_top}"
+            computed.write.mode("overwrite").parquet(path)
+            levels = spark.read.parquet(path)
+        else:
+            levels = computed.persist()
         if persisted_out is not None:
+            # staged tables join the same list: .unpersist() on an
+            # uncached frame is a no-op, and the staging dir itself is
+            # dropped by the backfill driver on finalise
             persisted_out.append(levels)
         yield z_top, k, levels
         current = levels.where(F.col("z") == z_top - k).drop("z")
@@ -504,7 +524,8 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
                   min_zoom: int = 0, tile_size: int = P.TILE_SIZE,
                   buffer: int = T.DEFAULT_BUFFER,
                   strategy: str = "spans_multi",
-                  dictionary: bool = False) -> DataFrame:
+                  dictionary: bool = False,
+                  stage_dir: str | None = None) -> DataFrame:
     """Full pyramid as one DataFrame of (srs, mapKey, z, x, y, tile).
 
     ``strategy="spans_multi"`` (default) builds all pixel levels with
@@ -515,10 +536,10 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
     barrier instead of ``max_zoom+1``. ``"spans"`` keeps the per-zoom
     encode; ``"cascade"`` is the one-shuffle-per-zoom reference shape
     (TileMapBuilder.java:173-204) kept for comparison. Span parents are
-    persisted (the materialization-barrier role the reference fills
-    with staged Parquet tables, TileMapBuilder.java:164-169); at
-    cluster scale the backfill driver swaps these for staging-dir
-    writes.
+    persisted; ``stage_dir`` swaps that for RELIABLE staged Parquet
+    tables (the reference's TileMapBuilder.java:164-169 barrier) —
+    the mode a cluster deployment should run, since persisted blocks
+    die with their executor (see :func:`pyramid_span_parents`).
 
     ``dictionary=True`` (spans_multi only) applies the reference's A15
     pre-shuffle dictionary encode (TileMapBuilder.java:56-61) across
@@ -532,7 +553,8 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
     if dictionary and strategy == "spans_multi":
         dict_df, keyed = dictionary_encode(keyed)
         inner = build_pyramid(keyed, srs, max_zoom, min_zoom, tile_size,
-                              buffer, strategy, dictionary=False)
+                              buffer, strategy, dictionary=False,
+                              stage_dir=stage_dir)
         result = (inner.withColumnRenamed("mapKey", "mapKeyId")
                   .join(F.broadcast(dict_df), "mapKeyId")
                   .select("srs", "mapKey", "z", "x", "y", "tile"))
@@ -545,7 +567,7 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
         rows: DataFrame | None = None
         for z_top, k, levels in pyramid_span_parents(
                 keyed, srs, max_zoom, min_zoom, tile_size=tile_size,
-                persisted_out=persisted):
+                persisted_out=persisted, stage_dir=stage_dir):
             z_lo = z_top - k
             parts: list[DataFrame] = []
             if z_top >= 2:
@@ -565,7 +587,8 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
     if strategy == "spans":
         gen = pyramid_pixels_spans(keyed, srs, max_zoom, min_zoom,
                                    tile_size=tile_size,
-                                   persisted_out=persisted)
+                                   persisted_out=persisted,
+                                   stage_dir=stage_dir)
     else:
         def _track(p: DataFrame) -> DataFrame:
             persisted.append(p.persist())

@@ -34,20 +34,40 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                  srs_list: tuple[str, ...] = ("EPSG:3857", "EPSG:4326",
                                               "EPSG:3575", "EPSG:3031"),
                  max_zoom: int = 8, threshold: int = PY.DEFAULT_THRESHOLD,
-                 snapshot: bool = True, versioned: bool = True,
+                 snapshot: bool | str = True, versioned: bool = True,
                  keep_builds: int = 2, parallel_srs: bool = False) -> dict:
     """Build the full tile index + point bundles. Returns manifest.
 
     ``versioned`` writes into ``out_root/builds/<ts>/`` and atomically
     repoints the manifest on success (readers never see a half-written
     build), keeping the newest ``keep_builds`` for rollback — the
-    Prepare/FinaliseBackfill lifecycle."""
+    Prepare/FinaliseBackfill lifecycle.
+
+    ``snapshot`` picks the materialization-barrier mode:
+
+    - ``True`` (local default): ``localCheckpoint`` the filtered
+      source. Fast, but non-reliable — blocks die with their executor.
+    - ``"staged"`` (cluster mode): write the snapshot AND every span
+      parent as Parquet staged tables under ``<build>/staging/`` and
+      read them back — the reference's MapBuilder.java:184-199 /
+      TileMapBuilder.java:164-169 semantics. Reliable storage: an
+      executor loss recomputes from the staged table instead of
+      killing the job. The staging tree is dropped on finalise.
+    - ``False``: no barrier (every consumer re-reads the source).
+    """
     t0 = time.time()
     build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
+    staged = snapshot == "staged"
+    staging_root = f"{out_dir}/staging" if staged else None
 
     occ = occurrence_df(spark, sf_dir)
-    if snapshot:
+    if staged:
+        # reliable barrier: staged Parquet table, read back with a
+        # fresh lineage rooted at replicated storage
+        occ.write.mode("overwrite").parquet(f"{staging_root}/snapshot")
+        occ = spark.read.parquet(f"{staging_root}/snapshot")
+    elif snapshot:
         # materialization barrier: one pass over the source feeds ~40
         # downstream stages (4 projections x zooms + points + stats)
         occ = occ.localCheckpoint(eager=True)
@@ -68,9 +88,18 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
         # (write_tiles_srs), no shared _temporary directory.
         from concurrent.futures import ThreadPoolExecutor
 
+        # stale-sibling guard: write_tiles_srs overwrites only its own
+        # tiles/srs=<v> subtree, so an unversioned rerun into the same
+        # root with a smaller srs_list would otherwise keep serving the
+        # previous build's other projections
+        if not versioned:
+            tile_store.drop_stale_srs(out_dir, srs_list)
+
         def _one(srs: str) -> tuple[str, float]:
             t = time.time()
-            tiles = PY.build_pyramid(large, srs, max_zoom)
+            sdir = (f"{staging_root}/{srs.replace(':', '_')}"
+                    if staged else None)
+            tiles = PY.build_pyramid(large, srs, max_zoom, stage_dir=sdir)
             tile_store.write_tiles_srs(tiles, out_dir, srs)
             PY.unpersist_pyramid(tiles)
             return srs, round(time.time() - t, 2)
@@ -84,17 +113,27 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
             t = time.time()
             # polar clip (F2, TileMapBuilder.java:68-69) is inside the
             # projection's plottable mask — no extra filter needed
-            tiles = PY.build_pyramid(large, srs, max_zoom)
+            sdir = (f"{staging_root}/{srs.replace(':', '_')}"
+                    if staged else None)
+            tiles = PY.build_pyramid(large, srs, max_zoom, stage_dir=sdir)
             tile_store.write_tiles(tiles, out_dir,
                                    mode="append" if srs != srs_list[0]
                                    else "overwrite")
             PY.unpersist_pyramid(tiles)  # release span-parent cache
             stats[srs] = round(time.time() - t, 2)
 
+    if staged:
+        # staged tables have served their barrier role once the tile
+        # index + points are written; drop before the manifest swap so
+        # finalised builds never carry staging weight
+        import shutil
+        shutil.rmtree(staging_root, ignore_errors=True)
+
     manifest = {
         "sf_dir": sf_dir, "max_zoom": max_zoom, "threshold": threshold,
         "srs": list(srs_list), "build_sec": round(time.time() - t0, 2),
-        "stage_sec": stats,
+        "stage_sec": stats, "snapshot_mode": ("staged" if staged else
+                                              bool(snapshot)),
     }
     if versioned:
         tile_store.finalise_build(out_root, build_id, manifest,

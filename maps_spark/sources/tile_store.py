@@ -89,6 +89,23 @@ def write_tiles_srs(tiles: DataFrame, root: str, srs: str,
      .write.partitionBy("z").mode("overwrite").parquet(sub))
 
 
+def drop_stale_srs(root: str, srs_list: tuple[str, ...] | list[str]) -> None:
+    """Delete ``tiles/srs=<v>`` subtrees NOT in ``srs_list``.
+
+    Per-SRS writes only overwrite their own subtree, so an unversioned
+    rerun into the same root with a different srs_list would otherwise
+    leave a prior build's sibling projections live on read-back."""
+    import shutil
+    tiles_dir = f"{root}/tiles"
+    if not os.path.isdir(tiles_dir):
+        return
+    keep = {f"srs={_escape_partition(s.replace(':', '_'))}"
+            for s in srs_list}
+    for name in os.listdir(tiles_dir):
+        if name.startswith("srs=") and name not in keep:
+            shutil.rmtree(f"{tiles_dir}/{name}", ignore_errors=True)
+
+
 def write_points(points: DataFrame, root: str, mode: str = "overwrite",
                  num_files: int = 1) -> None:
     """Write (mapKey, features) point bundles."""

@@ -221,3 +221,62 @@ def test_parallel_srs_backfill_matches_sequential(spark, tmp_path):
     aa = sorted(map(tuple, a.select(*cols).collect()))
     bb = sorted(map(tuple, b.select(*cols).collect()))
     assert aa == bb
+
+
+def test_staged_backfill_matches_default_and_drops_staging(spark, tmp_path):
+    # snapshot="staged" materializes the snapshot + span parents as
+    # reliable Parquet staged tables; the finished build must decode
+    # feature-identical to the localCheckpoint/persist default, and the
+    # staging tree must be gone after finalise
+    import os
+
+    from maps_spark.functions.mvt import decode_tile
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources import tile_store
+    roots = {"default": str(tmp_path / "d"), "staged": str(tmp_path / "s")}
+    srs = ("EPSG:3857", "EPSG:4326")
+    manifests = {}
+    for mode, root in roots.items():
+        manifests[mode] = run_backfill(
+            spark, SF_SMALL, root, max_zoom=3, threshold=500,
+            srs_list=srs, snapshot="staged" if mode == "staged" else True)
+    assert manifests["staged"]["snapshot_mode"] == "staged"
+
+    def decoded(root):
+        rows = tile_store.read_tiles(spark, root).collect()
+        return {
+            (r["srs"], r["z"], r["mapKey"], r["x"], r["y"]):
+            {layer: sorted(feats) for layer, feats in
+             decode_tile(bytes(r["tile"])).items()}
+            for r in rows}
+
+    a, b = decoded(roots["default"]), decoded(roots["staged"])
+    assert a.keys() == b.keys() and len(a) > 0
+    assert a == b
+    # staging dropped inside the finalised build dir
+    builds = os.listdir(f"{roots['staged']}/builds")
+    for bdir in builds:
+        assert not os.path.exists(
+            f"{roots['staged']}/builds/{bdir}/staging")
+
+
+def test_parallel_srs_unversioned_rerun_drops_stale_srs(spark, tmp_path):
+    # ADVICE r3: rerunning an unversioned parallel build with a smaller
+    # srs_list must not keep serving the previous run's projections
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources import tile_store
+    root = str(tmp_path / "u")
+    run_backfill(spark, SF_SMALL, root, max_zoom=2, threshold=500,
+                 srs_list=("EPSG:3857", "EPSG:3031"),
+                 versioned=False, parallel_srs=True)
+    first = {r["srs"] for r in
+             tile_store.read_tiles(spark, root).select("srs").distinct()
+             .collect()}
+    assert first == {"EPSG_3857", "EPSG_3031"}
+    run_backfill(spark, SF_SMALL, root, max_zoom=2, threshold=500,
+                 srs_list=("EPSG:3857",), versioned=False,
+                 parallel_srs=True)
+    second = {r["srs"] for r in
+              tile_store.read_tiles(spark, root).select("srs").distinct()
+              .collect()}
+    assert second == {"EPSG_3857"}
