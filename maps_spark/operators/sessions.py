@@ -339,13 +339,19 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
         "user_id")
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")))
+    # each day's sketch contributes to the window_days windows ending
+    # at day .. day+window_days-1: explode to those end days and
+    # equi-aggregate — never a theta join (a BETWEEN predicate here
+    # plans as BroadcastNestedLoopJoin, O(#days^2) comparisons)
+    spans = daily.select(
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.lit(window_days - 1))).alias("end_day"),
+        "sk")
+    win = spans.groupBy("end_day").agg(F.hll_union_agg("sk").alias("u"))
+    # keep only end days that actually saw events (original contract)
     ends = daily.select(F.col("day").alias("end_day"))
-    win = (daily.join(
-        ends,
-        (F.col("day") <= F.col("end_day"))
-        & (F.col("day") > F.col("end_day") - window_days))
-        .groupBy("end_day")
-        .agg(F.hll_union_agg("sk").alias("u")))
+    win = win.join(ends, "end_day", "left_semi")
     return (win.select(F.col("end_day").alias("day"),
                        F.lit(window_days).alias("window_days"),
                        F.hll_sketch_estimate("u").cast("long")
@@ -373,22 +379,34 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     Output: left columns + ``<ts_col><suffix>`` (matched right
     timestamp, null if none) + each requested right column as
-    ``<col><suffix>``.
+    ``<col><suffix>``. ``ts_col`` must be numeric (epoch micros; cast
+    timestamps with TS_US_SPARK upstream).
+
+    Plan hygiene: each side is built in ONE ``select`` — a per-column
+    ``withColumn`` loop nests O(cols) projections into the logical
+    plan, which makes analysis itself quadratic on wide tables.
     """
     rc = list(right_cols)
-    l2 = (left.withColumn("_side", F.lit(1))
-          .withColumn("_rts", F.lit(None).cast("long")))
-    for c in rc:
-        l2 = l2.withColumn(f"_r_{c}", F.lit(None).cast(
-            dict(right.dtypes)[c]))
-    r2 = (right.select(
-        on, F.col(ts_col).alias(ts_col),
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    reserved = {"_side", "_rts", "_m_ts",
+                *(f"_r_{c}" for c in rc), *(f"_m_{c}" for c in rc)}
+    clash = reserved & (set(left.columns) | set(rc) | {on, ts_col})
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(clash)}; rename "
+            "them on the inputs first")
+    l2 = left.select(
+        "*", F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rts"),
+        *[F.lit(None).cast(rdt[c]).alias(f"_r_{c}") for c in rc])
+    r2 = right.select(
+        on, F.col(ts_col),
         F.lit(0).alias("_side"),
         F.col(ts_col).cast("long").alias("_rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in rc]))
-    for c in left.columns:
-        if c not in r2.columns:
-            r2 = r2.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+        *[F.col(c).alias(f"_r_{c}") for c in rc])
+    missing = [c for c in l2.columns if c not in r2.columns]
+    r2 = r2.select(
+        "*", *[F.lit(None).cast(ldt[c]).alias(c) for c in missing])
     u = l2.unionByName(r2.select(l2.columns))
     w = (Window.partitionBy(on).orderBy(ts_col, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -424,3 +424,49 @@ def test_warehouse_surface_invariants(spark):
     per = tk.groupBy("user_id").count().collect()
     assert all(r["count"] <= 3 for r in per)
     assert tk.where("rnk < 1 or rnk > 3").count() == 0
+
+
+def test_rolling_active_users_plan_has_no_nested_loop_join(spark):
+    # r3 verdict: the day-window membership must be an explode ->
+    # equi-join, never a BETWEEN theta join (BroadcastNestedLoopJoin)
+    from maps_spark.operators.sessions import rolling_active_users
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rolling_active_users(ev, window_days=7).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_rejects_reserved_column_collision(spark):
+    import pytest
+    from maps_spark.operators.sessions import asof_join
+    left = spark.range(3).select(
+        F.col("id").alias("user_id"), F.col("id").alias("tus"),
+        F.lit(1).alias("_side"))
+    right = spark.range(3).select(
+        F.col("id").alias("user_id"), F.col("id").alias("tus"))
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right)
+
+
+def test_asof_join_wide_table_single_projection(spark):
+    # 60 extra left columns: the union side must be built in one
+    # select; the logical plan must not nest one Project per column
+    from maps_spark.operators.sessions import asof_join
+    wide = spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 10).alias("tus"),
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(60)])
+    right = spark.range(10).select(
+        F.col("id").alias("user_id"), (F.col("id") * 7).alias("tus"),
+        F.lit("x").alias("tag"))
+    out = asof_join(wide, right, right_cols=("tag",))
+    assert len(out.columns) == 64
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # a withColumn loop leaves ~60 stacked Project nodes on the right
+    # union branch; the single-select form stays flat
+    assert plan.count("Project") < 20
+    assert out.count() == 100
