@@ -27,30 +27,61 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+DEFAULT_CHECKLIST_DIR = "__default__"
+
+
+def _checklist_expr() -> F.Column:
+    """Partition-routing column: taxon keys of NON-default checklists
+    (``1:<checklist>|<taxon>``) get their own ``checklist=`` subtree;
+    everything else — default-checklist taxa and all other map types —
+    shares the hot default partition. The physical split is
+    HBaseMaps.java:149-186's per-checklist table routing: cold
+    checklists stop sharing the hot table's files, and a lookup prunes
+    to its own subtree."""
+    from maps_spark.plans.params import DEFAULT_CHECKLIST
+    cl = F.regexp_extract(F.col("mapKey").cast("string"),
+                          r"^1:([^|]+)\|", 1)
+    return (F.when((cl != "") & (cl != DEFAULT_CHECKLIST), cl)
+            .otherwise(F.lit(DEFAULT_CHECKLIST_DIR)))
+
+
+def _checklist_of(map_key: str) -> str:
+    """Python twin of :func:`_checklist_expr` for point lookups."""
+    from maps_spark.plans.params import DEFAULT_CHECKLIST, checklist_key
+    cl = checklist_key(map_key)
+    return (cl if cl and cl != DEFAULT_CHECKLIST
+            else DEFAULT_CHECKLIST_DIR)
+
+
 def write_tiles(tiles: DataFrame, root: str, mode: str = "overwrite",
                 files_per_z: int = 1,
                 partitions: int | None = None) -> None:
     """Write (srs, mapKey, z, x, y, tile) as the partitioned tile index.
 
-    Scale shape: the shuffle key is ``(srs, z, bucket)`` with
-    ``bucket = hash(mapKey) mod files_per_z`` — every (srs, z)
-    directory is written by its own task(s) in parallel and receives
-    ~``files_per_z`` sorted files. (A plain ``repartition(1, ...)``
-    would funnel the ENTIRE index through one task — fine at sf0.1,
-    a serialization wall for a z16 pyramid.) Files stay sorted by
-    ``(mapKey, x, y)`` so row-group min/max stats keep point reads
-    near-O(1); ``files_per_z`` is the salt-prefix-partitioner knob
-    (SaltPrefixPartitioner.java:21-37) for hot builds.
+    Scale shape: the shuffle key is ``(srs, checklist, z, bucket)``
+    with ``bucket = hash(mapKey) mod files_per_z`` — every
+    (srs, checklist, z) directory is written by its own task(s) in
+    parallel and receives ~``files_per_z`` sorted files. (A plain
+    ``repartition(1, ...)`` would funnel the ENTIRE index through one
+    task — fine at sf0.1, a serialization wall for a z16 pyramid.)
+    Files stay sorted by ``(mapKey, x, y)`` so row-group min/max stats
+    keep point reads near-O(1); ``files_per_z`` is the
+    salt-prefix-partitioner knob (SaltPrefixPartitioner.java:21-37)
+    for hot builds. Non-default checklists route to their own
+    ``checklist=`` subtrees (HBaseMaps.java:149-186).
     """
     spark = tiles.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
     bucket = F.pmod(F.hash("mapKey"), F.lit(files_per_z))
     (tiles
+     .withColumn("checklist", _checklist_expr())
      .withColumn("__bucket", bucket)
-     .repartition(n_parts, "srs", "z", "__bucket")
-     .sortWithinPartitions("srs", "z", "__bucket", "mapKey", "x", "y")
+     .repartition(n_parts, "srs", "checklist", "z", "__bucket")
+     .sortWithinPartitions("srs", "checklist", "z", "__bucket",
+                           "mapKey", "x", "y")
      .drop("__bucket")
-     .write.partitionBy("srs", "z").mode(mode).parquet(f"{root}/tiles"))
+     .write.partitionBy("srs", "checklist", "z").mode(mode)
+     .parquet(f"{root}/tiles"))
 
 
 def _escape_partition(value: str) -> str:
@@ -82,11 +113,13 @@ def write_tiles_srs(tiles: DataFrame, root: str, srs: str,
     stored = srs.replace(":", "_")  # the pyramid's stored srs literal
     sub = f"{root}/tiles/srs={_escape_partition(stored)}"
     (tiles.where(F.col("srs") == stored).drop("srs")
+     .withColumn("checklist", _checklist_expr())
      .withColumn("__bucket", bucket)
-     .repartition(n_parts, "z", "__bucket")
-     .sortWithinPartitions("z", "__bucket", "mapKey", "x", "y")
+     .repartition(n_parts, "checklist", "z", "__bucket")
+     .sortWithinPartitions("checklist", "z", "__bucket", "mapKey",
+                           "x", "y")
      .drop("__bucket")
-     .write.partitionBy("z").mode("overwrite").parquet(sub))
+     .write.partitionBy("checklist", "z").mode("overwrite").parquet(sub))
 
 
 def drop_stale_srs(root: str, srs_list: tuple[str, ...] | list[str]) -> None:
@@ -215,10 +248,12 @@ def get_heat_png(spark: SparkSession, root: str, map_key: str, srs: str,
 
 def get_tile_bytes(spark: SparkSession, root: str, map_key: str, srs: str,
                    z: int, x: int, y: int) -> bytes | None:
-    """Point lookup; partition pruning on (srs, z) + row-group skip on
-    mapKey/x/y (check ``.explain``: PartitionFilters + PushedFilters)."""
+    """Point lookup; partition pruning on (srs, checklist, z) +
+    row-group skip on mapKey/x/y (check ``.explain``:
+    PartitionFilters + PushedFilters)."""
     rows = (read_tiles(spark, root)
             .where((F.col("srs") == srs.replace(":", "_")) &
+                   (F.col("checklist") == _checklist_of(map_key)) &
                    (F.col("z") == z) & (F.col("mapKey") == map_key) &
                    (F.col("x") == x) & (F.col("y") == y))
             .select("tile").collect())
@@ -271,7 +306,9 @@ class TileReader:
         key = (self._build_id(), map_key, srs.replace(":", "_"), int(z))
         if key not in self._slices:
             rows = (read_tiles(self.spark, self.root)
-                    .where((F.col("srs") == key[2]) & (F.col("z") == z) &
+                    .where((F.col("srs") == key[2]) &
+                           (F.col("checklist") == _checklist_of(map_key))
+                           & (F.col("z") == z) &
                            (F.col("mapKey") == map_key))
                     .select("x", "y", "tile").collect())
             self._lru_put(self._slices, key,

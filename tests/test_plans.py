@@ -280,3 +280,46 @@ def test_parallel_srs_unversioned_rerun_drops_stale_srs(spark, tmp_path):
               tile_store.read_tiles(spark, root).select("srs").distinct()
               .collect()}
     assert second == {"EPSG_3857"}
+
+
+def test_checklist_routed_layout_point_get_and_pruning(spark, tmp_path):
+    # HBaseMaps.java:149-186: non-default-checklist taxon tiles route
+    # to their own physical subtree; lookups prune to it
+    import os
+
+    from maps_spark.plans.params import DEFAULT_CHECKLIST
+    from maps_spark.sources import tile_store as TS
+    rows = [
+        ("0:0", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x02")),
+        (f"1:{DEFAULT_CHECKLIST}|212", "EPSG_3857", 0, 0, 0,
+         bytearray(b"\x1a\x03")),
+        ("1:coldlist|99", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x04")),
+        ("3:DK", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x05")),
+    ]
+    tiles = spark.createDataFrame(
+        rows,
+        "mapKey string, srs string, z int, x long, y long, tile binary")
+    root = str(tmp_path)
+    TS.write_tiles(tiles, root)
+    srs_dir = f"{root}/tiles/srs=EPSG_3857"
+    subdirs = sorted(os.listdir(srs_dir))
+    assert "checklist=coldlist" in subdirs
+    assert "checklist=__default__" in subdirs
+    # default-checklist taxa and non-taxon keys share the hot subtree
+    assert len([d for d in subdirs if d.startswith("checklist=")]) == 2
+    # point-gets route through the layout for every key kind
+    for mk, want in [("0:0", b"\x1a\x02"),
+                     (f"1:{DEFAULT_CHECKLIST}|212", b"\x1a\x03"),
+                     ("1:coldlist|99", b"\x1a\x04"),
+                     ("3:DK", b"\x1a\x05")]:
+        got = TS.get_tile_bytes(spark, root, mk, "EPSG:3857", 0, 0, 0)
+        assert got == want, mk
+    # the lookup's scan prunes on the checklist directory
+    lookup = (TS.read_tiles(spark, root)
+              .where((F.col("srs") == "EPSG_3857") &
+                     (F.col("checklist") == "coldlist") &
+                     (F.col("z") == 0) &
+                     (F.col("mapKey") == "1:coldlist|99")))
+    part = [ln for ln in plan_of(lookup).splitlines()
+            if "PartitionFilters" in ln]
+    assert part and "checklist" in part[0]
