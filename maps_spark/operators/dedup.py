@@ -457,7 +457,15 @@ def _cc_driver(pairs: DataFrame) -> DataFrame:
 
     Path-halving find + union-by-min keeps every root at its
     component's minimum doc_id — identical labels to the distributed
-    forms."""
+    forms.
+
+    Driver memory is bounded in BYTES, not just edges: the edge set
+    arrives as two flat Arrow columns (``toArrow`` — 16 bytes/edge for
+    long ids at the 1M-edge default, ~16 MB, never per-edge Row
+    objects), plus the union-find dict at O(distinct ids) — at most
+    2 x edges. The label table returns through Arrow the same way."""
+    import pandas as pd
+
     parent: dict = {}
 
     def find(x):
@@ -467,20 +475,24 @@ def _cc_driver(pairs: DataFrame) -> DataFrame:
             r = parent[r]
         return r
 
-    for a, b in pairs.select("doc_a", "doc_b").toLocalIterator():
-        if a == b:  # self-loops carry no cluster info (star drops them)
-            continue
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    rows = [(d, find(d)) for d in parent]
+    tbl = pairs.select("doc_a", "doc_b").toArrow()
+    for batch in tbl.to_batches():
+        for a, b in zip(batch.column(0).to_pylist(),
+                        batch.column(1).to_pylist()):
+            if a == b:  # self-loops carry no cluster info
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
     from pyspark.sql.types import StructField, StructType
     t = pairs.schema["doc_a"].dataType
     schema = StructType([StructField("doc_id", t), StructField("lbl", t)])
-    return pairs.sparkSession.createDataFrame(rows, schema)
+    out = pd.DataFrame({"doc_id": list(parent.keys()),
+                        "lbl": [find(d) for d in parent]})
+    return pairs.sparkSession.createDataFrame(out, schema)
 
 
 def _cc_label(pairs: DataFrame, max_iters: int) -> DataFrame:

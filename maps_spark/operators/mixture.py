@@ -116,6 +116,12 @@ def lm_crossentropy(docs: DataFrame, model_docs: DataFrame,
     c = 0 (so unseen-head bigrams cost ``-ln(1/V)``). Each bigram's
     log-prob is floored to an integer at ``scale`` before the sum —
     exact in any aggregation order, so the oracle matches bitwise.
+
+    Exclusion (by design, shared with :func:`dsir_importance` /
+    :func:`dsir_select`): documents with fewer than two tokens form no
+    bigram and are ABSENT from the output — a bigram model assigns
+    them no defined NLL. Filter or score such fragments upstream
+    (``text_stats.n_tokens < 2``) if they must be ranked.
     When ``model_docs`` is ``docs`` itself this reduces exactly to
     :func:`maps_spark.operators.corpus.lm_score`.
 
@@ -171,6 +177,10 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     pool does — the document "looks like" the target domain. ``target``
     is typically a small high-quality seed set (a Wikipedia slice, a
     curated domain sample).
+
+    Documents with fewer than two tokens have no bigrams, hence no
+    importance row, and can never be selected — see
+    :func:`lm_crossentropy` for the shared exclusion contract.
 
     Output: (doc_id, n_bigrams, nll_target_scaled, nll_corpus_scaled,
     importance_scaled).
@@ -229,6 +239,10 @@ def dsir_select(docs: DataFrame, target: DataFrame, n: int,
     (ties break on doc_id — fully deterministic). The final cut is an
     ``orderBy().limit()`` — Spark plans it as TakeOrdered (per-partition
     top-n then a bounded driver merge), not a global sort.
+
+    Sub-two-token documents carry no importance weight (no bigrams)
+    and are excluded from the candidate pool — the
+    :func:`lm_crossentropy` exclusion contract.
 
     Output: (doc_id, importance_scaled, sel_rank).
     """

@@ -383,9 +383,15 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.3,
 
 def token_hash_col(t: Column) -> Column:
     """31-bit Mersenne polynomial token hash as a pure Column fold —
-    the JVM twin of the oracle's ``_TOKEN_HASH`` (and of
-    ``dedup._token_hashes``): bytes base-256 mod 2^31-1, empty -> 0.
-    Runs inside codegen; no Python."""
+    the JVM twin of the oracle's ``_TOKEN_HASH``: code points base-256
+    mod 2^31-1, empty -> 0. Runs inside codegen; no Python.
+
+    Scope: agrees with ``dedup._token_hashes`` (and the DuckDB twin)
+    for ASCII tokens ONLY — this fold takes one base-256 step per CODE
+    POINT (``ascii()``), while ``_token_hashes`` folds UTF-8 BYTES
+    (several steps per non-ASCII char). Do not cross-join this hash
+    family with the byte-fold family over non-ASCII text; the gated
+    pipelines keep each family on its own side."""
     from maps_spark.operators.dedup import P31
     return F.when(t == "", F.lit(0).cast("long")).otherwise(
         F.aggregate(F.split(t, ""), F.lit(0).cast("long"),

@@ -67,7 +67,13 @@ def run_incremental_curation(spark: SparkSession, new_docs: DataFrame,
     from maps_spark.streaming.dedup import process_batch, rejected
 
     vp = _verdicts_path(state_dir)
-    have_state = os.path.isdir(vp)
+    # committed state = the batch counter exists (it is written LAST,
+    # after the snapshot swap): a run that crashed mid-way leaves
+    # partial files but no counter advance, and its retry must re-run
+    # as the same logical batch, not treat debris as state
+    have_state = os.path.isfile(_counter_path(state_dir))
+    if have_state:
+        _finish_swap_if_needed(state_dir)
     new_docs = new_docs.select("doc_id", text_col).localCheckpoint()
 
     if have_state:
@@ -89,10 +95,21 @@ def run_incremental_curation(spark: SparkSession, new_docs: DataFrame,
     survivors = delta.join(q.where(F.col("keep")).select("doc_id"),
                            "doc_id")
 
-    bid = batch_id if batch_id is not None else _next_batch(state_dir)
+    # Replay guard (ADVICE r3): the signature-store append inside
+    # process_batch is the one non-idempotent step. The batch counter
+    # is only committed after the whole run succeeds, so a crash
+    # anywhere after the append makes the RETRY reuse the same bid —
+    # and the store marker (same mechanism as streaming.dedup's
+    # foreachBatch body) then skips the duplicate append; verdicts
+    # re-derive idempotently from the store's rejected table.
+    from maps_spark.streaming.refresh import _applied_batch, _commit_batch
+    bid = batch_id if batch_id is not None else _peek_batch(state_dir)
     store = f"{state_dir}/dedup_store"
-    process_batch(survivors, store, batch_id=bid, text_col=text_col,
-                  threshold=threshold)
+    marker = f"{store}/_meta/last_batch.json"
+    if _applied_batch(marker) < bid:
+        process_batch(survivors, store, batch_id=bid, text_col=text_col,
+                      threshold=threshold)
+        _commit_batch(marker, bid)
     rej = (rejected(spark, store)
            .where(F.col("batch_id") == bid)
            .select("doc_id",
@@ -116,6 +133,7 @@ def run_incremental_curation(spark: SparkSession, new_docs: DataFrame,
     merged.write.mode("overwrite").parquet(vp)
     new_docs.write.mode("overwrite").parquet(f"{state_dir}/docs.next")
     _swap(state_dir)
+    _commit_counter(state_dir, bid)  # the run is now durable
 
     stages = {r["stage"]: r["n"] for r in
               delta_verdicts.groupBy("stage")
@@ -125,16 +143,40 @@ def run_incremental_curation(spark: SparkSession, new_docs: DataFrame,
             "corpus_docs": int(merged.count())}
 
 
-def _next_batch(state_dir: str) -> int:
-    p = f"{state_dir}/_meta/batch_counter"
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    n = 0
+def _counter_path(state_dir: str) -> str:
+    return f"{state_dir}/_meta/batch_counter"
+
+
+def _peek_batch(state_dir: str) -> int:
+    """Next batch id WITHOUT advancing the counter: a crashed run's
+    retry draws the same id, which is what lets the store marker
+    dedupe the signature append."""
+    p = _counter_path(state_dir)
     if os.path.isfile(p):
         with open(p) as f:
-            n = int(f.read().strip()) + 1
-    with open(p, "w") as f:
-        f.write(str(n))
-    return n
+            return int(f.read().strip()) + 1
+    return 0
+
+
+def _commit_counter(state_dir: str, bid: int) -> None:
+    p = _counter_path(state_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    cur = _peek_batch(state_dir) - 1
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(max(bid, cur)))  # never rewind on explicit ids
+    os.replace(tmp, p)
+
+
+def _finish_swap_if_needed(state_dir: str) -> None:
+    """Complete a :func:`_swap` a previous run crashed inside: if the
+    current snapshot is missing but ``docs.next`` survived, promote it;
+    always clear leftover ``docs.old``."""
+    import shutil
+    cur, nxt = f"{state_dir}/docs", f"{state_dir}/docs.next"
+    if not os.path.isdir(cur) and os.path.isdir(nxt):
+        os.rename(nxt, cur)
+    shutil.rmtree(f"{state_dir}/docs.old", ignore_errors=True)
 
 
 def _swap(state_dir: str) -> None:

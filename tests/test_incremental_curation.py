@@ -74,3 +74,48 @@ def test_changed_doc_not_dup_of_its_own_stale_signature(spark, tmp_path):
     v = {r["doc_id"]: r["stage"]
          for r in read_verdicts(spark, state).collect()}
     assert v == {1: "kept"}
+
+
+def test_crash_retry_does_not_duplicate_signatures(spark, tmp_path):
+    # ADVICE r3: a crash after the signature-store append but before
+    # the verdict write must not re-append on retry — the retry reuses
+    # the same batch id and the store marker skips the append
+    from maps_spark.plans import curation as C
+    state = str(tmp_path / "state3")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going with plenty of ordinary words to pass quality ")
+    docs = spark.createDataFrame(
+        [(i, base + str(i)) for i in range(6)],
+        "doc_id long, text string")
+
+    orig_swap = C._swap
+    calls = {"n": 0}
+
+    def crashing_swap(sd):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before finalize")
+        return orig_swap(sd)
+
+    C._swap = crashing_swap
+    try:
+        import pytest
+        with pytest.raises(RuntimeError):
+            C.run_incremental_curation(spark, docs, state)
+        # retry the same snapshot — must draw the SAME batch id
+        r = C.run_incremental_curation(spark, docs, state)
+    finally:
+        C._swap = orig_swap
+    assert r["batch_id"] == 0  # counter was not advanced by the crash
+    hashes = spark.read.parquet(f"{state}/dedup_store/hashes")
+    dupes = (hashes.groupBy("doc_id").count().where("count > 1").count())
+    assert dupes == 0, "signature store has replayed duplicate rows"
+    sigs = spark.read.parquet(f"{state}/dedup_store/sigs")
+    assert (sigs.groupBy("doc_id").count().where("count > 1")
+            .count()) == 0
+    # and the state is healthy: all docs have verdicts
+    v = C.read_verdicts(spark, state)
+    assert v.count() == 6
+    # a following snapshot advances the counter normally
+    r2 = C.run_incremental_curation(spark, docs, state)
+    assert r2["batch_id"] == 1

@@ -780,3 +780,43 @@ def test_hashed_doc_vectors_feed_ann(spark):
     [hit] = top.collect()
     assert hit["neighbor_id"] == 2
     assert hit["cos_scaled"] >= 999_999_000  # cosine == 1 up to fp
+
+
+class TestClusterAutoThreshold:
+    def test_auto_mode_boundary_falls_through_to_star(self, spark):
+        # exactly driver_threshold edges -> driver union-find; one more
+        # -> distributed star. Results identical either side.
+        from maps_spark.operators import dedup as D
+        edges = [(i, i + 1) for i in range(6)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        calls = []
+        orig_driver, orig_star = D._cc_driver, D._cc_star
+
+        def spy_driver(p):
+            calls.append("driver")
+            return orig_driver(p)
+
+        def spy_star(p, it):
+            calls.append("star")
+            return orig_star(p, it)
+
+        D._cc_driver, D._cc_star = spy_driver, spy_star
+        try:
+            at = D.dedup_clusters(pairs, driver_threshold=6).collect()
+            over = D.dedup_clusters(pairs, driver_threshold=5).collect()
+        finally:
+            D._cc_driver, D._cc_star = orig_driver, orig_star
+        assert calls == ["driver", "star"]
+        norm = lambda rows: sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size, r.keep) for r in rows)
+        assert norm(at) == norm(over)
+
+    def test_driver_mode_string_ids(self, spark):
+        # the Arrow collect path must handle non-long id types too
+        from maps_spark.operators.dedup import dedup_clusters
+        pairs = spark.createDataFrame(
+            [("b", "a"), ("c", "b")], "doc_a string, doc_b string")
+        out = {r.doc_id: r for r in
+               dedup_clusters(pairs, method="driver").collect()}
+        assert set(out) == {"a", "b", "c"}
+        assert all(r.cluster_id == "a" for r in out.values())
