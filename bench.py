@@ -179,6 +179,40 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    @timed("backfill_z10_4x", n=1)
+    def _4f():
+        # replicated-scale tracking entry (VERDICT r3 #7): the README's
+        # 1x/4x/8x shifted-coordinate experiment, promoted into the
+        # bench so the scaling curve is tracked per round. Each replica
+        # shifts lng (wrapped) and lat (clamped inside the polar clip)
+        # by a sub-degree offset: new unique pixels, same skew profile.
+        # Compare against backfill_z0_10_3857 — linear-ish growth means
+        # no super-linear stage is hiding in the span/encode path.
+        import shutil
+        import tempfile
+
+        from maps_spark.sources import tile_store
+        rep = occ
+        for i in range(1, 4):
+            rep = rep.unionByName(occ.withColumns({
+                "decimalLongitude": F.pmod(
+                    F.col("decimalLongitude") + F.lit(180.0 + i * 0.013),
+                    F.lit(360.0)) - 180.0,
+                "decimalLatitude": F.greatest(F.lit(-84.9), F.least(
+                    F.lit(84.9), F.col("decimalLatitude") + i * 0.0071)),
+            }))
+        out = tempfile.mkdtemp(prefix="bench_bf4x_")
+        try:
+            snap = rep.localCheckpoint(eager=True)
+            k4 = PY.keyed_occurrence(snap)
+            large, small = PY.split_views(k4, 10_000)
+            tile_store.write_points(PY.point_blobs(small), out)
+            tiles = PY.build_pyramid(large, "EPSG:3857", 10)
+            tile_store.write_tiles(tiles, out)
+            PY.unpersist_pyramid(tiles)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     @timed("point_blobs")
     def _5():
         small = keyed.where(F.col("mapKey").startswith("3:"))
