@@ -441,6 +441,115 @@ def png_channel_sums(media: DataFrame) -> DataFrame:
         run, "media_id long, sum_r long, sum_g long, sum_b long")
 
 
+# -- real codec path: WAV (RIFF PCM) ------------------------------------
+# Uncompressed PCM WAV needs only ``struct``: RIFF chunk walk, fmt
+# parse, int16 sample decode. This makes AUDIO a real decoded modality
+# alongside PPM/PNG images; compressed audio (mp3/aac) stays out of
+# scope like JPEG (no stdlib entropy decoders).
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """REAL WAV encoder: (n,) or (n, channels) int16 PCM samples ->
+    RIFF/WAVE bytes (format 1, 16-bit)."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate,
+                      ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE PCM16: returns
+    ((n, channels) int16 array, sample_rate). Raises ValueError on
+    malformed input or non-PCM16 formats (compressed audio is out of
+    scope, like JPEG on the image side)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len + 8 > len(payload):
+        raise ValueError("truncated RIFF payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported format {audio_format}/{bits}-bit")
+    if ch < 1 or block_align != ch * 2:
+        raise ValueError("bad channel/block layout")
+    if len(data) % (ch * 2):
+        raise ValueError("data not sample-aligned")
+    arr = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return arr, rate
+
+
+def synthesize_wav_media(spark: SparkSession, n: int = 64,
+                         sample_rate: int = 8000,
+                         n_samples: int = 1024,
+                         partitions: int = 4) -> DataFrame:
+    """Media table whose payloads are REAL PCM16 WAVs: a deterministic
+    integer sawtooth per id (``sample[t] = (t*(id+3)) % 2048 - 1024``)
+    whose amplitude sums the SQL oracle recomputes exactly."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            t = np.arange(n_samples, dtype=np.int64)
+            for i in pdf["id"]:
+                wave = ((t * (int(i) + 3)) % 2048 - 1024).astype(np.int16)
+                rows.append(encode_wav(wave, sample_rate))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "audio",
+                "payload": rows, "width": 0, "height": 0,
+                "sample_rate": sample_rate, "n_frames": 0})
+
+    return (spark.range(n).repartition(partitions)
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """Integer amplitude statistics from the REAL WAV decode — the
+    cross-engine check of the codec (twin of the image channel-sum
+    gates): for :func:`synthesize_wav_media` payloads, sum / abs-sum
+    have an exact integer form the SQL oracle recomputes, so a hash
+    match proves the RIFF walk and sample decode read every sample.
+
+    Output: (media_id, n_samples, sample_rate, sum_amp, sum_abs)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "n_samples": [],
+                   "sample_rate": [], "sum_amp": [], "sum_abs": []}
+            for payload in pdf["payload"]:
+                arr, rate = decode_wav(bytes(payload))
+                a = arr.astype(np.int64)
+                out["n_samples"].append(int(a.shape[0]))
+                out["sample_rate"].append(int(rate))
+                out["sum_amp"].append(int(a.sum()))
+                out["sum_abs"].append(int(np.abs(a).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, n_samples long, sample_rate long, "
+             "sum_amp long, sum_abs long")
+
+
 def ppm_channel_sums(media: DataFrame) -> DataFrame:
     """Integer per-channel pixel sums from the REAL PPM decode — the
     cross-engine check of the codec: for :func:`synthesize_ppm_media`

@@ -169,6 +169,12 @@ def q_media_png_decode(spark, sf_dir):
     return png_channel_sums(synthesize_png_media(spark, n=64))
 
 
+def q_media_wav_decode(spark, sf_dir):
+    from maps_spark.operators.multimodal import (synthesize_wav_media,
+                                                 wav_stats)
+    return wav_stats(synthesize_wav_media(spark, n=64))
+
+
 def q_adhoc_grid_bounds_z5(spark, sf_dir):
     return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="bounds")
 
@@ -646,6 +652,7 @@ MAPS_QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_ppm_decode": q_media_ppm_decode,
     "media_png_decode": q_media_png_decode,
+    "media_wav_decode": q_media_wav_decode,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -819,6 +826,7 @@ def maps_oracles() -> dict[str, str]:
         # only the container codec differs (31x17 stresses odd strides)
         "media_png_decode": OT.ppm_channel_sums_select(
             n=64, width=31, height=17),
+        "media_wav_decode": OT.wav_stats_select(n=64),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),

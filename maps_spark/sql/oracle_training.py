@@ -1472,3 +1472,23 @@ r AS (
   FROM v)
 SELECT user_id, event_id, value_milli, CAST(rnk AS INT) AS rnk
 FROM r WHERE rnk <= {k}"""
+
+
+def wav_stats_select(n: int = 64, sample_rate: int = 8000,
+                     n_samples: int = 1024) -> str:
+    """Closed-form twin of operators.multimodal.wav_stats over
+    synthesize_wav_media's sawtooth PCM: the decoder's amplitude sums
+    must equal the synthesis arithmetic
+    (sample[t] = (t*(id+3)) % 2048 - 1024)."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+s AS (SELECT media_id,
+         sum((t * (media_id + 3)) % 2048 - 1024) AS sum_amp,
+         sum(abs((t * (media_id + 3)) % 2048 - 1024)) AS sum_abs
+      FROM ids CROSS JOIN generate_series(0, {n_samples - 1}) g(t)
+      GROUP BY media_id)
+SELECT media_id, CAST({n_samples} AS BIGINT) AS n_samples,
+       CAST({sample_rate} AS BIGINT) AS sample_rate,
+       CAST(sum_amp AS BIGINT) AS sum_amp,
+       CAST(sum_abs AS BIGINT) AS sum_abs
+FROM s"""

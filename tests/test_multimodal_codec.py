@@ -176,3 +176,61 @@ def test_extract_image_features_decodes_png_too(spark):
     assert len(out) == 6 and all(r["decode_ok"] for r in out)
     for r in out:
         assert abs(np.array(r["feat"])[0] - 127.5 / 255) < 0.02
+
+
+# -- WAV (RIFF PCM) ------------------------------------------------------
+
+def test_wav_roundtrip_mono_and_stereo():
+    from maps_spark.operators.multimodal import decode_wav, encode_wav
+    rng = np.random.RandomState(5)
+    mono = rng.randint(-32768, 32767, size=300, dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and arr.shape == (300, 1)
+    assert np.array_equal(arr[:, 0], mono)
+    stereo = rng.randint(-32768, 32767, size=(200, 2), dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and np.array_equal(arr, stereo)
+
+
+def test_wav_decode_skips_extra_chunks_and_pads_odd_lengths():
+    import struct
+    from maps_spark.operators.multimodal import decode_wav, encode_wav
+    samples = np.arange(-10, 10, dtype=np.int16)
+    good = encode_wav(samples, 8000)
+    # splice a LIST metadata chunk with an ODD length (word-padded)
+    # between WAVE and fmt — decoders must skip it per the RIFF spec
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = good[:12] + extra + good[12:]
+    spliced = (b"RIFF" + struct.pack("<I", len(spliced) - 8)
+               + spliced[8:])
+    arr, rate = decode_wav(spliced)
+    assert np.array_equal(arr[:, 0], samples)
+
+
+def test_wav_rejects_malformed():
+    import struct
+    from maps_spark.operators.multimodal import decode_wav, encode_wav
+    samples = np.zeros(8, dtype=np.int16)
+    good = encode_wav(samples, 8000)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + good[4:])  # bad magic
+    with pytest.raises(ValueError):
+        decode_wav(good[:-3])  # truncated data chunk
+    # 8-bit / non-PCM formats are declared unsupported, not garbage
+    bad_fmt = bytearray(good)
+    bad_fmt[20:22] = struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_wav_stats_matches_closed_form(spark):
+    from maps_spark.operators.multimodal import (synthesize_wav_media,
+                                                 wav_stats)
+    rows = wav_stats(
+        synthesize_wav_media(spark, n=5, n_samples=256)).collect()
+    t = np.arange(256, dtype=np.int64)
+    for r in rows:
+        wave = (t * (r["media_id"] + 3)) % 2048 - 1024
+        assert r["n_samples"] == 256 and r["sample_rate"] == 8000
+        assert r["sum_amp"] == int(wave.sum())
+        assert r["sum_abs"] == int(np.abs(wave).sum())
