@@ -1,0 +1,105 @@
+"""Multinomial Naive Bayes text classifier — dependency-free.
+
+The role fasttext-style linear classifiers play in big curation
+pipelines (CCNet/Dolma-style quality and domain routing): train on a
+labeled slice, score the whole corpus, route by predicted label or
+margin. This implementation is pure DataFrame aggregations, so it
+needs no ML runtime, trains in two vocabulary-bounded shuffles, and —
+because every log-probability is floored to an integer at ``scale``
+per token occurrence — scores are exact in any aggregation order and
+the DuckDB oracle matches bitwise (the same determinism contract as
+:mod:`maps_spark.operators.mixture`).
+
+Scale shape (100 TB): training aggregates are keyed by
+(label, word) / (label) — vocabulary x classes, map-side combined,
+never corpus-sized. Scoring decomposes
+
+    score(c | d) = ln P(c) + sum_t ln P(t | c)
+                 = prior(c) + n_tokens(d) * lp0(c)
+                   + sum_{t seen in class c} tf(d,t) * dlp(c,t)
+
+where ``lp0`` is the unseen-token log-prob and ``dlp`` the per-(class,
+word) lift over it — so the per-document work is ONE equi-join of the
+document's term frequencies against the (vocabulary x classes) delta
+table plus a broadcast cross with the #classes-row constant table.
+No token x class blow-up ever materializes per document; the argmax
+is a per-document window over #classes rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+SCALE = 1_000_000
+
+
+def nb_classify(docs: DataFrame, model_docs: DataFrame,
+                label_col: str = "label", text_col: str = "text",
+                scale: int = SCALE) -> DataFrame:
+    """Train multinomial NB on ``model_docs`` (labeled) and score every
+    document in ``docs``; add-one smoothing over the model vocabulary:
+
+        P(t | c) = (cnt(c, t) + 1) / (total(c) + V)
+
+    Ties on score break on label ascending — fully deterministic.
+    Documents with zero tokens have no defined likelihood and are
+    absent from the output (the :mod:`mixture` exclusion contract).
+
+    Output: (doc_id, pred_label, score_scaled, margin_scaled) where
+    margin is the gap to the runner-up label (0 when single-class).
+    """
+    from maps_spark.operators.text import _doc_tokens
+
+    lab = model_docs.select("doc_id", F.col(label_col).alias("label"))
+    toks_m = _doc_tokens(model_docs, text_col).join(lab, "doc_id")
+    cwc = toks_m.groupBy("label", "word").agg(F.count("*").alias("cnt"))
+    cw = cwc.groupBy("label").agg(F.sum("cnt").alias("total"))
+    v = toks_m.agg(
+        F.greatest(F.countDistinct("word"), F.lit(1)).alias("v"))
+    nd = lab.groupBy("label").agg(F.count("*").alias("nd"))
+    n = lab.agg(F.count("*").alias("n"))
+
+    denom = (F.col("total") + F.col("v")).cast("double")
+    classes = (nd.crossJoin(F.broadcast(n)).join(cw, "label")
+               .crossJoin(F.broadcast(v))
+               .select(
+                   "label",
+                   F.floor(F.lit(float(scale)) * F.log(
+                       F.col("nd").cast("double")
+                       / F.col("n").cast("double")))
+                   .cast("long").alias("prior_lp"),
+                   F.floor(F.lit(float(scale)) * F.log(F.lit(1.0) / denom))
+                   .cast("long").alias("lp0")))
+    delta = (cwc.join(cw, "label").crossJoin(F.broadcast(v))
+             .select(
+                 "label", "word",
+                 (F.floor(F.lit(float(scale)) * F.log(
+                     (F.col("cnt") + 1).cast("double") / denom))
+                  - F.floor(F.lit(float(scale))
+                            * F.log(F.lit(1.0) / denom)))
+                 .cast("long").alias("dlp")))
+
+    tf = (_doc_tokens(docs, text_col)
+          .groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
+    nt = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
+    seen = (tf.join(delta, "word")
+            .groupBy("doc_id", "label")
+            .agg(F.sum(F.col("tf") * F.col("dlp")).alias("seen_lp")))
+    scores = (nt.crossJoin(F.broadcast(classes))
+              .join(seen, ["doc_id", "label"], "left")
+              .select("doc_id", "label",
+                      (F.col("prior_lp")
+                       + F.col("n_tokens") * F.col("lp0")
+                       + F.coalesce("seen_lp", F.lit(0)))
+                      .cast("long").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "label")
+    return (scores
+            .select("doc_id", "label", "score",
+                    F.row_number().over(w).alias("rk"),
+                    F.lead("score").over(w).alias("nxt"))
+            .where(F.col("rk") == 1)
+            .select("doc_id", F.col("label").alias("pred_label"),
+                    F.col("score").alias("score_scaled"),
+                    (F.col("score") - F.coalesce("nxt", "score"))
+                    .cast("long").alias("margin_scaled")))

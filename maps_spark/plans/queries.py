@@ -388,6 +388,12 @@ def q_lang_id(spark, sf_dir):
     return TX.lang_id(_docs(spark, sf_dir))
 
 
+def q_nb_classify(spark, sf_dir):
+    from maps_spark.operators.classify import nb_classify
+    docs = _docs(spark, sf_dir)
+    return nb_classify(docs, docs, label_col="source")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
@@ -683,6 +689,7 @@ MAPS_QUERIES = {
     "dup_ngram_coverage": q_dup_ngram_coverage,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "nb_classify": q_nb_classify,
     "token_count_bpe": q_token_count,
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -788,6 +795,7 @@ def maps_oracles() -> dict[str, str]:
         "dup_ngram_coverage": OT.dup_ngram_coverage_select(k=8),
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
+        "nb_classify": OT.nb_classify_select(),
         "token_count_bpe": OT.token_count_select(),
         "quality_score": OT.quality_score_select(),
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),

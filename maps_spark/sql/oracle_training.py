@@ -1492,3 +1492,58 @@ SELECT media_id, CAST({n_samples} AS BIGINT) AS n_samples,
        CAST(sum_amp AS BIGINT) AS sum_amp,
        CAST(sum_abs AS BIGINT) AS sum_abs
 FROM s"""
+
+
+def nb_classify_select(scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.classify.nb_classify self-trained on
+    documents with label = source: same add-one smoothing, same
+    floor-at-scale per-token integer cut, same seen/unseen score
+    decomposition, ties on label ascending."""
+    return f"""WITH {_TOKS_CTE},
+lab AS (SELECT doc_id, source AS label FROM documents),
+tm AS (SELECT t.doc_id, l.label, t.word FROM toks t
+       JOIN lab l USING (doc_id)),
+cwc AS (SELECT label, word, count(*) AS cnt FROM tm GROUP BY 1, 2),
+cw AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS total
+       FROM cwc GROUP BY 1),
+v AS (SELECT greatest(count(DISTINCT word), 1) AS v FROM tm),
+nd AS (SELECT label, count(*) AS nd FROM lab GROUP BY 1),
+n AS (SELECT count(*) AS n FROM lab),
+cls AS (
+  SELECT label,
+         CAST(floor({float(scale)!r} * ln(CAST(nd AS DOUBLE)
+              / CAST(n AS DOUBLE))) AS BIGINT) AS prior_lp,
+         CAST(floor({float(scale)!r} * ln(1.0
+              / CAST(total + v AS DOUBLE))) AS BIGINT) AS lp0
+  FROM nd CROSS JOIN n JOIN cw USING (label) CROSS JOIN v),
+delta AS (
+  SELECT label, word,
+         CAST(floor({float(scale)!r} * ln(CAST(cnt + 1 AS DOUBLE)
+                / CAST(total + v AS DOUBLE)))
+            - floor({float(scale)!r} * ln(1.0
+                / CAST(total + v AS DOUBLE))) AS BIGINT) AS dlp
+  FROM cwc JOIN cw USING (label) CROSS JOIN v),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+nt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+       FROM tf GROUP BY 1),
+seen AS (
+  SELECT tf.doc_id, d.label,
+         CAST(sum(tf.tf * d.dlp) AS BIGINT) AS seen_lp
+  FROM tf JOIN delta d USING (word) GROUP BY 1, 2),
+scores AS (
+  SELECT nt.doc_id, c.label,
+         c.prior_lp + nt.n_tokens * c.lp0
+           + COALESCE(s.seen_lp, 0) AS score
+  FROM nt CROSS JOIN cls c
+  LEFT JOIN seen s ON s.doc_id = nt.doc_id AND s.label = c.label),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rk,
+         lead(score) OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, label) AS nxt
+  FROM scores)
+SELECT doc_id, label AS pred_label,
+       CAST(score AS BIGINT) AS score_scaled,
+       CAST(score - COALESCE(nxt, score) AS BIGINT) AS margin_scaled
+FROM ranked WHERE rk = 1"""
