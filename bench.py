@@ -179,6 +179,26 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    @timed("backfill_z0_10_staged", n=1)
+    def _4c2():
+        # the z10 headline build in RELIABLE staged-table mode
+        # (snapshot + span parents round-trip through Parquet staging
+        # instead of localCheckpoint/persist): tracks the fault-
+        # tolerance mode's overhead against backfill_z0_10_3857 —
+        # expected within spread, since the staging write sits on an
+        # existing stage barrier.
+        import shutil
+        import tempfile
+
+        from maps_spark.plans.backfill import run_backfill
+        out = tempfile.mkdtemp(prefix="bench_bfst_")
+        try:
+            run_backfill(spark, SF_DIR, out, max_zoom=10,
+                         threshold=10_000, srs_list=("EPSG:3857",),
+                         snapshot="staged")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     @timed("backfill_z10_4x", n=1)
     def _4f():
         # replicated-scale tracking entry (VERDICT r3 #7): the README's
