@@ -444,3 +444,32 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
                         F.col(strata_col).alias("stratum"),
                         F.row_number().over(w).alias("sample_rank"))
             .where(F.col("sample_rank") <= n_per_stratum))
+
+
+def domain_cap(docs: DataFrame, cap: int,
+               domain_col: str = "source",
+               order_col: str = "doc_id") -> DataFrame:
+    """Cap documents per domain (the standard web-corpus guard against
+    a handful of megadomains dominating the mix): keep at most ``cap``
+    docs per ``domain_col``, lowest ``order_col`` first — fully
+    deterministic.
+
+    Skew shape: the naive form is one window over EVERY domain, which
+    sorts the whole corpus. Since most domains are under the cap, this
+    splits adaptively (the same count-then-choose plan split as
+    ``dedup_clusters``): a domain-count aggregate finds the over-cap
+    domains (a tiny table — broadcast), under-cap domains pass through
+    WITHOUT sorting, and only the over-cap slice pays the per-domain
+    rank. At web scale that is a sort over the few megadomains, not
+    the corpus.
+
+    Output: the input rows that survive the cap (all input columns).
+    """
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    over = counts.where(F.col("__n") > cap).select(domain_col)
+    under = docs.join(F.broadcast(over), domain_col, "left_anti")
+    w = Window.partitionBy(domain_col).orderBy(order_col)
+    capped = (docs.join(F.broadcast(over), domain_col, "left_semi")
+              .withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= cap).drop("__rk"))
+    return under.unionByName(capped)

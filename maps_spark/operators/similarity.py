@@ -440,3 +440,59 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64,
     vec = F.transform(F.col("d"),
                       lambda x: (x / F.col("nrm")).cast("float"))
     return d.select("doc_id", vec.alias("embedding"))
+
+
+def _scaled_components(emb: DataFrame, label_col: str, vec_col: str,
+                       scale: int) -> DataFrame:
+    """(vec_id, label, pos, xs): embedding components floored to
+    integers at ``scale`` — float->double widening then one IEEE
+    multiply, bit-identical in every engine, so downstream sums are
+    exact in any order."""
+    return emb.select(
+        "vec_id", F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x")).select(
+        "vec_id", "label", "pos",
+        F.floor(F.col("x").cast("double") * F.lit(float(scale)))
+        .cast("long").alias("xs"))
+
+
+def embedding_profile(emb: DataFrame, label_col: str = "label",
+                      vec_col: str = "embedding",
+                      scale: int = 1_000_000) -> DataFrame:
+    """Per-group dimension-wise embedding sums — the embedding-QA
+    profile (drifted source? dead dimensions? collapsed clusters?)
+    as one (label, pos) aggregation with map-side combine. Sums stay
+    integers (no division), so consumers derive means at whatever
+    precision they need and the oracle matches bitwise.
+
+    Output: (label, pos, n_vecs, sum_scaled)."""
+    return (_scaled_components(emb, label_col, vec_col, scale)
+            .groupBy("label", "pos")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum("xs").cast("long").alias("sum_scaled")))
+
+
+def embedding_outliers(emb: DataFrame, label_col: str = "label",
+                       vec_col: str = "embedding",
+                       scale: int = 1_000_000) -> DataFrame:
+    """Exact distance of every vector from its group centroid, for
+    outlier triage: reports ``sum_pos (n*x_s - S_pos)^2`` — the
+    squared distance to the mean multiplied through by n^2, which
+    keeps everything in BIGINT arithmetic (no division, no float
+    accumulation), so ranking within a group is exact and the oracle
+    hashes bitwise. Divide by ``n^2 * scale^2`` for the geometric
+    value.
+
+    Exactness bound: ``n * scale * |x|`` must stay well under 2^31 so
+    the square fits int64 — the verification-mode regime (bounded
+    audit samples); a production sweep over billion-row groups would
+    use the float centroid from :func:`embedding_profile` instead.
+
+    Output: (vec_id, label, dist2_n2)."""
+    comp = _scaled_components(emb, label_col, vec_col, scale)
+    cent = (comp.groupBy("label", "pos")
+            .agg(F.count("*").alias("n"), F.sum("xs").alias("s")))
+    t = (F.col("n") * F.col("xs") - F.col("s"))
+    return (comp.join(cent, ["label", "pos"])
+            .groupBy("vec_id", "label")
+            .agg(F.sum(t * t).cast("long").alias("dist2_n2")))

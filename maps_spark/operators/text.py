@@ -327,3 +327,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         return fingerprint_series(texts, modulus, base)
 
     return docs.select("doc_id", _fp(F.col(text_col)).alias("fingerprint"))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the first stage of every
+    curation pipeline, as pure codegen Columns: lowercase, control
+    characters to spaces, whitespace runs collapsed, ends trimmed.
+    The regex family ([\\x00-\\x1F\\x7F], \\s+) parses identically in
+    Java regex and RE2, so the DuckDB oracle matches bitwise.
+
+    Output: (doc_id, norm_text, n_chars_raw, n_chars_norm).
+    """
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col(text_col)), "[\\x00-\\x1F\\x7F]", " "),
+        "\\s+", " "))
+    return docs.select(
+        "doc_id", norm.alias("norm_text"),
+        F.length(text_col).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"))

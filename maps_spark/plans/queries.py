@@ -394,6 +394,27 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_domain_cap(spark, sf_dir):
+    from maps_spark.operators.corpus import domain_cap
+    return (domain_cap(_docs(spark, sf_dir), cap=20)
+            .select("doc_id", "source"))
+
+
+def q_normalize_text(spark, sf_dir):
+    from maps_spark.operators.text import normalize_text
+    return normalize_text(_docs(spark, sf_dir))
+
+
+def q_embedding_profile(spark, sf_dir):
+    from maps_spark.operators.similarity import embedding_profile
+    return embedding_profile(_emb(spark, sf_dir))
+
+
+def q_embedding_outliers(spark, sf_dir):
+    from maps_spark.operators.similarity import embedding_outliers
+    return embedding_outliers(_emb(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
@@ -690,6 +711,10 @@ MAPS_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "nb_classify": q_nb_classify,
+    "domain_cap": q_domain_cap,
+    "normalize_text": q_normalize_text,
+    "embedding_profile": q_embedding_profile,
+    "embedding_outliers": q_embedding_outliers,
     "token_count_bpe": q_token_count,
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -796,6 +821,10 @@ def maps_oracles() -> dict[str, str]:
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "nb_classify": OT.nb_classify_select(),
+        "domain_cap": OT.domain_cap_select(cap=20),
+        "normalize_text": OT.normalize_text_select(),
+        "embedding_profile": OT.embedding_profile_select(),
+        "embedding_outliers": OT.embedding_outliers_select(),
         "token_count_bpe": OT.token_count_select(),
         "quality_score": OT.quality_score_select(),
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),

@@ -1547,3 +1547,59 @@ SELECT doc_id, label AS pred_label,
        CAST(score AS BIGINT) AS score_scaled,
        CAST(score - COALESCE(nxt, score) AS BIGINT) AS margin_scaled
 FROM ranked WHERE rk = 1"""
+
+
+_EMB_SCALED_CTE = """comp AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, label, pos,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xs
+  FROM comp)"""
+
+
+def embedding_profile_select() -> str:
+    """DuckDB twin of operators.similarity.embedding_profile: same
+    float->double widening, same floor-at-scale integer components."""
+    return f"""WITH {_EMB_SCALED_CTE}
+SELECT label, pos, count(*) AS n_vecs,
+       CAST(sum(xs) AS BIGINT) AS sum_scaled
+FROM scaled GROUP BY 1, 2"""
+
+
+def embedding_outliers_select() -> str:
+    """DuckDB twin of operators.similarity.embedding_outliers — the
+    n^2-scaled exact integer distance to the group centroid."""
+    return f"""WITH {_EMB_SCALED_CTE},
+cent AS (SELECT label, pos, count(*) AS n, sum(xs) AS s
+         FROM scaled GROUP BY 1, 2)
+SELECT sc.vec_id, sc.label,
+       CAST(sum((c.n * sc.xs - c.s) * (c.n * sc.xs - c.s)) AS BIGINT)
+         AS dist2_n2
+FROM scaled sc JOIN cent c USING (label, pos) GROUP BY 1, 2"""
+
+
+def domain_cap_select(cap: int = 20) -> str:
+    """DuckDB twin of operators.corpus.domain_cap on documents/source
+    (lowest doc_id kept)."""
+    return f"""SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        <= {cap}"""
+
+
+def normalize_text_select() -> str:
+    """DuckDB twin of operators.text.normalize_text — the regex family
+    parses identically in RE2 and Java regex (the 'g' flag matches
+    Spark's replace-all default)."""
+    return r"""WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))
+           AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n"""

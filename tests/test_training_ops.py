@@ -820,3 +820,42 @@ class TestClusterAutoThreshold:
                dedup_clusters(pairs, method="driver").collect()}
         assert set(out) == {"a", "b", "c"}
         assert all(r.cluster_id == "a" for r in out.values())
+
+
+class TestCurationExtras:
+    def test_domain_cap_adaptive_split(self, spark):
+        from maps_spark.operators.corpus import domain_cap
+        rows = ([(i, f"t{i}", "mega") for i in range(50)]
+                + [(100 + i, f"t{i}", "small") for i in range(3)])
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = domain_cap(docs, cap=10, domain_col="source").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r.doc_id)
+        # over-cap domain keeps exactly cap lowest ids; small untouched
+        assert sorted(by_src["mega"]) == list(range(10))
+        assert sorted(by_src["small"]) == [100, 101, 102]
+
+    def test_normalize_text_semantics(self, spark):
+        from maps_spark.operators.text import normalize_text
+        docs = spark.createDataFrame(
+            [(1, "  Hello\tWORLD\x01  again  ")],
+            "doc_id long, text string")
+        [r] = normalize_text(docs).collect()
+        assert r.norm_text == "hello world again"
+        assert r.n_chars_raw == 23 and r.n_chars_norm == 17
+
+    def test_embedding_outliers_rank_planted_outlier(self, spark):
+        from maps_spark.operators.similarity import embedding_outliers
+        base = [0.1] * 4
+        rows = ([(i, base, 1) for i in range(9)]
+                + [(9, [5.0, -5.0, 5.0, -5.0], 1)])
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = sorted(embedding_outliers(emb).collect(),
+                     key=lambda r: -r.dist2_n2)
+        assert out[0].vec_id == 9
+        # the nine identical vectors share one (smaller) distance
+        rest = {r.dist2_n2 for r in out[1:]}
+        assert len(rest) == 1 and out[0].dist2_n2 > rest.pop()
