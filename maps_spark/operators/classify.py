@@ -34,20 +34,16 @@ from pyspark.sql import DataFrame, Window
 SCALE = 1_000_000
 
 
-def nb_classify(docs: DataFrame, model_docs: DataFrame,
-                label_col: str = "label", text_col: str = "text",
-                scale: int = SCALE) -> DataFrame:
-    """Train multinomial NB on ``model_docs`` (labeled) and score every
-    document in ``docs``; add-one smoothing over the model vocabulary:
+def nb_train_tables(model_docs: DataFrame, label_col: str = "label",
+                    text_col: str = "text",
+                    scale: int = SCALE) -> tuple[DataFrame, DataFrame]:
+    """The trained model as two tables (the persistable artifact, cf.
+    :mod:`maps_spark.sources.nb_model`):
 
-        P(t | c) = (cnt(c, t) + 1) / (total(c) + V)
-
-    Ties on score break on label ascending — fully deterministic.
-    Documents with zero tokens have no defined likelihood and are
-    absent from the output (the :mod:`mixture` exclusion contract).
-
-    Output: (doc_id, pred_label, score_scaled, margin_scaled) where
-    margin is the gap to the runner-up label (0 when single-class).
+    - ``classes``: (label, prior_lp, lp0) — #classes rows of integer
+      constants (log prior and unseen-token log-prob at ``scale``);
+    - ``delta``:   (label, word, dlp) — the per-(class, word) lift
+      over ``lp0``, vocabulary x classes rows.
     """
     from maps_spark.operators.text import _doc_tokens
 
@@ -79,6 +75,15 @@ def nb_classify(docs: DataFrame, model_docs: DataFrame,
                   - F.floor(F.lit(float(scale))
                             * F.log(F.lit(1.0) / denom)))
                  .cast("long").alias("dlp")))
+    return classes, delta
+
+
+def nb_score(docs: DataFrame, classes: DataFrame, delta: DataFrame,
+             text_col: str = "text") -> DataFrame:
+    """Score documents against a trained model (the two tables from
+    :func:`nb_train_tables`, fresh or loaded from a store). See
+    :func:`nb_classify` for the output contract."""
+    from maps_spark.operators.text import _doc_tokens
 
     tf = (_doc_tokens(docs, text_col)
           .groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
@@ -103,3 +108,27 @@ def nb_classify(docs: DataFrame, model_docs: DataFrame,
                     F.col("score").alias("score_scaled"),
                     (F.col("score") - F.coalesce("nxt", "score"))
                     .cast("long").alias("margin_scaled")))
+
+
+def nb_classify(docs: DataFrame, model_docs: DataFrame,
+                label_col: str = "label", text_col: str = "text",
+                scale: int = SCALE) -> DataFrame:
+    """Train multinomial NB on ``model_docs`` (labeled) and score every
+    document in ``docs``; add-one smoothing over the model vocabulary:
+
+        P(t | c) = (cnt(c, t) + 1) / (total(c) + V)
+
+    Ties on score break on label ascending — fully deterministic.
+    Documents with zero tokens have no defined likelihood and are
+    absent from the output (the :mod:`mixture` exclusion contract).
+
+    Composes :func:`nb_train_tables` + :func:`nb_score`; persist the
+    tables with :mod:`maps_spark.sources.nb_model` to train once and
+    score many corpora/batches.
+
+    Output: (doc_id, pred_label, score_scaled, margin_scaled) where
+    margin is the gap to the runner-up label (0 when single-class).
+    """
+    classes, delta = nb_train_tables(model_docs, label_col, text_col,
+                                     scale)
+    return nb_score(docs, classes, delta, text_col)

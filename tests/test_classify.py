@@ -76,3 +76,48 @@ def test_nb_plan_broadcasts_class_tables(spark):
     # synthetic text carries weak source signal; the bar is "well
     # above the 1/20 chance floor", not memorization
     assert hit > 0.15
+
+
+def test_stored_model_matches_fresh_training(spark, tmp_path):
+    # the persisted-model path must reproduce nb_classify exactly —
+    # this twin equality is what extends the oracle gate's coverage to
+    # the store
+    from maps_spark.operators.classify import nb_classify
+    from maps_spark.sources.nb_model import (save_nb_model,
+                                             score_with_model)
+    from tests.conftest import SF_SMALL
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    root = str(tmp_path / "nb")
+    m = save_nb_model(docs, root, label_col="source")
+    assert m["n_classes"] == docs.select("source").distinct().count()
+    stored = score_with_model(docs, root)
+    fresh = nb_classify(docs, docs, label_col="source")
+    a = sorted(map(tuple, stored.collect()))
+    b = sorted(map(tuple, fresh.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_streaming_classification_matches_batch(spark, tmp_path):
+    from maps_spark.sources.nb_model import (save_nb_model,
+                                             score_with_model)
+    from maps_spark.streaming.classify import (
+        run_streaming_classification)
+    from tests.conftest import SF_SMALL
+    src = f"{SF_SMALL}/documents.parquet"
+    docs = (spark.read.parquet(src)
+            .select("doc_id", "text", "source"))
+    model = str(tmp_path / "model")
+    out = str(tmp_path / "out")
+    save_nb_model(docs, model, label_col="source")
+    q = run_streaming_classification(spark, src, model, out)
+    q.awaitTermination(300)
+    preds = spark.read.parquet(f"{out}/predictions")
+    batch = score_with_model(docs, model)
+    a = sorted(map(tuple, preds.drop("batch_id").collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    # replay guard: restarting over the same files appends nothing
+    q2 = run_streaming_classification(spark, src, model, out)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/predictions").count() == len(a)
