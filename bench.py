@@ -291,6 +291,19 @@ def run() -> None:
         def _14():
             CP.curate_corpus(docs).count()
 
+        @timed("classify_route")
+        def _14b():
+            # the round-4 classifier family as one routing pass:
+            # normalize -> NB domain prediction -> per-domain cap
+            from maps_spark.operators.classify import nb_classify
+            from maps_spark.operators.text import normalize_text
+            norm = (normalize_text(docs)
+                    .select("doc_id",
+                            F.col("norm_text").alias("text")))
+            scored = nb_classify(norm, docs, label_col="source")
+            CP.domain_cap(scored, cap=200,
+                          domain_col="pred_label").count()
+
         from maps_spark.operators import mixture as MX
         from maps_spark.operators import packing as PK2
         from maps_spark.operators.similarity import semantic_dedup
