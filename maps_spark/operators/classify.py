@@ -20,10 +20,13 @@ never corpus-sized. Scoring decomposes
 
 where ``lp0`` is the unseen-token log-prob and ``dlp`` the per-(class,
 word) lift over it — so the per-document work is ONE equi-join of the
-document's term frequencies against the (vocabulary x classes) delta
-table plus a broadcast cross with the #classes-row constant table.
-No token x class blow-up ever materializes per document; the argmax
-is a per-document window over #classes rows.
+document's DISTINCT-word term frequencies against the (vocabulary x
+classes) delta table plus a broadcast cross with the #classes-row
+constant table. The join's intermediate is tf-rows x the classes that
+actually contain each word (bounded by #classes, single digits to
+dozens in practice), immediately map-side combined into (doc, label)
+partials — never a dense per-token x class matrix; the argmax is a
+per-document window over #classes rows.
 """
 
 from __future__ import annotations
