@@ -676,3 +676,92 @@ def dup_ngram_coverage(docs: DataFrame, text_col: str = "text",
         .select("doc_id", "n_grams", "n_dup_grams",
                 F.floor(F.col("n_dup_grams") * scale / F.col("n_grams"))
                 .cast("long").alias("dup_coverage_scaled")))
+
+
+def _gram_starts(docs: DataFrame, text_col: str, min_gram: int
+                 ) -> DataFrame:
+    """(doc_id, i, gh): md5 of each word-level ``min_gram``-gram by its
+    0-based start index in the document's non-empty token sequence.
+    Documents shorter than ``min_gram`` tokens contribute nothing.
+    (Spark's ``sequence`` steps BACKWARDS when start > stop, so the
+    short-doc case must be guarded, not relied on to be empty.)"""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    starts = F.when(
+        F.size(w) >= min_gram,
+        F.sequence(F.lit(0), F.size(w) - min_gram)
+    ).otherwise(F.array().cast("array<int>"))
+    return (docs.select("doc_id", w.alias("w"), starts.alias("ii"))
+            .select("doc_id", F.explode("ii").alias("i"),
+                    F.col("w").alias("w"))
+            .select("doc_id", "i",
+                    F.md5(F.concat_ws(
+                        " ", F.slice("w", F.col("i") + 1,
+                                     F.lit(min_gram)))).alias("gh")))
+
+
+def dup_spans(docs: DataFrame, text_col: str = "text",
+              min_gram: int = 8) -> DataFrame:
+    """Duplicated-substring spans — the word-level L-gram form of
+    suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    maximal token run covered by ``min_gram``-grams that occur more
+    than once ANYWHERE in the corpus (other documents or elsewhere in
+    the same one). Exactly the substrings the suffix-array method
+    finds at threshold L, computed with joins instead of a
+    distributed suffix array: one gram-count aggregation (map-side
+    combined, vocabulary-of-grams-bounded), one equi-join back, and a
+    per-document gap-and-islands merge — per-document window, never
+    global.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — 0-based
+    inclusive token indices over the document's non-empty token
+    sequence; overlapping/adjacent duplicated grams merge into one
+    span.
+    """
+    grams = _gram_starts(docs, text_col, min_gram)
+    counts = grams.groupBy("gh").agg(F.count("*").alias("n"))
+    dup = (grams.join(counts.where(F.col("n") > 1).select("gh"), "gh")
+           .select("doc_id", "i",
+                   (F.col("i") + min_gram - 1).alias("end")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup.select(
+        "doc_id", "i", "end",
+        F.sum(F.when(prev_end.isNull()
+                     | (F.col("i") > prev_end + 1), 1).otherwise(0))
+        .over(w).alias("island"))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("i").alias("span_start"),
+                 F.max("end").alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_tokens")))
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text",
+                   min_gram: int = 8,
+                   scale: int = 1_000_000) -> DataFrame:
+    """Per-document duplicated-substring coverage from
+    :func:`dup_spans`: the filter signal form (drop or trim documents
+    whose corpora-duplicated share exceeds a threshold). Docs with no
+    duplicated span report zero.
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_frac_scaled) with
+    frac = floor(dup_tokens * scale / n_tokens), integer-exact."""
+    spans = dup_spans(docs, text_col, min_gram)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens"))
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    nt = docs.select("doc_id", F.size(w).cast("long").alias("n_tokens"))
+    return (nt.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"))
+            .select("doc_id", "n_tokens", "dup_tokens",
+                    F.when(F.col("n_tokens") > 0,
+                           F.expr(f"(dup_tokens * {scale}) "
+                                  "div n_tokens"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("dup_frac_scaled")))

@@ -394,6 +394,16 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_dup_spans(spark, sf_dir):
+    from maps_spark.operators.dedup import dup_spans
+    return dup_spans(_docs(spark, sf_dir))
+
+
+def q_dup_span_stats(spark, sf_dir):
+    from maps_spark.operators.dedup import dup_span_stats
+    return dup_span_stats(_docs(spark, sf_dir))
+
+
 def q_domain_cap(spark, sf_dir):
     from maps_spark.operators.corpus import domain_cap
     return (domain_cap(_docs(spark, sf_dir), cap=20)
@@ -711,6 +721,8 @@ MAPS_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "nb_classify": q_nb_classify,
+    "dup_spans": q_dup_spans,
+    "dup_span_stats": q_dup_span_stats,
     "domain_cap": q_domain_cap,
     "normalize_text": q_normalize_text,
     "embedding_profile": q_embedding_profile,
@@ -821,6 +833,8 @@ def maps_oracles() -> dict[str, str]:
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "nb_classify": OT.nb_classify_select(),
+        "dup_spans": OT.dup_spans_select(),
+        "dup_span_stats": OT.dup_span_stats_select(),
         "domain_cap": OT.domain_cap_select(cap=20),
         "normalize_text": OT.normalize_text_select(),
         "embedding_profile": OT.embedding_profile_select(),

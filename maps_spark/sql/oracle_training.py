@@ -1603,3 +1603,59 @@ SELECT doc_id, norm_text,
        CAST(length(text) AS BIGINT) AS n_chars_raw,
        CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n"""
+
+
+def _dup_span_islands_cte(min_gram: int = 8) -> str:
+    L = min_gram
+    return f"""arr AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+g0 AS (
+  SELECT doc_id, w, unnest(range(0, len(w) - {L} + 1)) AS i
+  FROM arr WHERE len(w) >= {L}),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         md5(array_to_string(list_slice(w, i + 1, i + {L}), ' ')) AS gh
+  FROM g0),
+c AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+d AS (SELECT g.doc_id, g.i, g.i + {L - 1} AS e FROM g JOIN c USING (gh)),
+isl AS (
+  SELECT doc_id, i, e,
+         sum(CASE WHEN pm IS NULL OR i > pm + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM (SELECT doc_id, i, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM d) s),
+spans AS (
+  SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+         CAST(max(e) AS INT) AS span_end
+  FROM isl GROUP BY doc_id, island)"""
+
+
+def dup_spans_select(min_gram: int = 8) -> str:
+    """DuckDB twin of operators.dedup.dup_spans — same md5 grams, same
+    gap-and-islands merge."""
+    return f"""WITH {_dup_span_islands_cte(min_gram)}
+SELECT doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS INT) AS span_tokens
+FROM spans"""
+
+
+def dup_span_stats_select(min_gram: int = 8,
+                          scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.dedup.dup_span_stats."""
+    return f"""WITH {_dup_span_islands_cte(min_gram)},
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM arr)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CAST(CASE WHEN nt.n_tokens > 0
+            THEN (COALESCE(p.dup_tokens, 0) * {scale}) // nt.n_tokens
+            ELSE 0 END AS BIGINT) AS dup_frac_scaled
+FROM nt LEFT JOIN per_doc p ON p.doc_id = nt.doc_id"""

@@ -859,3 +859,46 @@ class TestCurationExtras:
         # the nine identical vectors share one (smaller) distance
         rest = {r.dist2_n2 for r in out[1:]}
         assert len(rest) == 1 and out[0].dist2_n2 > rest.pop()
+
+
+class TestDupSpans:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_cross_doc_duplicate_merges_to_one_span(self, spark):
+        from maps_spark.operators.dedup import dup_spans
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 tokens > L=8
+        docs = self._docs(spark, [
+            (1, f"a1 a2 a3 {shared} z1 z2"),
+            (2, f"b1 {shared} c1 c2 c3"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique, no spans
+        ])
+        spans = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+                 for r in dup_spans(docs, min_gram=8).collect()}
+        # three overlapping dup 8-grams merge into ONE 10-token span
+        assert spans[1] == (3, 12, 10)
+        assert spans[2] == (1, 10, 10)
+        assert 3 not in spans
+
+    def test_within_doc_repetition_counts_as_duplicate(self, spark):
+        from maps_spark.operators.dedup import dup_spans
+        block = " ".join(f"r{i}" for i in range(8))
+        docs = self._docs(spark, [(1, f"{block} mid1 mid2 {block}")])
+        spans = sorted((r.span_start, r.span_end) for r in
+                       dup_spans(docs, min_gram=8).collect())
+        assert spans == [(0, 7), (10, 17)]
+
+    def test_short_docs_and_stats(self, spark):
+        from maps_spark.operators.dedup import dup_span_stats
+        dup8 = " ".join(f"d{i}" for i in range(8))
+        docs = self._docs(spark, [
+            (1, "too short"),           # < L tokens: no grams
+            (2, f"{dup8} x1 x2"),       # 10 tokens, 8 duplicated
+            (3, f"y1 {dup8} y2 y3"),    # 11 tokens, 8 duplicated
+        ])
+        st = {r.doc_id: r for r in
+              dup_span_stats(docs, min_gram=8).collect()}
+        assert st[1].n_tokens == 2 and st[1].dup_tokens == 0
+        assert st[2].dup_tokens == 8
+        assert st[2].dup_frac_scaled == 8 * 1_000_000 // 10
+        assert st[3].dup_frac_scaled == 8 * 1_000_000 // 11
