@@ -464,6 +464,9 @@ def domain_cap(docs: DataFrame, cap: int,
     the corpus.
 
     Output: the input rows that survive the cap (all input columns).
+    NULL domains never equi-join the over-cap set, so they pass
+    through uncapped — coalesce to a sentinel upstream if null
+    domains must be bounded too.
     """
     counts = docs.groupBy(domain_col).agg(F.count("*").alias("__n"))
     over = counts.where(F.col("__n") > cap).select(domain_col)

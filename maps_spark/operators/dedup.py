@@ -765,3 +765,37 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text",
                                   "div n_tokens"))
                     .otherwise(F.lit(0)).cast("long")
                     .alias("dup_frac_scaled")))
+
+
+def scrub_dup_spans(docs: DataFrame, text_col: str = "text",
+                    min_gram: int = 8) -> DataFrame:
+    """Rebuild each document with its duplicated spans removed — the
+    aggressive apply-side of :func:`dup_spans` (every occurrence goes,
+    like :func:`drop_dup_paragraphs`; Lee et al.'s keep-one-occurrence
+    variant needs a global canonical pick and is better served by
+    dropping whole documents on :func:`dup_span_stats` coverage).
+
+    Scale: spans explode to their covered token positions (bounded by
+    the duplicated share of the corpus, not its size), one left-anti
+    equi-join on (doc_id, pos), one per-doc ordered rebuild. Documents
+    entirely covered drop out; documents with no spans pass through
+    rebuilt from their token sequence (whitespace-normalized).
+
+    Output: (doc_id, clean_text, n_removed_tokens)."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = (docs.select("doc_id", F.posexplode(w).alias("pos", "word")))
+    covered = (dup_spans(docs, text_col, min_gram)
+               .select("doc_id", F.explode(F.sequence(
+                   "span_start", "span_end")).alias("pos")))
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    removed = covered.groupBy("doc_id").agg(
+        F.count("*").alias("n_removed_tokens"))
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"]), " ").alias("clean_text"))
+            .join(removed, "doc_id", "left")
+            .select("doc_id", "clean_text",
+                    F.coalesce("n_removed_tokens", F.lit(0))
+                    .cast("long").alias("n_removed_tokens")))

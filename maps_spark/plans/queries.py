@@ -404,6 +404,11 @@ def q_dup_span_stats(spark, sf_dir):
     return dup_span_stats(_docs(spark, sf_dir))
 
 
+def q_scrub_dup_spans(spark, sf_dir):
+    from maps_spark.operators.dedup import scrub_dup_spans
+    return scrub_dup_spans(_docs(spark, sf_dir))
+
+
 def q_domain_cap(spark, sf_dir):
     from maps_spark.operators.corpus import domain_cap
     return (domain_cap(_docs(spark, sf_dir), cap=20)
@@ -723,6 +728,7 @@ MAPS_QUERIES = {
     "nb_classify": q_nb_classify,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
+    "scrub_dup_spans": q_scrub_dup_spans,
     "domain_cap": q_domain_cap,
     "normalize_text": q_normalize_text,
     "embedding_profile": q_embedding_profile,
@@ -835,6 +841,7 @@ def maps_oracles() -> dict[str, str]:
         "nb_classify": OT.nb_classify_select(),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),
+        "scrub_dup_spans": OT.scrub_dup_spans_select(),
         "domain_cap": OT.domain_cap_select(cap=20),
         "normalize_text": OT.normalize_text_select(),
         "embedding_profile": OT.embedding_profile_select(),

@@ -1659,3 +1659,25 @@ SELECT nt.doc_id, nt.n_tokens,
             THEN (COALESCE(p.dup_tokens, 0) * {scale}) // nt.n_tokens
             ELSE 0 END AS BIGINT) AS dup_frac_scaled
 FROM nt LEFT JOIN per_doc p ON p.doc_id = nt.doc_id"""
+
+
+def scrub_dup_spans_select(min_gram: int = 8) -> str:
+    """DuckDB twin of operators.dedup.scrub_dup_spans."""
+    return f"""WITH {_dup_span_islands_cte(min_gram)},
+seq AS (
+  SELECT doc_id, unnest(w) AS word,
+         CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos
+  FROM arr),
+cov AS (
+  SELECT doc_id, CAST(unnest(range(span_start, span_end + 1)) AS INT)
+           AS pos
+  FROM spans),
+removed AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1),
+kept AS (SELECT s.doc_id, s.word, s.pos
+         FROM seq s ANTI JOIN cov c USING (doc_id, pos))
+SELECT k.doc_id,
+       string_agg(k.word, ' ' ORDER BY k.pos) AS clean_text,
+       CAST(COALESCE(any_value(r.n_removed), 0) AS BIGINT)
+         AS n_removed_tokens
+FROM kept k LEFT JOIN removed r ON r.doc_id = k.doc_id
+GROUP BY k.doc_id"""

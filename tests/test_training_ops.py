@@ -902,3 +902,19 @@ class TestDupSpans:
         assert st[2].dup_tokens == 8
         assert st[2].dup_frac_scaled == 8 * 1_000_000 // 10
         assert st[3].dup_frac_scaled == 8 * 1_000_000 // 11
+
+    def test_scrub_rebuilds_without_spans(self, spark):
+        from maps_spark.operators.dedup import scrub_dup_spans
+        block = " ".join(f"s{i}" for i in range(8))
+        docs = self._docs(spark, [
+            (1, f"keep1 {block} keep2"),
+            (2, f"{block}"),                 # fully covered -> drops
+            (3, "only unique tokens here live"),
+        ])
+        out = {r.doc_id: r for r in
+               scrub_dup_spans(docs, min_gram=8).collect()}
+        assert out[1].clean_text == "keep1 keep2"
+        assert out[1].n_removed_tokens == 8
+        assert 2 not in out  # every token duplicated
+        assert out[3].clean_text == "only unique tokens here live"
+        assert out[3].n_removed_tokens == 0
