@@ -291,6 +291,27 @@ def run() -> None:
         def _14():
             CP.curate_corpus(docs).count()
 
+        @timed("media_pipeline_e2e")
+        def _14a():
+            # multimodal flagship: REAL decode (PPM+PNG) -> Arrow
+            # feature extract -> feature-space near-dup -> versioned
+            # feature store
+            import shutil
+            import tempfile
+
+            from maps_spark.operators.multimodal import (
+                synthesize_png_media, synthesize_ppm_media)
+            from maps_spark.plans.media import run_media_curation
+            ppm = synthesize_ppm_media(spark, n=256, width=64, height=48)
+            png = (synthesize_png_media(spark, n=256, width=64,
+                                        height=48)
+                   .withColumn("media_id", F.col("media_id") + 1000))
+            out = tempfile.mkdtemp(prefix="bench_media_")
+            try:
+                run_media_curation(spark, ppm.unionByName(png), out)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
         @timed("classify_route")
         def _14b():
             # the round-4 classifier family as one routing pass:
