@@ -323,3 +323,25 @@ def test_checklist_routed_layout_point_get_and_pruning(spark, tmp_path):
     part = [ln for ln in plan_of(lookup).splitlines()
             if "PartitionFilters" in ln]
     assert part and "checklist" in part[0]
+
+
+def test_round4_ops_plan_shapes(spark):
+    # plan audits for the round-4 operators: no cartesian anywhere;
+    # domain_cap's over-cap membership joins broadcast (the counts
+    # table is tiny); only ONE Window subtree exists (the over-cap
+    # slice), so under-cap domains never pay a sort
+    from maps_spark.operators.corpus import domain_cap
+    from maps_spark.operators.dedup import dup_spans, scrub_dup_spans
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    cap_plan = plan_of(domain_cap(docs, cap=10))
+    assert "CartesianProduct" not in cap_plan
+    assert "BroadcastHashJoin" in cap_plan or "BroadcastExchange" in cap_plan
+    import re
+    # exactly one physical Window node (the over-cap slice): under-cap
+    # domains never pay a sort
+    assert len(re.findall(r"\(\d+\) Window", cap_plan)) == 1
+    for df in (dup_spans(docs), scrub_dup_spans(docs)):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

@@ -146,3 +146,61 @@ def test_fingerprint_batch_matches_scalar_loop(docs):
         for c in t.encode("utf-8"):
             want = (want * 257 + c) % p
         assert h == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(1, 4),
+       st.randoms(use_true_random=False))
+def test_png_roundtrip_property(h, w, ch, rnd):
+    """encode_png -> decode_png is the identity for every shape,
+    channel count, and filter choice (the encoder cycles filters, so
+    arbitrary shapes exercise every unfilter branch at every stride)."""
+    import numpy as np
+
+    from maps_spark.operators.multimodal import decode_png, encode_png
+    arr = np.array([rnd.randrange(256) for _ in range(h * w * ch)],
+                   dtype=np.uint8).reshape(h, w, ch)
+    for mode in ("none", "cycle"):
+        out = decode_png(encode_png(arr, filter_mode=mode))
+        assert np.array_equal(out, arr), (h, w, ch, mode)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 200), st.integers(1, 2), st.integers(8000, 48000),
+       st.randoms(use_true_random=False))
+def test_wav_roundtrip_property(n, ch, rate, rnd):
+    import numpy as np
+
+    from maps_spark.operators.multimodal import decode_wav, encode_wav
+    arr = np.array([rnd.randrange(-32768, 32768) for _ in range(n * ch)],
+                   dtype=np.int16).reshape(n, ch)
+    out, r = decode_wav(encode_wav(arr, rate))
+    assert r == rate and np.array_equal(out, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(tokens=st.lists(st.sampled_from("ab"), min_size=0, max_size=40))
+def test_dup_span_islands_match_bruteforce(spark, tokens):
+    """dup_spans' gram-join + islands merge equals a brute-force
+    duplicated-gram cover over a tiny alphabet (guarantees heavy
+    duplication and adversarial overlaps)."""
+    L = 3
+    text = " ".join(tokens)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from maps_spark.operators.dedup import dup_spans
+    got = sorted((r.span_start, r.span_end) for r in
+                 dup_spans(docs, min_gram=L).collect())
+    # brute force: positions covered by grams occurring > once
+    grams = {}
+    for i in range(max(len(tokens) - L + 1, 0)):
+        grams.setdefault(tuple(tokens[i:i + L]), []).append(i)
+    starts = sorted(i for g, ps in grams.items() if len(ps) > 1
+                    for i in ps)
+    want = []
+    for i in starts:
+        e = i + L - 1
+        if want and i <= want[-1][1] + 1:
+            want[-1] = (want[-1][0], max(want[-1][1], e))
+        else:
+            want.append((i, e))
+    assert got == want, (text, got, want)
