@@ -3,10 +3,13 @@
 The Spark-side contract for a 100 TB multimodal pipeline: media rides in
 ``binary`` columns with typed metadata structs; decode/feature steps are
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row objects. The actual codecs (PIL/ffmpeg/...) are not in this
-container, so the decode kernels are STUBBED — deterministic fakes
-clearly marked below — while the engine-side plumbing (schemas,
-batching, partition sizing, UDF signatures) is real and tested.
+Python row objects. Three codecs are REAL (stdlib/numpy only): P6 PPM,
+PNG (zlib deflate + the five scanline filters), and WAV/RIFF PCM16 —
+each with a hash-checked decode gate. Only entropy-coded formats
+(JPEG, mp3/aac, video codecs) stay behind the clearly-marked
+:func:`_decode_image` stub, since their decoders are neither stdlib
+nor in this container; their engine-side plumbing (schemas, batching,
+partition sizing, UDF signatures) is real and tested.
 
 Partitioning note: media tables should be written with
 ``maxRecordsPerFile`` tuned so row groups stay ~128 MB despite wide
@@ -113,9 +116,9 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 # -- real codec path: PPM (P6) ------------------------------------------
-# Compressed codecs (JPEG/PNG/ffmpeg) stay stubbed — their decoders are
-# not in this container. Uncompressed P6 PPM needs only numpy, so this
-# path is REAL: header parse, pixel decode, resize, features.
+# Uncompressed P6 PPM needs only numpy, so this path is REAL: header
+# parse, pixel decode, resize, features. (PNG and WAV below are real
+# too; only entropy-coded formats like JPEG remain stubbed.)
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     """P6 PPM bytes from a (h, w, 3) uint8 array."""
@@ -571,3 +574,40 @@ def ppm_channel_sums(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(
         run, "media_id long, sum_r long, sum_g long, sum_b long")
+
+
+def wav_frame_features(media: DataFrame, frame: int = 256
+                       ) -> DataFrame:
+    """Windowed audio features from the REAL WAV decode — the
+    frame-level analysis stage (VAD/energy gating, silence trimming)
+    of an audio pipeline: per non-overlapping ``frame``-sample window
+    of channel 0, the exact integer energy (sum of squared samples —
+    int16^2 * frame < 2^42, BIGINT-exact) and zero-crossing count
+    (sign flips between consecutive samples, zeros kept as
+    non-negative). The trailing partial frame is emitted with its
+    true length. One Arrow-batched mapInPandas stage, one output row
+    per frame.
+
+    Output: (media_id, frame_idx, frame_len, energy, zero_crossings).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_len": [],
+                   "energy": [], "zero_crossings": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _ = decode_wav(bytes(payload))
+                ch0 = arr[:, 0].astype(np.int64)
+                for fi in range(0, (len(ch0) + frame - 1) // frame):
+                    seg = ch0[fi * frame:(fi + 1) * frame]
+                    sign = seg >= 0
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["frame_len"].append(int(len(seg)))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["zero_crossings"].append(
+                        int((sign[1:] != sign[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx int, frame_len int, "
+             "energy long, zero_crossings long")

@@ -175,6 +175,13 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_stats(synthesize_wav_media(spark, n=64))
 
 
+def q_media_wav_frames(spark, sf_dir):
+    from maps_spark.operators.multimodal import (synthesize_wav_media,
+                                                 wav_frame_features)
+    return wav_frame_features(synthesize_wav_media(spark, n=64),
+                              frame=256)
+
+
 def q_adhoc_grid_bounds_z5(spark, sf_dir):
     return AH.geo_grid(occurrence_df(spark, sf_dir), z=5, mode="bounds")
 
@@ -695,6 +702,7 @@ MAPS_QUERIES = {
     "media_ppm_decode": q_media_ppm_decode,
     "media_png_decode": q_media_png_decode,
     "media_wav_decode": q_media_wav_decode,
+    "media_wav_frames": q_media_wav_frames,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -885,6 +893,7 @@ def maps_oracles() -> dict[str, str]:
         "media_png_decode": OT.ppm_channel_sums_select(
             n=64, width=31, height=17),
         "media_wav_decode": OT.wav_stats_select(n=64),
+        "media_wav_frames": OT.wav_frame_features_select(n=64),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),

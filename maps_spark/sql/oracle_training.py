@@ -1681,3 +1681,28 @@ SELECT k.doc_id,
          AS n_removed_tokens
 FROM kept k LEFT JOIN removed r ON r.doc_id = k.doc_id
 GROUP BY k.doc_id"""
+
+
+def wav_frame_features_select(n: int = 64, n_samples: int = 1024,
+                              frame: int = 256) -> str:
+    """Closed-form twin of operators.multimodal.wav_frame_features
+    over synthesize_wav_media's sawtooth (sample[t] =
+    (t*(id+3)) % 2048 - 1024): per-frame exact energy and sign-flip
+    counts recomputed from the synthesis arithmetic."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+s AS (SELECT media_id, t,
+         (t * (media_id + 3)) % 2048 - 1024 AS v
+      FROM ids CROSS JOIN generate_series(0, {n_samples - 1}) g(t)),
+s2 AS (SELECT media_id, t, v,
+          CAST(t // {frame} AS INT) AS frame_idx,
+          lag(v) OVER (PARTITION BY media_id, t // {frame}
+                       ORDER BY t) AS pv
+       FROM s)
+SELECT media_id, frame_idx,
+       CAST(count(*) AS INT) AS frame_len,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN pv IS NOT NULL
+                 AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM s2 GROUP BY 1, 2"""

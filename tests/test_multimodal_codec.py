@@ -234,3 +234,22 @@ def test_wav_stats_matches_closed_form(spark):
         assert r["n_samples"] == 256 and r["sample_rate"] == 8000
         assert r["sum_amp"] == int(wave.sum())
         assert r["sum_abs"] == int(np.abs(wave).sum())
+
+
+def test_wav_frame_features_semantics(spark):
+    from maps_spark.operators.multimodal import (encode_wav,
+                                                 wav_frame_features)
+    # 5 samples, frame=4: frame 0 = [3,-3,3,-3] (3 flips, e=36),
+    # frame 1 = [0] partial (len 1, 0 flips, e=0)
+    samples = np.array([3, -3, 3, -3, 0], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(encode_wav(samples, 8000)), 0, 0,
+          8000, 0)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int")
+    rows = {r.frame_idx: r for r in
+            wav_frame_features(media, frame=4).collect()}
+    assert rows[0].frame_len == 4 and rows[0].energy == 36
+    assert rows[0].zero_crossings == 3
+    assert rows[1].frame_len == 1 and rows[1].energy == 0
+    assert rows[1].zero_crossings == 0
