@@ -476,3 +476,25 @@ def domain_cap(docs: DataFrame, cap: int,
               .withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= cap).drop("__rk"))
     return under.unionByName(capped)
+
+
+def grouped_split(docs: DataFrame, val_frac: float = 0.1,
+                  group_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Leakage-free train/validation split: the split is a pure
+    function of the GROUP (domain/source), so templated pages and
+    near-duplicates within a domain can never straddle the boundary —
+    the failure mode of per-document splits that inflates validation
+    scores. Deterministic (the :func:`_mix` fold over the ASCII
+    polynomial group hash), engine-reproducible, zero shuffles — a
+    codegen projection.
+
+    Output: (id_col, group_col, split) with split in {'train','val'};
+    ~``val_frac`` of GROUPS (not documents) land in val.
+    """
+    from maps_spark.operators.similarity import token_hash_col
+    g = _mix(token_hash_col(F.col(group_col)))
+    return docs.select(
+        id_col, group_col,
+        F.when(g < int(val_frac * P31), F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"))

@@ -422,6 +422,11 @@ def q_domain_cap(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q_grouped_split(spark, sf_dir):
+    from maps_spark.operators.corpus import grouped_split
+    return grouped_split(_docs(spark, sf_dir), val_frac=0.2)
+
+
 def q_normalize_text(spark, sf_dir):
     from maps_spark.operators.text import normalize_text
     return normalize_text(_docs(spark, sf_dir))
@@ -738,6 +743,7 @@ MAPS_QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "scrub_dup_spans": q_scrub_dup_spans,
     "domain_cap": q_domain_cap,
+    "grouped_split": q_grouped_split,
     "normalize_text": q_normalize_text,
     "embedding_profile": q_embedding_profile,
     "embedding_outliers": q_embedding_outliers,
@@ -851,6 +857,7 @@ def maps_oracles() -> dict[str, str]:
         "dup_span_stats": OT.dup_span_stats_select(),
         "scrub_dup_spans": OT.scrub_dup_spans_select(),
         "domain_cap": OT.domain_cap_select(cap=20),
+        "grouped_split": OT.grouped_split_select(val_frac=0.2),
         "normalize_text": OT.normalize_text_select(),
         "embedding_profile": OT.embedding_profile_select(),
         "embedding_outliers": OT.embedding_outliers_select(),

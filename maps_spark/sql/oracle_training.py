@@ -1706,3 +1706,17 @@ SELECT media_id, frame_idx,
                  AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)
             AS BIGINT) AS zero_crossings
 FROM s2 GROUP BY 1, 2"""
+
+
+def grouped_split_select(val_frac: float = 0.1) -> str:
+    """DuckDB twin of operators.corpus.grouped_split on
+    documents/source (ASCII group names — the token-hash fold's
+    documented scope)."""
+    from maps_spark.operators.corpus import mix_sql
+    cut = int(val_frac * _P31)
+    return f"""WITH s AS (SELECT doc_id, source, source AS t
+               FROM documents)
+SELECT doc_id, source,
+       CASE WHEN {mix_sql(f"({_TOKEN_HASH})")} < {cut}
+            THEN 'val' ELSE 'train' END AS split
+FROM s"""

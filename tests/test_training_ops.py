@@ -918,3 +918,20 @@ class TestDupSpans:
         assert 2 not in out  # every token duplicated
         assert out[3].clean_text == "only unique tokens here live"
         assert out[3].n_removed_tokens == 0
+
+
+def test_grouped_split_no_leakage(spark):
+    from maps_spark.operators.corpus import grouped_split
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = grouped_split(docs, val_frac=0.25).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    # every group lands entirely on one side — no leakage
+    assert all(len(s) == 1 for s in by_group.values())
+    splits = {g: next(iter(s)) for g, s in by_group.items()}
+    assert "val" in splits.values() and "train" in splits.values()
+    # deterministic across calls
+    again = {(r.doc_id, r.split)
+             for r in grouped_split(docs, val_frac=0.25).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
