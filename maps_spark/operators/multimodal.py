@@ -3,13 +3,15 @@
 The Spark-side contract for a 100 TB multimodal pipeline: media rides in
 ``binary`` columns with typed metadata structs; decode/feature steps are
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row objects. Three codecs are REAL (stdlib/numpy only): P6 PPM,
-PNG (zlib deflate + the five scanline filters), and WAV/RIFF PCM16 —
-each with a hash-checked decode gate. Only entropy-coded formats
-(JPEG, mp3/aac, video codecs) stay behind the clearly-marked
-:func:`_decode_image` stub, since their decoders are neither stdlib
-nor in this container; their engine-side plumbing (schemas, batching,
-partition sizing, UDF signatures) is real and tested.
+Python row objects. Four codecs are REAL (stdlib/numpy only): P6 PPM,
+PNG (zlib deflate + the five scanline filters), baseline JPEG
+(:mod:`maps_spark.functions.jpeg` — Huffman entropy decode, dequant,
+IDCT, chroma upsampling), and WAV/RIFF PCM16 — each with a
+hash-checked decode gate. Only formats whose decoders cannot be
+written against stdlib within reason (video codecs, mp3/aac,
+progressive/arithmetic JPEG) stay behind the clearly-marked
+:func:`_decode_image` stub; their engine-side plumbing (schemas,
+batching, partition sizing, UDF signatures) is real and tested.
 
 Partitioning note: media tables should be written with
 ``maxRecordsPerFile`` tuned so row groups stay ~128 MB despite wide
@@ -117,8 +119,8 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
 
 # -- real codec path: PPM (P6) ------------------------------------------
 # Uncompressed P6 PPM needs only numpy, so this path is REAL: header
-# parse, pixel decode, resize, features. (PNG and WAV below are real
-# too; only entropy-coded formats like JPEG remain stubbed.)
+# parse, pixel decode, resize, features. (PNG, baseline JPEG, and WAV
+# below/alongside are real too.)
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     """P6 PPM bytes from a (h, w, 3) uint8 array."""
@@ -384,13 +386,18 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes to a REAL decoder (P6 PPM or PNG);
-    raises ValueError for unknown/compressed-only formats (JPEG stays
-    behind the declared :func:`_decode_image` stub)."""
+    """Dispatch on magic bytes to a REAL decoder (P6 PPM, PNG, or
+    baseline JPEG); raises ValueError for unknown formats."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return to_rgb(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from maps_spark.functions.jpeg import decode_jpeg
+        img = decode_jpeg(payload)
+        if img.ndim == 2:  # grayscale -> replicate to 3 channels
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise ValueError("unrecognized image payload")
 
 
@@ -611,3 +618,60 @@ def wav_frame_features(media: DataFrame, frame: int = 256
     return media.mapInPandas(
         run, "media_id long, frame_idx int, frame_len int, "
              "energy long, zero_crossings long")
+
+
+# -- real codec path: JPEG (baseline, functions/jpeg.py) ----------------
+
+def synthesize_jpeg_media(spark: SparkSession, n: int = 64,
+                          blocks_x: int = 4, blocks_y: int = 3,
+                          q: int = 16,
+                          partitions: int = 4) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEGs: grayscale
+    images flat per 8x8 block (level = (17*bx + 29*by + id) % 256,
+    uniform quantizer ``q``), so the decode result has the exact
+    closed form the SQL oracle recomputes (a flat block round-trips
+    through DC-only quantization — integer arithmetic end to end)."""
+    from maps_spark.functions.jpeg import encode_jpeg
+    w, h = blocks_x * 8, blocks_y * 8
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            bx = np.arange(blocks_x)
+            by = np.arange(blocks_y)[:, None]
+            for i in pdf["id"]:
+                levels = (17 * bx + 29 * by + int(i)) % 256
+                img = np.repeat(np.repeat(levels, 8, 0), 8, 1)
+                rows.append(encode_jpeg(img.astype(np.uint8),
+                                        q_luma=q))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "image",
+                "payload": rows, "width": w, "height": h,
+                "sample_rate": 0, "n_frames": 0})
+
+    return (spark.range(n).repartition(partitions)
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
+    """Integer pixel sum from the REAL baseline JPEG decode — the
+    cross-engine check of the codec (twin of the PNG/PPM channel-sum
+    gates): for :func:`synthesize_jpeg_media` payloads the decoded
+    levels have a pure-integer closed form
+    (``clamp(2*((L-127) floordiv 2) + 128)`` at q=16), so a hash match
+    proves the marker walk, Huffman decode, dequantization, and IDCT
+    read every block. Output: (media_id, n_pixels, sum_lum)."""
+    from maps_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "n_pixels": [],
+                   "sum_lum": []}
+            for payload in pdf["payload"]:
+                img = decode_jpeg(bytes(payload)).astype(np.int64)
+                out["n_pixels"].append(int(img.size))
+                out["sum_lum"].append(int(img.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, n_pixels long, sum_lum long")

@@ -175,6 +175,12 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_stats(synthesize_wav_media(spark, n=64))
 
 
+def q_media_jpeg_decode(spark, sf_dir):
+    from maps_spark.operators.multimodal import (jpeg_pixel_sums,
+                                                 synthesize_jpeg_media)
+    return jpeg_pixel_sums(synthesize_jpeg_media(spark, n=64))
+
+
 def q_media_wav_frames(spark, sf_dir):
     from maps_spark.operators.multimodal import (synthesize_wav_media,
                                                  wav_frame_features)
@@ -708,6 +714,7 @@ MAPS_QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_wav_decode": q_media_wav_decode,
     "media_wav_frames": q_media_wav_frames,
+    "media_jpeg_decode": q_media_jpeg_decode,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -901,6 +908,7 @@ def maps_oracles() -> dict[str, str]:
             n=64, width=31, height=17),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),
+        "media_jpeg_decode": OT.jpeg_pixel_sums_select(n=64),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),

@@ -1720,3 +1720,31 @@ SELECT doc_id, source,
        CASE WHEN {mix_sql(f"({_TOKEN_HASH})")} < {cut}
             THEN 'val' ELSE 'train' END AS split
 FROM s"""
+
+
+def jpeg_pixel_sums_select(n: int = 64, blocks_x: int = 4,
+                           blocks_y: int = 3) -> str:
+    """Closed-form twin of operators.multimodal.jpeg_pixel_sums over
+    synthesize_jpeg_media's flat-block grayscale JPEGs at q=16: a flat
+    block round-trips through DC-only quantization, so the decoded
+    level is clamp(2*((L-127) floordiv 2) + 128) with
+    L = (17*bx + 29*by + id) % 256 — pure integer arithmetic."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+blocks AS (
+  SELECT media_id,
+         (17 * bx + 29 * by + media_id) % 256 AS L
+  FROM ids
+  CROSS JOIN generate_series(0, {blocks_x - 1}) gx(bx)
+  CROSS JOIN generate_series(0, {blocks_y - 1}) gy(by)),
+dec AS (
+  -- floor((L-127)/2) with DuckDB's truncating //: subtract the
+  -- positive remainder first so the numerator is even
+  SELECT media_id,
+         least(255, greatest(0,
+           (L - 127 - (((L - 127) % 2) + 2) % 2) + 128)) AS d
+  FROM blocks)
+SELECT media_id,
+       CAST({blocks_x * blocks_y * 64} AS BIGINT) AS n_pixels,
+       CAST(64 * sum(d) AS BIGINT) AS sum_lum
+FROM dec GROUP BY 1"""

@@ -1,0 +1,136 @@
+"""Baseline JPEG codec: real Huffman/dequant/IDCT decode, pinned by a
+closed-form flat-block contract, bounded-error round-trips, and a
+bitstream assembled by-spec-by-hand (independent of the encoder)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def test_flat_block_closed_form_across_quantizers():
+    from maps_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                           flat_block_roundtrip_value)
+    rng = np.random.RandomState(2)
+    levels = rng.randint(0, 256, size=(2, 3))
+    img = np.repeat(np.repeat(levels, 8, 0), 8, 1).astype(np.uint8)
+    for q in (1, 5, 16, 32, 255):
+        dec = decode_jpeg(encode_jpeg(img, q_luma=q))
+        for by in range(2):
+            for bx in range(3):
+                want = flat_block_roundtrip_value(
+                    int(levels[by, bx]), q)
+                assert (dec[by * 8:by * 8 + 8,
+                            bx * 8:bx * 8 + 8] == want).all(), (q, by, bx)
+
+
+def test_general_roundtrip_bounded_error():
+    from maps_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.RandomState(4)
+    g = rng.randint(0, 256, size=(29, 37)).astype(np.uint8)  # non-multiple of 8
+    d = decode_jpeg(encode_jpeg(g, q_luma=1))
+    assert d.shape == g.shape
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 1
+    c = rng.randint(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    dc = decode_jpeg(encode_jpeg(c, q_luma=1, q_chroma=1))
+    assert dc.shape == c.shape
+    assert np.abs(dc.astype(int) - c.astype(int)).max() <= 2
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def test_decode_handmade_bitstream():
+    """A one-block grayscale JPEG assembled by hand with CUSTOM trivial
+    Huffman tables (single length-1 codes) — a codepath the encoder
+    never produces, so a symmetric encoder/decoder bug cannot hide.
+    DC category 3, bits 101 -> DC=5; all-16 quant -> dequant 80;
+    flat IDCT 80/8 + 128 = 138."""
+    from maps_spark.functions.jpeg import decode_jpeg
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dc_counts = bytes([1] + [0] * 15)   # one length-1 code: '0'
+    dht_dc = bytes([0x00]) + dc_counts + bytes([3])     # -> category 3
+    dht_ac = bytes([0x10]) + dc_counts + bytes([0x00])  # -> EOB
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # bits: DC code '0', magnitude '101', AC EOB '0' -> 01010 + 1-pad
+    entropy = bytes([0b01010111])
+    payload = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+               + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+               + _seg(0xDA, sos) + entropy + b"\xff\xd9")
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 8)
+    assert (out == 138).all()
+
+
+def test_rejects_unsupported_and_malformed():
+    from maps_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG" + good[4:])
+    with pytest.raises(ValueError, match="non-baseline"):
+        # flip SOF0 -> SOF2 (progressive); find the marker
+        i = good.index(b"\xff\xc0")
+        decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2:])
+    with pytest.raises(ValueError, match="restart"):
+        dri = _seg(0xDD, struct.pack(">H", 4))
+        i = good.index(b"\xff\xda")
+        decode_jpeg(good[:i] + dri + good[i:])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
+
+
+def test_chroma_420_subsampled_decode():
+    """Hand-build a 4:2:0 frame via the encoder's tables? The encoder
+    only writes 4:4:4, so synthesize 4:2:0 by re-tagging a 16x16
+    one-color image: encode 4:4:4, decode; then check the decoder
+    accepts sampling factors 2x2 via a manually assembled frame."""
+    from maps_spark.functions import jpeg as J
+    # flat color image through the normal 4:4:4 path first
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, q_luma=1, q_chroma=1))
+    assert np.abs(out.astype(int) - 90).max() <= 1
+    # manual 4:2:0: luma 2x2 blocks + 1 cb + 1 cr per MCU, flat gray
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = (struct.pack(">BHHB", 8, 16, 16, 3)
+           + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+           + bytes([3, 0x11, 0]))
+    dc_counts = bytes([1] + [0] * 15)
+    dht_dc = bytes([0x00]) + dc_counts + bytes([0])  # category 0: DC=0
+    dht_ac = bytes([0x10]) + dc_counts + bytes([0x00])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    # 6 blocks x (DC '0' + EOB '0') = 12 zero bits -> two 0x00 bytes?
+    # '0'*12 padded with 1s -> 0b00000000 0b00001111
+    entropy = bytes([0b00000000, 0b00001111])
+    payload = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+               + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+               + _seg(0xDA, sos) + entropy + b"\xff\xd9")
+    out = J.decode_jpeg(payload)
+    # all-zero coefficients: Y=128, Cb=Cr=128 -> gray 128 RGB
+    assert out.shape == (16, 16, 3)
+    assert (out == 128).all()
+
+
+def test_extract_image_features_decodes_jpeg(spark):
+    from maps_spark.operators.multimodal import (extract_image_features,
+                                                 synthesize_jpeg_media)
+    out = extract_image_features(
+        synthesize_jpeg_media(spark, n=6)).collect()
+    assert len(out) == 6 and all(r["decode_ok"] for r in out)
+
+
+def test_jpeg_pixel_sums_closed_form(spark):
+    from maps_spark.operators.multimodal import (jpeg_pixel_sums,
+                                                 synthesize_jpeg_media)
+    rows = jpeg_pixel_sums(
+        synthesize_jpeg_media(spark, n=5)).collect()
+    for r in rows:
+        want = 0
+        for by in range(3):
+            for bx in range(4):
+                L = (17 * bx + 29 * by + r["media_id"]) % 256
+                want += max(0, min(255, 2 * ((L - 127) // 2) + 128))
+        assert r["sum_lum"] == 64 * want
+        assert r["n_pixels"] == 768
