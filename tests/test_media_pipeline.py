@@ -7,7 +7,8 @@ import pyspark.sql.functions as F
 def _mixed_media(spark):
     # PPM + PNG images (decodable), plus corrupt payloads; ids 0 and
     # 100 are pixel-identical (same gradient parameters) -> near-dups
-    from maps_spark.operators.multimodal import (synthesize_png_media,
+    from maps_spark.operators.multimodal import (synthesize_jpeg_media,
+                                                 synthesize_png_media,
                                                  synthesize_ppm_media)
     ppm = synthesize_ppm_media(spark, n=8, width=16, height=8)
     # duplicate of ppm id 0 under a new id: identical pixels
@@ -15,11 +16,14 @@ def _mixed_media(spark):
            .withColumn("media_id", F.col("media_id") + 100))
     png = (synthesize_png_media(spark, n=4, width=16, height=8)
            .withColumn("media_id", F.col("media_id") + 200))
+    jpg = (synthesize_jpeg_media(spark, n=2)
+           .withColumn("media_id", F.col("media_id") + 300))
     bad = spark.createDataFrame(
         [(900, "image", bytearray(b"not an image"), 16, 8, 0, 0)],
         "media_id long, kind string, payload binary, width int, "
         "height int, sample_rate int, n_frames int")
-    return ppm.unionByName(dup).unionByName(png).unionByName(bad)
+    return (ppm.unionByName(dup).unionByName(png).unionByName(jpg)
+            .unionByName(bad))
 
 
 def test_media_curation_e2e(spark, tmp_path):
@@ -29,18 +33,20 @@ def test_media_curation_e2e(spark, tmp_path):
     root = str(tmp_path / "media")
     m = run_media_curation(spark, media, root, dup_threshold=0.9999)
     f = m["funnel"]
-    assert f["media_in"] == 14
-    assert f["undecodable"] == 1 and f["decoded"] == 13
+    assert f["media_in"] == 16
+    assert f["undecodable"] == 1 and f["decoded"] == 15
     # the planted duplicate (id 100 == id 0 pixels) drops; id 0 stays
     kept_ids = {r.media_id for r in
                 read_media_features(spark, root).collect()}
     assert 0 in kept_ids and 100 not in kept_ids
+    # the JPEG media decoded through the same dispatch
+    assert {300, 301} & kept_ids
     assert f["near_dups_dropped"] >= 1
     # PNG id 200 and PPM id 0 share gradient pixels at the same size:
     # cross-codec near-dup also collapses
     assert not {100, 200} & kept_ids or f["near_dups_dropped"] >= 1
     # rerun rotates builds, manifest stays consistent
     m2 = run_media_curation(spark, media, root, dup_threshold=0.9999)
-    assert m2["funnel"]["media_in"] == 14
+    assert m2["funnel"]["media_in"] == 16
     import os
     assert len(os.listdir(f"{root}/builds")) <= 2
