@@ -347,3 +347,31 @@ def test_round4_ops_plan_shapes(spark):
         p = plan_of(df)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_staged_parallel_srs_backfill(spark, tmp_path):
+    # the two cluster modes compose: concurrent per-SRS builds, each
+    # staging its span parents under its own staging/<srs> subtree
+    import os
+
+    from maps_spark.functions.mvt import decode_tile
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources import tile_store
+    base, combo = str(tmp_path / "b"), str(tmp_path / "c")
+    srs = ("EPSG:3857", "EPSG:4326")
+    run_backfill(spark, SF_SMALL, base, max_zoom=3, threshold=500,
+                 srs_list=srs)
+    run_backfill(spark, SF_SMALL, combo, max_zoom=3, threshold=500,
+                 srs_list=srs, parallel_srs=True, snapshot="staged")
+
+    def decoded(root):
+        return {
+            (r["srs"], r["z"], r["mapKey"], r["x"], r["y"]):
+            {ly: sorted(fs) for ly, fs in
+             decode_tile(bytes(r["tile"])).items()}
+            for r in tile_store.read_tiles(spark, root).collect()}
+
+    a, b = decoded(base), decoded(combo)
+    assert a.keys() == b.keys() and len(a) > 0 and a == b
+    for bdir in os.listdir(f"{combo}/builds"):
+        assert not os.path.exists(f"{combo}/builds/{bdir}/staging")
