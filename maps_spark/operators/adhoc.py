@@ -271,3 +271,32 @@ def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
                           vm.alias("value_milli"))
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k))
+
+
+def hot_keys(df: DataFrame, cols: list[str] | tuple[str, ...],
+             k: int = 20, scale: int = 1_000_000) -> DataFrame:
+    """Shuffle-skew diagnosis as a first-class operator: the top-k
+    hottest grouping keys of ``cols`` with their corpus share — at
+    100 TB the first question about any slow shuffle/join is "which
+    keys are hot", and the answer decides between salting, AQE skew
+    splitting, and a broadcast rewrite.
+
+    One map-side-combined aggregation + a TakeOrdered cut (never a
+    global sort); the rank window runs AFTER the limit, over at most
+    ``k`` rows. Deterministic: ties break on the key columns.
+
+    Output: (rank, key, cnt, share_scaled) with key the pipe-joined
+    string form and share = floor(cnt * scale / total).
+    """
+    from pyspark.sql import Window
+    cols = list(cols)
+    counts = df.groupBy(*cols).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), *cols).limit(k)
+    w = Window.orderBy(F.desc("cnt"), *cols)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return (top.withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(total))
+            .select("rank", key.alias("key"), "cnt",
+                    F.expr(f"cnt * {scale} div total")
+                    .cast("long").alias("share_scaled")))

@@ -1748,3 +1748,16 @@ SELECT media_id,
        CAST({blocks_x * blocks_y * 64} AS BIGINT) AS n_pixels,
        CAST(64 * sum(d) AS BIGINT) AS sum_lum
 FROM dec GROUP BY 1"""
+
+
+def hot_keys_select(k: int = 20, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.adhoc.hot_keys over events.user_id."""
+    return f"""WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
+         AS rank,
+       CAST(user_id AS VARCHAR) AS key, cnt,
+       CAST(cnt * {scale} // total AS BIGINT) AS share_scaled
+FROM top CROSS JOIN t"""

@@ -470,3 +470,25 @@ def test_asof_join_wide_table_single_projection(spark):
     # union branch; the single-select form stays flat
     assert plan.count("Project") < 20
     assert out.count() == 100
+
+
+def test_hot_keys_skew_diagnosis(spark):
+    from maps_spark.operators.adhoc import hot_keys
+    rows = ([(1, "hot")] * 70 + [(2, "warm")] * 20
+            + [(i, "cold") for i in range(10, 20)])
+    df = spark.createDataFrame(rows, "user_id long, tag string")
+    out = hot_keys(df, ["user_id"], k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].key == "1" and out[0].cnt == 70
+    assert out[0].share_scaled == 70 * 1_000_000 // 100
+    assert out[1].key == "2" and out[2].cnt == 1
+    # multi-column keys pipe-join; plan stays TakeOrdered (no global
+    # sort materializes) and cartesian-free
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hot_keys(df, ["user_id", "tag"], k=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
