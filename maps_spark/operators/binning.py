@@ -157,3 +157,64 @@ def hex_polygon(q: int, r: int, z: int, x: int, y: int, tile_size: int = 512,
            for a in (math.radians(60 * i) for i in range(6))]
     pts.append(pts[0])
     return pts
+
+
+def radius_pairs(points: DataFrame, radius_deg: float,
+                 id_col: str = "id", lat_col: str = "lat",
+                 lng_col: str = "lng",
+                 scale: int = 1_000_000_000_000) -> DataFrame:
+    """Cartesian-free radius self-join — the 2-D sibling of
+    ``sessions.range_join``, and the engine's coordinate-based
+    record-dedup primitive (same specimen reported twice with
+    near-identical GPS): every unordered pair of points within
+    ``radius_deg`` in planar degree space.
+
+    Banding: grid cell = ``floor(coord / radius)``; any pair within
+    the radius differs by at most one cell per axis, so each point
+    joins only its 3x3 cell neighborhood — an EXPLODE to 9 probe keys
+    and one equi-join on (cell_x, cell_y). Shuffle volume is
+    O(9 * points); candidate volume is O(points x local density),
+    never all-pairs. The gate's oracle recomputes the pair set by
+    BRUTE FORCE, so a hash match also proves the banding is lossless.
+
+    Planar-degree caveat (documented, not hidden): degree space
+    squashes longitudes toward the poles and does not wrap the
+    antimeridian — right for the small radii of GPS-jitter dedup away
+    from the dateline; great-circle exactness would need trig that
+    breaks bitwise oracle parity.
+
+    Output: (id_a, id_b, dist2_scaled) with id_a < id_b and
+    dist2 = floor(scale * ((dlat)^2 + (dlng)^2)) — a single IEEE
+    expression, bitwise-reproducible across engines.
+    """
+    cell = [F.floor(F.col(c) / F.lit(float(radius_deg))).cast("long")
+            for c in (lat_col, lng_col)]
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lng_col).cast("double").alias("lng"),
+        cell[0].alias("cx"), cell[1].alias("cy"))
+    probes = base.select(
+        F.col("id").alias("id_a"), F.col("lat").alias("lat_a"),
+        F.col("lng").alias("lng_a"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("cx"),
+                     (F.col("cy") + dy).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("p")
+    ).select("id_a", "lat_a", "lng_a",
+             F.col("p.cx").alias("cx"), F.col("p.cy").alias("cy"))
+    targets = base.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+        F.col("lng").alias("lng_b"), "cx", "cy")
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlng = F.col("lng_a") - F.col("lng_b")
+    d2 = F.floor((dlat * dlat + dlng * dlng) * F.lit(float(scale))) \
+        .cast("long")
+    r2 = radius_deg * radius_deg
+    return (probes.join(targets, ["cx", "cy"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", d2.alias("dist2_scaled"),
+                    (dlat * dlat + dlng * dlng).alias("_d2"))
+            .where(F.col("_d2") <= F.lit(float(r2)))
+            .drop("_d2")
+            .dropDuplicates(["id_a", "id_b"]))

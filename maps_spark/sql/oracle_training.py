@@ -1761,3 +1761,26 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
        CAST(user_id AS VARCHAR) AS key, cnt,
        CAST(cnt * {scale} // total AS BIGINT) AS share_scaled
 FROM top CROSS JOIN t"""
+
+
+def radius_pairs_select(radius_deg: float,
+                        scale: int = 1_000_000_000_000) -> str:
+    """BRUTE-FORCE DuckDB twin of operators.binning.radius_pairs over
+    the occurrence view (all unordered pairs, exact distance filter)
+    — agreement proves the Spark side's grid banding is lossless."""
+    from maps_spark.sources.occurrence import occurrence_cte
+    r2 = radius_deg * radius_deg
+    return f"""{occurrence_cte()},
+p AS (
+  SELECT occurrenceId AS id,
+         CAST(decimalLatitude AS DOUBLE) AS lat,
+         CAST(decimalLongitude AS DOUBLE) AS lng
+  FROM occ
+  WHERE decimalLatitude IS NOT NULL AND decimalLongitude IS NOT NULL)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(floor(((a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lng - b.lng) * (a.lng - b.lng)) * {float(scale)!r})
+            AS BIGINT) AS dist2_scaled
+FROM p a JOIN p b ON a.id < b.id
+WHERE ((a.lat - b.lat) * (a.lat - b.lat)
+       + (a.lng - b.lng) * (a.lng - b.lng)) <= {float(r2)!r}"""

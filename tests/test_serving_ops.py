@@ -352,3 +352,41 @@ def test_adhoc_png_scaled_circles(spark, occ_small):
     data2 = adhoc_png(occ_small, 1, 0, 0,
                       params={"year": "1990,2000"})
     assert data2[:4] == b"\x89PNG"
+
+
+def test_radius_pairs_planted_geometry(spark):
+    from maps_spark.operators.binning import radius_pairs
+    pts = spark.createDataFrame([
+        (1, 10.0, 10.0),
+        (2, 10.0, 10.4),     # inside r=0.5 of 1
+        (3, 10.0, 10.6),     # outside r of 1 (0.6), inside r of 2
+        (4, 10.49, 10.0),    # inside r of 1, crosses the cell edge
+        (5, -45.0, 100.0),   # isolated
+        (6, 10.0, 10.0),     # exact duplicate of 1 -> dist 0
+    ], "id long, lat double, lng double")
+    out = {(r.id_a, r.id_b): r.dist2_scaled
+           for r in radius_pairs(pts, radius_deg=0.5).collect()}
+    assert (1, 2) in out and (2, 3) in out and (1, 4) in out
+    assert (1, 6) in out and out[(1, 6)] == 0
+    assert (1, 3) not in out
+    assert not any(5 in p for p in out)
+    # exactly-at-radius pairs are INCLUDED (<=)
+    pts2 = spark.createDataFrame([(1, 0.0, 0.0), (2, 0.0, 0.5)],
+                                 "id long, lat double, lng double")
+    assert len(radius_pairs(pts2, radius_deg=0.5).collect()) == 1
+
+
+def test_radius_pairs_plan_is_equi_join(spark):
+    import contextlib
+    import io
+
+    from maps_spark.operators.binning import radius_pairs
+    pts = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).cast("double").alias("lat"),
+        (F.col("id") % 7).cast("double").alias("lng"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        radius_pairs(pts, 0.5).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
