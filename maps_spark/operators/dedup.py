@@ -799,3 +799,54 @@ def scrub_dup_spans(docs: DataFrame, text_col: str = "text",
             .select("doc_id", "clean_text",
                     F.coalesce("n_removed_tokens", F.lit(0))
                     .cast("long").alias("n_removed_tokens")))
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      shingle_k: int = 3, threshold: float = 0.8,
+                      scale: int = 1_000_000,
+                      max_df: int = 1000) -> DataFrame:
+    """Asymmetric containment scoring — the near-dup signal symmetric
+    Jaccard misses: a short document quoted wholesale inside a long
+    one has tiny Jaccard but containment ~1 on the short side
+    (Broder's containment, the MinHash-era quote/subset detector).
+    For every overlapping pair, cont_x = |A∩B| / |X| in both
+    directions, kept when EITHER side reaches ``threshold``.
+
+    Same linear scale shape and hot-shingle guard as
+    :func:`ngram_jaccard_pairs` (one shingle equi-join, never
+    all-pairs; boilerplate shingles capped at ``max_df`` docs on both
+    the join and the sizes, keeping the score internally consistent).
+    Integer-exact: ``floor(inter * scale / size)`` via integer
+    division — oracle-safe.
+
+    Output: (doc_a, doc_b, inter, sza, szb, cont_a_scaled,
+    cont_b_scaled) with doc_a < doc_b.
+    """
+    sh = (docs.select("doc_id",
+                      F.explode(F.array_distinct(
+                          _shingle_array(text_col, shingle_k)))
+                      .alias("shingle"))
+          .localCheckpoint())
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(F.broadcast(df_counts.where(F.col("df") > max_df)),
+                 ["shingle"], "left_anti").localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("szb"))
+    cut = int(threshold * scale)
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "inter", "sza", "szb",
+                    F.expr(f"(inter * {scale}) div sza")
+                    .cast("long").alias("cont_a_scaled"),
+                    F.expr(f"(inter * {scale}) div szb")
+                    .cast("long").alias("cont_b_scaled"))
+            .where((F.col("cont_a_scaled") >= cut)
+                   | (F.col("cont_b_scaled") >= cut)))

@@ -175,6 +175,11 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_stats(synthesize_wav_media(spark, n=64))
 
 
+def q_containment_pairs(spark, sf_dir):
+    from maps_spark.operators.dedup import containment_pairs
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_geo_radius_pairs(spark, sf_dir):
     from maps_spark.operators.binning import radius_pairs
     occ = occurrence_df(spark, sf_dir).select(
@@ -732,6 +737,7 @@ MAPS_QUERIES = {
     "media_jpeg_decode": q_media_jpeg_decode,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
+    "containment_pairs": q_containment_pairs,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -928,6 +934,7 @@ def maps_oracles() -> dict[str, str]:
         "media_jpeg_decode": OT.jpeg_pixel_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
+        "containment_pairs": OT.containment_pairs_select(threshold=0.5),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),

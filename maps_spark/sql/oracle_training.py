@@ -1784,3 +1784,38 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM p a JOIN p b ON a.id < b.id
 WHERE ((a.lat - b.lat) * (a.lat - b.lat)
        + (a.lng - b.lng) * (a.lng - b.lng)) <= {float(r2)!r}"""
+
+
+def containment_pairs_select(shingle_k: int = 3, threshold: float = 0.8,
+                             scale: int = 1_000_000,
+                             max_df: int = 1000) -> str:
+    """DuckDB twin of operators.dedup.containment_pairs (same shingle
+    CTE family as ngram_jaccard_select)."""
+    cut = int(threshold * scale)
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 1)))
+                 AS i
+        FROM toks) s),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM sh0
+                        GROUP BY 1 HAVING count(*) > {max_df})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb,
+       CAST((inter * {scale}) // sa.sz AS BIGINT) AS cont_a_scaled,
+       CAST((inter * {scale}) // sb.sz AS BIGINT) AS cont_b_scaled
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (inter * {scale}) // sa.sz >= {cut}
+   OR (inter * {scale}) // sb.sz >= {cut}"""

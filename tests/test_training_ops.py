@@ -935,3 +935,23 @@ def test_grouped_split_no_leakage(spark):
     again = {(r.doc_id, r.split)
              for r in grouped_split(docs, val_frac=0.25).collect()}
     assert again == {(r.doc_id, r.split) for r in out}
+
+
+def test_containment_catches_quoted_subset(spark):
+    # a short doc quoted inside a long one: Jaccard is small, but
+    # containment on the short side is 1.0
+    from maps_spark.operators.dedup import (containment_pairs,
+                                            ngram_jaccard_pairs)
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        "doc_id long, text string")
+    out = containment_pairs(docs, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_scaled == 1_000_000   # all of doc 1 is inside doc 2
+    assert r.cont_b_scaled < 100_000
+    # symmetric Jaccard at the same bar misses the pair entirely
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
