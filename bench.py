@@ -291,6 +291,12 @@ def run() -> None:
         def _14():
             CP.curate_corpus(docs).count()
 
+        @timed("dedup_substring_spans")
+        def _10b():
+            # ExactSubstr L-gram family at corpus scale: gram counts,
+            # islands merge, per-doc coverage
+            DD.dup_span_stats(docs).count()
+
         @timed("media_pipeline_e2e")
         def _14a():
             # multimodal flagship: REAL decode (PPM+PNG) -> Arrow

@@ -162,7 +162,8 @@ def hex_polygon(q: int, r: int, z: int, x: int, y: int, tile_size: int = 512,
 def radius_pairs(points: DataFrame, radius_deg: float,
                  id_col: str = "id", lat_col: str = "lat",
                  lng_col: str = "lng",
-                 scale: int = 1_000_000_000_000) -> DataFrame:
+                 scale: int = 1_000_000_000_000,
+                 others: DataFrame | None = None) -> DataFrame:
     """Cartesian-free radius self-join — the 2-D sibling of
     ``sessions.range_join``, and the engine's coordinate-based
     record-dedup primitive (same specimen reported twice with
@@ -183,17 +184,26 @@ def radius_pairs(points: DataFrame, radius_deg: float,
     from the dateline; great-circle exactness would need trig that
     breaks bitwise oracle parity.
 
-    Output: (id_a, id_b, dist2_scaled) with id_a < id_b and
-    dist2 = floor(scale * ((dlat)^2 + (dlng)^2)) — a single IEEE
-    expression, bitwise-reproducible across engines.
+    ``others`` switches to the two-table form (points probing a second
+    point set — nearest-station / gazetteer joins): id_a comes from
+    ``points``, id_b from ``others``, every cross pair within the
+    radius, no id ordering constraint.
+
+    Output: (id_a, id_b, dist2_scaled) with id_a < id_b (self-join
+    form) and dist2 = floor(scale * ((dlat)^2 + (dlng)^2)) — a single
+    IEEE expression, bitwise-reproducible across engines.
     """
-    cell = [F.floor(F.col(c) / F.lit(float(radius_deg))).cast("long")
-            for c in (lat_col, lng_col)]
-    base = points.select(
-        F.col(id_col).alias("id"),
-        F.col(lat_col).cast("double").alias("lat"),
-        F.col(lng_col).cast("double").alias("lng"),
-        cell[0].alias("cx"), cell[1].alias("cy"))
+    def prep(df):
+        cell = [F.floor(F.col(c) / F.lit(float(radius_deg)))
+                .cast("long") for c in (lat_col, lng_col)]
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(lat_col).cast("double").alias("lat"),
+            F.col(lng_col).cast("double").alias("lng"),
+            cell[0].alias("cx"), cell[1].alias("cy"))
+
+    base = prep(points)
+    other_base = base if others is None else prep(others)
     probes = base.select(
         F.col("id").alias("id_a"), F.col("lat").alias("lat_a"),
         F.col("lng").alias("lng_a"),
@@ -203,7 +213,7 @@ def radius_pairs(points: DataFrame, radius_deg: float,
             for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("p")
     ).select("id_a", "lat_a", "lng_a",
              F.col("p.cx").alias("cx"), F.col("p.cy").alias("cy"))
-    targets = base.select(
+    targets = other_base.select(
         F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
         F.col("lng").alias("lng_b"), "cx", "cy")
     dlat = F.col("lat_a") - F.col("lat_b")
@@ -211,10 +221,11 @@ def radius_pairs(points: DataFrame, radius_deg: float,
     d2 = F.floor((dlat * dlat + dlng * dlng) * F.lit(float(scale))) \
         .cast("long")
     r2 = radius_deg * radius_deg
-    return (probes.join(targets, ["cx", "cy"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", d2.alias("dist2_scaled"),
-                    (dlat * dlat + dlng * dlng).alias("_d2"))
+    j = probes.join(targets, ["cx", "cy"])
+    if others is None:
+        j = j.where(F.col("id_a") < F.col("id_b"))
+    return (j.select("id_a", "id_b", d2.alias("dist2_scaled"),
+                     (dlat * dlat + dlng * dlng).alias("_d2"))
             .where(F.col("_d2") <= F.lit(float(r2)))
             .drop("_d2")
             .dropDuplicates(["id_a", "id_b"]))

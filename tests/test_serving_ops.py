@@ -390,3 +390,17 @@ def test_radius_pairs_plan_is_equi_join(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_pairs_two_table_form(spark):
+    from maps_spark.operators.binning import radius_pairs
+    stations = spark.createDataFrame(
+        [(100, 0.0, 0.0), (200, 50.0, 50.0)],
+        "id long, lat double, lng double")
+    pts = spark.createDataFrame(
+        [(1, 0.1, 0.1), (2, 49.9, 50.2), (3, -30.0, 10.0),
+         (4, 0.3, -0.3)],
+        "id long, lat double, lng double")
+    out = {(r.id_a, r.id_b) for r in
+           radius_pairs(pts, 0.5, others=stations).collect()}
+    assert out == {(1, 100), (4, 100), (2, 200)}
