@@ -457,3 +457,48 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # a (point, interval) pair can meet in several buckets only if the
     # point sits in exactly one bucket — it does — so no dedup needed
     return j.drop("_b")
+
+
+def event_anomalies(events: DataFrame, baseline_days: int = 7,
+                    ratio_threshold: float = 2.0,
+                    min_baseline_days: int = 3,
+                    scale: int = 1_000_000,
+                    day_us: int = 86_400_000_000) -> DataFrame:
+    """Day-over-day volume anomaly detection per event type: each
+    day's count against its trailing ``baseline_days`` average
+    (current day EXCLUDED), flagged when the ratio clears
+    ``ratio_threshold`` with at least ``min_baseline_days`` of
+    baseline. All arithmetic is integer (counts, integer-scaled
+    ratio), so the verdicts are exact in any engine — no floating
+    z-scores.
+
+    Scale: one (event_type, day) aggregation, then a per-type RANGE
+    window over day indices (gap-aware: missing days contribute
+    nothing rather than shifting the frame). Window partitions are
+    per event type — tiny — so no skew; the heavy lifting is the
+    map-side-combined daily count.
+
+    Output: (event_type, day, n, base_days, base_sum, ratio_scaled,
+    anomaly); ratio = floor(n * base_days * scale / base_sum)
+    (0 when no baseline).
+    """
+    daily = (events.select(
+        "event_type",
+        F.expr(f"({TS_US_SPARK}) div {day_us}").cast("long").alias("day"))
+        .groupBy("event_type", "day").agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-baseline_days, -1))
+    base_sum = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    base_days = F.count("n").over(w).cast("long")
+    cut = int(ratio_threshold * scale)
+    out = daily.select(
+        "event_type", "day", "n",
+        base_days.alias("base_days"), base_sum.alias("base_sum"))
+    ratio = F.when(F.col("base_sum") > 0,
+                   F.expr(f"(n * base_days * {scale}) div base_sum")) \
+        .otherwise(F.lit(0)).cast("long")
+    return out.select(
+        "event_type", "day", "n", "base_days", "base_sum",
+        ratio.alias("ratio_scaled"),
+        ((F.col("base_days") >= min_baseline_days)
+         & (ratio >= cut)).alias("anomaly"))

@@ -175,6 +175,12 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_stats(synthesize_wav_media(spark, n=64))
 
 
+def q_event_anomalies(spark, sf_dir):
+    from maps_spark.operators.sessions import event_anomalies
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_anomalies(ev)
+
+
 def q_containment_pairs(spark, sf_dir):
     from maps_spark.operators.dedup import containment_pairs
     return containment_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -738,6 +744,7 @@ MAPS_QUERIES = {
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
+    "event_anomalies": q_event_anomalies,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
     "adhoc_grid_centroid_z5": q_adhoc_grid_centroid_z5,
     "adhoc_tile_z2": q_adhoc_tile_z2,
@@ -935,6 +942,7 @@ def maps_oracles() -> dict[str, str]:
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
         "containment_pairs": OT.containment_pairs_select(threshold=0.5),
+        "event_anomalies": OT.event_anomalies_select(),
         "media_features": OT.media_features_select(),
         "semantic_dedup": OT.semantic_dedup_select(threshold=0.3),
         "shard_assign": OT.shard_assign_select(n_shards=8),

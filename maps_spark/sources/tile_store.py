@@ -327,3 +327,31 @@ class TileReader:
         else:
             self._points.move_to_end(key)
         return self._points[key]
+
+
+def tile_diff(spark: SparkSession, root_a: str, root_b: str) -> DataFrame:
+    """Build-over-build tile diff — the ops tool for the versioned
+    lifecycle (what changed between yesterday's build and today's,
+    before repointing a canary): per tile address, ``added`` /
+    ``removed`` / ``changed``, decided on tile-content digests so the
+    join ships 16-byte hashes, never tile payloads (the
+    ``corpus_diff`` pattern applied to the tile index). Unchanged
+    tiles are omitted — at 100 TB the diff is the interesting
+    minority, not the index.
+
+    Output: (srs, checklist, z, mapKey, x, y, change).
+    """
+    keys = ["srs", "checklist", "z", "mapKey", "x", "y"]
+
+    def digests(root, name):
+        return (read_tiles(spark, root)
+                .select(*keys, F.md5(F.col("tile")).alias(name)))
+
+    a = digests(root_a, "ha")
+    b = digests(root_b, "hb")
+    j = a.join(b, keys, "full_outer")
+    change = (F.when(F.col("ha").isNull(), F.lit("added"))
+              .when(F.col("hb").isNull(), F.lit("removed"))
+              .when(F.col("ha") != F.col("hb"), F.lit("changed")))
+    return (j.select(*keys, change.alias("change"))
+            .where(F.col("change").isNotNull()))

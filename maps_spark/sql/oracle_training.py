@@ -1819,3 +1819,35 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE (inter * {scale}) // sa.sz >= {cut}
    OR (inter * {scale}) // sb.sz >= {cut}"""
+
+
+def event_anomalies_select(baseline_days: int = 7,
+                           ratio_threshold: float = 2.0,
+                           min_baseline_days: int = 3,
+                           scale: int = 1_000_000,
+                           day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of operators.sessions.event_anomalies (gap-aware
+    RANGE frame over day indices, integer-exact ratio)."""
+    cut = int(ratio_threshold * scale)
+    return f"""WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // {day_us} AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, day, n,
+         CAST(count(n) OVER w AS BIGINT) AS base_days,
+         CAST(COALESCE(sum(n) OVER w, 0) AS BIGINT) AS base_sum
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN {baseline_days} PRECEDING
+               AND 1 PRECEDING))
+SELECT event_type, day, n, base_days, base_sum,
+       CAST(CASE WHEN base_sum > 0
+            THEN (n * base_days * {scale}) // base_sum
+            ELSE 0 END AS BIGINT) AS ratio_scaled,
+       (base_days >= {min_baseline_days}
+        AND (CASE WHEN base_sum > 0
+             THEN (n * base_days * {scale}) // base_sum
+             ELSE 0 END) >= {cut}) AS anomaly
+FROM win"""

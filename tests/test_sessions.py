@@ -492,3 +492,33 @@ def test_hot_keys_skew_diagnosis(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_event_anomalies_planted_spike(spark):
+    import datetime
+
+    from maps_spark.operators.sessions import event_anomalies
+    rows = []
+    # 10 steady days of 5 events, then a 20-event spike on day 10;
+    # a second type with too little history to ever flag
+    for d in range(10):
+        rows += [(d * 100 + i,
+                  datetime.datetime(2024, 1, 1 + d, 12, 0, i), 1,
+                  "steady", 0.0, "{}") for i in range(5)]
+    rows += [(9999 + i, datetime.datetime(2024, 1, 11, 12, 0, i), 1,
+              "steady", 0.0, "{}") for i in range(20)]
+    rows += [(555, datetime.datetime(2024, 1, 11, 6, 0, 0), 2,
+              "young", 0.0, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r.event_type, r.day): r
+           for r in event_anomalies(ev).collect()}
+    spike_day = max(d for t, d in out if t == "steady")
+    spike = out[("steady", spike_day)]
+    assert spike.n == 20 and spike.anomaly
+    assert spike.base_days == 7 and spike.base_sum == 35
+    assert spike.ratio_scaled == 20 * 7 * 1_000_000 // 35
+    # steady days never flag; young type lacks baseline
+    assert not any(r.anomaly for k, r in out.items() if k != ("steady",
+                                                              spike_day))

@@ -72,3 +72,24 @@ class TestTileReader:
         write_manifest(store, {**m, "build_id": m["build_id"]})  # same build
         reader.get_tile_bytes("0:0", "EPSG:3857", 0, 0, 0)
         assert len(reader._slices) == 1  # same key, no reload
+
+
+def test_tile_diff_between_builds(spark, tmp_path):
+    from maps_spark.sources import tile_store as TS
+    rows_a = [("0:0", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x02")),
+              ("0:0", "EPSG_3857", 1, 0, 0, bytearray(b"\x1a\x03")),
+              ("3:DK", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x04"))]
+    rows_b = [("0:0", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x02")),
+              ("0:0", "EPSG_3857", 1, 0, 0, bytearray(b"\x1a\x09")),
+              ("2:ds1", "EPSG_3857", 0, 0, 0, bytearray(b"\x1a\x05"))]
+    schema = ("mapKey string, srs string, z int, x long, y long, "
+              "tile binary")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    TS.write_tiles(spark.createDataFrame(rows_a, schema), ra)
+    TS.write_tiles(spark.createDataFrame(rows_b, schema), rb)
+    out = {(r.mapKey, r.z): r.change
+           for r in TS.tile_diff(spark, ra, rb).collect()}
+    # unchanged (0:0, z0) omitted; changed/removed/added all present
+    assert out == {("0:0", 1): "changed",
+                   ("3:DK", 0): "removed",
+                   ("2:ds1", 0): "added"}
