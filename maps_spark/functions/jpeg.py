@@ -5,9 +5,10 @@ real baseline pipeline — marker parse, DQT/DHT table load, canonical
 Huffman entropy decode with byte-unstuffing, DC prediction + EXTEND,
 zigzag dequantization, 2-D IDCT, chroma upsampling and YCbCr->RGB —
 for 8-bit grayscale and 3-component YCbCr at any sampling factors
-h,v in {1,2} (covers 4:4:4, 4:2:2, 4:2:0). Progressive, arithmetic
-coding, 12-bit, and restart markers raise ValueError (declared out of
-scope, like interlaced PNG).
+h,v in {1,2} (covers 4:4:4, 4:2:2, 4:2:0), including DRI/RSTn restart
+intervals (DC prediction resets, sequence-checked markers).
+Progressive, arithmetic coding, and 12-bit raise ValueError (declared
+out of scope, like interlaced PNG).
 
 The encoder exists to synthesize test payloads engine-side (grayscale
 and 4:4:4 color, standard Annex K style flow with caller-supplied
@@ -124,6 +125,18 @@ class _BitReader:
                     and self.data[self.pos - 1] == 0xFF):
                 self.pos += 1
 
+    def read_restart(self) -> int:
+        """Consume an RSTn marker at an MCU boundary (T.81 restart):
+        discard padding bits, then expect FFD0..FFD7."""
+        self.align()
+        d = self.data
+        if (self.pos + 2 > len(d) or d[self.pos] != 0xFF
+                or not 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        m = d[self.pos + 1] & 7
+        self.pos += 2
+        return m
+
 
 def _extend(bits: int, s: int) -> int:
     """T.81 EXTEND: map s magnitude bits to a signed value."""
@@ -143,6 +156,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> codes
     frame = None
+    restart_interval = 0
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -188,8 +202,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -200,7 +214,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cs] = (tt >> 4, tt & 0xF)
             data_pos = pos + 2 + seglen
             return _decode_scan(payload, data_pos, frame, sel,
-                                qtables, htables)
+                                qtables, htables, restart_interval)
         pos += 2 + seglen
     raise ValueError("no SOS marker")
 
@@ -239,7 +253,8 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
     return spatial, dc
 
 
-def _decode_scan(payload, pos, frame, sel, qtables, htables):
+def _decode_scan(payload, pos, frame, sel, qtables, htables,
+                 restart_interval=0):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
@@ -252,8 +267,18 @@ def _decode_scan(payload, pos, frame, sel, qtables, htables):
                                dtype=np.float64))
     preds = [0] * len(comps)
     br = _BitReader(payload, pos)
+    mcu_i = 0
+    expect_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                got = br.read_restart()
+                if got != expect_rst:
+                    raise ValueError("restart marker out of sequence")
+                expect_rst = (expect_rst + 1) & 7
+                preds = [0] * len(comps)  # DC prediction resets
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 dc_tab = htables.get((0, sel[c["id"]][0]))
                 ac_tab = htables.get((1, sel[c["id"]][1]))
@@ -354,11 +379,14 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 def encode_jpeg(img: np.ndarray,
                 q_luma: np.ndarray | int = 16,
-                q_chroma: np.ndarray | int = 16) -> bytes:
+                q_chroma: np.ndarray | int = 16,
+                restart_interval: int = 0) -> bytes:
     """Baseline JPEG encoder for (h, w) grayscale or (h, w, 3) RGB
     uint8 (4:4:4, standard Huffman tables). ``q_*`` is a scalar
     (uniform quantization — the closed-form gate regime) or a full
-    64-entry table in zigzag order."""
+    64-entry table in zigzag order. ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (and the decoder resets
+    its DC prediction there), matching real-world baseline files."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -396,8 +424,17 @@ def encode_jpeg(img: np.ndarray,
         pp[h:, :w] = p[h - 1:h, :]
         pp[:, w:] = pp[:, w - 1:w]
         padded.append(pp)
+    mcu_i = 0
+    rst_n = 0
     for my in range(ph // 8):
         for mx in range(pw // 8):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(planes)
+            mcu_i += 1
             for ci, p in enumerate(padded):
                 f = p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                 coef = _M @ f @ _M.T
@@ -453,6 +490,8 @@ def encode_jpeg(img: np.ndarray,
                 + bytes(_STD_DC[1]))
     out += _seg(0xC4, bytes([0x10]) + bytes(_STD_AC[0])
                 + bytes(_STD_AC[1]))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for c in range(nc):
         sos += bytes([c + 1, 0x00])

@@ -74,12 +74,31 @@ def test_rejects_unsupported_and_malformed():
         # flip SOF0 -> SOF2 (progressive); find the marker
         i = good.index(b"\xff\xc0")
         decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2:])
-    with pytest.raises(ValueError, match="restart"):
-        dri = _seg(0xDD, struct.pack(">H", 4))
-        i = good.index(b"\xff\xda")
-        decode_jpeg(good[:i] + dri + good[i:])
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
+    # a DRI declaring restarts the stream does not contain
+    multi = encode_jpeg(np.zeros((8, 32), dtype=np.uint8))
+    dri = _seg(0xDD, struct.pack(">H", 1))
+    i = multi.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(multi[:i] + dri + multi[i:])
+
+
+def test_restart_interval_roundtrip():
+    """DRI/RSTn support (real-world baseline files): markers every N
+    MCUs, DC prediction resets, bit-exact vs the marker-free path."""
+    from maps_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.RandomState(6)
+    g = rng.randint(0, 256, size=(16, 40)).astype(np.uint8)  # 10 MCUs
+    plain = decode_jpeg(encode_jpeg(g, q_luma=1))
+    for interval in (1, 3, 4):
+        with_rst = encode_jpeg(g, q_luma=1, restart_interval=interval)
+        assert b"\xff\xd0" in with_rst or interval > 9
+        assert np.array_equal(decode_jpeg(with_rst), plain)
+    c = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    plain_c = decode_jpeg(encode_jpeg(c, q_luma=1, q_chroma=1))
+    with_rst = encode_jpeg(c, q_luma=1, q_chroma=1, restart_interval=2)
+    assert np.array_equal(decode_jpeg(with_rst), plain_c)
 
 
 def test_chroma_420_subsampled_decode():
