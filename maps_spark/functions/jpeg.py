@@ -149,7 +149,20 @@ def _extend(bits: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """REAL baseline JPEG decode: (h, w) uint8 for grayscale, (h, w, 3)
-    RGB for YCbCr. ValueError on non-baseline or malformed input."""
+    RGB for YCbCr. ValueError on non-baseline or malformed input —
+    including structurally-malformed streams (short segments, scans
+    referencing undefined tables): every parse failure is normalized to
+    ValueError so mapInPandas decode stages honor the
+    "undecodable yields decode_ok=false, never crash" contract."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -203,15 +216,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("short DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # Legal per T.81, but this decoder only handles the
+                # single interleaved scan baseline encoders emit.
+                raise ValueError("non-interleaved scans unsupported")
             sel = {}
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c:3 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
+            if any(c["id"] not in sel for c in frame["comps"]):
+                raise ValueError("SOS component ids do not match SOF")
             data_pos = pos + 2 + seglen
             return _decode_scan(payload, data_pos, frame, sel,
                                 qtables, htables, restart_interval)

@@ -219,7 +219,10 @@ def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
                     ]).astype(np.float32) / 255.0
                     feats.append(vec)
                     oks.append(True)
-                except ValueError:
+                # decoders normalize parse failures to ValueError; the
+                # extra types are defense in depth so a malformed
+                # payload can never kill the mapInPandas task
+                except (ValueError, KeyError, IndexError, struct.error):
                     feats.append(np.zeros(dim, dtype=np.float32))
                     oks.append(False)
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -233,7 +236,9 @@ def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
 # Non-interlaced 8-bit PNG needs only ``zlib`` (deflate) plus the five
 # scanline filters from the spec, so this path is REAL too: chunk/CRC
 # parse, IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth).
-# JPEG remains the one stubbed codec (its entropy coder is not stdlib).
+# JPEG is real too (maps_spark/functions/jpeg.py: Huffman entropy
+# decode, dequant, IDCT); only progressive/arithmetic JPEG, interlaced
+# PNG, video, and compressed audio remain out of scope.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> samples per pixel (8-bit depth only; no palette)
@@ -300,8 +305,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode: signature + chunk walk with CRC verification,
     IDAT inflate, and scanline unfiltering per the spec's five filter
     types. Supports non-interlaced 8-bit gray / gray+alpha / RGB /
-    RGBA; raises ValueError on anything else or on corrupt input.
+    RGBA; raises ValueError on anything else or on corrupt input
+    (every parse failure is normalized to ValueError so mapInPandas
+    decode stages never crash on a bad payload).
     Returns (h, w, channels) uint8."""
+    try:
+        return _decode_png(payload)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError) as e:
+        raise ValueError(f"malformed PNG stream: {e!r}") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
@@ -316,6 +332,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -478,7 +496,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL audio decode for RIFF/WAVE PCM16: returns
     ((n, channels) int16 array, sample_rate). Raises ValueError on
     malformed input or non-PCM16 formats (compressed audio is out of
-    scope, like JPEG on the image side)."""
+    scope); parse failures are normalized to ValueError like the
+    image decoders."""
+    try:
+        return _decode_wav(payload)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError) as e:
+        raise ValueError(f"malformed WAV stream: {e!r}") from e
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     (riff_len,) = struct.unpack("<I", payload[4:8])

@@ -84,6 +84,30 @@ def test_rejects_unsupported_and_malformed():
         decode_jpeg(multi[:i] + dri + multi[i:])
 
 
+def test_malformed_streams_normalize_to_valueerror():
+    """Round-4 ADVICE regressions: structurally-malformed streams must
+    raise ValueError (never struct.error/KeyError) so the mapInPandas
+    decode_ok=false contract holds."""
+    from maps_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    good = encode_jpeg(np.zeros((8, 16, 3), dtype=np.uint8))
+    i = good.index(b"\xff\xda")
+    # 1-byte DRI segment (spec needs 2) -> was struct.error
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:i] + _seg(0xDD, b"\x01") + good[i:])
+    # SOS selecting fewer components than the SOF declares (legal
+    # non-interleaved baseline) -> declared unsupported, was KeyError
+    sos_len = struct.unpack(">H", good[i + 2:i + 4])[0]
+    short_sos = _seg(0xDA, bytes([1]) + good[i + 5:i + 7]
+                     + good[i + 2 + sos_len - 3:i + 2 + sos_len])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(good[:i] + short_sos + good[i + 2 + sos_len:])
+    # SOS whose component ids do not match the SOF's
+    full_sos = bytearray(good[i:i + 2 + sos_len])
+    full_sos[5] = 77  # first scan component id -> bogus
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:i] + bytes(full_sos) + good[i + 2 + sos_len:])
+
+
 def test_restart_interval_roundtrip():
     """DRI/RSTn support (real-world baseline files): markers every N
     MCUs, DC prediction resets, bit-exact vs the marker-free path."""

@@ -154,6 +154,62 @@ def test_png_rejects_malformed():
         decode_png(good[:8] + bytes(ihdr) + good[8 + 25:])
 
 
+def test_png_wrong_length_ihdr_valid_crc_is_valueerror():
+    """Round-4 ADVICE regression: an IHDR whose data is the wrong
+    length but whose CRC is valid must raise ValueError, not
+    struct.error."""
+    import struct
+    import zlib as _z
+    from maps_spark.operators.multimodal import decode_png, encode_png
+    good = encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    data = good[8 + 8:8 + 8 + 13][:12]  # drop one IHDR byte
+    chunk = (struct.pack(">I", len(data)) + b"IHDR" + data
+             + struct.pack(">I", _z.crc32(b"IHDR" + data) & 0xFFFFFFFF))
+    with pytest.raises(ValueError):
+        decode_png(good[:8] + chunk + good[8 + 25:])
+
+
+def test_wav_parse_failures_normalize_to_valueerror():
+    """fmt chunks long enough to pass the ln<16 check but with
+    truncated payload bytes must raise ValueError, not struct.error."""
+    import struct
+    from maps_spark.operators.multimodal import decode_wav
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+
+
+def test_extract_image_features_never_crashes_on_malformed(spark):
+    """The decode_ok=false contract end-to-end: the exact ADVICE repro
+    payloads (short DRI, non-interleaved SOS, wrong-length IHDR) flow
+    through extract_image_features as decode_ok=false rows."""
+    import struct
+    import zlib as _z
+    import pandas as pd
+    from maps_spark.functions.jpeg import encode_jpeg
+    from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 encode_png,
+                                                 extract_image_features)
+    jg = encode_jpeg(np.zeros((8, 16, 3), dtype=np.uint8))
+    i = jg.index(b"\xff\xda")
+    dri_seg = b"\xff\xdd" + struct.pack(">H", 3) + b"\x01"
+    bad_jpeg = jg[:i] + dri_seg + jg[i:]
+    pg = encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    data = pg[8 + 8:8 + 8 + 13][:12]
+    chunk = (struct.pack(">I", len(data)) + b"IHDR" + data
+             + struct.pack(">I", _z.crc32(b"IHDR" + data) & 0xFFFFFFFF))
+    bad_png = pg[:8] + chunk + pg[8 + 25:]
+    rows = pd.DataFrame({
+        "media_id": [1, 2, 3], "kind": ["image"] * 3,
+        "payload": [bad_jpeg, bad_png, pg],
+        "width": 0, "height": 0, "sample_rate": 0, "n_frames": 0})
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r["decode_ok"]
+           for r in extract_image_features(media).collect()}
+    assert out == {1: False, 2: False, 3: True}
+
+
 def test_png_channel_sums_matches_closed_form(spark):
     from maps_spark.operators.multimodal import (png_channel_sums,
                                                  synthesize_png_media)
