@@ -58,6 +58,25 @@ def run() -> None:
     # the first post-JIT run; best-of-3 lands reliably on steady state
     # (query_stats keeps every run so the spread stays visible).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    local_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_local.json")
+
+    def payload():
+        return {"metric": "maps_spark_bench_total",
+                "value": round(sum(timings.values()), 3), "unit": "sec",
+                "queries": timings, "query_stats": stats,
+                "sf": float(sf)}
+
+    def checkpoint():
+        # Durable copy, refreshed after EVERY entry: two rounds of
+        # driver-side stdout truncation showed the one-line print is
+        # not a reliable record, and a partial file still beats none
+        # if the harness kills a long run mid-flight.
+        tmp = local_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload(), f, indent=1)
+        os.replace(tmp, local_json)
 
     def timed(name, n=None):
         # Report the best of ``repeats`` executions: this box shows up to
@@ -84,6 +103,7 @@ def run() -> None:
             stats[name] = {"best": min(runs), "median": mid,
                            "spread": round(max(runs) - min(runs), 3),
                            "runs": runs}
+            checkpoint()
         return deco
 
     occ = occurrence_df(spark, SF_DIR)
@@ -144,7 +164,7 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    @timed("backfill_z0_12_3857", n=1)
+    @timed("backfill_z0_12_3857", n=2)
     def _4d():
         # larger scale point for the headline pipeline (VERDICT r2 #7):
         # z12 means 4x the max-zoom pixel cells and two more pyramid
@@ -161,7 +181,27 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    @timed("backfill_z0_8_all_srs", n=1)
+    @timed("backfill_z0_16_3857", n=2)
+    def _4d16():
+        # THE reference baseline workload: the published z16 Mercator
+        # pyramid (spark-generate-maps/example.yaml:124-129 runs
+        # max_zoom 16; BASELINE.md's stage minutes are this pipeline at
+        # 2.5 B rows). Tracked per round so the scale claim is a bench
+        # number, not a hand-run quote. Same 10k threshold as the
+        # other entries so the pyramid path (not point blobs) is what
+        # z16 exercises.
+        import shutil
+        import tempfile
+
+        from maps_spark.plans.backfill import run_backfill
+        out = tempfile.mkdtemp(prefix="bench_bf16_")
+        try:
+            run_backfill(spark, SF_DIR, out, max_zoom=16,
+                         threshold=10_000, srs_list=("EPSG:3857",))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    @timed("backfill_z0_8_all_srs", n=2)
     def _4e():
         # the full four-projection build (3857/4326 pure-Column math +
         # both polar Snyder pandas-UDF paths) — the reference's actual
@@ -179,7 +219,23 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    @timed("backfill_z0_10_staged", n=1)
+    @timed("backfill_z0_12_all_srs", n=2)
+    def _4e12():
+        # four projections at production zoom depth: the closest local
+        # proxy to the reference's full nightly build (all SRS, deep
+        # pyramid). Overlapped per-SRS DAGs as in the z8 entry.
+        import shutil
+        import tempfile
+
+        from maps_spark.plans.backfill import run_backfill
+        out = tempfile.mkdtemp(prefix="bench_bf4x12_")
+        try:
+            run_backfill(spark, SF_DIR, out, max_zoom=12,
+                         threshold=10_000, parallel_srs=True)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    @timed("backfill_z0_10_staged", n=2)
     def _4c2():
         # the z10 headline build in RELIABLE staged-table mode
         # (snapshot + span parents round-trip through Parquet staging
@@ -199,7 +255,7 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    @timed("backfill_z10_4x", n=1)
+    @timed("backfill_z10_4x", n=2)
     def _4f():
         # replicated-scale tracking entry (VERDICT r3 #7): the README's
         # 1x/4x/8x shifted-coordinate experiment, promoted into the
@@ -243,6 +299,54 @@ def run() -> None:
         SV.density_tile(keyed, map_key="0:0", srs="EPSG:3857", z=2, x=1, y=1,
                         year_range=(1900, 2000),
                         bors=["HUMAN_OBSERVATION", "OBSERVATION"]).count()
+
+    # -- serving point-get latency (VERDICT r4 #3) -------------------
+    # The reference serves a warm point lookup in "sub 5 ms"
+    # (PointFeatureFilters.java:73-74: cache2k in front of HBase
+    # point-gets). Our equivalent is the cached TileReader: ONE
+    # partition-pruned Spark job loads a (mapKey, srs, z) slice, then
+    # every tile of that slice is an in-process dict hit. Setup (a
+    # small backfill + the cold slice load) is untimed; the timed
+    # region is 1000 warm lookups cycling through the slice, reported
+    # as loop seconds (schema consistency) with ms/lookup added to
+    # query_stats.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from maps_spark.plans.backfill import run_backfill as _rb
+    from maps_spark.sources.tile_store import TileReader, read_points
+    _lat_out = _tf.mkdtemp(prefix="bench_lat_")
+    # threshold 500 (not 10k): the latency bench needs BOTH stores
+    # populated at every SF — tiles for the big "0:0" view, point
+    # bundles for the small ones
+    _rb(spark, SF_DIR, _lat_out, max_zoom=6, threshold=500,
+        srs_list=("EPSG:3857",))
+    _reader = TileReader(spark, _lat_out)
+    _reader.get_tile_bytes("0:0", "EPSG:3857", 4, 0, 0)  # cold load
+    _slice = list(_reader._slices.values())[-1]
+    _addrs = sorted(_slice)[:64] or [(0, 0)]
+    _pkey = None
+    try:
+        _prows = (read_points(spark, _lat_out)
+                  .select("mapKey").limit(1).collect())
+    except Exception:  # no views under threshold -> empty points store
+        _prows = []
+    if _prows:
+        _pkey = _prows[0].mapKey
+        _reader.get_point_bytes(_pkey)  # warm the point-bundle cache
+
+    @timed("serving_point_get_warm_1000x")
+    def _6b():
+        for i in range(1000):
+            x, y = _addrs[i % len(_addrs)]
+            _reader.get_tile_bytes("0:0", "EPSG:3857", 4, x, y)
+            if _pkey is not None and i % 4 == 0:
+                _reader.get_point_bytes(_pkey)
+
+    stats["serving_point_get_warm_1000x"]["ms_per_lookup"] = round(
+        timings["serving_point_get_warm_1000x"], 4)  # 1000 lookups
+    checkpoint()
+    _sh.rmtree(_lat_out, ignore_errors=True)
 
     @timed("adhoc_geo_grid_z7")
     def _7():
@@ -352,7 +456,7 @@ def run() -> None:
         def _18():
             PK2.shard_assign(docs, n_shards=32).count()
 
-        @timed("training_prep_e2e", n=1)
+        @timed("training_prep_e2e", n=2)
         def _18b():
             # the training-side flagship end-to-end: curate -> mixture
             # -> pack -> sorted shard export + versioned manifest swap
@@ -395,11 +499,8 @@ def run() -> None:
     except ImportError:
         pass
 
-    total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({"metric": "maps_spark_bench_total", "value": total,
-                      "unit": "sec", "queries": timings,
-                      "query_stats": stats, "sf": float(sf)}))
+    checkpoint()
+    print(json.dumps(payload()))
     spark.stop()
 
 

@@ -288,6 +288,39 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cos_scaled"))
 
 
+def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               method: str = "ivf", id_col: str = "vec_id",
+               vec_col: str = "embedding", **kwargs) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k of an
+    approximate index (``method`` = 'lsh' or 'ivf', extra kwargs pass
+    through to :func:`lsh_topk` / :func:`ivf_topk`) against the exact
+    :func:`brute_force_topk` answer.
+
+    Output: (query_id, n_exact, n_hits) — both counts are integers,
+    so the result is oracle-exact (recall@k = n_hits / n_exact).
+
+    Scale note: the exact side is the O(corpus x queries) brute-force
+    scan, so this is an EVALUATION operator — run it on a sampled
+    query set (hundreds, not millions) to track index quality per
+    build; the approximate side is the same bucketed plan production
+    uses, so the measured recall is the served recall.
+    """
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    if method == "lsh":
+        approx = lsh_topk(corpus, queries, k, id_col, vec_col, **kwargs)
+    elif method == "ivf":
+        approx = ivf_topk(corpus, queries, k, id_col, vec_col, **kwargs)
+    else:
+        raise ValueError(f"unknown ANN method {method!r}")
+    hits = (approx.select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1)))
+    return (exact.select("query_id", "neighbor_id")
+            .join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 F.count("hit").alias("n_hits")))
+
+
 def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          dim: int = 64, n_bits: int = 12, n_tables: int = 4,

@@ -529,6 +529,20 @@ def q_ann_ivf_topk(spark, sf_dir):
                         n_clusters=16, n_probe=4)
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = _emb(spark, sf_dir)
+    return SIM.ann_recall(emb, emb.where(F.col("vec_id") < 16), k=10,
+                          method="ivf", n_clusters=16, n_probe=4)
+
+
+def q_ann_recall_lsh(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = _emb(spark, sf_dir)
+    return SIM.ann_recall(emb, emb.where(F.col("vec_id") < 16), k=10,
+                          method="lsh")
+
+
 def q_ann_ivf_index(spark, sf_dir):
     """Build-then-serve split of the IVF path: persist the cluster-
     partitioned index, then answer the same top-k through the pruned
@@ -795,6 +809,8 @@ MAPS_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_index": q_ann_ivf_index,
+    "ann_recall_ivf": q_ann_recall_ivf,
+    "ann_recall_lsh": q_ann_recall_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
@@ -909,6 +925,10 @@ def maps_oracles() -> dict[str, str]:
                                           n_clusters=16, n_probe=4),
         "ann_ivf_index": OT.ann_ivf_select(k=10, n_queries=16,
                                            n_clusters=16, n_probe=4),
+        "ann_recall_ivf": OT.ann_recall_select(k=10, n_queries=16,
+                                               method="ivf"),
+        "ann_recall_lsh": OT.ann_recall_select(k=10, n_queries=16,
+                                               method="lsh"),
         "embedding_near_dupes": OT.embedding_near_dupes_select(
             threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),

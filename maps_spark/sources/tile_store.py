@@ -301,16 +301,21 @@ class TileReader:
         while len(cache) > cap:
             cache.popitem(last=False)
 
+    def slice_df(self, map_key: str, srs: str, z: int) -> DataFrame:
+        """The one Spark query behind a cold slice load — exposed so
+        tests can audit that it stays partition-pruned on
+        (srs, checklist, z) with mapKey pushed to row-group stats."""
+        return (read_tiles(self.spark, self.root)
+                .where((F.col("srs") == srs.replace(":", "_")) &
+                       (F.col("checklist") == _checklist_of(map_key)) &
+                       (F.col("z") == z) & (F.col("mapKey") == map_key))
+                .select("x", "y", "tile"))
+
     def get_tile_bytes(self, map_key: str, srs: str, z: int,
                        x: int, y: int) -> bytes | None:
         key = (self._build_id(), map_key, srs.replace(":", "_"), int(z))
         if key not in self._slices:
-            rows = (read_tiles(self.spark, self.root)
-                    .where((F.col("srs") == key[2]) &
-                           (F.col("checklist") == _checklist_of(map_key))
-                           & (F.col("z") == z) &
-                           (F.col("mapKey") == map_key))
-                    .select("x", "y", "tile").collect())
+            rows = self.slice_df(map_key, srs, z).collect()
             self._lru_put(self._slices, key,
                           {(r.x, r.y): bytes(r.tile) for r in rows},
                           self.max_slices)

@@ -764,6 +764,23 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_scaled
 FROM ranked WHERE rank <= {k}"""
 
 
+def ann_recall_select(k: int = 10, n_queries: int = 16,
+                      method: str = "ivf") -> str:
+    """DuckDB twin of operators.similarity.ann_recall: the exact and
+    approximate top-k selects (already dual-reproducible) nested as
+    CTEs, then an integer hit count per query."""
+    approx = (ann_ivf_select(k, n_queries) if method == "ivf"
+              else ann_lsh_select(k, n_queries))
+    return f"""WITH exact AS ({ann_topk_select(k, n_queries)}),
+approx AS ({approx})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id"""
+
+
 def embedding_near_dupes_select(threshold: float = 0.3, dim: int = 64,
                                 n_bits: int = 12, n_tables: int = 4,
                                 max_bucket: int = 10_000) -> str:

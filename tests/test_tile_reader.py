@@ -39,6 +39,26 @@ class TestTileReader:
         per_lookup = (time.time() - t0) / n
         assert per_lookup < 0.05, f"warm lookup {per_lookup * 1e3:.1f} ms"
 
+    def test_slice_load_plan_stays_partition_pruned(self, spark, store):
+        """The cold slice load behind every warm point-get must prune
+        to one (srs, checklist, z) directory and push mapKey to
+        row-group stats — the scan shape the sub-ms warm envelope
+        (bench serving_point_get_warm_1000x) rests on."""
+        from maps_spark.sources.tile_store import TileReader
+        reader = TileReader(spark, store)
+        df = reader.slice_df("0:0", "EPSG:3857", 2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        part = [ln for ln in plan.splitlines()
+                if "PartitionFilters" in ln]
+        assert part, plan
+        for col in ("srs", "checklist", "z"):
+            assert col in part[0], (col, part[0])
+        assert "EqualTo(mapKey,0:0)" in plan
+        # and the reader really serves from that plan
+        assert reader.get_tile_bytes("0:0", "EPSG:3857", 2, 1, 1) == \
+            {(r.x, r.y): bytes(r.tile)
+             for r in df.collect()}.get((1, 1))
+
     def test_point_bundle_fallback_via_reader(self, spark, store):
         import pyspark.sql.functions as F
         from maps_spark.operators.serving import serve_tile

@@ -153,6 +153,33 @@ def test_ann_ivf_recall(spark, emb):
     assert recall >= recall4
 
 
+def test_ann_recall_operator_counts(spark, emb):
+    """ann_recall's integer counts must equal the set-intersection
+    computed independently from the two top-k results, and IVF
+    recall@10 with n_probe=8 must clear the same bound the raw test
+    above asserts."""
+    from maps_spark.operators.similarity import (ann_recall,
+                                                 brute_force_topk,
+                                                 ivf_topk)
+    queries = emb.where(F.col("vec_id") < 8)
+    got = {r.query_id: (r.n_exact, r.n_hits)
+           for r in ann_recall(emb, queries, k=10, method="ivf",
+                               n_clusters=16, n_probe=8).collect()}
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_clusters=16,
+                      n_probe=8).collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    for qid in {r.query_id for r in exact}:
+        e_rows = {(r.query_id, r.neighbor_id)
+                  for r in exact if r.query_id == qid}
+        assert got[qid] == (len(e_rows), len(e_rows & approx_set))
+    total_exact = sum(v[0] for v in got.values())
+    total_hits = sum(v[1] for v in got.values())
+    assert total_hits / total_exact >= 0.5
+    with pytest.raises(ValueError):
+        ann_recall(emb, queries, method="bogus")
+
+
 class TestHotBucketGuards:
     """Plant a boilerplate hot bucket and assert the candidate
     generators stay bounded (the 100 TB quadratic-blowup guards)."""
