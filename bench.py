@@ -289,6 +289,37 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    @timed("backfill_z10_skewed", n=2)
+    def _4g():
+        # adversarial-skew tracking entry (VERDICT r4 #5): the z10
+        # pipeline where HALF of all rows are one replicated
+        # occurrence (one coordinate, one taxon chain, one dataset).
+        # The per-pixel count aggregation collapses the hot key
+        # map-side before the shuffle, so this must track
+        # backfill_z0_10_3857 at ~<=2x (it processes 2x rows), not
+        # blow up on the hot (mapKey, px, py) group.
+        import shutil
+        import tempfile
+
+        from maps_spark.sources import tile_store
+        survivor = occ.where(
+            "occurrenceId % 97 != 0 AND occurrenceId % 101 != 0 AND "
+            "occurrenceId % 89 != 0 AND occurrenceId % 83 != 0").limit(1)
+        n = occ.count()
+        hot = survivor.crossJoin(spark.range(n).select("id")).drop("id")
+        skewed = occ.unionByName(hot)
+        out = tempfile.mkdtemp(prefix="bench_bfskew_")
+        try:
+            snap = skewed.localCheckpoint(eager=True)
+            ks = PY.keyed_occurrence(snap)
+            large, small = PY.split_views(ks, 10_000)
+            tile_store.write_points(PY.point_blobs(small), out)
+            tiles = PY.build_pyramid(large, "EPSG:3857", 10)
+            tile_store.write_tiles(tiles, out)
+            PY.unpersist_pyramid(tiles)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     @timed("point_blobs")
     def _5():
         small = keyed.where(F.col("mapKey").startswith("3:"))

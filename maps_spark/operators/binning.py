@@ -224,8 +224,12 @@ def radius_pairs(points: DataFrame, radius_deg: float,
     j = probes.join(targets, ["cx", "cy"])
     if others is None:
         j = j.where(F.col("id_a") < F.col("id_b"))
+    # no dedup needed: target B matches probe A in exactly ONE
+    # (cx, cy) — B's own cell (the probe side explodes, the target
+    # side does not) — so each qualifying pair is emitted once by
+    # construction and a dropDuplicates here would only add a shuffle
+    # of the result. The gate's brute-force oracle pins this.
     return (j.select("id_a", "id_b", d2.alias("dist2_scaled"),
                      (dlat * dlat + dlng * dlng).alias("_d2"))
             .where(F.col("_d2") <= F.lit(float(r2)))
-            .drop("_d2")
-            .dropDuplicates(["id_a", "id_b"]))
+            .drop("_d2"))

@@ -678,10 +678,21 @@ def dup_ngram_coverage(docs: DataFrame, text_col: str = "text",
                 .cast("long").alias("dup_coverage_scaled")))
 
 
-def _gram_starts(docs: DataFrame, text_col: str, min_gram: int
-                 ) -> DataFrame:
-    """(doc_id, i, gh): md5 of each word-level ``min_gram``-gram by its
-    0-based start index in the document's non-empty token sequence.
+# Gram-key hashers for the ExactSubstr family (same pluggable split as
+# TOKEN_HASHERS): "fast" ships an 8-byte xxhash64 long per gram
+# position — ~4x fewer shuffle bytes than the 32-char md5 string and
+# JVM-native — but has no DuckDB twin; "reproducible" keeps md5, which
+# both engines compute identically, for the hash-checked gates.
+DEFAULT_GRAM_HASHER = "fast"
+_GRAM_HASHERS = {"fast": lambda c: F.xxhash64(c),
+                 "reproducible": lambda c: F.md5(c)}
+
+
+def _gram_starts(docs: DataFrame, text_col: str, min_gram: int,
+                 gram_hasher: str = DEFAULT_GRAM_HASHER) -> DataFrame:
+    """(doc_id, i, gh): hash of each word-level ``min_gram``-gram by its
+    0-based start index in the document's non-empty token sequence
+    (``gram_hasher`` picks the hash — see ``_GRAM_HASHERS``).
     Documents shorter than ``min_gram`` tokens contribute nothing.
     (Spark's ``sequence`` steps BACKWARDS when start > stop, so the
     short-doc case must be guarded, not relied on to be empty.)"""
@@ -690,17 +701,18 @@ def _gram_starts(docs: DataFrame, text_col: str, min_gram: int
         F.size(w) >= min_gram,
         F.sequence(F.lit(0), F.size(w) - min_gram)
     ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice("w", F.col("i") + 1,
+                                    F.lit(min_gram)))
     return (docs.select("doc_id", w.alias("w"), starts.alias("ii"))
             .select("doc_id", F.explode("ii").alias("i"),
                     F.col("w").alias("w"))
             .select("doc_id", "i",
-                    F.md5(F.concat_ws(
-                        " ", F.slice("w", F.col("i") + 1,
-                                     F.lit(min_gram)))).alias("gh")))
+                    _GRAM_HASHERS[gram_hasher](gram).alias("gh")))
 
 
 def dup_spans(docs: DataFrame, text_col: str = "text",
-              min_gram: int = 8) -> DataFrame:
+              min_gram: int = 8,
+              gram_hasher: str = DEFAULT_GRAM_HASHER) -> DataFrame:
     """Duplicated-substring spans — the word-level L-gram form of
     suffix-array exact-substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -718,7 +730,7 @@ def dup_spans(docs: DataFrame, text_col: str = "text",
     sequence; overlapping/adjacent duplicated grams merge into one
     span.
     """
-    grams = _gram_starts(docs, text_col, min_gram)
+    grams = _gram_starts(docs, text_col, min_gram, gram_hasher)
     counts = grams.groupBy("gh").agg(F.count("*").alias("n"))
     dup = (grams.join(counts.where(F.col("n") > 1).select("gh"), "gh")
            .select("doc_id", "i",
@@ -742,7 +754,8 @@ def dup_spans(docs: DataFrame, text_col: str = "text",
 
 def dup_span_stats(docs: DataFrame, text_col: str = "text",
                    min_gram: int = 8,
-                   scale: int = 1_000_000) -> DataFrame:
+                   scale: int = 1_000_000,
+                   gram_hasher: str = DEFAULT_GRAM_HASHER) -> DataFrame:
     """Per-document duplicated-substring coverage from
     :func:`dup_spans`: the filter signal form (drop or trim documents
     whose corpora-duplicated share exceeds a threshold). Docs with no
@@ -750,7 +763,7 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text",
 
     Output: (doc_id, n_tokens, dup_tokens, dup_frac_scaled) with
     frac = floor(dup_tokens * scale / n_tokens), integer-exact."""
-    spans = dup_spans(docs, text_col, min_gram)
+    spans = dup_spans(docs, text_col, min_gram, gram_hasher)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("dup_tokens"))
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
@@ -768,7 +781,8 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text",
 
 
 def scrub_dup_spans(docs: DataFrame, text_col: str = "text",
-                    min_gram: int = 8) -> DataFrame:
+                    min_gram: int = 8,
+                    gram_hasher: str = DEFAULT_GRAM_HASHER) -> DataFrame:
     """Rebuild each document with its duplicated spans removed — the
     aggressive apply-side of :func:`dup_spans` (every occurrence goes,
     like :func:`drop_dup_paragraphs`; Lee et al.'s keep-one-occurrence
@@ -784,7 +798,7 @@ def scrub_dup_spans(docs: DataFrame, text_col: str = "text",
     Output: (doc_id, clean_text, n_removed_tokens)."""
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     toks = (docs.select("doc_id", F.posexplode(w).alias("pos", "word")))
-    covered = (dup_spans(docs, text_col, min_gram)
+    covered = (dup_spans(docs, text_col, min_gram, gram_hasher)
                .select("doc_id", F.explode(F.sequence(
                    "span_start", "span_end")).alias("pos")))
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")

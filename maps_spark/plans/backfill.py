@@ -35,7 +35,8 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                                               "EPSG:3575", "EPSG:3031"),
                  max_zoom: int = 8, threshold: int = PY.DEFAULT_THRESHOLD,
                  snapshot: bool | str = True, versioned: bool = True,
-                 keep_builds: int = 2, parallel_srs: bool = False) -> dict:
+                 keep_builds: int = 2, parallel_srs: bool = False,
+                 skew_report: bool = True) -> dict:
     """Build the full tile index + point bundles. Returns manifest.
 
     ``versioned`` writes into ``out_root/builds/<ts>/`` and atomically
@@ -73,6 +74,21 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
         occ = occ.localCheckpoint(eager=True)
     keyed = PY.keyed_occurrence(occ)
     large, small = PY.split_views(keyed, threshold)
+
+    hot: list[dict] = []
+    if skew_report:
+        # pre-flight skew report (hot_keys operator): the top view
+        # keys and their share of exploded rows, recorded in the
+        # manifest so an operator sees WHICH keys dominate the
+        # pyramid shuffles before the build runs. One map-side-
+        # combined count over the materialized snapshot — the count
+        # collapses per-key before the shuffle, so the report itself
+        # is skew-immune. ("0:0" leading at ~1/views-per-row share is
+        # the expected shape; a single taxon/dataset view rivaling it
+        # is the anomaly the report exists to surface.)
+        from maps_spark.operators.adhoc import hot_keys
+        hot = [r.asDict() for r in hot_keys(keyed, ["mapKey"],
+                                            k=5).collect()]
 
     points = PY.point_blobs(small)
     if not parallel_srs:
@@ -134,6 +150,7 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
         "srs": list(srs_list), "build_sec": round(time.time() - t0, 2),
         "stage_sec": stats, "snapshot_mode": ("staged" if staged else
                                               bool(snapshot)),
+        "hot_keys": hot,
     }
     if versioned:
         tile_store.finalise_build(out_root, build_id, manifest,

@@ -64,6 +64,28 @@ def q_pixel_agg_3031_z4(spark, sf_dir):
     return PY.pixel_table(keyed, "EPSG:3031", 4)
 
 
+def q_streaming_refresh_pixels(spark, sf_dir):
+    """Streaming refresh promoted to a hash gate (VERDICT r4 #6): the
+    events table is split into 8 landing files so availableNow
+    processes TWO micro-batches (maxFilesPerTrigger=4); the merged
+    bucketed pixel store must then hash-match the batch pixel_select
+    oracle over the UNION of the batches — proving the foreachBatch
+    delta/merge path is exactly additive across batches."""
+    import tempfile
+
+    from maps_spark.streaming.refresh import (read_pixel_store,
+                                              run_refresh)
+    land = tempfile.mkdtemp(prefix="maps-spark-refresh-land-")
+    (spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8)
+     .write.mode("overwrite").parquet(land))
+    store = tempfile.mkdtemp(prefix="maps-spark-refresh-") + "/pixels"
+    q = run_refresh(spark, land, f"{sf_dir}/nation.parquet", store,
+                    srs="EPSG:3857", zoom=6)
+    q.awaitTermination(600)
+    return read_pixel_store(spark, store).select(
+        "mapKey", "px", "py", "borYear", "cnt")
+
+
 def q_pyramid_rollup_z6_to_z2(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ROLLUP_VIEWS))
     return PY.rollup(PY.pixel_table(keyed, "EPSG:3857", 6), levels=4)
@@ -435,17 +457,19 @@ def q_nb_classify(spark, sf_dir):
 
 def q_dup_spans(spark, sf_dir):
     from maps_spark.operators.dedup import dup_spans
-    return dup_spans(_docs(spark, sf_dir))
+    return dup_spans(_docs(spark, sf_dir), gram_hasher="reproducible")
 
 
 def q_dup_span_stats(spark, sf_dir):
     from maps_spark.operators.dedup import dup_span_stats
-    return dup_span_stats(_docs(spark, sf_dir))
+    return dup_span_stats(_docs(spark, sf_dir),
+                      gram_hasher="reproducible")
 
 
 def q_scrub_dup_spans(spark, sf_dir):
     from maps_spark.operators.dedup import scrub_dup_spans
-    return scrub_dup_spans(_docs(spark, sf_dir))
+    return scrub_dup_spans(_docs(spark, sf_dir),
+                       gram_hasher="reproducible")
 
 
 def q_domain_cap(spark, sf_dir):
@@ -736,6 +760,7 @@ MAPS_QUERIES = {
     "pixel_agg_4326_z6": q_pixel_agg_4326_z6,
     "pixel_agg_3575_z4": q_pixel_agg_3575_z4,
     "pixel_agg_3031_z4": q_pixel_agg_3031_z4,
+    "streaming_refresh_pixels": q_streaming_refresh_pixels,
     "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
     "pyramid_span_z6_to_z2": q_pyramid_span_z6_to_z2,
     "tile_assembly_3857_z2": q_tile_assembly_3857_z2,
@@ -849,6 +874,7 @@ def maps_oracles() -> dict[str, str]:
         "map_view_counts": O.map_view_counts_select(),
         "pixel_agg_3857_z6": O.pixel_select("EPSG:3857", 6, PIXEL_VIEWS),
         "pixel_agg_4326_z6": O.pixel_select("EPSG:4326", 6, PIXEL_VIEWS),
+        "streaming_refresh_pixels": O.pixel_select("EPSG:3857", 6, None),
         "pyramid_rollup_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
                                                    ROLLUP_VIEWS),
         "pyramid_span_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,

@@ -28,19 +28,22 @@ def _views_in(views: list[str]) -> str:
     return f"mapKey IN ({inner})"
 
 
-def pixel_select(srs: str, z: int, views: list[str]) -> str:
-    """A2: per-pixel aggregation at zoom z for chosen map views.
+def pixel_select(srs: str, z: int, views: list[str] | None) -> str:
+    """A2: per-pixel aggregation at zoom z for chosen map views
+    (``views=None`` aggregates every view — the twin of the streaming
+    refresh store, which maintains all views).
 
     The inner projection can yield NULL pixels (polar buffer-band rows
     overshooting the canvas) — those rows are dropped before the
     grouping, mirroring the engine's ``px IS NOT NULL`` filter."""
     pxe, pye = dual.pixel_exprs(srs, "decimalLatitude", "decimalLongitude", z)
     plot = _plottable(srs)
+    view_filter = f" AND {_views_in(views)}" if views else ""
     return f"""{mapkeys_cte()}
 SELECT mapKey, px, py, borYear, count(*) AS cnt FROM (
   SELECT mapKey, {pxe} AS px, {pye} AS py,
          {dual.encode_bor_year('basisOfRecord', 'year')} AS borYear
-  FROM keyed WHERE {plot} AND {_views_in(views)})
+  FROM keyed WHERE {plot}{view_filter})
 WHERE px IS NOT NULL
 GROUP BY 1, 2, 3, 4"""
 

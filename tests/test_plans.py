@@ -253,11 +253,64 @@ def test_staged_backfill_matches_default_and_drops_staging(spark, tmp_path):
     a, b = decoded(roots["default"]), decoded(roots["staged"])
     assert a.keys() == b.keys() and len(a) > 0
     assert a == b
+    # pre-flight skew report in the manifest: "0:0" (the all-data
+    # view every row lands in) must lead, with a real share
+    for m in manifests.values():
+        hk = m["hot_keys"]
+        assert hk and hk[0]["rank"] == 1 and hk[0]["key"] == "0:0"
+        assert 0 < hk[0]["share_scaled"] <= 1_000_000
     # staging dropped inside the finalised build dir
     builds = os.listdir(f"{roots['staged']}/builds")
     for bdir in builds:
         assert not os.path.exists(
             f"{roots['staged']}/builds/{bdir}/staging")
+
+
+def test_adversarial_skew_backfill(spark, tmp_path):
+    """Adversarial skew stress (VERDICT r4 #5): HALF of all events are
+    one replicated row, so 50% of occurrences share one coordinate,
+    one taxon chain, and one dataset. The build must still complete
+    (the pixel count-aggregation collapses the hot key map-side before
+    any shuffle), produce a store whose hot pixel carries the planted
+    mass, and the manifest's pre-flight skew report must surface the
+    concentrated views."""
+    import shutil
+
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources import tile_store
+
+    skew_sf = str(tmp_path / "sfskew")
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n = events.count()
+    # replicate ONE base-filter-surviving event row n times (crossJoin
+    # keeps the schema, incl. the NTZ timestamp, byte-exact)
+    survivor = events.where(
+        "event_id % 97 != 0 AND event_id % 101 != 0 AND "
+        "event_id % 89 != 0 AND event_id % 83 != 0").limit(1)
+    hot = survivor.crossJoin(spark.range(n).select("id")).drop("id")
+    (events.unionByName(hot).write.mode("overwrite")
+     .parquet(f"{skew_sf}/events.parquet"))
+    import os
+    os.makedirs(skew_sf, exist_ok=True)
+    shutil.copy(f"{SF_SMALL}/nation.parquet",
+                f"{skew_sf}/nation.parquet")
+
+    root = str(tmp_path / "skewout")
+    manifest = run_backfill(spark, skew_sf, root, max_zoom=4,
+                            threshold=500, srs_list=("EPSG:3857",))
+    hk = {r["key"]: r["share_scaled"] for r in manifest["hot_keys"]}
+    # the replicated row's taxon view must show up well above any
+    # uniform-data share (uniform kingdoms top out near 2% of exploded
+    # rows; the planted one carries ~60% of rows, ~6% of exploded)
+    assert any(k.startswith("1:") and v > 40_000 for k, v in hk.items()
+               if k != "0:0"), hk
+    # the hot view's pixel mass survives intact: its single-coordinate
+    # tile store (if over threshold) or point bundle holds >= n rows
+    hot_view = next(k for k in hk if k != "0:0")
+    pts = tile_store.read_points(spark, root)
+    tls = tile_store.read_tiles(spark, root)
+    assert (pts.where(F.col("mapKey") == hot_view).count() +
+            tls.where(F.col("mapKey") == hot_view).limit(1).count()) > 0
 
 
 def test_parallel_srs_unversioned_rerun_drops_stale_srs(spark, tmp_path):
@@ -347,6 +400,13 @@ def test_round4_ops_plan_shapes(spark):
         p = plan_of(df)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+    # the fast (xxhash64, 8-byte) gram hasher must find exactly the
+    # spans the reproducible (md5, oracle-twinned) hasher finds — the
+    # hasher only keys the gram-count join, never the span math
+    spans_fast = {tuple(r) for r in dup_spans(docs).collect()}
+    spans_md5 = {tuple(r) for r in
+                 dup_spans(docs, gram_hasher="reproducible").collect()}
+    assert spans_fast == spans_md5 and spans_fast
 
 
 def test_staged_parallel_srs_backfill(spark, tmp_path):

@@ -218,6 +218,50 @@ class TestHotBucketGuards:
         assert all(a >= 100 for a, _ in ids), ids
         assert (100, 101) in ids
 
+    def test_minhash_half_corpus_identical_capped(self, spark):
+        """Adversarial 50% skew: half the corpus is ONE boilerplate
+        text. The banded-LSH candidate generator must drop that
+        bucket (100 > max_bucket) instead of emitting ~100^2/2 pairs,
+        while a genuine near-dup pair in the healthy half survives."""
+        from maps_spark.operators.dedup import minhash_lsh_pairs
+        boiler = ("lorem ipsum dolor sit amet consectetur adipiscing "
+                  "elit sed do eiusmod tempor incididunt ut labore")
+        toks = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa mu nu xi omicron rho sigma tau upsilon").split()
+        rows = [(i, boiler) for i in range(100)]
+        rows += [(1000 + i, " ".join(f"w{(i * 31 + j * 7) % 9973}"
+                                     for j in range(12)))
+                 for i in range(98)]
+        rows += [(5000, " ".join(toks)),
+                 (5001, " ".join(toks[:-2] + toks[-1:] + toks[-2:-1]))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(docs, max_bucket=10).collect()
+        ids = {(p.doc_a, p.doc_b) for p in pairs}
+        assert all(a >= 1000 for a, _ in ids), sorted(ids)[:5]
+        assert (5000, 5001) in ids
+        # bounded output: never within two orders of the 4950
+        # boilerplate pairs a capless generator would emit
+        assert len(ids) < 500
+
+    def test_domain_cap_under_half_corpus_skew(self, spark):
+        """50% of docs in one megadomain: domain_cap keeps exactly
+        ``cap`` of it (lowest doc_id), passes under-cap domains
+        through untouched."""
+        from maps_spark.operators.corpus import domain_cap
+        rows = [(i, "hot.example", f"t{i}") for i in range(100)]
+        rows += [(1000 + i, f"d{i % 20}.example", f"t{i}")
+                 for i in range(100)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        out = domain_cap(docs, cap=5).collect()
+        by_dom = {}
+        for r in out:
+            by_dom.setdefault(r.source, []).append(r.doc_id)
+        assert sorted(by_dom["hot.example"]) == [0, 1, 2, 3, 4]
+        for d, ids in by_dom.items():
+            if d != "hot.example":
+                assert len(ids) == 5  # 20 domains x 5 docs, all kept
+
     def test_embedding_hot_bucket_capped(self, spark):
         import numpy as np
         from maps_spark.operators.similarity import embedding_near_dupes
