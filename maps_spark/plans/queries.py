@@ -197,6 +197,12 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_stats(synthesize_wav_media(spark, n=64))
 
 
+def q_media_video_decode(spark, sf_dir):
+    from maps_spark.operators.multimodal import (synthesize_y4m_media,
+                                                 y4m_frame_sums)
+    return y4m_frame_sums(synthesize_y4m_media(spark, n=64))
+
+
 def q_event_anomalies(spark, sf_dir):
     from maps_spark.operators.sessions import event_anomalies
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -779,6 +785,7 @@ MAPS_QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_wav_decode": q_media_wav_decode,
     "media_wav_frames": q_media_wav_frames,
+    "media_video_decode": q_media_video_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
@@ -984,6 +991,7 @@ def maps_oracles() -> dict[str, str]:
             n=64, width=31, height=17),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),
+        "media_video_decode": OT.y4m_frame_sums_select(n=64),
         "media_jpeg_decode": OT.jpeg_pixel_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),

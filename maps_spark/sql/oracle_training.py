@@ -1290,6 +1290,26 @@ SELECT media_id,
 FROM ids CROSS JOIN xs CROSS JOIN ys"""
 
 
+def y4m_frame_sums_select(n: int = 64, width: int = 32,
+                          height: int = 24, n_frames: int = 6) -> str:
+    """Closed-form twin of operators.multimodal.y4m_frame_sums over
+    synthesize_y4m_media's streams (Y = x-gradient, U = y-gradient,
+    V = (id*7 + frame*13) % 256 per frame)."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+fs AS (SELECT f AS frame_idx FROM generate_series(0, {n_frames - 1}) t(f)),
+xs AS (SELECT sum(x * 255 // {width - 1}) AS sy
+       FROM generate_series(0, {width - 1}) t(x)),
+ys AS (SELECT sum(y * 255 // {height - 1}) AS su
+       FROM generate_series(0, {height - 1}) t(y))
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST({height} * xs.sy AS BIGINT) AS sum_y,
+       CAST({width} * ys.su AS BIGINT) AS sum_u,
+       CAST({width} * {height} * ((media_id * 7 + frame_idx * 13) % 256)
+            AS BIGINT) AS sum_v
+FROM ids CROSS JOIN fs CROSS JOIN xs CROSS JOIN ys"""
+
+
 def event_windows_select(window_us: int = 3600 * 1_000_000,
                          scale: int = 1_000) -> str:
     """DuckDB twin of operators.sessions.event_windows."""

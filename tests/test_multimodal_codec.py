@@ -309,3 +309,88 @@ def test_wav_frame_features_semantics(spark):
     assert rows[0].zero_crossings == 3
     assert rows[1].frame_len == 1 and rows[1].energy == 0
     assert rows[1].zero_crossings == 0
+
+
+# -- Y4M video codec ----------------------------------------------------
+
+def test_y4m_roundtrip_c444_and_mono():
+    from maps_spark.operators.multimodal import decode_y4m, encode_y4m
+    rng = np.random.RandomState(1)
+    fr = rng.randint(0, 256, size=(4, 6, 8, 3)).astype(np.uint8)
+    dec, fps = decode_y4m(encode_y4m(fr, fps="30:1"))
+    assert fps == 30 and np.array_equal(dec, fr)
+    mono = rng.randint(0, 256, size=(3, 4, 6)).astype(np.uint8)
+    dm, _ = decode_y4m(encode_y4m(mono, colorspace="Cmono"))
+    for c in range(3):
+        assert np.array_equal(dm[:, :, :, c], mono)
+
+
+def test_y4m_decode_handmade_420_and_default_colorspace():
+    """Spec-independent check: a hand-assembled 4:2:0 stream (Y plane
+    4 bytes, U/V one byte each for a 2x2 frame), plus the spec's
+    default C420jpeg when no C tag is present."""
+    from maps_spark.operators.multimodal import decode_y4m
+    head = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n"
+    frame = (b"FRAME\n" + bytes([10, 20, 30, 40])
+             + bytes([100]) + bytes([200]))
+    d, _ = decode_y4m(head + frame)
+    assert d.shape == (1, 2, 2, 3)
+    assert d[0, :, :, 0].tolist() == [[10, 20], [30, 40]]
+    assert (d[0, :, :, 1] == 100).all() and (d[0, :, :, 2] == 200).all()
+    d2, _ = decode_y4m(b"YUV4MPEG2 W2 H2 F25:1\n" + frame)
+    assert np.array_equal(d2, d)
+
+
+def test_y4m_rejects_malformed():
+    from maps_spark.operators.multimodal import decode_y4m
+    head = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n"
+    bads = (b"YUV4MPEG3 W2 H2\n",
+            head + b"FRAME\n" + b"\x00" * 3,       # truncated frame
+            head + b"FRAM!\n" + b"\x00" * 6,       # bad marker
+            b"YUV4MPEG2 W0 H2 C444\n",             # invalid dims
+            b"YUV4MPEG2 W3 H2 C420jpeg\nFRAME\n",  # odd w for 4:2:0
+            b"YUV4MPEG2 W2 H2 C999\nFRAME\n" + b"\x00" * 6,
+            b"YUV4MPEG2 W2 Hx C444\nFRAME\n" + b"\x00" * 12,
+            head)                                  # no frames
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+
+
+def test_y4m_frame_sums_match_closed_form(spark):
+    from maps_spark.operators.multimodal import (synthesize_y4m_media,
+                                                 y4m_frame_sums)
+    w, h, nf = 16, 12, 4
+    media = synthesize_y4m_media(spark, n=8, width=w, height=h,
+                                 n_frames=nf)
+    rows = {(r.media_id, r.frame_idx): (r.sum_y, r.sum_u, r.sum_v)
+            for r in y4m_frame_sums(media).collect()}
+    assert len(rows) == 8 * nf
+    sy = h * sum(x * 255 // (w - 1) for x in range(w))
+    su = w * sum(y * 255 // (h - 1) for y in range(h))
+    for (mid, f), (a, b, c) in rows.items():
+        assert (a, b, c) == (sy, su, w * h * ((mid * 7 + f * 13) % 256))
+
+
+def test_y4m_frame_features_detects_scene_cut(spark):
+    """Planted scene cut: constant frames, then a jump — diff_energy
+    must be 0 within the scene and exactly |delta|*pixels at the cut."""
+    import pandas as pd
+    from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 encode_y4m,
+                                                 y4m_frame_features)
+    h, w = 4, 6
+    fr = np.zeros((4, h, w, 3), dtype=np.uint8)
+    fr[:2] = 10
+    fr[2:] = 200  # cut between frame 1 and 2
+    payload = encode_y4m(fr)
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1], "kind": ["video"], "payload": [payload],
+        "width": w, "height": h, "sample_rate": 0, "n_frames": 4}),
+        schema=MEDIA_SCHEMA)
+    out = {r.frame_idx: (r.sum_luma, r.diff_energy)
+           for r in y4m_frame_features(media).collect()}
+    assert out[0] == (10 * h * w, 0)
+    assert out[1] == (10 * h * w, 0)
+    assert out[2] == (200 * h * w, 190 * h * w)
+    assert out[3] == (200 * h * w, 0)
