@@ -345,3 +345,69 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", norm.alias("norm_text"),
         F.length(text_col).cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_norm"))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        shingle_k: int = 3, window: int = 4) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): from each document's positional ``shingle_k``-gram
+    hash sequence, select the minimum hash of every ``window``
+    consecutive grams (rightmost on ties) — the guarantee is that any
+    shared substring of >= ``window + shingle_k - 1`` tokens yields at
+    least one IDENTICAL selected (hash) on both sides, with ~2/(w+1)
+    of positions kept. The standard robust local-similarity
+    fingerprint for plagiarism/boilerplate detection, denser than one
+    whole-doc hash and far sparser than every gram.
+
+    Engine shape — all codegen, no Python: token hashes are the
+    pure-Column 31-bit polynomial (``similarity.token_hash_col``,
+    oracle-identical), gram hashes the same windowed fold minhash
+    uses, and the window-min rides ONE per-document window frame
+    (``ROWS 0..window-1``) over an int64-packed (hash, reversed-pos)
+    key — ``gh * 2^20 + (2^20-1-pos)`` — so "min hash, ties to
+    RIGHTMOST position" is a plain ``min()``. Positions are bounded
+    by 2^20 tokens/doc (docs beyond that should be chunked first).
+    Per-doc partitions keep the sort document-bounded, exactly like
+    :func:`maps_spark.operators.dedup.dup_spans`.
+
+    Output: (doc_id, pos, gram_hash) — distinct selected grams,
+    ``pos`` the 0-based gram start in the space-split token sequence.
+    """
+    from pyspark.sql import Window
+
+    from maps_spark.operators.dedup import P31, SHINGLE_BASE
+    from maps_spark.operators.similarity import token_hash_col
+
+    POSCAP = 1 << 20
+    hs = F.transform(F.split(F.col(text_col), " "), token_hash_col)
+    starts = F.when(
+        F.size(hs) >= shingle_k,
+        F.sequence(F.lit(0), F.size(hs) - shingle_k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (docs.select("doc_id", hs.alias("hs"), starts.alias("ii"))
+             .select("doc_id", "hs", F.explode("ii").alias("i"))
+             .select(
+                 "doc_id", "i",
+                 F.aggregate(
+                     F.slice("hs", F.col("i") + 1, F.lit(shingle_k)),
+                     F.lit(0).cast("long"),
+                     lambda acc, h: (acc * SHINGLE_BASE + h) % P31)
+                 .alias("gh")))
+    key = (F.col("gh") * POSCAP + (POSCAP - 1 - F.col("i"))).alias("key")
+    wdoc = Window.partitionBy("doc_id")
+    wmin = wdoc.orderBy("i").rowsBetween(0, window - 1)
+    keyed = grams.select(
+        "doc_id", "i", key,
+        F.count("*").over(wdoc).alias("ng"))
+    mins = keyed.select(
+        "doc_id", "i", "ng",
+        F.min("key").over(wmin).alias("mk"))
+    return (mins
+            .where(F.col("i") <= F.greatest(F.col("ng") - window,
+                                            F.lit(0)))
+            .select("doc_id",
+                    (POSCAP - 1 - F.pmod("mk", F.lit(POSCAP)))
+                    .cast("int").alias("pos"),
+                    F.expr(f"mk div {POSCAP}").cast("long")
+                    .alias("gram_hash"))
+            .distinct())

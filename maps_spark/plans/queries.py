@@ -509,6 +509,11 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    from maps_spark.operators.text import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_ann_topk(spark, sf_dir):
     from maps_spark.operators import similarity as SIM
     emb = _emb(spark, sf_dir)
@@ -844,6 +849,7 @@ MAPS_QUERIES = {
     "ann_recall_ivf": q_ann_recall_ivf,
     "ann_recall_lsh": q_ann_recall_lsh,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
@@ -966,6 +972,7 @@ def maps_oracles() -> dict[str, str]:
             threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),
         "doc_fingerprint": OT.doc_fingerprint_select(),
+        "winnow_fingerprints": OT.winnow_fingerprints_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
         "stratified_sample": OT.stratified_sample_select(),

@@ -898,6 +898,45 @@ pairs AS (
   GROUP BY 1, 2)"""
 
 
+def winnow_fingerprints_select(shingle_k: int = 3,
+                               window: int = 4) -> str:
+    """DuckDB twin of operators.text.winnow_fingerprints: same token
+    hash, same gram fold, same packed (hash, reversed-pos) key and
+    window-min selection."""
+    POSCAP = 1 << 20
+    k = shingle_k
+    windowed = _shingle_fold([f"hs[gs.i + {j}]" for j in range(k)])
+    windowed = windowed.replace("hs[gs.i", "hs[i")
+    return f"""WITH th AS (
+  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM documents),
+g0 AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {k}
+              THEN list_transform(
+                     generate_series(1, len(hs) - {k - 1}),
+                     i -> {{'p': i - 1, 'g': {windowed}}})
+              ELSE [] END AS ghs
+  FROM th),
+g AS (
+  SELECT doc_id, u['p'] AS pos0, u['g'] AS gh
+  FROM (SELECT doc_id, unnest(ghs) AS u FROM g0)),
+keys AS (
+  SELECT doc_id, pos0,
+         gh * {POSCAP} + ({POSCAP - 1} - pos0) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g),
+mins AS (
+  SELECT doc_id, pos0, ng,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos0
+                        ROWS BETWEEN CURRENT ROW
+                        AND {window - 1} FOLLOWING) AS mk
+  FROM keys)
+SELECT DISTINCT doc_id,
+       CAST({POSCAP - 1} - (mk % {POSCAP}) AS INT) AS pos,
+       CAST(mk // {POSCAP} AS BIGINT) AS gram_hash
+FROM mins WHERE pos0 <= greatest(ng - {window}, 0)"""
+
+
 def minhash_lsh_select(num_perm: int = 64, bands: int = 16,
                        shingle_k: int = 3, seed: int = 42,
                        max_bucket: int = 1000) -> str:

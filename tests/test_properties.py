@@ -204,3 +204,58 @@ def test_dup_span_islands_match_bruteforce(spark, tokens):
         else:
             want.append((i, e))
     assert got == want, (text, got, want)
+
+
+def _winnow_brute(text, k=3, w=4):
+    """Reference winnowing: per window of w gram hashes, pick min hash
+    (rightmost on ties); distinct selections."""
+    P31, B = (1 << 31) - 1, 1000003
+
+    def th(t):
+        h = 0
+        for ch in t:
+            h = (h * 256 + ord(ch)) % P31
+        return h
+
+    hs = [th(t) for t in text.split(" ")]
+    grams = []
+    for i in range(max(len(hs) - k + 1, 0)):
+        g = 0
+        for h in hs[i:i + k]:
+            g = (g * B + h) % P31
+        grams.append((i, g))
+    sel = set()
+    for s in range(max(len(grams) - w, 0) + (1 if grams else 0)):
+        win = grams[s:s + w]
+        sel.add(min(win, key=lambda t: (t[1], -t[0])))
+    return sel
+
+
+@settings(max_examples=20, deadline=None)
+@given(tokens=st.lists(st.sampled_from("abc"), min_size=0, max_size=30))
+def test_winnow_fingerprints_match_bruteforce(spark, tokens):
+    """The codegen window-min (packed hash/reversed-pos key) equals
+    reference winnowing — tiny alphabet forces hash ties, so the
+    rightmost tie rule is exercised."""
+    from maps_spark.operators.text import winnow_fingerprints
+    text = " ".join(tokens)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r.pos, r.gram_hash)
+           for r in winnow_fingerprints(docs).collect()}
+    assert got == _winnow_brute(text)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Schleimer et al.'s guarantee: two documents sharing a token run
+    of >= window + k - 1 tokens share at least one selected gram HASH,
+    wherever the run sits in each document."""
+    from maps_spark.operators.text import winnow_fingerprints
+    shared = "the common quoted passage appears verbatim here today"
+    a = "alpha beta " + shared + " gamma delta epsilon"
+    b = "one two three four " + shared + " five"
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    sel = {}
+    for r in winnow_fingerprints(docs, shingle_k=3, window=4).collect():
+        sel.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert sel[1] & sel[2], (sel[1], sel[2])
