@@ -411,3 +411,38 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                     F.expr(f"mk div {POSCAP}").cast("long")
                     .alias("gram_hash"))
             .distinct())
+
+
+def winnow_pairs(docs: DataFrame, text_col: str = "text",
+                 shingle_k: int = 3, window: int = 4,
+                 min_shared: int = 2, max_df: int = 1000) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints — the
+    apply-side of :func:`winnow_fingerprints` (MOSS's match step):
+    documents sharing >= ``min_shared`` selected gram hashes, with the
+    shared count as the overlap signal. Catches partial plagiarism /
+    quoted passages that whole-document hashes miss and symmetric
+    Jaccard underweights.
+
+    Scale shape: the join key is the selected-hash table (~2/(w+1) of
+    gram positions), hashes appearing in more than ``max_df``
+    documents are dropped before the self-join (the same hot-shingle
+    boilerplate guard as ``ngram_jaccard_pairs`` — a corpus-wide
+    boilerplate fingerprint would otherwise explode quadratically),
+    and the pair count is a map-side-combinable aggregation.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
+    """
+    fps = (winnow_fingerprints(docs, text_col, shingle_k, window)
+           .select("doc_id", "gram_hash").distinct())
+    hot = (fps.groupBy("gram_hash")
+           .agg(F.count("*").alias("df"))
+           .where(F.col("df") > max_df)
+           .select("gram_hash"))
+    cold = fps.join(hot, "gram_hash", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+    return (a.join(b, "gram_hash")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

@@ -514,6 +514,11 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_winnow_pairs(spark, sf_dir):
+    from maps_spark.operators.text import winnow_pairs
+    return winnow_pairs(_docs(spark, sf_dir))
+
+
 def q_ann_topk(spark, sf_dir):
     from maps_spark.operators import similarity as SIM
     emb = _emb(spark, sf_dir)
@@ -850,6 +855,7 @@ MAPS_QUERIES = {
     "ann_recall_lsh": q_ann_recall_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
@@ -973,6 +979,7 @@ def maps_oracles() -> dict[str, str]:
         "simhash_pairs": OT.simhash_pairs_select(),
         "doc_fingerprint": OT.doc_fingerprint_select(),
         "winnow_fingerprints": OT.winnow_fingerprints_select(),
+        "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
         "stratified_sample": OT.stratified_sample_select(),

@@ -937,6 +937,22 @@ SELECT DISTINCT doc_id,
 FROM mins WHERE pos0 <= greatest(ng - {window}, 0)"""
 
 
+def winnow_pairs_select(shingle_k: int = 3, window: int = 4,
+                        min_shared: int = 2, max_df: int = 1000) -> str:
+    """DuckDB twin of operators.text.winnow_pairs: the fingerprint
+    select nested as a CTE, hot-hash df cap, pair join."""
+    return f"""WITH wf AS ({winnow_fingerprints_select(shingle_k,
+                                                       window)}),
+fps AS (SELECT DISTINCT doc_id, gram_hash FROM wf),
+hot AS (SELECT gram_hash FROM fps GROUP BY 1
+        HAVING count(*) > {max_df}),
+cold AS (SELECT f.* FROM fps f ANTI JOIN hot USING (gram_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM cold a JOIN cold b
+  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
 def minhash_lsh_select(num_perm: int = 64, bands: int = 16,
                        shingle_k: int = 3, seed: int = 42,
                        max_bucket: int = 1000) -> str:

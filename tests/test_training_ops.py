@@ -1026,3 +1026,23 @@ def test_containment_catches_quoted_subset(spark):
     assert r.cont_b_scaled < 100_000
     # symmetric Jaccard at the same bar misses the pair entirely
     assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_winnow_pairs_finds_quoted_passage(spark):
+    """winnow_pairs surfaces a shared quoted run between otherwise
+    different documents, and the hot-hash df cap kills corpus-wide
+    boilerplate fingerprints."""
+    from maps_spark.operators.text import winnow_pairs
+    shared = "the exact common quoted passage appears verbatim here now"
+    rows = [(1, "alpha beta " + shared + " gamma delta"),
+            (2, "one two three " + shared + " four five six")]
+    # 30 docs all ending with the same boilerplate: with max_df=10 the
+    # boilerplate hashes are dropped, so no pairs among them
+    boiler = "all rights reserved contact us terms of service apply"
+    rows += [(100 + i, f"unique{i} words{i * 3} here{i * 7} " + boiler)
+             for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_pairs(docs, min_shared=2, max_df=10).collect()
+    ids = {(r.doc_a, r.doc_b): r.n_shared for r in pairs}
+    assert (1, 2) in ids and ids[(1, 2)] >= 2
+    assert all(a < 100 for a, _ in ids), ids
