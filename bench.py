@@ -453,6 +453,27 @@ def run() -> None:
             finally:
                 shutil.rmtree(out, ignore_errors=True)
 
+        @timed("pair_curation_e2e")
+        def _14c():
+            # image-TEXT pair curation (contrastive-data prep): real
+            # decode -> caption gate -> align -> cross-modal dedup
+            import shutil
+            import tempfile
+
+            from maps_spark.operators.multimodal import \
+                synthesize_ppm_media
+            from maps_spark.plans.media import run_pair_curation
+            media = synthesize_ppm_media(spark, n=512, width=48,
+                                         height=32)
+            caps = docs.select(
+                F.pmod(F.col("doc_id"), F.lit(512)).alias("doc_id"),
+                "text").dropDuplicates(["doc_id"])
+            out = tempfile.mkdtemp(prefix="bench_pairs_")
+            try:
+                run_pair_curation(spark, media, caps, out)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
         @timed("classify_route")
         def _14b():
             # the round-4 classifier family as one routing pass:

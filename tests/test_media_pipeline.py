@@ -50,3 +50,48 @@ def test_media_curation_e2e(spark, tmp_path):
     assert m2["funnel"]["media_in"] == 16
     import os
     assert len(os.listdir(f"{root}/builds")) <= 2
+
+
+def test_pair_curation_e2e(spark, tmp_path):
+    """Image-text pair curation: planted cross-modal duplicate drops,
+    same image with NEW text survives, short captions and undecodable
+    media leave through the funnel."""
+    from maps_spark.operators.multimodal import synthesize_ppm_media
+    from maps_spark.plans.media import read_pairs, run_pair_curation
+
+    base = synthesize_ppm_media(spark, n=6, width=16, height=8)
+    # id 100: pixel-identical to id 0 (same gradient params)
+    dup_img = (synthesize_ppm_media(spark, n=1, width=16, height=8)
+               .withColumn("media_id", F.col("media_id") + 100))
+    dup_img2 = (synthesize_ppm_media(spark, n=1, width=16, height=8)
+                .withColumn("media_id", F.col("media_id") + 200))
+    bad = spark.createDataFrame(
+        [(900, "image", bytearray(b"junk"), 16, 8, 0, 0)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, sample_rate int, n_frames int")
+    media = (base.unionByName(dup_img).unionByName(dup_img2)
+             .unionByName(bad))
+
+    cap = "a scenic mountain lake at golden hour with pine trees"
+    captions = spark.createDataFrame(
+        [(0, cap),                          # kept (canonical)
+         (1, "another distinct caption describing something else"),
+         (2, "too short"),                  # caption gate drops (2 toks)
+         (3, "a third caption with plenty of descriptive words here"),
+         # 4, 5 have no caption -> alignment drops them
+         (100, cap),                        # same image AND caption as 0
+         (200, "same picture but newly written words about the lake"),
+         (900, "caption for the undecodable payload")],
+        "doc_id long, text string")
+
+    root = str(tmp_path / "pairs")
+    m = run_pair_curation(spark, media, captions, root,
+                          img_threshold=0.9999, min_tokens=4)
+    f = m["funnel"]
+    assert f["media_in"] == 9
+    assert f["decoded"] == 8            # 900 undecodable
+    assert f["captions_ok"] == 6        # doc 2 too short
+    assert f["aligned"] == 5            # ids 0,1,3,100,200
+    kept = {r.media_id for r in read_pairs(spark, root).collect()}
+    assert kept == {0, 1, 3, 200}       # 100 = same image + same text
+    assert f["cross_modal_dups_dropped"] == 1
