@@ -409,6 +409,21 @@ def test_round4_ops_plan_shapes(spark):
     assert spans_fast == spans_md5 and spans_fast
 
 
+def test_winnow_plan_stays_codegen(spark):
+    """winnow_fingerprints' scale claims as plan asserts: no Python
+    UDF anywhere (token hash, gram fold, and selection are Column
+    expressions), no cartesian/nested-loop join, and the only Window
+    frames are the per-document ones."""
+    from maps_spark.operators.text import winnow_fingerprints, winnow_pairs
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+    for df in (winnow_fingerprints(docs), winnow_pairs(docs)):
+        p = plan_of(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_staged_parallel_srs_backfill(spark, tmp_path):
     # the two cluster modes compose: concurrent per-SRS builds, each
     # staging its span parents under its own staging/<srs> subtree
