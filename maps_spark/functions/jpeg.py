@@ -158,7 +158,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     except ValueError:
         raise
-    except (struct.error, KeyError, IndexError) as e:
+    except (struct.error, KeyError, IndexError, OverflowError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -244,6 +244,8 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
                   q: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
     """One 8x8 block: returns (spatial block float64, new DC pred)."""
     s = br.decode_symbol(dc_tab)
+    if s > 15:  # T.81 F.1.2.1.1: DC categories are 0..11 (16 in 12-bit)
+        raise ValueError(f"invalid DC category {s}")
     diff = _extend(br.read_bits(s), s)
     dc = pred + diff
     coeff = np.zeros(64, dtype=np.int64)

@@ -315,7 +315,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     except ValueError:
         raise
-    except (struct.error, KeyError, IndexError) as e:
+    except (struct.error, KeyError, IndexError, OverflowError) as e:
         raise ValueError(f"malformed PNG stream: {e!r}") from e
 
 
@@ -504,7 +504,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         return _decode_wav(payload)
     except ValueError:
         raise
-    except (struct.error, KeyError, IndexError) as e:
+    except (struct.error, KeyError, IndexError, OverflowError) as e:
         raise ValueError(f"malformed WAV stream: {e!r}") from e
 
 
@@ -763,7 +763,7 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         return _decode_y4m(payload)
     except ValueError:
         raise
-    except (struct.error, KeyError, IndexError,
+    except (struct.error, KeyError, IndexError, OverflowError,
             UnicodeDecodeError) as e:
         raise ValueError(f"malformed Y4M stream: {e!r}") from e
 

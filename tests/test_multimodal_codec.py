@@ -394,3 +394,63 @@ def test_y4m_frame_features_detects_scene_cut(spark):
     assert out[1] == (10 * h * w, 0)
     assert out[2] == (200 * h * w, 190 * h * w)
     assert out[3] == (200 * h * w, 0)
+
+
+# -- cross-codec robustness fuzz ----------------------------------------
+
+def _valid_payloads():
+    """One representative valid payload per real codec."""
+    import struct
+    from maps_spark.functions.jpeg import encode_jpeg
+    from maps_spark.operators.multimodal import (encode_png, encode_ppm,
+                                                 encode_wav, encode_y4m)
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    wav = rng.randint(-2000, 2000, size=(300, 2)).astype(np.int16)
+    vid = rng.randint(0, 256, size=(3, 6, 8, 3), dtype=np.uint8)
+    return {
+        "ppm": encode_ppm(img),
+        "png": encode_png(img),
+        "jpeg": encode_jpeg(img),
+        "wav": encode_wav(wav),
+        "y4m": encode_y4m(vid),
+    }
+
+
+def test_codec_mutation_fuzz_never_raises_foreign_exceptions():
+    """The decode_ok=false contract, systematically: single-byte
+    corruptions and truncations of every codec's valid payload must
+    either decode or raise ValueError — never struct.error / KeyError
+    / IndexError / UnicodeDecodeError, which would kill a mapInPandas
+    task. Deterministic positions (stride walk), no RNG."""
+    from maps_spark.functions.jpeg import decode_jpeg
+    from maps_spark.operators.multimodal import (decode_png, decode_ppm,
+                                                 decode_wav, decode_y4m)
+    decoders = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg,
+                "wav": decode_wav, "y4m": decode_y4m}
+    for name, payload in _valid_payloads().items():
+        dec = decoders[name]
+        n = len(payload)
+        # byte flips on a prime-stride walk (covers header + body)
+        for i in range(60):
+            pos = (i * 97) % n
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0x5A
+            try:
+                dec(bytes(mutated))
+            except ValueError:
+                pass
+            except Exception as e:  # pragma: no cover
+                raise AssertionError(
+                    f"{name}: byte {pos} flip raised {type(e).__name__}: "
+                    f"{e}") from e
+        # truncations at a coarse grid
+        for cut in range(0, n, max(n // 23, 1)):
+            try:
+                dec(bytes(payload[:cut]))
+            except ValueError:
+                pass
+            except Exception as e:  # pragma: no cover
+                raise AssertionError(
+                    f"{name}: truncation at {cut} raised "
+                    f"{type(e).__name__}: {e}") from e
