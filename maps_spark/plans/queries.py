@@ -514,6 +514,33 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_ann_recall_index(spark, sf_dir):
+    """Recall of the SERVED IVF path: brute force vs the persisted
+    cluster-partitioned index read back through the pruned reader —
+    must hash-match the on-the-fly ann_recall_ivf oracle, proving
+    the serving path loses nothing over the in-memory plan."""
+    import tempfile
+
+    import pyspark.sql.functions as FF
+
+    from maps_spark.operators.similarity import brute_force_topk
+    from maps_spark.sources.ann_index import (build_ivf_index,
+                                              query_ivf_index)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 16)
+    root = tempfile.mkdtemp(prefix="maps-spark-ivfrec-") + "/index"
+    build_ivf_index(emb, root, n_clusters=16, kmeans_iters=2)
+    approx = query_ivf_index(spark, root, queries, k=10, n_probe=4)
+    exact = brute_force_topk(emb, queries, k=10)
+    hits = (approx.select("query_id", "neighbor_id")
+            .withColumn("hit", FF.lit(1)))
+    return (exact.select("query_id", "neighbor_id")
+            .join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(FF.count(FF.lit(1)).alias("n_exact"),
+                 FF.count("hit").alias("n_hits")))
+
+
 def q_winnow_pairs(spark, sf_dir):
     from maps_spark.operators.text import winnow_pairs
     return winnow_pairs(_docs(spark, sf_dir))
@@ -853,6 +880,7 @@ MAPS_QUERIES = {
     "ann_ivf_index": q_ann_ivf_index,
     "ann_recall_ivf": q_ann_recall_ivf,
     "ann_recall_lsh": q_ann_recall_lsh,
+    "ann_recall_index": q_ann_recall_index,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
@@ -974,6 +1002,8 @@ def maps_oracles() -> dict[str, str]:
                                                method="ivf"),
         "ann_recall_lsh": OT.ann_recall_select(k=10, n_queries=16,
                                                method="lsh"),
+        "ann_recall_index": OT.ann_recall_select(k=10, n_queries=16,
+                                                 method="ivf"),
         "embedding_near_dupes": OT.embedding_near_dupes_select(
             threshold=0.3),
         "simhash_pairs": OT.simhash_pairs_select(),
