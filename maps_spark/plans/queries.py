@@ -86,6 +86,23 @@ def q_streaming_refresh_pixels(spark, sf_dir):
         "mapKey", "px", "py", "borYear", "cnt")
 
 
+def q_pyramid_invariant(spark, sf_dir):
+    """Build-sanity canary as a hash gate: run a real z4 build, then
+    the distributed cross-zoom conservation check over its tile
+    store; the oracle recomputes every view's plottable count from
+    the RAW data, so the hash match proves count conservation through
+    the entire pipeline (snapshot -> pixels -> spans -> fan-out ->
+    MVT encode -> store -> decode)."""
+    import tempfile
+
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources.tile_store import pyramid_invariant
+    root = tempfile.mkdtemp(prefix="maps-spark-pyrinv-") + "/build"
+    run_backfill(spark, sf_dir, root, max_zoom=4, threshold=500,
+                 srs_list=("EPSG:3857",), skew_report=False)
+    return pyramid_invariant(spark, root)
+
+
 def q_pyramid_rollup_z6_to_z2(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ROLLUP_VIEWS))
     return PY.rollup(PY.pixel_table(keyed, "EPSG:3857", 6), levels=4)
@@ -804,6 +821,7 @@ MAPS_QUERIES = {
     "pixel_agg_3575_z4": q_pixel_agg_3575_z4,
     "pixel_agg_3031_z4": q_pixel_agg_3031_z4,
     "streaming_refresh_pixels": q_streaming_refresh_pixels,
+    "pyramid_invariant": q_pyramid_invariant,
     "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
     "pyramid_span_z6_to_z2": q_pyramid_span_z6_to_z2,
     "tile_assembly_3857_z2": q_tile_assembly_3857_z2,
@@ -922,6 +940,8 @@ def maps_oracles() -> dict[str, str]:
         "pixel_agg_3857_z6": O.pixel_select("EPSG:3857", 6, PIXEL_VIEWS),
         "pixel_agg_4326_z6": O.pixel_select("EPSG:4326", 6, PIXEL_VIEWS),
         "streaming_refresh_pixels": O.pixel_select("EPSG:3857", 6, None),
+        "pyramid_invariant": O.pyramid_invariant_select(
+            "EPSG:3857", max_zoom=4, threshold=500),
         "pyramid_rollup_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
                                                    ROLLUP_VIEWS),
         "pyramid_span_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,

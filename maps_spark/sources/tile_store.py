@@ -334,6 +334,56 @@ class TileReader:
         return self._points[key]
 
 
+def pyramid_invariant(spark: SparkSession, root: str,
+                      srs: str | None = None) -> DataFrame:
+    """Distributed build-sanity check — the cross-zoom conservation
+    law of the pyramid as ONE query over the tile store: for every
+    (srs, view), the visible-region (buffer-excluded) year-count
+    total must be IDENTICAL at every zoom level, and equal to the
+    view's plottable occurrence count. A lost tile, a double-counted
+    buffer band, or a broken rollup shows up as
+    ``n_distinct_totals > 1`` (or a total that disagrees with the
+    source — which the hash gate checks against the raw data).
+
+    Scale shape: tiles decode in an Arrow-batched ``mapInPandas``
+    stage (each executor decodes its own partition's tiles — payloads
+    never move), then two count-aggregations whose keys are
+    (srs, view, z) and (srs, view) — tiny results. This is the ops
+    canary to run after every build, next to :func:`tile_diff`.
+
+    Output: (srs, mapKey, n_zooms, n_distinct_totals, total).
+    """
+    import pandas as pd
+
+    tiles = read_tiles(spark, root)
+    if srs is not None:
+        tiles = tiles.where(F.col("srs") == srs.replace(":", "_"))
+
+    def run(batches):
+        from maps_spark.functions.mvt import tile_totals
+        for pdf in batches:
+            out = {"srs": [], "mapKey": [], "z": [], "t": []}
+            for s, mk, z, payload in zip(pdf["srs"], pdf["mapKey"],
+                                         pdf["z"], pdf["tile"]):
+                tt = tile_totals(bytes(payload), exclude_buffer=True)
+                out["srs"].append(s)
+                out["mapKey"].append(mk)
+                out["z"].append(int(z))
+                out["t"].append(int(sum(tt.values())))
+            yield pd.DataFrame(out)
+
+    per_tile = (tiles.select("srs", "mapKey", "z", "tile")
+                .mapInPandas(run, "srs string, mapKey string, "
+                                  "z int, t long"))
+    per_zoom = (per_tile.groupBy("srs", "mapKey", "z")
+                .agg(F.sum("t").alias("zt")))
+    return (per_zoom.groupBy("srs", "mapKey")
+            .agg(F.count("*").cast("long").alias("n_zooms"),
+                 F.countDistinct("zt").cast("long")
+                 .alias("n_distinct_totals"),
+                 F.max("zt").alias("total")))
+
+
 def tile_diff(spark: SparkSession, root_a: str, root_b: str) -> DataFrame:
     """Build-over-build tile diff — the ops tool for the versioned
     lifecycle (what changed between yesterday's build and today's,

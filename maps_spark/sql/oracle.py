@@ -48,6 +48,29 @@ WHERE px IS NOT NULL
 GROUP BY 1, 2, 3, 4"""
 
 
+def pyramid_invariant_select(srs: str, max_zoom: int,
+                             threshold: int) -> str:
+    """Oracle twin of ``tile_store.pyramid_invariant`` over a build
+    from this dataset: every over-threshold view must show
+    ``max_zoom + 1`` zoom levels, exactly ONE distinct visible-region
+    total, and that total equal to the view's plottable row count —
+    recomputed here straight from the RAW data, so a hash match
+    proves conservation through snapshot, pixel agg, span rollup,
+    tile fan-out, MVT encode, storage, and decode."""
+    plot = _plottable(srs)
+    stored = srs.replace(":", "_")
+    return f"""{mapkeys_cte()},
+vc AS (SELECT mapKey, count(*) AS n FROM keyed GROUP BY 1),
+large AS (SELECT mapKey FROM vc WHERE n >= {threshold})
+SELECT '{stored}' AS srs, k.mapKey,
+       CAST({max_zoom + 1} AS BIGINT) AS n_zooms,
+       CAST(1 AS BIGINT) AS n_distinct_totals,
+       count(*) AS total
+FROM keyed k JOIN large USING (mapKey)
+WHERE {plot}
+GROUP BY 2"""
+
+
 def rollup_select(srs: str, hi_z: int, lo_z: int, views: list[str]) -> str:
     """A3: rollup from hi_z pixels to lo_z by exact floor-div."""
     k = hi_z - lo_z

@@ -113,3 +113,30 @@ def test_tile_diff_between_builds(spark, tmp_path):
     assert out == {("0:0", 1): "changed",
                    ("3:DK", 0): "removed",
                    ("2:ds1", 0): "added"}
+
+
+def test_pyramid_invariant_detects_lost_tile(spark, tmp_path):
+    """The conservation canary: clean build -> every view shows one
+    distinct cross-zoom total; surgically deleting one z-partition's
+    files must surface as a missing zoom / divergent total."""
+    import os
+    import shutil
+
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources.tile_store import (pyramid_invariant,
+                                               resolve_root)
+    root = str(tmp_path / "inv")
+    run_backfill(spark, SF_SMALL, root, max_zoom=3, threshold=500,
+                 srs_list=("EPSG:3857",), skew_report=False)
+    clean = pyramid_invariant(spark, root).collect()
+    assert clean and all(r.n_distinct_totals == 1 and r.n_zooms == 4
+                         for r in clean)
+    # drop one zoom's partition directory inside the active build
+    tiles_dir = f"{resolve_root(root)}/tiles"
+    victims = [p for p, _, files in os.walk(tiles_dir)
+               if p.endswith("z=2") and files]
+    assert victims
+    for v in victims:
+        shutil.rmtree(v)
+    broken = pyramid_invariant(spark, root).collect()
+    assert all(r.n_zooms == 3 for r in broken)  # z=2 gone everywhere
