@@ -103,6 +103,19 @@ def q_pyramid_invariant(spark, sf_dir):
     return pyramid_invariant(spark, root)
 
 
+def q_points_invariant(spark, sf_dir):
+    """Point-store conservation canary: real build, then the
+    distributed bundle decode vs raw-data recomputation."""
+    import tempfile
+
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources.tile_store import points_invariant
+    root = tempfile.mkdtemp(prefix="maps-spark-ptsinv-") + "/build"
+    run_backfill(spark, sf_dir, root, max_zoom=2, threshold=500,
+                 srs_list=("EPSG:3857",), skew_report=False)
+    return points_invariant(spark, root)
+
+
 def q_pyramid_rollup_z6_to_z2(spark, sf_dir):
     keyed = _keyed(spark, sf_dir).where(F.col("mapKey").isin(ROLLUP_VIEWS))
     return PY.rollup(PY.pixel_table(keyed, "EPSG:3857", 6), levels=4)
@@ -822,6 +835,7 @@ MAPS_QUERIES = {
     "pixel_agg_3031_z4": q_pixel_agg_3031_z4,
     "streaming_refresh_pixels": q_streaming_refresh_pixels,
     "pyramid_invariant": q_pyramid_invariant,
+    "points_invariant": q_points_invariant,
     "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
     "pyramid_span_z6_to_z2": q_pyramid_span_z6_to_z2,
     "tile_assembly_3857_z2": q_tile_assembly_3857_z2,
@@ -942,6 +956,7 @@ def maps_oracles() -> dict[str, str]:
         "streaming_refresh_pixels": O.pixel_select("EPSG:3857", 6, None),
         "pyramid_invariant": O.pyramid_invariant_select(
             "EPSG:3857", max_zoom=4, threshold=500),
+        "points_invariant": O.points_invariant_select(threshold=500),
         "pyramid_rollup_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
                                                    ROLLUP_VIEWS),
         "pyramid_span_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,

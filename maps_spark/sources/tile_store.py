@@ -384,6 +384,35 @@ def pyramid_invariant(spark: SparkSession, root: str,
                  F.max("zt").alias("total")))
 
 
+def points_invariant(spark: SparkSession, root: str) -> DataFrame:
+    """The point-store half of the build-sanity pair (see
+    :func:`pyramid_invariant`): decode every small view's protobuf
+    bundle executor-side and report its distinct location count and
+    total occurrence count — which the hash gate recomputes straight
+    from the raw data, proving conservation through the point-mode
+    aggregation, protobuf encode, storage, and decode.
+
+    Output: (mapKey, n_locations, total).
+    """
+    import pandas as pd
+
+    pts = read_points(spark, root)
+
+    def run(batches):
+        from maps_spark.functions.pointpb import decode_features
+        for pdf in batches:
+            out = {"mapKey": [], "n_locations": [], "total": []}
+            for mk, blob in zip(pdf["mapKey"], pdf["features"]):
+                feats = decode_features(bytes(blob))
+                out["mapKey"].append(mk)
+                out["n_locations"].append(len(feats))
+                out["total"].append(int(sum(f[4] for f in feats)))
+            yield pd.DataFrame(out)
+
+    return pts.mapInPandas(
+        run, "mapKey string, n_locations long, total long")
+
+
 def tile_diff(spark: SparkSession, root_a: str, root_b: str) -> DataFrame:
     """Build-over-build tile diff — the ops tool for the versioned
     lifecycle (what changed between yesterday's build and today's,

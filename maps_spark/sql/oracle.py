@@ -476,6 +476,24 @@ WHERE mapKey LIKE '{key_prefix}%'
 GROUP BY 1, 2, 3, 4"""
 
 
+def points_invariant_select(threshold: int) -> str:
+    """Oracle twin of ``tile_store.points_invariant`` over a build
+    from this dataset: every under-threshold view's bundle must hold
+    one feature per distinct (lat, lng, borYear) location and a count
+    total equal to the view's row count — recomputed from the RAW
+    data."""
+    bor_year = dual.encode_bor_year('basisOfRecord', 'year')
+    return f"""{mapkeys_cte()},
+vc AS (SELECT mapKey, count(*) AS n FROM keyed GROUP BY 1),
+small AS (SELECT mapKey FROM vc WHERE n < {threshold})
+SELECT k.mapKey,
+       CAST(count(DISTINCT (decimalLatitude, decimalLongitude,
+                            {bor_year})) AS BIGINT) AS n_locations,
+       count(*) AS total
+FROM keyed k JOIN small USING (mapKey)
+GROUP BY 1"""
+
+
 def occ_country_counts_select() -> str:
     return f"""{occurrence_cte()}
 SELECT countryCode, count(*) AS n_occ FROM occ GROUP BY 1"""
