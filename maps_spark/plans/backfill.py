@@ -158,3 +158,69 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     else:
         tile_store.write_manifest(out_root, manifest)
     return tile_store.read_manifest(out_root)
+
+
+def audit_build(spark: SparkSession, root: str,
+                previous_root: str | None = None,
+                max_diff_rows: int = 50) -> dict:
+    """Post-build ops audit — the one call to run after every
+    backfill, composing the round-5 canaries into a JSON-able report:
+
+    - **conservation**: :func:`tile_store.pyramid_invariant` (every
+      view must show ONE distinct cross-zoom visible total) and
+      :func:`tile_store.points_invariant` totals; any view with
+      ``n_distinct_totals > 1`` is listed as a violation.
+    - **churn** (with ``previous_root``): :func:`tile_store.tile_diff`
+      change counts by kind + a bounded sample — the canary to eyeball
+      before repointing serving at the new build.
+
+    Everything driver-side here is a tiny aggregate or a bounded
+    sample; the heavy work (tile decode, digest join) is the audited
+    distributed operators themselves.
+    """
+    import pyspark.sql.functions as F
+
+    try:
+        inv = tile_store.pyramid_invariant(spark, root)
+        bad = (inv.where(F.col("n_distinct_totals") > 1)
+               .select("srs", "mapKey", "n_distinct_totals")
+               .limit(max_diff_rows).collect())
+        tile_totals = inv.agg(
+            F.count("*").alias("views"),
+            F.sum("total").alias("occurrences")).collect()[0]
+        tiles = {"views": int(tile_totals["views"] or 0),
+                 "occurrences": int(tile_totals["occurrences"] or 0)}
+    except Exception:  # every view under threshold -> no tile store
+        bad, tiles = [], {"views": 0, "occurrences": 0}
+    try:
+        pts = tile_store.points_invariant(spark, root).agg(
+            F.count("*").alias("views"),
+            F.sum("total").alias("occurrences")).collect()[0]
+        points = {"views": int(pts["views"] or 0),
+                  "occurrences": int(pts["occurrences"] or 0)}
+    except Exception:  # no small views -> empty points store
+        points = {"views": 0, "occurrences": 0}
+    report = {
+        "root": root,
+        "conservation_violations": [r.asDict() for r in bad],
+        "tile_views": tiles["views"],
+        "tile_occurrences": tiles["occurrences"],
+        "point_store": points,
+        "ok": not bad,
+    }
+    if previous_root is not None:
+        try:
+            diff = tile_store.tile_diff(spark, previous_root, root)
+            by_kind = {r["change"]: int(r["n"]) for r in
+                       diff.groupBy("change")
+                       .agg(F.count("*").alias("n")).collect()}
+            report["churn"] = {
+                "added": by_kind.get("added", 0),
+                "removed": by_kind.get("removed", 0),
+                "changed": by_kind.get("changed", 0),
+                "sample": [r.asDict() for r in
+                           diff.limit(max_diff_rows).collect()],
+            }
+        except Exception:  # one side has no tile store at all
+            report["churn"] = None
+    return report

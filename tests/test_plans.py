@@ -450,3 +450,35 @@ def test_staged_parallel_srs_backfill(spark, tmp_path):
     assert a.keys() == b.keys() and len(a) > 0 and a == b
     for bdir in os.listdir(f"{combo}/builds"):
         assert not os.path.exists(f"{combo}/builds/{bdir}/staging")
+
+
+def test_audit_build_reports_conservation_and_churn(spark, tmp_path):
+    """audit_build over a clean build: zero violations, totals filled;
+    against a second build from perturbed data: churn counts appear."""
+    import shutil
+
+    from maps_spark.plans.backfill import audit_build, run_backfill
+    root_a = str(tmp_path / "a")
+    run_backfill(spark, SF_SMALL, root_a, max_zoom=3, threshold=500,
+                 srs_list=("EPSG:3857",), skew_report=False)
+    rep = audit_build(spark, root_a)
+    assert rep["ok"] and rep["conservation_violations"] == []
+    assert rep["tile_views"] > 0 and rep["tile_occurrences"] > 0
+    assert rep["point_store"]["views"] > 0
+
+    # second build over perturbed data (drop half the events) -> churn
+    skew_sf = str(tmp_path / "sfb")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    (ev.where("event_id % 2 = 0").write.mode("overwrite")
+     .parquet(f"{skew_sf}/events.parquet"))
+    shutil.copy(f"{SF_SMALL}/nation.parquet", f"{skew_sf}/nation.parquet")
+    root_b = str(tmp_path / "b")
+    # threshold 200: halving the events would otherwise push every
+    # view under 500 and leave root_b with no tile store at all
+    run_backfill(spark, skew_sf, root_b, max_zoom=3, threshold=200,
+                 srs_list=("EPSG:3857",), skew_report=False)
+    rep2 = audit_build(spark, root_b, previous_root=root_a)
+    assert rep2["ok"]
+    churn = rep2["churn"]
+    assert churn["changed"] + churn["removed"] > 0
+    assert len(churn["sample"]) > 0
