@@ -539,6 +539,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
 
 
+def q_compression_signals(spark, sf_dir):
+    """Rows-only by design: zlib deflate has no DuckDB twin (like the
+    BPE tokenizer); correctness pins via pytest ordering/accounting
+    invariants instead of a value hash."""
+    from maps_spark.operators.text import compression_signals
+    return compression_signals(_docs(spark, sf_dir))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from maps_spark.operators.text import winnow_fingerprints
     return winnow_fingerprints(_docs(spark, sf_dir))
@@ -915,6 +923,7 @@ MAPS_QUERIES = {
     "ann_recall_index": q_ann_recall_index,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "compression_signals": q_compression_signals,
     "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,

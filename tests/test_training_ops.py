@@ -1046,3 +1046,24 @@ def test_winnow_pairs_finds_quoted_passage(spark):
     ids = {(r.doc_a, r.doc_b): r.n_shared for r in pairs}
     assert (1, 2) in ids and ids[(1, 2)] >= 2
     assert all(a < 100 for a, _ in ids), ids
+
+
+def test_compression_signals_order_and_accounting(spark):
+    """Planted ordering: heavily repetitive text must compress far
+    better (lower ratio) than high-entropy text; byte accounting is
+    exact; empty docs report zero."""
+    import zlib
+    from maps_spark.operators.text import compression_signals
+    rep = "the same phrase again and again " * 40
+    div = " ".join(f"w{(i * 2654435761) % 100003}x{i * i % 997}"
+                   for i in range(200))
+    rows = [(1, rep), (2, div), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_signals(docs).collect()}
+    assert out[1].ratio_scaled < out[2].ratio_scaled / 3
+    for i, t in rows:
+        assert out[i].n_bytes == len(t.encode("utf-8"))
+        if t:
+            assert out[i].n_compressed == len(
+                zlib.compress(t.encode("utf-8"), 6))
+    assert out[3].ratio_scaled == 0 and out[3].n_compressed > 0
