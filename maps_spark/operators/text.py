@@ -491,3 +491,35 @@ def compression_signals(docs: DataFrame, text_col: str = "text",
                        F.expr(f"(n_compressed * {scale}) div n_bytes"))
                 .otherwise(F.lit(0)).cast("long")
                 .alias("ratio_scaled")))
+
+
+def quality_ensemble(signals: DataFrame, weights: dict[str, int],
+                     group_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Rank-normalized quality ensemble — the standard way to combine
+    heterogeneous quality signals (length, stopword density,
+    repetition, compression ratio, classifier scores) into ONE
+    comparable keep/rank score: each signal maps to its within-group
+    ``percent_rank`` (so a 6-order-of-magnitude byte count and a
+    [0,1] ratio contribute on the same footing, and per-source
+    normalization stops one crawl's distribution from drowning
+    another's), then the weighted sum scores the document. Positive
+    weight = larger is better; negative = larger is worse.
+
+    Determinism/oracle parity: ``percent_rank`` is (rank-1)/(n-1)
+    with ties sharing a rank — order-free and IEEE-identical across
+    engines; terms sum in sorted(column) order on both sides. Groups
+    partition the windows, so the sort is per-source, never global.
+
+    Output: (id_col, group_col, score_scaled) with
+    score = floor(sum_i w_i * pr_i) — weights are the integer scale.
+    """
+    score = None
+    for c in sorted(weights):
+        pr = F.percent_rank().over(
+            Window.partitionBy(group_col).orderBy(c))
+        term = pr * F.lit(int(weights[c]))
+        score = term if score is None else score + term
+    return signals.select(
+        id_col, group_col,
+        F.floor(score).cast("long").alias("score_scaled"))

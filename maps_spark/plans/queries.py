@@ -539,6 +539,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
 
 
+def q_quality_ensemble(spark, sf_dir):
+    from maps_spark.operators.text import quality_ensemble, text_features
+    docs = _docs(spark, sf_dir)
+    sigs = (text_features(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_tokens", "n_stopwords"))
+    return quality_ensemble(sigs, {"n_tokens": 600_000,
+                                   "n_stopwords": 400_000})
+
+
 def q_compression_signals(spark, sf_dir):
     """Rows-only by design: zlib deflate has no DuckDB twin (like the
     BPE tokenizer); correctness pins via pytest ordering/accounting
@@ -924,6 +934,7 @@ MAPS_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "compression_signals": q_compression_signals,
+    "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
     "contamination": q_contamination,
@@ -1053,6 +1064,8 @@ def maps_oracles() -> dict[str, str]:
         "simhash_pairs": OT.simhash_pairs_select(),
         "doc_fingerprint": OT.doc_fingerprint_select(),
         "winnow_fingerprints": OT.winnow_fingerprints_select(),
+        "quality_ensemble": OT.quality_ensemble_select(
+            {"n_tokens": 600_000, "n_stopwords": 400_000}),
         "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),

@@ -118,6 +118,27 @@ def text_stats_select() -> str:
 FROM documents"""
 
 
+def quality_ensemble_select(weights: dict[str, int],
+                            group_col: str = "source") -> str:
+    """DuckDB twin of operators.text.quality_ensemble over the
+    text_stats signals joined with the grouping column."""
+    padded = "(' ' || text || ' ')"
+    n_stop = " + ".join(occurrences_sql(padded, t) for t in STOPWORDS)
+    terms = " + ".join(
+        f"percent_rank() OVER (PARTITION BY {group_col} ORDER BY {c})"
+        f" * {int(weights[c])}"
+        for c in sorted(weights))
+    return f"""WITH sigs AS (
+  SELECT doc_id, {group_col},
+         CAST((length(text) - length(replace(text, ' ', '')))
+              AS BIGINT) + 1 AS n_tokens,
+         {n_stop} AS n_stopwords
+  FROM documents)
+SELECT doc_id, {group_col},
+       CAST(floor({terms}) AS BIGINT) AS score_scaled
+FROM sigs"""
+
+
 def lang_id_select() -> str:
     return lang_id_sql("FROM documents")
 

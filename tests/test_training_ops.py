@@ -1067,3 +1067,33 @@ def test_compression_signals_order_and_accounting(spark):
             assert out[i].n_compressed == len(
                 zlib.compress(t.encode("utf-8"), 6))
     assert out[3].ratio_scaled == 0 and out[3].n_compressed > 0
+
+
+def test_quality_ensemble_semantics(spark):
+    """Rank normalization: scale-free (multiplying a signal by 1000
+    changes nothing), per-group (one group's outlier can't shift
+    another's ranks), signed weights penalize."""
+    from maps_spark.operators.text import quality_ensemble
+    rows = [(i, "a", i * 10, 100 - i) for i in range(10)]
+    rows += [(100 + i, "b", i * 1_000_000, i) for i in range(10)]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, source string, s1 long, s2 long")
+    out = {r.doc_id: r.score_scaled
+           for r in quality_ensemble(
+               sigs, {"s1": 1_000_000}).collect()}
+    # within each group, score follows s1's rank: 0..1e6 regardless of
+    # the groups' wildly different magnitudes
+    assert out[0] == 0 and out[9] == 1_000_000
+    assert out[100] == 0 and out[109] == 1_000_000
+    # scaling s1 by 1000 changes nothing (rank-normalized)
+    scaled = sigs.withColumn("s1", F.col("s1") * 1000)
+    out2 = {r.doc_id: r.score_scaled
+            for r in quality_ensemble(
+                scaled, {"s1": 1_000_000}).collect()}
+    assert out == out2
+    # negative weight flips the ordering contribution
+    neg = {r.doc_id: r.score_scaled
+           for r in quality_ensemble(
+               sigs, {"s1": 600_000, "s2": -400_000}).collect()}
+    # in group a, s2 decreases as s1 increases -> both favor high i
+    assert neg[9] == max(neg[i] for i in range(10))
