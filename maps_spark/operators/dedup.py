@@ -864,3 +864,30 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
                     .cast("long").alias("cont_b_scaled"))
             .where((F.col("cont_a_scaled") >= cut)
                    | (F.col("cont_b_scaled") >= cut)))
+
+
+def soft_dedup_weights(docs: DataFrame, clusters: DataFrame,
+                       scale: int = 1_000_000) -> DataFrame:
+    """Soft dedup — DOWN-WEIGHT duplicates instead of deleting them
+    (the public alternative to hard dedup when near-dup text still
+    carries signal): every document's sampling weight is
+    ``scale / cluster_size`` for its near-dup cluster (from
+    :func:`dedup_clusters`), so each duplicate CLUSTER contributes one
+    document's worth of expected mass to the mix, however many copies
+    exist. Documents in no cluster keep full weight. Feed the weights
+    to the mixture sampler as a per-document multiplier.
+
+    One broadcast-size left join (the cluster table is |near-dup
+    docs|, tiny next to the corpus); integer-exact output.
+
+    Output: (doc_id, cluster_size, weight_scaled).
+    """
+    cl = clusters.select("doc_id", "cluster_size")
+    return (docs.select("doc_id").join(cl, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_size", F.lit(1)).cast("long")
+                .alias("cluster_size"))
+            .select("doc_id", "cluster_size",
+                    F.expr(f"{scale} div cluster_size").cast("long")
+                    .alias("weight_scaled")))

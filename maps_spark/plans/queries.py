@@ -685,6 +685,13 @@ def q_dedup_clusters(spark, sf_dir):
     return DD.dedup_clusters(pairs)
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.25)
+    return DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
+
+
 BENCH_MOD = 25  # doc_id % 25 == 0 -> the held-out "benchmark" set
 
 
@@ -937,6 +944,7 @@ MAPS_QUERIES = {
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1066,6 +1074,7 @@ def maps_oracles() -> dict[str, str]:
         "winnow_fingerprints": OT.winnow_fingerprints_select(),
         "quality_ensemble": OT.quality_ensemble_select(
             {"n_tokens": 600_000, "n_stopwords": 400_000}),
+        "soft_dedup_weights": OT.soft_dedup_weights_select(),
         "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),

@@ -228,6 +228,29 @@ SELECT c.doc_id, c.cluster_id, s.cluster_size,
 FROM comp c JOIN sizes s USING (cluster_id)"""
 
 
+def soft_dedup_weights_select(shingle_k: int = 3,
+                              threshold: float = 0.25,
+                              jscale: int = 1_000_000,
+                              max_df: int = 1000,
+                              scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.dedup.soft_dedup_weights over the
+    exact-Jaccard clusters: the dedup_clusters recursive chain
+    extended with the weight join (WITH RECURSIVE must stay
+    top-level, so the chain is re-used by string surgery rather than
+    nesting)."""
+    base = dedup_clusters_select(shingle_k, threshold, jscale, max_df)
+    head, _tail = base.rsplit("SELECT c.doc_id", 1)
+    return head.rstrip() + f""",
+cl AS (
+  SELECT c.doc_id, s.cluster_size
+  FROM comp c JOIN sizes s USING (cluster_id))
+SELECT d.doc_id,
+       CAST(coalesce(cl.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST({scale} // coalesce(cl.cluster_size, 1) AS BIGINT)
+         AS weight_scaled
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
+
+
 def _shingle_cte(table: str, shingle_k: int) -> str:
     """Distinct string k-token shingles per doc (same construction as
     operators.dedup._shingle_array: docs shorter than k collapse to one

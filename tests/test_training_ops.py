@@ -1097,3 +1097,24 @@ def test_quality_ensemble_semantics(spark):
                sigs, {"s1": 600_000, "s2": -400_000}).collect()}
     # in group a, s2 decreases as s1 increases -> both favor high i
     assert neg[9] == max(neg[i] for i in range(10))
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Each duplicate cluster contributes ~one doc of expected mass:
+    planted 4-copy cluster gets weight scale/4 each; singletons full."""
+    from maps_spark.operators.dedup import (dedup_clusters,
+                                            ngram_jaccard_pairs,
+                                            soft_dedup_weights)
+    quad = "the very same duplicated text appears here in every copy"
+    rows = [(i, quad) for i in range(4)]
+    rows += [(100 + i, " ".join(f"u{i}w{j * 7 % 53}" for j in range(12)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.25)
+    out = {r.doc_id: (r.cluster_size, r.weight_scaled)
+           for r in soft_dedup_weights(
+               docs, dedup_clusters(pairs)).collect()}
+    for i in range(4):
+        assert out[i] == (4, 250_000)
+    for i in range(5):
+        assert out[100 + i] == (1, 1_000_000)
