@@ -286,3 +286,26 @@ def quality_tiers(scored: DataFrame, score_col: str,
         "doc_id", "score", rank.alias("rank"),
         F.expr(f"(cum - 1) * {n_tiers} div {total}").cast("int")
         .alias("tier"))
+
+
+def weighted_sample(weighted: DataFrame, rate: float,
+                    id_col: str = "doc_id",
+                    weight_col: str = "weight_scaled",
+                    wscale: int = 1_000_000) -> DataFrame:
+    """Deterministic per-document WEIGHTED sampling — the consumer of
+    :func:`maps_spark.operators.dedup.soft_dedup_weights`: document d
+    is kept iff ``mix(id) < floor(rate * P31 * weight / wscale)``,
+    i.e. the id-hash membership rule of :func:`mix_sample` with a
+    per-document acceptance multiplier. With soft-dedup weights the
+    expected kept mass of every near-dup cluster is ``rate`` times ONE
+    document, however many copies exist — down-weighting without a
+    dedup delete pass.
+
+    Pure codegen filter (the same `_mix` fold), shuffles nothing,
+    keeps all input columns. Deterministic: same ids in -> same rows
+    out on any cluster size.
+    """
+    from maps_spark.operators.corpus import P31, _mix
+    rate_p31 = int(rate * P31)
+    thresh = F.expr(f"({rate_p31} * {weight_col}) div {wscale}")
+    return weighted.where(_mix(F.col(id_col)) < thresh)

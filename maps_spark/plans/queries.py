@@ -692,6 +692,15 @@ def q_soft_dedup_weights(spark, sf_dir):
     return DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
 
 
+def q_weighted_sample(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    from maps_spark.operators.mixture import weighted_sample
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.25)
+    w = DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
+    return weighted_sample(w, rate=0.5)
+
+
 BENCH_MOD = 25  # doc_id % 25 == 0 -> the held-out "benchmark" set
 
 
@@ -945,6 +954,7 @@ MAPS_QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "weighted_sample": q_weighted_sample,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1075,6 +1085,7 @@ def maps_oracles() -> dict[str, str]:
         "quality_ensemble": OT.quality_ensemble_select(
             {"n_tokens": 600_000, "n_stopwords": 400_000}),
         "soft_dedup_weights": OT.soft_dedup_weights_select(),
+        "weighted_sample": OT.weighted_sample_select(rate=0.5),
         "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),

@@ -251,6 +251,24 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
 
 
+def weighted_sample_select(rate: float = 0.5,
+                           shingle_k: int = 3,
+                           threshold: float = 0.25,
+                           jscale: int = 1_000_000,
+                           max_df: int = 1000,
+                           scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.mixture.weighted_sample over
+    soft_dedup_weights: the weight query with the mix-threshold
+    filter appended (weight recomputed in WHERE — recursive CTEs
+    cannot nest)."""
+    from maps_spark.operators.corpus import P31, mix_sql
+    base = soft_dedup_weights_select(shingle_k, threshold, jscale,
+                                     max_df, scale)
+    w = f"CAST({scale} // coalesce(cl.cluster_size, 1) AS BIGINT)"
+    return (base + f"""
+WHERE {mix_sql('d.doc_id')} < ({int(rate * P31)} * {w}) // {scale}""")
+
+
 def _shingle_cte(table: str, shingle_k: int) -> str:
     """Distinct string k-token shingles per doc (same construction as
     operators.dedup._shingle_array: docs shorter than k collapse to one

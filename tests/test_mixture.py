@@ -252,3 +252,24 @@ def test_quality_tiers_balanced_and_ordered(spark, docs):
     top0 = desc.where("tier = 0").agg(F.min("score")).first()[0]
     bot3 = desc.where("tier = 3").agg(F.max("score")).first()[0]
     assert top0 >= bot3
+
+
+def test_weighted_sample_downweights_clusters(spark):
+    """Expected-mass semantics at rate 1.0: weight scale/4 keeps ~1/4
+    of a big planted duplicate cluster; full-weight docs all stay.
+    Deterministic: two runs identical."""
+    import pyspark.sql.functions as F
+    from maps_spark.operators.mixture import weighted_sample
+    n = 400
+    rows = [(i, 4 if i < 200 else 1) for i in range(n)]
+    w = spark.createDataFrame(rows, "doc_id long, cluster_size long") \
+        .select("doc_id", "cluster_size",
+                F.expr("1000000 div cluster_size").cast("long")
+                .alias("weight_scaled"))
+    kept = weighted_sample(w, rate=1.0).collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert all(i in kept_ids for i in range(200, 400))  # full weight
+    quarter = sum(1 for i in range(200) if i in kept_ids)
+    assert 20 <= quarter <= 80  # ~50 expected of 200 at p=1/4
+    again = {r.doc_id for r in weighted_sample(w, rate=1.0).collect()}
+    assert kept_ids == again
