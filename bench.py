@@ -426,6 +426,13 @@ def run() -> None:
         def _14():
             CP.curate_corpus(docs).count()
 
+        @timed("dedup_winnow_pairs")
+        def _10c():
+            # MOSS winnowing family: fingerprint selection (codegen
+            # window-min) + capped match join
+            from maps_spark.operators.text import winnow_pairs
+            winnow_pairs(docs).count()
+
         @timed("dedup_substring_spans")
         def _10b():
             # ExactSubstr L-gram family at corpus scale: gram counts,

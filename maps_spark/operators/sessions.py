@@ -502,3 +502,73 @@ def event_anomalies(events: DataFrame, baseline_days: int = 7,
         ratio.alias("ratio_scaled"),
         ((F.col("base_days") >= min_baseline_days)
          & (ratio >= cut)).alias("anomaly"))
+
+
+# -- count-min sketch (frequency estimation at stream scale) ------------
+
+CMS_SEED = 77
+
+
+def _cms_bucket_cols(key_col: str, width: int, depth: int,
+                     seed: int = CMS_SEED) -> list:
+    """One bucket Column per sketch row: ``((k % P) * a_d + b_d) % P
+    % width`` — the universal-hash family shared (same constants, same
+    fold) with the oracle SQL generator. All intermediates < 2^62:
+    int64/BIGINT-exact on both engines."""
+    from maps_spark.operators.dedup import P31, minhash_perm_consts
+    a, b = minhash_perm_consts(depth, CMS_SEED + seed)
+    k = F.col(key_col).cast("long") % P31
+    return [(((k * int(a[d]) + int(b[d])) % P31) % width)
+            .cast("int").alias(f"b{d}") for d in range(depth)]
+
+
+def cms_build(events: DataFrame, key_col: str = "user_id",
+              width: int = 1024, depth: int = 4,
+              seed: int = CMS_SEED) -> DataFrame:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``key_col``: a depth x width counter table answering "how often
+    did key k occur" within additive error n/width (overestimates
+    only, never under) — the frequency-estimation sibling of the HLL
+    distinct sketches above. Store it per partition/day and
+    :func:`cms_merge` rolls it up WITHOUT rescanning events; at
+    100 TB that is the difference between a counter table of
+    ``depth x width`` rows and an exact per-key count of billions.
+
+    One pass: each row explodes to its ``depth`` (row, bucket) cells
+    (array + posexplode, pure codegen) and a map-side-combined count
+    collapses to at most ``depth * width`` groups before the shuffle.
+
+    Output: (d, bucket, cnt).
+    """
+    cells = F.posexplode(F.array(*_cms_bucket_cols(key_col, width,
+                                                   depth, seed)))
+    return (events.select(cells.alias("d", "bucket"))
+            .groupBy("d", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Exact sketch union: counters are additive, so merging equals
+    building over the concatenated input (pinned in tests)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame,
+                 key_col: str = "user_id", width: int = 1024,
+                 depth: int = 4, seed: int = CMS_SEED) -> DataFrame:
+    """Point estimates: min over rows of the key's counter (0 when a
+    bucket is absent — an absent counter means no key hashed there).
+    Estimates NEVER undercount; planted heavy hitters test exactness.
+
+    Output: (key, est) with ``key`` the key column's value.
+    """
+    probes = (keys.select(F.col(key_col).alias("key"))
+              .distinct()
+              .select("key", F.posexplode(F.array(*_cms_bucket_cols(
+                  "key", width, depth, seed))).alias("d", "bucket")))
+    joined = probes.join(sketch, ["d", "bucket"], "left")
+    return (joined.groupBy("key")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
+                 .alias("est")))

@@ -692,6 +692,19 @@ def q_soft_dedup_weights(spark, sf_dir):
     return DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
 
 
+def q_cms_counters(spark, sf_dir):
+    from maps_spark.operators.sessions import cms_build
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_build(events)
+
+
+def q_cms_estimate(spark, sf_dir):
+    from maps_spark.operators.sessions import cms_build, cms_estimate
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_estimate(cms_build(events),
+                        events.where(F.col("user_id") < 128))
+
+
 def q_weighted_sample(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     from maps_spark.operators.mixture import weighted_sample
@@ -955,6 +968,8 @@ MAPS_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "soft_dedup_weights": q_soft_dedup_weights,
     "weighted_sample": q_weighted_sample,
+    "cms_counters": q_cms_counters,
+    "cms_estimate": q_cms_estimate,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1086,6 +1101,8 @@ def maps_oracles() -> dict[str, str]:
             {"n_tokens": 600_000, "n_stopwords": 400_000}),
         "soft_dedup_weights": OT.soft_dedup_weights_select(),
         "weighted_sample": OT.weighted_sample_select(rate=0.5),
+        "cms_counters": OT.cms_build_select(),
+        "cms_estimate": OT.cms_estimate_select(max_key=128),
         "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),

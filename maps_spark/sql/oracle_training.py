@@ -1427,6 +1427,63 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM ids CROSS JOIN fs CROSS JOIN xs CROSS JOIN ys"""
 
 
+def _cms_cells_sql(key_expr: str, width: int, depth: int,
+                   seed: int) -> str:
+    """UNION ALL of the depth (d, bucket) cell selects — identical
+    constants/fold to operators.sessions._cms_bucket_cols."""
+    from maps_spark.operators.dedup import P31, minhash_perm_consts
+    from maps_spark.operators.sessions import CMS_SEED
+    a, b = minhash_perm_consts(depth, CMS_SEED + seed)
+    return " UNION ALL ".join(
+        f"SELECT CAST({d} AS INT) AS d, "
+        f"CAST(((({key_expr}) * {int(a[d])} + {int(b[d])}) % {P31})"
+        f" % {width} AS INT) AS bucket FROM src"
+        for d in range(depth))
+
+
+def cms_build_select(width: int = 1024, depth: int = 4,
+                     seed: int | None = None) -> str:
+    """DuckDB twin of operators.sessions.cms_build over events
+    user_id."""
+    from maps_spark.operators.dedup import P31
+    from maps_spark.operators.sessions import CMS_SEED
+    cells = _cms_cells_sql("k", width, depth,
+                           CMS_SEED if seed is None else seed)
+    return f"""WITH src AS (
+  SELECT CAST(user_id AS BIGINT) % {P31} AS k FROM events),
+cells AS ({cells})
+SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2"""
+
+
+def cms_estimate_select(max_key: int = 128, width: int = 1024,
+                        depth: int = 4, seed: int | None = None) -> str:
+    """DuckDB twin of operators.sessions.cms_estimate for the distinct
+    user_ids under ``max_key``."""
+    from maps_spark.operators.dedup import P31
+    from maps_spark.operators.sessions import CMS_SEED
+    from maps_spark.operators.dedup import minhash_perm_consts
+    s = CMS_SEED if seed is None else seed
+    build_cells = _cms_cells_sql("k", width, depth, s)
+    a, b = minhash_perm_consts(depth, CMS_SEED + s)
+    probe_cells = " UNION ALL ".join(
+        f"SELECT key, CAST({d} AS INT) AS d, "
+        f"CAST((((key % {P31}) * {int(a[d])} + {int(b[d])}) % {P31})"
+        f" % {width} AS INT) AS bucket FROM keys"
+        for d in range(depth))
+    return f"""WITH src AS (
+  SELECT CAST(user_id AS BIGINT) % {P31} AS k FROM events),
+cells AS ({build_cells}),
+sk AS (SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+keys AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events
+         WHERE user_id < {max_key}),
+probes AS ({probe_cells}),
+est AS (
+  SELECT p.key, min(coalesce(sk.cnt, 0)) AS est
+  FROM probes p LEFT JOIN sk USING (d, bucket)
+  GROUP BY 1)
+SELECT key, CAST(est AS BIGINT) AS est FROM est"""
+
+
 def event_windows_select(window_us: int = 3600 * 1_000_000,
                          scale: int = 1_000) -> str:
     """DuckDB twin of operators.sessions.event_windows."""

@@ -522,3 +522,30 @@ def test_event_anomalies_planted_spike(spark):
     # steady days never flag; young type lacks baseline
     assert not any(r.anomaly for k, r in out.items() if k != ("steady",
                                                               spike_day))
+
+
+def test_cms_never_undercounts_and_merges_exactly(spark):
+    """CMS guarantees: estimate >= true count always; a planted heavy
+    hitter in a sparse sketch estimates exactly; merge(A, B) equals
+    build(A union B) counter-for-counter (additivity)."""
+    import pyspark.sql.functions as F
+    from maps_spark.operators.sessions import (cms_build, cms_estimate,
+                                               cms_merge)
+    rows = [(i % 50,) for i in range(500)]       # 50 keys x 10
+    rows += [(999,)] * 200                       # heavy hitter
+    df = spark.createDataFrame(rows, "user_id long")
+    sketch = cms_build(df, width=4096, depth=4)
+    true = {r.user_id: r.n for r in
+            df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    est = {r.key: r.est for r in cms_estimate(
+        sketch, df, width=4096, depth=4).collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    assert est[999] == 200  # sparse sketch: heavy hitter exact
+    # mergeability: split the stream, merge the sketches
+    a = cms_build(df.where("user_id < 25"), width=4096, depth=4)
+    b = cms_build(df.where("user_id >= 25"), width=4096, depth=4)
+    merged = {(r.d, r.bucket): r.cnt
+              for r in cms_merge(a, b).collect()}
+    whole = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
+    assert merged == whole
