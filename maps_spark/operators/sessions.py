@@ -572,3 +572,24 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
     return (joined.groupBy("key")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
                  .alias("est")))
+
+
+def event_cube(events: DataFrame, scale: int = 1_000) -> DataFrame:
+    """Multi-dimensional event rollup via CUBE grouping sets — the
+    warehouse-surface "slice by any dimension combination" query
+    (event_type x user cohort here), computed in ONE pass: Spark
+    expands the grouping sets and map-side-combines each, instead of
+    four separate scans. NULL marks a rolled-up dimension, exactly as
+    in the SQL-standard CUBE the oracle runs. The value sum is
+    integer-scaled per row (floor(value * scale)) so every level is
+    order-independent and oracle-exact.
+
+    Output: (event_type, cohort, n, value_milli).
+    """
+    base = events.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("cohort"),
+        F.floor(F.col("value") * scale).cast("long").alias("vm"))
+    return (base.cube("event_type", "cohort")
+            .agg(F.count("*").alias("n"),
+                 F.sum("vm").alias("value_milli")))

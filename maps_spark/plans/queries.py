@@ -692,6 +692,11 @@ def q_soft_dedup_weights(spark, sf_dir):
     return DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
 
 
+def q_event_cube(spark, sf_dir):
+    from maps_spark.operators.sessions import event_cube
+    return event_cube(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_cms_counters(spark, sf_dir):
     from maps_spark.operators.sessions import cms_build
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -969,6 +974,7 @@ MAPS_QUERIES = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "weighted_sample": q_weighted_sample,
     "cms_counters": q_cms_counters,
+    "event_cube": q_event_cube,
     "cms_estimate": q_cms_estimate,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
@@ -1102,6 +1108,7 @@ def maps_oracles() -> dict[str, str]:
         "soft_dedup_weights": OT.soft_dedup_weights_select(),
         "weighted_sample": OT.weighted_sample_select(rate=0.5),
         "cms_counters": OT.cms_build_select(),
+        "event_cube": OT.event_cube_select(),
         "cms_estimate": OT.cms_estimate_select(max_key=128),
         "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),

@@ -1498,6 +1498,19 @@ SELECT CAST((tus // {window_us}) * {window_us} AS BIGINT)
 FROM ev GROUP BY 1, 2"""
 
 
+def event_cube_select(scale: int = 1_000) -> str:
+    """DuckDB twin of operators.sessions.event_cube (SQL-standard
+    CUBE; NULL marks a rolled-up dimension on both engines)."""
+    return f"""WITH base AS (
+  SELECT event_type,
+         CAST(user_id % 10 AS BIGINT) AS cohort,
+         CAST(floor(value * {scale}) AS BIGINT) AS vm
+  FROM events)
+SELECT event_type, cohort, count(*) AS n,
+       CAST(sum(vm) AS BIGINT) AS value_milli
+FROM base GROUP BY CUBE (event_type, cohort)"""
+
+
 def doc_vector_buckets_select(dim: int = 64) -> str:
     """DuckDB twin of operators.similarity.doc_vector_buckets (same
     polynomial token hash, same bucket fold)."""

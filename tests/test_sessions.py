@@ -549,3 +549,24 @@ def test_cms_never_undercounts_and_merges_exactly(spark):
               for r in cms_merge(a, b).collect()}
     whole = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
     assert merged == whole
+
+
+def test_event_cube_levels_consistent(spark):
+    """Cube algebra: the (None, None) row equals the grand total; each
+    1-D margin sums its 2-D slice."""
+    from maps_spark.operators.sessions import event_cube
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = event_cube(ev).collect()
+    cells = {(r.event_type, r.cohort): (r.n, r.value_milli)
+             for r in rows}
+    grand = cells[(None, None)]
+    assert grand[0] == ev.count()
+    by_type = {k[0]: v for k, v in cells.items()
+               if k[0] is not None and k[1] is None}
+    for t, (n, vm) in by_type.items():
+        slice_rows = [v for k, v in cells.items()
+                      if k[0] == t and k[1] is not None]
+        assert n == sum(v[0] for v in slice_rows)
+        assert vm == sum(v[1] for v in slice_rows)
+    assert sum(v[0] for v in by_type.values()) == grand[0]
