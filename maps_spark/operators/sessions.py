@@ -593,3 +593,93 @@ def event_cube(events: DataFrame, scale: int = 1_000) -> DataFrame:
     return (base.cube("event_type", "cohort")
             .agg(F.count("*").alias("n"),
                  F.sum("vm").alias("value_milli")))
+
+
+# -- mergeable quantile sketch (log2-binned histogram) ------------------
+
+QS_SCALE = 1_000_000   # value -> integer micro-units
+QS_SUBS = 32           # sub-buckets per octave -> <=1/32 relative error
+
+
+def _qs_bin_sql(m: str, subs: int = QS_SUBS) -> str:
+    """Dual-dialect bin id for integer ``m``: HdrHistogram-style
+    (octave, sub-bucket) packed as ``b * subs + sub`` with
+    b = floor(log2(m)) and sub = (m * subs) div 2^b - subs. The
+    octave comes from a generated CASE over power-of-two literals —
+    never a float log, so Spark and DuckDB bin identically at every
+    boundary (a float-log variant flips bins in the last ulp). The
+    division is ``floor(x / 2^b)`` on an exactly-representable
+    numerator: m is clamped below 2^47, so m * subs < 2^52 < 2^53
+    and the double division by a power of two is IEEE-exact in both
+    engines. Relative bin width 1/subs; ``m <= 0`` maps to bin -1.
+    """
+    cap = (1 << 47) - 1
+    mc = f"least(({m}), CAST({cap} AS BIGINT))"
+    b_case = "(CASE " + " ".join(
+        f"WHEN {mc} >= {1 << b} THEN {b}"
+        for b in range(46, -1, -1)) + " END)"
+    p_case = "(CASE " + " ".join(
+        f"WHEN {mc} >= {1 << b} THEN {1 << b}"
+        for b in range(46, -1, -1)) + " END)"
+    return (f"(CASE WHEN ({m}) <= 0 THEN -1 ELSE "
+            f"{b_case} * {subs} + "
+            f"CAST(floor(({mc} * {subs}) / {p_case}) AS BIGINT)"
+            f" - {subs} END)")
+
+
+def value_sketch(events: DataFrame, value_col: str = "value",
+                 scale: int = QS_SCALE, subs: int = QS_SUBS
+                 ) -> DataFrame:
+    """Mergeable quantile sketch over a value column: log2-octave /
+    linear-sub-bucket histogram (the HdrHistogram / DDSketch family
+    from the public literature) with <= 1/subs relative bin width.
+    At most ``63 * subs`` bins regardless of data volume, so per-day
+    sketches store tiny and merge by counter addition (same property
+    as :func:`cms_build`) — distributed quantiles without a global
+    sort, and rank queries (:func:`sketch_quantiles`) read the bin
+    table only.
+
+    All-integer binning (see :func:`_qs_bin_sql`): both engines place
+    every value in the same bin, so the sketch itself is hash-gated.
+
+    Output: (bin, cnt).
+    """
+    m = f"CAST(floor({value_col} * {scale}) AS BIGINT)"
+    return (events.select(F.expr(_qs_bin_sql(m, subs)).alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("cnt")))
+
+
+def sketch_quantiles(sketch: DataFrame, qs: list[float],
+                     scale: int = QS_SCALE, subs: int = QS_SUBS
+                     ) -> DataFrame:
+    """Rank queries over a :func:`value_sketch`: for each q the first
+    bin whose cumulative count reaches ``ceil(q * total)``, reported
+    as the bin's integer lower edge in micro-units
+    (``2^b * (subs + sub) div subs``) — within one bin width
+    (<= 1/subs relative) of the exact quantile, pinned in tests.
+    Runs entirely on the tiny bin table: one window cumsum over
+    <= 63*subs rows.
+
+    Output: (q_permille, est_scaled).
+    """
+    from pyspark.sql import Window
+    cum = (sketch.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(
+            sketch.agg(F.sum("cnt").alias("total")))))
+    out = None
+    for q in qs:
+        qpm = int(round(q * 1000))
+        tgt = F.expr(f"CAST(ceil(total * {qpm} / 1000.0) AS BIGINT)")
+        hit = (cum.where(F.col("cum") >= tgt)
+               .orderBy("bin").limit(1)
+               .select(F.lit(qpm).alias("q_permille"),
+                       F.expr(
+                           f"CASE WHEN bin < 0 THEN 0 ELSE "
+                           f"(CAST(power(2, bin div {subs}) AS BIGINT)"
+                           f" * ({subs} + bin % {subs})) div {subs} "
+                           f"END").cast("long").alias("est_scaled")))
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -692,6 +692,18 @@ def q_soft_dedup_weights(spark, sf_dir):
     return DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
 
 
+def q_value_sketch(spark, sf_dir):
+    from maps_spark.operators.sessions import value_sketch
+    return value_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_value_sketch_quantiles(spark, sf_dir):
+    from maps_spark.operators.sessions import (sketch_quantiles,
+                                               value_sketch)
+    sk = value_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return sketch_quantiles(sk, [0.5, 0.9, 0.99])
+
+
 def q_event_cube(spark, sf_dir):
     from maps_spark.operators.sessions import event_cube
     return event_cube(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -975,6 +987,8 @@ MAPS_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "cms_counters": q_cms_counters,
     "event_cube": q_event_cube,
+    "value_sketch": q_value_sketch,
+    "value_sketch_quantiles": q_value_sketch_quantiles,
     "cms_estimate": q_cms_estimate,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
@@ -1109,6 +1123,9 @@ def maps_oracles() -> dict[str, str]:
         "weighted_sample": OT.weighted_sample_select(rate=0.5),
         "cms_counters": OT.cms_build_select(),
         "event_cube": OT.event_cube_select(),
+        "value_sketch": OT.value_sketch_select(),
+        "value_sketch_quantiles": OT.sketch_quantiles_select(
+            [0.5, 0.9, 0.99]),
         "cms_estimate": OT.cms_estimate_select(max_key=128),
         "winnow_pairs": OT.winnow_pairs_select(),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),

@@ -1511,6 +1511,49 @@ SELECT event_type, cohort, count(*) AS n,
 FROM base GROUP BY CUBE (event_type, cohort)"""
 
 
+def value_sketch_select(scale: int | None = None,
+                        subs: int | None = None) -> str:
+    """DuckDB twin of operators.sessions.value_sketch over events
+    (identical dual-dialect bin expression)."""
+    from maps_spark.operators.sessions import (QS_SCALE, QS_SUBS,
+                                               _qs_bin_sql)
+    sc = QS_SCALE if scale is None else scale
+    sb = QS_SUBS if subs is None else subs
+    m = f"CAST(floor(value * {sc}) AS BIGINT)"
+    return f"""SELECT {_qs_bin_sql(m, sb)} AS bin, count(*) AS cnt
+FROM events GROUP BY 1"""
+
+
+def sketch_quantiles_select(qs: list[float],
+                            scale: int | None = None,
+                            subs: int | None = None) -> str:
+    """DuckDB twin of operators.sessions.sketch_quantiles over the
+    events value sketch."""
+    from maps_spark.operators.sessions import QS_SCALE, QS_SUBS
+    sb = QS_SUBS if subs is None else subs
+    base = value_sketch_select(scale, subs)
+    parts = []
+    for q in qs:
+        qpm = int(round(q * 1000))
+        parts.append(f"""SELECT {qpm} AS q_permille,
+  CAST(CASE WHEN bin < 0 THEN 0 ELSE
+    (CAST(power(2, bin // {sb}) AS BIGINT)
+     * ({sb} + bin % {sb})) // {sb} END AS BIGINT) AS est_scaled
+FROM cum
+WHERE cum >= CAST(ceil(total * {qpm} / 1000.0) AS BIGINT)
+ORDER BY bin LIMIT 1""")
+    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""WITH sk AS ({base}),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS total
+  FROM sk)
+{union}"""
+
+
 def doc_vector_buckets_select(dim: int = 64) -> str:
     """DuckDB twin of operators.similarity.doc_vector_buckets (same
     polynomial token hash, same bucket fold)."""

@@ -570,3 +570,33 @@ def test_event_cube_levels_consistent(spark):
         assert n == sum(v[0] for v in slice_rows)
         assert vm == sum(v[1] for v in slice_rows)
     assert sum(v[0] for v in by_type.values()) == grand[0]
+
+
+def test_value_sketch_quantile_error_bound_and_merge(spark):
+    """DDSketch-style guarantee: each sketch quantile lies within one
+    bin (<= 1/QS_SUBS relative) of the exact quantile; sketches merge
+    by counter addition exactly."""
+    import pyspark.sql.functions as F
+    from maps_spark.operators.sessions import (QS_SCALE, QS_SUBS,
+                                               sketch_quantiles,
+                                               value_sketch)
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    sk = value_sketch(ev)
+    got = {r.q_permille: r.est_scaled
+           for r in sketch_quantiles(sk, [0.5, 0.9, 0.99]).collect()}
+    exact = {int(q * 1000): v for q, v in zip(
+        [0.5, 0.9, 0.99],
+        ev.selectExpr("CAST(floor(value * 1000000) AS LONG) AS m")
+        .approxQuantile("m", [0.5, 0.9, 0.99], 0.0))}
+    for qpm, est in got.items():
+        rel = abs(est - exact[qpm]) / max(exact[qpm], 1)
+        assert rel <= 2.0 / QS_SUBS, (qpm, est, exact[qpm], rel)
+    # mergeability: split + counter-sum == whole build
+    a = value_sketch(ev.where("event_id % 2 = 0"))
+    b = value_sketch(ev.where("event_id % 2 = 1"))
+    merged = {r.bin: r.cnt for r in
+              a.unionByName(b).groupBy("bin")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    whole = {r.bin: r.cnt for r in sk.collect()}
+    assert merged == whole
