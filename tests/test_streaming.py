@@ -442,3 +442,34 @@ def test_streaming_ann_ingest_matches_bulk_upsert(spark, tmp_path):
     q2 = run_ann_ingest(spark, landing, root)
     q2.awaitTermination(300)
     assert spark.read.parquet(f"{root}/vectors").count() == emb.count()
+
+
+def test_streaming_sketch_store_equals_batch_build(spark, tmp_path):
+    """Counter additivity end-to-end: after a multi-batch availableNow
+    run, both maintained sketch stores are bit-identical to batch
+    sketches over the whole events table; a second run with no new
+    files changes nothing (batch-id replay guard)."""
+    from maps_spark.operators.sessions import cms_build, value_sketch
+    from maps_spark.streaming.sketches import (read_sketch_store,
+                                               run_sketch_refresh)
+    land = str(tmp_path / "land")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(land)
+    store = str(tmp_path / "sketches")
+    q = run_sketch_refresh(spark, land, store)
+    q.awaitTermination(300)
+
+    got_cms = {(r.d, r.bucket): r.cnt for r in
+               read_sketch_store(spark, store, "cms").collect()}
+    want_cms = {(r.d, r.bucket): r.cnt for r in cms_build(ev).collect()}
+    assert got_cms == want_cms
+    got_v = {r.bin: r.cnt for r in
+             read_sketch_store(spark, store, "values").collect()}
+    want_v = {r.bin: r.cnt for r in value_sketch(ev).collect()}
+    assert got_v == want_v
+
+    q2 = run_sketch_refresh(spark, land, store)
+    q2.awaitTermination(300)
+    again = {(r.d, r.bucket): r.cnt for r in
+             read_sketch_store(spark, store, "cms").collect()}
+    assert again == want_cms
