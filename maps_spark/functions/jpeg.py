@@ -158,7 +158,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     except ValueError:
         raise
-    except (struct.error, KeyError, IndexError, OverflowError) as e:
+    except (struct.error, KeyError, IndexError, OverflowError,
+            ZeroDivisionError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -209,6 +210,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if (hv >> 4) == 0 or (hv & 0xF) == 0:
+                    raise ValueError("zero sampling factor in SOF")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}

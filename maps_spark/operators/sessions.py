@@ -588,7 +588,9 @@ def event_cube(events: DataFrame, scale: int = 1_000) -> DataFrame:
     """
     base = events.select(
         "event_type",
-        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("cohort"),
+        # plain % (remainder), NOT pmod: the oracle runs SQL-standard
+        # user_id % 10, and the two differ on negative keys
+        F.expr("CAST(user_id % 10 AS BIGINT)").alias("cohort"),
         F.floor(F.col("value") * scale).cast("long").alias("vm"))
     return (base.cube("event_type", "cohort")
             .agg(F.count("*").alias("n"),

@@ -312,6 +312,13 @@ def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
         approx = ivf_topk(corpus, queries, k, id_col, vec_col, **kwargs)
     else:
         raise ValueError(f"unknown ANN method {method!r}")
+    return recall_counts(exact, approx)
+
+
+def recall_counts(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query hit counting shared by every recall gate (incl. the
+    served-index one): both inputs are (query_id, neighbor_id, ...)
+    top-k tables; output (query_id, n_exact, n_hits)."""
     hits = (approx.select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1)))
     return (exact.select("query_id", "neighbor_id")

@@ -388,6 +388,11 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     ).otherwise(F.array().cast("array<int>"))
     grams = (docs.select("doc_id", hs.alias("hs"), starts.alias("ii"))
              .select("doc_id", "hs", F.explode("ii").alias("i"))
+             # the packed key reserves 20 bits for the reversed
+             # position; beyond that it would borrow from the hash
+             # field and select garbage, so positions past 2^20
+             # truncate EXPLICITLY (chunk monster docs upstream)
+             .where(F.col("i") < POSCAP)
              .select(
                  "doc_id", "i",
                  F.aggregate(

@@ -179,6 +179,7 @@ def audit_build(spark: SparkSession, root: str,
     distributed operators themselves.
     """
     import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
 
     try:
         inv = tile_store.pyramid_invariant(spark, root)
@@ -190,7 +191,11 @@ def audit_build(spark: SparkSession, root: str,
             F.sum("total").alias("occurrences")).collect()[0]
         tiles = {"views": int(tile_totals["views"] or 0),
                  "occurrences": int(tile_totals["occurrences"] or 0)}
-    except Exception:  # every view under threshold -> no tile store
+    except AnalysisException:
+        # ONLY the missing-path case (every view under threshold ->
+        # no tiles/ directory at all); a decode failure inside the
+        # canary must PROPAGATE — swallowing it would report ok=True
+        # on exactly the corruption the audit exists to surface
         bad, tiles = [], {"views": 0, "occurrences": 0}
     try:
         pts = tile_store.points_invariant(spark, root).agg(
@@ -198,7 +203,7 @@ def audit_build(spark: SparkSession, root: str,
             F.sum("total").alias("occurrences")).collect()[0]
         points = {"views": int(pts["views"] or 0),
                   "occurrences": int(pts["occurrences"] or 0)}
-    except Exception:  # no small views -> empty points store
+    except AnalysisException:  # no small views -> empty points store
         points = {"views": 0, "occurrences": 0}
     report = {
         "root": root,
@@ -221,6 +226,6 @@ def audit_build(spark: SparkSession, root: str,
                 "sample": [r.asDict() for r in
                            diff.limit(max_diff_rows).collect()],
             }
-        except Exception:  # one side has no tile store at all
+        except AnalysisException:  # one side has no tile store at all
             report["churn"] = None
     return report

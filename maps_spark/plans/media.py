@@ -178,6 +178,10 @@ def run_pair_curation(spark: SparkSession, media: DataFrame,
 
     (kept.drop("cap_h").write.mode("overwrite")
      .parquet(f"{out_dir}/pairs"))
+    # release the two checkpoint block sets — a long-lived session
+    # curating repeatedly would otherwise accumulate executor storage
+    pairs.unpersist()
+    feats.unpersist()
 
     manifest = {
         "stage": "pair_curation", "grid": grid,

@@ -569,9 +569,8 @@ def q_ann_recall_index(spark, sf_dir):
     the serving path loses nothing over the in-memory plan."""
     import tempfile
 
-    import pyspark.sql.functions as FF
-
-    from maps_spark.operators.similarity import brute_force_topk
+    from maps_spark.operators.similarity import (brute_force_topk,
+                                                 recall_counts)
     from maps_spark.sources.ann_index import (build_ivf_index,
                                               query_ivf_index)
     emb = _emb(spark, sf_dir)
@@ -579,14 +578,7 @@ def q_ann_recall_index(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="maps-spark-ivfrec-") + "/index"
     build_ivf_index(emb, root, n_clusters=16, kmeans_iters=2)
     approx = query_ivf_index(spark, root, queries, k=10, n_probe=4)
-    exact = brute_force_topk(emb, queries, k=10)
-    hits = (approx.select("query_id", "neighbor_id")
-            .withColumn("hit", FF.lit(1)))
-    return (exact.select("query_id", "neighbor_id")
-            .join(hits, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(FF.count(FF.lit(1)).alias("n_exact"),
-                 FF.count("hit").alias("n_hits")))
+    return recall_counts(brute_force_topk(emb, queries, k=10), approx)
 
 
 def q_winnow_pairs(spark, sf_dir):

@@ -981,7 +981,8 @@ g0 AS (
   FROM th),
 g AS (
   SELECT doc_id, u['p'] AS pos0, u['g'] AS gh
-  FROM (SELECT doc_id, unnest(ghs) AS u FROM g0)),
+  FROM (SELECT doc_id, unnest(ghs) AS u FROM g0)
+  WHERE u['p'] < {POSCAP}),
 keys AS (
   SELECT doc_id, pos0,
          gh * {POSCAP} + ({POSCAP - 1} - pos0) AS key,

@@ -10,16 +10,28 @@ store is BIT-IDENTICAL to a batch build over everything ever seen
 (pinned in tests — no approximation drift, the approximation lives
 only in the sketch definition itself).
 
+Crash safety (counter addition is NOT idempotent, so at-least-once
+redelivery needs more than a skip marker): each batch writes a NEW
+versioned snapshot ``<store>/{cms,values}/v=<batch_id>`` derived from
+the previous COMMITTED version, then atomically repoints a version
+marker (``os.replace``). The marker is the single commit point:
+
+- crash before the marker flips -> the half-written ``v=<id>`` dirs
+  are orphans; redelivery recomputes them FROM THE OLD COMMITTED
+  version (mode=overwrite replaces the partials) — no double-add,
+  because the previous version never contained this batch;
+- marker flipped -> ``_applied_batch`` skips the redelivery entirely;
+- old versions are dropped best-effort AFTER the flip (keep-1).
+
 Per batch: build the batch sketch (map-side-combined, O(batch)), read
-the tiny store, sum counters, overwrite. The store is one file per
-sketch — counters never exceed the fixed bin space, so there is no
-growth, no compaction, and replays are guarded by the same batch-id
-marker as the pixel refresh (counter addition is not idempotent).
+the tiny committed store, sum counters, write the next version, flip.
+Counters never exceed the fixed bin space — no growth, no compaction.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -28,19 +40,34 @@ from maps_spark.operators.sessions import cms_build, value_sketch
 from maps_spark.streaming.refresh import (_applied_batch, _commit_batch,
                                           _stream_parquet)
 
+SKETCHES = ("cms", "values")
 
-def _merge_into(delta: DataFrame, path: str, key_cols: list[str]) -> None:
-    from pyspark.errors import AnalysisException
+
+def _versioned(store_root: str, which: str, version: int) -> str:
+    return f"{store_root}/{which}/v={version}"
+
+
+def _merge_version(delta: DataFrame, store_root: str, which: str,
+                   key_cols: list[str], prev: int, version: int) -> None:
     spark = delta.sparkSession
     merged = delta
-    try:
-        existing = spark.read.parquet(path)
+    if prev >= 0:
+        existing = spark.read.parquet(_versioned(store_root, which, prev))
         merged = existing.unionByName(delta)
-    except AnalysisException:  # first batch
-        pass
     out = (merged.groupBy(*key_cols).agg(F.sum("cnt").alias("cnt"))
-           .localCheckpoint())  # cut lineage: overwrite-in-place
-    out.coalesce(1).write.mode("overwrite").parquet(path)
+           .localCheckpoint())  # cut lineage before the overwrite
+    (out.coalesce(1).write.mode("overwrite")
+     .parquet(_versioned(store_root, which, version)))
+
+
+def _drop_stale_versions(store_root: str, which: str,
+                         keep_version: int) -> None:
+    base = f"{store_root}/{which}"
+    if not os.path.isdir(base):
+        return
+    for name in os.listdir(base):
+        if name.startswith("v=") and name != f"v={keep_version}":
+            shutil.rmtree(f"{base}/{name}", ignore_errors=True)
 
 
 def run_sketch_refresh(spark: SparkSession, input_dir: str,
@@ -50,18 +77,23 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
     """Maintain ``store_root/cms`` (frequency) and ``store_root/values``
     (quantiles) over an event file stream. availableNow-triggered like
     the pixel refresh; both stores must equal the batch sketches of the
-    union of all batches, counter for counter."""
+    union of all batches, counter for counter — including across the
+    crash/redelivery cases described in the module docstring."""
     stream = _stream_parquet(spark, input_dir)
     marker = store_root.rstrip("/") + "_meta/last_batch.json"
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if _applied_batch(marker) >= batch_id:
+        prev = _applied_batch(marker)
+        if prev >= batch_id:
             return
-        _merge_into(cms_build(batch_df, key_col, width, depth),
-                    f"{store_root}/cms", ["d", "bucket"])
-        _merge_into(value_sketch(batch_df, value_col),
-                    f"{store_root}/values", ["bin"])
-        _commit_batch(marker, batch_id)
+        _merge_version(cms_build(batch_df, key_col, width, depth),
+                       store_root, "cms", ["d", "bucket"],
+                       prev, batch_id)
+        _merge_version(value_sketch(batch_df, value_col),
+                       store_root, "values", ["bin"], prev, batch_id)
+        _commit_batch(marker, batch_id)  # the atomic commit point
+        for which in SKETCHES:
+            _drop_stale_versions(store_root, which, batch_id)
 
     return (stream.writeStream.foreachBatch(_merge)
             .trigger(availableNow=True).start())
@@ -69,5 +101,12 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
 
 def read_sketch_store(spark: SparkSession, store_root: str,
                       which: str) -> DataFrame:
-    """``which`` in {'cms', 'values'}: the maintained counter table."""
-    return spark.read.parquet(f"{store_root}/{which}")
+    """``which`` in {'cms', 'values'}: the COMMITTED counter table
+    (resolved through the version marker — half-written snapshots are
+    never visible)."""
+    marker = store_root.rstrip("/") + "_meta/last_batch.json"
+    version = _applied_batch(marker)
+    if version < 0:
+        raise FileNotFoundError(f"no committed sketch store under "
+                                f"{store_root}")
+    return spark.read.parquet(_versioned(store_root, which, version))

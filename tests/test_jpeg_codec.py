@@ -101,6 +101,10 @@ def test_malformed_streams_normalize_to_valueerror():
                      + good[i + 2 + sos_len - 3:i + 2 + sos_len])
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(good[:i] + short_sos + good[i + 2 + sos_len:])
+    # zero sampling factor in SOF (was ZeroDivisionError)
+    j = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(good[:j + 11] + b"\x00" + good[j + 12:])
     # SOS whose component ids do not match the SOF's
     full_sos = bytearray(good[i:i + 2 + sos_len])
     full_sos[5] = 77  # first scan component id -> bogus

@@ -473,3 +473,18 @@ def test_streaming_sketch_store_equals_batch_build(spark, tmp_path):
     again = {(r.d, r.bucket): r.cnt for r in
              read_sketch_store(spark, store, "cms").collect()}
     assert again == want_cms
+
+    # versioned commit: exactly one committed snapshot survives per
+    # sketch (stale versions dropped after the marker flip), and a
+    # half-written orphan version is invisible to readers
+    import os
+    for which in ("cms", "values"):
+        vs = [d for d in os.listdir(f"{store}/{which}")
+              if d.startswith("v=")]
+        assert len(vs) == 1, vs
+    os.makedirs(f"{store}/cms/v=999", exist_ok=True)
+    with open(f"{store}/cms/v=999/part-junk.parquet", "wb") as f:
+        f.write(b"not parquet")  # simulates a crash mid-overwrite
+    still = {(r.d, r.bucket): r.cnt for r in
+             read_sketch_store(spark, store, "cms").collect()}
+    assert still == want_cms
