@@ -185,3 +185,24 @@ def write_training_shards(docs: DataFrame, path: str, n_shards: int = 8,
            .repartition(n_shards, "shard")
            .sortWithinPartitions("shard", "row_idx"))
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def write_jsonl_shards(docs: DataFrame, path: str, n_shards: int = 8,
+                       id_col: str = "doc_id",
+                       partitions: int | None = None) -> None:
+    """JSONL variant of :func:`write_training_shards` — the loader
+    format most text-training stacks consume directly (one JSON object
+    per line, ``shard=k`` directories, rows in global-shuffle order
+    within each shard). Same deterministic assignment and same
+    one-shuffle plan as the parquet writer; Spark's native JSON sink
+    streams the lines (never a driver collect), and ``row_idx`` rides
+    along so a resuming loader can seek by line offset.
+
+    Parquet remains the analytical store; JSONL shards are the
+    hand-off artifact at the training boundary.
+    """
+    asg = shard_assign(docs, n_shards, id_col, partitions)
+    out = (docs.withColumnRenamed(id_col, "doc_id").join(asg, "doc_id")
+           .repartition(n_shards, "shard")
+           .sortWithinPartitions("shard", "row_idx"))
+    out.write.mode("overwrite").partitionBy("shard").json(path)

@@ -41,3 +41,39 @@ def test_training_prep_budget_downsamples(spark, tmp_path):
     f = m["funnel"]
     assert 0 < f["sampled"] < f["kept"]
     assert f["sampled_tokens"] <= 4 * 500  # hash-rate slack, wide bound
+
+
+def test_jsonl_shards_match_parquet_shards(spark, tmp_path):
+    """The JSONL export carries exactly the parquet export's rows and
+    order: same shard membership, same row_idx sequence, parseable
+    line-by-line."""
+    import json
+    import os
+
+    from maps_spark.operators.packing import (write_jsonl_shards,
+                                              write_training_shards)
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    pq, jl = str(tmp_path / "pq"), str(tmp_path / "jl")
+    write_training_shards(docs, pq, n_shards=4)
+    write_jsonl_shards(docs, jl, n_shards=4)
+    pq_rows = {(r.shard, r.doc_id): r.row_idx
+               for r in spark.read.parquet(pq).collect()}
+    jl_rows = {}
+    order_ok = True
+    for shard_dir in sorted(os.listdir(jl)):
+        if not shard_dir.startswith("shard="):
+            continue
+        shard = int(shard_dir.split("=")[1])
+        last = -1
+        for fname in sorted(os.listdir(f"{jl}/{shard_dir}")):
+            if not fname.endswith(".json"):
+                continue
+            with open(f"{jl}/{shard_dir}/{fname}") as f:
+                for line in f:
+                    obj = json.loads(line)
+                    jl_rows[(shard, obj["doc_id"])] = obj["row_idx"]
+                    order_ok &= obj["row_idx"] > last
+                    last = obj["row_idx"]
+    assert jl_rows == pq_rows and len(jl_rows) == docs.count()
+    assert order_ok  # in-file order == global-shuffle order
