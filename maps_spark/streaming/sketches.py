@@ -40,7 +40,7 @@ from maps_spark.operators.sessions import cms_build, value_sketch
 from maps_spark.streaming.refresh import (_applied_batch, _commit_batch,
                                           _stream_parquet)
 
-SKETCHES = ("cms", "values")
+SKETCHES = ("cms", "values", "hitters")
 
 
 def _versioned(store_root: str, which: str, version: int) -> str:
@@ -70,10 +70,41 @@ def _drop_stale_versions(store_root: str, which: str,
             shutil.rmtree(f"{base}/{name}", ignore_errors=True)
 
 
+def _update_hitters(batch_df: DataFrame, store_root: str, key_col: str,
+                    width: int, depth: int, prev: int, version: int,
+                    top_k: int, top_m: int) -> None:
+    """Rolling heavy-hitter candidates: union of the previous top-k
+    and this batch's top-m exact keys, re-estimated against the
+    already-updated CMS version, cut to top-k by (est, key). A key
+    admitted once stays until displaced; the policy catches any key
+    that is top-m in at least one batch (the standard CMS+candidate
+    recipe — a key that is never batch-prominent can hide, which is
+    the documented trade-off vs exact counting)."""
+    from maps_spark.operators.sessions import cms_estimate
+    spark = batch_df.sparkSession
+    batch_top = (batch_df.groupBy(key_col)
+                 .agg(F.count("*").alias("n"))
+                 .orderBy(F.desc("n"), key_col).limit(top_m)
+                 .select(F.col(key_col).alias("key")))
+    cands = batch_top
+    if prev >= 0:
+        old = spark.read.parquet(
+            _versioned(store_root, "hitters", prev)).select("key")
+        cands = cands.unionByName(old).distinct()
+    sketch = spark.read.parquet(_versioned(store_root, "cms", version))
+    est = cms_estimate(sketch, cands, key_col="key",
+                       width=width, depth=depth)
+    out = (est.orderBy(F.desc("est"), "key").limit(top_k)
+           .localCheckpoint())
+    (out.coalesce(1).write.mode("overwrite")
+     .parquet(_versioned(store_root, "hitters", version)))
+
+
 def run_sketch_refresh(spark: SparkSession, input_dir: str,
                        store_root: str, key_col: str = "user_id",
                        value_col: str = "value",
-                       width: int = 1024, depth: int = 4):
+                       width: int = 1024, depth: int = 4,
+                       top_k: int = 16, top_m: int = 32):
     """Maintain ``store_root/cms`` (frequency) and ``store_root/values``
     (quantiles) over an event file stream. availableNow-triggered like
     the pixel refresh; both stores must equal the batch sketches of the
@@ -91,6 +122,8 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
                        prev, batch_id)
         _merge_version(value_sketch(batch_df, value_col),
                        store_root, "values", ["bin"], prev, batch_id)
+        _update_hitters(batch_df, store_root, key_col, width, depth,
+                        prev, batch_id, top_k, top_m)
         _commit_batch(marker, batch_id)  # the atomic commit point
         for which in SKETCHES:
             _drop_stale_versions(store_root, which, batch_id)
@@ -101,7 +134,7 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
 
 def read_sketch_store(spark: SparkSession, store_root: str,
                       which: str) -> DataFrame:
-    """``which`` in {'cms', 'values'}: the COMMITTED counter table
+    """``which`` in {'cms', 'values', 'hitters'}: the COMMITTED table
     (resolved through the version marker — half-written snapshots are
     never visible)."""
     marker = store_root.rstrip("/") + "_meta/last_batch.json"

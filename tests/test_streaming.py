@@ -488,3 +488,30 @@ def test_streaming_sketch_store_equals_batch_build(spark, tmp_path):
     still = {(r.d, r.bucket): r.cnt for r in
              read_sketch_store(spark, store, "cms").collect()}
     assert still == want_cms
+
+
+def test_streaming_heavy_hitters_tracked(spark, tmp_path):
+    """A key that dominates cumulatively (batch-prominent each batch)
+    must surface in the committed hitters table with an estimate >=
+    its true count; estimates never undercount any tracked key."""
+    import pyspark.sql.functions as F
+    from maps_spark.streaming.sketches import (read_sketch_store,
+                                               run_sketch_refresh)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    hot = (ev.limit(300)
+           .withColumn("user_id", F.lit(777777).cast("long")))
+    land = str(tmp_path / "land")
+    (ev.unionByName(hot).repartition(8)
+     .write.mode("overwrite").parquet(land))
+    store = str(tmp_path / "sk")
+    q = run_sketch_refresh(spark, land, store, width=4096)
+    q.awaitTermination(300)
+    hitters = {r.key: r.est for r in
+               read_sketch_store(spark, store, "hitters").collect()}
+    assert 777777 in hitters
+    true = {r.user_id: r.n for r in
+            ev.unionByName(hot).groupBy("user_id")
+            .agg(F.count("*").alias("n")).collect()}
+    assert hitters[777777] >= true[777777] >= 300
+    for k, est in hitters.items():
+        assert est >= true[k]
