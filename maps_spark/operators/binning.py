@@ -233,3 +233,119 @@ def radius_pairs(points: DataFrame, radius_deg: float,
                      (dlat * dlat + dlng * dlng).alias("_d2"))
             .where(F.col("_d2") <= F.lit(float(r2)))
             .drop("_d2"))
+
+
+EARTH_RADIUS_KM = 6371.0088          # IUGG mean Earth radius (sphere)
+KM_PER_DEG = EARTH_RADIUS_KM * 3.141592653589793 / 180.0  # ~111.195
+
+
+def _haversine_km(lat_a, lng_a, lat_b, lng_b):
+    """Great-circle distance (spherical Earth) as a Column expr."""
+    la, lb = F.radians(lat_a), F.radians(lat_b)
+    dlat = F.radians(lat_b) - F.radians(lat_a)
+    dlng = F.radians(lng_b) - F.radians(lng_a)
+    h = (F.sin(dlat / 2) ** 2
+         + F.cos(la) * F.cos(lb) * F.sin(dlng / 2) ** 2)
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(h))
+
+
+def radius_pairs_haversine(points: DataFrame, radius_km: float,
+                           id_col: str = "id", lat_col: str = "lat",
+                           lng_col: str = "lng",
+                           others: DataFrame | None = None,
+                           lat_cutoff: float = 84.0) -> DataFrame:
+    """GREAT-CIRCLE radius join — the geodesic sibling of
+    :func:`radius_pairs` (which stays planar-degree for bitwise
+    oracle parity): every pair within ``radius_km`` on the spherical
+    Earth, dateline-safe and pole-safe. Not oracle-hashable (trig
+    differs across engines in the last ulp), so correctness pins via
+    an in-engine brute-force twin in the tests.
+
+    Banding, lossless by construction (spherical model: 1 deg lat =
+    ~111.195 km everywhere; 1 deg lng = that times cos(lat)):
+
+    - |lat| <= cutoff: fixed 2-D grid. Lat cell = radius in lat
+      degrees; lng cell = radius in lng degrees AT THE CUTOFF (the
+      widest needed anywhere in the band), probed 3x3 with the lng
+      cell index taken MODULO the ring size so antimeridian
+      neighbours share cells.
+    - |lat| > cutoff - lat_band (the polar caps plus one band of
+      overlap): lat-band-only cells (longitude compression makes lng
+      banding useless there; the caps are tiny). The two paths emit
+      DISJOINT pair sets — the grid keeps pairs with both |lat| <=
+      cutoff, the caps keep pairs with at least one beyond — so no
+      dedup shuffle is needed.
+
+    Output: (id_a, id_b, dist_m) — great-circle metres, floored to
+    integers; id_a < id_b in the self-join form.
+    """
+    import math
+    lat_band = radius_km / KM_PER_DEG
+    lng_cell = radius_km / (KM_PER_DEG *
+                            math.cos(math.radians(lat_cutoff)))
+    n_ring = max(int(math.ceil(360.0 / lng_cell)), 1)
+    # recompute the cell so the ring divides 360 evenly (cells only
+    # get wider -> still >= the needed extent; adjacency stays valid)
+    lng_cell = 360.0 / n_ring
+
+    def prep(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(lat_col).cast("double").alias("lat"),
+            F.col(lng_col).cast("double").alias("lng"),
+            F.floor(F.col(lat_col) / F.lit(lat_band))
+            .cast("long").alias("cy"),
+            F.floor((F.col(lng_col) + 180.0) / F.lit(lng_cell))
+            .cast("long").alias("cx"))
+
+    base = prep(points)
+    other_base = base if others is None else prep(others)
+
+    def pairs_from(probe_cells, a_df, b_df, keys):
+        probes = a_df.select(
+            F.col("id").alias("id_a"), F.col("lat").alias("lat_a"),
+            F.col("lng").alias("lng_a"),
+            F.explode(F.array(*probe_cells)).alias("p")
+        ).select("id_a", "lat_a", "lng_a",
+                 *[F.col(f"p.{k}").alias(k) for k in keys])
+        targets = b_df.select(
+            F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+            F.col("lng").alias("lng_b"), *keys)
+        j = probes.join(targets, list(keys))
+        if others is None:
+            j = j.where(F.col("id_a") < F.col("id_b"))
+        dist = _haversine_km(F.col("lat_a"), F.col("lng_a"),
+                             F.col("lat_b"), F.col("lng_b"))
+        return (j.withColumn("_d", dist)
+                .where(F.col("_d") <= F.lit(float(radius_km)))
+                .select("id_a", "id_b",
+                        F.floor(F.col("_d") * 1000.0).cast("long")
+                        .alias("dist_m")))
+
+    # grid path: both endpoints within the cutoff
+    in_grid = F.abs(F.col("lat")) <= lat_cutoff
+    ga, gb = base.where(in_grid), other_base.where(in_grid)
+    grid_cells = [
+        F.struct(((F.col("cx") + dx + n_ring) % n_ring).alias("cx"),
+                 (F.col("cy") + dy).alias("cy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    grid_pairs = pairs_from(grid_cells, ga, gb, ("cx", "cy"))
+
+    # cap path: lat-band-only cells over the caps + one overlap band;
+    # keep only pairs with at least one endpoint beyond the cutoff
+    near_cap = F.abs(F.col("lat")) > (lat_cutoff - lat_band)
+    ca, cb = base.where(near_cap), other_base.where(near_cap)
+    cap_cells = [F.struct((F.col("cy") + dy).alias("cy"))
+                 for dy in (-1, 0, 1)]
+    cap_pairs = (pairs_from(cap_cells, ca, cb, ("cy",)))
+    cap_latmap = base.select(F.col("id").alias("id_a"),
+                             F.abs("lat").alias("abs_a"))
+    cap_latmap_b = other_base.select(F.col("id").alias("id_b"),
+                                     F.abs("lat").alias("abs_b"))
+    cap_pairs = (cap_pairs.join(cap_latmap, "id_a")
+                 .join(cap_latmap_b, "id_b")
+                 .where((F.col("abs_a") > lat_cutoff) |
+                        (F.col("abs_b") > lat_cutoff))
+                 .select("id_a", "id_b", "dist_m"))
+
+    return grid_pairs.unionByName(cap_pairs)

@@ -677,6 +677,20 @@ def q_dedup_clusters(spark, sf_dir):
     return DD.dedup_clusters(pairs)
 
 
+def q_geo_radius_haversine(spark, sf_dir):
+    """Rows-only by design (like bpe/compression): cross-engine trig
+    differs in the last ulp, so the great-circle variant pins its
+    losslessness against an in-engine brute-force twin in pytest
+    instead of a DuckDB hash."""
+    from maps_spark.operators.binning import radius_pairs_haversine
+    occ = occurrence_df(spark, sf_dir)
+    pts = (occ.where("occurrenceId % 7 = 0")
+           .select(F.col("occurrenceId").alias("id"),
+                   F.col("decimalLatitude").alias("lat"),
+                   F.col("decimalLongitude").alias("lng")))
+    return radius_pairs_haversine(pts, radius_km=25.0)
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     from maps_spark.operators import dedup as DD
     docs = _docs(spark, sf_dir)
@@ -976,6 +990,7 @@ MAPS_QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "dedup_clusters": q_dedup_clusters,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "geo_radius_haversine": q_geo_radius_haversine,
     "weighted_sample": q_weighted_sample,
     "cms_counters": q_cms_counters,
     "event_cube": q_event_cube,

@@ -404,3 +404,54 @@ def test_radius_pairs_two_table_form(spark):
     out = {(r.id_a, r.id_b) for r in
            radius_pairs(pts, 0.5, others=stations).collect()}
     assert out == {(1, 100), (4, 100), (2, 200)}
+
+
+def test_haversine_radius_pairs_lossless_vs_bruteforce(spark):
+    """Great-circle banding proven lossless against an in-engine
+    brute-force twin on an adversarial layout: a dateline-straddling
+    cluster (lng +179.99 / -179.98), a polar cluster (lat 87+, all
+    longitudes), an equator cluster, and scattered background noise —
+    the exact failure modes of naive degree banding."""
+    import pyspark.sql.functions as F
+    from maps_spark.operators.binning import (_haversine_km,
+                                              radius_pairs_haversine)
+    pts = []
+    # dateline cluster: neighbours across the +-180 seam
+    for i in range(6):
+        pts.append((100 + i, 10.0 + i * 0.001, 179.99))
+        pts.append((200 + i, 10.0 + i * 0.001, -179.98))
+    # polar cluster: a tight ring around the pole — at lat 89.97
+    # points 45 deg of longitude apart are only ~2-3 km apart
+    # great-circle, the exact case planar lng banding can never see
+    for i in range(8):
+        pts.append((300 + i, 89.97 + (i % 3) * 0.005,
+                    float(i * 45.0)))
+    # equator cluster
+    for i in range(6):
+        pts.append((400 + i, 0.001 * i, 20.0 + 0.001 * i))
+    # background noise, deterministic spread
+    for i in range(60):
+        pts.append((500 + i, -60.0 + (i * 37 % 120),
+                    float(-170 + (i * 53 % 340))))
+    df = spark.createDataFrame(pts, "id long, lat double, lng double")
+    radius_km = 5.0
+    got = {(r.id_a, r.id_b): r.dist_m
+           for r in radius_pairs_haversine(df, radius_km).collect()}
+    a, b = df.alias("a"), df.alias("b")
+    brute = (a.crossJoin(b)
+             .where(F.col("a.id") < F.col("b.id"))
+             .withColumn("_d", _haversine_km(
+                 F.col("a.lat"), F.col("a.lng"),
+                 F.col("b.lat"), F.col("b.lng")))
+             .where(F.col("_d") <= radius_km)
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.floor(F.col("_d") * 1000.0).cast("long")
+                     .alias("dist_m")))
+    want = {(r.id_a, r.id_b): r.dist_m for r in brute.collect()}
+    assert got == want and want, (len(got), len(want))
+    # sanity: the adversarial clusters actually produced pairs
+    assert any(x >= 100 and x < 300 and y >= 100 and y < 300
+               and (x < 200) != (y < 200) for x, y in want), \
+        "no dateline-crossing pair in ground truth"
+    assert any(300 <= x < 400 for x, _ in want), "no polar pair"
