@@ -528,3 +528,46 @@ def quality_ensemble(signals: DataFrame, weights: dict[str, int],
     return signals.select(
         id_col, group_col,
         F.floor(score).cast("long").alias("score_scaled"))
+
+
+def winnow_contamination(docs: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", shingle_k: int = 3,
+                         window: int = 4,
+                         scale: int = 1_000_000) -> DataFrame:
+    """Benchmark decontamination via winnowing fingerprints — the
+    scale path beside :func:`maps_spark.operators.corpus
+    .contamination_check` (which probes EVERY distinct shingle): here
+    both sides reduce to their winnowed selections first (~2/(w+1) of
+    gram positions), and the winnowing guarantee still catches any
+    verbatim benchmark run of >= window + k - 1 tokens — the
+    contamination that matters. The benchmark fingerprint set is
+    distinct-small and broadcast, so the probe is a map-side hash
+    join; the corpus side never shuffles its explode.
+
+    Output: (doc_id, n_fingerprints, n_contaminated,
+    contamination_scaled) with the ratio integer-scaled; documents
+    too short to produce a gram report zero fingerprints.
+    """
+    doc_fp = (winnow_fingerprints(docs, text_col, shingle_k, window)
+              .select("doc_id", "gram_hash"))
+    bench_fp = (winnow_fingerprints(benchmark, text_col, shingle_k,
+                                    window)
+                .select("gram_hash").distinct())
+    probed = doc_fp.join(F.broadcast(bench_fp.withColumn(
+        "hit", F.lit(1))), "gram_hash", "left")
+    per_doc = (probed.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                    F.count("hit").alias("n_contaminated")))
+    all_docs = docs.select("doc_id")
+    return (all_docs.join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_fingerprints", F.lit(0)).cast("long")
+                    .alias("n_fingerprints"),
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"))
+            .select("doc_id", "n_fingerprints", "n_contaminated",
+                    F.when(F.col("n_fingerprints") > 0,
+                           F.expr(f"(n_contaminated * {scale}) "
+                                  "div n_fingerprints"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("contamination_scaled")))

@@ -581,6 +581,14 @@ def q_ann_recall_index(spark, sf_dir):
     return recall_counts(brute_force_topk(emb, queries, k=10), approx)
 
 
+def q_winnow_contamination(spark, sf_dir):
+    from maps_spark.operators.text import winnow_contamination
+    docs = _docs(spark, sf_dir)
+    return winnow_contamination(
+        docs.where(F.col("doc_id") % BENCH_MOD != 0),
+        docs.where(F.col("doc_id") % BENCH_MOD == 0))
+
+
 def q_winnow_pairs(spark, sf_dir):
     from maps_spark.operators.text import winnow_pairs
     return winnow_pairs(_docs(spark, sf_dir))
@@ -988,6 +996,7 @@ MAPS_QUERIES = {
     "compression_signals": q_compression_signals,
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
+    "winnow_contamination": q_winnow_contamination,
     "dedup_clusters": q_dedup_clusters,
     "soft_dedup_weights": q_soft_dedup_weights,
     "geo_radius_haversine": q_geo_radius_haversine,
@@ -1135,6 +1144,8 @@ def maps_oracles() -> dict[str, str]:
             [0.5, 0.9, 0.99]),
         "cms_estimate": OT.cms_estimate_select(max_key=128),
         "winnow_pairs": OT.winnow_pairs_select(),
+        "winnow_contamination": OT.winnow_contamination_select(
+            bench_mod=BENCH_MOD),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
         "stratified_sample": OT.stratified_sample_select(),

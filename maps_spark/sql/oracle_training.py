@@ -961,7 +961,8 @@ pairs AS (
 
 
 def winnow_fingerprints_select(shingle_k: int = 3,
-                               window: int = 4) -> str:
+                               window: int = 4,
+                               table: str = "documents") -> str:
     """DuckDB twin of operators.text.winnow_fingerprints: same token
     hash, same gram fold, same packed (hash, reversed-pos) key and
     window-min selection."""
@@ -970,7 +971,7 @@ def winnow_fingerprints_select(shingle_k: int = 3,
     windowed = _shingle_fold([f"hs[gs.i + {j}]" for j in range(k)])
     windowed = windowed.replace("hs[gs.i", "hs[i")
     return f"""WITH th AS (
-  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM documents),
+  SELECT doc_id, {_TOKEN_HASH_LIST} AS hs FROM {table}),
 g0 AS (
   SELECT doc_id,
          CASE WHEN len(hs) >= {k}
@@ -998,6 +999,32 @@ SELECT DISTINCT doc_id,
        CAST({POSCAP - 1} - (mk % {POSCAP}) AS INT) AS pos,
        CAST(mk // {POSCAP} AS BIGINT) AS gram_hash
 FROM mins WHERE pos0 <= greatest(ng - {window}, 0)"""
+
+
+def winnow_contamination_select(bench_mod: int = 25,
+                                shingle_k: int = 3, window: int = 4,
+                                scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.text.winnow_contamination with the
+    doc_id % bench_mod corpus/benchmark split."""
+    corpus = f"(SELECT * FROM documents WHERE doc_id % {bench_mod} != 0)"
+    bench = f"(SELECT * FROM documents WHERE doc_id % {bench_mod} = 0)"
+    return f"""WITH dfp AS ({winnow_fingerprints_select(shingle_k,
+                                                        window,
+                                                        corpus)}),
+bfp AS (SELECT DISTINCT gram_hash
+        FROM ({winnow_fingerprints_select(shingle_k, window, bench)})),
+per_doc AS (
+  SELECT d.doc_id, count(*) AS n_fingerprints,
+         count(b.gram_hash) AS n_contaminated
+  FROM dfp d LEFT JOIN bfp b USING (gram_hash)
+  GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(p.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN coalesce(p.n_fingerprints, 0) > 0
+            THEN (p.n_contaminated * {scale}) // p.n_fingerprints
+            ELSE 0 END AS BIGINT) AS contamination_scaled
+FROM {corpus} c LEFT JOIN per_doc p USING (doc_id)"""
 
 
 def winnow_pairs_select(shingle_k: int = 3, window: int = 4,

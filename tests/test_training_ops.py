@@ -1118,3 +1118,24 @@ def test_soft_dedup_weights_mass_conservation(spark):
         assert out[i] == (4, 250_000)
     for i in range(5):
         assert out[100 + i] == (1, 1_000_000)
+
+
+def test_winnow_contamination_catches_verbatim_quote(spark):
+    """A doc quoting a benchmark passage of >= window+k-1 tokens must
+    show nonzero contamination (the winnowing guarantee applied to
+    decontamination); unrelated docs stay at zero."""
+    from maps_spark.operators.text import winnow_contamination
+    bench_text = ("question which river is the longest in the world "
+                  "answer the nile by most measures")
+    bench = spark.createDataFrame([(1, bench_text)],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "intro words " + bench_text + " closing remark"),
+         (11, " ".join(f"clean{i}tok{i * 13 % 97}" for i in range(30)))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           winnow_contamination(docs, bench).collect()}
+    assert out[10].n_contaminated > 0
+    assert out[10].contamination_scaled > 0
+    assert out[11].n_contaminated == 0
+    assert out[11].n_fingerprints > 0
