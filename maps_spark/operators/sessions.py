@@ -685,3 +685,28 @@ def sketch_quantiles(sketch: DataFrame, qs: list[float],
                            f"END").cast("long").alias("est_scaled")))
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def conversion_latency_sketch(events: DataFrame,
+                              conversion: str = "purchase",
+                              touches: tuple[str, ...] = ("click",
+                                                          "view"),
+                              window_us: int = 7 * 86400 * 1_000_000
+                              ) -> DataFrame:
+    """Time-to-convert distribution at stream scale: the attributed
+    touch->conversion lags (:func:`attribute_conversions`) binned into
+    the mergeable quantile sketch (:func:`value_sketch`'s integer
+    binning applied to the already-integer microsecond lags) — store
+    it per day and :func:`sketch_quantiles` answers "p90 time to
+    convert" for any date range from counter sums alone, no re-scan
+    of events. Unattributed conversions are excluded (they have no
+    lag).
+
+    Output: (bin, cnt) — feed to :func:`sketch_quantiles` (estimates
+    come back in microseconds).
+    """
+    att = attribute_conversions(events, conversion, touches, window_us)
+    lags = (att.where(F.col("lag_us").isNotNull())
+            .select(F.col("lag_us").cast("long").alias("m")))
+    return (lags.select(F.expr(_qs_bin_sql("m")).alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("cnt")))

@@ -706,6 +706,12 @@ def q_soft_dedup_weights(spark, sf_dir):
     return DD.soft_dedup_weights(docs, DD.dedup_clusters(pairs))
 
 
+def q_conversion_latency_sketch(spark, sf_dir):
+    from maps_spark.operators.sessions import conversion_latency_sketch
+    return conversion_latency_sketch(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_value_sketch(spark, sf_dir):
     from maps_spark.operators.sessions import value_sketch
     return value_sketch(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -1004,6 +1010,7 @@ MAPS_QUERIES = {
     "cms_counters": q_cms_counters,
     "event_cube": q_event_cube,
     "value_sketch": q_value_sketch,
+    "conversion_latency_sketch": q_conversion_latency_sketch,
     "value_sketch_quantiles": q_value_sketch_quantiles,
     "cms_estimate": q_cms_estimate,
     "contamination": q_contamination,
@@ -1140,6 +1147,8 @@ def maps_oracles() -> dict[str, str]:
         "cms_counters": OT.cms_build_select(),
         "event_cube": OT.event_cube_select(),
         "value_sketch": OT.value_sketch_select(),
+        "conversion_latency_sketch":
+            OT.conversion_latency_sketch_select(),
         "value_sketch_quantiles": OT.sketch_quantiles_select(
             [0.5, 0.9, 0.99]),
         "cms_estimate": OT.cms_estimate_select(max_key=128),

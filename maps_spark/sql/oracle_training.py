@@ -1623,6 +1623,22 @@ FROM conv c LEFT JOIN (SELECT * FROM cand WHERE rk = 1) a
   USING (conversion_id)"""
 
 
+def conversion_latency_sketch_select(
+        conversion: str = "purchase",
+        touches: tuple[str, ...] = ("click", "view"),
+        window_us: int = 7 * 86400 * 1_000_000) -> str:
+    """DuckDB twin of operators.sessions.conversion_latency_sketch:
+    the attribution select nested as a CTE, lags binned with the
+    shared integer bin expression."""
+    from maps_spark.operators.sessions import QS_SUBS, _qs_bin_sql
+    att = attribute_conversions_select(conversion, touches, window_us)
+    return f"""WITH att AS ({att}),
+lags AS (SELECT CAST(lag_us AS BIGINT) AS m FROM att
+         WHERE lag_us IS NOT NULL)
+SELECT {_qs_bin_sql("m", QS_SUBS)} AS bin, count(*) AS cnt
+FROM lags GROUP BY 1"""
+
+
 def rolling_active_users_select(window_days: int = 7,
                                 day_us: int = 86_400_000_000) -> str:
     """Exact twin of operators.sessions.rolling_active_users — valid

@@ -600,3 +600,23 @@ def test_value_sketch_quantile_error_bound_and_merge(spark):
               .agg(F.sum("cnt").alias("cnt")).collect()}
     whole = {r.bin: r.cnt for r in sk.collect()}
     assert merged == whole
+
+
+def test_conversion_latency_sketch_quantile_close_to_exact(spark):
+    """The p50 read from the latency sketch lies within one bin of the
+    exact median attributed lag."""
+    from maps_spark.operators.sessions import (QS_SUBS,
+                                               attribute_conversions,
+                                               conversion_latency_sketch,
+                                               sketch_quantiles)
+    from tests.conftest import SF_SMALL
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    sk = conversion_latency_sketch(ev)
+    est = {r.q_permille: r.est_scaled
+           for r in sketch_quantiles(sk, [0.5]).collect()}
+    lags = [r.lag_us for r in attribute_conversions(ev).collect()
+            if r.lag_us is not None]
+    lags.sort()
+    exact = lags[(len(lags) + 1) // 2 - 1]
+    rel = abs(est[500] - exact) / max(exact, 1)
+    assert rel <= 2.0 / QS_SUBS, (est[500], exact, rel)
