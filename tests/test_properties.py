@@ -259,3 +259,29 @@ def test_winnow_guarantee_shared_substring(spark):
     for r in winnow_fingerprints(docs, shingle_k=3, window=4).collect():
         sel.setdefault(r.doc_id, set()).add(r.gram_hash)
     assert sel[1] & sel[2], (sel[1], sel[2])
+
+
+@settings(max_examples=30, deadline=None)
+@given(ms=st.lists(st.integers(min_value=1, max_value=1 << 50),
+                   min_size=2, max_size=40))
+def test_value_sketch_bin_properties(ms):
+    """The quantile sketch's integer bin function (evaluated through
+    DuckDB, the oracle engine): monotone non-decreasing in m, and any
+    two values sharing a bin differ by at most the (subs+1)/subs
+    relative bin-width bound (below the 2^47 clamp)."""
+    import duckdb
+    from maps_spark.operators.sessions import QS_SUBS, _qs_bin_sql
+    sql = _qs_bin_sql("m", QS_SUBS)
+    rows = duckdb.sql(
+        f"SELECT m, {sql} AS bin FROM (SELECT unnest({ms}) AS m)"
+    ).fetchall()
+    by_m = sorted(rows)
+    for (m1, b1), (m2, b2) in zip(by_m, by_m[1:]):
+        assert b1 <= b2, (m1, b1, m2, b2)
+    cap = (1 << 47) - 1
+    bins = {}
+    for m, b in rows:
+        bins.setdefault(b, []).append(min(m, cap))
+    for b, vals in bins.items():
+        lo, hi = min(vals), max(vals)
+        assert hi <= lo * (QS_SUBS + 1) / QS_SUBS + 1, (b, lo, hi)
