@@ -529,8 +529,43 @@ def run() -> None:
             finally:
                 shutil.rmtree(out, ignore_errors=True)
 
+        @timed("quality_signals")
+        def _18c():
+            # the round-5 signal family end-to-end: stats -> rank-
+            # normalized ensemble -> soft-dedup weighted sample
+            from maps_spark.operators.dedup import (dedup_clusters,
+                                                    minhash_lsh_pairs,
+                                                    soft_dedup_weights)
+            from maps_spark.operators.mixture import weighted_sample
+            from maps_spark.operators.text import (quality_ensemble,
+                                                   text_features)
+            sigs = (text_features(docs)
+                    .join(docs.select("doc_id", "source"), "doc_id")
+                    .select("doc_id", "source", "n_tokens",
+                            "n_stopwords"))
+            quality_ensemble(sigs, {"n_tokens": 600_000,
+                                    "n_stopwords": 400_000}).count()
+            w = soft_dedup_weights(
+                docs, dedup_clusters(minhash_lsh_pairs(docs)))
+            weighted_sample(w, rate=0.5).count()
+
         from maps_spark.operators import sessions as SE
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+        @timed("sketch_family")
+        def _19a():
+            # the mergeable-sketch trio over the event stream: CMS
+            # build + point estimates, quantile sketch + rank queries,
+            # conversion-latency sketch
+            from maps_spark.operators.sessions import (
+                cms_build, cms_estimate, conversion_latency_sketch,
+                sketch_quantiles, value_sketch)
+            sk = cms_build(events)
+            cms_estimate(sk, events.where(F.col("user_id") < 256)
+                         ).count()
+            sketch_quantiles(value_sketch(events),
+                             [0.5, 0.9, 0.99]).count()
+            conversion_latency_sketch(events).count()
 
         @timed("event_analytics")
         def _19():
