@@ -710,3 +710,85 @@ def conversion_latency_sketch(events: DataFrame,
             .select(F.col("lag_us").cast("long").alias("m")))
     return (lags.select(F.expr(_qs_bin_sql("m")).alias("bin"))
             .groupBy("bin").agg(F.count("*").alias("cnt")))
+
+
+def _sessioned_events(events: DataFrame,
+                      gap_us: int = GAP_US_DEFAULT) -> DataFrame:
+    """(user_id, sid, tus, event_id, event_type): every event tagged
+    with its gap-and-islands session id — the shared front half of
+    :func:`sessionize_batch` kept at event grain so path/transition
+    analysis can order within the session.
+
+    Scale: identical shuffle profile to sessionize — one hash
+    partition on ``user_id``; both windows sort per-user only.
+    """
+    e = events.select(
+        "user_id",
+        F.expr(TS_US_SPARK).cast("long").alias("tus"),
+        "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    lag = F.lag("tus").over(w)
+    brk = F.when(lag.isNull() | ((F.col("tus") - lag) > gap_us),
+                 F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (e.withColumn("brk", brk)
+            .withColumn("sid", F.sum("brk").over(run))
+            .drop("brk"))
+
+
+def event_transitions(events: DataFrame,
+                      gap_us: int = GAP_US_DEFAULT) -> DataFrame:
+    """Markov transition matrix over the event stream: for every
+    consecutive pair of events INSIDE one session (never across the
+    session gap), count (src -> dst). ``n_src_total`` is the total
+    out-degree of ``src`` so a consumer derives the transition
+    probability ``n_pairs / n_src_total`` without a second query —
+    both columns are exact integers, so the gate hash-matches.
+
+    Product-analytics "path/Sankey" surface; new scope beyond the
+    reference (gbif/maps has no event pipeline).
+
+    Scale: one ``user_id`` shuffle feeds both windows (session tag +
+    lead); the pair aggregation is map-side combined down to at most
+    |event_type|^2 rows, and the out-degree window runs over THAT
+    aggregate, not the event stream.
+    """
+    se = _sessioned_events(events, gap_us)
+    ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    pairs = (se.withColumn("dst", F.lead("event_type").over(ws))
+             .where(F.col("dst").isNotNull())
+             .groupBy(F.col("event_type").alias("src"), "dst")
+             .agg(F.count("*").alias("n_pairs")))
+    wsrc = Window.partitionBy("src")
+    return (pairs
+            .withColumn("n_src_total", F.sum("n_pairs").over(wsrc))
+            .select("src", "dst", "n_pairs", "n_src_total"))
+
+
+def session_paths(events: DataFrame, gap_us: int = GAP_US_DEFAULT,
+                  max_len: int = 8, k: int = 50) -> DataFrame:
+    """Top-k session paths: each session becomes the ``'>'``-joined
+    sequence of its first ``max_len`` event types (deterministic
+    order: ``(tus, event_id)``), and the k most common paths are
+    returned with exact counts. Tie-break at the cut is (count desc,
+    path asc) so the limit is deterministic in both engines.
+
+    Scale: the path string is built by ``array_sort(collect_list)``
+    per session — bounded by one session's events, and ``slice`` caps
+    the carried payload at ``max_len`` entries; the path histogram is
+    a map-side-combined agg over one row per session, and the top-k
+    cut is a TakeOrdered over path-distinct rows, never a global sort
+    of sessions.
+    """
+    se = _sessioned_events(events, gap_us)
+    path = F.array_join(
+        F.slice(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("tus", "event_id", "event_type"))),
+            lambda s: s["event_type"]), 1, max_len), ">")
+    per_session = (se.groupBy("user_id", "sid")
+                   .agg(path.alias("path")))
+    return (per_session.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(k))

@@ -350,6 +350,18 @@ def q_funnel_counts(spark, sf_dir):
     return funnel_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_event_transitions(spark, sf_dir):
+    from maps_spark.operators.sessions import event_transitions
+    return event_transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_session_paths(spark, sf_dir):
+    from maps_spark.operators.sessions import session_paths
+    return session_paths(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_range_join_sessions(spark, sf_dir):
     import pyspark.sql.functions as FF
     from maps_spark.operators.sessions import (TS_US_SPARK, range_join,
@@ -965,6 +977,8 @@ MAPS_QUERIES = {
     "range_join_sessions": q_range_join_sessions,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+    "session_paths": q_session_paths,
     # training-data pipeline
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1098,6 +1112,14 @@ def maps_oracles() -> dict[str, str]:
         "range_join_sessions": OT.session_events_range_select(),
         "funnel_counts": OT.funnel_counts_select(),
         "cohort_retention": OT.cohort_retention_select(),
+        "event_transitions": OT.event_transitions_select(
+            gap_us=__import__(
+                "maps_spark.operators.sessions",
+                fromlist=["GAP_US_DEFAULT"]).GAP_US_DEFAULT),
+        "session_paths": OT.session_paths_select(
+            gap_us=__import__(
+                "maps_spark.operators.sessions",
+                fromlist=["GAP_US_DEFAULT"]).GAP_US_DEFAULT),
         "species_trend": O.species_trend_select(TREND_SPECIES, TREND_GROUP),
         "pixel_agg_3575_z4": O.pixel_select("EPSG:3575", 4, ["0:0"]),
         "pixel_agg_3031_z4": O.pixel_select("EPSG:3031", 4, ["0:0"]),

@@ -2162,3 +2162,61 @@ SELECT event_type, day, n, base_days, base_sum,
              THEN (n * base_days * {scale}) // base_sum
              ELSE 0 END) >= {cut}) AS anomaly
 FROM win"""
+
+
+def _sessioned_events_cte(gap_us: int) -> str:
+    """Shared event-grain session-id CTE body (twin of
+    operators.sessions._sessioned_events)."""
+    return f"""e AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+  FROM events),
+flagged AS (
+  SELECT user_id, tus, event_id, event_type,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) IS NULL
+                OR tus - lag(tus) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id)
+                   > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+sess AS (
+  SELECT user_id, tus, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)"""
+
+
+def event_transitions_select(gap_us: int) -> str:
+    """DuckDB twin of operators.sessions.event_transitions."""
+    return f"""WITH {_sessioned_events_cte(gap_us)},
+nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id, sid
+                                ORDER BY tus, event_id) AS dst
+  FROM sess),
+pairs AS (
+  SELECT src, dst, count(*) AS n_pairs
+  FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sum(n_pairs) OVER (PARTITION BY src) AS BIGINT)
+         AS n_src_total
+FROM pairs"""
+
+
+def session_paths_select(gap_us: int, max_len: int = 8,
+                         k: int = 50) -> str:
+    """DuckDB twin of operators.sessions.session_paths."""
+    return f"""WITH {_sessioned_events_cte(gap_us)},
+ordered AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY tus, event_id) AS rn
+  FROM sess),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= {max_len} GROUP BY user_id, sid)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {k}"""

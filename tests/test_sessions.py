@@ -620,3 +620,64 @@ def test_conversion_latency_sketch_quantile_close_to_exact(spark):
     exact = lags[(len(lags) + 1) // 2 - 1]
     rel = abs(est[500] - exact) / max(exact, 1)
     assert rel <= 2.0 / QS_SUBS, (est[500], exact, rel)
+
+
+def _path_events(spark, rows):
+    """rows: (user_id, ts string, event_id, event_type)."""
+    return spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, "
+              "event_type string"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts",
+                 "event_id", "event_type")
+
+
+def test_event_transitions_respects_session_gap(spark):
+    from maps_spark.operators.sessions import event_transitions
+    df = _path_events(spark, [
+        # session 1: a -> b -> a
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:10:00", 2, "b"),
+        (1, "2024-01-01 00:20:00", 3, "a"),
+        # >12h gap: new session, so NO a->c transition across it
+        (1, "2024-01-02 00:00:00", 4, "c"),
+        (1, "2024-01-02 00:05:00", 5, "a"),
+        # second user contributes one more a->b
+        (2, "2024-01-01 00:00:00", 6, "a"),
+        (2, "2024-01-01 00:01:00", 7, "b"),
+    ])
+    got = {(r["src"], r["dst"]): (r["n_pairs"], r["n_src_total"])
+           for r in event_transitions(df).collect()}
+    assert got == {("a", "b"): (2, 2), ("b", "a"): (1, 1),
+                   ("c", "a"): (1, 1)}
+
+
+def test_session_paths_truncates_and_breaks_ties(spark):
+    from maps_spark.operators.sessions import session_paths
+    df = _path_events(spark, [
+        # u1 session: a,b,c,d -> truncated at max_len=3 to a>b>c
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:01:00", 2, "b"),
+        (1, "2024-01-01 00:02:00", 3, "c"),
+        (1, "2024-01-01 00:03:00", 4, "d"),
+        # u2 session: a,b,c (same path after truncation)
+        (2, "2024-01-01 00:00:00", 5, "a"),
+        (2, "2024-01-01 00:01:00", 6, "b"),
+        (2, "2024-01-01 00:02:00", 7, "c"),
+        # u3 and u4: singleton paths tied at 1 -> path asc order
+        (3, "2024-01-01 00:00:00", 8, "z"),
+        (4, "2024-01-01 00:00:00", 9, "m"),
+    ])
+    out = session_paths(df, max_len=3, k=2).collect()
+    assert [(r["path"], r["n_sessions"]) for r in out] == [
+        ("a>b>c", 2), ("m", 1)]
+
+
+def test_session_paths_orders_by_ts_then_event_id(spark):
+    from maps_spark.operators.sessions import session_paths
+    # same timestamp: event_id breaks the tie deterministically
+    df = _path_events(spark, [
+        (1, "2024-01-01 00:00:00", 20, "b"),
+        (1, "2024-01-01 00:00:00", 10, "a"),
+    ])
+    out = session_paths(df).collect()
+    assert [(r["path"], r["n_sessions"]) for r in out] == [("a>b", 1)]
