@@ -498,3 +498,108 @@ def grouped_split(docs: DataFrame, val_frac: float = 0.1,
         id_col, group_col,
         F.when(g < int(val_frac * P31), F.lit("val"))
         .otherwise(F.lit("train")).alias("split"))
+
+
+BLOOM_SEED = 202407
+
+
+def _bloom_positions(h_col, m_bits: int, n_hashes: int,
+                     seed: int) -> F.Column:
+    """Array of the ``n_hashes`` bloom bit positions for an int shingle
+    hash: universal hashes ``((a_j*h + b_j) % p) % m_bits`` with seeded
+    constants (shared with the oracle generator). Products < 2^62 —
+    int64/BIGINT-exact in both engines."""
+    from maps_spark.operators.dedup import minhash_perm_consts
+    a, b = minhash_perm_consts(n_hashes, seed)
+    return F.array(*[
+        ((F.lit(int(a[j])) * h_col + F.lit(int(b[j]))) % P31) % m_bits
+        for j in range(n_hashes)])
+
+
+def bloom_filter_bits(benchmark: DataFrame, shingle_k: int = 3,
+                      text_col: str = "text", m_bits: int = 1 << 17,
+                      n_hashes: int = 3,
+                      seed: int = BLOOM_SEED) -> DataFrame:
+    """Bloom filter over the benchmark's distinct shingle hashes, as a
+    table of 32-bit words: (word, w) where bit ``pos % 32`` of word
+    ``pos div 32`` is set iff some benchmark shingle hashed to ``pos``.
+
+    The compact alternative to broadcasting the full shingle set in
+    :func:`contamination_check`: the filter is ``m_bits / 8`` bytes
+    regardless of benchmark size (a 10^9-shingle benchmark fits a
+    ~100 MB filter at 1% FP where the exact set would be tens of GB).
+    Words are at most ``m_bits / 32`` rows — always broadcastable.
+
+    Shingle identity is the char-polynomial hash of the shingle string
+    (:func:`maps_spark.operators.similarity.token_hash_col` — ASCII
+    scope, same family the hashing-trick vectors use), so the whole
+    filter build is pure codegen + one tiny aggregation.
+    """
+    from maps_spark.operators.similarity import token_hash_col
+    sh = (benchmark.select(F.explode(F.array_distinct(
+        _shingle_array(text_col, shingle_k))).alias("sh")))
+    h = sh.select(token_hash_col(F.col("sh")).alias("h")).distinct()
+    pos = h.select(F.explode(
+        _bloom_positions(F.col("h"), m_bits, n_hashes, seed))
+        .alias("pos"))
+    return (pos.select(
+        F.expr("pos div 32").cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pos % 32 AS INT))").alias("m"))
+        .groupBy("word").agg(F.bit_or("m").alias("w")))
+
+
+def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
+                        shingle_k: int = 3, text_col: str = "text",
+                        m_bits: int = 1 << 17, n_hashes: int = 3,
+                        threshold: float = 0.2,
+                        seed: int = BLOOM_SEED) -> DataFrame:
+    """:func:`contamination_check` through a bloom filter: per-document
+    fraction of distinct shingle HASHES whose ``n_hashes`` filter bits
+    are all set. Never misses a truly contaminated shingle (bloom filters
+    have no false negatives); false positives overcount by a bounded,
+    DETERMINISTIC amount — the same seeded hash family runs in the
+    DuckDB oracle, so the gate hash-matches bit-for-bit, FPs included.
+
+    Scale: the corpus side never ships shingle strings — each doc
+    explodes to (doc_id, h) int pairs, probes the broadcast word table
+    (map-side hash join), and folds back with two aggregations whose
+    first reuses the distinct's (doc_id, h) partitioning. The
+    benchmark side collapses to ``m_bits / 32`` words no matter how
+    many shingles it holds — the scale win over the exact check.
+
+    Output: (doc_id, n_shingles, n_flagged, contamination_scaled,
+    flagged) — same shape as :func:`contamination_check` with
+    ``n_flagged`` (maybe-contaminated) in place of the exact count.
+    """
+    from maps_spark.operators.similarity import token_hash_col
+    bloom = bloom_filter_bits(benchmark, shingle_k, text_col, m_bits,
+                              n_hashes, seed)
+    dh = (docs.select(
+        "doc_id", F.explode(F.array_distinct(
+            _shingle_array(text_col, shingle_k))).alias("sh"))
+        .select("doc_id", token_hash_col(F.col("sh")).alias("h"))
+        .distinct())
+    probes = (dh.select(
+        "doc_id", "h",
+        F.explode(_bloom_positions(F.col("h"), m_bits, n_hashes,
+                                   seed)).alias("pos"))
+        .select("doc_id", "h",
+                F.expr("pos div 32").cast("int").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pos % 32 AS INT))").alias("m")))
+    hit = F.when(F.col("w").isNotNull()
+                 & (F.expr("w & m") != 0), F.lit(1)).otherwise(F.lit(0))
+    per_sh = (probes.join(F.broadcast(bloom), "word", "left")
+              .select("doc_id", "h", hit.alias("hit"))
+              .groupBy("doc_id", "h")
+              .agg(F.min("hit").alias("sh_hit")))
+    ratio = F.floor(F.col("n_flagged") * SCALE
+                    / F.col("n_shingles")).cast("long")
+    return (per_sh.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum("sh_hit").alias("n_flagged"))
+            .select("doc_id", "n_shingles",
+                    F.col("n_flagged").cast("long").alias("n_flagged"),
+                    ratio.alias("contamination_scaled"),
+                    (ratio >= int(threshold * SCALE)).alias("flagged")))

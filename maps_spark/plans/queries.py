@@ -774,6 +774,14 @@ def q_contamination(spark, sf_dir):
         docs.where(F.col("doc_id") % BENCH_MOD == 0))
 
 
+def q_bloom_contamination(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    docs = _docs(spark, sf_dir)
+    return CP.bloom_contamination(
+        docs.where(F.col("doc_id") % BENCH_MOD != 0),
+        docs.where(F.col("doc_id") % BENCH_MOD == 0))
+
+
 def q_stratified_sample(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     return CP.stratified_sample(_docs(spark, sf_dir), strata_col="lang",
@@ -1028,6 +1036,7 @@ MAPS_QUERIES = {
     "value_sketch_quantiles": q_value_sketch_quantiles,
     "cms_estimate": q_cms_estimate,
     "contamination": q_contamination,
+    "bloom_contamination": q_bloom_contamination,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
     "tfidf_topk": q_tfidf_topk,
@@ -1179,6 +1188,8 @@ def maps_oracles() -> dict[str, str]:
             bench_mod=BENCH_MOD),
         "dedup_clusters": OT.dedup_clusters_select(threshold=0.25),
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
+        "bloom_contamination": OT.bloom_contamination_select(
+            bench_mod=BENCH_MOD),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),
         "tfidf_topk": OT.tf_idf_select(top_k=5),

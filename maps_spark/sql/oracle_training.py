@@ -2220,3 +2220,60 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {k}"""
+
+
+def _bloom_pos_union(src: str, cols: str, m_bits: int, n_hashes: int,
+                     seed: int) -> str:
+    """UNION ALL of the n_hashes universal-hash bloom positions for
+    every row of ``src`` (twin of operators.corpus._bloom_positions)."""
+    from maps_spark.operators.dedup import minhash_perm_consts
+    a, b = minhash_perm_consts(n_hashes, seed)
+    return " UNION ALL ".join(
+        f"SELECT {cols}((h * {int(a[j])} + {int(b[j])}) % {_P31}) "
+        f"% {m_bits} AS pos FROM {src}"
+        for j in range(n_hashes))
+
+
+def bloom_contamination_select(bench_mod: int = 25, shingle_k: int = 3,
+                               m_bits: int = 1 << 17,
+                               n_hashes: int = 3,
+                               threshold: float = 0.2,
+                               seed: int | None = None,
+                               scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.corpus.bloom_contamination with the
+    q_contamination benchmark split (doc_id % bench_mod == 0)."""
+    from maps_spark.operators.corpus import BLOOM_SEED
+    s = BLOOM_SEED if seed is None else seed
+    shingle_hash = _TOKEN_HASH.replace("t = ''", "shingle = ''") \
+        .replace("string_split(t, '')", "string_split(shingle, '')")
+    return f"""WITH bsh AS (
+  SELECT DISTINCT shingle FROM {_shingle_cte(
+      f"(SELECT * FROM documents WHERE doc_id % {bench_mod} = 0)",
+      shingle_k)} y),
+bh AS (SELECT DISTINCT {shingle_hash} AS h FROM bsh),
+bpos AS ({_bloom_pos_union("bh", "", m_bits, n_hashes, s)}),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS w
+  FROM bpos GROUP BY 1),
+dh AS (
+  SELECT DISTINCT doc_id, {shingle_hash} AS h FROM {_shingle_cte(
+      f"(SELECT * FROM documents WHERE doc_id % {bench_mod} <> 0)",
+      shingle_k)} x),
+probes AS ({_bloom_pos_union("dh", "doc_id, h, ", m_bits, n_hashes,
+                             s)}),
+per_sh AS (
+  SELECT doc_id, h,
+         min(CASE WHEN w IS NOT NULL
+                   AND (w & (CAST(1 AS BIGINT)
+                             << CAST(pos % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END) AS sh_hit
+  FROM probes LEFT JOIN bloom ON bloom.word = probes.pos // 32
+  GROUP BY doc_id, h)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(sh_hit) AS BIGINT) AS n_flagged,
+       CAST(floor(sum(sh_hit) * {scale} / count(*)) AS BIGINT)
+         AS contamination_scaled,
+       CAST(floor(sum(sh_hit) * {scale} / count(*)) AS BIGINT)
+         >= {int(threshold * scale)} AS flagged
+FROM per_sh GROUP BY doc_id"""

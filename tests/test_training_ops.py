@@ -1139,3 +1139,54 @@ def test_winnow_contamination_catches_verbatim_quote(spark):
     assert out[10].contamination_scaled > 0
     assert out[11].n_contaminated == 0
     assert out[11].n_fingerprints > 0
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """The bloom path must flag every shingle the exact check flags
+    (bloom filters have no false negatives); with a roomy filter the
+    unrelated doc stays clean too."""
+    from maps_spark.operators.corpus import (bloom_contamination,
+                                             contamination_check)
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma unrelated words here"),
+         (3, "nothing shared with that suite at all")],
+        "doc_id long, text string")
+    bl = {r.doc_id: r for r in
+          bloom_contamination(docs, bench, m_bits=1 << 20).collect()}
+    ex = {r.doc_id: r for r in
+          contamination_check(docs, bench).collect()}
+    assert bl[1].contamination_scaled == 1_000_000 and bl[1].flagged
+    for d in (1, 2, 3):
+        assert bl[d].n_flagged >= ex[d].n_contaminated
+        assert bl[d].n_shingles == ex[d].n_shingles
+    assert bl[3].n_flagged == 0 and not bl[3].flagged
+
+
+def test_bloom_contamination_fp_bounded_and_deterministic(spark):
+    """A deliberately tiny filter (64 bits) forces false positives;
+    they must be deterministic across runs and still a superset of
+    the exact answer — the documented bloom trade-off."""
+    from maps_spark.operators.corpus import (bloom_contamination,
+                                             contamination_check)
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(2, "alpha beta gamma unrelated words here"),
+         (3, "nothing shared with that suite at all")],
+        "doc_id long, text string")
+    r1 = {r.doc_id: (r.n_flagged, r.contamination_scaled)
+          for r in bloom_contamination(docs, bench,
+                                       m_bits=64).collect()}
+    r2 = {r.doc_id: (r.n_flagged, r.contamination_scaled)
+          for r in bloom_contamination(docs, bench,
+                                       m_bits=64).collect()}
+    assert r1 == r2
+    ex = {r.doc_id: r.n_contaminated
+          for r in contamination_check(docs, bench).collect()}
+    for d in (2, 3):
+        assert r1[d][0] >= ex[d]
