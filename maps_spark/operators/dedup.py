@@ -891,3 +891,68 @@ def soft_dedup_weights(docs: DataFrame, clusters: DataFrame,
             .select("doc_id", "cluster_size",
                     F.expr(f"{scale} div cluster_size").cast("long")
                     .alias("weight_scaled")))
+
+
+def char_qgram_array(col: str | F.Column, q: int = 3) -> F.Column:
+    """Distinct character q-grams of a string as a pure Column
+    expression (strings shorter than ``q`` collapse to one whole-string
+    gram — same clamping as :func:`_shingle_array` does for tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.length(c) - (q - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: c.substr(i, F.lit(q))))
+
+
+def fuzzy_pairs(df: DataFrame, key_col: str = "title",
+                id_col: str = "doc_id", max_dist: int = 8,
+                q: int = 3, max_gram_df: int | None = None
+                ) -> DataFrame:
+    """Blocked fuzzy record linkage: pairs whose ``key_col`` values are
+    within Levenshtein distance ``max_dist``, found WITHOUT an all-pairs
+    comparison — candidates are pairs sharing at least one character
+    q-gram (plus a length-difference prefilter, since edit distance is
+    at least the length gap), then verified with the exact JVM
+    ``levenshtein``.
+
+    Completeness: by q-gram count filtering (Gravano et al., VLDB'01),
+    strings within distance d share >= max(|a|,|b|) - q + 1 - d*q
+    multiset q-grams, so the shared-gram candidate step is LOSSLESS
+    whenever the longer string has at least ``q * (max_dist + 1)``
+    chars; shorter keys can escape blocking (document per deployment,
+    or run the short stratum brute-force — it is tiny by definition).
+
+    Scale: one explode + self equi-join on gram — the same linear
+    shape as the shingle joins above, never corpus^2. ``max_gram_df``
+    optionally drops boilerplate grams whose document frequency
+    exceeds the cap (skew guard; off by default so the result is
+    exactly the verified candidate set).
+
+    Output: (id_a, id_b, dist) — verified pairs only, exact integer
+    distance, deterministic.
+    """
+    keyed = df.select(F.col(id_col).alias("id"),
+                      F.col(key_col).alias("k"))
+    grams = keyed.select(
+        "id", F.explode(char_qgram_array("k", q)).alias("g"))
+    if max_gram_df is not None:
+        hot = (grams.groupBy("g")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_gram_df))
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    cand = (grams.alias("a")
+            .join(grams.alias("b"), "g")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    ka = keyed.select(F.col("id").alias("id_a"),
+                      F.col("k").alias("k_a"))
+    kb = keyed.select(F.col("id").alias("id_b"),
+                      F.col("k").alias("k_b"))
+    return (cand.join(ka, "id_a").join(kb, "id_b")
+            .where(F.abs(F.length("k_a") - F.length("k_b"))
+                   <= max_dist)
+            .select("id_a", "id_b",
+                    F.levenshtein("k_a", "k_b").alias("dist"))
+            .where(F.col("dist") <= max_dist))

@@ -774,6 +774,13 @@ def q_contamination(spark, sf_dir):
         docs.where(F.col("doc_id") % BENCH_MOD == 0))
 
 
+def q_fuzzy_title_pairs(spark, sf_dir):
+    from maps_spark.operators.dedup import fuzzy_pairs
+    titles = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.substring("text", 1, 40)).alias("title"))
+    return fuzzy_pairs(titles)
+
+
 def q_bloom_contamination(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     docs = _docs(spark, sf_dir)
@@ -1037,6 +1044,7 @@ MAPS_QUERIES = {
     "cms_estimate": q_cms_estimate,
     "contamination": q_contamination,
     "bloom_contamination": q_bloom_contamination,
+    "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
     "tfidf_topk": q_tfidf_topk,
@@ -1190,6 +1198,7 @@ def maps_oracles() -> dict[str, str]:
         "contamination": OT.contamination_select(bench_mod=BENCH_MOD),
         "bloom_contamination": OT.bloom_contamination_select(
             bench_mod=BENCH_MOD),
+        "fuzzy_title_pairs": OT.fuzzy_pairs_select(),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),
         "tfidf_topk": OT.tf_idf_select(top_k=5),

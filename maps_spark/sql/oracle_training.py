@@ -2277,3 +2277,30 @@ SELECT doc_id, count(*) AS n_shingles,
        CAST(floor(sum(sh_hit) * {scale} / count(*)) AS BIGINT)
          >= {int(threshold * scale)} AS flagged
 FROM per_sh GROUP BY doc_id"""
+
+
+def fuzzy_pairs_select(max_dist: int = 8, q: int = 3,
+                       key_expr: str = "lower(substr(text, 1, 40))"
+                       ) -> str:
+    """DuckDB twin of operators.dedup.fuzzy_pairs over the pseudo-title
+    ``key_expr`` of the documents table (same q-gram candidate
+    generation, same levenshtein verify)."""
+    return f"""WITH keyed AS (
+  SELECT doc_id AS id, {key_expr} AS k FROM documents),
+grams AS (
+  SELECT DISTINCT id, g FROM (
+    SELECT id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(k) - {q - 1}, 1)),
+             i -> substr(k, i, {q}))) AS g
+    FROM keyed) s),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(ka.k, kb.k) AS INT) AS dist
+FROM cand c
+JOIN keyed ka ON ka.id = c.id_a
+JOIN keyed kb ON kb.id = c.id_b
+WHERE abs(len(ka.k) - len(kb.k)) <= {max_dist}
+  AND levenshtein(ka.k, kb.k) <= {max_dist}"""

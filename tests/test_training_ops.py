@@ -1190,3 +1190,49 @@ def test_bloom_contamination_fp_bounded_and_deterministic(spark):
           for r in contamination_check(docs, bench).collect()}
     for d in (2, 3):
         assert r1[d][0] >= ex[d]
+
+
+def test_fuzzy_pairs_finds_typos_and_matches_brute_force(spark):
+    from maps_spark.operators.dedup import fuzzy_pairs
+    rows = [
+        (1, "the quick brown fox jumps over dogs"),
+        (2, "the quick brown fox jumps over dgos"),   # transposition
+        (3, "the quick brown fox jumped over dog"),   # small edits
+        (4, "completely different sentence here now"),
+        (5, "zebras graze quietly near the river bank"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, max_dist=5).collect()}
+    # brute force oracle via python
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = lev(ta, tb)
+        if d <= 5:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want and (1, 2) in got and got[(1, 2)] == 2
+
+
+def test_fuzzy_pairs_hot_gram_cap_drops_boilerplate_block(spark):
+    from maps_spark.operators.dedup import fuzzy_pairs
+    # every title shares the boilerplate gram source; with the cap the
+    # only surviving block is the distinctive tail
+    rows = [(i, f"common prefix text variant {chr(97 + i)}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    uncapped = fuzzy_pairs(df, max_dist=2).count()
+    capped = fuzzy_pairs(df, max_dist=2, max_gram_df=3).count()
+    # titles differ by one char -> all 15 pairs within distance 2;
+    # the cap only prunes CANDIDATES, and the distinctive final gram
+    # has df=1, so verified pairs can only shrink via blocking
+    assert uncapped == 15 and capped <= uncapped
