@@ -64,6 +64,22 @@ def q_pixel_agg_3031_z4(spark, sf_dir):
     return PY.pixel_table(keyed, "EPSG:3031", 4)
 
 
+def q_spatial_zorder(spark, sf_dir):
+    from maps_spark.functions.spatial import morton_key
+    return (occurrence_df(spark, sf_dir)
+            .groupBy(morton_key("decimalLatitude", "decimalLongitude",
+                                8).alias("zkey"))
+            .agg(F.count("*").alias("n_occ")))
+
+
+def q_geohash_counts(spark, sf_dir):
+    from maps_spark.functions.spatial import geohash
+    return (occurrence_df(spark, sf_dir)
+            .groupBy(geohash("decimalLatitude", "decimalLongitude",
+                             4).alias("gh"))
+            .agg(F.count("*").alias("n_occ")))
+
+
 def q_streaming_refresh_pixels(spark, sf_dir):
     """Streaming refresh promoted to a hash gate (VERDICT r4 #6): the
     events table is split into 8 landing files so availableNow
@@ -1045,6 +1061,8 @@ MAPS_QUERIES = {
     "contamination": q_contamination,
     "bloom_contamination": q_bloom_contamination,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
+    "spatial_zorder": q_spatial_zorder,
+    "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
     "tfidf_topk": q_tfidf_topk,
@@ -1199,6 +1217,8 @@ def maps_oracles() -> dict[str, str]:
         "bloom_contamination": OT.bloom_contamination_select(
             bench_mod=BENCH_MOD),
         "fuzzy_title_pairs": OT.fuzzy_pairs_select(),
+        "spatial_zorder": O.spatial_zorder_select(z=8),
+        "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),
         "tfidf_topk": OT.tf_idf_select(top_k=5),

@@ -283,3 +283,86 @@ def avg_stable(col: str, scale: int = 6) -> str:
         f"CAST(CAST(sum(CAST({col} AS DECIMAL(28,{scale}))) "
         f"AS DECIMAL(38,{scale})) AS DOUBLE) / count({col})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial locality keys: Morton (Z-order) interleave + geohash.
+# Pure integer bit arithmetic after one clamped grid quantization, so
+# the identical text evaluates bit-for-bit in Spark SQL and DuckDB
+# (`|`/`&` exist in both; shifts are written as exact power-of-two
+# multiplies / floor-divides to avoid dialect shift operators).
+# ---------------------------------------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def grid_x(lng: str, z: int) -> str:
+    """Column cell index in [0, 2^z) of a longitude on the 2^z WGS84
+    grid; the +180 edge clamps into the last cell."""
+    n = 1 << z
+    return (f"least(CAST(floor((({lng}) + 180.0) / 360.0 * {n}) "
+            f"AS BIGINT), {n - 1})")
+
+
+def grid_y(lat: str, z: int) -> str:
+    """Row cell index in [0, 2^z), row 0 at the north pole."""
+    n = 1 << z
+    return (f"least(CAST(floor((90.0 - ({lat})) / 180.0 * {n}) "
+            f"AS BIGINT), {n - 1})")
+
+
+def _spread(expr: str, steps: tuple[tuple[int, int], ...]) -> str:
+    """Insert a zero bit between the bits of ``expr`` (the classic
+    magic-mask spread; shifts become multiplies). ``expr`` should be a
+    plain column reference — the text doubles per step."""
+    e = f"CAST({expr} AS BIGINT)"
+    for shift, mask in steps:
+        e = f"(((({e}) * {1 << shift}) | ({e})) & {mask})"
+    return e
+
+
+_SPREAD16 = ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+             (2, 0x33333333), (1, 0x55555555))
+_SPREAD32 = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+             (1, 0x5555555555555555))
+
+
+def morton_interleave(x: str, y: str, z: int = 16) -> str:
+    """Morton (Z-order) code of grid cell (x, y), both < 2^z: y bits on
+    the odd positions. ``z <= 16`` uses the 16-bit spread; wider grids
+    take the 32-bit spread (result < 2^62 — BIGINT-safe to z=31)."""
+    steps = _SPREAD16 if z <= 16 else _SPREAD32
+    return (f"(({_spread(y, steps)}) * 2 | ({_spread(x, steps)}))")
+
+
+def geohash_expr(lat: str, lng: str, precision: int = 8) -> str:
+    """Standard geohash string of ``precision`` base32 chars (5 bits
+    each, longitude first), as one dual-dialect expression over two
+    plain column references. 40 bits max (precision 8) keeps every
+    intermediate < 2^53, so the floor-divides are IEEE-exact."""
+    if not 1 <= precision <= 8:
+        raise ValueError("precision must be in 1..8")
+    nbits = 5 * precision
+    nlng = (nbits + 1) // 2
+    nlat = nbits // 2
+    cx = grid_x(lng, nlng)
+    cy = (f"least(CAST(floor((({lat}) + 90.0) / 180.0 * {1 << nlat}) "
+          f"AS BIGINT), {(1 << nlat) - 1})")
+    # the MSB-first stream starts with lng and alternates; counting
+    # from the LSB instead, an EVEN total ends on lat[0] (lng on odd
+    # positions), an ODD total ends on lng[0] (lng on even positions)
+    if nlng > nlat:
+        g = (f"(({_spread(cy, _SPREAD32)}) * 2"
+             f" | ({_spread(cx, _SPREAD32)}))")
+    else:
+        g = (f"(({_spread(cx, _SPREAD32)}) * 2"
+             f" | ({_spread(cy, _SPREAD32)}))")
+    chars = " || ".join(
+        f"substr('{GEOHASH_BASE32}', CAST(CAST(floor(({g!s}) / "
+        f"{1 << (nbits - 5 * (i + 1))}) AS BIGINT) % 32 + 1 AS INT), 1)"
+        if i < precision - 1 else
+        f"substr('{GEOHASH_BASE32}', "
+        f"CAST(CAST(({g!s}) AS BIGINT) % 32 + 1 AS INT), 1)"
+        for i in range(precision))
+    return f"({chars})"

@@ -525,3 +525,25 @@ def _plottable(srs: str, lat: str = "decimalLatitude",
                lng: str = "decimalLongitude") -> str:
     from maps_spark.functions.projections import plottable_expr
     return plottable_expr(srs, lat, lng)
+
+
+def spatial_zorder_select(z: int = 8) -> str:
+    """DuckDB twin of the Morton-key cell counts gate (same
+    dual-dialect interleave text as functions.spatial.morton_key)."""
+    cte = occurrence_cte()
+    m = dual.morton_interleave(
+        dual.grid_x("decimalLongitude", z),
+        dual.grid_y("decimalLatitude", z), z)
+    return f"""{cte}
+SELECT {m} AS zkey, count(*) AS n_occ
+FROM occ GROUP BY 1"""
+
+
+def geohash_counts_select(precision: int = 4) -> str:
+    """DuckDB twin of the geohash cell counts gate."""
+    cte = occurrence_cte()
+    g = dual.geohash_expr("decimalLatitude", "decimalLongitude",
+                          precision)
+    return f"""{cte}
+SELECT {g} AS gh, count(*) AS n_occ
+FROM occ GROUP BY 1"""

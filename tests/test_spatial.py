@@ -1,0 +1,79 @@
+"""Morton / geohash spatial keys and the Z-order layout rewrite."""
+
+import pyspark.sql.functions as F
+
+from maps_spark.functions.spatial import geohash, morton_key, zorder_layout
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, lat double, lng double")
+
+
+def test_geohash_canonical_values(spark):
+    df = _pts(spark, [(1, 57.64911, 10.40744),
+                      (2, -25.382708, -49.265506),
+                      (3, 0.0, 0.0)])
+    got = {r["id"]: r["gh"] for r in df.select(
+        "id", geohash("lat", "lng", 8).alias("gh")).collect()}
+    assert got == {1: "u4pruydq", 2: "6gkzwgjz", 3: "s0000000"}
+
+
+def test_geohash_prefix_property(spark):
+    """Lower precision is always a prefix of higher precision."""
+    df = _pts(spark, [(1, 57.64911, 10.40744), (2, 48.669, -4.329)])
+    sel = df.select(
+        *[geohash("lat", "lng", p).alias(f"g{p}") for p in range(1, 9)])
+    for r in sel.collect():
+        full = r["g8"]
+        assert all(r[f"g{p}"] == full[:p] for p in range(1, 8))
+
+
+def test_morton_round_trip_and_locality(spark):
+    df = _pts(spark, [(1, 57.64911, 10.40744)])
+    m = df.select(morton_key("lat", "lng", 8).alias("m")).first()["m"]
+    x = y = 0
+    for i in range(16):
+        x |= ((m >> (2 * i)) & 1) << i
+        y |= ((m >> (2 * i + 1)) & 1) << i
+    import math
+    assert x == math.floor((10.40744 + 180) / 360 * 256)
+    assert y == math.floor((90 - 57.64911) / 180 * 256)
+    # neighbours inside one parent cell share the z-1 morton prefix
+    eps = 180.0 / 256 / 4
+    near = _pts(spark, [(1, 10.0 + eps, 20.0 + eps),
+                        (2, 10.0 + 2 * eps, 20.0 + 2 * eps)])
+    ms = [r["m"] for r in near.select(
+        morton_key("lat", "lng", 8).alias("m")).collect()]
+    assert ms[0] >> 2 == ms[1] >> 2
+
+
+def test_morton_clamps_edges(spark):
+    df = _pts(spark, [(1, 90.0, 180.0), (2, -90.0, -180.0)])
+    out = {r["id"]: r["m"] for r in df.select(
+        "id", morton_key("lat", "lng", 8).alias("m")).collect()}
+    # both poles/date-line corners stay inside the 2^16-cell grid
+    assert all(0 <= v < (1 << 16) for v in out.values())
+    # (-90, -180) is the south-west corner: x=0, y=255 -> odd bits set
+    assert out[2] == sum(1 << (2 * i + 1) for i in range(8))
+
+
+def test_zorder_layout_sorts_within_partitions(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180))
+            for i in range(500)]
+    out = zorder_layout(_pts(spark, rows), "lat", "lng", z=12,
+                        num_partitions=4)
+    assert out.schema["zkey"].dataType.typeName() == "long"
+    parts = out.select(F.spark_partition_id().alias("p"), "zkey")
+    rowsc = parts.collect()
+    by_part = {}
+    for r in rowsc:
+        by_part.setdefault(r["p"], []).append(r["zkey"])
+    assert len(rowsc) == 500 and len(by_part) <= 4
+    for keys in by_part.values():
+        assert keys == sorted(keys)
+    # range partitioning: partition key ranges must not overlap
+    bounds = sorted((min(k), max(k)) for k in by_part.values())
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
