@@ -536,3 +536,81 @@ def embedding_outliers(emb: DataFrame, label_col: str = "label",
     return (comp.join(cent, ["label", "pos"])
             .groupBy("vec_id", "label")
             .agg(F.sum(t * t).cast("long").alias("dist2_n2")))
+
+
+def _kmeans_seed_ids(emb: DataFrame, k: int,
+                     id_col: str = "vec_id") -> list[int]:
+    """Deterministic seed choice: the k ids with the smallest mixed
+    hash (corpus._mix — RNG-free, oracle-replicable ordering)."""
+    from maps_spark.operators.corpus import _mix
+    rows = (emb.select(F.col(id_col).alias("vec_id"))
+            .withColumn("mx", _mix(F.col("vec_id")))
+            .orderBy("mx", "vec_id").limit(k).collect())
+    return [r["vec_id"] for r in rows]
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, in EXACT
+    integer arithmetic so the oracle hash-matches: components floor to
+    ``scale``-scaled BIGINTs (the :func:`embedding_profile` scaling),
+    distances are integer sums of squared diffs, and centroid updates
+    are ``floor(sum / n)`` — every quantity < 2^53, IEEE/BIGINT-exact
+    in Spark, DuckDB, and the driver alike.
+
+    The canonical Spark k-means shape (what MLlib does under the
+    hood): per iteration ONE full pass — assignment is pure codegen
+    array math against k broadcast centroid literals (no join, no
+    explode), the update aggregates (cluster, pos) integer sums with
+    map-side combine, and only k x dim numbers come back to the
+    driver. Empty clusters keep their previous centroid (same rule as
+    :func:`ivf_centroids`). Seeds are the k lowest-mixed-hash ids —
+    deterministic, and the same ordering the oracle's window uses.
+
+    Output: (vec_id, cluster, dist2) — final-iteration assignment and
+    the exact scaled squared distance.
+    """
+    import math
+    sv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * float(scale)).cast("long"))
+    base = (emb.select(F.col(id_col).alias("vec_id"), sv.alias("sv"))
+            .persist())
+    try:
+        seed_ids = _kmeans_seed_ids(emb, k, id_col)
+        seed_rows = {r["vec_id"]: list(r["sv"]) for r in
+                     base.where(F.col("vec_id").isin(seed_ids))
+                     .collect()}
+        cent = [seed_rows[i] for i in seed_ids]
+
+        def best_col():
+            structs = []
+            for j, c in enumerate(cent):
+                arr = F.array(*[F.lit(int(v)) for v in c])
+                d2 = F.aggregate(
+                    F.zip_with("sv", arr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+                structs.append(F.struct(d2.alias("d2"),
+                                        F.lit(j).alias("cid")))
+            return F.array_min(F.array(*structs)).alias("best")
+
+        for _ in range(iters):
+            upd = (base.select(best_col(), "sv")
+                   .select(F.col("best.cid").alias("cluster"),
+                           F.posexplode("sv").alias("pos", "xs"))
+                   .groupBy("cluster", "pos")
+                   .agg(F.sum("xs").alias("s"),
+                        F.count("*").alias("n"))
+                   .collect())
+            nxt = [list(c) for c in cent]
+            for r in upd:
+                nxt[r["cluster"]][r["pos"]] = math.floor(
+                    r["s"] / r["n"])
+            cent = nxt
+        return (base.select("vec_id", best_col())
+                .select("vec_id",
+                        F.col("best.cid").alias("cluster"),
+                        F.col("best.d2").alias("dist2")))
+    finally:
+        base.unpersist()

@@ -797,6 +797,12 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     return fuzzy_pairs(titles)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    from maps_spark.operators.similarity import kmeans_assign
+    return kmeans_assign(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_bloom_contamination(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     docs = _docs(spark, sf_dir)
@@ -1062,6 +1068,7 @@ MAPS_QUERIES = {
     "bloom_contamination": q_bloom_contamination,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "spatial_zorder": q_spatial_zorder,
+    "kmeans_clusters": q_kmeans_clusters,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1218,6 +1225,7 @@ def maps_oracles() -> dict[str, str]:
             bench_mod=BENCH_MOD),
         "fuzzy_title_pairs": OT.fuzzy_pairs_select(),
         "spatial_zorder": O.spatial_zorder_select(z=8),
+        "kmeans_clusters": OT.kmeans_assign_select(),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

@@ -2304,3 +2304,58 @@ JOIN keyed ka ON ka.id = c.id_a
 JOIN keyed kb ON kb.id = c.id_b
 WHERE abs(len(ka.k) - len(kb.k)) <= {max_dist}
   AND levenshtein(ka.k, kb.k) <= {max_dist}"""
+
+
+def kmeans_assign_select(k: int = 8, iters: int = 3,
+                         scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.similarity.kmeans_assign: Lloyd's
+    unrolled as one CTE chain per iteration (assign -> update with the
+    empty-cluster keep-previous rule), same integer arithmetic."""
+    from maps_spark.operators.corpus import mix_sql
+    mix = mix_sql("vec_id")
+    ctes = [f"""comp AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+           AS pos,
+         unnest(embedding) AS x
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)
+           AS xs
+  FROM comp),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY ({mix}), vec_id) - 1 AS cluster
+  FROM embeddings),
+c0 AS (
+  SELECT r.cluster, s.pos, s.xs
+  FROM ranked r JOIN scaled s USING (vec_id)
+  WHERE r.cluster < {k})"""]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
+  FROM scaled v JOIN c{i} c ON v.pos = c.pos GROUP BY 1, 2),
+b{i} AS (
+  SELECT vec_id, cluster, d2 FROM a{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) = 1),
+u{i} AS (
+  SELECT b.cluster, v.pos,
+         CAST(floor(CAST(sum(v.xs) AS DOUBLE) / count(*)) AS BIGINT)
+           AS xs
+  FROM b{i} b JOIN scaled v USING (vec_id) GROUP BY 1, 2),
+c{i + 1} AS (
+  SELECT c.cluster, c.pos, COALESCE(u.xs, c.xs) AS xs
+  FROM c{i} c LEFT JOIN u{i} u
+    ON u.cluster = c.cluster AND u.pos = c.pos)""")
+    final = f"""fa AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
+  FROM scaled v JOIN c{iters} c ON v.pos = c.pos GROUP BY 1, 2)
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       CAST(d2 AS BIGINT) AS dist2
+FROM fa
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cluster) = 1"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final

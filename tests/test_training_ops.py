@@ -1236,3 +1236,39 @@ def test_fuzzy_pairs_hot_gram_cap_drops_boilerplate_block(spark):
     # the cap only prunes CANDIDATES, and the distinctive final gram
     # has df=1, so verified pairs can only shrink via blocking
     assert uncapped == 15 and capped <= uncapped
+
+
+def test_kmeans_recovers_planted_blobs_and_descends(spark):
+    from maps_spark.operators.similarity import kmeans_assign
+    import random
+    rng = random.Random(11)
+    centers = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=3, iters=4).collect()
+    # every planted blob maps to exactly one learned cluster
+    blob_to_cluster = {}
+    for r in out:
+        b = r["vec_id"] % 3
+        blob_to_cluster.setdefault(b, set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in blob_to_cluster.values())
+    assert len({next(iter(cs)) for cs in blob_to_cluster.values()}) == 3
+    # objective is non-increasing with more Lloyd's rounds
+    tot = [sum(r["dist2"] for r in kmeans_assign(df, k=3, iters=i)
+               .collect()) for i in (0, 2, 4)]
+    assert tot[0] >= tot[1] >= tot[2]
+
+
+def test_kmeans_survives_duplicate_seed_vectors(spark):
+    from maps_spark.operators.similarity import kmeans_assign
+    # all points identical: every distance ties at 0, cluster 0 wins
+    # the tie-break everywhere, other clusters stay on their seeds
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=3, iters=2).collect()
+    assert len(out) == 10
+    assert all(r["cluster"] == 0 and r["dist2"] == 0 for r in out)
