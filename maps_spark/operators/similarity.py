@@ -549,9 +549,10 @@ def _kmeans_seed_ids(emb: DataFrame, k: int,
     return [r["vec_id"] for r in rows]
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
-                  vec_col: str = "embedding", id_col: str = "vec_id",
-                  scale: int = 1_000_000) -> DataFrame:
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               scale: int = 1_000_000
+               ) -> tuple[list[list[int]], DataFrame]:
     """Distributed Lloyd's k-means over an embedding column, in EXACT
     integer arithmetic so the oracle hash-matches: components floor to
     ``scale``-scaled BIGINTs (the :func:`embedding_profile` scaling),
@@ -568,8 +569,9 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
     :func:`ivf_centroids`). Seeds are the k lowest-mixed-hash ids —
     deterministic, and the same ordering the oracle's window uses.
 
-    Output: (vec_id, cluster, dist2) — final-iteration assignment and
-    the exact scaled squared distance.
+    Returns ``(centroids, assignments)``: the k x dim integer-scaled
+    codebook, and a (vec_id, cluster, dist2) DataFrame — the
+    final-iteration assignment with its exact scaled squared distance.
     """
     import math
     sv = F.transform(
@@ -608,9 +610,118 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
                 nxt[r["cluster"]][r["pos"]] = math.floor(
                     r["s"] / r["n"])
             cent = nxt
-        return (base.select("vec_id", best_col())
-                .select("vec_id",
-                        F.col("best.cid").alias("cluster"),
-                        F.col("best.d2").alias("dist2")))
+        assign = (base.select("vec_id", best_col())
+                  .select("vec_id",
+                          F.col("best.cid").alias("cluster"),
+                          F.col("best.d2").alias("dist2")))
+        return cent, assign
     finally:
         base.unpersist()
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  scale: int = 1_000_000) -> DataFrame:
+    """:func:`kmeans_fit`'s assignment table alone — the gate surface:
+    (vec_id, cluster, dist2)."""
+    return kmeans_fit(emb, k, iters, vec_col, id_col, scale)[1]
+
+
+def pq_encode(emb: DataFrame, m: int = 4, k: int = 16,
+              iters: int = 2, vec_col: str = "embedding",
+              id_col: str = "vec_id", scale: int = 1_000_000
+              ) -> tuple[list[list[list[int]]], DataFrame]:
+    """Product quantization (Jegou et al., TPAMI'11): split each
+    vector into ``m`` contiguous subspaces and vector-quantize each
+    with its own :func:`kmeans_fit` codebook — a vector compresses to
+    ``m`` small codes (m bytes at k<=256), a 256x memory cut that
+    makes billion-vector ANN serving fit in RAM. The IVF sibling
+    above prunes WHICH vectors to score; PQ shrinks WHAT is scored.
+
+    Everything inherits k-means' exact integer arithmetic, so codes
+    (and ADC distances downstream) are oracle-checkable. Each
+    subspace is one independent Lloyd's run over the SAME seeding
+    order — m passes over the corpus at train time, one code table
+    at the end.
+
+    Returns ``(codebooks, codes)``: ``codebooks[s][j]`` is centroid j
+    of subspace s (integer-scaled), codes is (vec_id, subspace, code,
+    dist2) with one row per (vector, subspace).
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks: list[list[list[int]]] = []
+    parts = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
+        cents, assign = kmeans_fit(sliced, k, iters, vec_col, id_col,
+                                   scale)
+        codebooks.append(cents)
+        parts.append(assign.select(
+            "vec_id", F.lit(s).alias("subspace"),
+            F.col("cluster").alias("code"), "dist2"))
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionByName(p)
+    return codebooks, codes
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame,
+            k_results: int = 10, m: int = 4, k: int = 16,
+            iters: int = 2, vec_col: str = "embedding",
+            id_col: str = "vec_id", scale: int = 1_000_000
+            ) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its m x k lookup table of exact integer distances to
+    every codebook centroid, and a corpus vector's approximate
+    distance is the SUM of m table lookups — no original vectors are
+    touched at scan time.
+
+    Scale shape: the LUT is tiny (n_queries * m * k rows) and
+    broadcast; the scan is one map-side hash join of the code table
+    against it plus one (qid, vec_id) aggregation — O(N * m) work per
+    query batch, with the per-query top-k taken by window over each
+    query's scored candidates. Production serving would put IVF in
+    front (scan one probe-list, not the corpus); this operator is the
+    scoring core, kept separable so the gate can check it exactly.
+
+    Output: (qid, vec_id, adist2, rank) for rank <= k_results,
+    tie-broken by vec_id — deterministic, oracle-exact.
+    """
+    codebooks, codes = pq_encode(corpus, m, k, iters, vec_col, id_col,
+                                 scale)
+    sub = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        qsv = F.transform(
+            F.slice(F.col(vec_col), s * sub + 1, sub),
+            lambda x: F.floor(x.cast("double") * float(scale))
+            .cast("long"))
+        entries = []
+        for j in range(k):
+            arr = F.array(*[F.lit(int(v)) for v in codebooks[s][j]])
+            d2 = F.aggregate(
+                F.zip_with("qs", arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            entries.append(F.struct(F.lit(j).alias("code"),
+                                    d2.alias("qd2")))
+        luts.append(
+            queries.select(F.col(id_col).alias("qid"), qsv.alias("qs"))
+            .select("qid", F.lit(s).alias("subspace"),
+                    F.explode(F.array(*entries)).alias("e"))
+            .select("qid", "subspace", F.col("e.code").alias("code"),
+                    F.col("e.qd2").alias("qd2")))
+    lut = luts[0]
+    for p in luts[1:]:
+        lut = lut.unionByName(p)
+    scored = (codes.join(F.broadcast(lut), ["subspace", "code"])
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("qd2").cast("long").alias("adist2")))
+    w = Window.partitionBy("qid").orderBy("adist2", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_results))

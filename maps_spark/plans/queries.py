@@ -803,6 +803,17 @@ def q_kmeans_clusters(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_pq_codes(spark, sf_dir):
+    from maps_spark.operators.similarity import pq_encode
+    return pq_encode(_emb(spark, sf_dir))[1]
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    from maps_spark.operators.similarity import pq_topk
+    emb = _emb(spark, sf_dir)
+    return pq_topk(emb, emb.where(F.col("vec_id") < 16))
+
+
 def q_bloom_contamination(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     docs = _docs(spark, sf_dir)
@@ -1069,6 +1080,8 @@ MAPS_QUERIES = {
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "spatial_zorder": q_spatial_zorder,
     "kmeans_clusters": q_kmeans_clusters,
+    "pq_codes": q_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1226,6 +1239,8 @@ def maps_oracles() -> dict[str, str]:
         "fuzzy_title_pairs": OT.fuzzy_pairs_select(),
         "spatial_zorder": O.spatial_zorder_select(z=8),
         "kmeans_clusters": OT.kmeans_assign_select(),
+        "pq_codes": OT.pq_codes_select(),
+        "ann_pq_topk": OT.pq_topk_select(n_queries=16),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

@@ -2306,56 +2306,129 @@ WHERE abs(len(ka.k) - len(kb.k)) <= {max_dist}
   AND levenshtein(ka.k, kb.k) <= {max_dist}"""
 
 
+def _kmeans_ctes(p: str, emb_expr: str, k: int, iters: int,
+                 scale: int) -> list[str]:
+    """CTE chain (prefix ``p``) replaying operators.similarity
+    kmeans_fit over ``emb_expr`` (a list expression over the
+    embeddings table): scaled components, seed centroids from the
+    shared ``ranked`` ordering, then per-iteration assign / update
+    with the empty-cluster keep-previous rule. The last CTE
+    ``{p}fa`` holds (vec_id, cluster, d2) for the FINAL centroids."""
+    ctes = [f"""{p}comp AS (
+  SELECT vec_id,
+         CAST(generate_subscripts({emb_expr}, 1) - 1 AS INT) AS pos,
+         unnest({emb_expr}) AS x
+  FROM embeddings),
+{p}scaled AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)
+           AS xs
+  FROM {p}comp),
+{p}c0 AS (
+  SELECT r.cluster, s.pos, s.xs
+  FROM ranked r JOIN {p}scaled s USING (vec_id)
+  WHERE r.cluster < {k})"""]
+    for i in range(iters):
+        ctes.append(f"""{p}a{i} AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
+  FROM {p}scaled v JOIN {p}c{i} c ON v.pos = c.pos GROUP BY 1, 2),
+{p}b{i} AS (
+  SELECT vec_id, cluster, d2 FROM {p}a{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) = 1),
+{p}u{i} AS (
+  SELECT b.cluster, v.pos,
+         CAST(floor(CAST(sum(v.xs) AS DOUBLE) / count(*)) AS BIGINT)
+           AS xs
+  FROM {p}b{i} b JOIN {p}scaled v USING (vec_id) GROUP BY 1, 2),
+{p}c{i + 1} AS (
+  SELECT c.cluster, c.pos, COALESCE(u.xs, c.xs) AS xs
+  FROM {p}c{i} c LEFT JOIN {p}u{i} u
+    ON u.cluster = c.cluster AND u.pos = c.pos)""")
+    ctes.append(f"""{p}fa AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT v.vec_id, c.cluster,
+           sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
+    FROM {p}scaled v JOIN {p}c{iters} c ON v.pos = c.pos
+    GROUP BY 1, 2) z
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) = 1)""")
+    return ctes
+
+
+def _ranked_cte() -> str:
+    from maps_spark.operators.corpus import mix_sql
+    mix = mix_sql("vec_id")
+    return f"""ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY ({mix}), vec_id) - 1 AS cluster
+  FROM embeddings)"""
+
+
 def kmeans_assign_select(k: int = 8, iters: int = 3,
                          scale: int = 1_000_000) -> str:
     """DuckDB twin of operators.similarity.kmeans_assign: Lloyd's
     unrolled as one CTE chain per iteration (assign -> update with the
     empty-cluster keep-previous rule), same integer arithmetic."""
-    from maps_spark.operators.corpus import mix_sql
-    mix = mix_sql("vec_id")
-    ctes = [f"""comp AS (
-  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT)
-           AS pos,
-         unnest(embedding) AS x
-  FROM embeddings),
-scaled AS (
-  SELECT vec_id, pos,
-         CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)
-           AS xs
-  FROM comp),
-ranked AS (
-  SELECT vec_id,
-         row_number() OVER (ORDER BY ({mix}), vec_id) - 1 AS cluster
-  FROM embeddings),
-c0 AS (
-  SELECT r.cluster, s.pos, s.xs
-  FROM ranked r JOIN scaled s USING (vec_id)
-  WHERE r.cluster < {k})"""]
-    for i in range(iters):
-        ctes.append(f"""a{i} AS (
-  SELECT v.vec_id, c.cluster,
-         sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
-  FROM scaled v JOIN c{i} c ON v.pos = c.pos GROUP BY 1, 2),
-b{i} AS (
-  SELECT vec_id, cluster, d2 FROM a{i}
-  QUALIFY row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d2, cluster) = 1),
-u{i} AS (
-  SELECT b.cluster, v.pos,
-         CAST(floor(CAST(sum(v.xs) AS DOUBLE) / count(*)) AS BIGINT)
-           AS xs
-  FROM b{i} b JOIN scaled v USING (vec_id) GROUP BY 1, 2),
-c{i + 1} AS (
-  SELECT c.cluster, c.pos, COALESCE(u.xs, c.xs) AS xs
-  FROM c{i} c LEFT JOIN u{i} u
-    ON u.cluster = c.cluster AND u.pos = c.pos)""")
-    final = f"""fa AS (
-  SELECT v.vec_id, c.cluster,
-         sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
-  FROM scaled v JOIN c{iters} c ON v.pos = c.pos GROUP BY 1, 2)
+    ctes = [_ranked_cte()] + _kmeans_ctes("", "embedding", k, iters,
+                                          scale)
+    return ("WITH " + ",\n".join(ctes) + """
 SELECT vec_id, CAST(cluster AS INT) AS cluster,
        CAST(d2 AS BIGINT) AS dist2
-FROM fa
-QUALIFY row_number() OVER (PARTITION BY vec_id
-                           ORDER BY d2, cluster) = 1"""
-    return "WITH " + ",\n".join(ctes) + ",\n" + final
+FROM fa""")
+
+
+def pq_codes_select(m: int = 4, k: int = 16, iters: int = 2,
+                    dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.similarity.pq_encode's code table:
+    one kmeans chain per subspace over the list slice, same shared
+    seed ordering."""
+    sub = dim // m
+    ctes = [_ranked_cte()]
+    for s in range(m):
+        ctes += _kmeans_ctes(f"s{s}_",
+                             f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+                             k, iters, scale)
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({s} AS INT) AS subspace, "
+        f"CAST(cluster AS INT) AS code, CAST(d2 AS BIGINT) AS dist2 "
+        f"FROM s{s}_fa" for s in range(m))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def pq_topk_select(n_queries: int = 16, k_results: int = 10,
+                   m: int = 4, k: int = 16, iters: int = 2,
+                   dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.similarity.pq_topk (ADC): per-query
+    LUT against each subspace's FINAL centroids, summed over the code
+    table, ranked per query with the (adist2, vec_id) tie-break."""
+    sub = dim // m
+    ctes = [_ranked_cte()]
+    for s in range(m):
+        ctes += _kmeans_ctes(f"s{s}_",
+                             f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+                             k, iters, scale)
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS subspace, cluster AS code "
+        f"FROM s{s}_fa" for s in range(m))
+    lut = "\nUNION ALL\n".join(
+        f"""SELECT q.vec_id AS qid, {s} AS subspace,
+       c.cluster AS code, sum((q.xs - c.xs) * (q.xs - c.xs)) AS qd2
+FROM s{s}_scaled q JOIN s{s}_c{iters} c ON q.pos = c.pos
+WHERE q.vec_id < {n_queries} GROUP BY 1, 2, 3""" for s in range(m))
+    return ("WITH " + ",\n".join(ctes)
+            + f""",\ncodes AS ({codes}),\nlut AS ({lut}),
+scored AS (
+  SELECT l.qid, co.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adist2
+  FROM codes co JOIN lut l
+    ON l.subspace = co.subspace AND l.code = co.code
+  GROUP BY 1, 2)
+SELECT qid, vec_id, adist2,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adist2, vec_id) AS INT)
+         AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY adist2, vec_id) <= {k_results}"""
+            )

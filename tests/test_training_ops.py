@@ -1272,3 +1272,28 @@ def test_kmeans_survives_duplicate_seed_vectors(spark):
     out = kmeans_assign(df, k=3, iters=2).collect()
     assert len(out) == 10
     assert all(r["cluster"] == 0 and r["dist2"] == 0 for r in out)
+
+
+def test_pq_adc_ranks_same_blob_first(spark):
+    from maps_spark.operators.similarity import pq_encode, pq_topk
+    import random
+    rng = random.Random(5)
+    centers = [[8.0] * 8, [-8.0] * 8, [8.0] * 4 + [-8.0] * 4,
+               [-8.0] * 4 + [8.0] * 4]
+    rows = [(i, [v + rng.uniform(-0.5, 0.5) for v in centers[i % 4]])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # codes: one row per (vector, subspace), codes within range
+    books, codes = pq_encode(df, m=2, k=4, iters=3)
+    cd = codes.collect()
+    assert len(cd) == 160
+    assert all(0 <= r["code"] < 4 and r["subspace"] in (0, 1)
+               for r in cd)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    # ADC: every query's top-10 neighbours come from its own blob
+    qs = df.where("vec_id < 4")
+    top = pq_topk(df, qs, k_results=10, m=2, k=4, iters=3).collect()
+    assert len(top) == 40
+    for r in top:
+        assert r["vec_id"] % 4 == r["qid"] % 4
+        assert r["adist2"] >= 0
