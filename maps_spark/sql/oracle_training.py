@@ -2432,3 +2432,38 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY qid
                            ORDER BY adist2, vec_id) <= {k_results}"""
             )
+
+
+def media_dhash_select(n: int = 64, width: int = 32, height: int = 24,
+                       grid_h: int = 8, grid_w: int = 8) -> str:
+    """Closed-form twin of operators.multimodal.image_dhash over
+    synthesize_ppm_media's gradients: the decoder+resize+gray+compare
+    pipeline collapses to integer arithmetic on the synthesis formulas
+    (r = X*255//(w-1) with X = (x*w)//(grid_w+1), g likewise on rows,
+    b = id % 256, gray = (r+g+b)//3)."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+cells AS (
+  SELECT media_id, y, x,
+         ((((x * {width}) // {grid_w + 1}) * 255 // {width - 1})
+          + (((y * {height}) // {grid_h}) * 255 // {height - 1})
+          + media_id % 256) // 3 AS gray
+  FROM ids, generate_series(0, {grid_h - 1}) ty(y),
+       generate_series(0, {grid_w}) tx(x)),
+bits AS (
+  SELECT a.media_id, a.y, a.x,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < {grid_w})
+SELECT media_id, 'image' AS kind,
+       CAST(sum(CASE WHEN y >= {grid_h // 2} THEN
+           bit * (CAST(1 AS BIGINT)
+                  << CAST((y - {grid_h // 2}) * {grid_w} + x AS INT))
+         ELSE 0 END) AS BIGINT) AS hash_hi,
+       CAST(sum(CASE WHEN y < {grid_h // 2} THEN
+           bit * (CAST(1 AS BIGINT)
+                  << CAST(y * {grid_w} + x AS INT))
+         ELSE 0 END) AS BIGINT) AS hash_lo,
+       TRUE AS decode_ok
+FROM bits GROUP BY media_id"""

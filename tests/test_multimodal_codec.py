@@ -454,3 +454,65 @@ def test_codec_mutation_fuzz_never_raises_foreign_exceptions():
                 raise AssertionError(
                     f"{name}: truncation at {cut} raised "
                     f"{type(e).__name__}: {e}") from e
+
+
+class TestImageDhash:
+    def _media(self, spark, imgs, bad_ids=()):
+        import pandas as pd
+        from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                     encode_ppm)
+        rows = []
+        for i, img in enumerate(imgs):
+            payload = (b"garbage" if i in bad_ids
+                       else encode_ppm(img))
+            rows.append((i, "image", bytearray(payload),
+                         img.shape[1], img.shape[0], 0, 0))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                        "width", "height",
+                                        "sample_rate", "n_frames"]),
+            schema=MEDIA_SCHEMA)
+
+    def test_dhash_flags_noisy_duplicate_not_unrelated(self, spark):
+        import numpy as np
+        from maps_spark.operators.multimodal import (dhash_near_pairs,
+                                                     image_dhash)
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        noisy = np.clip(base.astype(int)
+                        + rng.integers(-4, 5, base.shape), 0,
+                        255).astype(np.uint8)
+        other = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        media = self._media(spark, [base, noisy, other])
+        hashes = image_dhash(media)
+        rows = {r.media_id: r for r in hashes.collect()}
+        assert all(rows[i].decode_ok for i in (0, 1, 2))
+
+        def ham(a, b):
+            return (bin((a.hash_hi ^ b.hash_hi)
+                        & 0xFFFFFFFF).count("1")
+                    + bin((a.hash_lo ^ b.hash_lo)
+                          & 0xFFFFFFFF).count("1"))
+        assert ham(rows[0], rows[1]) <= 6
+        assert ham(rows[0], rows[2]) > 6
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in dhash_near_pairs(hashes).collect()}
+        assert (0, 1) in pairs and (0, 2) not in pairs
+        assert pairs[(0, 1)] == ham(rows[0], rows[1])
+
+    def test_dhash_undecodable_yields_not_ok_and_is_excluded(self,
+                                                            spark):
+        import numpy as np
+        from maps_spark.operators.multimodal import (dhash_near_pairs,
+                                                     image_dhash)
+        img = np.zeros((24, 32, 3), dtype=np.uint8)
+        media = self._media(spark, [img, img, img], bad_ids=(2,))
+        hashes = image_dhash(media)
+        rows = {r.media_id: r for r in hashes.collect()}
+        assert rows[2].decode_ok is False
+        assert rows[2].hash_hi == 0 and rows[2].hash_lo == 0
+        pairs = {(r.id_a, r.id_b)
+                 for r in dhash_near_pairs(hashes).collect()}
+        # identical flat images pair up; the broken payload never does
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
