@@ -590,6 +590,47 @@ def run() -> None:
                 SE.sessionize_batch(events),
                 "tus", "session_start", "session_end",
                 on=("user_id",)).count()
+        @timed("linkage_and_contamination")
+        def _20():
+            # round-5 additions: blocked fuzzy record linkage over
+            # pseudo-titles + the broadcast bloom decontamination pass
+            titles = docs.select(
+                "doc_id",
+                F.lower(F.substring("text", 1, 40)).alias("title"))
+            DD.fuzzy_pairs(titles).count()
+            CP.bloom_contamination(
+                docs.where(F.col("doc_id") % 25 != 0),
+                docs.where(F.col("doc_id") % 25 == 0)).count()
+
+        @timed("kmeans_pq_ann")
+        def _21():
+            # distributed Lloyd's + PQ/ADC over the embedding corpus
+            SIM.kmeans_assign(emb, k=8, iters=3).count()
+            SIM.pq_topk(emb, emb.where(F.col("vec_id") < 16),
+                        m=8, n_cent=16, iters=2).count()
+
+        @timed("session_path_analysis")
+        def _22():
+            SE.event_transitions(events).count()
+            SE.session_paths(events).count()
+
+        @timed("spatial_keys")
+        def _23():
+            from maps_spark.functions.spatial import geohash, morton_key
+            occ.groupBy(morton_key(
+                "decimalLatitude", "decimalLongitude", 12)
+                .alias("zkey")).count().count()
+            occ.groupBy(geohash(
+                "decimalLatitude", "decimalLongitude", 5)
+                .alias("gh")).count().count()
+
+        @timed("media_dhash_pairs")
+        def _24():
+            from maps_spark.operators.multimodal import (
+                dhash_near_pairs, image_dhash, synthesize_ppm_media)
+            h = image_dhash(synthesize_ppm_media(spark, n=512,
+                                                 partitions=CPUS))
+            dhash_near_pairs(h).count()
     except ImportError:
         pass
 

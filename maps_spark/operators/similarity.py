@@ -310,6 +310,18 @@ def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
         approx = lsh_topk(corpus, queries, k, id_col, vec_col, **kwargs)
     elif method == "ivf":
         approx = ivf_topk(corpus, queries, k, id_col, vec_col, **kwargs)
+    elif method == "pq":
+        # the ADC scan does not exclude self-matches (brute force
+        # does), so ask for k+1, drop self, and re-rank to k — the
+        # honest recall@k of the PQ-compressed index
+        raw = pq_topk(corpus, queries, k_results=k + 1,
+                      id_col=id_col, vec_col=vec_col, **kwargs)
+        w = Window.partitionBy("qid").orderBy("adist2", "vec_id")
+        approx = (raw.where(F.col("vec_id") != F.col("qid"))
+                  .withColumn("r2", F.row_number().over(w))
+                  .where(F.col("r2") <= k)
+                  .select(F.col("qid").alias("query_id"),
+                          F.col("vec_id").alias("neighbor_id")))
     else:
         raise ValueError(f"unknown ANN method {method!r}")
     return recall_counts(exact, approx)
@@ -627,7 +639,19 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 3,
     return kmeans_fit(emb, k, iters, vec_col, id_col, scale)[1]
 
 
-def pq_encode(emb: DataFrame, m: int = 4, k: int = 16,
+def unit_vec_col(vec_col: str | Column) -> Column:
+    """L2-normalized copy of an embedding column in double math (the
+    same cast-then-left-fold norm the cosine gates use, so the oracle
+    reproduces it bitwise); all-zero vectors pass through unchanged
+    instead of dividing by zero."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    nrm = _norm(c)
+    return F.transform(
+        c, lambda x: F.when(nrm == 0.0, F.lit(0.0))
+        .otherwise(x.cast("double") / nrm))
+
+
+def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
               iters: int = 2, vec_col: str = "embedding",
               id_col: str = "vec_id", scale: int = 1_000_000
               ) -> tuple[list[list[list[int]]], DataFrame]:
@@ -644,6 +668,12 @@ def pq_encode(emb: DataFrame, m: int = 4, k: int = 16,
     order — m passes over the corpus at train time, one code table
     at the end.
 
+    Vectors are L2-normalized first (:func:`unit_vec_col`): the ANN
+    ground truth here is COSINE, and on unit vectors the ADC L2
+    ranking is cosine ranking (||a-b||^2 = 2 - 2cos) — without this
+    the compressed index answers a different question than the
+    :func:`brute_force_topk` baseline.
+
     Returns ``(codebooks, codes)``: ``codebooks[s][j]`` is centroid j
     of subspace s (integer-scaled), codes is (vec_id, subspace, code,
     dist2) with one row per (vector, subspace).
@@ -653,14 +683,16 @@ def pq_encode(emb: DataFrame, m: int = 4, k: int = 16,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    unit = emb.select(F.col(id_col),
+                      unit_vec_col(vec_col).alias(vec_col))
     codebooks: list[list[list[int]]] = []
     parts = []
     for s in range(m):
-        sliced = emb.select(
+        sliced = unit.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
-        cents, assign = kmeans_fit(sliced, k, iters, vec_col, id_col,
-                                   scale)
+        cents, assign = kmeans_fit(sliced, n_cent, iters, vec_col,
+                                   id_col, scale)
         codebooks.append(cents)
         parts.append(assign.select(
             "vec_id", F.lit(s).alias("subspace"),
@@ -672,7 +704,7 @@ def pq_encode(emb: DataFrame, m: int = 4, k: int = 16,
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame,
-            k_results: int = 10, m: int = 4, k: int = 16,
+            k_results: int = 10, m: int = 8, n_cent: int = 16,
             iters: int = 2, vec_col: str = "embedding",
             id_col: str = "vec_id", scale: int = 1_000_000
             ) -> DataFrame:
@@ -693,9 +725,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     Output: (qid, vec_id, adist2, rank) for rank <= k_results,
     tie-broken by vec_id — deterministic, oracle-exact.
     """
-    codebooks, codes = pq_encode(corpus, m, k, iters, vec_col, id_col,
-                                 scale)
+    codebooks, codes = pq_encode(corpus, m, n_cent, iters, vec_col,
+                                 id_col, scale)
     sub = len(codebooks[0][0])
+    unit_q = queries.select(F.col(id_col),
+                            unit_vec_col(vec_col).alias(vec_col))
     luts = []
     for s in range(m):
         qsv = F.transform(
@@ -703,7 +737,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             lambda x: F.floor(x.cast("double") * float(scale))
             .cast("long"))
         entries = []
-        for j in range(k):
+        for j in range(n_cent):
             arr = F.array(*[F.lit(int(v)) for v in codebooks[s][j]])
             d2 = F.aggregate(
                 F.zip_with("qs", arr, lambda a, b: (a - b) * (a - b)),
@@ -711,7 +745,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             entries.append(F.struct(F.lit(j).alias("code"),
                                     d2.alias("qd2")))
         luts.append(
-            queries.select(F.col(id_col).alias("qid"), qsv.alias("qs"))
+            unit_q.select(F.col(id_col).alias("qid"), qsv.alias("qs"))
             .select("qid", F.lit(s).alias("subspace"),
                     F.explode(F.array(*entries)).alias("e"))
             .select("qid", "subspace", F.col("e.code").alias("code"),

@@ -820,6 +820,13 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, emb.where(F.col("vec_id") < 16))
 
 
+def q_ann_recall_pq(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    emb = _emb(spark, sf_dir)
+    return SIM.ann_recall(emb, emb.where(F.col("vec_id") < 16), k=10,
+                          method="pq")
+
+
 def q_bloom_contamination(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     docs = _docs(spark, sf_dir)
@@ -1089,6 +1096,7 @@ MAPS_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "pq_codes": q_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_recall_pq": q_ann_recall_pq,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1248,6 +1256,7 @@ def maps_oracles() -> dict[str, str]:
         "kmeans_clusters": OT.kmeans_assign_select(),
         "pq_codes": OT.pq_codes_select(),
         "ann_pq_topk": OT.pq_topk_select(n_queries=16),
+        "ann_recall_pq": OT.ann_recall_pq_select(k=10, n_queries=16),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

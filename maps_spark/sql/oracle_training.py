@@ -843,6 +843,32 @@ FROM exact e LEFT JOIN approx a
 GROUP BY e.query_id"""
 
 
+def ann_recall_pq_select(k: int = 10, n_queries: int = 16,
+                         m: int = 8, iters: int = 2,
+                         n_cent: int = 16) -> str:
+    """DuckDB twin of ann_recall(method='pq'): the PQ ADC top-(k+1)
+    select nested as a subquery (DuckDB allows WITH inside a
+    subquery), self-matches dropped and re-ranked to k, then the
+    integer hit count against brute force."""
+    pq = pq_topk_select(n_queries=n_queries, k_results=k + 1,
+                        m=m, n_cent=n_cent, iters=iters)
+    return f"""WITH exact AS ({ann_topk_select(k, n_queries)}),
+approx AS (
+  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adist2, vec_id) AS r2
+    FROM ({pq}) p
+    WHERE vec_id <> qid) z
+  WHERE r2 <= {k})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id"""
+
+
 def embedding_near_dupes_select(threshold: float = 0.3, dim: int = 64,
                                 n_bits: int = 12, n_tables: int = 4,
                                 max_bucket: int = 10_000) -> str:
@@ -2379,7 +2405,17 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster,
 FROM fa""")
 
 
-def pq_codes_select(m: int = 4, k: int = 16, iters: int = 2,
+def _unit_slice_sql(a: int, b: int) -> str:
+    """Normalized embedding slice (twin of similarity.unit_vec_col
+    applied before the PQ subspace slice): same cast-then-fold norm
+    as _NORM, zero-norm vectors pass through."""
+    norm = _NORM.format(a="embedding")
+    return (f"list_transform(embedding[{a}:{b}], "
+            f"v -> CASE WHEN {norm} = 0.0 THEN 0.0 "
+            f"ELSE CAST(v AS DOUBLE) / ({norm}) END)")
+
+
+def pq_codes_select(m: int = 8, n_cent: int = 16, iters: int = 2,
                     dim: int = 64, scale: int = 1_000_000) -> str:
     """DuckDB twin of operators.similarity.pq_encode's code table:
     one kmeans chain per subspace over the list slice, same shared
@@ -2388,8 +2424,8 @@ def pq_codes_select(m: int = 4, k: int = 16, iters: int = 2,
     ctes = [_ranked_cte()]
     for s in range(m):
         ctes += _kmeans_ctes(f"s{s}_",
-                             f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
-                             k, iters, scale)
+                             f"{_unit_slice_sql(s * sub + 1, (s + 1) * sub)}",
+                             n_cent, iters, scale)
     union = "\nUNION ALL\n".join(
         f"SELECT vec_id, CAST({s} AS INT) AS subspace, "
         f"CAST(cluster AS INT) AS code, CAST(d2 AS BIGINT) AS dist2 "
@@ -2398,7 +2434,7 @@ def pq_codes_select(m: int = 4, k: int = 16, iters: int = 2,
 
 
 def pq_topk_select(n_queries: int = 16, k_results: int = 10,
-                   m: int = 4, k: int = 16, iters: int = 2,
+                   m: int = 8, n_cent: int = 16, iters: int = 2,
                    dim: int = 64, scale: int = 1_000_000) -> str:
     """DuckDB twin of operators.similarity.pq_topk (ADC): per-query
     LUT against each subspace's FINAL centroids, summed over the code
@@ -2407,8 +2443,8 @@ def pq_topk_select(n_queries: int = 16, k_results: int = 10,
     ctes = [_ranked_cte()]
     for s in range(m):
         ctes += _kmeans_ctes(f"s{s}_",
-                             f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
-                             k, iters, scale)
+                             f"{_unit_slice_sql(s * sub + 1, (s + 1) * sub)}",
+                             n_cent, iters, scale)
     codes = "\nUNION ALL\n".join(
         f"SELECT vec_id, {s} AS subspace, cluster AS code "
         f"FROM s{s}_fa" for s in range(m))
