@@ -77,3 +77,30 @@ def test_zorder_layout_sorts_within_partitions(spark):
     bounds = sorted((min(k), max(k)) for k in by_part.values())
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2
+
+
+def test_zorder_scan_pushes_range_filter_and_matches_full_scan(
+        spark, tmp_path):
+    import random
+    rng = random.Random(13)
+    rows = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180))
+            for i in range(2000)]
+    out = str(tmp_path / "zpts")
+    zorder_layout(_pts(spark, rows), "lat", "lng", z=12,
+                  num_partitions=8).write.parquet(out)
+    back = spark.read.parquet(out)
+    lo, hi = 1 << 20, 1 << 22
+    pred = (F.col("zkey") >= lo) & (F.col("zkey") <= hi)
+    plan = (back.where(pred).select("id", "zkey")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the range predicate must reach the parquet scan: with the
+    # z-ordered (range-partitioned, sorted) layout those pushed
+    # min/max filters are what lets the reader skip whole files /
+    # row groups whose zkey interval misses the query box
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(zkey" in plan
+    assert "LessThanOrEqual(zkey" in plan
+    got = {r["id"] for r in back.where(pred).collect()}
+    want = {r["id"] for r in back.collect()
+            if lo <= r["zkey"] <= hi}
+    assert got == want and got
