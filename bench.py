@@ -616,13 +616,10 @@ def run() -> None:
 
         @timed("spatial_keys")
         def _23():
-            from maps_spark.functions.spatial import geohash, morton_key
-            occ.groupBy(morton_key(
-                "decimalLatitude", "decimalLongitude", 12)
-                .alias("zkey")).count().count()
-            occ.groupBy(geohash(
-                "decimalLatitude", "decimalLongitude", 5)
-                .alias("gh")).count().count()
+            from maps_spark.functions.spatial import (add_geohash,
+                                                      add_morton_key)
+            add_morton_key(occ, z=12).groupBy("zkey").count().count()
+            add_geohash(occ, precision=5).groupBy("gh").count().count()
 
         @timed("media_dhash_pairs")
         def _24():

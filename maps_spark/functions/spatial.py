@@ -6,10 +6,22 @@ a 100 TB POINT corpus needs a layout key so that spatially-close rows
 land in the same files and a bounding-box scan prunes at the parquet
 row-group level instead of reading the planet.
 
-Everything is a pure dual-dialect expression from
-:mod:`maps_spark.sql.dual` (integer bit-interleave after one clamped
+Everything is dual-dialect integer arithmetic from
+:mod:`maps_spark.sql.dual` (bit-interleave after one clamped, NULL-safe
 grid quantization), so the keys are oracle-checkable bit-for-bit and
 run inside whole-stage codegen.
+
+Two forms:
+
+- :func:`add_morton_key` / :func:`add_geohash` — STAGED DataFrame
+  rewrites: quantize once, then one narrow projection per spread step.
+  Each step's alias is referenced twice by the next step, so Spark's
+  CollapseProject keeps the stages separate and every value is
+  computed once. Use these on hot paths.
+- :func:`morton_key` / :func:`geohash` — single-Column convenience
+  forms of the same arithmetic; their expression TEXT duplicates the
+  quantization per spread step (fine ad hoc, wasteful per-row at
+  geohash precision 8).
 """
 
 from __future__ import annotations
@@ -23,15 +35,61 @@ from maps_spark.sql import dual
 def morton_key(lat_col: str, lng_col: str, z: int = 16) -> F.Column:
     """Morton code of the 2^z x 2^z WGS84 grid cell containing the
     point — interleaved bits, so nearby points share high bits and a
-    z-prefix range covers a square block of cells."""
+    z-prefix range covers a square block of cells. NULL coordinates
+    yield a NULL key (they sort FIRST under Spark's default null
+    ordering and never pollute the (90, 180) corner cell)."""
     return F.expr(dual.morton_interleave(
         dual.grid_x(lng_col, z), dual.grid_y(lat_col, z), z))
 
 
 def geohash(lat_col: str, lng_col: str, precision: int = 8) -> F.Column:
     """Standard base32 geohash string (prefix-shared by neighbours —
-    the human-readable sibling of the Morton key)."""
+    the human-readable sibling of the Morton key); NULL in, NULL out."""
     return F.expr(dual.geohash_expr(lat_col, lng_col, precision))
+
+
+def _staged_spread(df: DataFrame, cols: dict[str, str],
+                   steps) -> DataFrame:
+    """Apply the magic-mask spread one projection per step: ``cols``
+    maps working column name -> initial expression. Aliases are reused
+    across steps, so each stage computes every value exactly once."""
+    d = df.select("*", *[F.expr(e).cast("long").alias(c)
+                         for c, e in cols.items()])
+    for shift, mask in steps:
+        d = d.select(
+            *[c for c in d.columns if c not in cols],
+            *[F.expr(dual.spread_step(c, shift, mask)).alias(c)
+              for c in cols])
+    return d
+
+
+def add_morton_key(df: DataFrame, lat_col: str = "decimalLatitude",
+                   lng_col: str = "decimalLongitude", z: int = 16,
+                   out: str = "zkey") -> DataFrame:
+    """Staged Morton key: quantize once, spread step-by-step, combine.
+    Same arithmetic as :func:`morton_key`, evaluated once per step."""
+    steps = dual.spread_steps(z)
+    d = _staged_spread(df, {"_gx": dual.grid_x(lng_col, z),
+                            "_gy": dual.grid_y(lat_col, z)}, steps)
+    return (d.withColumn(out, F.expr(dual.morton_combine("_gx", "_gy")))
+            .drop("_gx", "_gy"))
+
+
+def add_geohash(df: DataFrame, lat_col: str = "decimalLatitude",
+                lng_col: str = "decimalLongitude", precision: int = 8,
+                out: str = "gh") -> DataFrame:
+    """Staged geohash: the identical bit stream as :func:`geohash`,
+    with the quantization and every spread step computed once."""
+    nbits, nlng, nlat = dual.geohash_bit_split(precision)
+    d = _staged_spread(
+        df, {"_gx": dual.grid_x(lng_col, nlng),
+             "_gy": dual.grid_y_south(lat_col, nlat)}, dual._SPREAD32)
+    d = (d.withColumn("_g", F.expr(
+        dual.geohash_combine("_gx", "_gy", nlng, nlat)))
+        .drop("_gx", "_gy"))
+    chars = [F.expr(dual.geohash_char("_g", nbits, i))
+             for i in range(precision)]
+    return d.withColumn(out, F.concat(*chars)).drop("_g")
 
 
 def zorder_layout(df: DataFrame, lat_col: str = "decimalLatitude",
@@ -44,11 +102,12 @@ def zorder_layout(df: DataFrame, lat_col: str = "decimalLatitude",
     corpus: parquet keeps per-row-group min/max on ``zkey``, so a
     reader that maps its bounding box to Morton ranges (a handful of
     prefix intervals) skips every non-overlapping row group — the
-    poor man's spatial index, no extension required. The sort is
+    poor man's spatial index, no extension required (pushdown is
+    plan-audited in tests/test_spatial.py). The sort is
     per-range-partition (never global); rows with NULL coordinates
-    sort first and stay scannable.
+    get a NULL key, sort first, and stay scannable.
     """
-    keyed = df.withColumn("zkey", morton_key(lat_col, lng_col, z))
+    keyed = add_morton_key(df, lat_col, lng_col, z)
     parts = [F.col("zkey")]
     if num_partitions:
         keyed = keyed.repartitionByRange(num_partitions, *parts)

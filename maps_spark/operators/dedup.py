@@ -936,10 +936,7 @@ def fuzzy_pairs(df: DataFrame, key_col: str = "title",
     grams = keyed.select(
         "id", F.explode(char_qgram_array("k", q)).alias("g"))
     if max_gram_df is not None:
-        hot = (grams.groupBy("g")
-               .agg(F.count("*").alias("df"))
-               .where(F.col("df") > max_gram_df))
-        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+        grams = cap_buckets(grams, ["g"], max_gram_df)
     cand = (grams.alias("a")
             .join(grams.alias("b"), "g")
             .where(F.col("a.id") < F.col("b.id"))

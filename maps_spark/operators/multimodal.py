@@ -172,19 +172,32 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def synthesize_ppm_media(spark: SparkSession, n: int = 64,
                          width: int = 32, height: int = 24,
-                         partitions: int = 4) -> DataFrame:
-    """Media table whose payloads are REAL P6 images (deterministic
-    per-id gradients), exercising the true decode path end-to-end."""
+                         partitions: int = 4,
+                         pattern: str = "gradient") -> DataFrame:
+    """Media table whose payloads are REAL P6 images, exercising the
+    true decode path end-to-end. ``pattern="gradient"`` (default) is
+    the per-id x/y gradient the channel-sum gates use;
+    ``pattern="mod"`` is a non-monotone modular texture whose dHash
+    bits genuinely vary by position and id (a gradient's rows are
+    monotone, so every difference-hash bit is 0 — useless as a dHash
+    regression gate). Both have closed-form oracles."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for i in pdf["id"]:
                 yy, xx = np.mgrid[0:height, 0:width]
-                img = np.stack([
-                    (xx * 255 // max(width - 1, 1)),
-                    (yy * 255 // max(height - 1, 1)),
-                    np.full_like(xx, int(i) % 256),
-                ], axis=-1).astype(np.uint8)
+                if pattern == "mod":
+                    img = np.stack([
+                        ((xx * (3 + int(i) % 5) + 7 * yy) % 23) * 11,
+                        ((xx * xx + yy) % 29) * 8,
+                        ((int(i) * 3 + xx + yy) % 31) * 8,
+                    ], axis=-1).astype(np.uint8)
+                else:
+                    img = np.stack([
+                        (xx * 255 // max(width - 1, 1)),
+                        (yy * 255 // max(height - 1, 1)),
+                        np.full_like(xx, int(i) % 256),
+                    ], axis=-1).astype(np.uint8)
                 rows.append(encode_ppm(img))
             yield pd.DataFrame({
                 "media_id": pdf["id"], "kind": "image",
@@ -960,7 +973,8 @@ def image_dhash(media: DataFrame, grid_h: int = 8,
 
 
 def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6,
-                     id_col: str = "media_id") -> DataFrame:
+                     id_col: str = "media_id",
+                     max_band_df: int = 10_000) -> DataFrame:
     """Image near-dup pairs by dHash Hamming distance, without an
     all-pairs scan: the 64 bits split into eight 8-bit bands, a
     candidate pair must share at least one band EXACTLY (pigeonhole:
@@ -970,12 +984,18 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6,
     bit math in codegen.
 
     Scale: an equi-join per band on the band value (8 linear joins,
-    map-side combined dedup), never |images|^2; hot uniform bands
-    (e.g. all-zero hashes from flat images) are the skew caveat —
-    cap or pre-filter decode_ok = false rows, which this does.
+    map-side combined dedup), never |images|^2; decode failures are
+    pre-filtered, and hot uniform bands (all-zero hashes from flat /
+    monotone images) go through the shared
+    :func:`maps_spark.operators.dedup.cap_buckets` guard — a corpus
+    of near-identical flat images would otherwise make every band
+    join quadratic. Pairs inside a capped band are dropped like in
+    every LSH-family generator here; exact-duplicate images are
+    cheaper found by grouping on (hash_hi, hash_lo) equality anyway.
 
     Output: (id_a, id_b, hamming).
     """
+    from maps_spark.operators.dedup import cap_buckets
     h = (hashes.where(F.col("decode_ok"))
          .select(F.col(id_col).alias("id"), "hash_hi", "hash_lo"))
     bands = []
@@ -987,8 +1007,9 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6,
     hb = h.select("id", "hash_hi", "hash_lo", *bands)
     cand = None
     for b in range(8):
-        a = hb.alias("a")
-        c = hb.alias("c")
+        capped = cap_buckets(hb, [f"band{b}"], max_band_df)
+        a = capped.alias("a")
+        c = capped.alias("c")
         p = (a.join(c, F.col(f"a.band{b}") == F.col(f"c.band{b}"))
              .where(F.col("a.id") < F.col("c.id"))
              .select(F.col("a.id").alias("id_a"),

@@ -653,7 +653,8 @@ def unit_vec_col(vec_col: str | Column) -> Column:
 
 def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
               iters: int = 2, vec_col: str = "embedding",
-              id_col: str = "vec_id", scale: int = 1_000_000
+              id_col: str = "vec_id", scale: int = 1_000_000,
+              dim: int | None = None
               ) -> tuple[list[list[list[int]]], DataFrame]:
     """Product quantization (Jegou et al., TPAMI'11): split each
     vector into ``m`` contiguous subspaces and vector-quantize each
@@ -678,8 +679,13 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
     of subspace s (integer-scaled), codes is (vec_id, subspace, code,
     dist2) with one row per (vector, subspace).
     """
-    first = emb.select(vec_col).first()
-    dim = len(first[0])
+    if dim is None:
+        # one tiny probe job; pass ``dim`` explicitly to skip it
+        first = emb.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "pq_encode: empty input and no explicit dim")
+        dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -706,8 +712,8 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
 def pq_topk(corpus: DataFrame, queries: DataFrame,
             k_results: int = 10, m: int = 8, n_cent: int = 16,
             iters: int = 2, vec_col: str = "embedding",
-            id_col: str = "vec_id", scale: int = 1_000_000
-            ) -> DataFrame:
+            id_col: str = "vec_id", scale: int = 1_000_000,
+            dim: int | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
     precomputes its m x k lookup table of exact integer distances to
     every codebook centroid, and a corpus vector's approximate
@@ -726,7 +732,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     tie-broken by vec_id — deterministic, oracle-exact.
     """
     codebooks, codes = pq_encode(corpus, m, n_cent, iters, vec_col,
-                                 id_col, scale)
+                                 id_col, scale, dim)
     sub = len(codebooks[0][0])
     unit_q = queries.select(F.col(id_col),
                             unit_vec_col(vec_col).alias(vec_col))

@@ -65,19 +65,15 @@ def q_pixel_agg_3031_z4(spark, sf_dir):
 
 
 def q_spatial_zorder(spark, sf_dir):
-    from maps_spark.functions.spatial import morton_key
-    return (occurrence_df(spark, sf_dir)
-            .groupBy(morton_key("decimalLatitude", "decimalLongitude",
-                                8).alias("zkey"))
-            .agg(F.count("*").alias("n_occ")))
+    from maps_spark.functions.spatial import add_morton_key
+    return (add_morton_key(occurrence_df(spark, sf_dir), z=8)
+            .groupBy("zkey").agg(F.count("*").alias("n_occ")))
 
 
 def q_geohash_counts(spark, sf_dir):
-    from maps_spark.functions.spatial import geohash
-    return (occurrence_df(spark, sf_dir)
-            .groupBy(geohash("decimalLatitude", "decimalLongitude",
-                             4).alias("gh"))
-            .agg(F.count("*").alias("n_occ")))
+    from maps_spark.functions.spatial import add_geohash
+    return (add_geohash(occurrence_df(spark, sf_dir), precision=4)
+            .groupBy("gh").agg(F.count("*").alias("n_occ")))
 
 
 def q_streaming_refresh_pixels(spark, sf_dir):
@@ -234,7 +230,8 @@ def q_media_ppm_decode(spark, sf_dir):
 def q_media_dhash(spark, sf_dir):
     from maps_spark.operators.multimodal import (image_dhash,
                                                  synthesize_ppm_media)
-    return image_dhash(synthesize_ppm_media(spark, n=64))
+    return image_dhash(synthesize_ppm_media(spark, n=64,
+                                            pattern="mod"))
 
 
 def q_media_png_decode(spark, sf_dir):
@@ -805,8 +802,7 @@ def q_fuzzy_title_pairs(spark, sf_dir):
 
 def q_kmeans_clusters(spark, sf_dir):
     from maps_spark.operators.similarity import kmeans_assign
-    return kmeans_assign(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return kmeans_assign(_emb(spark, sf_dir))
 
 
 def q_pq_codes(spark, sf_dir):

@@ -296,29 +296,51 @@ def avg_stable(col: str, scale: int = 6) -> str:
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
+def _clamped_cell(raw: str, guard: str, n: int) -> str:
+    """NULL-safe clamped quantization: NULL coordinates stay NULL
+    (``least``/``greatest`` SKIP nulls in both engines — verified, so
+    without the CASE a NULL would silently land in cell n-1), and
+    out-of-range coordinates clamp to the edge cells instead of going
+    negative into the bit-interleave."""
+    return (f"CASE WHEN ({guard}) IS NULL THEN NULL "
+            f"ELSE least(greatest(CAST(floor({raw}) AS BIGINT), 0), "
+            f"{n - 1}) END")
+
+
 def grid_x(lng: str, z: int) -> str:
     """Column cell index in [0, 2^z) of a longitude on the 2^z WGS84
-    grid; the +180 edge clamps into the last cell."""
+    grid; the +180 edge clamps into the last cell, NULL stays NULL."""
     n = 1 << z
-    return (f"least(CAST(floor((({lng}) + 180.0) / 360.0 * {n}) "
-            f"AS BIGINT), {n - 1})")
+    return _clamped_cell(f"(({lng}) + 180.0) / 360.0 * {n}", lng, n)
 
 
 def grid_y(lat: str, z: int) -> str:
     """Row cell index in [0, 2^z), row 0 at the north pole."""
     n = 1 << z
-    return (f"least(CAST(floor((90.0 - ({lat})) / 180.0 * {n}) "
-            f"AS BIGINT), {n - 1})")
+    return _clamped_cell(f"(90.0 - ({lat})) / 180.0 * {n}", lat, n)
+
+
+def grid_y_south(lat: str, nbits: int) -> str:
+    """Geohash's latitude cell: south-origin, 2^nbits rows."""
+    n = 1 << nbits
+    return _clamped_cell(f"(({lat}) + 90.0) / 180.0 * {n}", lat, n)
 
 
 def _spread(expr: str, steps: tuple[tuple[int, int], ...]) -> str:
     """Insert a zero bit between the bits of ``expr`` (the classic
     magic-mask spread; shifts become multiplies). ``expr`` should be a
-    plain column reference — the text doubles per step."""
+    plain column reference — the text doubles per step, so staged
+    callers (functions.spatial's DataFrame helpers, the oracle CTEs)
+    apply :func:`spread_step` one step at a time instead."""
     e = f"CAST({expr} AS BIGINT)"
     for shift, mask in steps:
-        e = f"(((({e}) * {1 << shift}) | ({e})) & {mask})"
+        e = spread_step(e, shift, mask)
     return e
+
+
+def spread_step(col: str, shift: int, mask: int) -> str:
+    """One magic-mask spread step over a plain reference."""
+    return f"(((({col}) * {1 << shift}) | ({col})) & {mask})"
 
 
 _SPREAD16 = ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
@@ -328,41 +350,68 @@ _SPREAD32 = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
              (1, 0x5555555555555555))
 
 
+def spread_steps(z: int) -> tuple[tuple[int, int], ...]:
+    return _SPREAD16 if z <= 16 else _SPREAD32
+
+
+def morton_combine(x_spread: str, y_spread: str) -> str:
+    """Final interleave of two already-spread references (y on the odd
+    bit positions)."""
+    return f"(({y_spread}) * 2 | ({x_spread}))"
+
+
 def morton_interleave(x: str, y: str, z: int = 16) -> str:
     """Morton (Z-order) code of grid cell (x, y), both < 2^z: y bits on
     the odd positions. ``z <= 16`` uses the 16-bit spread; wider grids
-    take the 32-bit spread (result < 2^62 — BIGINT-safe to z=31)."""
-    steps = _SPREAD16 if z <= 16 else _SPREAD32
-    return (f"(({_spread(y, steps)}) * 2 | ({_spread(x, steps)}))")
+    take the 32-bit spread (result < 2^62 — BIGINT-safe to z=31).
+    Single-expression form: the text duplicates the cell quantization
+    2^steps times, so keep x/y plain references (see _spread)."""
+    steps = spread_steps(z)
+    return morton_combine(_spread(x, steps), _spread(y, steps))
 
 
-def geohash_expr(lat: str, lng: str, precision: int = 8) -> str:
-    """Standard geohash string of ``precision`` base32 chars (5 bits
-    each, longitude first), as one dual-dialect expression over two
-    plain column references. 40 bits max (precision 8) keeps every
-    intermediate < 2^53, so the floor-divides are IEEE-exact."""
+def geohash_bit_split(precision: int) -> tuple[int, int, int]:
+    """(nbits, nlng, nlat) for a precision: 5 bits per char, longitude
+    first in the MSB-alternating stream."""
     if not 1 <= precision <= 8:
         raise ValueError("precision must be in 1..8")
     nbits = 5 * precision
-    nlng = (nbits + 1) // 2
-    nlat = nbits // 2
-    cx = grid_x(lng, nlng)
-    cy = (f"least(CAST(floor((({lat}) + 90.0) / 180.0 * {1 << nlat}) "
-          f"AS BIGINT), {(1 << nlat) - 1})")
-    # the MSB-first stream starts with lng and alternates; counting
-    # from the LSB instead, an EVEN total ends on lat[0] (lng on odd
-    # positions), an ODD total ends on lng[0] (lng on even positions)
+    return nbits, (nbits + 1) // 2, nbits // 2
+
+
+def geohash_combine(cx_spread: str, cy_spread: str, nlng: int,
+                    nlat: int) -> str:
+    """Interleave spread lng/lat cells into the geohash bit string:
+    the MSB-first stream starts with lng and alternates, so counting
+    from the LSB an EVEN total ends on lat[0] (lng on odd positions)
+    and an ODD total ends on lng[0] (lng on even positions)."""
     if nlng > nlat:
-        g = (f"(({_spread(cy, _SPREAD32)}) * 2"
-             f" | ({_spread(cx, _SPREAD32)}))")
-    else:
-        g = (f"(({_spread(cx, _SPREAD32)}) * 2"
-             f" | ({_spread(cy, _SPREAD32)}))")
-    chars = " || ".join(
-        f"substr('{GEOHASH_BASE32}', CAST(CAST(floor(({g!s}) / "
-        f"{1 << (nbits - 5 * (i + 1))}) AS BIGINT) % 32 + 1 AS INT), 1)"
-        if i < precision - 1 else
-        f"substr('{GEOHASH_BASE32}', "
-        f"CAST(CAST(({g!s}) AS BIGINT) % 32 + 1 AS INT), 1)"
-        for i in range(precision))
+        return f"(({cy_spread}) * 2 | ({cx_spread}))"
+    return f"(({cx_spread}) * 2 | ({cy_spread}))"
+
+
+def geohash_char(g: str, nbits: int, i: int) -> str:
+    """Base32 character ``i`` (0 = most significant) of the geohash
+    bit value ``g`` — pass a plain reference; all intermediates are
+    < 2^53 so the floor-divide is IEEE-exact."""
+    shift = nbits - 5 * (i + 1)
+    idx = (f"CAST(CAST(floor(({g}) / {1 << shift}) AS BIGINT) "
+           f"% 32 + 1 AS INT)" if shift
+           else f"CAST(CAST(({g}) AS BIGINT) % 32 + 1 AS INT)")
+    return f"substr('{GEOHASH_BASE32}', {idx}, 1)"
+
+
+def geohash_expr(lat: str, lng: str, precision: int = 8) -> str:
+    """Standard geohash string of ``precision`` base32 chars as ONE
+    dual-dialect expression. Convenience/test form — the text copies
+    the quantization ~2^steps times per char, so hot paths use the
+    staged builders (functions.spatial.add_geohash, the oracle CTEs),
+    which compute the identical arithmetic once per step."""
+    nbits, nlng, nlat = geohash_bit_split(precision)
+    cx = grid_x(lng, nlng)
+    cy = grid_y_south(lat, nlat)
+    g = geohash_combine(_spread(cx, _SPREAD32), _spread(cy, _SPREAD32),
+                        nlng, nlat)
+    chars = " || ".join(geohash_char(g, nbits, i)
+                        for i in range(precision))
     return f"({chars})"

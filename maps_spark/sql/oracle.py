@@ -527,23 +527,50 @@ def _plottable(srs: str, lat: str = "decimalLatitude",
     return plottable_expr(srs, lat, lng)
 
 
+def _spread_ctes(init_gx: str, init_gy: str, steps) -> str:
+    """Staged spread CTE chain over (gx, gy) — the oracle twin of
+    functions.spatial._staged_spread (one pass per step, no text
+    blow-up)."""
+    parts = [f"cells AS (SELECT CAST({init_gx} AS BIGINT) AS gx, "
+             f"CAST({init_gy} AS BIGINT) AS gy FROM occ)"]
+    prev = "cells"
+    for i, (shift, mask) in enumerate(steps):
+        parts.append(
+            f"sp{i} AS (SELECT "
+            f"{dual.spread_step('gx', shift, mask)} AS gx, "
+            f"{dual.spread_step('gy', shift, mask)} AS gy "
+            f"FROM {prev})")
+        prev = f"sp{i}"
+    return ",\n".join(parts), prev
+
+
 def spatial_zorder_select(z: int = 8) -> str:
-    """DuckDB twin of the Morton-key cell counts gate (same
-    dual-dialect interleave text as functions.spatial.morton_key)."""
+    """DuckDB twin of the Morton-key cell counts gate (same staged
+    spread arithmetic as functions.spatial.add_morton_key)."""
     cte = occurrence_cte()
-    m = dual.morton_interleave(
-        dual.grid_x("decimalLongitude", z),
-        dual.grid_y("decimalLatitude", z), z)
-    return f"""{cte}
-SELECT {m} AS zkey, count(*) AS n_occ
-FROM occ GROUP BY 1"""
+    chain, last = _spread_ctes(dual.grid_x("decimalLongitude", z),
+                               dual.grid_y("decimalLatitude", z),
+                               dual.spread_steps(z))
+    return f"""{cte},
+{chain}
+SELECT {dual.morton_combine("gx", "gy")} AS zkey, count(*) AS n_occ
+FROM {last} GROUP BY 1"""
 
 
 def geohash_counts_select(precision: int = 4) -> str:
-    """DuckDB twin of the geohash cell counts gate."""
+    """DuckDB twin of the geohash cell counts gate (staged, twin of
+    functions.spatial.add_geohash)."""
     cte = occurrence_cte()
-    g = dual.geohash_expr("decimalLatitude", "decimalLongitude",
-                          precision)
-    return f"""{cte}
-SELECT {g} AS gh, count(*) AS n_occ
-FROM occ GROUP BY 1"""
+    nbits, nlng, nlat = dual.geohash_bit_split(precision)
+    chain, last = _spread_ctes(
+        dual.grid_x("decimalLongitude", nlng),
+        dual.grid_y_south("decimalLatitude", nlat),
+        dual._SPREAD32)
+    g = dual.geohash_combine("gx", "gy", nlng, nlat)
+    chars = " || ".join(dual.geohash_char("g", nbits, i)
+                        for i in range(precision))
+    return f"""{cte},
+{chain},
+gh AS (SELECT {g} AS g FROM {last})
+SELECT ({chars}) AS gh, count(*) AS n_occ
+FROM gh GROUP BY 1"""

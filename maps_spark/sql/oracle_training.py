@@ -2473,19 +2473,25 @@ QUALIFY row_number() OVER (PARTITION BY qid
 def media_dhash_select(n: int = 64, width: int = 32, height: int = 24,
                        grid_h: int = 8, grid_w: int = 8) -> str:
     """Closed-form twin of operators.multimodal.image_dhash over
-    synthesize_ppm_media's gradients: the decoder+resize+gray+compare
-    pipeline collapses to integer arithmetic on the synthesis formulas
-    (r = X*255//(w-1) with X = (x*w)//(grid_w+1), g likewise on rows,
-    b = id % 256, gray = (r+g+b)//3)."""
+    synthesize_ppm_media(pattern="mod")'s modular texture (the
+    gradient pattern's rows are monotone -> every dHash bit 0, which
+    would gate nothing): nearest-resize samples full-res pixels at
+    X = (x*w)//(grid_w+1), Y = (y*h)//grid_h, so the whole
+    decode+resize+gray+compare pipeline collapses to the synthesis
+    formulas r = ((X*(3+id%5)+7Y)%23)*11, g = ((X^2+Y)%29)*8,
+    b = ((3id+X+Y)%31)*8, gray = (r+g+b)//3."""
     return f"""WITH ids AS (SELECT i AS media_id
   FROM generate_series(0, {n - 1}) t(i)),
 cells AS (
   SELECT media_id, y, x,
-         ((((x * {width}) // {grid_w + 1}) * 255 // {width - 1})
-          + (((y * {height}) // {grid_h}) * 255 // {height - 1})
-          + media_id % 256) // 3 AS gray
-  FROM ids, generate_series(0, {grid_h - 1}) ty(y),
-       generate_series(0, {grid_w}) tx(x)),
+         ((((sx * (3 + media_id % 5) + 7 * sy) % 23) * 11
+           + ((sx * sx + sy) % 29) * 8
+           + ((media_id * 3 + sx + sy) % 31) * 8)) // 3 AS gray
+  FROM (SELECT media_id, y, x,
+               (x * {width}) // {grid_w + 1} AS sx,
+               (y * {height}) // {grid_h} AS sy
+        FROM ids, generate_series(0, {grid_h - 1}) ty(y),
+             generate_series(0, {grid_w}) tx(x)) q),
 bits AS (
   SELECT a.media_id, a.y, a.x,
          CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit

@@ -104,3 +104,25 @@ def test_zorder_scan_pushes_range_filter_and_matches_full_scan(
     want = {r["id"] for r in back.collect()
             if lo <= r["zkey"] <= hi}
     assert got == want and got
+
+
+def test_null_and_out_of_range_coords(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, 20.0, None), (3, 95.0, 200.0),
+         (4, -95.0, -200.0)],
+        "id long, lat double, lng double")
+    out = {r["id"]: (r["m"], r["gh"]) for r in df.select(
+        "id", morton_key("lat", "lng", 8).alias("m"),
+        geohash("lat", "lng", 4).alias("gh")).collect()}
+    # NULL coordinates yield NULL keys (least/greatest skip nulls, so
+    # without the CASE guard they'd land in the corner cell)
+    assert out[1] == (None, None) and out[2] == (None, None)
+    # out-of-range coordinates clamp to edge cells, never negative
+    assert out[3][0] == sum(1 << (2 * i) for i in range(8))  # x=255,y=0
+    assert out[4][0] == sum(1 << (2 * i + 1) for i in range(8))
+    # staged helpers agree with the single-expression forms
+    from maps_spark.functions.spatial import add_geohash, add_morton_key
+    staged = add_morton_key(add_geohash(df, "lat", "lng", 4),
+                            "lat", "lng", 8)
+    for r in staged.collect():
+        assert (r["zkey"], r["gh"]) == out[r["id"]]
