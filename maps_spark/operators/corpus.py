@@ -603,3 +603,62 @@ def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
                     F.col("n_flagged").cast("long").alias("n_flagged"),
                     ratio.alias("contamination_scaled"),
                     (ratio >= int(threshold * SCALE)).alias("flagged")))
+
+
+def doc_dense_vectors(docs: DataFrame, dim: int = 64,
+                      text_col: str = "text") -> DataFrame:
+    """Dense hashing-trick document vectors: the sparse
+    :func:`maps_spark.operators.similarity.doc_vector_buckets` counts
+    zero-filled into an array column, so the k-means / ANN family can
+    consume raw text without any embedding model. Exact integers.
+    Documents with no tokens have no vector (and stay unclustered).
+
+    Output: (vec_id, embedding array<long>).
+    """
+    from maps_spark.operators.similarity import doc_vector_buckets
+    sparse = doc_vector_buckets(docs, dim, text_col)
+    m = F.map_from_entries(F.collect_list(F.struct("bucket", "cnt")))
+    return (sparse.groupBy("doc_id").agg(m.alias("m"))
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.coalesce(
+                            F.element_at("m", i),
+                            F.lit(0).cast("long"))).alias("embedding")))
+
+
+def cluster_topics(docs: DataFrame, k: int = 8, iters: int = 3,
+                   dim: int = 64, top_k: int = 10,
+                   text_col: str = "text") -> DataFrame:
+    """Corpus organization end-to-end: hash documents to dense count
+    vectors (:func:`doc_dense_vectors`), cluster them with the exact
+    distributed :func:`maps_spark.operators.similarity.kmeans_assign`,
+    then label each cluster by its ``top_k`` most frequent words —
+    the dependency-free topic map of a corpus (what you run before
+    deciding mixture weights or spotting a scraped-boilerplate
+    cluster).
+
+    Scale: vectors and clustering are the audited k-means shape; the
+    labelling pass is one token explode + an equi-join against the
+    (tiny) assignment table + a map-side-combined (cluster, word)
+    count, with the rank window running over per-cluster word counts,
+    never the corpus.
+
+    Output: (cluster, word, cnt, rank), rank <= top_k, ties broken
+    (cnt desc, word asc) — deterministic, oracle-exact.
+    """
+    from pyspark.sql import Window
+
+    from maps_spark.operators.similarity import kmeans_assign
+    vecs = doc_dense_vectors(docs, dim, text_col)
+    assign = kmeans_assign(vecs, k=k, iters=iters)
+    toks = (docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != ""))
+    counts = (toks.join(assign.select(F.col("vec_id").alias("doc_id"),
+                                      "cluster"), "doc_id")
+              .groupBy("cluster", "word")
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), "word")
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))

@@ -823,6 +823,11 @@ def q_ann_recall_pq(spark, sf_dir):
                           method="pq")
 
 
+def q_cluster_topics(spark, sf_dir):
+    from maps_spark.operators.corpus import cluster_topics
+    return cluster_topics(_docs(spark, sf_dir))
+
+
 def q_bloom_contamination(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     docs = _docs(spark, sf_dir)
@@ -1093,6 +1098,7 @@ MAPS_QUERIES = {
     "pq_codes": q_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_recall_pq": q_ann_recall_pq,
+    "cluster_topics": q_cluster_topics,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1253,6 +1259,7 @@ def maps_oracles() -> dict[str, str]:
         "pq_codes": OT.pq_codes_select(),
         "ann_pq_topk": OT.pq_topk_select(n_queries=16),
         "ann_recall_pq": OT.ann_recall_pq_select(k=10, n_queries=16),
+        "cluster_topics": OT.cluster_topics_select(),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

@@ -2333,7 +2333,7 @@ WHERE abs(len(ka.k) - len(kb.k)) <= {max_dist}
 
 
 def _kmeans_ctes(p: str, emb_expr: str, k: int, iters: int,
-                 scale: int) -> list[str]:
+                 scale: int, table: str = "embeddings") -> list[str]:
     """CTE chain (prefix ``p``) replaying operators.similarity
     kmeans_fit over ``emb_expr`` (a list expression over the
     embeddings table): scaled components, seed centroids from the
@@ -2344,7 +2344,7 @@ def _kmeans_ctes(p: str, emb_expr: str, k: int, iters: int,
   SELECT vec_id,
          CAST(generate_subscripts({emb_expr}, 1) - 1 AS INT) AS pos,
          unnest({emb_expr}) AS x
-  FROM embeddings),
+  FROM {table}),
 {p}scaled AS (
   SELECT vec_id, pos,
          CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)
@@ -2383,13 +2383,13 @@ def _kmeans_ctes(p: str, emb_expr: str, k: int, iters: int,
     return ctes
 
 
-def _ranked_cte() -> str:
+def _ranked_cte(table: str = "embeddings") -> str:
     from maps_spark.operators.corpus import mix_sql
     mix = mix_sql("vec_id")
     return f"""ranked AS (
   SELECT vec_id,
          row_number() OVER (ORDER BY ({mix}), vec_id) - 1 AS cluster
-  FROM embeddings)"""
+  FROM {table})"""
 
 
 def kmeans_assign_select(k: int = 8, iters: int = 3,
@@ -2509,3 +2509,43 @@ SELECT media_id, 'image' AS kind,
          ELSE 0 END) AS BIGINT) AS hash_lo,
        TRUE AS decode_ok
 FROM bits GROUP BY media_id"""
+
+
+def cluster_topics_select(k: int = 8, iters: int = 3, dim: int = 64,
+                          top_k: int = 10,
+                          scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.corpus.cluster_topics: dense
+    hashing-trick vectors rebuilt with the same token hash, then the
+    generalized kmeans chain over that derived table, then per-cluster
+    word counts ranked with the same tie-break."""
+    ctes = [f"""toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents),
+buckets AS (
+  SELECT doc_id, CAST(({_TOKEN_HASH}) % {dim} AS INT) AS bucket,
+         count(*) AS cnt
+  FROM toks WHERE t <> '' GROUP BY 1, 2),
+grid AS (SELECT DISTINCT doc_id FROM buckets),
+docvecs AS (
+  SELECT g.doc_id AS vec_id,
+         list(COALESCE(b.cnt, 0) ORDER BY gs.i) AS embedding
+  FROM grid g
+  CROSS JOIN generate_series(0, {dim - 1}) gs(i)
+  LEFT JOIN buckets b ON b.doc_id = g.doc_id AND b.bucket = gs.i
+  GROUP BY g.doc_id)""",
+            _ranked_cte("docvecs")]
+    ctes += _kmeans_ctes("", "embedding", k, iters, scale,
+                         table="docvecs")
+    return ("WITH " + ",\n".join(ctes) + f""",
+wordcnt AS (
+  SELECT f.cluster, t.t AS word, count(*) AS cnt
+  FROM toks t JOIN fa f ON f.vec_id = t.doc_id
+  WHERE t.t <> '' GROUP BY 1, 2)
+SELECT CAST(cluster AS INT) AS cluster, word,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (PARTITION BY cluster
+                               ORDER BY cnt DESC, word) AS INT)
+         AS rank
+FROM wordcnt
+QUALIFY row_number() OVER (PARTITION BY cluster
+                           ORDER BY cnt DESC, word) <= {top_k}""")

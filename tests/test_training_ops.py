@@ -1325,3 +1325,33 @@ def test_pq_recall_high_on_structured_data(spark):
     tot_h = sum(r["n_hits"] for r in out)
     assert tot_e == 60
     assert tot_h / tot_e >= 0.9
+
+
+def test_cluster_topics_separates_planted_vocabularies(spark):
+    from maps_spark.operators.corpus import cluster_topics
+    import random
+    rng = random.Random(31)
+    vocab_a = ["apple", "banana", "cherry", "date", "elder"]
+    vocab_b = ["zinc", "yarrow", "xenon", "walnut", "vole"]
+    rows = []
+    for i in range(40):
+        v = vocab_a if i % 2 == 0 else vocab_b
+        rows.append((i, " ".join(rng.choice(v) for _ in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cluster_topics(docs, k=2, iters=4, top_k=5).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["word"])
+    assert len(by_cluster) == 2
+    tops = sorted(frozenset(v) for v in by_cluster.values())
+    assert {frozenset(vocab_a), frozenset(vocab_b)} == set(tops) or \
+        all(ws <= set(vocab_a) or ws <= set(vocab_b)
+            for ws in by_cluster.values())
+    # rank is dense 1..top_k per cluster, counts non-increasing
+    for c, words in by_cluster.items():
+        rs = sorted(r["rank"] for r in out if r["cluster"] == c)
+        assert rs == list(range(1, len(rs) + 1))
+        cnts = [r["cnt"] for r in sorted(
+            (x for x in out if x["cluster"] == c),
+            key=lambda x: x["rank"])]
+        assert cnts == sorted(cnts, reverse=True)
