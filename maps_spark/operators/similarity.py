@@ -733,6 +733,18 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     """
     codebooks, codes = pq_encode(corpus, m, n_cent, iters, vec_col,
                                  id_col, scale, dim)
+    lut = pq_query_lut(queries, codebooks, id_col, vec_col, scale)
+    return adc_topk(codes, lut, k_results)
+
+
+def pq_query_lut(queries: DataFrame, codebooks: list[list[list[int]]],
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 scale: int = 1_000_000) -> DataFrame:
+    """Per-query ADC lookup table: (qid, subspace, code, qd2) — the
+    exact integer distance of each normalized query subvector to every
+    codebook centroid. Tiny (n_queries * m * n_cent rows); broadcast
+    it into the code scan."""
+    m = len(codebooks)
     sub = len(codebooks[0][0])
     unit_q = queries.select(F.col(id_col),
                             unit_vec_col(vec_col).alias(vec_col))
@@ -743,8 +755,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             lambda x: F.floor(x.cast("double") * float(scale))
             .cast("long"))
         entries = []
-        for j in range(n_cent):
-            arr = F.array(*[F.lit(int(v)) for v in codebooks[s][j]])
+        for j, cent in enumerate(codebooks[s]):
+            arr = F.array(*[F.lit(int(v)) for v in cent])
             d2 = F.aggregate(
                 F.zip_with("qs", arr, lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -757,8 +769,17 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             .select("qid", "subspace", F.col("e.code").alias("code"),
                     F.col("e.qd2").alias("qd2")))
     lut = luts[0]
-    for p in luts[1:]:
-        lut = lut.unionByName(p)
+    for part in luts[1:]:
+        lut = lut.unionByName(part)
+    return lut
+
+
+def adc_topk(codes: DataFrame, lut: DataFrame,
+             k_results: int = 10) -> DataFrame:
+    """ADC scoring core shared by :func:`pq_topk` and the persisted
+    index (sources.ann_index.query_pq_index): broadcast-join the
+    (vec_id, subspace, code) table against the query LUT, sum the m
+    lookups per (query, vector), rank per query."""
     scored = (codes.join(F.broadcast(lut), ["subspace", "code"])
               .groupBy("qid", "vec_id")
               .agg(F.sum("qd2").cast("long").alias("adist2")))

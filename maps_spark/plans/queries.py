@@ -823,6 +823,21 @@ def q_ann_recall_pq(spark, sf_dir):
                           method="pq")
 
 
+def q_ann_pq_index(spark, sf_dir):
+    """Build-then-serve split of the PQ path: persist the compressed
+    codes + codebooks, then answer the same ADC top-k from the store —
+    must hash-match the on-the-fly pq_topk oracle."""
+    import tempfile
+
+    from maps_spark.sources.ann_index import (build_pq_index,
+                                              query_pq_index)
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="maps-spark-pq-") + "/index"
+    build_pq_index(emb, root)
+    return query_pq_index(spark, root,
+                          emb.where(F.col("vec_id") < 16))
+
+
 def q_cluster_topics(spark, sf_dir):
     from maps_spark.operators.corpus import cluster_topics
     return cluster_topics(_docs(spark, sf_dir))
@@ -1099,6 +1114,7 @@ MAPS_QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_recall_pq": q_ann_recall_pq,
     "cluster_topics": q_cluster_topics,
+    "ann_pq_index": q_ann_pq_index,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1260,6 +1276,10 @@ def maps_oracles() -> dict[str, str]:
         "ann_pq_topk": OT.pq_topk_select(n_queries=16),
         "ann_recall_pq": OT.ann_recall_pq_select(k=10, n_queries=16),
         "cluster_topics": OT.cluster_topics_select(),
+        # the serving gate reuses the in-memory PQ oracle: a hash
+        # match proves the persisted codes/codebooks round-trip is
+        # lossless (same pattern as ann_ivf_index)
+        "ann_pq_index": OT.pq_topk_select(n_queries=16),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

@@ -144,3 +144,70 @@ def upsert_ivf_index(emb_new: DataFrame, root: str,
     return {"appended": int(n_fresh),
             "skipped_existing": int(assigned.count() - n_fresh),
             "clusters": [int(c) for c in touched]}
+
+
+# -- PQ index: compressed codes beside the IVF partitions ----------------
+
+def build_pq_index(emb: DataFrame, root: str, m: int = 8,
+                   n_cent: int = 16, iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1_000_000) -> None:
+    """Train PQ codebooks (operators.similarity.pq_encode) and persist
+    the compressed index: one row per vector holding its ``m`` codes
+    (the 256x memory cut that lets a billion-vector index serve from
+    RAM), plus the codebook table and a manifest. IVF partitions WHAT
+    gets scanned; this stores HOW CHEAP each scan row is — a real
+    deployment layers both (partition by coarse cluster, store codes
+    inside each partition)."""
+    from maps_spark.operators.similarity import pq_encode
+    spark = emb.sparkSession
+    codebooks, codes = pq_encode(emb, m, n_cent, iters, vec_col,
+                                 id_col, scale)
+    packed = (codes.groupBy("vec_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("subspace", "code"))),
+                  lambda s: s["code"]).alias("codes")))
+    packed.write.mode("overwrite").parquet(f"{root}/pq_codes")
+    rows = [(s, j, [int(v) for v in codebooks[s][j]])
+            for s in range(m) for j in range(len(codebooks[s]))]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_books")
+    write_manifest(root, {"pq_m": m, "pq_n_cent": n_cent,
+                          "pq_iters": iters, "pq_scale": scale})
+
+
+def load_pq_codebooks(spark: SparkSession,
+                      root: str) -> list[list[list[int]]]:
+    """Codebooks back as the nested list pq_query_lut consumes (a few
+    KB — driver-side by design, like the IVF centroid table)."""
+    rows = (spark.read.parquet(f"{root}/pq_books")
+            .orderBy("subspace", "code").collect())
+    m = max(r["subspace"] for r in rows) + 1
+    books: list[list[list[int]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["centroid"]))
+    return books
+
+
+def query_pq_index(spark: SparkSession, root: str, queries: DataFrame,
+                   k_results: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Serve ADC top-k from the persisted codes: load the codebooks
+    (KB), build the query LUT, unpack the stored code rows and run the
+    shared scoring core. The scan touches ONLY the m-byte codes — the
+    original vectors never leave the build path.
+
+    Output: (qid, vec_id, adist2, rank) — identical to the in-memory
+    :func:`maps_spark.operators.similarity.pq_topk` (the gate proves
+    the store round-trip loses nothing)."""
+    from maps_spark.operators.similarity import adc_topk, pq_query_lut
+    manifest = read_manifest(root)
+    books = load_pq_codebooks(spark, root)
+    lut = pq_query_lut(queries, books, id_col, vec_col,
+                       scale=int(manifest.get("pq_scale", 1_000_000)))
+    codes = (spark.read.parquet(f"{root}/pq_codes")
+             .select("vec_id", F.posexplode("codes")
+                     .alias("subspace", "code")))
+    return adc_topk(codes, lut, k_results)

@@ -1355,3 +1355,26 @@ def test_cluster_topics_separates_planted_vocabularies(spark):
             (x for x in out if x["cluster"] == c),
             key=lambda x: x["rank"])]
         assert cnts == sorted(cnts, reverse=True)
+
+
+def test_pq_index_roundtrip_matches_fresh(spark, tmp_path):
+    from maps_spark.operators.similarity import pq_topk
+    from maps_spark.sources.ann_index import (build_pq_index,
+                                              load_pq_codebooks,
+                                              query_pq_index)
+    import random
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = str(tmp_path / "pqidx")
+    build_pq_index(df, root, m=4, n_cent=8, iters=2)
+    books = load_pq_codebooks(spark, root)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+    qs = df.where("vec_id < 5")
+    served = {(r.qid, r.vec_id): (r.adist2, r.rank)
+              for r in query_pq_index(spark, root, qs).collect()}
+    fresh = {(r.qid, r.vec_id): (r.adist2, r.rank)
+             for r in pq_topk(df, qs, m=4, n_cent=8, iters=2).collect()}
+    assert served == fresh and len(served) == 50
