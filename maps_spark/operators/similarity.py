@@ -786,3 +786,55 @@ def adc_topk(codes: DataFrame, lut: DataFrame,
     w = Window.partitionBy("qid").orderBy("adist2", "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k_results))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               k_results: int = 10, n_clusters: int = 16,
+               n_probe: int = 4, kmeans_iters: int = 2,
+               train_sample: int = 2048, m: int = 8, n_cent: int = 16,
+               iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: int = 1_000_000
+               ) -> DataFrame:
+    """The capstone billion-vector layout — IVF x PQ composed: the
+    coarse quantizer (:func:`ivf_centroids`) prunes WHICH vectors each
+    query scores (``n_probe`` of ``n_clusters`` inverted lists), and
+    the PQ codes (:func:`pq_encode`) shrink WHAT scoring a candidate
+    costs (m byte-sized table lookups instead of a full-vector dot).
+    Per query the scan cost is
+    ``O(corpus * n_probe / n_clusters * m)`` lookups — the Faiss
+    IVFADC shape, expressed as two broadcast joins and one
+    aggregation.
+
+    Both stages reuse their standalone, individually-gated parts, and
+    every quantity is the same exact integer/fold arithmetic, so this
+    composition is itself hash-gated end-to-end. Self-matches are kept
+    (the pure-ADC convention here; drop ``qid = vec_id`` rows for
+    recall work — :func:`ann_recall` does).
+
+    Output: (qid, vec_id, adist2, rank), rank <= k_results over the
+    PROBED candidates only, ties broken by vec_id.
+    """
+    train = np.array(
+        [r[0] for r in corpus.select(vec_col).orderBy(id_col)
+         .limit(train_sample).collect()], dtype=np.float64)
+    cent = ivf_centroids(train, n_clusters, kmeans_iters)
+    casg = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(cluster_assign_udf(cent, 1)(F.col(vec_col)), 1)
+        .alias("cluster"))
+    qasg = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(cluster_assign_udf(cent, n_probe)(F.col(vec_col)))
+        .alias("cluster"))
+    codebooks, codes = pq_encode(corpus, m, n_cent, iters, vec_col,
+                                 id_col, scale)
+    lut = pq_query_lut(queries, codebooks, id_col, vec_col, scale)
+    cand = (casg.join(F.broadcast(qasg), "cluster")
+            .select("qid", "vec_id").distinct())
+    scored = (codes.join(cand, "vec_id")
+              .join(F.broadcast(lut), ["qid", "subspace", "code"])
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("qd2").cast("long").alias("adist2")))
+    w = Window.partitionBy("qid").orderBy("adist2", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_results))

@@ -823,6 +823,12 @@ def q_ann_recall_pq(spark, sf_dir):
                           method="pq")
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    from maps_spark.operators.similarity import ivfpq_topk
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 16))
+
+
 def q_ann_pq_index(spark, sf_dir):
     """Build-then-serve split of the PQ path: persist the compressed
     codes + codebooks, then answer the same ADC top-k from the store —
@@ -1115,6 +1121,7 @@ MAPS_QUERIES = {
     "ann_recall_pq": q_ann_recall_pq,
     "cluster_topics": q_cluster_topics,
     "ann_pq_index": q_ann_pq_index,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1280,6 +1287,7 @@ def maps_oracles() -> dict[str, str]:
         # match proves the persisted codes/codebooks round-trip is
         # lossless (same pattern as ann_ivf_index)
         "ann_pq_index": OT.pq_topk_select(n_queries=16),
+        "ann_ivfpq_topk": OT.ivfpq_topk_select(n_queries=16),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

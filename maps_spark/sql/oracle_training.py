@@ -2433,12 +2433,10 @@ def pq_codes_select(m: int = 8, n_cent: int = 16, iters: int = 2,
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
-def pq_topk_select(n_queries: int = 16, k_results: int = 10,
-                   m: int = 8, n_cent: int = 16, iters: int = 2,
-                   dim: int = 64, scale: int = 1_000_000) -> str:
-    """DuckDB twin of operators.similarity.pq_topk (ADC): per-query
-    LUT against each subspace's FINAL centroids, summed over the code
-    table, ranked per query with the (adist2, vec_id) tie-break."""
+def _pq_chain_parts(n_queries: int, m: int, n_cent: int, iters: int,
+                    dim: int, scale: int) -> tuple[list[str], str, str]:
+    """(kmeans CTE list, codes-union SQL, lut-union SQL) — the PQ
+    building blocks shared by pq_topk_select and ivfpq_topk_select."""
     sub = dim // m
     ctes = [_ranked_cte()]
     for s in range(m):
@@ -2453,6 +2451,17 @@ def pq_topk_select(n_queries: int = 16, k_results: int = 10,
        c.cluster AS code, sum((q.xs - c.xs) * (q.xs - c.xs)) AS qd2
 FROM s{s}_scaled q JOIN s{s}_c{iters} c ON q.pos = c.pos
 WHERE q.vec_id < {n_queries} GROUP BY 1, 2, 3""" for s in range(m))
+    return ctes, codes, lut
+
+
+def pq_topk_select(n_queries: int = 16, k_results: int = 10,
+                   m: int = 8, n_cent: int = 16, iters: int = 2,
+                   dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.similarity.pq_topk (ADC): per-query
+    LUT against each subspace's FINAL centroids, summed over the code
+    table, ranked per query with the (adist2, vec_id) tie-break."""
+    ctes, codes, lut = _pq_chain_parts(n_queries, m, n_cent, iters,
+                                       dim, scale)
     return ("WITH " + ",\n".join(ctes)
             + f""",\ncodes AS ({codes}),\nlut AS ({lut}),
 scored AS (
@@ -2468,6 +2477,46 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY qid
                            ORDER BY adist2, vec_id) <= {k_results}"""
             )
+
+
+def ivfpq_topk_select(n_queries: int = 16, k_results: int = 10,
+                      n_clusters: int = 16, n_probe: int = 4,
+                      kmeans_iters: int = 2, train_sample: int = 2048,
+                      m: int = 8, n_cent: int = 16, iters: int = 2,
+                      dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.similarity.ivfpq_topk: the IVF
+    training/assignment chain (casg) + query probes, composed with the
+    PQ chains — ADC runs over probed candidates only."""
+    ctes, codes, lut = _pq_chain_parts(n_queries, m, n_cent, iters,
+                                       dim, scale)
+    return f"""WITH {_ivf_casg_ctes(dim, n_clusters, kmeans_iters,
+                                    train_sample)},
+qasg AS (
+  SELECT vec_id AS qid, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, c) AS rk
+    FROM fdots WHERE vec_id < {n_queries}) z WHERE rk <= {n_probe}),
+{",".join(ctes)},
+codes AS ({codes}),
+lut AS ({lut}),
+cand AS (
+  SELECT DISTINCT q.qid, n.neighbor_id AS vec_id
+  FROM qasg q JOIN casg n USING (c)),
+scored AS (
+  SELECT l.qid, co.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adist2
+  FROM codes co
+  JOIN cand ca ON ca.vec_id = co.vec_id
+  JOIN lut l ON l.qid = ca.qid AND l.subspace = co.subspace
+            AND l.code = co.code
+  GROUP BY 1, 2)
+SELECT qid, vec_id, adist2,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adist2, vec_id) AS INT)
+         AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY adist2, vec_id) <= {k_results}"""
 
 
 def media_dhash_select(n: int = 64, width: int = 32, height: int = 24,

@@ -1378,3 +1378,29 @@ def test_pq_index_roundtrip_matches_fresh(spark, tmp_path):
     fresh = {(r.qid, r.vec_id): (r.adist2, r.rank)
              for r in pq_topk(df, qs, m=4, n_cent=8, iters=2).collect()}
     assert served == fresh and len(served) == 50
+
+
+def test_ivfpq_with_full_probe_equals_pure_pq(spark):
+    """Probing every inverted list removes the IVF pruning, so the
+    composition must reduce exactly to the pure ADC ranking."""
+    from maps_spark.operators.similarity import ivfpq_topk, pq_topk
+    import random
+    rng = random.Random(47)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.where("vec_id < 4")
+    full = {(r.qid, r.vec_id): (r.adist2, r.rank) for r in ivfpq_topk(
+        df, qs, n_clusters=4, n_probe=4, m=4, n_cent=8).collect()}
+    pure = {(r.qid, r.vec_id): (r.adist2, r.rank) for r in pq_topk(
+        df, qs, m=4, n_cent=8).collect()}
+    assert full == pure and len(full) == 40
+    # with real pruning the result is a subset ranking: every returned
+    # pair's distance also appears in the pure ADC table
+    pruned = ivfpq_topk(df, qs, n_clusters=4, n_probe=1,
+                        m=4, n_cent=8).collect()
+    assert pruned and all(r.rank <= 10 for r in pruned)
+    pure_d = {(r.qid, r.vec_id): r.adist2 for r in pq_topk(
+        df, qs, m=4, n_cent=8, k_results=80).collect()}
+    for r in pruned:
+        assert pure_d[(r.qid, r.vec_id)] == r.adist2
