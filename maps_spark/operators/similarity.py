@@ -838,3 +838,48 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     w = Window.partitionBy("qid").orderBy("adist2", "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k_results))
+
+
+def pq_encode_with_books(emb: DataFrame,
+                         codebooks: list[list[list[int]]],
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         scale: int = 1_000_000) -> DataFrame:
+    """Encode vectors against FIXED codebooks (no training): per
+    subspace, the normalized scaled subvector's nearest centroid by
+    the same (d2, code) tie-break the k-means assignment uses — so
+    encoding a vector later (index upsert) yields the identical code
+    it would have received in the original build.
+
+    Output: (vec_id, subspace, code, dist2) — pq_encode's code-table
+    shape.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    unit = emb.select(F.col(id_col).alias("vec_id"),
+                      unit_vec_col(vec_col).alias("v"))
+    parts = []
+    for s in range(m):
+        sv = F.transform(
+            F.slice(F.col("v"), s * sub + 1, sub),
+            lambda x: F.floor(x.cast("double") * float(scale))
+            .cast("long"))
+        structs = []
+        for j, cent in enumerate(codebooks[s]):
+            arr = F.array(*[F.lit(int(v)) for v in cent])
+            d2 = F.aggregate(
+                F.zip_with("sv", arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            structs.append(F.struct(d2.alias("d2"),
+                                    F.lit(j).alias("cid")))
+        parts.append(
+            unit.select("vec_id", sv.alias("sv"))
+            .select("vec_id",
+                    F.array_min(F.array(*structs)).alias("best"))
+            .select("vec_id", F.lit(s).alias("subspace"),
+                    F.col("best.cid").alias("code"),
+                    F.col("best.d2").alias("dist2")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -211,3 +211,38 @@ def query_pq_index(spark: SparkSession, root: str, queries: DataFrame,
              .select("vec_id", F.posexplode("codes")
                      .alias("subspace", "code")))
     return adc_topk(codes, lut, k_results)
+
+
+def upsert_pq_index(emb_new: DataFrame, root: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """Incremental PQ growth without retraining: encode the new batch
+    against the STORED codebooks
+    (operators.similarity.pq_encode_with_books — identical codes to a
+    from-scratch encode under the same books) and append the packed
+    rows. Ids already present are skipped (idempotent replay, same
+    contract as :func:`upsert_ivf_index`); codebook drift is the
+    documented trade-off — retrain with :func:`build_pq_index` when
+    quantization error creeps (compare the stored ``dist2`` tail
+    between builds)."""
+    from maps_spark.operators.similarity import pq_encode_with_books
+    spark = emb_new.sparkSession
+    books = load_pq_codebooks(spark, root)
+    manifest = read_manifest(root)
+    codes = pq_encode_with_books(
+        emb_new, books, id_col, vec_col,
+        scale=int(manifest.get("pq_scale", 1_000_000)))
+    packed = (codes.groupBy("vec_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("subspace", "code"))),
+                  lambda s: s["code"]).alias("codes"))
+              .localCheckpoint())
+    existing = spark.read.parquet(f"{root}/pq_codes").select("vec_id")
+    fresh = packed.join(existing, "vec_id", "left_anti") \
+        .localCheckpoint()
+    n_fresh = fresh.count()
+    if n_fresh:
+        fresh.write.mode("append").parquet(f"{root}/pq_codes")
+    return {"appended": int(n_fresh),
+            "skipped_existing": int(packed.count() - n_fresh)}

@@ -1404,3 +1404,46 @@ def test_ivfpq_with_full_probe_equals_pure_pq(spark):
         df, qs, m=4, n_cent=8, k_results=80).collect()}
     for r in pruned:
         assert pure_d[(r.qid, r.vec_id)] == r.adist2
+
+
+def test_pq_upsert_encodes_identically_and_is_idempotent(spark,
+                                                         tmp_path):
+    from maps_spark.sources.ann_index import (build_pq_index,
+                                              query_pq_index,
+                                              upsert_pq_index)
+    import random
+    rng = random.Random(53)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old, new = df.where("vec_id < 60"), df.where("vec_id >= 60")
+    # index built on the old batch, new batch upserted with the
+    # STORED books must serve the same top-k as an index whose codes
+    # cover all vectors under those same books
+    root = str(tmp_path / "pq_upsert")
+    build_pq_index(old, root, m=4, n_cent=8, iters=2)
+    r1 = upsert_pq_index(new, root)
+    assert r1 == {"appended": 20, "skipped_existing": 0}
+    # replaying the same batch is a no-op
+    r2 = upsert_pq_index(new, root)
+    assert r2 == {"appended": 0, "skipped_existing": 20}
+    qs = df.where("vec_id < 4")
+    served = query_pq_index(spark, root, qs)
+    got_ids = {r.vec_id for r in served.collect()}
+    # new vectors are findable: at least one upserted id can appear,
+    # and the full id space is covered by the code table
+    n_codes = spark.read.parquet(f"{root}/pq_codes").count()
+    assert n_codes == 80
+    assert got_ids <= set(range(80)) and len(got_ids) >= 10
+    # the stored codes for the upserted batch are exactly what a
+    # fixed-books encode produces — upsert never drifts the encoding
+    from maps_spark.sources.ann_index import load_pq_codebooks
+    from maps_spark.operators.similarity import pq_encode_with_books
+    books = load_pq_codebooks(spark, root)
+    want = {(r.vec_id, r.subspace): r.code
+            for r in pq_encode_with_books(new, books).collect()}
+    stored = spark.read.parquet(f"{root}/pq_codes") \
+        .where("vec_id >= 60").collect()
+    for r in stored:
+        for s, c in enumerate(r.codes):
+            assert want[(r.vec_id, s)] == c
