@@ -665,9 +665,11 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
 
     Everything inherits k-means' exact integer arithmetic, so codes
     (and ADC distances downstream) are oracle-checkable. Each
-    subspace is one independent Lloyd's run over the SAME seeding
-    order — m passes over the corpus at train time, one code table
-    at the end.
+    subspace is an independent Lloyd's run over the SAME seeding
+    order, but all m runs are trained in ONE shared pass per
+    iteration (joint assignment select + one (subspace, cluster,
+    pos) aggregation) — iters+2 corpus scans total, not m times
+    that.
 
     Vectors are L2-normalized first (:func:`unit_vec_col`): the ANN
     ground truth here is COSINE, and on unit vectors the ADC L2
@@ -688,25 +690,75 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
         dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    import math
     sub = dim // m
     unit = emb.select(F.col(id_col),
                       unit_vec_col(vec_col).alias(vec_col))
-    codebooks: list[list[list[int]]] = []
-    parts = []
-    for s in range(m):
-        sliced = unit.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
-        cents, assign = kmeans_fit(sliced, n_cent, iters, vec_col,
-                                   id_col, scale)
-        codebooks.append(cents)
-        parts.append(assign.select(
-            "vec_id", F.lit(s).alias("subspace"),
-            F.col("cluster").alias("code"), "dist2"))
-    codes = parts[0]
-    for p in parts[1:]:
-        codes = codes.unionByName(p)
-    return codebooks, codes
+    svs = [F.transform(
+        F.slice(F.col(vec_col), s * sub + 1, sub),
+        lambda x: F.floor(x.cast("double") * float(scale))
+        .cast("long")) for s in range(m)]
+    base = unit.select(
+        F.col(id_col).alias("vec_id"),
+        *[svs[s].alias(f"sv{s}") for s in range(m)]).persist()
+    try:
+        seed_ids = _kmeans_seed_ids(emb, n_cent, id_col)
+        seed_rows = {r["vec_id"]: [list(r[f"sv{s}"]) for s in range(m)]
+                     for r in base.where(
+                         F.col("vec_id").isin(seed_ids)).collect()}
+        # cent[s][j] — per-subspace codebooks, trained TOGETHER: all
+        # m Lloyd's runs share each pass over the corpus (one
+        # assignment select + one (s, cluster, pos) aggregation per
+        # iteration) instead of m separate kmeans_fit scans. The
+        # arithmetic per subspace is identical to kmeans_fit's, so
+        # the codes are unchanged — only the job count drops m-fold.
+        cent = [[seed_rows[i][s] for i in seed_ids] for s in range(m)]
+
+        def best_cols():
+            cols = []
+            for s in range(m):
+                structs = []
+                for j, c in enumerate(cent[s]):
+                    arr = F.array(*[F.lit(int(v)) for v in c])
+                    d2 = F.aggregate(
+                        F.zip_with(f"sv{s}", arr,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"), lambda acc, v: acc + v)
+                    structs.append(F.struct(d2.alias("d2"),
+                                            F.lit(j).alias("cid")))
+                cols.append(F.array_min(F.array(*structs))
+                            .alias(f"best{s}"))
+            return cols
+
+        for _ in range(iters):
+            upd = (base.select(*best_cols(),
+                               *[f"sv{s}" for s in range(m)])
+                   .select(F.explode(F.array(*[
+                       F.struct(F.lit(s).alias("s"),
+                                F.col(f"best{s}.cid").alias("cluster"),
+                                F.col(f"sv{s}").alias("sv"))
+                       for s in range(m)])).alias("e"))
+                   .select("e.s", "e.cluster",
+                           F.posexplode("e.sv").alias("pos", "xs"))
+                   .groupBy("s", "cluster", "pos")
+                   .agg(F.sum("xs").alias("sm"),
+                        F.count("*").alias("n"))
+                   .collect())
+            nxt = [[list(c) for c in cs] for cs in cent]
+            for r in upd:
+                nxt[r["s"]][r["cluster"]][r["pos"]] = math.floor(
+                    r["sm"] / r["n"])
+            cent = nxt
+        codes = (base.select("vec_id", *best_cols())
+                 .select("vec_id", F.explode(F.array(*[
+                     F.struct(F.lit(s).alias("subspace"),
+                              F.col(f"best{s}.cid").alias("code"),
+                              F.col(f"best{s}.d2").alias("dist2"))
+                     for s in range(m)])).alias("e"))
+                 .select("vec_id", "e.subspace", "e.code", "e.dist2"))
+        return cent, codes
+    finally:
+        base.unpersist()
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame,
