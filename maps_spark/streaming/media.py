@@ -1,0 +1,188 @@
+"""Streaming incremental IMAGE dedup: media batches landing as files
+are dHashed and checked against a persisted perceptual-hash store.
+
+The text pipeline's incremental question (:mod:`streaming.dedup` —
+"is this NEW doc a near-dup of anything accepted?") applies verbatim
+to images at crawl scale, with the minhash/LSH machinery swapped for
+:func:`maps_spark.operators.multimodal.image_dhash` and its 8x8-bit
+Hamming bands. Store layout mirrors the text store:
+
+- ``store/hashes`` (media_id, hash_hi, hash_lo) — accepted images;
+- ``store/bands``  (bidx, bb, bval, media_id), partitioned by
+  ``(bidx, bb)`` with ``bb = bval mod BAND_SUBBUCKETS`` — a batch
+  probes ONLY its touched sub-bucket directories, so the probe reads
+  O(batch), not O(store);
+- ``store/dupes``  (media_id, dup_of, hamming, batch_id) — rejects.
+
+Accepted images append; rejects are logged and never indexed, so the
+store holds canonical images only. The foreachBatch body is guarded
+by the shared batch-id marker (at-least-once replays of the
+non-idempotent append are skipped). Candidate sides both go through
+the shared ``cap_buckets`` guard (flat-image band floods stay
+bounded); verification is the exact two-word popcount.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from maps_spark.operators.dedup import cap_buckets
+from maps_spark.operators.multimodal import image_dhash
+
+BAND_SUBBUCKETS = 64
+
+
+def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
+                    sub: int = BAND_SUBBUCKETS) -> DataFrame:
+    """(media_id, bidx, bb, bval): the eight 8-bit dHash bands as
+    rows (the same band split dhash_near_pairs uses wide), plus the
+    store sub-bucket key."""
+    entries = []
+    for b in range(4):
+        entries.append(F.struct(
+            F.lit(b).alias("bidx"),
+            (F.expr(f"hash_lo div {1 << (8 * b)}") % 256)
+            .cast("int").alias("bval")))
+        entries.append(F.struct(
+            F.lit(b + 4).alias("bidx"),
+            (F.expr(f"hash_hi div {1 << (8 * b)}") % 256)
+            .cast("int").alias("bval")))
+    return (h.select(F.col(id_col).alias("media_id"),
+                     F.explode(F.array(*entries)).alias("e"))
+            .select("media_id", "e.bidx",
+                    F.pmod(F.col("e.bval"), F.lit(sub)).alias("bb"),
+                    "e.bval"))
+
+
+def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def read_store_bands(spark: SparkSession, store_dir: str,
+                     touched: list[tuple[int, int]] | None = None
+                     ) -> DataFrame | None:
+    """Band index pruned to the touched ``(bidx, bb)`` directories."""
+    root = f"{store_dir}/bands"
+    if touched is None:
+        return _try_read(spark, root)
+    paths = [p for p in (f"{root}/bidx={b}/bb={sb}"
+                         for b, sb in touched)
+             if os.path.isdir(p)]
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def _hamming(hi_a, lo_a, hi_b, lo_b) -> F.Column:
+    return (F.bit_count(hi_a.bitwiseXOR(hi_b))
+            + F.bit_count(lo_a.bitwiseXOR(lo_b))).cast("int")
+
+
+def process_media_batch(media: DataFrame, store_dir: str,
+                        batch_id: int = 0, max_hamming: int = 6,
+                        max_band_df: int = 10_000) -> None:
+    """Dedup one batch of images against the store (and itself):
+    dHash, band-probe, popcount-verify, append novel hashes."""
+    spark = media.sparkSession
+    h = (image_dhash(media).where(F.col("decode_ok"))
+         .select("media_id", "hash_hi", "hash_lo").localCheckpoint())
+    batch_bands = cap_buckets(dhash_band_rows(h), ["bidx", "bval"],
+                              max_band_df).localCheckpoint()
+
+    # within-batch candidates (smaller id wins as canonical)
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    cand = (a.join(b, ["bidx", "bval"])
+            .where(F.col("a.media_id") > F.col("b.media_id"))
+            .select(F.col("a.media_id").alias("media_id"),
+                    F.col("b.media_id").alias("dup_of")))
+    touched = [(r["bidx"], r["bb"]) for r in
+               batch_bands.select("bidx", "bb").distinct().collect()]
+    store_bands = read_store_bands(spark, store_dir, touched)
+    all_hashes = h
+    if store_bands is not None:
+        store_bands = cap_buckets(store_bands, ["bidx", "bval"],
+                                  max_band_df)
+        cross = (batch_bands.join(
+            store_bands.withColumnRenamed("media_id", "dup_of"),
+            ["bidx", "bval"])
+            .where(F.col("media_id") != F.col("dup_of"))
+            .select("media_id", "dup_of"))
+        cand = cand.unionByName(cross)
+        store_hashes = _try_read(spark, f"{store_dir}/hashes")
+        needed = store_hashes.join(
+            cross.select(F.col("dup_of").alias("media_id")).distinct(),
+            "media_id", "left_semi")
+        all_hashes = h.unionByName(needed)
+    cand = cand.distinct()
+
+    ha = all_hashes.select(F.col("media_id"),
+                           F.col("hash_hi").alias("hi_a"),
+                           F.col("hash_lo").alias("lo_a"))
+    hb = all_hashes.select(F.col("media_id").alias("dup_of"),
+                           F.col("hash_hi").alias("hi_b"),
+                           F.col("hash_lo").alias("lo_b"))
+    near = (cand.join(ha, "media_id").join(hb, "dup_of")
+            .select("media_id", "dup_of",
+                    _hamming(F.col("hi_a"), F.col("lo_a"),
+                             F.col("hi_b"), F.col("lo_b"))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+    # one verdict per rejected image: closest match, ties to the
+    # smallest canonical id
+    best = F.min(F.struct("hamming", "dup_of")).alias("b")
+    dupes = (near.groupBy("media_id").agg(best)
+             .select("media_id", F.col("b.dup_of").alias("dup_of"),
+                     F.col("b.hamming").alias("hamming"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .localCheckpoint())
+
+    novel = h.select("media_id").join(dupes, "media_id", "left_anti")
+    dupes.write.mode("append").parquet(f"{store_dir}/dupes")
+    (h.join(novel, "media_id", "left_semi")
+     .write.mode("append").parquet(f"{store_dir}/hashes"))
+    (batch_bands.join(novel, "media_id", "left_semi")
+     .write.mode("append").partitionBy("bidx", "bb")
+     .parquet(f"{store_dir}/bands"))
+
+
+def accepted_ids(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{store_dir}/hashes").select("media_id")
+
+
+def rejected(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{store_dir}/dupes")
+
+
+def run_incremental_image_dedup(spark: SparkSession, input_path: str,
+                                store_dir: str,
+                                max_files_per_trigger: int = 1,
+                                **kwargs):
+    """Wire the stream: media files -> per-batch image dedup vs the
+    store (availableNow backlog drain, marker-guarded replays)."""
+    from maps_spark.streaming.refresh import _applied_batch, _commit_batch
+    marker = store_dir.rstrip("/") + "/_meta/last_batch.json"
+    schema = spark.read.parquet(input_path).schema
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if os.path.isfile(input_path):
+        stream = reader.option(
+            "pathGlobFilter", os.path.basename(input_path)).parquet(
+            os.path.dirname(input_path))
+    else:
+        stream = reader.parquet(input_path)
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        if _applied_batch(marker) >= batch_id:
+            return
+        process_media_batch(batch_df, store_dir, batch_id, **kwargs)
+        _commit_batch(marker, batch_id)
+
+    return (stream.writeStream.foreachBatch(_body)
+            .trigger(availableNow=True).start())

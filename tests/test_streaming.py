@@ -515,3 +515,73 @@ def test_streaming_heavy_hitters_tracked(spark, tmp_path):
     assert hitters[777777] >= true[777777] >= 300
     for k, est in hitters.items():
         assert est >= true[k]
+
+
+class TestStreamingImageDedup:
+    def _img(self, rng, noisy_of=None, amp=4):
+        import numpy as np
+        if noisy_of is None:
+            return rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        return np.clip(noisy_of.astype(int)
+                       + rng.integers(-amp, amp + 1, noisy_of.shape),
+                       0, 255).astype(np.uint8)
+
+    def _write_batch(self, spark, landing, path_name, imgs):
+        import os
+
+        import pandas as pd
+        from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                     encode_ppm)
+        rows = [(mid, "image", bytearray(encode_ppm(img)),
+                 img.shape[1], img.shape[0], 0, 0)
+                for mid, img in imgs]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                        "width", "height",
+                                        "sample_rate", "n_frames"]),
+            schema=MEDIA_SCHEMA)
+        tmp = f"{landing}/_tmp_{path_name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(landing, exist_ok=True)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(f"{tmp}/{f}",
+                          f"{landing}/batch_{path_name}.parquet")
+        import shutil
+        shutil.rmtree(tmp)
+
+    def test_cross_batch_image_dupes_detected(self, spark, tmp_path):
+        import numpy as np
+        from maps_spark.streaming.media import (accepted_ids, rejected,
+                                                run_incremental_image_dedup)
+        rng = np.random.default_rng(7)
+        landing = str(tmp_path / "landing")
+        store = str(tmp_path / "store")
+        base = [self._img(rng) for _ in range(4)]
+        # batch 1: four distinct images (+ one in-batch noisy dup of
+        # image 0 -> rejected within batch, canonical = smaller id)
+        self._write_batch(spark, landing, "a",
+                          [(i, base[i]) for i in range(4)]
+                          + [(9, self._img(rng, base[0]))])
+        # batch 2: noisy dup of stored image 2, plus a novel image
+        nov = self._img(rng)
+        self._write_batch(spark, landing, "b",
+                          [(12, self._img(rng, base[2])), (13, nov)])
+        # batch 3: dup of the batch-2 NOVEL image
+        self._write_batch(spark, landing, "c",
+                          [(20, self._img(rng, nov))])
+        q = run_incremental_image_dedup(spark, landing, store,
+                                        max_files_per_trigger=1)
+        q.awaitTermination(300)
+        rej = {r.media_id: r for r in rejected(spark, store).collect()}
+        acc = {r.media_id for r in accepted_ids(spark, store).collect()}
+        assert rej[9].dup_of == 0 and rej[9].hamming <= 6
+        assert rej[12].dup_of == 2
+        assert rej[20].dup_of == 13
+        assert acc == {0, 1, 2, 3, 13}
+        # replaying the landing zone is a no-op (marker guard)
+        q2 = run_incremental_image_dedup(spark, landing, store,
+                                         max_files_per_trigger=1)
+        q2.awaitTermination(300)
+        assert rejected(spark, store).count() == 3
+        assert accepted_ids(spark, store).count() == 5
