@@ -114,3 +114,101 @@ def zorder_layout(df: DataFrame, lat_col: str = "decimalLatitude",
     else:
         keyed = keyed.repartitionByRange(*parts)
     return keyed.sortWithinPartitions("zkey")
+
+
+def morton_ranges(lat_min: float, lat_max: float, lng_min: float,
+                  lng_max: float, z: int = 16,
+                  max_ranges: int = 32) -> list[tuple[int, int]]:
+    """Cover a bounding box with at most ``max_ranges`` contiguous
+    Morton-key intervals at zoom ``z`` — the driver-side half of the
+    poor man's spatial index: quadtree descent emits one full range
+    per cell wholly inside the box and recurses on boundary cells,
+    then adjacent/nearest intervals merge down to the budget (merging
+    only ever ADDS covered keys, so the cover stays correct, just
+    looser).
+
+    Use with :func:`bbox_scan` (or directly as ``zkey BETWEEN``
+    predicates over a :func:`zorder_layout` table): each interval is a
+    contiguous key span, so parquet row-group min/max stats skip
+    everything outside the box.
+    """
+    n = 1 << z
+    import math
+
+    def cell(v, lo, hi):
+        return min(max(int(math.floor(v)), lo), hi)
+
+    qx_lo = cell((lng_min + 180.0) / 360.0 * n, 0, n - 1)
+    qx_hi = cell((lng_max + 180.0) / 360.0 * n, 0, n - 1)
+    qy_lo = cell((90.0 - lat_max) / 180.0 * n, 0, n - 1)
+    qy_hi = cell((90.0 - lat_min) / 180.0 * n, 0, n - 1)
+    out: list[tuple[int, int]] = []
+    # level-by-level descent with a bounded boundary set: a thin box
+    # at high z has O(perimeter) boundary cells, so once refining
+    # further would exceed the work budget the remaining boundary
+    # cells emit their FULL ranges (over-cover — correct, coarser)
+    boundary = [(0, 0, 0)]
+    budget = 64 * max_ranges
+    for level in range(z + 1):
+        span = z - level
+        partial = []
+        for x, y, m in boundary:
+            cx_lo, cx_hi = x << span, ((x + 1) << span) - 1
+            cy_lo, cy_hi = y << span, ((y + 1) << span) - 1
+            if cx_hi < qx_lo or cx_lo > qx_hi \
+                    or cy_hi < qy_lo or cy_lo > qy_hi:
+                continue
+            if (qx_lo <= cx_lo and cx_hi <= qx_hi
+                    and qy_lo <= cy_lo and cy_hi <= qy_hi):
+                out.append((m << (2 * span),
+                            ((m + 1) << (2 * span)) - 1))
+            else:
+                partial.append((x, y, m))
+        if not partial:
+            break
+        if level == z or len(partial) * 4 > budget:
+            out.extend((m << (2 * span), ((m + 1) << (2 * span)) - 1)
+                       for x, y, m in partial)
+            break
+        boundary = [(2 * x + xbit, 2 * y + ybit,
+                     m * 4 + (ybit << 1 | xbit))
+                    for x, y, m in partial
+                    for ybit in (0, 1) for xbit in (0, 1)]
+    out.sort()
+    # coalesce adjacency, then merge smallest gaps down to the budget
+    merged: list[list[int]] = []
+    for a, b in out:
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    while len(merged) > max_ranges:
+        gaps = [(merged[i + 1][0] - merged[i][1], i)
+                for i in range(len(merged) - 1)]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(a, b) for a, b in merged]
+
+
+def bbox_scan(df: DataFrame, lat_min: float, lat_max: float,
+              lng_min: float, lng_max: float, z: int = 16,
+              lat_col: str = "decimalLatitude",
+              lng_col: str = "decimalLongitude",
+              zkey_col: str = "zkey",
+              max_ranges: int = 32) -> DataFrame:
+    """Bounding-box query over a Z-ordered table: the Morton range
+    cover prunes at the scan (row-group min/max on ``zkey_col``), the
+    exact coordinate predicate restores cell-boundary precision —
+    results are EXACTLY the box, pruning is just the fast path.
+    Dateline-crossing boxes: issue two calls (west + east half) and
+    union, like the tile readers do."""
+    from functools import reduce
+    ranges = morton_ranges(lat_min, lat_max, lng_min, lng_max, z,
+                           max_ranges)
+    pred = reduce(lambda a, b: a | b,
+                  [F.col(zkey_col).between(lo, hi)
+                   for lo, hi in ranges])
+    return df.where(pred).where(
+        (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+        & (F.col(lng_col) >= lng_min) & (F.col(lng_col) <= lng_max))

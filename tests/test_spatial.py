@@ -126,3 +126,50 @@ def test_null_and_out_of_range_coords(spark):
                             "lat", "lng", 8)
     for r in staged.collect():
         assert (r["zkey"], r["gh"]) == out[r["id"]]
+
+
+def test_bbox_scan_exact_and_pruned(spark, tmp_path):
+    import random
+
+    from maps_spark.functions.spatial import bbox_scan, morton_ranges
+    rng = random.Random(17)
+    rows = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180))
+            for i in range(3000)]
+    out = str(tmp_path / "zpts2")
+    zorder_layout(_pts(spark, rows), "lat", "lng", z=16,
+                  num_partitions=8).write.parquet(out)
+    back = spark.read.parquet(out)
+    box = (10.0, 35.0, -40.0, -5.0)
+    got = {r["id"] for r in bbox_scan(back, *box, z=16, lat_col="lat",
+                                      lng_col="lng").collect()}
+    want = {i for i, la, lo in rows
+            if box[0] <= la <= box[1] and box[2] <= lo <= box[3]}
+    assert got == want and got
+    # the range cover is sane: bounded count, sorted, disjoint
+    ranges = morton_ranges(*box, z=16)
+    assert 1 <= len(ranges) <= 32
+    assert all(a <= b for a, b in ranges)
+    assert all(ranges[i][1] < ranges[i + 1][0]
+               for i in range(len(ranges) - 1))
+
+
+def test_morton_ranges_cover_never_misses(spark):
+    """Any point inside the box has its z16 morton key inside some
+    interval of the cover (the property bbox_scan's pruning relies
+    on)."""
+    import random
+
+    from maps_spark.functions.spatial import morton_ranges
+    rng = random.Random(29)
+    for _ in range(10):
+        la = sorted((rng.uniform(-90, 90), rng.uniform(-90, 90)))
+        lo = sorted((rng.uniform(-180, 180), rng.uniform(-180, 180)))
+        ranges = morton_ranges(la[0], la[1], lo[0], lo[1], z=16,
+                               max_ranges=16)
+        pts = [(rng.uniform(la[0], la[1]), rng.uniform(lo[0], lo[1]))
+               for _ in range(50)]
+        df = spark.createDataFrame(pts, "lat double, lng double")
+        keys = [r["m"] for r in df.select(
+            morton_key("lat", "lng", 16).alias("m")).collect()]
+        for k in keys:
+            assert any(a <= k <= b for a, b in ranges)
