@@ -482,3 +482,60 @@ def test_audit_build_reports_conservation_and_churn(spark, tmp_path):
     churn = rep2["churn"]
     assert churn["changed"] + churn["removed"] > 0
     assert len(churn["sample"]) > 0
+
+
+def test_round5_ops_plan_shapes(spark):
+    """Plan audits for the round-5 second-session operators: the
+    bloom word table and the ADC LUT broadcast; nothing goes
+    cartesian; session-path analysis shuffles the event stream ONCE
+    (both windows and the pair agg reuse the user_id partitioning)."""
+    import re
+
+    import pyspark.sql.functions as F
+    from maps_spark.operators.corpus import bloom_contamination
+    from maps_spark.operators.dedup import fuzzy_pairs
+    from maps_spark.operators.sessions import (event_transitions,
+                                               session_paths)
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+
+    bloom_plan = plan_of(bloom_contamination(
+        docs.where(F.col("doc_id") % 25 != 0),
+        docs.where(F.col("doc_id") % 25 == 0)))
+    assert "CartesianProduct" not in bloom_plan
+    assert "BroadcastHashJoin" in bloom_plan
+
+    fz_plan = plan_of(fuzzy_pairs(
+        docs.select("doc_id",
+                    F.substring("text", 1, 30).alias("title")),
+        max_gram_df=100))
+    assert "CartesianProduct" not in fz_plan
+    assert "BroadcastNestedLoopJoin" not in fz_plan
+    # the hot-gram cap's anti-join broadcasts (tiny skew tail)
+    assert "BroadcastHashJoin" in fz_plan
+
+    # event stream shuffles once on user_id: every window and the
+    # session-grain operations reuse that partitioning
+    tr_plan = plan_of(event_transitions(events))
+    ex = re.findall(r"Exchange hashpartitioning\(user_id",
+                    plan_of(event_transitions(events), mode="simple"))
+    assert len(ex) == 1, tr_plan
+    sp_plan = plan_of(session_paths(events), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id",
+                          sp_plan)) == 1, sp_plan
+
+
+def test_pq_adc_scan_broadcasts_lut(spark):
+    """pq_topk's scoring join must broadcast the per-query LUT (the
+    code scan is the big side) and never go cartesian."""
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from maps_spark.operators.similarity import pq_topk
+    plan = plan_of(pq_topk(df, df.where("vec_id < 2"), m=2, n_cent=4,
+                           iters=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
