@@ -953,3 +953,62 @@ def fuzzy_pairs(df: DataFrame, key_col: str = "title",
             .select("id_a", "id_b",
                     F.levenshtein("k_a", "k_b").alias("dist"))
             .where(F.col("dist") <= max_dist))
+
+
+def dedup_method_overlap(docs: DataFrame, text_col: str = "text",
+                         jaccard_threshold: float = 0.25,
+                         containment_threshold: float = 0.5,
+                         hasher: str = DEFAULT_HASHER) -> DataFrame:
+    """Method-evaluation matrix for the near-dup family: run minhash
+    (LSH + verify), simhash, n-gram Jaccard, containment, and
+    winnowing over the same corpus and report, for every method pair,
+    the two pair-set sizes and their intersection — the operator you
+    run before choosing a dedup policy ("what does simhash catch that
+    minhash misses, and how loose is it?").
+
+    Scale: each member is its own audited linear pipeline; the
+    comparison adds one union, one map-side-combined size agg, and
+    one equi-join ON THE PAIR KEY (linear in total pairs, never in
+    the corpus); the 5x5 matrix skeleton is driver-trivial.
+
+    Output: (method_a, method_b, n_a, n_b, n_common) for the 10
+    unordered method pairs, methods lexicographic — integer-exact.
+    """
+    from maps_spark.operators.text import winnow_pairs
+    members = {
+        "containment": containment_pairs(
+            docs, threshold=containment_threshold, text_col=text_col),
+        "minhash": minhash_verify(
+            minhash_lsh_pairs(docs, text_col, hasher=hasher),
+            minhash_signatures(docs, text_col, hasher=hasher),
+            threshold=jaccard_threshold),
+        "ngram": ngram_jaccard_pairs(docs, text_col=text_col,
+                                     threshold=jaccard_threshold),
+        "simhash": simhash_near_pairs(docs, text_col=text_col,
+                                      hasher=hasher),
+        "winnow": winnow_pairs(docs, text_col=text_col),
+    }
+    tagged = None
+    for name, df in members.items():
+        part = df.select(F.lit(name).alias("method"), "doc_a", "doc_b")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = tagged.localCheckpoint()
+    sizes = tagged.groupBy("method").agg(F.count("*").alias("n"))
+    commons = (tagged.alias("a")
+               .join(tagged.alias("b"),
+                     (F.col("a.doc_a") == F.col("b.doc_a"))
+                     & (F.col("a.doc_b") == F.col("b.doc_b"))
+                     & (F.col("a.method") < F.col("b.method")))
+               .groupBy(F.col("a.method").alias("method_a"),
+                        F.col("b.method").alias("method_b"))
+               .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("method").alias("method_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("method").alias("method_b"),
+                      F.col("n").alias("n_b"))
+    return (sa.crossJoin(sb)
+            .where(F.col("method_a") < F.col("method_b"))
+            .join(commons, ["method_a", "method_b"], "left")
+            .select("method_a", "method_b", "n_a", "n_b",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common")))

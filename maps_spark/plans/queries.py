@@ -844,6 +844,12 @@ def q_ann_pq_index(spark, sf_dir):
                           emb.where(F.col("vec_id") < 16))
 
 
+def q_dedup_method_overlap(spark, sf_dir):
+    from maps_spark.operators.dedup import dedup_method_overlap
+    return dedup_method_overlap(_docs(spark, sf_dir),
+                                hasher="reproducible")
+
+
 def q_cluster_topics(spark, sf_dir):
     from maps_spark.operators.corpus import cluster_topics
     return cluster_topics(_docs(spark, sf_dir))
@@ -1122,6 +1128,7 @@ MAPS_QUERIES = {
     "cluster_topics": q_cluster_topics,
     "ann_pq_index": q_ann_pq_index,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "dedup_method_overlap": q_dedup_method_overlap,
     "geohash_counts": q_geohash_counts,
     "stratified_sample": q_stratified_sample,
     "doc_repetition": q_doc_repetition,
@@ -1288,6 +1295,7 @@ def maps_oracles() -> dict[str, str]:
         # lossless (same pattern as ann_ivf_index)
         "ann_pq_index": OT.pq_topk_select(n_queries=16),
         "ann_ivfpq_topk": OT.ivfpq_topk_select(n_queries=16),
+        "dedup_method_overlap": OT.dedup_method_overlap_select(),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),
         "doc_repetition": OT.repetition_select(),

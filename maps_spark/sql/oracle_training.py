@@ -2598,3 +2598,37 @@ SELECT CAST(cluster AS INT) AS cluster, word,
 FROM wordcnt
 QUALIFY row_number() OVER (PARTITION BY cluster
                            ORDER BY cnt DESC, word) <= {top_k}""")
+
+
+def dedup_method_overlap_select(jaccard_threshold: float = 0.25,
+                                containment_threshold: float = 0.5
+                                ) -> str:
+    """DuckDB twin of operators.dedup.dedup_method_overlap: every
+    member's existing oracle select nested as a tagged subquery, then
+    the size/intersection matrix."""
+    members = {
+        "containment": containment_pairs_select(
+            threshold=containment_threshold),
+        "minhash": minhash_verify_select(threshold=jaccard_threshold),
+        "ngram": ngram_jaccard_select(threshold=jaccard_threshold),
+        "simhash": simhash_pairs_select(),
+        "winnow": winnow_pairs_select(),
+    }
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, doc_a, doc_b FROM ({sql}) t_{name}"
+        for name, sql in members.items())
+    return f"""WITH tagged AS ({tagged}),
+sizes AS (SELECT method, count(*) AS n FROM tagged GROUP BY 1),
+commons AS (
+  SELECT a.method AS method_a, b.method AS method_b,
+         count(*) AS n_common
+  FROM tagged a JOIN tagged b
+    ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b
+   AND a.method < b.method
+  GROUP BY 1, 2)
+SELECT sa.method AS method_a, sb.method AS method_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common
+FROM sizes sa JOIN sizes sb ON sa.method < sb.method
+LEFT JOIN commons c
+  ON c.method_a = sa.method AND c.method_b = sb.method"""

@@ -1447,3 +1447,23 @@ def test_pq_upsert_encodes_identically_and_is_idempotent(spark,
     for r in stored:
         for s, c in enumerate(r.codes):
             assert want[(r.vec_id, s)] == c
+
+
+def test_dedup_method_overlap_invariants(spark):
+    from maps_spark.operators.dedup import dedup_method_overlap
+    import random
+    rng = random.Random(61)
+    words = [f"w{i}" for i in range(120)]
+    base = " ".join(rng.choice(words) for _ in range(80))
+    rows = [(0, base), (1, base)]  # verbatim dup: every method's catch
+    for i in range(2, 22):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(80))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_method_overlap(docs).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.method_a < r.method_b
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        # the planted verbatim pair is in every method's set, so every
+        # pairwise intersection is non-empty
+        assert r.n_common >= 1 and r.n_a >= 1 and r.n_b >= 1
