@@ -212,3 +212,59 @@ def bbox_scan(df: DataFrame, lat_min: float, lat_max: float,
     return df.where(pred).where(
         (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
         & (F.col(lng_col) >= lng_min) & (F.col(lng_col) <= lng_max))
+
+
+def geohash_decode_cell(gh: str) -> tuple[int, int, int, int]:
+    """(x, y, nlng, nlat): the integer grid cell a geohash names —
+    driver-side inverse of the dual-dialect encoder (x west->east,
+    y SOUTH->north, matching the encoder's south-origin latitude
+    cell)."""
+    nbits = 5 * len(gh)
+    nlng, nlat = (nbits + 1) // 2, nbits // 2
+    g = 0
+    for ch in gh:
+        g = (g << 5) | dual.GEOHASH_BASE32.index(ch)
+    x = y = 0
+    # LSB-first: even total ends on lat[0] (lng odd), odd on lng[0]
+    lng_on_odd = (nbits % 2) == 0
+    for i in range(nbits):
+        bit = (g >> i) & 1
+        if (i % 2 == 1) == lng_on_odd:
+            x |= bit << (i // 2)
+        else:
+            y |= bit << (i // 2)
+    return x, y, nlng, nlat
+
+
+def geohash_neighbors(gh: str) -> list[str]:
+    """The up-to-8 same-precision geohashes adjacent to ``gh`` —
+    what a radius/bbox probe over a geohash-bucketed store expands
+    to before the exact distance filter (longitude wraps across the
+    dateline; latitude clips at the poles). Driver-side: decode to
+    the integer cell, step, re-encode."""
+    x, y, nlng, nlat = geohash_decode_cell(gh)
+    nbits = nlng + nlat
+    nx, ny = 1 << nlng, 1 << nlat
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            yy = y + dy
+            if not 0 <= yy < ny:
+                continue  # pole edge: no wrap in latitude
+            xx = (x + dx) % nx  # dateline wrap
+            g = 0
+            lng_on_odd = (nbits % 2) == 0
+            for i in range(nbits):
+                if (i % 2 == 1) == lng_on_odd:
+                    bit = (xx >> (i // 2)) & 1
+                else:
+                    bit = (yy >> (i // 2)) & 1
+                g |= bit << i
+            chars = []
+            for c in range(len(gh)):
+                chars.append(dual.GEOHASH_BASE32[
+                    (g >> (nbits - 5 * (c + 1))) & 31])
+            out.append("".join(chars))
+    return out

@@ -173,3 +173,34 @@ def test_morton_ranges_cover_never_misses(spark):
             morton_key("lat", "lng", 16).alias("m")).collect()]
         for k in keys:
             assert any(a <= k <= b for a, b in ranges)
+
+
+def test_geohash_neighbors_and_decode(spark):
+    from maps_spark.functions.spatial import (geohash_decode_cell,
+                                              geohash_neighbors)
+    # canonical 8-neighborhood of a mid-latitude cell
+    assert sorted(geohash_neighbors("u4pruyd")) == [
+        "u4pruy3", "u4pruy6", "u4pruy7", "u4pruy9",
+        "u4pruyc", "u4pruye", "u4pruyf", "u4pruyg"]
+    # neighbors differ by exactly one cell step
+    x, y, nlng, nlat = geohash_decode_cell("u4pruyd")
+    for n in geohash_neighbors("u4pruyd"):
+        nx_, ny_, _, _ = geohash_decode_cell(n)
+        assert max(abs(nx_ - x), abs(ny_ - y)) == 1
+    # pole edge clips (no latitude wrap), dateline wraps
+    import duckdb
+
+    from maps_spark.sql import dual
+    con = duckdb.connect()
+    top = con.execute(
+        f"SELECT {dual.geohash_expr('89.99', '0.0', 4)}").fetchone()[0]
+    assert len(geohash_neighbors(top)) == 5
+    west = con.execute(
+        f"SELECT {dual.geohash_expr('0.0', '-179.999', 4)}"
+    ).fetchone()[0]
+    ns = geohash_neighbors(west)
+    assert len(ns) == 8
+    xw, _, nlng4, _ = geohash_decode_cell(west)
+    assert xw == 0
+    assert any(geohash_decode_cell(n)[0] == (1 << nlng4) - 1
+               for n in ns)  # dateline-wrapped side present
