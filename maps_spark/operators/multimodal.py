@@ -1025,3 +1025,78 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6,
                      + F.bit_count(F.expr("lo_a ^ lo_b")))
                     .cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def write_webdataset_shards(media: DataFrame, path: str,
+                            n_shards: int = 8,
+                            id_col: str = "media_id") -> DataFrame:
+    """Export a media table as WebDataset-style tar shards — the
+    training-boundary hand-off for multimodal loaders (each sample is
+    a ``<key>.bin`` payload plus a ``<key>.json`` metadata member;
+    loaders stream ``shard-00000.tar..`` sequentially, one shard per
+    data-parallel worker).
+
+    Determinism end-to-end: shard assignment is the RNG-free id mix
+    (:func:`maps_spark.operators.packing.shard_assign` — shard sizes
+    differ by at most one), members are written in ``row_idx`` order,
+    and tar headers pin mtime/uid/gid to 0 — two exports of the same
+    table are byte-identical, so shard digests can be diffed across
+    builds like the tile stores.
+
+    Scale: one hash repartition on ``shard`` (every shard's rows land
+    in exactly one task), each task streams its tar(s) to
+    ``path/shard-NNNNN.tar`` via a tempfile + atomic rename; payloads
+    never pass through the driver. Returns the shard manifest
+    (shard, n_samples, n_bytes) — tiny.
+    """
+    import io
+    import json
+    import os
+    import tarfile
+
+    from maps_spark.operators.packing import shard_assign
+    os.makedirs(path, exist_ok=True)
+    assign = shard_assign(media.select(F.col(id_col).alias("doc_id")),
+                          n_shards).withColumnRenamed("doc_id", id_col)
+    rows = (media.join(assign, id_col)
+            .repartition(n_shards, "shard"))
+    meta_cols = [c for c in media.columns
+                 if c not in (id_col, "payload")]
+
+    def _write(part):
+        tars: dict[int, tuple] = {}
+        for r in sorted(part, key=lambda r: (r["shard"], r["row_idx"])):
+            sh = int(r["shard"])
+            if sh not in tars:
+                tmp = f"{path}/.shard-{sh:05d}.tar.tmp"
+                tars[sh] = (tmp, tarfile.open(tmp, "w"), [0, 0])
+            _, tf, stat = tars[sh]
+            key = f"{int(r[id_col]):012d}"
+            payload = bytes(r["payload"]) if r["payload"] else b""
+            meta = json.dumps(
+                {c: r[c] for c in meta_cols}, sort_keys=True,
+                default=str).encode()
+            for name, data in ((f"{key}.bin", payload),
+                               (f"{key}.json", meta)):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+            stat[0] += 1
+            stat[1] += len(payload)
+        out = []
+        for sh, (tmp, tf, stat) in tars.items():
+            tf.close()
+            os.replace(tmp, f"{path}/shard-{sh:05d}.tar")
+            out.append((sh, stat[0], stat[1]))
+        return out
+
+    manifest = (rows.rdd.mapPartitions(lambda p: _write(p))
+                .toDF("shard long, n_samples long, n_bytes long"))
+    # materialize now (the write IS the side effect) and hand back the
+    # collected manifest as a small local DataFrame
+    data = manifest.collect()
+    return media.sparkSession.createDataFrame(
+        data or [], "shard long, n_samples long, n_bytes long")

@@ -516,3 +516,47 @@ class TestImageDhash:
         # identical flat images pair up; the broken payload never does
         assert (0, 1) in pairs
         assert not any(2 in p for p in pairs)
+
+
+def test_webdataset_export_deterministic_and_complete(spark, tmp_path):
+    import hashlib
+    import json
+    import os
+    import tarfile
+
+    from maps_spark.operators.multimodal import (synthesize_ppm_media,
+                                                 write_webdataset_shards)
+    media = synthesize_ppm_media(spark, n=40)
+    out1 = str(tmp_path / "wds1")
+    man = {r.shard: (r.n_samples, r.n_bytes)
+           for r in write_webdataset_shards(media, out1,
+                                            n_shards=4).collect()}
+    # every shard written, sizes differ by at most one, totals right
+    assert set(man) == {0, 1, 2, 3}
+    sizes = [man[s][0] for s in range(4)]
+    assert sum(sizes) == 40 and max(sizes) - min(sizes) <= 1
+    seen, payloads = set(), {}
+    for s in range(4):
+        with tarfile.open(f"{out1}/shard-{s:05d}.tar") as tf:
+            names = tf.getnames()
+            bins = [n for n in names if n.endswith(".bin")]
+            metas = [n for n in names if n.endswith(".json")]
+            assert len(bins) == len(metas) == man[s][0]
+            for n in bins:
+                seen.add(int(n.split(".")[0]))
+                payloads[int(n.split(".")[0])] = \
+                    tf.extractfile(n).read()
+            m = json.load(tf.extractfile(metas[0]))
+            assert m["kind"] == "image" and m["width"] == 32
+    assert seen == set(range(40))
+    # payloads are the actual PPM bytes
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(payloads[i] == rows[i] for i in payloads)
+    # byte-identical re-export (pinned tar headers)
+    out2 = str(tmp_path / "wds2")
+    write_webdataset_shards(media, out2, n_shards=4).collect()
+
+    def digest(root):
+        return {f: hashlib.md5(open(f"{root}/{f}", "rb").read())
+                .hexdigest() for f in sorted(os.listdir(root))}
+    assert digest(out1) == digest(out2)
