@@ -204,6 +204,12 @@ def bbox_scan(df: DataFrame, lat_min: float, lat_max: float,
     Dateline-crossing boxes: issue two calls (west + east half) and
     union, like the tile readers do."""
     from functools import reduce
+    if lng_min > lng_max:
+        raise ValueError(
+            "dateline-crossing box (lng_min > lng_max): issue two "
+            "calls (west and east half) and union the results")
+    if lat_min > lat_max:
+        raise ValueError("inverted latitude interval")
     ranges = morton_ranges(lat_min, lat_max, lng_min, lng_max, z,
                            max_ranges)
     pred = reduce(lambda a, b: a | b,

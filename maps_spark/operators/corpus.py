@@ -615,16 +615,10 @@ def doc_dense_vectors(docs: DataFrame, dim: int = 64,
 
     Output: (vec_id, embedding array<long>).
     """
-    from maps_spark.operators.similarity import doc_vector_buckets
-    sparse = doc_vector_buckets(docs, dim, text_col)
-    m = F.map_from_entries(F.collect_list(F.struct("bucket", "cnt")))
-    return (sparse.groupBy("doc_id").agg(m.alias("m"))
-            .select(F.col("doc_id").alias("vec_id"),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda i: F.coalesce(
-                            F.element_at("m", i),
-                            F.lit(0).cast("long"))).alias("embedding")))
+    from maps_spark.operators.similarity import dense_count_vectors
+    return dense_count_vectors(docs, dim, text_col).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("counts").alias("embedding"))
 
 
 def cluster_topics(docs: DataFrame, k: int = 8, iters: int = 3,
@@ -651,7 +645,11 @@ def cluster_topics(docs: DataFrame, k: int = 8, iters: int = 3,
 
     from maps_spark.operators.similarity import kmeans_assign
     vecs = doc_dense_vectors(docs, dim, text_col)
-    assign = kmeans_assign(vecs, k=k, iters=iters)
+    # counts are already integers: scale=1000 keeps centroid precision
+    # at 1/1000 of a count while bounding the int64 distance sum
+    # ((1000*c)^2 * dim <= 2^63 holds to per-bucket counts ~3.8e5 —
+    # far above any real document; scale=1e6 would overflow at ~3e3)
+    assign = kmeans_assign(vecs, k=k, iters=iters, scale=1000)
     toks = (docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != ""))

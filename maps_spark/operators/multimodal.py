@@ -1049,6 +1049,7 @@ def write_webdataset_shards(media: DataFrame, path: str,
     never pass through the driver. Returns the shard manifest
     (shard, n_samples, n_bytes) — tiny.
     """
+    import glob
     import io
     import json
     import os
@@ -1056,21 +1057,41 @@ def write_webdataset_shards(media: DataFrame, path: str,
 
     from maps_spark.operators.packing import shard_assign
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics like every other writer here: stale shards
+    # from a previous (larger) export must not survive beside the new
+    # ones — a loader globbing shard-*.tar would mix builds
+    for stale in glob.glob(f"{path}/shard-*.tar") +             glob.glob(f"{path}/.shard-*.tar.tmp"):
+        os.remove(stale)
     assign = shard_assign(media.select(F.col(id_col).alias("doc_id")),
                           n_shards).withColumnRenamed("doc_id", id_col)
     rows = (media.join(assign, id_col)
-            .repartition(n_shards, "shard"))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "row_idx"))
     meta_cols = [c for c in media.columns
                  if c not in (id_col, "payload")]
 
     def _write(part):
-        tars: dict[int, tuple] = {}
-        for r in sorted(part, key=lambda r: (r["shard"], r["row_idx"])):
+        # the partition arrives (shard, row_idx)-sorted: stream it,
+        # rolling to a new tar when the shard changes — one row
+        # resident at a time, payloads never accumulate in Python
+        cur = None
+        tf = stat = tmp = None
+        out = []
+
+        def _close():
+            if cur is not None:
+                tf.close()
+                os.replace(tmp, f"{path}/shard-{cur:05d}.tar")
+                out.append((cur, stat[0], stat[1]))
+
+        for r in part:
             sh = int(r["shard"])
-            if sh not in tars:
+            if sh != cur:
+                _close()
+                cur = sh
                 tmp = f"{path}/.shard-{sh:05d}.tar.tmp"
-                tars[sh] = (tmp, tarfile.open(tmp, "w"), [0, 0])
-            _, tf, stat = tars[sh]
+                tf = tarfile.open(tmp, "w")
+                stat = [0, 0]
             key = f"{int(r[id_col]):012d}"
             payload = bytes(r["payload"]) if r["payload"] else b""
             meta = json.dumps(
@@ -1086,17 +1107,21 @@ def write_webdataset_shards(media: DataFrame, path: str,
                 tf.addfile(info, io.BytesIO(data))
             stat[0] += 1
             stat[1] += len(payload)
-        out = []
-        for sh, (tmp, tf, stat) in tars.items():
-            tf.close()
-            os.replace(tmp, f"{path}/shard-{sh:05d}.tar")
-            out.append((sh, stat[0], stat[1]))
+        _close()
         return out
 
     manifest = (rows.rdd.mapPartitions(lambda p: _write(p))
                 .toDF("shard long, n_samples long, n_bytes long"))
-    # materialize now (the write IS the side effect) and hand back the
-    # collected manifest as a small local DataFrame
-    data = manifest.collect()
+    # materialize now (the write IS the side effect)
+    data = {int(r["shard"]): (r["n_samples"], r["n_bytes"])
+            for r in manifest.collect()}
+    # shards with zero rows still get an (empty, valid) tar and a
+    # manifest row — worker k must always find its shard file
+    for sh in range(n_shards):
+        if sh not in data:
+            with tarfile.open(f"{path}/shard-{sh:05d}.tar", "w"):
+                pass
+            data[sh] = (0, 0)
     return media.sparkSession.createDataFrame(
-        data or [], "shard long, n_samples long, n_bytes long")
+        [(sh, n, b) for sh, (n, b) in sorted(data.items())],
+        "shard long, n_samples long, n_bytes long")

@@ -469,6 +469,24 @@ def doc_vector_buckets(docs: DataFrame, dim: int = 64,
         .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt")))
 
 
+def dense_count_vectors(docs: DataFrame, dim: int = 64,
+                        text_col: str = "text") -> DataFrame:
+    """Sparse hashing-trick counts zero-filled into a dense array:
+    (doc_id, counts array<long>) — the shared densification step
+    under :func:`hashed_doc_vectors` (which normalizes on top) and
+    :func:`maps_spark.operators.corpus.doc_dense_vectors` (which
+    feeds k-means raw). Documents with no tokens have no row."""
+    sparse = doc_vector_buckets(docs, dim, text_col)
+    m = (sparse.groupBy("doc_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("bucket", "cnt"))).alias("m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("int")),
+                             F.lit(0).cast("long")))
+    return m.select("doc_id", dense.alias("counts"))
+
+
 def hashed_doc_vectors(docs: DataFrame, dim: int = 64,
                        text_col: str = "text") -> DataFrame:
     """Dense L2-normalized hashed term-count vectors: (doc_id,
@@ -477,18 +495,14 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64,
     :func:`semantic_dedup`, deriving the vector column from text with
     NO Python and no model dependency. Documents with identical token
     multisets get identical vectors (cosine 1.0)."""
-    sparse = doc_vector_buckets(docs, dim, text_col)
-    m = (sparse.groupBy("doc_id")
-         .agg(F.map_from_entries(
-             F.collect_list(F.struct("bucket", "cnt"))).alias("m")))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at("m", i.cast("int")),
-                             F.lit(0)).cast("double"))
+    base = dense_count_vectors(docs, dim, text_col)
     # hoist the norm to its own column so it evaluates once per row,
     # not once per array element inside the normalize lambda
-    d = m.select("doc_id", dense.alias("d")).withColumn(
-        "nrm", F.greatest(_norm(F.col("d")), F.lit(1e-12)))
+    d = base.select(
+        "doc_id",
+        F.transform(F.col("counts"),
+                    lambda x: x.cast("double")).alias("d")
+    ).withColumn("nrm", F.greatest(_norm(F.col("d")), F.lit(1e-12)))
     vec = F.transform(F.col("d"),
                       lambda x: (x / F.col("nrm")).cast("float"))
     return d.select("doc_id", vec.alias("embedding"))
@@ -561,6 +575,28 @@ def _kmeans_seed_ids(emb: DataFrame, k: int,
     return [r["vec_id"] for r in rows]
 
 
+def _centroid_d2(sv_col: str, cent: list[int]) -> Column:
+    """Exact integer squared distance of a scaled int vector column to
+    one centroid literal — THE arithmetic every k-means/PQ gate pins
+    (cast order and fold included); keep all callers on this one
+    helper so build-time, upsert-time, and LUT encodings can never
+    drift apart."""
+    arr = F.array(*[F.lit(int(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(sv_col, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _nearest_centroid_struct(sv_col: str,
+                             centroids: list[list[int]]) -> Column:
+    """array_min over (d2, cid) structs: the assignment expression
+    with the shared (distance, smallest-id) tie-break."""
+    return F.array_min(F.array(*[
+        F.struct(_centroid_d2(sv_col, c).alias("d2"),
+                 F.lit(j).alias("cid"))
+        for j, c in enumerate(centroids)]))
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
                vec_col: str = "embedding", id_col: str = "vec_id",
                scale: int = 1_000_000
@@ -599,15 +635,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
         cent = [seed_rows[i] for i in seed_ids]
 
         def best_col():
-            structs = []
-            for j, c in enumerate(cent):
-                arr = F.array(*[F.lit(int(v)) for v in c])
-                d2 = F.aggregate(
-                    F.zip_with("sv", arr, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"), lambda acc, v: acc + v)
-                structs.append(F.struct(d2.alias("d2"),
-                                        F.lit(j).alias("cid")))
-            return F.array_min(F.array(*structs)).alias("best")
+            return _nearest_centroid_struct("sv", cent).alias("best")
 
         for _ in range(iters):
             upd = (base.select(best_col(), "sv")
@@ -715,20 +743,8 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
         cent = [[seed_rows[i][s] for i in seed_ids] for s in range(m)]
 
         def best_cols():
-            cols = []
-            for s in range(m):
-                structs = []
-                for j, c in enumerate(cent[s]):
-                    arr = F.array(*[F.lit(int(v)) for v in c])
-                    d2 = F.aggregate(
-                        F.zip_with(f"sv{s}", arr,
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0).cast("long"), lambda acc, v: acc + v)
-                    structs.append(F.struct(d2.alias("d2"),
-                                            F.lit(j).alias("cid")))
-                cols.append(F.array_min(F.array(*structs))
-                            .alias(f"best{s}"))
-            return cols
+            return [_nearest_centroid_struct(f"sv{s}", cent[s])
+                    .alias(f"best{s}") for s in range(m)]
 
         for _ in range(iters):
             upd = (base.select(*best_cols(),
@@ -806,14 +822,9 @@ def pq_query_lut(queries: DataFrame, codebooks: list[list[list[int]]],
             F.slice(F.col(vec_col), s * sub + 1, sub),
             lambda x: F.floor(x.cast("double") * float(scale))
             .cast("long"))
-        entries = []
-        for j, cent in enumerate(codebooks[s]):
-            arr = F.array(*[F.lit(int(v)) for v in cent])
-            d2 = F.aggregate(
-                F.zip_with("qs", arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)
-            entries.append(F.struct(F.lit(j).alias("code"),
-                                    d2.alias("qd2")))
+        entries = [F.struct(F.lit(j).alias("code"),
+                            _centroid_d2("qs", cent).alias("qd2"))
+                   for j, cent in enumerate(codebooks[s])]
         luts.append(
             unit_q.select(F.col(id_col).alias("qid"), qsv.alias("qs"))
             .select("qid", F.lit(s).alias("subspace"),
@@ -916,18 +927,11 @@ def pq_encode_with_books(emb: DataFrame,
             F.slice(F.col("v"), s * sub + 1, sub),
             lambda x: F.floor(x.cast("double") * float(scale))
             .cast("long"))
-        structs = []
-        for j, cent in enumerate(codebooks[s]):
-            arr = F.array(*[F.lit(int(v)) for v in cent])
-            d2 = F.aggregate(
-                F.zip_with("sv", arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)
-            structs.append(F.struct(d2.alias("d2"),
-                                    F.lit(j).alias("cid")))
         parts.append(
             unit.select("vec_id", sv.alias("sv"))
             .select("vec_id",
-                    F.array_min(F.array(*structs)).alias("best"))
+                    _nearest_centroid_struct("sv", codebooks[s])
+                    .alias("best"))
             .select("vec_id", F.lit(s).alias("subspace"),
                     F.col("best.cid").alias("code"),
                     F.col("best.d2").alias("dist2")))

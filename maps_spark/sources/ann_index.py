@@ -31,6 +31,19 @@ from maps_spark.operators.similarity import (cluster_assign_udf, cosine_col,
 from maps_spark.sources.tile_store import read_manifest, write_manifest
 
 
+def _merge_manifest(root: str, new: dict) -> None:
+    """Manifest update that PRESERVES sibling-index keys: the IVF and
+    PQ builders share one root (the documented co-located layout), so
+    each merges its keys over whatever the other already wrote
+    instead of clobbering the file."""
+    try:
+        old = {k: v for k, v in read_manifest(root).items()
+               if k not in ("generated", "generated_unix")}
+    except FileNotFoundError:
+        old = {}
+    write_manifest(root, {**old, **new})
+
+
 def build_ivf_index(emb: DataFrame, root: str, n_clusters: int = 16,
                     kmeans_iters: int = 2, train_sample: int = 2048,
                     id_col: str = "vec_id", vec_col: str = "embedding"
@@ -51,10 +64,10 @@ def build_ivf_index(emb: DataFrame, root: str, n_clusters: int = 16,
         [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
         "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
-    write_manifest(root, {"n_clusters": int(len(cent)),
-                          "dim": int(cent.shape[1]),
-                          "kmeans_iters": kmeans_iters,
-                          "train_sample": train_sample})
+    _merge_manifest(root, {"n_clusters": int(len(cent)),
+                           "dim": int(cent.shape[1]),
+                           "kmeans_iters": kmeans_iters,
+                           "train_sample": train_sample})
 
 
 def load_centroids(spark: SparkSession, root: str) -> np.ndarray:
@@ -167,15 +180,16 @@ def build_pq_index(emb: DataFrame, root: str, m: int = 8,
               .agg(F.transform(
                   F.array_sort(F.collect_list(
                       F.struct("subspace", "code"))),
-                  lambda s: s["code"]).alias("codes")))
+                  lambda s: s["code"]).alias("codes"),
+                   F.sum("dist2").cast("long").alias("dist2")))
     packed.write.mode("overwrite").parquet(f"{root}/pq_codes")
     rows = [(s, j, [int(v) for v in codebooks[s][j]])
             for s in range(m) for j in range(len(codebooks[s]))]
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<long>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_books")
-    write_manifest(root, {"pq_m": m, "pq_n_cent": n_cent,
-                          "pq_iters": iters, "pq_scale": scale})
+    _merge_manifest(root, {"pq_m": m, "pq_n_cent": n_cent,
+                           "pq_iters": iters, "pq_scale": scale})
 
 
 def load_pq_codebooks(spark: SparkSession,
@@ -223,7 +237,8 @@ def upsert_pq_index(emb_new: DataFrame, root: str,
     rows. Ids already present are skipped (idempotent replay, same
     contract as :func:`upsert_ivf_index`); codebook drift is the
     documented trade-off — retrain with :func:`build_pq_index` when
-    quantization error creeps (compare the stored ``dist2`` tail
+    quantization error creeps (the per-vector total quantization
+    distance IS stored — compare the ``dist2`` tail of pq_codes
     between builds)."""
     from maps_spark.operators.similarity import pq_encode_with_books
     spark = emb_new.sparkSession
@@ -236,7 +251,8 @@ def upsert_pq_index(emb_new: DataFrame, root: str,
               .agg(F.transform(
                   F.array_sort(F.collect_list(
                       F.struct("subspace", "code"))),
-                  lambda s: s["code"]).alias("codes"))
+                  lambda s: s["code"]).alias("codes"),
+                   F.sum("dist2").cast("long").alias("dist2"))
               .localCheckpoint())
     existing = spark.read.parquet(f"{root}/pq_codes").select("vec_id")
     fresh = packed.join(existing, "vec_id", "left_anti") \

@@ -2562,7 +2562,7 @@ FROM bits GROUP BY media_id"""
 
 def cluster_topics_select(k: int = 8, iters: int = 3, dim: int = 64,
                           top_k: int = 10,
-                          scale: int = 1_000_000) -> str:
+                          scale: int = 1000) -> str:
     """DuckDB twin of operators.corpus.cluster_topics: dense
     hashing-trick vectors rebuilt with the same token hash, then the
     generalized kmeans chain over that derived table, then per-cluster

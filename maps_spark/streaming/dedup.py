@@ -69,6 +69,51 @@ def _band_table(sigs: DataFrame, bands: int, rows: int,
                     F.col("b.bh").alias("bh")))
 
 
+def read_partitioned_subset(spark: SparkSession, root: str,
+                            touched: list[tuple[int, int]] | None,
+                            keys: tuple[str, str]
+                            ) -> DataFrame | None:
+    """Read a two-level-partitioned store pruned to the touched key
+    pairs, by explicit directory path — no full-index listing or scan
+    (shared by the text band store and the image dHash store).
+    ``touched=None`` reads everything (maintenance path)."""
+    if touched is None:
+        return _try_read(spark, root)
+    k1, k2 = keys
+    paths = [p for p in (f"{root}/{k1}={a}/{k2}={b}"
+                         for a, b in touched)
+             if os.path.isdir(p)]
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def run_file_stream(spark: SparkSession, input_path: str, marker: str,
+                    process, max_files_per_trigger: int = 1):
+    """Shared landing-zone wiring: parquet file stream -> replay-
+    guarded foreachBatch -> availableNow drain (used by the text and
+    image incremental dedup runners)."""
+    from maps_spark.streaming.refresh import _applied_batch, _commit_batch
+    schema = spark.read.parquet(input_path).schema
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if os.path.isfile(input_path):
+        stream = reader.option(
+            "pathGlobFilter", os.path.basename(input_path)).parquet(
+            os.path.dirname(input_path))
+    else:
+        stream = reader.parquet(input_path)
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        if _applied_batch(marker) >= batch_id:
+            return
+        process(batch_df, batch_id)
+        _commit_batch(marker, batch_id)
+
+    return (stream.writeStream.foreachBatch(_body)
+            .trigger(availableNow=True).start())
+
+
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
@@ -79,15 +124,8 @@ def read_store_bands(spark: SparkSession, store_dir: str,
     a small batch opens only its own sub-bucket files — no full-index
     listing or scan. ``touched=None`` reads everything (maintenance /
     inspection path)."""
-    root = f"{store_dir}/bands"
-    if touched is None:
-        return _try_read(spark, root)
-    paths = [p for p in (f"{root}/band={bnd}/bb={sb}"
-                         for bnd, sb in touched)
-             if os.path.isdir(p)]
-    if not paths:
-        return None
-    return spark.read.option("basePath", root).parquet(*paths)
+    return read_partitioned_subset(spark, f"{store_dir}/bands",
+                                   touched, ("band", "bb"))
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
@@ -205,23 +243,8 @@ def run_incremental_dedup(spark: SparkSession, input_path: str,
     deployment mode for a landing-zone sweep; a live feed would use a
     processing-time trigger with the same body.
     """
-    from maps_spark.streaming.refresh import _applied_batch, _commit_batch
     marker = store_dir.rstrip("/") + "/_meta/last_batch.json"
-    schema = spark.read.parquet(input_path).schema
-    reader = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger))
-    if os.path.isfile(input_path):
-        stream = reader.option(
-            "pathGlobFilter", os.path.basename(input_path)).parquet(
-            os.path.dirname(input_path))
-    else:
-        stream = reader.parquet(input_path)
-
-    def _body(batch_df: DataFrame, batch_id: int) -> None:
-        if _applied_batch(marker) >= batch_id:
-            return
-        process_batch(batch_df, store_dir, batch_id, **kwargs)
-        _commit_batch(marker, batch_id)
-
-    return (stream.writeStream.foreachBatch(_body)
-            .trigger(availableNow=True).start())
+    return run_file_stream(
+        spark, input_path, marker,
+        lambda df, bid: process_batch(df, store_dir, bid, **kwargs),
+        max_files_per_trigger)

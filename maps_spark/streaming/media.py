@@ -24,15 +24,14 @@ bounded); verification is the exact two-word popcount.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from maps_spark.operators.dedup import cap_buckets
 from maps_spark.operators.multimodal import image_dhash
-
-BAND_SUBBUCKETS = 64
+from maps_spark.streaming.dedup import (BAND_SUBBUCKETS, _try_read,
+                                        read_partitioned_subset,
+                                        run_file_stream)
 
 
 def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
@@ -57,27 +56,13 @@ def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
                     "e.bval"))
 
 
-def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
-
-
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
-    """Band index pruned to the touched ``(bidx, bb)`` directories."""
-    root = f"{store_dir}/bands"
-    if touched is None:
-        return _try_read(spark, root)
-    paths = [p for p in (f"{root}/bidx={b}/bb={sb}"
-                         for b, sb in touched)
-             if os.path.isdir(p)]
-    if not paths:
-        return None
-    return spark.read.option("basePath", root).parquet(*paths)
+    """Band index pruned to the touched ``(bidx, bb)`` directories
+    (the shared path-pruned reader, image partition-column names)."""
+    return read_partitioned_subset(spark, f"{store_dir}/bands",
+                                   touched, ("bidx", "bb"))
 
 
 def _hamming(hi_a, lo_a, hi_b, lo_b) -> F.Column:
@@ -166,23 +151,9 @@ def run_incremental_image_dedup(spark: SparkSession, input_path: str,
                                 **kwargs):
     """Wire the stream: media files -> per-batch image dedup vs the
     store (availableNow backlog drain, marker-guarded replays)."""
-    from maps_spark.streaming.refresh import _applied_batch, _commit_batch
     marker = store_dir.rstrip("/") + "/_meta/last_batch.json"
-    schema = spark.read.parquet(input_path).schema
-    reader = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger))
-    if os.path.isfile(input_path):
-        stream = reader.option(
-            "pathGlobFilter", os.path.basename(input_path)).parquet(
-            os.path.dirname(input_path))
-    else:
-        stream = reader.parquet(input_path)
-
-    def _body(batch_df: DataFrame, batch_id: int) -> None:
-        if _applied_batch(marker) >= batch_id:
-            return
-        process_media_batch(batch_df, store_dir, batch_id, **kwargs)
-        _commit_batch(marker, batch_id)
-
-    return (stream.writeStream.foreachBatch(_body)
-            .trigger(availableNow=True).start())
+    return run_file_stream(
+        spark, input_path, marker,
+        lambda df, bid: process_media_batch(df, store_dir, bid,
+                                            **kwargs),
+        max_files_per_trigger)

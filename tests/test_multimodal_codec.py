@@ -560,3 +560,35 @@ def test_webdataset_export_deterministic_and_complete(spark, tmp_path):
         return {f: hashlib.md5(open(f"{root}/{f}", "rb").read())
                 .hexdigest() for f in sorted(os.listdir(root))}
     assert digest(out1) == digest(out2)
+
+
+def test_webdataset_empty_shards_and_overwrite(spark, tmp_path):
+    import tarfile
+
+    from maps_spark.operators.multimodal import (synthesize_ppm_media,
+                                                 write_webdataset_shards)
+    out = str(tmp_path / "wds3")
+    # 3 rows into 8 shards: shards 3..7 get EMPTY (but present) tars
+    small = synthesize_ppm_media(spark, n=3)
+    man = {r.shard: r.n_samples for r in
+           write_webdataset_shards(small, out, n_shards=8).collect()}
+    assert set(man) == set(range(8)) and sum(man.values()) == 3
+    for s in range(8):
+        with tarfile.open(f"{out}/shard-{s:05d}.tar") as tf:
+            assert len(tf.getnames()) == 2 * man[s]
+    # re-export with fewer shards removes the stale high shards
+    import os
+    write_webdataset_shards(small, out, n_shards=2).collect()
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert tars == ["shard-00000.tar", "shard-00001.tar"]
+
+
+def test_bbox_scan_rejects_dateline_box(spark):
+    import pytest as _pytest
+
+    from maps_spark.functions.spatial import bbox_scan
+    df = spark.createDataFrame([(1, 0.0, 0.0)],
+                               "id long, lat double, lng double")
+    with _pytest.raises(ValueError, match="dateline"):
+        bbox_scan(df, 10.0, 20.0, 170.0, -170.0, lat_col="lat",
+                  lng_col="lng")
