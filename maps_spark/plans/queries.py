@@ -234,6 +234,14 @@ def q_media_dhash(spark, sf_dir):
                                             pattern="mod"))
 
 
+def q_media_dhash_pairs(spark, sf_dir):
+    from maps_spark.operators.multimodal import (dhash_near_pairs,
+                                                 image_dhash,
+                                                 synthesize_ppm_media)
+    return dhash_near_pairs(image_dhash(
+        synthesize_ppm_media(spark, n=64, pattern="mod")))
+
+
 def q_media_png_decode(spark, sf_dir):
     from maps_spark.operators.multimodal import (png_channel_sums,
                                                  synthesize_png_media)
@@ -1037,6 +1045,7 @@ MAPS_QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_ppm_decode": q_media_ppm_decode,
     "media_dhash": q_media_dhash,
+    "media_dhash_pairs": q_media_dhash_pairs,
     "media_png_decode": q_media_png_decode,
     "media_wav_decode": q_media_wav_decode,
     "media_wav_frames": q_media_wav_frames,
@@ -1315,6 +1324,7 @@ def maps_oracles() -> dict[str, str]:
         "media_frame_sample": OT.media_frame_sample_select(),
         "media_ppm_decode": OT.ppm_channel_sums_select(n=64),
         "media_dhash": OT.media_dhash_select(n=64),
+        "media_dhash_pairs": OT.media_dhash_pairs_select(n=64),
         # same closed-form oracle as PPM: pixels are the same gradient,
         # only the container codec differs (31x17 stresses odd strides)
         "media_png_decode": OT.ppm_channel_sums_select(

@@ -2632,3 +2632,18 @@ SELECT sa.method AS method_a, sb.method AS method_b,
 FROM sizes sa JOIN sizes sb ON sa.method < sb.method
 LEFT JOIN commons c
   ON c.method_a = sa.method AND c.method_b = sb.method"""
+
+
+def media_dhash_pairs_select(n: int = 64, max_hamming: int = 6) -> str:
+    """DuckDB twin of dhash_near_pairs over the modular-texture
+    images: the oracle is the BRUTE-FORCE popcount pair set, so the
+    hash match proves the engine's 8-band blocking is lossless at
+    ``max_hamming <= 7`` (pigeonhole), exactly like the geo radius
+    gate proves its 3x3 banding."""
+    return f"""WITH dh AS ({media_dhash_select(n=n)})
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
+FROM dh a JOIN dh b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+      + bit_count(xor(a.hash_lo, b.hash_lo)) <= {max_hamming}"""
