@@ -285,3 +285,77 @@ def test_value_sketch_bin_properties(ms):
     for b, vals in bins.items():
         lo, hi = min(vals), max(vals)
         assert hi <= lo * (QS_SUBS + 1) / QS_SUBS + 1, (b, lo, hi)
+
+
+def test_spatial_keys_match_reference_implementation():
+    """Random-coordinate sweep: the dual-dialect Morton/geohash
+    expressions (evaluated in DuckDB, the oracle engine) must equal an
+    independent pure-Python reference for every point — pinning the
+    interleave/bit-parity logic beyond the fixed canonical values."""
+    import math
+    import random
+
+    import duckdb
+
+    from maps_spark.sql import dual
+
+    def ref_cell(v, offset, span, n):
+        return min(max(int(math.floor((v + offset) / span * n)), 0),
+                   n - 1)
+
+    def ref_morton(lat, lng, z):
+        n = 1 << z
+        x = ref_cell(lng, 180.0, 360.0, n)
+        y = ref_cell(90.0 - lat, 0.0, 180.0, n)  # north origin
+        m = 0
+        for i in range(z):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    B32 = dual.GEOHASH_BASE32
+
+    def ref_geohash(lat, lng, p):
+        # canonical bisection algorithm — entirely independent of the
+        # bit-interleave construction under test
+        lat_lo, lat_hi, lng_lo, lng_hi = -90.0, 90.0, -180.0, 180.0
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < p:
+            if even:
+                mid = (lng_lo + lng_hi) / 2
+                if lng >= mid:
+                    ch = (ch << 1) | 1
+                    lng_lo = mid
+                else:
+                    ch <<= 1
+                    lng_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    ch = (ch << 1) | 1
+                    lat_lo = mid
+                else:
+                    ch <<= 1
+                    lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(B32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rng = random.Random(101)
+    pts = [(rng.uniform(-90, 90), rng.uniform(-180, 180))
+           for _ in range(80)] + [(90.0, 180.0), (-90.0, -180.0),
+                                  (0.0, 0.0), (85.0511, -0.0001)]
+    vals = ", ".join(f"({la!r}, {lo!r})" for la, lo in pts)
+    con = duckdb.connect()
+    q = (f"SELECT {dual.morton_interleave(dual.grid_x('lng', 10), dual.grid_y('lat', 10), 10)} AS m, "
+         f"{dual.geohash_expr('lat', 'lng', 6)} AS gh "
+         f"FROM (SELECT CAST(a AS DOUBLE) AS lat, "
+         f"CAST(b AS DOUBLE) AS lng FROM (VALUES {vals}) t(a, b)) s")
+    rows = con.execute(q).fetchall()
+    for (la, lo), (m, gh) in zip(pts, rows):
+        assert m == ref_morton(la, lo, 10), (la, lo)
+        assert gh == ref_geohash(la, lo, 6), (la, lo, gh)
