@@ -295,8 +295,10 @@ def radius_pairs_haversine(points: DataFrame, radius_km: float,
             F.col(lng_col).cast("double").alias("lng"),
             F.floor(F.col(lat_col) / F.lit(lat_band))
             .cast("long").alias("cy"),
-            F.floor((F.col(lng_col) + 180.0) / F.lit(lng_cell))
-            .cast("long").alias("cx"))
+            # wrap the TARGET cell too: lng exactly +180.0 would land
+            # in cell n_ring, which no (probe % n_ring) cell can match
+            (F.floor((F.col(lng_col) + 180.0) / F.lit(lng_cell))
+             .cast("long") % n_ring).alias("cx"))
 
     base = prep(points)
     other_base = base if others is None else prep(others)

@@ -933,13 +933,20 @@ def fuzzy_pairs(df: DataFrame, key_col: str = "title",
     """
     keyed = df.select(F.col(id_col).alias("id"),
                       F.col(key_col).alias("k"))
+    # carry the key length through the gram explode so the
+    # length-difference prefilter runs on the joined gram rows BEFORE
+    # the candidate .distinct() — edit distance >= |len_a - len_b|, so
+    # filtering early only shrinks the dedup shuffle (result identical)
     grams = keyed.select(
-        "id", F.explode(char_qgram_array("k", q)).alias("g"))
+        "id", F.length("k").alias("len"),
+        F.explode(char_qgram_array("k", q)).alias("g"))
     if max_gram_df is not None:
         grams = cap_buckets(grams, ["g"], max_gram_df)
     cand = (grams.alias("a")
             .join(grams.alias("b"), "g")
-            .where(F.col("a.id") < F.col("b.id"))
+            .where((F.col("a.id") < F.col("b.id")) &
+                   (F.abs(F.col("a.len") - F.col("b.len"))
+                    <= max_dist))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
@@ -948,8 +955,6 @@ def fuzzy_pairs(df: DataFrame, key_col: str = "title",
     kb = keyed.select(F.col("id").alias("id_b"),
                       F.col("k").alias("k_b"))
     return (cand.join(ka, "id_a").join(kb, "id_b")
-            .where(F.abs(F.length("k_a") - F.length("k_b"))
-                   <= max_dist)
             .select("id_a", "id_b",
                     F.levenshtein("k_a", "k_b").alias("dist"))
             .where(F.col("dist") <= max_dist))

@@ -238,7 +238,7 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
     batch also re-encodes the tiles its delta touched from the merged
     pixel state, so served MVTs stay fresh without a full rebuild."""
     occ = stream_occurrence(spark, input_dir, nation_dir)
-    marker = pixel_store.rstrip("/") + "_meta/last_batch.json"
+    marker = pixel_store.rstrip("/") + "/_meta/last_batch.json"
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: after a failure between the

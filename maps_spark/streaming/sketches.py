@@ -111,7 +111,7 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
     union of all batches, counter for counter — including across the
     crash/redelivery cases described in the module docstring."""
     stream = _stream_parquet(spark, input_dir)
-    marker = store_root.rstrip("/") + "_meta/last_batch.json"
+    marker = store_root.rstrip("/") + "/_meta/last_batch.json"
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         prev = _applied_batch(marker)
@@ -137,7 +137,7 @@ def read_sketch_store(spark: SparkSession, store_root: str,
     """``which`` in {'cms', 'values', 'hitters'}: the COMMITTED table
     (resolved through the version marker — half-written snapshots are
     never visible)."""
-    marker = store_root.rstrip("/") + "_meta/last_batch.json"
+    marker = store_root.rstrip("/") + "/_meta/last_batch.json"
     version = _applied_batch(marker)
     if version < 0:
         raise FileNotFoundError(f"no committed sketch store under "

@@ -416,10 +416,15 @@ def test_haversine_radius_pairs_lossless_vs_bruteforce(spark):
     from maps_spark.operators.binning import (_haversine_km,
                                               radius_pairs_haversine)
     pts = []
-    # dateline cluster: neighbours across the +-180 seam
+    # dateline cluster: neighbours across the +-180 seam — including
+    # points at EXACTLY lng=180.0, whose raw cell index is n_ring and
+    # must wrap to 0 to be matchable (ADVICE r5: unwrapped target cell
+    # silently dropped every pair touching a +180.0 point)
     for i in range(6):
         pts.append((100 + i, 10.0 + i * 0.001, 179.99))
         pts.append((200 + i, 10.0 + i * 0.001, -179.98))
+    pts.append((250, 10.0015, 180.0))
+    pts.append((251, 10.0025, 180.0))
     # polar cluster: a tight ring around the pole — at lat 89.97
     # points 45 deg of longitude apart are only ~2-3 km apart
     # great-circle, the exact case planar lng banding can never see
@@ -455,3 +460,5 @@ def test_haversine_radius_pairs_lossless_vs_bruteforce(spark):
                and (x < 200) != (y < 200) for x, y in want), \
         "no dateline-crossing pair in ground truth"
     assert any(300 <= x < 400 for x, _ in want), "no polar pair"
+    # the exact-180.0 pair (both endpoints at the seam) must survive
+    assert (250, 251) in want, "exact lng=180.0 pair missing"
