@@ -1,0 +1,333 @@
+"""HTML main-text extraction: block-level boilerplate removal.
+
+The front-of-pipeline operator a raw-web training corpus needs before
+any of the quality/dedup machinery in :mod:`maps_spark.operators.text`
+applies: every public corpus recipe (C4 / CCNet / RefinedWeb-style)
+starts at raw HTML -> main text. The reference (gbif/maps) has no HTML
+pipeline — it ingests structured occurrence rows — so this is declared
+new scope, following the PUBLIC jusText / Boilerpipe family of
+block-segmentation heuristics (Pomikálek 2011; Kohlschütter et al.,
+WSDM 2010): segment the page into text blocks at block-level tag
+boundaries, then keep a block iff it is long enough AND its *link
+density* (fraction of its visible characters contributed by anchor
+text) is low. Navigation, ads, sidebars and footers are short and/or
+link-heavy; body paragraphs are long and link-sparse.
+
+Engineering rules (shared with the DuckDB oracle twin — every regex
+below parses identically in Java regex and RE2, same discipline as
+``normalize_text``):
+
+- NO lookahead/backreferences (RE2 lacks them). Tag-name matches are
+  anchored by requiring whitespace-or-``>`` structurally:
+  ``(?:\\s[^>]*)?\\s*/?>`` — so ``<li>`` matches but ``<link ...>``
+  does not, ``<a href=..>`` matches but ``<aside>`` does not.
+- link density compares as INTEGER cross-multiplication
+  (``link_chars * den <= txt_len * num``), never a float ratio, so
+  both engines decide keep/drop bit-identically.
+- everything is pure Column / list-function codegen — zero shuffles,
+  zero Python UDFs; at 100 TB this runs entirely inside the scan
+  stage's WholeStageCodegen span, embarrassingly parallel per row.
+
+Entity decoding covers the six common named/numeric entities via
+sequential ``replace`` (``&amp;`` last so ``&amp;lt;`` decodes to the
+literal ``&lt;`` a correct single-pass decoder would produce for the
+double-escape, not ``<``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# --------------------------------------------------------------------------
+# Shared (Java-regex AND RE2 compatible) rules — single-sourced here,
+# imported by the DuckDB oracle builders below.
+# --------------------------------------------------------------------------
+
+SCRIPT_RE = r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>"
+STYLE_RE = r"(?is)<style(?:\s[^>]*)?>.*?</style\s*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+# block-level boundaries: the tag list of the jusText family. The
+# trailing (?:\s[^>]*)?\s*/?> keeps prefixes honest (<li> yes,
+# <link..> no) without RE2-unsupported lookahead.
+_BLOCK_TAGS = ("p|div|li|ul|ol|h[1-6]|table|thead|tbody|tr|td|th|section"
+               "|article|aside|header|footer|nav|form|blockquote|pre"
+               "|figure|figcaption|main|br|hr")
+BLOCK_TAG_RE = r"(?is)</?(?:" + _BLOCK_TAGS + r")(?:\s[^>]*)?\s*/?>"
+ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>.*?</a\s*>"
+TAG_RE = r"(?s)<[^>]*>"
+CTRL_RE = r"[\x00-\x1F\x7F]"
+WS_RE = r"\s+"
+BLOCK_SEP = "\x1e"  # record separator; never occurs in real text
+
+ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+MIN_BLOCK_CHARS = 30  # jusText-style length gate
+LINK_NUM, LINK_DEN = 1, 3  # keep iff link_chars/txt_len <= 1/3
+
+
+def _txt_col(x: Column) -> Column:
+    """Visible text of an HTML fragment: strip tags, decode entities,
+    control chars to spaces, collapse whitespace, trim."""
+    s = F.regexp_replace(x, TAG_RE, " ")
+    for ent, ch in ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, CTRL_RE, " ")
+    return F.trim(F.regexp_replace(s, WS_RE, " "))
+
+
+def _block_structs(html: Column) -> Column:
+    """Non-empty text blocks of a page as array<struct{txt, lc}> where
+    ``lc`` is the anchor-text character count (link chars)."""
+    m = F.regexp_replace(html, SCRIPT_RE, " ")
+    m = F.regexp_replace(m, STYLE_RE, " ")
+    m = F.regexp_replace(m, COMMENT_RE, " ")
+    m = F.regexp_replace(m, BLOCK_TAG_RE, BLOCK_SEP)
+    blocks = F.split(m, BLOCK_SEP)
+    stats = F.transform(blocks, lambda x: F.struct(
+        _txt_col(x).alias("txt"),
+        (F.length(_txt_col(x)) -
+         F.length(_txt_col(F.regexp_replace(x, ANCHOR_RE, " "))))
+        .alias("lc")))
+    return F.filter(stats, lambda s: s["txt"] != "")
+
+
+def _keep(s: Column, min_chars: int, num: int, den: int) -> Column:
+    return ((F.length(s["txt"]) >= min_chars) &
+            (s["lc"] * den <= F.length(s["txt"]) * num))
+
+
+def extract_main_text(docs: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id",
+                      min_chars: int = MIN_BLOCK_CHARS,
+                      max_link_num: int = LINK_NUM,
+                      max_link_den: int = LINK_DEN) -> DataFrame:
+    """Main text + extraction stats per page.
+
+    Output: (id, main_text, n_blocks, n_kept, n_dropped, chars_kept,
+    chars_dropped) — ``main_text`` is the kept blocks joined with
+    newlines, in document order; counts cover non-empty blocks only.
+    """
+    tmp = docs.select(F.col(id_col),
+                      _block_structs(F.col(html_col)).alias("_b"))
+    kept = F.filter(F.col("_b"),
+                    lambda s: _keep(s, min_chars, max_link_num,
+                                    max_link_den))
+    dropped = F.filter(F.col("_b"),
+                       lambda s: ~_keep(s, min_chars, max_link_num,
+                                        max_link_den))
+
+    def _chars(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda a, s: a + F.length(s["txt"]))
+
+    return tmp.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+        .alias("main_text"),
+        F.size("_b").cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("_b") - F.size(kept)).cast("long").alias("n_dropped"),
+        _chars(kept).alias("chars_kept"),
+        _chars(dropped).alias("chars_dropped"))
+
+
+def html_block_stats(docs: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id",
+                     min_chars: int = MIN_BLOCK_CHARS,
+                     max_link_num: int = LINK_NUM,
+                     max_link_den: int = LINK_DEN) -> DataFrame:
+    """Per-block extraction diagnostics: (id, block_idx, block_text,
+    txt_len, link_chars, kept) — the granular twin of
+    :func:`extract_main_text` for rule auditing (pages with zero
+    non-empty blocks emit no rows)."""
+    tmp = docs.select(F.col(id_col),
+                      _block_structs(F.col(html_col)).alias("_b"))
+    withidx = F.transform(
+        F.col("_b"),
+        lambda s, i: F.struct(
+            i.cast("long").alias("block_idx"),
+            s["txt"].alias("block_text"),
+            F.length(s["txt"]).cast("long").alias("txt_len"),
+            s["lc"].cast("long").alias("link_chars"),
+            _keep(s, min_chars, max_link_num, max_link_den)
+            .alias("kept")))
+    return (tmp.select(id_col, F.explode(withidx).alias("u"))
+            .select(id_col, "u.block_idx", "u.block_text", "u.txt_len",
+                    "u.link_chars", "u.kept"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic page synthesis — the gate input. Wraps each document's
+# text in a realistic boilerplate shell (head/script/style, nav, ad
+# block, sidebar, entity-bearing footer) with the body split into
+# <p> paragraphs of WORDS_PER_PAR words. Dual-dialect: the Column
+# builder and the SQL twin emit byte-identical pages.
+# --------------------------------------------------------------------------
+
+WORDS_PER_PAR = 25
+
+# no apostrophes anywhere (the SQL twin inlines these in '...' strings)
+_P_HEAD1 = ('<html><head><title>digest ')
+_P_HEAD2 = ('</title><script type="text/javascript">var page=')
+_P_HEAD3 = (';track();</script><style>.nav a{color:#00f;font-weight:bold}'
+            '</style><link rel="stylesheet" href="/main.css"></head>'
+            '<body><nav class="nav"><a href="/">home</a> '
+            '<a href="/news">news</a> <a href="/about">about us</a> '
+            '<a href="/contact">contact</a></nav><header><h2>')
+_P_HEAD4 = (' daily digest</h2></header><!-- rendered by pipeline -->'
+            '<div class="ad"><a href="/buy">buy premium access today</a> '
+            '<a href="/offer">limited time offer inside</a></div>'
+            '<div class="content">')
+_P_TAIL1 = ('</div><aside class="related"><ul>'
+            '<li><a href="/t/1">trending topic one</a></li>'
+            '<li><a href="/t/2">trending topic two</a></li>'
+            '<li><a href="/t/3">trending topic three</a></li></ul>'
+            '</aside><footer>copyright &amp; database rights 2026 ')
+_P_TAIL2 = (' <a href="/terms">terms of use</a> '
+            '<a href="/privacy">privacy policy</a></footer></body></html>')
+
+
+def synthesize_html(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", source_col: str = "source",
+                    words_per_par: int = WORDS_PER_PAR) -> DataFrame:
+    """Append a deterministic ``html`` page column (see module note).
+    Pure codegen; the inverse property (extraction recovers exactly the
+    long-enough paragraphs) is pinned in tests."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    npar = (F.floor((F.greatest(F.size(w), F.lit(1)) - 1)
+                    / float(words_per_par)).cast("long") + 1)
+    paras = F.transform(
+        F.sequence(F.lit(0).cast("long"), npar - 1),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            F.array_join(F.slice(w, i * words_per_par + 1,
+                                 F.lit(words_per_par)), " "),
+            F.lit("</p>")))
+    ids = F.col(id_col).cast("string")
+    page = F.concat(F.lit(_P_HEAD1), ids, F.lit(_P_HEAD2), ids,
+                    F.lit(_P_HEAD3), F.col(source_col),
+                    F.lit(_P_HEAD4), F.array_join(paras, ""),
+                    F.lit(_P_TAIL1), F.col(source_col),
+                    F.lit(_P_TAIL2))
+    return docs.withColumn("html", page)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins (used by plans.queries / __spark_entry__).
+# --------------------------------------------------------------------------
+
+def _pages_ctes(words_per_par: int = WORDS_PER_PAR) -> str:
+    """CTE chain `pages(doc_id, source, html)` over `documents` —
+    byte-identical to :func:`synthesize_html`."""
+    p = words_per_par
+    return f"""_pw AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+_pn AS (
+  SELECT doc_id, source, w,
+         CAST(floor((greatest(len(w), 1) - 1) / {float(p)}) AS BIGINT)
+           + 1 AS np
+  FROM _pw),
+pages AS (
+  SELECT doc_id, source,
+         '{_P_HEAD1}' || CAST(doc_id AS VARCHAR) || '{_P_HEAD2}'
+         || CAST(doc_id AS VARCHAR) || '{_P_HEAD3}' || source
+         || '{_P_HEAD4}'
+         || array_to_string(list_transform(
+              generate_series(CAST(0 AS BIGINT), np - 1),
+              i -> '<p>' || array_to_string(
+                     list_slice(w, i * {p} + 1, i * {p} + {p}), ' ')
+                   || '</p>'), '')
+         || '{_P_TAIL1}' || source || '{_P_TAIL2}' AS html
+  FROM _pn)"""
+
+
+def _txt_sql(x: str) -> str:
+    s = f"regexp_replace({x}, '{TAG_RE}', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        s = f"replace({s}, '{ent}', '{ch}')" if ch != "'" else \
+            f"replace({s}, '{ent}', '''')"
+    s = f"regexp_replace({s}, '{CTRL_RE}', ' ', 'g')"
+    return f"trim(regexp_replace({s}, '{WS_RE}', ' ', 'g'))"
+
+
+def _blocks_ctes(words_per_par: int = WORDS_PER_PAR) -> str:
+    """CTE chain ending in `blk(doc_id, blocks)` where blocks is a
+    list<struct{txt, lc}> of the non-empty page blocks."""
+    return f"""{_pages_ctes(words_per_par)},
+marked AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           html, '{SCRIPT_RE}', ' ', 'g'), '{STYLE_RE}', ' ', 'g'),
+           '{COMMENT_RE}', ' ', 'g'), '{BLOCK_TAG_RE}', chr(30), 'g')
+           AS m
+  FROM pages),
+b0 AS (
+  SELECT doc_id,
+         list_transform(string_split(m, chr(30)),
+           x -> struct_pack(
+             t := {_txt_sql('x')},
+             na := {_txt_sql(f"regexp_replace(x, '{ANCHOR_RE}', ' ', 'g')")}))
+           AS raw
+  FROM marked),
+blk AS (
+  SELECT doc_id,
+         list_filter(list_transform(raw,
+             s -> struct_pack(txt := s.t,
+                              lc := length(s.t) - length(s.na))),
+           s -> s.txt <> '') AS blocks
+  FROM b0)"""
+
+
+def _keep_sql(s: str, min_chars: int, num: int, den: int) -> str:
+    return (f"(length({s}.txt) >= {min_chars} AND "
+            f"{s}.lc * {den} <= length({s}.txt) * {num})")
+
+
+def html_extract_select(min_chars: int = MIN_BLOCK_CHARS,
+                        num: int = LINK_NUM,
+                        den: int = LINK_DEN) -> str:
+    """DuckDB twin of synthesize_html |> extract_main_text."""
+    keep = _keep_sql("s", min_chars, num, den)
+    return f"""WITH {_blocks_ctes()},
+split AS (
+  SELECT doc_id,
+         list_filter(blocks, s -> {keep}) AS kept,
+         list_filter(blocks, s -> NOT {keep}) AS dropped,
+         blocks
+  FROM blk)
+SELECT doc_id,
+       array_to_string(list_transform(kept, s -> s.txt), chr(10))
+         AS main_text,
+       CAST(len(blocks) AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(blocks) - len(kept) AS BIGINT) AS n_dropped,
+       CAST(coalesce(list_aggregate(
+              list_transform(kept, s -> length(s.txt)), 'sum'), 0)
+            AS BIGINT) AS chars_kept,
+       CAST(coalesce(list_aggregate(
+              list_transform(dropped, s -> length(s.txt)), 'sum'), 0)
+            AS BIGINT) AS chars_dropped
+FROM split"""
+
+
+def html_block_stats_select(min_chars: int = MIN_BLOCK_CHARS,
+                            num: int = LINK_NUM,
+                            den: int = LINK_DEN) -> str:
+    """DuckDB twin of synthesize_html |> html_block_stats."""
+    keep = _keep_sql("(u.s)", min_chars, num, den)
+    return f"""WITH {_blocks_ctes()},
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(blocks)),
+           i -> struct_pack(bi := i, s := blocks[i]))) AS u
+  FROM blk)
+SELECT doc_id, CAST(u.bi - 1 AS BIGINT) AS block_idx,
+       (u.s).txt AS block_text,
+       CAST(length((u.s).txt) AS BIGINT) AS txt_len,
+       CAST((u.s).lc AS BIGINT) AS link_chars,
+       {keep} AS kept
+FROM ex"""

@@ -563,6 +563,18 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(_docs(spark, sf_dir))
 
 
+def q_html_extract(spark, sf_dir):
+    from maps_spark.operators.html import (extract_main_text,
+                                           synthesize_html)
+    return extract_main_text(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_html_block_stats(spark, sf_dir):
+    from maps_spark.operators.html import (html_block_stats,
+                                           synthesize_html)
+    return html_block_stats(synthesize_html(_docs(spark, sf_dir)))
+
+
 def q_embedding_profile(spark, sf_dir):
     from maps_spark.operators.similarity import embedding_profile
     return embedding_profile(_emb(spark, sf_dir))
@@ -1094,6 +1106,8 @@ MAPS_QUERIES = {
     "domain_cap": q_domain_cap,
     "grouped_split": q_grouped_split,
     "normalize_text": q_normalize_text,
+    "html_extract": q_html_extract,
+    "html_block_stats": q_html_block_stats,
     "embedding_profile": q_embedding_profile,
     "embedding_outliers": q_embedding_outliers,
     "token_count_bpe": q_token_count,
@@ -1164,6 +1178,13 @@ MAPS_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
 }
+
+
+def _html_oracle(which: str) -> str:
+    from maps_spark.operators.html import (html_block_stats_select,
+                                           html_extract_select)
+    return (html_extract_select() if which == "extract"
+            else html_block_stats_select())
 
 
 def maps_oracles() -> dict[str, str]:
@@ -1249,6 +1270,8 @@ def maps_oracles() -> dict[str, str]:
         "domain_cap": OT.domain_cap_select(cap=20),
         "grouped_split": OT.grouped_split_select(val_frac=0.2),
         "normalize_text": OT.normalize_text_select(),
+        "html_extract": _html_oracle("extract"),
+        "html_block_stats": _html_oracle("block_stats"),
         "embedding_profile": OT.embedding_profile_select(),
         "embedding_outliers": OT.embedding_outliers_select(),
         "token_count_bpe": OT.token_count_select(),

@@ -1,0 +1,138 @@
+"""HTML main-text extraction: planted-boilerplate and parity tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+PAGE = (
+    '<HTML><head><title>trap title</title>'
+    '<script type="text/javascript">var s = 1; if (s < 2) { s = "<p>"; }'
+    '</script>'
+    '<STYLE media="all">.x{color:red}</STYLE></head><body>'
+    '<!-- a comment with <p>fake block</p> inside -->'
+    '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+    '<DIV class="ad"><a href="/buy">buy premium access right away</a> '
+    '<a href="/go">limited time offer inside here</a></DIV>'
+    '<p>This kept paragraph is long enough to clear the length gate and '
+    'has one inline <a href="/ref">reference link</a> inside normal '
+    'prose so its link density stays low.</p>'
+    '<p>Entities here: fish &amp; chips, 5 &lt; 7, a &quot;quote&quot;, '
+    'it&#39;s&nbsp;fine — second kept block with ample length.</p>'
+    '<p>short one</p>'
+    '<BR/>'
+    '<aside>aside is not an anchor even though it starts with a, and '
+    'this sentence makes the block long enough to be kept.</aside>'
+    '<link rel="x" href="/c.css">'
+    '<footer>copyright <a href="/t">terms of service text</a> '
+    '<a href="/p">privacy and cookies</a></footer></body></html>')
+
+
+def _extract_one(spark, html):
+    from maps_spark.operators.html import extract_main_text
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return extract_main_text(df).collect()[0]
+
+
+def _blocks_one(spark, html):
+    from maps_spark.operators.html import html_block_stats
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return html_block_stats(df).orderBy("block_idx").collect()
+
+
+def test_extract_planted_boilerplate(spark):
+    """Script/style/comment content never leaks; nav, ad and footer are
+    dropped (length or link density); prose paragraphs survive with
+    inline anchors and decoded entities; <aside>/<link> don't trip the
+    <a...>/<li...> prefix traps."""
+    row = _extract_one(spark, PAGE)
+    paras = row.main_text.split("\n")
+    assert paras[0].startswith("This kept paragraph")
+    assert "reference link inside normal prose" in paras[0]
+    assert 'fish & chips, 5 < 7, a "quote", it\'s fine' in paras[1]
+    assert paras[2].startswith("aside is not an anchor")
+    assert len(paras) == 3
+    joined = row.main_text
+    for leak in ("var s", "color:red", "fake block", "home", "buy",
+                 "privacy", "trap title", "rel="):
+        assert leak not in joined, leak
+    assert row.n_kept == 3
+    assert row.n_blocks == row.n_kept + row.n_dropped
+    assert row.chars_kept == sum(len(p) for p in paras)
+
+
+def test_block_stats_flags(spark):
+    rows = _blocks_one(spark, PAGE)
+    by_text = {r.block_text[:12]: r for r in rows}
+    # nav: all-anchor, short -> dropped
+    nav = by_text["home about"[:12]]
+    assert not nav.kept and nav.link_chars == nav.txt_len
+    # ad: long enough but ~100% links -> dropped by density
+    ad = next(r for r in rows if r.block_text.startswith("buy premium"))
+    assert not ad.kept and ad.txt_len >= 30
+    # kept paragraph: low density
+    p = next(r for r in rows if r.block_text.startswith("This kept"))
+    assert p.kept and 0 < p.link_chars * 3 <= p.txt_len
+    # title becomes a short head block -> dropped by length
+    t = by_text["trap title"[:12]]
+    assert not t.kept and t.link_chars == 0
+    # indices are dense from 0 in document order
+    assert [r.block_idx for r in rows] == list(range(len(rows)))
+
+
+def test_link_density_integer_boundary(spark):
+    """Keep/drop flips exactly at link_chars*3 <= txt_len: a 30-char
+    block with 10 link chars (anchor text + its joining space) is kept,
+    with 11 it is dropped."""
+    kept = ('<p>aaaaaaaaaa bbbbbbbbb <a href="/z">ccccccccc</a></p>')
+    dropped = ('<p>aaaaaaaaaa bbbbbbbb <a href="/z">cccccccccc</a></p>')
+    rk = _blocks_one(spark, f"<html><body>{kept}</body></html>")
+    rd = _blocks_one(spark, f"<html><body>{dropped}</body></html>")
+    bk = next(r for r in rk if r.block_text.startswith("aaa"))
+    bd = next(r for r in rd if r.block_text.startswith("aaa"))
+    assert (bk.txt_len, bk.link_chars, bk.kept) == (30, 10, True)
+    assert (bd.txt_len, bd.link_chars, bd.kept) == (30, 11, False)
+    # length gate boundary: 30 plain chars kept, 29 dropped
+    r30 = _blocks_one(spark, "<html><body><p>%s</p></body></html>"
+                      % ("x" * 30))
+    r29 = _blocks_one(spark, "<html><body><p>%s</p></body></html>"
+                      % ("x" * 29))
+    assert next(r.kept for r in r30 if r.block_text == "x" * 30)
+    assert not next(r.kept for r in r29 if r.block_text == "x" * 29)
+
+
+def test_synthesize_roundtrip_recovers_paragraphs(spark):
+    """Extraction over the synthesized gate pages recovers EXACTLY the
+    >=30-char word-chunks of the original document text — the planted
+    boilerplate (nav/ad/aside/footer/head) contributes nothing."""
+    from maps_spark.operators.html import (WORDS_PER_PAR,
+                                           extract_main_text,
+                                           synthesize_html)
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .limit(50).cache())
+    got = {r.doc_id: r for r in
+           extract_main_text(synthesize_html(docs)).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in r.text.split(" ") if w]
+        chunks = [" ".join(words[i:i + WORDS_PER_PAR])
+                  for i in range(0, max(len(words), 1), WORDS_PER_PAR)]
+        want = [c for c in chunks if len(c) >= 30]
+        have = got[r.doc_id].main_text.split("\n") if \
+            got[r.doc_id].main_text else []
+        assert have == want, r.doc_id
+        assert got[r.doc_id].chars_kept == sum(len(c) for c in want)
+    docs.unpersist()
+
+
+def test_extract_plan_is_codegen_only(spark):
+    """The whole extraction is projection-side: no shuffle (Exchange)
+    and no Python UDF in the plan — at 100 TB it runs entirely inside
+    the scan stage."""
+    from maps_spark.operators.html import (extract_main_text,
+                                           synthesize_html)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = (extract_main_text(synthesize_html(docs))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    for udf in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert udf not in plan
