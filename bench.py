@@ -529,6 +529,32 @@ def run() -> None:
             finally:
                 shutil.rmtree(out, ignore_errors=True)
 
+        @timed("web_corpus_e2e", n=2)
+        def _18w():
+            # the raw-web flagship end-to-end: synthesized HTML ->
+            # extract -> normalize -> quality ensemble -> bloom
+            # decontamination -> exact+near dedup -> pack -> shards
+            import shutil
+            import tempfile
+
+            from maps_spark.plans.web import run_web_corpus
+            bench_docs = docs.where(F.col("doc_id") % 100 < 2) \
+                .select("doc_id", "text")
+            out = tempfile.mkdtemp(prefix="bench_web_")
+            try:
+                run_web_corpus(spark, SF_DIR, out, benchmark=bench_docs,
+                               n_shards=32)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        @timed("html_extract")
+        def _18x():
+            # extraction alone (codegen-only): pages/sec proxy at scale
+            from maps_spark.operators.html import (extract_main_text,
+                                                   synthesize_html)
+            (extract_main_text(synthesize_html(docs))
+             .agg(F.sum("chars_kept"), F.sum("n_dropped")).collect())
+
         @timed("quality_signals")
         def _18c():
             # the round-5 signal family end-to-end: stats -> rank-

@@ -1,0 +1,89 @@
+"""End-to-end raw-web corpus driver tests (plans/web.py)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _pages(spark, n=40):
+    from maps_spark.operators.html import synthesize_html
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .where(F.col("doc_id") < n))
+    return synthesize_html(docs).select("doc_id", "source", "html")
+
+
+def test_run_web_corpus_planted_drops(spark, tmp_path):
+    """Each funnel stage demonstrably drops its planted page: a
+    boilerplate-only page at extract, a benchmark twin at
+    decontamination, a duplicated page at dedup — and nothing else
+    goes missing (quality disabled to keep the plant arithmetic
+    exact)."""
+    from maps_spark.plans.web import read_web_shards, run_web_corpus
+    pages = _pages(spark).cache()
+    base_ids = {r.doc_id for r in pages.select("doc_id").collect()}
+    # plant 1: boilerplate-only page -> dropped at extract
+    thin = ('<html><body><nav><a href="/">home</a> '
+            '<a href="/a">about page</a></nav>'
+            '<footer><a href="/t">terms</a></footer></body></html>')
+    # plant 2: byte-duplicate of doc 0's page under a higher id
+    dup = (pages.where(F.col("doc_id") == 0)
+           .select(F.lit(9002).alias("doc_id"), "source", "html"))
+    planted = pages.unionByName(
+        spark.createDataFrame([(9001, "srcX", thin)],
+                              "doc_id long, source string, html string")
+    ).unionByName(dup)
+    # plant 3: benchmark = doc 1's exact text -> doc 1 contaminated
+    bench = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+             .where(F.col("doc_id") == 1).select("doc_id", "text"))
+
+    root = str(tmp_path / "web")
+    m = run_web_corpus(spark, SF_SMALL, root, pages=planted,
+                       benchmark=bench, quality_min_scaled=0,
+                       n_shards=4, seq_budget=128)
+    f = m["funnel"]
+    assert f["pages_in"] == len(base_ids) + 2
+    # thin plant gone (plus any genuinely short real docs)
+    assert f["extracted"] < f["pages_in"]
+    assert f["quality"] == f["extracted"]  # threshold 0
+    # decontamination drops at least doc 1 (shared shingles may take
+    # a handful of near-twins with it at this tiny SF)
+    assert f["decontaminated"] < f["quality"]
+    assert f["deduped"] < f["decontaminated"]  # the planted dup
+    assert f["sampled"] == f["deduped"] and f["sequences"] > 0
+
+    back = read_web_shards(spark, root)
+    got_ids = {r.doc_id for r in back.select("doc_id").collect()}
+    assert back.count() == f["sampled"]
+    assert 9001 not in got_ids, "thin page leaked through extract"
+    assert 1 not in got_ids, "contaminated doc leaked"
+    assert not {0, 9002} <= got_ids, "exact dup pair both kept"
+    assert 0 in got_ids, "canonical (lowest id) not the keeper"
+    # shard text is the NORMALIZED extraction of the original text
+    r0 = back.where(F.col("doc_id") == 0).collect()[0]
+    raw0 = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .where(F.col("doc_id") == 0).collect()[0].text)
+    assert set(r0.text.split(" ")) <= set(raw0.split(" ") + [""])
+    assert "<" not in r0.text and "copyright" not in r0.text
+    pages.unpersist()
+
+
+def test_web_corpus_quality_threshold_and_rotation(spark, tmp_path):
+    """The quality stage actually filters when enabled, stages stay
+    monotonic without a benchmark, and versioned builds rotate
+    keep-2 like every other store."""
+    from maps_spark.plans.web import run_web_corpus
+    root = str(tmp_path / "web2")
+    m = run_web_corpus(spark, SF_SMALL, root, pages=_pages(spark),
+                       quality_min_scaled=500_000, n_shards=2,
+                       seq_budget=128)
+    f = m["funnel"]
+    assert 0 < f["quality"] < f["extracted"]
+    assert f["decontaminated"] == f["quality"]  # no benchmark
+    assert f["deduped"] <= f["quality"] and f["sampled"] == f["deduped"]
+    m2 = run_web_corpus(spark, SF_SMALL, root, pages=_pages(spark),
+                        quality_min_scaled=500_000, n_shards=2,
+                        seq_budget=128)
+    builds = sorted(os.listdir(f"{root}/builds"))
+    assert len(builds) <= 2 and m2["build_id"] == builds[-1]
