@@ -630,10 +630,13 @@ def run() -> None:
 
         @timed("kmeans_pq_ann")
         def _21():
-            # distributed Lloyd's + PQ/ADC over the embedding corpus
+            # distributed Lloyd's + PQ/ADC over the embedding corpus;
+            # PQ codebooks train on the id-ordered 2048 sample (the
+            # production rule — encode still covers every vector)
             SIM.kmeans_assign(emb, k=8, iters=3).count()
             SIM.pq_topk(emb, emb.where(F.col("vec_id") < 16),
-                        m=8, n_cent=16, iters=2).count()
+                        m=8, n_cent=16, iters=2,
+                        train_sample=2048).count()
 
         @timed("session_path_analysis")
         def _22():

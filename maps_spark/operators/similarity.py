@@ -682,7 +682,8 @@ def unit_vec_col(vec_col: str | Column) -> Column:
 def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
               iters: int = 2, vec_col: str = "embedding",
               id_col: str = "vec_id", scale: int = 1_000_000,
-              dim: int | None = None
+              dim: int | None = None,
+              train_sample: int | None = None
               ) -> tuple[list[list[list[int]]], DataFrame]:
     """Product quantization (Jegou et al., TPAMI'11): split each
     vector into ``m`` contiguous subspaces and vector-quantize each
@@ -704,6 +705,15 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
     ranking is cosine ranking (||a-b||^2 = 2 - 2cos) — without this
     the compressed index answers a different question than the
     :func:`brute_force_topk` baseline.
+
+    ``train_sample`` bounds CODEBOOK TRAINING to the ``train_sample``
+    smallest ids (the deterministic id-ordered rule
+    :func:`sources.ann_index.build_ivf_index` already uses for its
+    coarse quantizer) while ENCODING still covers the full corpus —
+    at 100 TB this cuts the iteration scans from corpus-sized to
+    sample-sized with no serving-path change (Jegou et al. train on
+    a held-out sample for exactly this reason). ``None`` keeps the
+    train-on-everything behavior.
 
     Returns ``(codebooks, codes)``: ``codebooks[s][j]`` is centroid j
     of subspace s (integer-scaled), codes is (vec_id, subspace, code,
@@ -741,14 +751,24 @@ def pq_encode(emb: DataFrame, m: int = 8, n_cent: int = 16,
         # arithmetic per subspace is identical to kmeans_fit's, so
         # the codes are unchanged — only the job count drops m-fold.
         cent = [[seed_rows[i][s] for i in seed_ids] for s in range(m)]
+        if train_sample is not None:
+            # id-ordered bound: "the train_sample smallest ids" == a
+            # <= filter against the nth smallest id (ids are unique),
+            # so the training restriction is pure codegen, not a join
+            bnd = (base.select("vec_id").orderBy("vec_id")
+                   .limit(train_sample)
+                   .agg(F.max("vec_id")).first()[0])
+            train = base.where(F.col("vec_id") <= bnd)
+        else:
+            train = base
 
         def best_cols():
             return [_nearest_centroid_struct(f"sv{s}", cent[s])
                     .alias(f"best{s}") for s in range(m)]
 
         for _ in range(iters):
-            upd = (base.select(*best_cols(),
-                               *[f"sv{s}" for s in range(m)])
+            upd = (train.select(*best_cols(),
+                                *[f"sv{s}" for s in range(m)])
                    .select(F.explode(F.array(*[
                        F.struct(F.lit(s).alias("s"),
                                 F.col(f"best{s}.cid").alias("cluster"),
@@ -781,7 +801,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             k_results: int = 10, m: int = 8, n_cent: int = 16,
             iters: int = 2, vec_col: str = "embedding",
             id_col: str = "vec_id", scale: int = 1_000_000,
-            dim: int | None = None) -> DataFrame:
+            dim: int | None = None,
+            train_sample: int | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
     precomputes its m x k lookup table of exact integer distances to
     every codebook centroid, and a corpus vector's approximate
@@ -800,7 +821,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     tie-broken by vec_id — deterministic, oracle-exact.
     """
     codebooks, codes = pq_encode(corpus, m, n_cent, iters, vec_col,
-                                 id_col, scale, dim)
+                                 id_col, scale, dim, train_sample)
     lut = pq_query_lut(queries, codebooks, id_col, vec_col, scale)
     return adc_topk(codes, lut, k_results)
 
@@ -856,8 +877,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
                n_probe: int = 4, kmeans_iters: int = 2,
                train_sample: int = 2048, m: int = 8, n_cent: int = 16,
                iters: int = 2, id_col: str = "vec_id",
-               vec_col: str = "embedding", scale: int = 1_000_000
-               ) -> DataFrame:
+               vec_col: str = "embedding", scale: int = 1_000_000,
+               pq_train_sample: int | None = None) -> DataFrame:
     """The capstone billion-vector layout — IVF x PQ composed: the
     coarse quantizer (:func:`ivf_centroids`) prunes WHICH vectors each
     query scores (``n_probe`` of ``n_clusters`` inverted lists), and
@@ -890,7 +911,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         F.explode(cluster_assign_udf(cent, n_probe)(F.col(vec_col)))
         .alias("cluster"))
     codebooks, codes = pq_encode(corpus, m, n_cent, iters, vec_col,
-                                 id_col, scale)
+                                 id_col, scale,
+                                 train_sample=pq_train_sample)
     lut = pq_query_lut(queries, codebooks, id_col, vec_col, scale)
     cand = (casg.join(F.broadcast(qasg), "cluster")
             .select("qid", "vec_id").distinct())

@@ -825,28 +825,33 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_assign(_emb(spark, sf_dir))
 
 
+PQ_TRAIN = 256  # bounded-sample codebook training (id-ordered rule)
+
+
 def q_pq_codes(spark, sf_dir):
     from maps_spark.operators.similarity import pq_encode
-    return pq_encode(_emb(spark, sf_dir))[1]
+    return pq_encode(_emb(spark, sf_dir), train_sample=PQ_TRAIN)[1]
 
 
 def q_ann_pq_topk(spark, sf_dir):
     from maps_spark.operators.similarity import pq_topk
     emb = _emb(spark, sf_dir)
-    return pq_topk(emb, emb.where(F.col("vec_id") < 16))
+    return pq_topk(emb, emb.where(F.col("vec_id") < 16),
+                   train_sample=PQ_TRAIN)
 
 
 def q_ann_recall_pq(spark, sf_dir):
     from maps_spark.operators import similarity as SIM
     emb = _emb(spark, sf_dir)
     return SIM.ann_recall(emb, emb.where(F.col("vec_id") < 16), k=10,
-                          method="pq")
+                          method="pq", train_sample=PQ_TRAIN)
 
 
 def q_ann_ivfpq_topk(spark, sf_dir):
     from maps_spark.operators.similarity import ivfpq_topk
     emb = _emb(spark, sf_dir)
-    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 16))
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 16),
+                      pq_train_sample=PQ_TRAIN)
 
 
 def q_ann_pq_index(spark, sf_dir):
@@ -859,7 +864,7 @@ def q_ann_pq_index(spark, sf_dir):
                                               query_pq_index)
     emb = _emb(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="maps-spark-pq-") + "/index"
-    build_pq_index(emb, root)
+    build_pq_index(emb, root, train_sample=PQ_TRAIN)
     return query_pq_index(spark, root,
                           emb.where(F.col("vec_id") < 16))
 
@@ -1318,15 +1323,19 @@ def maps_oracles() -> dict[str, str]:
         "fuzzy_title_pairs": OT.fuzzy_pairs_select(),
         "spatial_zorder": O.spatial_zorder_select(z=8),
         "kmeans_clusters": OT.kmeans_assign_select(),
-        "pq_codes": OT.pq_codes_select(),
-        "ann_pq_topk": OT.pq_topk_select(n_queries=16),
-        "ann_recall_pq": OT.ann_recall_pq_select(k=10, n_queries=16),
+        "pq_codes": OT.pq_codes_select(train_limit=PQ_TRAIN),
+        "ann_pq_topk": OT.pq_topk_select(n_queries=16,
+                                         train_limit=PQ_TRAIN),
+        "ann_recall_pq": OT.ann_recall_pq_select(
+            k=10, n_queries=16, train_limit=PQ_TRAIN),
         "cluster_topics": OT.cluster_topics_select(),
         # the serving gate reuses the in-memory PQ oracle: a hash
         # match proves the persisted codes/codebooks round-trip is
         # lossless (same pattern as ann_ivf_index)
-        "ann_pq_index": OT.pq_topk_select(n_queries=16),
-        "ann_ivfpq_topk": OT.ivfpq_topk_select(n_queries=16),
+        "ann_pq_index": OT.pq_topk_select(n_queries=16,
+                                          train_limit=PQ_TRAIN),
+        "ann_ivfpq_topk": OT.ivfpq_topk_select(
+            n_queries=16, pq_train_limit=PQ_TRAIN),
         "dedup_method_overlap": OT.dedup_method_overlap_select(),
         "geohash_counts": O.geohash_counts_select(precision=4),
         "stratified_sample": OT.stratified_sample_select(),

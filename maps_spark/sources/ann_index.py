@@ -164,18 +164,25 @@ def upsert_ivf_index(emb_new: DataFrame, root: str,
 def build_pq_index(emb: DataFrame, root: str, m: int = 8,
                    n_cent: int = 16, iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   scale: int = 1_000_000) -> None:
+                   scale: int = 1_000_000,
+                   train_sample: int | None = None) -> None:
     """Train PQ codebooks (operators.similarity.pq_encode) and persist
     the compressed index: one row per vector holding its ``m`` codes
     (the 256x memory cut that lets a billion-vector index serve from
     RAM), plus the codebook table and a manifest. IVF partitions WHAT
     gets scanned; this stores HOW CHEAP each scan row is — a real
     deployment layers both (partition by coarse cluster, store codes
-    inside each partition)."""
+    inside each partition).
+
+    ``train_sample`` bounds codebook TRAINING to the id-ordered
+    sample (same rule as :func:`build_ivf_index`'s coarse quantizer)
+    while encoding still covers every vector — the index-build cost
+    drops ~corpus/sample with no serving change."""
     from maps_spark.operators.similarity import pq_encode
     spark = emb.sparkSession
     codebooks, codes = pq_encode(emb, m, n_cent, iters, vec_col,
-                                 id_col, scale)
+                                 id_col, scale,
+                                 train_sample=train_sample)
     packed = (codes.groupBy("vec_id")
               .agg(F.transform(
                   F.array_sort(F.collect_list(
@@ -189,7 +196,8 @@ def build_pq_index(emb: DataFrame, root: str, m: int = 8,
         rows, "subspace int, code int, centroid array<long>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_books")
     _merge_manifest(root, {"pq_m": m, "pq_n_cent": n_cent,
-                           "pq_iters": iters, "pq_scale": scale})
+                           "pq_iters": iters, "pq_scale": scale,
+                           "pq_train_sample": train_sample})
 
 
 def load_pq_codebooks(spark: SparkSession,

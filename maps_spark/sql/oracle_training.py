@@ -845,13 +845,15 @@ GROUP BY e.query_id"""
 
 def ann_recall_pq_select(k: int = 10, n_queries: int = 16,
                          m: int = 8, iters: int = 2,
-                         n_cent: int = 16) -> str:
+                         n_cent: int = 16,
+                         train_limit: int | None = None) -> str:
     """DuckDB twin of ann_recall(method='pq'): the PQ ADC top-(k+1)
     select nested as a subquery (DuckDB allows WITH inside a
     subquery), self-matches dropped and re-ranked to k, then the
     integer hit count against brute force."""
     pq = pq_topk_select(n_queries=n_queries, k_results=k + 1,
-                        m=m, n_cent=n_cent, iters=iters)
+                        m=m, n_cent=n_cent, iters=iters,
+                        train_limit=train_limit)
     return f"""WITH exact AS ({ann_topk_select(k, n_queries)}),
 approx AS (
   SELECT qid AS query_id, vec_id AS neighbor_id FROM (
@@ -2333,13 +2335,24 @@ WHERE abs(len(ka.k) - len(kb.k)) <= {max_dist}
 
 
 def _kmeans_ctes(p: str, emb_expr: str, k: int, iters: int,
-                 scale: int, table: str = "embeddings") -> list[str]:
+                 scale: int, table: str = "embeddings",
+                 train_limit: int | None = None) -> list[str]:
     """CTE chain (prefix ``p``) replaying operators.similarity
     kmeans_fit over ``emb_expr`` (a list expression over the
     embeddings table): scaled components, seed centroids from the
     shared ``ranked`` ordering, then per-iteration assign / update
     with the empty-cluster keep-previous rule. The last CTE
-    ``{p}fa`` holds (vec_id, cluster, d2) for the FINAL centroids."""
+    ``{p}fa`` holds (vec_id, cluster, d2) for the FINAL centroids.
+
+    ``train_limit`` replays pq_encode's bounded-sample training: the
+    per-iteration assign/update sees only the ``train_limit`` smallest
+    vec_ids (a <= bound against the nth smallest id — ids unique),
+    while the final assignment still covers the whole table."""
+    trw = ""
+    if train_limit is not None:
+        trw = (f" WHERE v.vec_id <= (SELECT max(vec_id) FROM "
+               f"(SELECT vec_id FROM {table} ORDER BY vec_id "
+               f"LIMIT {train_limit}) {p}tl)")
     ctes = [f"""{p}comp AS (
   SELECT vec_id,
          CAST(generate_subscripts({emb_expr}, 1) - 1 AS INT) AS pos,
@@ -2358,7 +2371,8 @@ def _kmeans_ctes(p: str, emb_expr: str, k: int, iters: int,
         ctes.append(f"""{p}a{i} AS (
   SELECT v.vec_id, c.cluster,
          sum((v.xs - c.xs) * (v.xs - c.xs)) AS d2
-  FROM {p}scaled v JOIN {p}c{i} c ON v.pos = c.pos GROUP BY 1, 2),
+  FROM {p}scaled v JOIN {p}c{i} c ON v.pos = c.pos{trw}
+  GROUP BY 1, 2),
 {p}b{i} AS (
   SELECT vec_id, cluster, d2 FROM {p}a{i}
   QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -2416,7 +2430,8 @@ def _unit_slice_sql(a: int, b: int) -> str:
 
 
 def pq_codes_select(m: int = 8, n_cent: int = 16, iters: int = 2,
-                    dim: int = 64, scale: int = 1_000_000) -> str:
+                    dim: int = 64, scale: int = 1_000_000,
+                    train_limit: int | None = None) -> str:
     """DuckDB twin of operators.similarity.pq_encode's code table:
     one kmeans chain per subspace over the list slice, same shared
     seed ordering."""
@@ -2425,7 +2440,8 @@ def pq_codes_select(m: int = 8, n_cent: int = 16, iters: int = 2,
     for s in range(m):
         ctes += _kmeans_ctes(f"s{s}_",
                              f"{_unit_slice_sql(s * sub + 1, (s + 1) * sub)}",
-                             n_cent, iters, scale)
+                             n_cent, iters, scale,
+                             train_limit=train_limit)
     union = "\nUNION ALL\n".join(
         f"SELECT vec_id, CAST({s} AS INT) AS subspace, "
         f"CAST(cluster AS INT) AS code, CAST(d2 AS BIGINT) AS dist2 "
@@ -2434,7 +2450,9 @@ def pq_codes_select(m: int = 8, n_cent: int = 16, iters: int = 2,
 
 
 def _pq_chain_parts(n_queries: int, m: int, n_cent: int, iters: int,
-                    dim: int, scale: int) -> tuple[list[str], str, str]:
+                    dim: int, scale: int,
+                    train_limit: int | None = None
+                    ) -> tuple[list[str], str, str]:
     """(kmeans CTE list, codes-union SQL, lut-union SQL) — the PQ
     building blocks shared by pq_topk_select and ivfpq_topk_select."""
     sub = dim // m
@@ -2442,7 +2460,8 @@ def _pq_chain_parts(n_queries: int, m: int, n_cent: int, iters: int,
     for s in range(m):
         ctes += _kmeans_ctes(f"s{s}_",
                              f"{_unit_slice_sql(s * sub + 1, (s + 1) * sub)}",
-                             n_cent, iters, scale)
+                             n_cent, iters, scale,
+                             train_limit=train_limit)
     codes = "\nUNION ALL\n".join(
         f"SELECT vec_id, {s} AS subspace, cluster AS code "
         f"FROM s{s}_fa" for s in range(m))
@@ -2456,12 +2475,14 @@ WHERE q.vec_id < {n_queries} GROUP BY 1, 2, 3""" for s in range(m))
 
 def pq_topk_select(n_queries: int = 16, k_results: int = 10,
                    m: int = 8, n_cent: int = 16, iters: int = 2,
-                   dim: int = 64, scale: int = 1_000_000) -> str:
+                   dim: int = 64, scale: int = 1_000_000,
+                   train_limit: int | None = None) -> str:
     """DuckDB twin of operators.similarity.pq_topk (ADC): per-query
     LUT against each subspace's FINAL centroids, summed over the code
     table, ranked per query with the (adist2, vec_id) tie-break."""
     ctes, codes, lut = _pq_chain_parts(n_queries, m, n_cent, iters,
-                                       dim, scale)
+                                       dim, scale,
+                                       train_limit=train_limit)
     return ("WITH " + ",\n".join(ctes)
             + f""",\ncodes AS ({codes}),\nlut AS ({lut}),
 scored AS (
@@ -2483,12 +2504,14 @@ def ivfpq_topk_select(n_queries: int = 16, k_results: int = 10,
                       n_clusters: int = 16, n_probe: int = 4,
                       kmeans_iters: int = 2, train_sample: int = 2048,
                       m: int = 8, n_cent: int = 16, iters: int = 2,
-                      dim: int = 64, scale: int = 1_000_000) -> str:
+                      dim: int = 64, scale: int = 1_000_000,
+                      pq_train_limit: int | None = None) -> str:
     """DuckDB twin of operators.similarity.ivfpq_topk: the IVF
     training/assignment chain (casg) + query probes, composed with the
     PQ chains — ADC runs over probed candidates only."""
     ctes, codes, lut = _pq_chain_parts(n_queries, m, n_cent, iters,
-                                       dim, scale)
+                                       dim, scale,
+                                       train_limit=pq_train_limit)
     return f"""WITH {_ivf_casg_ctes(dim, n_clusters, kmeans_iters,
                                     train_sample)},
 qasg AS (

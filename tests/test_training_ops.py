@@ -1300,6 +1300,39 @@ def test_pq_adc_ranks_same_blob_first(spark):
         assert r["adist2"] >= 0
 
 
+def test_pq_bounded_training_contract(spark):
+    """train_sample semantics: a bound >= corpus is a no-op (codes
+    byte-identical to full training), a real bound still encodes the
+    FULL corpus and keeps blob recall — training shrinks, serving
+    coverage does not."""
+    import random
+
+    from maps_spark.operators.similarity import ann_recall, pq_encode
+    rng = random.Random(11)
+    centers = [[9.0 * ((c >> b) & 1) - 4.5 for b in range(8)]
+               for c in range(6)]
+    rows = [(i, [v + rng.uniform(-0.4, 0.4) for v in centers[i % 6]])
+            for i in range(66)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    full_books, full_codes = pq_encode(df, m=2, n_cent=8, iters=3)
+    noop_books, noop_codes = pq_encode(df, m=2, n_cent=8, iters=3,
+                                       train_sample=1000)
+    assert noop_books == full_books
+    key = lambda r: (r["vec_id"], r["subspace"])  # noqa: E731
+    assert sorted(map(lambda r: r.asDict(), noop_codes.collect()),
+                  key=key) == \
+        sorted(map(lambda r: r.asDict(), full_codes.collect()), key=key)
+    # real bound: every vector still gets codes, recall floor holds
+    _, bcodes = pq_encode(df, m=2, n_cent=8, iters=3, train_sample=30)
+    assert bcodes.select("vec_id").distinct().count() == 66
+    rec = ann_recall(df, df.where("vec_id < 6"), k=10, method="pq",
+                     m=2, n_cent=8, iters=3, train_sample=30)
+    out = rec.collect()
+    assert (sum(r["n_hits"] for r in out)
+            / sum(r["n_exact"] for r in out)) >= 0.9
+
+
 def test_pq_recall_high_on_structured_data(spark):
     """On data with real cluster structure (where ANN is used), the
     PQ-compressed index recalls almost all true neighbours; the gate
