@@ -135,3 +135,62 @@ def nb_classify(docs: DataFrame, model_docs: DataFrame,
     classes, delta = nb_train_tables(model_docs, label_col, text_col,
                                      scale)
     return nb_score(docs, classes, delta, text_col)
+
+
+def classifier_eval(scored: DataFrame, labels: DataFrame,
+                    pred_col: str = "pred_label",
+                    label_col: str = "label",
+                    id_col: str = "doc_id",
+                    scale: int = SCALE) -> DataFrame:
+    """Per-class classification quality as integer-exact counts — the
+    ``ann_recall`` precedent applied to the classifier family:
+    :func:`nb_classify` is hash-gated for determinism, this measures
+    whether the determinism is USEFUL. Per class: tp / fp / fn /
+    support plus precision, recall and F1, all integer-scaled with
+    integer division (``floor(a/b)`` via ``div`` — never a double
+    ratio, so counts past 2^53 stay exact and both engines agree
+    bitwise). Empty denominators score 0 (the sklearn zero-division
+    convention).
+
+    Only documents present in BOTH frames are evaluated (the
+    classifier's zero-token exclusion contract carries through);
+    classes never predicted and classes never true both still get a
+    row (full outer over the two per-class aggregations).
+
+    Scale: two group-aggregations over (doc_id, pred, truth) pairs and
+    one class-count-sized join — nothing is per-document after the
+    first shuffle.
+
+    Output: (label, tp, fp, fn, support, precision_scaled,
+    recall_scaled, f1_scaled).
+    """
+    j = (scored.select(F.col(id_col).alias("id"),
+                       F.col(pred_col).alias("pred"))
+         .join(labels.select(F.col(id_col).alias("id"),
+                             F.col(label_col).alias("truth")), "id"))
+    p = (j.groupBy(F.col("pred").alias("label"))
+         .agg(F.count("*").alias("n_pred"),
+              F.sum(F.when(F.col("pred") == F.col("truth"), 1)
+                    .otherwise(0)).alias("tp")))
+    t = (j.groupBy(F.col("truth").alias("label"))
+         .agg(F.count("*").alias("support")))
+    m = (p.join(t, "label", "full_outer")
+         .select("label",
+                 F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+                 (F.coalesce("n_pred", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).cast("long").alias("fp"),
+                 (F.coalesce("support", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).cast("long").alias("fn"),
+                 F.coalesce("support", F.lit(0)).cast("long")
+                 .alias("support")))
+
+    def ratio(num: str, den: str) -> F.Column:
+        return F.expr(f"CASE WHEN {den} = 0 THEN 0 "
+                      f"ELSE ({num}) div ({den}) END").cast("long")
+
+    s = int(scale)
+    return m.select(
+        "label", "tp", "fp", "fn", "support",
+        ratio(f"tp * {s}", "tp + fp").alias("precision_scaled"),
+        ratio(f"tp * {s}", "tp + fn").alias("recall_scaled"),
+        ratio(f"2 * tp * {s}", "2 * tp + fp + fn").alias("f1_scaled"))

@@ -530,6 +530,14 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_classifier_eval(spark, sf_dir):
+    from maps_spark.operators.classify import classifier_eval, nb_classify
+    docs = _docs(spark, sf_dir)
+    scored = nb_classify(docs, docs, label_col="source")
+    return classifier_eval(scored, docs.select(
+        "doc_id", F.col("source").alias("label")))
+
+
 def q_dup_spans(spark, sf_dir):
     from maps_spark.operators.dedup import dup_spans
     return dup_spans(_docs(spark, sf_dir), gram_hasher="reproducible")
@@ -1105,6 +1113,7 @@ MAPS_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "nb_classify": q_nb_classify,
+    "classifier_eval": q_classifier_eval,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
     "scrub_dup_spans": q_scrub_dup_spans,
@@ -1269,6 +1278,7 @@ def maps_oracles() -> dict[str, str]:
         "text_stats": OT.text_stats_select(),
         "lang_id": OT.lang_id_select(),
         "nb_classify": OT.nb_classify_select(),
+        "classifier_eval": OT.classifier_eval_select(),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),
         "scrub_dup_spans": OT.scrub_dup_spans_select(),

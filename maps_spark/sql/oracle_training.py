@@ -2670,3 +2670,37 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
 FROM dh a JOIN dh b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.hash_hi, b.hash_hi))
       + bit_count(xor(a.hash_lo, b.hash_lo)) <= {max_hamming}"""
+
+
+def classifier_eval_select(scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.classify.classifier_eval over the
+    nb_classify gate output (self-trained, label = source): per-class
+    tp/fp/fn/support and integer-divided precision/recall/F1."""
+    s = int(scale)
+    return f"""WITH scored AS ({nb_classify_select(scale)}),
+lab AS (SELECT doc_id, source AS truth FROM documents),
+j AS (SELECT s.pred_label AS pred, l.truth
+      FROM scored s JOIN lab l USING (doc_id)),
+p AS (SELECT pred AS label, count(*) AS n_pred,
+             sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS tp
+      FROM j GROUP BY 1),
+t AS (SELECT truth AS label, count(*) AS support FROM j GROUP BY 1),
+m AS (SELECT COALESCE(p.label, t.label) AS label,
+             CAST(COALESCE(p.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(p.n_pred, 0) - COALESCE(p.tp, 0) AS BIGINT)
+               AS fp,
+             CAST(COALESCE(t.support, 0) - COALESCE(p.tp, 0) AS BIGINT)
+               AS fn,
+             CAST(COALESCE(t.support, 0) AS BIGINT) AS support
+      FROM p FULL OUTER JOIN t ON p.label = t.label)
+SELECT label, tp, fp, fn, support,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+                 ELSE (tp * {s}) // (tp + fp) END AS BIGINT)
+         AS precision_scaled,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+                 ELSE (tp * {s}) // (tp + fn) END AS BIGINT)
+         AS recall_scaled,
+       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                 ELSE (2 * tp * {s}) // (2 * tp + fp + fn) END
+            AS BIGINT) AS f1_scaled
+FROM m"""
