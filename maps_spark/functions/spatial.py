@@ -131,7 +131,17 @@ def morton_ranges(lat_min: float, lat_max: float, lng_min: float,
     predicates over a :func:`zorder_layout` table): each interval is a
     contiguous key span, so parquet row-group min/max stats skip
     everything outside the box.
+
+    A dateline-crossing box (``lng_min > lng_max``) is handled by
+    covering its west and east halves independently and merging the
+    two covers back down to the shared ``max_ranges`` budget.
     """
+    if lng_min > lng_max:  # dateline wrap: split at the antimeridian
+        west = morton_ranges(lat_min, lat_max, lng_min, 180.0, z,
+                             max_ranges)
+        east = morton_ranges(lat_min, lat_max, -180.0, lng_max, z,
+                             max_ranges)
+        return _merge_ranges(sorted(west + east), max_ranges)
     n = 1 << z
     import math
 
@@ -175,7 +185,13 @@ def morton_ranges(lat_min: float, lat_max: float, lng_min: float,
                     for x, y, m in partial
                     for ybit in (0, 1) for xbit in (0, 1)]
     out.sort()
-    # coalesce adjacency, then merge smallest gaps down to the budget
+    return _merge_ranges(out, max_ranges)
+
+
+def _merge_ranges(out: list[tuple[int, int]],
+                  max_ranges: int) -> list[tuple[int, int]]:
+    """Coalesce adjacent/overlapping sorted intervals, then merge the
+    smallest gaps down to the budget (only ever ADDS covered keys)."""
     merged: list[list[int]] = []
     for a, b in out:
         if merged and a <= merged[-1][1] + 1:
@@ -201,13 +217,11 @@ def bbox_scan(df: DataFrame, lat_min: float, lat_max: float,
     cover prunes at the scan (row-group min/max on ``zkey_col``), the
     exact coordinate predicate restores cell-boundary precision —
     results are EXACTLY the box, pruning is just the fast path.
-    Dateline-crossing boxes: issue two calls (west + east half) and
-    union, like the tile readers do."""
+    A dateline-crossing box (``lng_min > lng_max``) covers both
+    halves of the seam in one call: the key cover unions the two
+    sides and the exact longitude predicate becomes the wrapped
+    disjunction."""
     from functools import reduce
-    if lng_min > lng_max:
-        raise ValueError(
-            "dateline-crossing box (lng_min > lng_max): issue two "
-            "calls (west and east half) and union the results")
     if lat_min > lat_max:
         raise ValueError("inverted latitude interval")
     ranges = morton_ranges(lat_min, lat_max, lng_min, lng_max, z,
@@ -215,9 +229,15 @@ def bbox_scan(df: DataFrame, lat_min: float, lat_max: float,
     pred = reduce(lambda a, b: a | b,
                   [F.col(zkey_col).between(lo, hi)
                    for lo, hi in ranges])
+    if lng_min > lng_max:  # wrapped: west OF the seam OR east of it
+        lng_pred = ((F.col(lng_col) >= lng_min)
+                    | (F.col(lng_col) <= lng_max))
+    else:
+        lng_pred = ((F.col(lng_col) >= lng_min)
+                    & (F.col(lng_col) <= lng_max))
     return df.where(pred).where(
         (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
-        & (F.col(lng_col) >= lng_min) & (F.col(lng_col) <= lng_max))
+        & lng_pred)
 
 
 def geohash_decode_cell(gh: str) -> tuple[int, int, int, int]:

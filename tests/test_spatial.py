@@ -151,6 +151,18 @@ def test_bbox_scan_exact_and_pruned(spark, tmp_path):
     assert all(a <= b for a, b in ranges)
     assert all(ranges[i][1] < ranges[i + 1][0]
                for i in range(len(ranges) - 1))
+    # dateline-crossing box in ONE call: exactly the wrapped points
+    wbox = (-20.0, 20.0, 170.0, -165.0)
+    wgot = {r["id"] for r in bbox_scan(back, *wbox, z=16,
+                                       lat_col="lat",
+                                       lng_col="lng").collect()}
+    wwant = {i for i, la, lo in rows
+             if wbox[0] <= la <= wbox[1]
+             and (lo >= wbox[2] or lo <= wbox[3])}
+    assert wgot == wwant and wgot
+    wr = morton_ranges(*wbox, z=16)
+    assert 1 <= len(wr) <= 32 and all(a <= b for a, b in wr)
+    assert all(wr[i][1] < wr[i + 1][0] for i in range(len(wr) - 1))
 
 
 def test_morton_ranges_cover_never_misses(spark):
@@ -161,13 +173,21 @@ def test_morton_ranges_cover_never_misses(spark):
 
     from maps_spark.functions.spatial import morton_ranges
     rng = random.Random(29)
-    for _ in range(10):
+    for trial in range(16):
         la = sorted((rng.uniform(-90, 90), rng.uniform(-90, 90)))
         lo = sorted((rng.uniform(-180, 180), rng.uniform(-180, 180)))
+        if trial % 2:  # wrapped box: swap so lng_min > lng_max and
+            lo = [lo[1], lo[0]]  # sample points across the seam
+            pts = [(rng.uniform(la[0], la[1]),
+                    rng.uniform(lo[0], 180.0) if i % 2
+                    else rng.uniform(-180.0, lo[1]))
+                   for i in range(50)]
+        else:
+            pts = [(rng.uniform(la[0], la[1]),
+                    rng.uniform(lo[0], lo[1])) for _ in range(50)]
         ranges = morton_ranges(la[0], la[1], lo[0], lo[1], z=16,
                                max_ranges=16)
-        pts = [(rng.uniform(la[0], la[1]), rng.uniform(lo[0], lo[1]))
-               for _ in range(50)]
+        assert len(ranges) <= 16
         df = spark.createDataFrame(pts, "lat double, lng double")
         keys = [r["m"] for r in df.select(
             morton_key("lat", "lng", 16).alias("m")).collect()]
