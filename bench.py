@@ -289,6 +289,37 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    @timed("backfill_z10_8x", n=2)
+    def _4f8():
+        # the 8x point of the scale curve (VERDICT r5 #7): with 1x
+        # (backfill_z0_10_3857) and 4x above, this pins the exponent —
+        # a super-linear stage in the span/encode path shows up here
+        # before a cluster finds it. Same shifted-replica recipe.
+        import shutil
+        import tempfile
+
+        from maps_spark.sources import tile_store
+        rep = occ
+        for i in range(1, 8):
+            rep = rep.unionByName(occ.withColumns({
+                "decimalLongitude": F.pmod(
+                    F.col("decimalLongitude") + F.lit(180.0 + i * 0.013),
+                    F.lit(360.0)) - 180.0,
+                "decimalLatitude": F.greatest(F.lit(-84.9), F.least(
+                    F.lit(84.9), F.col("decimalLatitude") + i * 0.0071)),
+            }))
+        out = tempfile.mkdtemp(prefix="bench_bf8x_")
+        try:
+            snap = rep.localCheckpoint(eager=True)
+            k8 = PY.keyed_occurrence(snap)
+            large, small = PY.split_views(k8, 10_000)
+            tile_store.write_points(PY.point_blobs(small), out)
+            tiles = PY.build_pyramid(large, "EPSG:3857", 10)
+            tile_store.write_tiles(tiles, out)
+            PY.unpersist_pyramid(tiles)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     @timed("backfill_z10_skewed", n=2)
     def _4g():
         # adversarial-skew tracking entry (VERDICT r4 #5): the z10

@@ -183,10 +183,14 @@ _P_HEAD4 = (' daily digest</h2></header><!-- rendered by pipeline -->'
 _P_TAIL1 = ('</div><aside class="related"><ul>'
             '<li><a href="/t/1">trending topic one</a></li>'
             '<li><a href="/t/2">trending topic two</a></li>'
-            '<li><a href="/t/3">trending topic three</a></li></ul>'
+            '<li><a href="/t/3">trending topic three</a></li>'
+            '<li><a href="http://partner')
+_P_TAIL2 = ('.example/ref">partner site</a></li></ul>'
             '</aside><footer>copyright &amp; database rights 2026 ')
-_P_TAIL2 = (' <a href="/terms">terms of use</a> '
-            '<a href="/privacy">privacy policy</a></footer></body></html>')
+_P_TAIL3 = (' <a href="/terms">terms of use</a> '
+            '<a href="/privacy">privacy policy</a> '
+            '<a href="/doc/')
+_P_TAIL4 = ('">next digest</a></footer></body></html>')
 
 
 def synthesize_html(docs: DataFrame, text_col: str = "text",
@@ -206,11 +210,14 @@ def synthesize_html(docs: DataFrame, text_col: str = "text",
                                  F.lit(words_per_par)), " "),
             F.lit("</p>")))
     ids = F.col(id_col).cast("string")
+    partner = (F.col(id_col) % 7).cast("string")
+    nxt = (F.col(id_col) + 1).cast("string")
     page = F.concat(F.lit(_P_HEAD1), ids, F.lit(_P_HEAD2), ids,
                     F.lit(_P_HEAD3), F.col(source_col),
                     F.lit(_P_HEAD4), F.array_join(paras, ""),
-                    F.lit(_P_TAIL1), F.col(source_col),
-                    F.lit(_P_TAIL2))
+                    F.lit(_P_TAIL1), partner,
+                    F.lit(_P_TAIL2), F.col(source_col),
+                    F.lit(_P_TAIL3), nxt, F.lit(_P_TAIL4))
     return docs.withColumn("html", page)
 
 
@@ -241,7 +248,10 @@ pages AS (
               i -> '<p>' || array_to_string(
                      list_slice(w, i * {p} + 1, i * {p} + {p}), ' ')
                    || '</p>'), '')
-         || '{_P_TAIL1}' || source || '{_P_TAIL2}' AS html
+         || '{_P_TAIL1}' || CAST(doc_id % 7 AS VARCHAR)
+         || '{_P_TAIL2}' || source
+         || '{_P_TAIL3}' || CAST(doc_id + 1 AS VARCHAR)
+         || '{_P_TAIL4}' AS html
   FROM _pn)"""
 
 
@@ -331,3 +341,108 @@ SELECT doc_id, CAST(u.bi - 1 AS BIGINT) AS block_idx,
        CAST((u.s).lc AS BIGINT) AS link_chars,
        {keep} AS kept
 FROM ex"""
+
+
+# --------------------------------------------------------------------------
+# Link extraction — the URL-graph side of a web pipeline (outlinks,
+# internal/external split, per-domain counts for reputation signals).
+# --------------------------------------------------------------------------
+
+HREF_RE = r'(?is)<a\s[^>]*?href="([^"]*)"'
+DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Outlink table: one row per double-quoted ``href`` in document
+    order — (id, link_idx, href). Pure codegen (``regexp_extract_all``
+    + posexplode); single-quoted/bare hrefs are out of scope for the
+    RE2/Java common subset and documented as such. Pages with no
+    links emit no rows."""
+    return (pages.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(F.col(html_col),
+                                          F.lit(HREF_RE), F.lit(1)))
+        .alias("link_idx", "href")))
+
+
+def link_stats(pages: DataFrame, html_col: str = "html",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-page outlink profile: total, distinct, internal (hrefs
+    rooted at ``/``) and absolute (scheme-qualified) counts — the
+    page-level link signals a crawl-frontier / quality stage consumes.
+    All array ops over the extract, no shuffle."""
+    links = F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE),
+                                 F.lit(1))
+    n_int = F.size(F.filter(links, lambda h: h.startswith("/")))
+    n_abs = F.size(F.filter(
+        links, lambda h: F.regexp_extract(h, DOMAIN_RE, 1) != ""))
+    return pages.select(
+        F.col(id_col),
+        F.size(links).cast("long").alias("n_links"),
+        F.size(F.array_distinct(links)).cast("long")
+        .alias("n_unique"),
+        n_int.cast("long").alias("n_internal"),
+        n_abs.cast("long").alias("n_absolute"))
+
+
+def link_domain_counts(pages: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id") -> DataFrame:
+    """In-link counts per external domain: (domain, n_links,
+    n_docs) — the raw material of a domain-reputation table
+    (crawl-frontier prioritization, source weighting). One extract +
+    one aggregation; relative links carry no domain and are
+    excluded."""
+    d = extract_links(pages, html_col, id_col).select(
+        id_col, F.regexp_extract("href", DOMAIN_RE, 1).alias("domain"))
+    return (d.where(F.col("domain") != "")
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct(id_col).alias("n_docs")))
+
+
+def html_links_select() -> str:
+    """DuckDB twin of synthesize_html |> extract_links."""
+    return f"""WITH {_pages_ctes()},
+hx AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{HREF_RE}', 1) AS hrefs
+  FROM pages)
+SELECT doc_id,
+       CAST(u.i - 1 AS INT) AS link_idx,
+       hrefs[u.i] AS href
+FROM (SELECT doc_id, hrefs,
+             unnest(generate_series(1, len(hrefs))) AS i
+      FROM hx) u(doc_id, hrefs, i)"""
+
+
+def link_domain_counts_select() -> str:
+    """DuckDB twin of synthesize_html |> link_domain_counts."""
+    return f"""WITH {_pages_ctes()},
+d AS (
+  SELECT doc_id,
+         regexp_extract(unnest(regexp_extract_all(
+             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS domain
+  FROM pages)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM d WHERE domain <> '' GROUP BY 1"""
+
+
+def link_stats_select() -> str:
+    """DuckDB twin of synthesize_html |> link_stats (array-side like
+    the engine, so zero-link pages would still emit a zero row)."""
+    return f"""WITH {_pages_ctes()},
+hx AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{HREF_RE}', 1) AS hrefs
+  FROM pages)
+SELECT doc_id,
+       CAST(len(hrefs) AS BIGINT) AS n_links,
+       CAST(len(list_distinct(hrefs)) AS BIGINT) AS n_unique,
+       CAST(len(list_filter(hrefs, h -> h LIKE '/%')) AS BIGINT)
+         AS n_internal,
+       CAST(len(list_filter(hrefs,
+              h -> regexp_extract(h, '{DOMAIN_RE}', 1) <> ''))
+            AS BIGINT) AS n_absolute
+FROM hx"""

@@ -583,6 +583,22 @@ def q_html_block_stats(spark, sf_dir):
     return html_block_stats(synthesize_html(_docs(spark, sf_dir)))
 
 
+def q_html_links(spark, sf_dir):
+    from maps_spark.operators.html import extract_links, synthesize_html
+    return extract_links(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_link_stats(spark, sf_dir):
+    from maps_spark.operators.html import link_stats, synthesize_html
+    return link_stats(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_link_domain_counts(spark, sf_dir):
+    from maps_spark.operators.html import (link_domain_counts,
+                                           synthesize_html)
+    return link_domain_counts(synthesize_html(_docs(spark, sf_dir)))
+
+
 def q_embedding_profile(spark, sf_dir):
     from maps_spark.operators.similarity import embedding_profile
     return embedding_profile(_emb(spark, sf_dir))
@@ -1122,6 +1138,9 @@ MAPS_QUERIES = {
     "normalize_text": q_normalize_text,
     "html_extract": q_html_extract,
     "html_block_stats": q_html_block_stats,
+    "html_links": q_html_links,
+    "link_stats": q_link_stats,
+    "link_domain_counts": q_link_domain_counts,
     "embedding_profile": q_embedding_profile,
     "embedding_outliers": q_embedding_outliers,
     "token_count_bpe": q_token_count,
@@ -1195,10 +1214,12 @@ MAPS_QUERIES = {
 
 
 def _html_oracle(which: str) -> str:
-    from maps_spark.operators.html import (html_block_stats_select,
-                                           html_extract_select)
-    return (html_extract_select() if which == "extract"
-            else html_block_stats_select())
+    from maps_spark.operators import html as H
+    return {"extract": H.html_extract_select,
+            "block_stats": H.html_block_stats_select,
+            "links": H.html_links_select,
+            "link_stats": H.link_stats_select,
+            "domain_counts": H.link_domain_counts_select}[which]()
 
 
 def maps_oracles() -> dict[str, str]:
@@ -1287,6 +1308,9 @@ def maps_oracles() -> dict[str, str]:
         "normalize_text": OT.normalize_text_select(),
         "html_extract": _html_oracle("extract"),
         "html_block_stats": _html_oracle("block_stats"),
+        "html_links": _html_oracle("links"),
+        "link_stats": _html_oracle("link_stats"),
+        "link_domain_counts": _html_oracle("domain_counts"),
         "embedding_profile": OT.embedding_profile_select(),
         "embedding_outliers": OT.embedding_outliers_select(),
         "token_count_bpe": OT.token_count_select(),

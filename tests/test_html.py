@@ -136,3 +136,33 @@ def test_extract_plan_is_codegen_only(spark):
     assert "Exchange" not in plan
     for udf in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert udf not in plan
+
+
+def test_link_extraction_and_domains(spark):
+    """extract_links preserves document order, link_stats splits
+    internal/absolute, link_domain_counts aggregates external domains
+    only."""
+    from maps_spark.operators.html import (extract_links,
+                                           link_domain_counts,
+                                           link_stats)
+    html = ('<html><body>'
+            '<a href="/one">1</a>'
+            '<a class="x" href="http://a.example/p">2</a>'
+            '<a href="/one">dup</a>'
+            '<a href="https://b.example:8080/q?z=1">3</a>'
+            '<a href="mailto:x">not a domain path</a>'
+            '<a name="anchor-without-href">skip</a>'
+            '</body></html>')
+    df = spark.createDataFrame([(1, html), (2, "<html>no links</html>")],
+                               "doc_id long, html string")
+    links = extract_links(df).orderBy("doc_id", "link_idx").collect()
+    assert [(r.doc_id, r.link_idx, r.href) for r in links] == [
+        (1, 0, "/one"), (1, 1, "http://a.example/p"), (1, 2, "/one"),
+        (1, 3, "https://b.example:8080/q?z=1"), (1, 4, "mailto:x")]
+    st = {r.doc_id: r for r in link_stats(df).collect()}
+    assert (st[1].n_links, st[1].n_unique, st[1].n_internal,
+            st[1].n_absolute) == (5, 4, 2, 2)  # mailto has no ://
+    assert (st[2].n_links, st[2].n_unique) == (0, 0)
+    doms = {r.domain: (r.n_links, r.n_docs)
+            for r in link_domain_counts(df).collect()}
+    assert doms == {"a.example": (1, 1), "b.example:8080": (1, 1)}
