@@ -701,37 +701,42 @@ def run() -> None:
         import tempfile as _tf
 
         refresh_land = _tf.mkdtemp(prefix="bench_refresh_land_")
-        (spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(16)
-         .write.mode("overwrite").parquet(refresh_land))
         dedup_land = _tf.mkdtemp(prefix="bench_dedup_land_")
-        (docs.select("doc_id", "text").repartition(4)
-         .write.mode("overwrite").parquet(dedup_land))
+        try:
+            (spark.read.parquet(f"{SF_DIR}/events.parquet")
+             .repartition(16)
+             .write.mode("overwrite").parquet(refresh_land))
+            (docs.select("doc_id", "text").repartition(4)
+             .write.mode("overwrite").parquet(dedup_land))
 
-        @timed("streaming_refresh_4batches", n=2)
-        def _25():
-            from maps_spark.streaming.refresh import run_refresh
-            store = _tf.mkdtemp(prefix="bench_refresh_") + "/pixels"
-            try:
-                q = run_refresh(spark, refresh_land,
-                                f"{SF_DIR}/nation.parquet", store,
-                                srs="EPSG:3857", zoom=8)
-                q.awaitTermination(600)
-            finally:
-                _sh.rmtree(os.path.dirname(store), ignore_errors=True)
+            @timed("streaming_refresh_4batches", n=2)
+            def _25():
+                from maps_spark.streaming.refresh import run_refresh
+                store = _tf.mkdtemp(prefix="bench_refresh_") + "/pixels"
+                try:
+                    q = run_refresh(spark, refresh_land,
+                                    f"{SF_DIR}/nation.parquet", store,
+                                    srs="EPSG:3857", zoom=8)
+                    q.awaitTermination(600)
+                finally:
+                    _sh.rmtree(os.path.dirname(store),
+                               ignore_errors=True)
 
-        @timed("streaming_dedup_4batches", n=2)
-        def _26():
-            from maps_spark.streaming.dedup import run_incremental_dedup
-            store = _tf.mkdtemp(prefix="bench_dedup_") + "/store"
-            try:
-                q = run_incremental_dedup(spark, dedup_land, store,
-                                          max_files_per_trigger=1)
-                q.awaitTermination(600)
-            finally:
-                _sh.rmtree(os.path.dirname(store), ignore_errors=True)
-
-        _sh.rmtree(refresh_land, ignore_errors=True)
-        _sh.rmtree(dedup_land, ignore_errors=True)
+            @timed("streaming_dedup_4batches", n=2)
+            def _26():
+                from maps_spark.streaming.dedup import \
+                    run_incremental_dedup
+                store = _tf.mkdtemp(prefix="bench_dedup_") + "/store"
+                try:
+                    q = run_incremental_dedup(spark, dedup_land, store,
+                                              max_files_per_trigger=1)
+                    q.awaitTermination(600)
+                finally:
+                    _sh.rmtree(os.path.dirname(store),
+                               ignore_errors=True)
+        finally:
+            _sh.rmtree(refresh_land, ignore_errors=True)
+            _sh.rmtree(dedup_land, ignore_errors=True)
     except ImportError:
         pass
 

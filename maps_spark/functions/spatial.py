@@ -135,7 +135,13 @@ def morton_ranges(lat_min: float, lat_max: float, lng_min: float,
     A dateline-crossing box (``lng_min > lng_max``) is handled by
     covering its west and east halves independently and merging the
     two covers back down to the shared ``max_ranges`` budget.
+    Coordinates are clamped to the [-90, 90] x [-180, 180] domain
+    FIRST, so an out-of-domain pair (e.g. a 0-360 convention) cannot
+    masquerade as a wrap and recurse.
     """
+    lat_min, lat_max = (max(lat_min, -90.0), min(lat_max, 90.0))
+    lng_min, lng_max = (max(min(lng_min, 180.0), -180.0),
+                        max(min(lng_max, 180.0), -180.0))
     if lng_min > lng_max:  # dateline wrap: split at the antimeridian
         west = morton_ranges(lat_min, lat_max, lng_min, 180.0, z,
                              max_ranges)

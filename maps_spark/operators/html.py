@@ -85,11 +85,16 @@ def _block_structs(html: Column) -> Column:
     m = F.regexp_replace(m, COMMENT_RE, " ")
     m = F.regexp_replace(m, BLOCK_TAG_RE, BLOCK_SEP)
     blocks = F.split(m, BLOCK_SEP)
-    stats = F.transform(blocks, lambda x: F.struct(
-        _txt_col(x).alias("txt"),
-        (F.length(_txt_col(x)) -
-         F.length(_txt_col(F.regexp_replace(x, ANCHOR_RE, " "))))
-        .alias("lc")))
+    # two-stage like the oracle's b0/blk: the ~9-pass _txt_col regex
+    # chain runs exactly twice per block (with and without anchors) —
+    # Catalyst does not CSE the repeated subtree a one-stage struct
+    # would need three of
+    raw = F.transform(blocks, lambda x: F.struct(
+        _txt_col(x).alias("t"),
+        _txt_col(F.regexp_replace(x, ANCHOR_RE, " ")).alias("na")))
+    stats = F.transform(raw, lambda s: F.struct(
+        s["t"].alias("txt"),
+        (F.length(s["t"]) - F.length(s["na"])).alias("lc")))
     return F.filter(stats, lambda s: s["txt"] != "")
 
 
@@ -348,8 +353,11 @@ FROM ex"""
 # internal/external split, per-domain counts for reputation signals).
 # --------------------------------------------------------------------------
 
-HREF_RE = r'(?is)<a\s[^>]*?href="([^"]*)"'
-DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+# the attribute name is anchored structurally (preceded by the tag
+# name or a full attribute ending in whitespace) so data-href="u" or
+# title="href=" cannot hijack the capture; RE2-safe, no lookbehind
+HREF_RE = r'(?is)<a\s(?:[^>]*\s)?href="([^"]*)"'
+DOMAIN_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
 
 def extract_links(pages: DataFrame, html_col: str = "html",

@@ -112,6 +112,9 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
         docs_c = docs_q.join(dirty, "doc_id", "left_anti")
     else:
         docs_c = docs_q
+    # barrier: n_clean + the dedup chain below would otherwise each
+    # recompute the quality window and bloom probe
+    docs_c = docs_c.localCheckpoint()
     n_clean = docs_c.count()
 
     # 5: exact then near dedup (canonical = lowest doc_id, like
@@ -120,7 +123,8 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
     keepers = th.groupBy("th").agg(F.min("doc_id").alias("keeper"))
     exact = (th.join(keepers, "th")
              .where(F.col("doc_id") == F.col("keeper"))
-             .drop("th", "keeper"))
+             .drop("th", "keeper")
+             .localCheckpoint())  # consumers: LSH pairs + final join
     clus = dedup_clusters(minhash_lsh_pairs(exact))
     final = (exact.join(clus.where(~F.col("keep")).select("doc_id"),
                         "doc_id", "left_anti")

@@ -152,17 +152,23 @@ def test_link_extraction_and_domains(spark):
             '<a href="https://b.example:8080/q?z=1">3</a>'
             '<a href="mailto:x">not a domain path</a>'
             '<a name="anchor-without-href">skip</a>'
+            '<a data-href="decoy" href="/real1">attr-name trap</a>'
+            '<a title="href=" href="/real2">attr-value trap</a>'
+            '<a href="HTTP://c.example/up">uppercase scheme</a>'
             '</body></html>')
     df = spark.createDataFrame([(1, html), (2, "<html>no links</html>")],
                                "doc_id long, html string")
     links = extract_links(df).orderBy("doc_id", "link_idx").collect()
     assert [(r.doc_id, r.link_idx, r.href) for r in links] == [
         (1, 0, "/one"), (1, 1, "http://a.example/p"), (1, 2, "/one"),
-        (1, 3, "https://b.example:8080/q?z=1"), (1, 4, "mailto:x")]
+        (1, 3, "https://b.example:8080/q?z=1"), (1, 4, "mailto:x"),
+        (1, 5, "/real1"), (1, 6, "/real2"),
+        (1, 7, "HTTP://c.example/up")]
     st = {r.doc_id: r for r in link_stats(df).collect()}
     assert (st[1].n_links, st[1].n_unique, st[1].n_internal,
-            st[1].n_absolute) == (5, 4, 2, 2)  # mailto has no ://
+            st[1].n_absolute) == (8, 7, 4, 3)  # mailto has no ://
     assert (st[2].n_links, st[2].n_unique) == (0, 0)
     doms = {r.domain: (r.n_links, r.n_docs)
             for r in link_domain_counts(df).collect()}
-    assert doms == {"a.example": (1, 1), "b.example:8080": (1, 1)}
+    assert doms == {"a.example": (1, 1), "b.example:8080": (1, 1),
+                    "c.example": (1, 1)}

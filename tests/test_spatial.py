@@ -163,6 +163,10 @@ def test_bbox_scan_exact_and_pruned(spark, tmp_path):
     wr = morton_ranges(*wbox, z=16)
     assert 1 <= len(wr) <= 32 and all(a <= b for a, b in wr)
     assert all(wr[i][1] < wr[i + 1][0] for i in range(len(wr) - 1))
+    # out-of-domain longitudes clamp instead of recursing: a 0-360
+    # convention box must terminate and equal its clamped twin
+    assert morton_ranges(0.0, 10.0, 350.0, 10.0, z=8) == \
+        morton_ranges(0.0, 10.0, 180.0, 10.0, z=8)
 
 
 def test_morton_ranges_cover_never_misses(spark):
