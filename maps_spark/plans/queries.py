@@ -530,6 +530,21 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_link_pagerank(spark, sf_dir):
+    from maps_spark.operators.graph import pagerank
+    from maps_spark.operators.html import (DOMAIN_RE, extract_links,
+                                           synthesize_html)
+    pages = synthesize_html(_docs(spark, sf_dir))
+    links = extract_links(pages).join(
+        pages.select("doc_id", "source"), "doc_id")
+    edges = (links.select(
+        F.col("source").alias("src"),
+        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
+        .where(F.col("dst") != ""))
+    return pagerank(edges).select(
+        F.col("node").alias("domain"), "rank_scaled")
+
+
 def q_bm25_topk(spark, sf_dir):
     from maps_spark.operators.retrieval import bm25_topk
     docs = _docs(spark, sf_dir)
@@ -1143,6 +1158,7 @@ MAPS_QUERIES = {
     "nb_classify": q_nb_classify,
     "classifier_eval": q_classifier_eval,
     "bm25_topk": q_bm25_topk,
+    "link_pagerank": q_link_pagerank,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
     "scrub_dup_spans": q_scrub_dup_spans,
@@ -1224,6 +1240,22 @@ MAPS_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
 }
+
+
+def _pagerank_oracle() -> str:
+    from maps_spark.operators.graph import pagerank_select
+    from maps_spark.operators.html import (DOMAIN_RE, HREF_RE,
+                                           _pages_ctes)
+    edges = f"""WITH {_pages_ctes()},
+ld AS (
+  SELECT source AS src,
+         regexp_extract(unnest(regexp_extract_all(
+             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
+  FROM pages)
+SELECT src, dst FROM ld WHERE dst <> ''"""
+    pr = pagerank_select(edges)
+    return f"""WITH pr AS ({pr})
+SELECT node AS domain, rank_scaled FROM pr"""
 
 
 def _bm25_oracle() -> str:
@@ -1319,6 +1351,7 @@ def maps_oracles() -> dict[str, str]:
         "nb_classify": OT.nb_classify_select(),
         "classifier_eval": OT.classifier_eval_select(),
         "bm25_topk": _bm25_oracle(),
+        "link_pagerank": _pagerank_oracle(),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),
         "scrub_dup_spans": OT.scrub_dup_spans_select(),

@@ -1547,3 +1547,37 @@ def test_bm25_ranks_relevance(spark):
     assert per_q == {0, 1, 2, 3}
     assert all(r.score_scaled > 0 for r in top)
     assert all(1 <= r.rank <= 10 for r in top)
+
+
+def test_pagerank_matches_independent_replication(spark):
+    """The distributed power iteration equals a dict-based Python
+    replication of the same integer recurrence on an adversarial
+    little graph (cycle + dangler + hub + duplicate edges), and basic
+    rank order holds: the node every other node links to outranks the
+    dangler feeding it."""
+    from maps_spark.operators.graph import PR_SCALE, pagerank
+    raw = [("a", "b"), ("b", "c"), ("c", "a"),   # cycle
+           ("a", "hub"), ("b", "hub"), ("c", "hub"),
+           ("d", "hub"),                          # d has out, no in
+           ("a", "hub"),                          # duplicate edge
+           ("hub", "sink")]                       # sink dangles
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    got = {r.node: r.rank_scaled
+           for r in pagerank(edges, iters=4).collect()}
+
+    e = sorted(set(raw))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    base = (PR_SCALE * 15) // (100 * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(4):
+        s = {v: 0 for v in nodes}
+        for u, v in e:
+            s[v] += r[u] // out[u]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    assert got == r
+    assert got["hub"] > got["a"] > got["d"]
+    assert got["sink"] > 0  # fed only by hub, still ranked
