@@ -454,3 +454,38 @@ SELECT doc_id,
               h -> regexp_extract(h, '{DOMAIN_RE}', 1) <> ''))
             AS BIGINT) AS n_absolute
 FROM hx"""
+
+
+# URL normalization (RFC 3986-lite), written ONCE as a SQL expression
+# template valid in both Spark SQL (via F.expr) and DuckDB — the
+# strongest form of the dual-dialect discipline (one tree, two
+# engines). Rules: strip fragment; lowercase scheme and host; drop
+# the scheme's default port (http:80 / https:443); empty path after
+# an authority becomes '/'. Scheme-less (relative) URLs pass through
+# fragment-stripped and trimmed; path dot-segment resolution and
+# percent-encoding canonicalization are documented out of scope.
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def norm_url_sql(col: str) -> str:
+    """SQL expression normalizing the URL in ``col`` (dual-dialect)."""
+    u = f"regexp_replace(trim({col}), '(?s)#.*', '')"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({u}, '{_SCHEME_RE}([^/?#]*)', 2))"
+    rest = f"regexp_replace({u}, '{_SCHEME_RE}[^/?#]*', '')"
+    host = (f"CASE WHEN {scheme} = 'http' THEN "
+            f"regexp_replace({hostport}, ':80$', '') "
+            f"WHEN {scheme} = 'https' THEN "
+            f"regexp_replace({hostport}, ':443$', '') "
+            f"ELSE {hostport} END")
+    path = f"CASE WHEN {rest} = '' THEN '/' ELSE {rest} END"
+    return (f"CASE WHEN {scheme} = '' THEN {u} "
+            f"ELSE {scheme} || '://' || {host} || {path} END")
+
+
+def normalize_links(links: DataFrame,
+                    href_col: str = "href") -> DataFrame:
+    """Append ``norm_href`` to an outlink table — the canonical form
+    URL-level dedup / graph building should key on."""
+    return links.withColumn("norm_href",
+                            F.expr(norm_url_sql(href_col)))

@@ -530,6 +530,23 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_url_normalize(spark, sf_dir):
+    from maps_spark.operators.html import norm_url_sql
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.concat(F.lit("HTTP://Site"), (F.col("doc_id") % 5)
+                 .cast("string"),
+                 F.lit(".Example:80/p/"), i, F.lit("?q=1#frag")),
+        F.concat(F.lit("HTTPS://Host"), (F.col("doc_id") % 3)
+                 .cast("string"), F.lit(".example:443#x")),
+        F.concat(F.lit("/rel/"), i, F.lit("#frag")))
+    messy = docs.select(
+        "doc_id", F.posexplode(variants).alias("variant", "href"))
+    return messy.withColumn("norm_href",
+                            F.expr(norm_url_sql("href")))
+
+
 def q_link_pagerank(spark, sf_dir):
     from maps_spark.operators.graph import pagerank
     from maps_spark.operators.html import (DOMAIN_RE, extract_links,
@@ -1159,6 +1176,7 @@ MAPS_QUERIES = {
     "classifier_eval": q_classifier_eval,
     "bm25_topk": q_bm25_topk,
     "link_pagerank": q_link_pagerank,
+    "url_normalize": q_url_normalize,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
     "scrub_dup_spans": q_scrub_dup_spans,
@@ -1240,6 +1258,27 @@ MAPS_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
 }
+
+
+def _url_normalize_oracle() -> str:
+    from maps_spark.operators.html import norm_url_sql
+    return f"""WITH messy AS (
+  SELECT doc_id, 0 AS variant,
+         'HTTP://Site' || CAST(doc_id % 5 AS VARCHAR)
+         || '.Example:80/p/' || CAST(doc_id AS VARCHAR)
+         || '?q=1#frag' AS href
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         'HTTPS://Host' || CAST(doc_id % 3 AS VARCHAR)
+         || '.example:443#x'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, '/rel/' || CAST(doc_id AS VARCHAR) || '#frag'
+  FROM documents)
+SELECT doc_id, CAST(variant AS INT) AS variant, href,
+       {norm_url_sql('href')} AS norm_href
+FROM messy"""
 
 
 def _pagerank_oracle() -> str:
@@ -1352,6 +1391,7 @@ def maps_oracles() -> dict[str, str]:
         "classifier_eval": OT.classifier_eval_select(),
         "bm25_topk": _bm25_oracle(),
         "link_pagerank": _pagerank_oracle(),
+        "url_normalize": _url_normalize_oracle(),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),
         "scrub_dup_spans": OT.scrub_dup_spans_select(),

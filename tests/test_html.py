@@ -172,3 +172,29 @@ def test_link_extraction_and_domains(spark):
             for r in link_domain_counts(df).collect()}
     assert doms == {"a.example": (1, 1), "b.example:8080": (1, 1),
                     "c.example": (1, 1)}
+
+
+def test_norm_url_rules(spark):
+    """URL normalization closed cases: fragment strip, scheme/host
+    lowercasing (path case preserved), default-port removal only for
+    the matching scheme, empty-authority path -> '/', relative and
+    opaque (mailto:) URLs pass through fragment-stripped."""
+    from maps_spark.operators.html import normalize_links
+    cases = [
+        ("HTTP://Example.COM:80/Path/x?q=1#frag",
+         "http://example.com/Path/x?q=1"),
+        ("https://a.b:443", "https://a.b/"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),
+        ("http://h:443/x", "http://h:443/x"),  # wrong-scheme port kept
+        ("/rel/path#frag", "/rel/path"),
+        ("FTP://X.Y:21/f", "ftp://x.y:21/f"),
+        ("  http://ws.example/p  ", "http://ws.example/p"),
+        ("mailto:A@B#sig", "mailto:A@B"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "link_id long, href string")
+    got = {r.link_id: r.norm_href
+           for r in normalize_links(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
