@@ -585,3 +585,32 @@ class TestStreamingImageDedup:
         q2.awaitTermination(300)
         assert rejected(spark, store).count() == 3
         assert accepted_ids(spark, store).count() == 5
+
+
+def test_streaming_web_ingest_matches_batch_twin(spark, tmp_path):
+    """The incrementally-maintained curated web store equals the batch
+    twin (extract + normalize over ALL landed pages) row for row, and
+    a restart over the same files appends nothing (replay guard)."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.html import synthesize_html
+    from maps_spark.streaming.web import (extract_batch, read_web_store,
+                                          run_web_ingest)
+    from tests.conftest import SF_SMALL
+    pages = (synthesize_html(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where(F.col("doc_id") < 60))
+        .select("doc_id", "source", "html"))
+    land = str(tmp_path / "land")
+    pages.repartition(3).write.parquet(land)
+    store = str(tmp_path / "store")
+    q = run_web_ingest(spark, land, store, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = sorted(map(tuple, read_web_store(spark, store).collect()))
+    want = sorted(map(tuple, extract_batch(pages).collect()))
+    assert got == want and got
+    # thin pages were actually dropped somewhere in this slice
+    assert len(got) <= 60
+    q2 = run_web_ingest(spark, land, store, max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    assert read_web_store(spark, store).count() == len(got)
