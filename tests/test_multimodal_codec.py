@@ -583,12 +583,21 @@ def test_webdataset_empty_shards_and_overwrite(spark, tmp_path):
     assert tars == ["shard-00000.tar", "shard-00001.tar"]
 
 
-def test_bbox_scan_rejects_dateline_box(spark):
+def test_bbox_scan_handles_dateline_box_in_one_call(spark):
+    """Round-6 semantics change: a lng_min > lng_max box no longer
+    raises — it covers both sides of the seam in one call (the full
+    ground-truth comparison lives in test_spatial.py); an inverted
+    LATITUDE interval still raises."""
     import pytest as _pytest
 
-    from maps_spark.functions.spatial import bbox_scan
-    df = spark.createDataFrame([(1, 0.0, 0.0)],
-                               "id long, lat double, lng double")
-    with _pytest.raises(ValueError, match="dateline"):
-        bbox_scan(df, 10.0, 20.0, 170.0, -170.0, lat_col="lat",
+    from maps_spark.functions.spatial import add_morton_key, bbox_scan
+    df = add_morton_key(spark.createDataFrame(
+        [(1, 15.0, 179.5), (2, 15.0, -179.5), (3, 15.0, 0.0)],
+        "id long, lat double, lng double"), "lat", "lng", z=16)
+    got = {r.id for r in bbox_scan(df, 10.0, 20.0, 170.0, -170.0,
+                                   lat_col="lat",
+                                   lng_col="lng").collect()}
+    assert got == {1, 2}
+    with _pytest.raises(ValueError, match="latitude"):
+        bbox_scan(df, 20.0, 10.0, 0.0, 1.0, lat_col="lat",
                   lng_col="lng")
