@@ -174,8 +174,11 @@ def html_block_stats(docs: DataFrame, html_col: str = "html",
 WORDS_PER_PAR = 25
 
 # no apostrophes anywhere (the SQL twin inlines these in '...' strings)
-_P_HEAD1 = ('<html><head><title>digest ')
-_P_HEAD2 = ('</title><script type="text/javascript">var page=')
+_P_HEAD0 = ('<html lang="')
+_P_HEAD1 = ('"><head><title>digest ')
+_P_META1 = ('</title><meta name="description" content="digest ')
+_P_META2 = (' from ')
+_P_HEAD2 = ('"><script type="text/javascript">var page=')
 _P_HEAD3 = (';track();</script><style>.nav a{color:#00f;font-weight:bold}'
             '</style><link rel="stylesheet" href="/main.css"></head>'
             '<body><nav class="nav"><a href="/">home</a> '
@@ -200,6 +203,7 @@ _P_TAIL4 = ('">next digest</a></footer></body></html>')
 
 def synthesize_html(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", source_col: str = "source",
+                    lang_col: str = "lang",
                     words_per_par: int = WORDS_PER_PAR) -> DataFrame:
     """Append a deterministic ``html`` page column (see module note).
     Pure codegen; the inverse property (extraction recovers exactly the
@@ -217,7 +221,11 @@ def synthesize_html(docs: DataFrame, text_col: str = "text",
     ids = F.col(id_col).cast("string")
     partner = (F.col(id_col) % 7).cast("string")
     nxt = (F.col(id_col) + 1).cast("string")
-    page = F.concat(F.lit(_P_HEAD1), ids, F.lit(_P_HEAD2), ids,
+    page = F.concat(F.lit(_P_HEAD0), F.col(lang_col),
+                    F.lit(_P_HEAD1), ids,
+                    F.lit(_P_META1), ids,
+                    F.lit(_P_META2), F.col(source_col),
+                    F.lit(_P_HEAD2), ids,
                     F.lit(_P_HEAD3), F.col(source_col),
                     F.lit(_P_HEAD4), F.array_join(paras, ""),
                     F.lit(_P_TAIL1), partner,
@@ -235,17 +243,21 @@ def _pages_ctes(words_per_par: int = WORDS_PER_PAR) -> str:
     byte-identical to :func:`synthesize_html`."""
     p = words_per_par
     return f"""_pw AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, lang,
          list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents),
 _pn AS (
-  SELECT doc_id, source, w,
+  SELECT doc_id, source, lang, w,
          CAST(floor((greatest(len(w), 1) - 1) / {float(p)}) AS BIGINT)
            + 1 AS np
   FROM _pw),
 pages AS (
   SELECT doc_id, source,
-         '{_P_HEAD1}' || CAST(doc_id AS VARCHAR) || '{_P_HEAD2}'
+         '{_P_HEAD0}' || lang
+         || '{_P_HEAD1}' || CAST(doc_id AS VARCHAR)
+         || '{_P_META1}' || CAST(doc_id AS VARCHAR)
+         || '{_P_META2}' || source
+         || '{_P_HEAD2}'
          || CAST(doc_id AS VARCHAR) || '{_P_HEAD3}' || source
          || '{_P_HEAD4}'
          || array_to_string(list_transform(
@@ -489,3 +501,43 @@ def normalize_links(links: DataFrame,
     URL-level dedup / graph building should key on."""
     return links.withColumn("norm_href",
                             F.expr(norm_url_sql(href_col)))
+
+
+# --------------------------------------------------------------------------
+# Page metadata extraction (title / html lang attribute / meta
+# description) — the head-side signals a curation pipeline consumes:
+# declared language feeds lang-ID reconciliation, title/description
+# feed quality and dedup keys.
+# --------------------------------------------------------------------------
+
+TITLE_RE = r"(?is)<title(?:\s[^>]*)?>(.*?)</title\s*>"
+LANG_RE = r'(?is)<html\s(?:[^>]*\s)?lang="([^"]*)"'
+META_DESC_RE = (r'(?is)<meta\s(?:[^>]*\s)?name="description"'
+                r'(?:\s[^>]*)?\scontent="([^"]*)"')
+
+
+def extract_page_meta(pages: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, title, lang_attr, meta_description): first <title> text
+    (tag-stripped, entity-decoded, whitespace-collapsed), the <html>
+    lang attribute, and the name-then-content form of the description
+    meta tag; absent fields come back as empty strings (the
+    regexp_extract no-match convention in both engines)."""
+    h = F.col(html_col)
+    return pages.select(
+        F.col(id_col),
+        _txt_col(F.regexp_extract(h, TITLE_RE, 1)).alias("title"),
+        F.regexp_extract(h, LANG_RE, 1).alias("lang_attr"),
+        _txt_col(F.regexp_extract(h, META_DESC_RE, 1))
+        .alias("meta_description"))
+
+
+def html_meta_select() -> str:
+    """DuckDB twin of synthesize_html |> extract_page_meta."""
+    title = _txt_sql(f"regexp_extract(html, '{TITLE_RE}', 1)")
+    desc = _txt_sql(f"regexp_extract(html, '{META_DESC_RE}', 1)")
+    return f"""WITH {_pages_ctes()}
+SELECT doc_id, {title} AS title,
+       regexp_extract(html, '{LANG_RE}', 1) AS lang_attr,
+       {desc} AS meta_description
+FROM pages"""

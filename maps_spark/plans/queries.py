@@ -627,6 +627,12 @@ def q_html_block_stats(spark, sf_dir):
     return html_block_stats(synthesize_html(_docs(spark, sf_dir)))
 
 
+def q_html_meta(spark, sf_dir):
+    from maps_spark.operators.html import (extract_page_meta,
+                                           synthesize_html)
+    return extract_page_meta(synthesize_html(_docs(spark, sf_dir)))
+
+
 def q_html_links(spark, sf_dir):
     from maps_spark.operators.html import extract_links, synthesize_html
     return extract_links(synthesize_html(_docs(spark, sf_dir)))
@@ -1185,6 +1191,7 @@ MAPS_QUERIES = {
     "normalize_text": q_normalize_text,
     "html_extract": q_html_extract,
     "html_block_stats": q_html_block_stats,
+    "html_meta": q_html_meta,
     "html_links": q_html_links,
     "link_stats": q_link_stats,
     "link_domain_counts": q_link_domain_counts,
@@ -1305,6 +1312,7 @@ def _bm25_oracle() -> str:
 def _html_oracle(which: str) -> str:
     from maps_spark.operators import html as H
     return {"extract": H.html_extract_select,
+            "meta": H.html_meta_select,
             "block_stats": H.html_block_stats_select,
             "links": H.html_links_select,
             "link_stats": H.link_stats_select,
@@ -1400,6 +1408,7 @@ def maps_oracles() -> dict[str, str]:
         "normalize_text": OT.normalize_text_select(),
         "html_extract": _html_oracle("extract"),
         "html_block_stats": _html_oracle("block_stats"),
+        "html_meta": _html_oracle("meta"),
         "html_links": _html_oracle("links"),
         "link_stats": _html_oracle("link_stats"),
         "link_domain_counts": _html_oracle("domain_counts"),

@@ -198,3 +198,43 @@ def test_norm_url_rules(spark):
            for r in normalize_links(df).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_extract_page_meta(spark):
+    """Title is tag-stripped/entity-decoded, lang attr survives attr
+    traps (data-lang, other attributes before lang), description
+    matches the name-then-content form only, absent fields are empty
+    strings."""
+    from maps_spark.operators.html import extract_page_meta
+    pages = [
+        (1, '<html data-lang="xx" lang="de"><head>'
+            '<title> Fish &amp; <b>Chips</b>  guide </title>'
+            '<meta charset="utf-8" name="description" '
+            'content="tasty &quot;review&quot;">'
+            '</head><body></body></html>'),
+        (2, '<HTML LANG="fr-CA"><head><title>t2</title>'
+            '<meta content="wrong-order" name="description">'
+            '</head></html>'),
+        (3, '<html><body>no head at all</body></html>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r.doc_id: r for r in extract_page_meta(df).collect()}
+    assert got[1].title == 'Fish & Chips guide'
+    assert got[1].lang_attr == "de"
+    assert got[1].meta_description == 'tasty "review"'
+    assert got[2].lang_attr == "fr-CA"
+    assert got[2].meta_description == ""  # content-before-name form
+    assert (got[3].title, got[3].lang_attr,
+            got[3].meta_description) == ("", "", "")
+    # synthesized pages carry each doc's real lang + a varying title
+    from maps_spark.operators.html import synthesize_html
+    from tests.conftest import SF_SMALL
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .limit(20))
+    meta = extract_page_meta(synthesize_html(docs))
+    joined = meta.join(docs.select("doc_id", "lang"), "doc_id")
+    rows = joined.collect()
+    assert all(r.lang_attr == r.lang for r in rows)
+    assert all(r.title == f"digest {r.doc_id}" for r in rows)
+    assert all(r.meta_description.startswith(f"digest {r.doc_id} from")
+               for r in rows)

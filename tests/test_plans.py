@@ -539,3 +539,41 @@ def test_pq_adc_scan_broadcasts_lut(spark):
                            iters=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_round6_ops_plan_shapes(spark):
+    """Plan audits for the round-6 operators: BM25 broadcasts the
+    query-term and df tables into the postings probe and never forms
+    a cartesian product; PageRank's per-iteration plan is join+agg
+    with no cartesian; link extraction and page-meta extraction stay
+    shuffle-free codegen projections."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.graph import pagerank
+    from maps_spark.operators.html import (extract_links,
+                                           extract_page_meta,
+                                           synthesize_html)
+    from maps_spark.operators.retrieval import bm25_topk
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .where(F.col("doc_id") < 200))  # limit() would inject an
+    # Exchange of its own and mask the shuffle-free assertion below
+    queries = (docs.where(F.col("doc_id") < 4)
+               .select(F.col("doc_id").alias("query_id"), "text"))
+    plan = (bm25_topk(docs, queries, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    pr_plan = (pagerank(edges, iters=1)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in pr_plan
+
+    pages = synthesize_html(docs)
+    for df in (extract_links(pages), extract_page_meta(pages)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        for udf in ("BatchEvalPython", "ArrowEvalPython"):
+            assert udf not in p
