@@ -541,3 +541,72 @@ SELECT doc_id, {title} AS title,
        regexp_extract(html, '{LANG_RE}', 1) AS lang_attr,
        {desc} AS meta_description
 FROM pages"""
+
+
+# --------------------------------------------------------------------------
+# Anchor-text extraction + target-side index — the classic web-graph
+# retrieval signal (anchor text describes the TARGET page better than
+# the target's own text; Brin & Page 1998 section 2.2). Whole-anchor
+# matches keep href and text aligned by construction (two parallel
+# single-group extract_alls could desynchronize on href-less anchors).
+# --------------------------------------------------------------------------
+
+ANCHOR_FULL_RE = r'(?is)<a\s(?:[^>]*\s)?href="[^"]*"[^>]*>.*?</a\s*>'
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, link_idx, href, anchor_text): every href-bearing anchor in
+    document order with its visible (tag-stripped, entity-decoded)
+    text. Pure codegen: one whole-anchor extract_all, then per-element
+    href/text projection inside the array."""
+    anchors = F.regexp_extract_all(F.col(html_col),
+                                   F.lit(ANCHOR_FULL_RE), F.lit(0))
+    pairs = F.transform(anchors, lambda a: F.struct(
+        F.regexp_extract(a, HREF_RE, 1).alias("href"),
+        _txt_col(a).alias("anchor_text")))
+    return (pages.select(F.col(id_col),
+                         F.posexplode(pairs).alias("link_idx", "u"))
+            .select(id_col, "link_idx", "u.href", "u.anchor_text"))
+
+
+def anchor_text_index(anchors: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Target-side anchor index over NORMALIZED targets: per
+    norm_href, the number of anchors, the number of distinct referring
+    docs, and the sorted distinct anchor texts joined with '|' — the
+    aggregation a retrieval/reputation stage keys on. One aggregation
+    after the codegen normalize; deterministic (sorted set join)."""
+    n = anchors.withColumn("norm_href", F.expr(norm_url_sql("href")))
+    return (n.groupBy("norm_href")
+            .agg(F.count("*").alias("n_anchors"),
+                 F.countDistinct(id_col).alias("n_docs"),
+                 F.array_join(F.array_sort(
+                     F.collect_set("anchor_text")), "|")
+                 .alias("texts")))
+
+
+def extract_anchors_select() -> str:
+    """DuckDB twin of synthesize_html |> extract_anchors."""
+    t = _txt_sql("an[u.i]")
+    return f"""WITH {_pages_ctes()},
+ax AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{ANCHOR_FULL_RE}', 0) AS an
+  FROM pages)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS link_idx,
+       regexp_extract(an[u.i], '{HREF_RE}', 1) AS href,
+       {t} AS anchor_text
+FROM (SELECT doc_id, an, unnest(generate_series(1, len(an))) AS i
+      FROM ax) u(doc_id, an, i)"""
+
+
+def anchor_text_index_select() -> str:
+    """DuckDB twin of extract_anchors |> anchor_text_index."""
+    return f"""WITH anch AS ({extract_anchors_select()})
+SELECT {norm_url_sql('href')} AS norm_href,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list_distinct(list(anchor_text))),
+                       '|') AS texts
+FROM anch GROUP BY 1"""

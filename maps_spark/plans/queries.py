@@ -633,6 +633,19 @@ def q_html_meta(spark, sf_dir):
     return extract_page_meta(synthesize_html(_docs(spark, sf_dir)))
 
 
+def q_anchor_texts(spark, sf_dir):
+    from maps_spark.operators.html import extract_anchors, synthesize_html
+    return extract_anchors(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_anchor_index(spark, sf_dir):
+    from maps_spark.operators.html import (anchor_text_index,
+                                           extract_anchors,
+                                           synthesize_html)
+    return anchor_text_index(
+        extract_anchors(synthesize_html(_docs(spark, sf_dir))))
+
+
 def q_html_links(spark, sf_dir):
     from maps_spark.operators.html import extract_links, synthesize_html
     return extract_links(synthesize_html(_docs(spark, sf_dir)))
@@ -1193,6 +1206,8 @@ MAPS_QUERIES = {
     "html_block_stats": q_html_block_stats,
     "html_meta": q_html_meta,
     "html_links": q_html_links,
+    "anchor_texts": q_anchor_texts,
+    "anchor_index": q_anchor_index,
     "link_stats": q_link_stats,
     "link_domain_counts": q_link_domain_counts,
     "embedding_profile": q_embedding_profile,
@@ -1313,6 +1328,8 @@ def _html_oracle(which: str) -> str:
     from maps_spark.operators import html as H
     return {"extract": H.html_extract_select,
             "meta": H.html_meta_select,
+            "anchors": H.extract_anchors_select,
+            "anchor_index": H.anchor_text_index_select,
             "block_stats": H.html_block_stats_select,
             "links": H.html_links_select,
             "link_stats": H.link_stats_select,
@@ -1410,6 +1427,8 @@ def maps_oracles() -> dict[str, str]:
         "html_block_stats": _html_oracle("block_stats"),
         "html_meta": _html_oracle("meta"),
         "html_links": _html_oracle("links"),
+        "anchor_texts": _html_oracle("anchors"),
+        "anchor_index": _html_oracle("anchor_index"),
         "link_stats": _html_oracle("link_stats"),
         "link_domain_counts": _html_oracle("domain_counts"),
         "embedding_profile": OT.embedding_profile_select(),

@@ -238,3 +238,33 @@ def test_extract_page_meta(spark):
     assert all(r.title == f"digest {r.doc_id}" for r in rows)
     assert all(r.meta_description.startswith(f"digest {r.doc_id} from")
                for r in rows)
+
+
+def test_anchor_extraction_and_index(spark):
+    """Whole-anchor matching keeps href and text aligned even when an
+    href-less anchor sits between two real ones; the index aggregates
+    per NORMALIZED target with deterministic sorted text sets."""
+    from maps_spark.operators.html import (anchor_text_index,
+                                           extract_anchors)
+    html = ('<html><body>'
+            '<a href="/x">first link</a>'
+            '<a name="no-href">skipped entirely</a>'
+            '<a href="HTTP://T.example:80/p#f">Second &amp; last</a>'
+            '<a href="http://t.example/p">dup target</a>'
+            '</body></html>')
+    html2 = '<body><a href="http://t.example/p">from doc two</a></body>'
+    df = spark.createDataFrame([(1, html), (2, html2)],
+                               "doc_id long, html string")
+    a = extract_anchors(df).orderBy("doc_id", "link_idx").collect()
+    assert [(r.doc_id, r.link_idx, r.href, r.anchor_text)
+            for r in a] == [
+        (1, 0, "/x", "first link"),
+        (1, 1, "HTTP://T.example:80/p#f", "Second & last"),
+        (1, 2, "http://t.example/p", "dup target"),
+        (2, 0, "http://t.example/p", "from doc two")]
+    idx = {r.norm_href: r for r in
+           anchor_text_index(extract_anchors(df)).collect()}
+    t = idx["http://t.example/p"]
+    assert (t.n_anchors, t.n_docs) == (3, 2)
+    assert t.texts == "Second & last|dup target|from doc two"
+    assert idx["/x"].n_anchors == 1
