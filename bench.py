@@ -673,14 +673,10 @@ def run() -> None:
         def _21b():
             # lexical retrieval over the corpus: 16 six-word probes
             # against the inverted postings (broadcast query terms)
-            from maps_spark.operators.retrieval import bm25_topk
-            queries = (docs.where(F.col("doc_id") < 16)
-                       .select(F.col("doc_id").alias("query_id"),
-                               F.array_join(F.slice(F.filter(
-                                   F.split("text", " "),
-                                   lambda w: w != ""), 1, 6), " ")
-                               .alias("text")))
-            bm25_topk(docs, queries, k=10).count()
+            from maps_spark.operators.retrieval import (bm25_topk,
+                                                        probe_queries)
+            bm25_topk(docs, probe_queries(docs, n_queries=16),
+                      k=10).count()
 
         @timed("session_path_analysis")
         def _22():

@@ -480,19 +480,30 @@ _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
 def norm_url_sql(col: str) -> str:
-    """SQL expression normalizing the URL in ``col`` (dual-dialect)."""
+    """SQL expression normalizing the URL in ``col`` (dual-dialect).
+
+    Only the scheme and the HOST are case-folded: userinfo before a
+    last ``@`` passes through untouched (credentials are
+    case-sensitive), and the empty-path rule also fires when a query
+    string directly follows the authority (``http://h?a=1`` and
+    ``http://h/?a=1`` must key to one graph node)."""
     u = f"regexp_replace(trim({col}), '(?s)#.*', '')"
     scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
-    hostport = f"lower(regexp_extract({u}, '{_SCHEME_RE}([^/?#]*)', 2))"
+    auth = f"regexp_extract({u}, '{_SCHEME_RE}([^/?#]*)', 2)"
+    userinfo = f"regexp_extract({auth}, '^(.*@)', 1)"  # up to last @
+    hostport = f"lower(regexp_extract({auth}, '([^@]*)$', 1))"
     rest = f"regexp_replace({u}, '{_SCHEME_RE}[^/?#]*', '')"
     host = (f"CASE WHEN {scheme} = 'http' THEN "
             f"regexp_replace({hostport}, ':80$', '') "
             f"WHEN {scheme} = 'https' THEN "
             f"regexp_replace({hostport}, ':443$', '') "
             f"ELSE {hostport} END")
-    path = f"CASE WHEN {rest} = '' THEN '/' ELSE {rest} END"
+    path = (f"CASE WHEN {rest} = '' THEN '/' "
+            f"WHEN substr({rest}, 1, 1) = '?' THEN '/' || {rest} "
+            f"ELSE {rest} END")
     return (f"CASE WHEN {scheme} = '' THEN {u} "
-            f"ELSE {scheme} || '://' || {host} || {path} END")
+            f"ELSE {scheme} || '://' || {userinfo} || {host} || {path} "
+            f"END")
 
 
 def normalize_links(links: DataFrame,
@@ -610,3 +621,27 @@ SELECT {norm_url_sql('href')} AS norm_href,
        array_to_string(list_sort(list_distinct(list(anchor_text))),
                        '|') AS texts
 FROM anch GROUP BY 1"""
+
+
+def extract_and_normalize(pages: DataFrame,
+                          min_doc_chars: int = 100) -> DataFrame:
+    """Stage 1 of both web drivers (plans.web batch, streaming.web
+    incremental), defined ONCE so their funnels cannot drift: extract
+    main text, drop pages with fewer than ``min_doc_chars`` kept
+    chars, normalize, keep the extraction stats.
+
+    Output: (doc_id, source, text, n_blocks, n_kept, n_dropped,
+    chars_kept, chars_dropped)."""
+    from maps_spark.operators.text import normalize_text
+    ex = extract_main_text(pages)
+    thick = ex.where((F.col("n_kept") >= 1) &
+                     (F.col("chars_kept") >= min_doc_chars))
+    norm = normalize_text(
+        thick.select("doc_id", F.col("main_text").alias("text")))
+    return (thick.drop("main_text")
+            .join(norm.select("doc_id",
+                              F.col("norm_text").alias("text")),
+                  "doc_id")
+            .join(pages.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "text", "n_blocks", "n_kept",
+                    "n_dropped", "chars_kept", "chars_dropped"))

@@ -60,11 +60,20 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     toks = _doc_tokens(docs.select(F.col(id_col).alias("doc_id"),
                                    F.col(text_col).alias("text")),
                        "text")
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # corpus passes are bounded at TWO: one driver agg gets both
+    # constants in a single scan (counting tokens with the same
+    # nonempty-split rule _doc_tokens applies), and the tf table —
+    # the shared parent of dl / df / the scoring probe — is
+    # checkpointed so its tokenize+aggregate lineage runs once
+    nd, tt = docs.agg(
+        F.count("*"),
+        F.coalesce(F.sum(F.size(F.filter(
+            F.split(F.col(text_col), " "),
+            lambda w: w != ""))), F.lit(0))).first()
+    tf = (toks.groupBy("doc_id", "word")
+          .agg(F.count("*").alias("tf")).localCheckpoint())
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    nd = docs.count()
-    tt = toks.count()
     qterms = queries.select(
         F.col(qid_col).alias("query_id"),
         F.explode(F.array_distinct(F.filter(
@@ -128,3 +137,23 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY score_scaled DESC, doc_id)
         <= {k}"""
+
+
+# gate configuration — single-sourced for the Spark query, the DuckDB
+# oracle defaults, the bench entry and the tests (changing one side
+# without the other would make the gate diverge with no pointer why)
+GATE_N_QUERIES, GATE_Q_WORDS, GATE_K = 8, 6, 10
+
+
+def probe_queries(docs: DataFrame, n_queries: int = GATE_N_QUERIES,
+                  q_words: int = GATE_Q_WORDS,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The gate/bench query builder: the first ``q_words`` nonempty
+    words of the ``n_queries`` lowest-id documents."""
+    return (docs.where(F.col(id_col) < n_queries)
+            .select(F.col(id_col).alias("query_id"),
+                    F.array_join(F.slice(F.filter(
+                        F.split(F.col(text_col), " "),
+                        lambda w: w != ""), 1, q_words), " ")
+                    .alias("text")))

@@ -563,15 +563,10 @@ def q_link_pagerank(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
-    from maps_spark.operators.retrieval import bm25_topk
+    from maps_spark.operators.retrieval import (GATE_K, bm25_topk,
+                                                probe_queries)
     docs = _docs(spark, sf_dir)
-    queries = (docs.where(F.col("doc_id") < 8)
-               .select(F.col("doc_id").alias("query_id"),
-                       F.array_join(F.slice(F.filter(
-                           F.split("text", " "),
-                           lambda w: w != ""), 1, 6), " ")
-                       .alias("text")))
-    return bm25_topk(docs, queries)
+    return bm25_topk(docs, probe_queries(docs), k=GATE_K)
 
 
 def q_classifier_eval(spark, sf_dir):
@@ -1320,8 +1315,11 @@ SELECT node AS domain, rank_scaled FROM pr"""
 
 
 def _bm25_oracle() -> str:
-    from maps_spark.operators.retrieval import bm25_topk_select
-    return bm25_topk_select()
+    from maps_spark.operators.retrieval import (GATE_K, GATE_N_QUERIES,
+                                                GATE_Q_WORDS,
+                                                bm25_topk_select)
+    return bm25_topk_select(k=GATE_K, n_queries=GATE_N_QUERIES,
+                            q_words=GATE_Q_WORDS)
 
 
 def _html_oracle(which: str) -> str:

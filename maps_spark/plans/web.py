@@ -66,13 +66,12 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
     from maps_spark.operators.corpus import bloom_contamination
     from maps_spark.operators.dedup import (dedup_clusters,
                                             minhash_lsh_pairs)
-    from maps_spark.operators.html import (extract_main_text,
+    from maps_spark.operators.html import (extract_and_normalize,
                                            synthesize_html)
     from maps_spark.operators.mixture import mix_sample
     from maps_spark.operators.packing import (pack_sequences,
                                               write_training_shards)
-    from maps_spark.operators.text import (normalize_text,
-                                           quality_ensemble,
+    from maps_spark.operators.text import (quality_ensemble,
                                            text_features)
 
     t0 = time.time()
@@ -84,14 +83,10 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
             spark.read.parquet(f"{sf_dir}/documents.parquet"))
     n_pages = pages.count()
 
-    # 1+2: extract then normalize (both pure codegen, one scan)
-    ex = extract_main_text(pages)
-    thick = (ex.where((F.col("n_kept") >= 1) &
-                      (F.col("chars_kept") >= min_doc_chars))
-             .select("doc_id", F.col("main_text").alias("text")))
-    norm = normalize_text(thick).select(
-        "doc_id", F.col("norm_text").alias("text"))
-    docs = (norm.join(pages.select("doc_id", "source"), "doc_id")
+    # 1+2: the shared extract/thin-filter/normalize funnel (also the
+    # streaming ingest body — one definition, no drift)
+    docs = (extract_and_normalize(pages, min_doc_chars)
+            .select("doc_id", "source", "text")
             .localCheckpoint())  # barrier: signals + joins below
     n_extracted = docs.count()
 

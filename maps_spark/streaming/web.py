@@ -27,25 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def extract_batch(pages: DataFrame,
                   min_doc_chars: int = 100) -> DataFrame:
-    """The per-batch (and batch-twin) transformation: extract, drop
-    thin pages, normalize; keeps the extraction stats columns.
-
-    Output: (doc_id, source, text, n_blocks, n_kept, n_dropped,
-    chars_kept, chars_dropped)."""
-    from maps_spark.operators.html import extract_main_text
-    from maps_spark.operators.text import normalize_text
-    ex = extract_main_text(pages)
-    thick = (ex.where((F.col("n_kept") >= 1) &
-                      (F.col("chars_kept") >= min_doc_chars)))
-    norm = normalize_text(
-        thick.select("doc_id", F.col("main_text").alias("text")))
-    return (thick.drop("main_text")
-            .join(norm.select("doc_id",
-                              F.col("norm_text").alias("text")),
-                  "doc_id")
-            .join(pages.select("doc_id", "source"), "doc_id")
-            .select("doc_id", "source", "text", "n_blocks", "n_kept",
-                    "n_dropped", "chars_kept", "chars_dropped"))
+    """The per-batch (and batch-twin) transformation — exactly the
+    shared stage-1 funnel both web drivers use
+    (:func:`operators.html.extract_and_normalize`), so the streaming
+    store and the batch driver can never drift apart."""
+    from maps_spark.operators.html import extract_and_normalize
+    return extract_and_normalize(pages, min_doc_chars)
 
 
 def run_web_ingest(spark: SparkSession, input_path: str,

@@ -597,10 +597,15 @@ def test_streaming_web_ingest_matches_batch_twin(spark, tmp_path):
     from maps_spark.streaming.web import (extract_batch, read_web_store,
                                           run_web_ingest)
     from tests.conftest import SF_SMALL
+    thin = ('<html><body><nav><a href="/">home</a></nav>'
+            '<footer><a href="/t">terms</a></footer></body></html>')
     pages = (synthesize_html(
         spark.read.parquet(f"{SF_SMALL}/documents.parquet")
         .where(F.col("doc_id") < 60))
-        .select("doc_id", "source", "html"))
+        .select("doc_id", "source", "html")
+        .unionByName(spark.createDataFrame(
+            [(9001, "srcX", thin)],
+            "doc_id long, source string, html string")))
     land = str(tmp_path / "land")
     pages.repartition(3).write.parquet(land)
     store = str(tmp_path / "store")
@@ -609,8 +614,9 @@ def test_streaming_web_ingest_matches_batch_twin(spark, tmp_path):
     got = sorted(map(tuple, read_web_store(spark, store).collect()))
     want = sorted(map(tuple, extract_batch(pages).collect()))
     assert got == want and got
-    # thin pages were actually dropped somewhere in this slice
-    assert len(got) <= 60
+    # the planted boilerplate-only page was actually dropped
+    assert len(got) < 61
+    assert all(r[0] != 9001 for r in got)
     q2 = run_web_ingest(spark, land, store, max_files_per_trigger=1)
     q2.awaitTermination(300)
     assert read_web_store(spark, store).count() == len(got)

@@ -1535,14 +1535,10 @@ def test_bm25_ranks_relevance(spark):
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_SMALL
+    from maps_spark.operators.retrieval import probe_queries
     corpus = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    queries = (corpus.where(F.col("doc_id") < 4)
-               .select(F.col("doc_id").alias("query_id"),
-                       F.array_join(F.slice(F.filter(
-                           F.split("text", " "),
-                           lambda w: w != ""), 1, 6), " ")
-                       .alias("text")))
-    top = bm25_topk(corpus, queries, k=10).collect()
+    top = bm25_topk(corpus, probe_queries(corpus, n_queries=4),
+                    k=10).collect()
     per_q = {r.query_id for r in top if r.rank == 1}
     assert per_q == {0, 1, 2, 3}
     assert all(r.score_scaled > 0 for r in top)
