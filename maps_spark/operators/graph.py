@@ -97,3 +97,99 @@ r{i + 1} AS (
   LEFT JOIN c{i} ON c{i}.node = nodes.node)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, rank_scaled FROM r{iters}")
+
+
+HITS_SCALE = 1_000_000_000  # 1e9: headroom for sum-over-edges at 1e9 edges
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         src_col: str = "src", dst_col: str = "dst",
+         scale: int = HITS_SCALE) -> DataFrame:
+    """Exact-integer HITS (Kleinberg 1999): per node, hub and
+    authority scores over a distinct simple digraph.
+
+    Per iteration: a_raw(v) = sum of h(u) over in-edges, then
+    a(v) = a_raw(v) div greatest(1, total_a div scale) — an
+    integer L1-style normalization both engines compute bitwise
+    identically (no float norm, no overflow: scores stay ~scale, so
+    raw sums are bounded by scale * edges). Hubs update from the
+    fresh authorities the same way. Nodes with no in-edges get
+    authority 0, no out-edges hub 0.
+
+    Output: (node, hub_scaled, auth_scaled)."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    h = nodes.withColumn("h", F.lit(scale).cast("long"))
+    a = nodes.withColumn("a", F.lit(0).cast("long"))
+    for _ in range(iters):
+        araw = (e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("h").alias("raw")))
+        a = _l1_scale(nodes, araw, scale, "a")
+        hraw = (e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a").alias("raw")))
+        h = _l1_scale(nodes, hraw, scale, "h")
+    return (nodes.join(h, "node", "left").join(a, "node", "left")
+            .select("node",
+                    F.coalesce("h", F.lit(0)).cast("long")
+                    .alias("hub_scaled"),
+                    F.coalesce("a", F.lit(0)).cast("long")
+                    .alias("auth_scaled")))
+
+
+def _l1_scale(nodes: DataFrame, raw: DataFrame, scale: int,
+              out: str) -> DataFrame:
+    """(node, out): raw div greatest(1, sum(raw) div scale) over all
+    nodes, 0 where raw is absent; checkpointed one-iteration deep."""
+    total = raw.agg(F.sum("raw").alias("t"))
+    return (nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select("node",
+                    F.expr(f"coalesce(raw, 0) div "
+                           f"greatest(1, t div {scale})")
+                    .cast("long").alias(out))
+            .localCheckpoint())
+
+
+def hits_select(edges_cte: str, iters: int = 2,
+                scale: int = HITS_SCALE) -> str:
+    """DuckDB twin of :func:`hits`: unrolled iterations over
+    ``edges_cte`` (a CTE body yielding (src, dst)), same integer
+    arithmetic step for step."""
+    ctes = [f"eraw AS ({edges_cte})",
+            "e AS (SELECT DISTINCT src, dst FROM eraw)",
+            """nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e)""",
+            f"""h0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""ar{i} AS (
+  SELECT e.dst AS node, sum(h{i}.h) AS raw
+  FROM e JOIN h{i} ON h{i}.node = e.src GROUP BY 1),
+at{i} AS (SELECT COALESCE(sum(raw), 0) AS t FROM ar{i}),
+a{i + 1} AS (
+  SELECT nodes.node,
+         CAST(COALESCE(ar{i}.raw, 0)
+              // greatest(1, at{i}.t // {scale}) AS BIGINT) AS a
+  FROM nodes CROSS JOIN at{i}
+  LEFT JOIN ar{i} ON ar{i}.node = nodes.node),
+hr{i} AS (
+  SELECT e.src AS node, sum(a{i + 1}.a) AS raw
+  FROM e JOIN a{i + 1} ON a{i + 1}.node = e.dst GROUP BY 1),
+ht{i} AS (SELECT COALESCE(sum(raw), 0) AS t FROM hr{i}),
+h{i + 1} AS (
+  SELECT nodes.node,
+         CAST(COALESCE(hr{i}.raw, 0)
+              // greatest(1, ht{i}.t // {scale}) AS BIGINT) AS h
+  FROM nodes CROSS JOIN ht{i}
+  LEFT JOIN hr{i} ON hr{i}.node = nodes.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT nodes.node, h{iters}.h AS hub_scaled, "
+              f"a{iters}.a AS auth_scaled\nFROM nodes "
+              f"JOIN h{iters} ON h{iters}.node = nodes.node "
+              f"JOIN a{iters} ON a{iters}.node = nodes.node")

@@ -645,3 +645,195 @@ def extract_and_normalize(pages: DataFrame,
             .join(pages.select("doc_id", "source"), "doc_id")
             .select("doc_id", "source", "text", "n_blocks", "n_kept",
                     "n_dropped", "chars_kept", "chars_dropped"))
+
+
+def domain_reputation(pages: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id",
+                      source_col: str = "source",
+                      iters: int = 3) -> DataFrame:
+    """The web-graph reputation artifact a crawl frontier / source
+    weighter consumes: per external domain, its in-link volume
+    (n_links), referring-doc breadth (n_docs) and exact-integer
+    PageRank over the site->domain graph — one joined table from two
+    individually-gated operators.
+
+    Output: (domain, n_links, n_docs, rank_scaled)."""
+    from maps_spark.operators.graph import pagerank
+    links = extract_links(pages, html_col, id_col).join(
+        pages.select(id_col, source_col), id_col)
+    edges = (links.select(
+        F.col(source_col).alias("src"),
+        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
+        .where(F.col("dst") != ""))
+    pr = pagerank(edges, iters=iters).select(
+        F.col("node").alias("domain"), "rank_scaled")
+    counts = link_domain_counts(pages, html_col, id_col)
+    return counts.join(pr, "domain")
+
+
+def domain_reputation_select(iters: int = 3) -> str:
+    """DuckDB twin of domain_reputation (composes the pagerank and
+    domain-count oracles over the synthesized pages)."""
+    from maps_spark.operators.graph import pagerank_select
+    edges = f"""WITH {_pages_ctes()},
+ld AS (
+  SELECT source AS src,
+         regexp_extract(unnest(regexp_extract_all(
+             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
+  FROM pages)
+SELECT src, dst FROM ld WHERE dst <> ''"""
+    pr = pagerank_select(edges, iters=iters)
+    return f"""WITH pr AS ({pr}),
+dc AS ({link_domain_counts_select()})
+SELECT dc.domain, dc.n_links, dc.n_docs,
+       CAST(pr.rank_scaled AS BIGINT) AS rank_scaled
+FROM dc JOIN pr ON pr.node = dc.domain"""
+
+
+def frontier_candidates(pages: DataFrame, html_col: str = "html",
+                        id_col: str = "doc_id",
+                        source_col: str = "source",
+                        pr_iters: int = 3) -> DataFrame:
+    """The crawl scheduler's next fetch list: every outlink resolved
+    to an absolute URL (site-relative hrefs resolve against the
+    page's source site; opaque non-URL hrefs like mailto: drop),
+    normalized with :func:`norm_url_sql`, anti-joined against the
+    already-crawled set (each page's own canonical URL
+    ``http://<source>/doc/<id>``, the same convention the pages'
+    next-digest links use), then aggregated per candidate URL and
+    scored with the link-graph PageRank of its domain.
+
+    Scale shape: the anti-join and the reference aggregation share
+    one shuffle key (norm_href); the PageRank table is domains-only,
+    broadcast into the final join. At full corpus scale the seen set
+    is this same query's pages table — no driver-side state.
+
+    Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank)."""
+    from maps_spark.operators.graph import pagerank
+    links = extract_links(pages, html_col, id_col).join(
+        pages.select(id_col, source_col), id_col)
+    abs_href = (
+        F.when(F.regexp_extract("href", DOMAIN_RE, 1) != "",
+               F.col("href"))
+        .when(F.col("href").startswith("/"),
+              F.concat(F.lit("http://"), F.col(source_col),
+                       F.col("href"))))
+    cand = (links.select(F.col(id_col), abs_href.alias("abs_href"))
+            .where(F.col("abs_href").isNotNull())
+            .select(id_col,
+                    F.expr(norm_url_sql("abs_href")).alias("norm_href")))
+    seen = (pages.select(
+        F.concat(F.lit("http://"), F.col(source_col), F.lit("/doc/"),
+                 F.col(id_col).cast("string")).alias("page_url"))
+        .select(F.expr(norm_url_sql("page_url")).alias("norm_href"))
+        .distinct())
+    agg = (cand.join(seen, "norm_href", "left_anti")
+           .groupBy("norm_href")
+           .agg(F.count("*").alias("n_refs"),
+                F.countDistinct(id_col).alias("n_ref_docs")))
+    edges = (links.select(
+        F.col(source_col).alias("src"),
+        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
+        .where(F.col("dst") != ""))
+    pr = (pagerank(edges, iters=pr_iters)
+          .withColumnRenamed("node", "domain"))
+    return (agg.withColumn("domain",
+                           F.regexp_extract("norm_href", DOMAIN_RE, 1))
+            .join(F.broadcast(pr), "domain", "left")
+            .select("norm_href", "domain", "n_refs", "n_ref_docs",
+                    F.coalesce("rank_scaled", F.lit(0)).cast("long")
+                    .alias("domain_rank")))
+
+
+def frontier_candidates_select(pr_iters: int = 3) -> str:
+    """DuckDB twin of frontier_candidates over the synthesized
+    pages (shares the verbatim norm_url_sql expression and the
+    unrolled pagerank oracle)."""
+    from maps_spark.operators.graph import pagerank_select
+    edges = f"""WITH {_pages_ctes()},
+ld AS (
+  SELECT source AS src,
+         regexp_extract(unnest(regexp_extract_all(
+             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
+  FROM pages)
+SELECT src, dst FROM ld WHERE dst <> ''"""
+    page_url = "'http://' || source || '/doc/' || CAST(doc_id AS STRING)"
+    return f"""WITH {_pages_ctes()},
+lk AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+  FROM pages),
+res AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(href, '{DOMAIN_RE}', 1) <> ''
+                THEN href
+              WHEN href LIKE '/%' THEN 'http://' || source || href
+              ELSE NULL END AS abs_href
+  FROM lk),
+cand AS (
+  SELECT doc_id, {norm_url_sql('abs_href')} AS norm_href
+  FROM res WHERE abs_href IS NOT NULL),
+seen AS (
+  SELECT DISTINCT {norm_url_sql(page_url)} AS norm_href FROM pages),
+agg AS (
+  SELECT norm_href, CAST(count(*) AS BIGINT) AS n_refs,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ref_docs
+  FROM cand
+  WHERE norm_href NOT IN (SELECT norm_href FROM seen)
+  GROUP BY 1),
+pr AS ({pagerank_select(edges, iters=pr_iters)})
+SELECT agg.norm_href,
+       regexp_extract(agg.norm_href, '{DOMAIN_RE}', 1) AS domain,
+       n_refs, n_ref_docs,
+       CAST(COALESCE(pr.rank_scaled, 0) AS BIGINT) AS domain_rank
+FROM agg LEFT JOIN pr
+  ON pr.node = regexp_extract(agg.norm_href, '{DOMAIN_RE}', 1)"""
+
+
+def frontier_shards(cand: DataFrame, per_host_cap: int = 5,
+                    n_shards: int = 8) -> DataFrame:
+    """Politeness-sharded fetch plan over a
+    :func:`frontier_candidates` table: each host keeps at most
+    ``per_host_cap`` URLs (most-referenced first, ties broken by
+    breadth then URL so the cut is deterministic), and every kept URL
+    lands in shard ``poly_hash(domain) % n_shards`` — all of a host's
+    fetches ride one shard, so per-host rate limits are local to one
+    worker and no cross-shard coordination exists.
+
+    The window partitions by domain (bounded by the cap right after
+    ranking), and the shard key is the same 31-bit polynomial string
+    hash the hashing-trick vectors use (`token_hash_col`) — pure
+    codegen, oracle-identical.
+
+    Output: (norm_href, domain, host_rank, shard, n_refs,
+    n_ref_docs, domain_rank)."""
+    from pyspark.sql import Window
+    from maps_spark.operators.similarity import token_hash_col
+    w = (Window.partitionBy("domain")
+         .orderBy(F.desc("n_refs"), F.desc("n_ref_docs"), "norm_href"))
+    return (cand.withColumn("host_rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("host_rank") <= per_host_cap)
+            .select("norm_href", "domain", "host_rank",
+                    (token_hash_col(F.col("domain")) % n_shards)
+                    .cast("long").alias("shard"),
+                    "n_refs", "n_ref_docs", "domain_rank"))
+
+
+def frontier_shards_select(per_host_cap: int = 5,
+                           n_shards: int = 8,
+                           pr_iters: int = 3) -> str:
+    """DuckDB twin of frontier_candidates |> frontier_shards."""
+    from maps_spark.sql.oracle_training import _TOKEN_HASH
+    return f"""WITH fc AS ({frontier_candidates_select(pr_iters)}),
+rk AS (
+  SELECT *, domain AS t,
+         CAST(row_number() OVER (
+             PARTITION BY domain
+             ORDER BY n_refs DESC, n_ref_docs DESC, norm_href)
+           AS BIGINT) AS host_rank
+  FROM fc)
+SELECT norm_href, domain, host_rank,
+       CAST(({_TOKEN_HASH}) % {n_shards} AS BIGINT) AS shard,
+       n_refs, n_ref_docs, domain_rank
+FROM rk WHERE host_rank <= {per_host_cap}"""

@@ -530,6 +530,40 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(docs, docs, label_col="source")
 
 
+def q_domain_reputation(spark, sf_dir):
+    from maps_spark.operators.html import (domain_reputation,
+                                           synthesize_html)
+    return domain_reputation(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_frontier_candidates(spark, sf_dir):
+    from maps_spark.operators.html import (frontier_candidates,
+                                           synthesize_html)
+    return frontier_candidates(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_frontier_shards(spark, sf_dir):
+    from maps_spark.operators.html import (frontier_candidates,
+                                           frontier_shards,
+                                           synthesize_html)
+    return frontier_shards(
+        frontier_candidates(synthesize_html(_docs(spark, sf_dir))))
+
+
+def q_link_hits(spark, sf_dir):
+    from maps_spark.operators.graph import hits
+    from maps_spark.operators.html import (DOMAIN_RE, extract_links,
+                                           synthesize_html)
+    pages = synthesize_html(_docs(spark, sf_dir))
+    links = extract_links(pages).join(
+        pages.select("doc_id", "source"), "doc_id")
+    edges = (links.select(
+        F.col("source").alias("src"),
+        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
+        .where(F.col("dst") != ""))
+    return hits(edges)
+
+
 def q_url_normalize(spark, sf_dir):
     from maps_spark.operators.html import norm_url_sql
     docs = _docs(spark, sf_dir)
@@ -1190,7 +1224,11 @@ MAPS_QUERIES = {
     "classifier_eval": q_classifier_eval,
     "bm25_topk": q_bm25_topk,
     "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
+    "frontier_candidates": q_frontier_candidates,
+    "frontier_shards": q_frontier_shards,
     "url_normalize": q_url_normalize,
+    "domain_reputation": q_domain_reputation,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
     "scrub_dup_spans": q_scrub_dup_spans,
@@ -1314,6 +1352,20 @@ SELECT src, dst FROM ld WHERE dst <> ''"""
 SELECT node AS domain, rank_scaled FROM pr"""
 
 
+def _hits_oracle() -> str:
+    from maps_spark.operators.graph import hits_select
+    from maps_spark.operators.html import (DOMAIN_RE, HREF_RE,
+                                           _pages_ctes)
+    edges = f"""WITH {_pages_ctes()},
+ld AS (
+  SELECT source AS src,
+         regexp_extract(unnest(regexp_extract_all(
+             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
+  FROM pages)
+SELECT src, dst FROM ld WHERE dst <> ''"""
+    return hits_select(edges)
+
+
 def _bm25_oracle() -> str:
     from maps_spark.operators.retrieval import (GATE_K, GATE_N_QUERIES,
                                                 GATE_Q_WORDS,
@@ -1328,6 +1380,9 @@ def _html_oracle(which: str) -> str:
             "meta": H.html_meta_select,
             "anchors": H.extract_anchors_select,
             "anchor_index": H.anchor_text_index_select,
+            "domain_reputation": H.domain_reputation_select,
+            "frontier": H.frontier_candidates_select,
+            "frontier_shards": H.frontier_shards_select,
             "block_stats": H.html_block_stats_select,
             "links": H.html_links_select,
             "link_stats": H.link_stats_select,
@@ -1414,7 +1469,11 @@ def maps_oracles() -> dict[str, str]:
         "classifier_eval": OT.classifier_eval_select(),
         "bm25_topk": _bm25_oracle(),
         "link_pagerank": _pagerank_oracle(),
+        "link_hits": _hits_oracle(),
+        "frontier_candidates": _html_oracle("frontier"),
+        "frontier_shards": _html_oracle("frontier_shards"),
         "url_normalize": _url_normalize_oracle(),
+        "domain_reputation": _html_oracle("domain_reputation"),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),
         "scrub_dup_spans": OT.scrub_dup_spans_select(),

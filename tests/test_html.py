@@ -274,3 +274,81 @@ def test_anchor_extraction_and_index(spark):
     assert (t.n_anchors, t.n_docs) == (3, 2)
     assert t.texts == "Second & last|dup target|from doc two"
     assert idx["/x"].n_anchors == 1
+
+
+def test_domain_reputation_planted(spark):
+    """Two sources linking a domain outrank one source linking another;
+    internal links never create a domain row; counts come from the
+    domain-count oracle path (n_links counts every link, n_docs
+    distinct referring docs)."""
+    from maps_spark.operators.html import domain_reputation
+    pages = [
+        (1, "s1", '<body><a href="http://hot.example/a">x</a>'
+                  '<a href="http://hot.example/b">y</a>'
+                  '<a href="/internal">skip</a></body>'),
+        (2, "s2", '<body><a href="https://hot.example/c">z</a></body>'),
+        (3, "s1", '<body><a href="http://cold.example/q">w</a></body>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, source string, "
+                                      "html string")
+    got = {r.domain: r for r in domain_reputation(df).collect()}
+    assert set(got) == {"hot.example", "cold.example"}
+    hot, cold = got["hot.example"], got["cold.example"]
+    assert (hot.n_links, hot.n_docs) == (3, 2)
+    assert (cold.n_links, cold.n_docs) == (1, 1)
+    # two distinct referring sources beat one in the site->domain graph
+    assert hot.rank_scaled > cold.rank_scaled
+
+
+def test_frontier_candidates_planted(spark):
+    """Relative links resolve against the source site, the crawled
+    set (each page's own /doc/<id> URL) is suppressed, opaque hrefs
+    drop, differently-written absolute URLs collapse through
+    normalization, and external domains carry their PageRank."""
+    from maps_spark.operators.html import frontier_candidates
+    pages = [
+        (1, "a", '<body><a href="/p">x</a>'
+                 '<a href="http://ext.example/e">y</a>'
+                 '<a href="mailto:z">drop</a>'
+                 '<a href="/doc/2">crawled already</a></body>'),
+        (2, "a", '<body><a href="HTTP://EXT.example:80/e#f">same</a>'
+                 '<a href="/doc/3">new</a></body>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, source string, "
+                                      "html string")
+    got = {r.norm_href: r for r in frontier_candidates(df).collect()}
+    assert set(got) == {"http://a/p", "http://ext.example/e",
+                        "http://a/doc/3"}  # /doc/2 is crawled
+    ext = got["http://ext.example/e"]
+    assert (ext.n_refs, ext.n_ref_docs) == (2, 2)  # collapsed forms
+    assert ext.domain == "ext.example"
+    assert got["http://a/p"].domain == "a"
+    # the linked-to external domain outranks the never-linked source
+    assert ext.domain_rank > got["http://a/p"].domain_rank > 0
+
+
+def test_frontier_shards_planted(spark):
+    """Per-host cap keeps the most-referenced URLs (deterministic tie
+    order), every kept URL of one host lands in the same shard, and
+    the shard is the polynomial host hash mod n_shards."""
+    from maps_spark.operators.html import frontier_shards
+    from maps_spark.operators.similarity import token_hash_col
+    rows = [(f"http://big.example/p{i}", "big.example", 10 - i, 1, 7)
+            for i in range(4)]          # p0 most-referenced ... p3
+    rows.append(("http://small.example/q", "small.example", 1, 1, 3))
+    cand = spark.createDataFrame(
+        rows, "norm_href string, domain string, n_refs long, "
+              "n_ref_docs long, domain_rank long")
+    got = frontier_shards(cand, per_host_cap=2, n_shards=8).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.domain, []).append(r)
+    assert sorted(r.norm_href for r in by_host["big.example"]) == [
+        "http://big.example/p0", "http://big.example/p1"]  # capped at 2
+    assert len(by_host["small.example"]) == 1
+    assert len({r.shard for r in by_host["big.example"]}) == 1
+    expect = spark.range(1).select(
+        (token_hash_col(F.lit("big.example")) % 8).alias("s")
+    ).collect()[0].s
+    assert by_host["big.example"][0].shard == expect
+    assert all(0 <= r.shard < 8 for r in got)

@@ -1577,3 +1577,37 @@ def test_pagerank_matches_independent_replication(spark):
     assert got == r
     assert got["hub"] > got["a"] > got["d"]
     assert got["sink"] > 0  # fed only by hub, still ranked
+
+def test_hits_matches_independent_replication(spark):
+    """The distributed hub/authority iteration equals a dict-based
+    Python replication of the same integer recurrence (duplicate
+    edges collapsed, integer L1 rescale each half-step), and the
+    classic order holds: the page linked by two hubs out-ranks the
+    one linked by one; pure authorities have hub 0."""
+    from maps_spark.operators.graph import HITS_SCALE, hits
+    raw = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"),
+           ("h1", "a1"),                # duplicate edge
+           ("a2", "h2")]                # back-edge: a2 is also a hub
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    got = {r.node: (r.hub_scaled, r.auth_scaled)
+           for r in hits(edges, iters=2).collect()}
+
+    e = sorted(set(raw))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    h = {v: HITS_SCALE for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(2):
+        raw_a = {v: 0 for v in nodes}
+        for u, v in e:
+            raw_a[v] += h[u]
+        t = sum(raw_a.values())
+        a = {v: raw_a[v] // max(1, t // HITS_SCALE) for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for u, v in e:
+            raw_h[u] += a[v]
+        t = sum(raw_h.values())
+        h = {v: raw_h[v] // max(1, t // HITS_SCALE) for v in nodes}
+    assert got == {v: (h[v], a[v]) for v in nodes}
+    assert got["a1"][1] > got["a2"][1] > 0   # two hubs beat one
+    assert got["h1"][0] > got["h2"][0] > 0   # h1 links both top auths
+    assert got["a1"][0] == 0                 # no out-edges -> hub 0
