@@ -678,6 +678,17 @@ def run() -> None:
             bm25_topk(docs, probe_queries(docs, n_queries=16),
                       k=10).count()
 
+        @timed("crawl_frontier")
+        def _21c():
+            # the crawl-side composite: synthesize pages, extract +
+            # resolve + normalize outlinks, anti-join the crawled set,
+            # PageRank-score domains, politeness-cap and shard
+            from maps_spark.operators.html import (frontier_candidates,
+                                                   frontier_shards,
+                                                   synthesize_html)
+            frontier_shards(
+                frontier_candidates(synthesize_html(docs))).count()
+
         @timed("session_path_analysis")
         def _22():
             SE.event_transitions(events).count()

@@ -660,3 +660,48 @@ def cluster_topics(docs: DataFrame, k: int = 8, iters: int = 3,
     w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), "word")
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k))
+
+
+def collocations(docs: DataFrame, text_col: str = "text",
+                 min_count: int = 5, scale: int = SCALE) -> DataFrame:
+    """PMI-ranked collocation table — the corpus-linguistics signal
+    behind multiword-token selection and tokenizer-merge auditing:
+    adjacent pairs that co-occur far above unigram chance ("new york")
+    versus merely frequent pairs ("of the", which PMI discounts).
+
+    No float log: the emitted score is the PMI lift
+    ``(c_pair * n_tok) / (c_w1 * c_w2)`` — a strictly monotone
+    transform of PMI, so ranking is identical — computed as staged
+    integer division ``((c_pair * scale) div c_w1) * n_tok div c_w2``
+    in that exact order in both engines (first factor is <= scale
+    because c_pair <= c_w1, so the product is int64-safe for corpora
+    up to ~9e12 tokens).
+
+    Scale: bigram and unigram counts are vocabulary-keyed aggs with
+    map-side combine; the min_count filter runs before the two
+    unigram joins, so only surviving pairs join; the token total
+    rides a broadcast one-row join.
+
+    Output: (w1, w2, c_pair, c_w1, c_w2, lift_scaled), pairs with
+    c_pair >= min_count.
+    """
+    from maps_spark.operators.text import _doc_tokens
+    toks = _doc_tokens(docs, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (toks.select("doc_id", F.col("word").alias("w1"),
+                       F.lead("word").over(w).alias("w2"))
+           .where(F.col("w2").isNotNull()))
+    pair = (big.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+            .where(F.col("c_pair") >= min_count))
+    uni = toks.groupBy("word").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("n_tok"))
+    return (pair
+            .join(uni.select(F.col("word").alias("w1"),
+                             F.col("c").alias("c_w1")), "w1")
+            .join(uni.select(F.col("word").alias("w2"),
+                             F.col("c").alias("c_w2")), "w2")
+            .crossJoin(F.broadcast(n))
+            .select("w1", "w2", "c_pair", "c_w1", "c_w2",
+                    F.expr(f"((c_pair * {scale}) div c_w1) * n_tok "
+                           f"div c_w2")
+                    .cast("long").alias("lift_scaled")))

@@ -1040,6 +1040,11 @@ def q_curate_corpus(spark, sf_dir):
     return CP.curate_corpus(_docs(spark, sf_dir), hasher="reproducible")
 
 
+def q_collocations(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.collocations(_docs(spark, sf_dir))
+
+
 def q_lm_score(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     return CP.lm_score(_docs(spark, sf_dir))
@@ -1296,6 +1301,7 @@ MAPS_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "lm_score": q_lm_score,
+    "collocations": q_collocations,
     "source_reputation": q_source_reputation,
     "pack_sequences": q_pack_sequences,
     "pack_stats": q_pack_stats,
@@ -1557,6 +1563,7 @@ def maps_oracles() -> dict[str, str]:
         "pii_scrub": OT.pii_scrub_select(),
         "curate_corpus": OT.curate_corpus_select(),
         "lm_score": OT.lm_score_select(),
+        "collocations": OT.collocations_select(),
         "source_reputation": OT.source_stats_select(keep_threshold=0.5),
         "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),
         "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),

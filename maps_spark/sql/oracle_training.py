@@ -2704,3 +2704,26 @@ SELECT label, tp, fp, fn, support,
                  ELSE (2 * tp * {s}) // (2 * tp + fp + fn) END
             AS BIGINT) AS f1_scaled
 FROM m"""
+
+
+def collocations_select(min_count: int = 5,
+                        scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.corpus.collocations: same staged
+    integer-division lift, identical op order."""
+    return f"""WITH {_TOKS_CTE},
+big AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL),
+pair AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+  FROM big GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks)
+SELECT w1, w2, c_pair, u1.c AS c_w1, u2.c AS c_w2,
+       CAST(((c_pair * {scale}) // u1.c) * n_tok // u2.c AS BIGINT)
+         AS lift_scaled
+FROM pair
+JOIN uni u1 ON u1.word = pair.w1
+JOIN uni u2 ON u2.word = pair.w2
+CROSS JOIN n"""

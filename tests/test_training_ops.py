@@ -1611,3 +1611,30 @@ def test_hits_matches_independent_replication(spark):
     assert got["a1"][1] > got["a2"][1] > 0   # two hubs beat one
     assert got["h1"][0] > got["h2"][0] > 0   # h1 links both top auths
     assert got["a1"][0] == 0                 # no out-edges -> hub 0
+
+def test_collocations_hand_computed(spark):
+    """The one pair above min_count matches the hand-computed staged
+    integer lift; high-frequency-but-unassociated pairs are discounted
+    relative to a tight collocation on a corpus built to show it."""
+    from maps_spark.operators.corpus import collocations
+    docs = spark.createDataFrame(
+        [(1, "new york new york is big"),
+         (2, "the city of new york")],
+        "doc_id long, text string")
+    got = collocations(docs, min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.w1, r.w2, r.c_pair, r.c_w1, r.c_w2) == (
+        "new", "york", 3, 3, 3)
+    # ((3 * 1e6) div 3) * 11 tokens div 3 = 11_000_000 div 3
+    assert r.lift_scaled == 3_666_666
+
+    # ranking: "of the" (frequent everywhere) scores below "san
+    # francisco" (always together) even with equal pair counts
+    docs2 = spark.createDataFrame(
+        [(1, "of the san francisco of a the b of c the d"),
+         (2, "of the san francisco x of y the z of w the v")],
+        "doc_id long, text string")
+    by_pair = {(r.w1, r.w2): r.lift_scaled
+               for r in collocations(docs2, min_count=2).collect()}
+    assert by_pair[("san", "francisco")] > by_pair[("of", "the")]
