@@ -571,3 +571,85 @@ def winnow_contamination(docs: DataFrame, benchmark: DataFrame,
                                   "div n_fingerprints"))
                     .otherwise(F.lit(0)).cast("long")
                     .alias("contamination_scaled")))
+
+
+# --------------------------------------------------------------------------
+# Sentence segmentation + readability. The synthetic documents carry
+# no punctuation, so the gates run over synthesize_prose — a
+# deterministic re-punctuation (period after every 4 + doc_id % 5
+# words), the same synthesize-then-extract discipline the HTML
+# family uses.
+# --------------------------------------------------------------------------
+
+SENT_SPLIT_RE = r"[.!?]+ +"   # RE2- and Java-identical, no lookbehind
+VOWEL_RE = r"[aeiouy]+"
+
+
+def synthesize_prose(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Replace ``text`` with a punctuated form: sentences of
+    ``4 + doc_id % 5`` words joined by '. ', final period included.
+    Pure codegen; the splitter inverse is pinned in tests."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    slen = (F.col(id_col) % 5 + 4).cast("long")
+    nsent = (F.floor((F.greatest(F.size(w), F.lit(1)) - 1)
+                     / slen.cast("double")).cast("long") + 1)
+    sents = F.transform(
+        F.sequence(F.lit(0).cast("long"), nsent - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * slen + 1, slen), " "),
+            F.lit(".")))
+    return docs.withColumn(text_col, F.array_join(sents, " "))
+
+
+def sentence_split(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """One row per sentence: (id, sent_idx, sentence, n_words,
+    n_chars). The boundary is a punctuation run followed by spaces
+    (terminal punctuation is stripped from the sentence text);
+    empty fragments drop on both engines, so Spark's trailing-empty
+    split convention never leaks. Pure codegen explode — no
+    shuffle."""
+    parts = F.split(F.col(text_col), SENT_SPLIT_RE)
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("sent_idx", "raw"))
+    s = F.regexp_replace(F.trim(F.col("raw")), r"[.!?]+$", "")
+    return (ex.select(
+        id_col, F.col("sent_idx").cast("long"), s.alias("sentence"))
+        .where(F.col("sentence") != "")
+        .withColumn("n_words",
+                    F.size(F.filter(F.split("sentence", " "),
+                                    lambda x: x != "")).cast("long"))
+        .withColumn("n_chars", F.length("sentence").cast("long")))
+
+
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading ease as exact integer milli-points:
+    ``206835 - (1015 * W) div S - (84600 * Y) div W`` where W =
+    whitespace tokens, S = sentence-ending punctuation runs (min 1),
+    and Y = syllables approximated as vowel-group runs per word
+    (min 1 per word — the standard dependency-free estimator). No
+    floats anywhere, so the gate hash-checks bitwise; ordering
+    matches the float formula. Pure per-row codegen.
+
+    Output: (id, n_words, n_sentences, n_syllables, fre_milli)."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    syl = F.aggregate(
+        F.transform(w, lambda t: F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(VOWEL_RE), F.lit(0))),
+            F.lit(1)).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    nw = F.greatest(F.size(w), F.lit(1)).cast("long")
+    ns = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        nw.alias("n_words"), ns.alias("n_sentences"),
+        syl.alias("n_syllables")
+    ).withColumn(
+        "fre_milli",
+        F.expr("206835 - (1015 * n_words) div n_sentences "
+               "- (84600 * n_syllables) div n_words").cast("long"))

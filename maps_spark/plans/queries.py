@@ -1045,6 +1045,16 @@ def q_collocations(spark, sf_dir):
     return CP.collocations(_docs(spark, sf_dir))
 
 
+def q_sentence_split(spark, sf_dir):
+    from maps_spark.operators.text import sentence_split, synthesize_prose
+    return sentence_split(synthesize_prose(_docs(spark, sf_dir)))
+
+
+def q_readability(spark, sf_dir):
+    from maps_spark.operators.text import readability, synthesize_prose
+    return readability(synthesize_prose(_docs(spark, sf_dir)))
+
+
 def q_lm_score(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     return CP.lm_score(_docs(spark, sf_dir))
@@ -1302,6 +1312,8 @@ MAPS_QUERIES = {
     "curate_corpus": q_curate_corpus,
     "lm_score": q_lm_score,
     "collocations": q_collocations,
+    "sentence_split": q_sentence_split,
+    "readability": q_readability,
     "source_reputation": q_source_reputation,
     "pack_sequences": q_pack_sequences,
     "pack_stats": q_pack_stats,
@@ -1564,6 +1576,8 @@ def maps_oracles() -> dict[str, str]:
         "curate_corpus": OT.curate_corpus_select(),
         "lm_score": OT.lm_score_select(),
         "collocations": OT.collocations_select(),
+        "sentence_split": OT.sentence_split_select(),
+        "readability": OT.readability_select(),
         "source_reputation": OT.source_stats_select(keep_threshold=0.5),
         "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),
         "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),

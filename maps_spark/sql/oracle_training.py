@@ -2727,3 +2727,70 @@ FROM pair
 JOIN uni u1 ON u1.word = pair.w1
 JOIN uni u2 ON u2.word = pair.w2
 CROSS JOIN n"""
+
+
+def _prose_ctes() -> str:
+    """CTE chain `prose(doc_id, text)` — byte-identical to
+    operators.text.synthesize_prose over `documents`."""
+    return """_sw AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         CAST(doc_id % 5 + 4 AS BIGINT) AS slen
+  FROM documents),
+_sn AS (
+  SELECT doc_id, w, slen,
+         CAST(floor((greatest(len(w), 1) - 1)
+                    / CAST(slen AS DOUBLE)) AS BIGINT) + 1 AS ns
+  FROM _sw),
+prose AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             generate_series(CAST(0 AS BIGINT), ns - 1),
+             i -> array_to_string(
+                    list_slice(w, i * slen + 1, i * slen + slen), ' ')
+                  || '.'), ' ') AS text
+  FROM _sn)"""
+
+
+def sentence_split_select() -> str:
+    """DuckDB twin of synthesize_prose |> sentence_split."""
+    return f"""WITH {_prose_ctes()},
+sp AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, '[.!?]+ +') AS parts
+  FROM prose),
+ex AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS sent_idx,
+         regexp_replace(trim(parts[u.i]), '[.!?]+$', '') AS sentence
+  FROM (SELECT doc_id, parts,
+               unnest(generate_series(1, len(parts))) AS i
+        FROM sp) u(doc_id, parts, i))
+SELECT doc_id, sent_idx, sentence,
+       CAST(len(list_filter(string_split(sentence, ' '),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+       CAST(length(sentence) AS BIGINT) AS n_chars
+FROM ex WHERE sentence <> ''"""
+
+
+def readability_select() -> str:
+    """DuckDB twin of synthesize_prose |> readability (same staged
+    integer divisions)."""
+    return f"""WITH {_prose_ctes()},
+r0 AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM prose),
+r1 AS (
+  SELECT doc_id,
+         CAST(greatest(len(w), 1) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(COALESCE(list_aggregate(list_transform(w,
+                t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                              1)), 'sum'), 0) AS BIGINT) AS n_syllables
+  FROM r0)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT)
+         AS fre_milli
+FROM r1"""

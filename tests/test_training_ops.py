@@ -1638,3 +1638,29 @@ def test_collocations_hand_computed(spark):
     by_pair = {(r.w1, r.w2): r.lift_scaled
                for r in collocations(docs2, min_count=2).collect()}
     assert by_pair[("san", "francisco")] > by_pair[("of", "the")]
+
+def test_sentence_split_and_readability(spark):
+    """synthesize_prose -> sentence_split roundtrip recovers the
+    doc-dependent sentence lengths; readability matches a
+    hand-computed Flesch value and orders simple text above
+    polysyllabic text."""
+    from maps_spark.operators.text import (readability, sentence_split,
+                                           synthesize_prose)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")],          # slen = 1 % 5 + 4 = 5
+        "doc_id long, text string")
+    prose = synthesize_prose(docs)
+    assert prose.collect()[0].text == "a b c d e. f g."
+    sents = sentence_split(prose).orderBy("sent_idx").collect()
+    assert [(r.sent_idx, r.sentence, r.n_words) for r in sents] == [
+        (0, "a b c d e", 5), (1, "f g", 2)]
+
+    hand = spark.createDataFrame(
+        [(1, "spark table."),            # W=2 S=1 Y=1+2=3
+         (2, "extraordinarily heterogeneous administration bureaucracy.")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in readability(hand).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (2, 1, 3)
+    assert r1.fre_milli == 206835 - 2030 - (84600 * 3) // 2
+    assert got[1].fre_milli > got[2].fre_milli  # simple reads easier
