@@ -837,3 +837,71 @@ SELECT norm_href, domain, host_rank,
        CAST(({_TOKEN_HASH}) % {n_shards} AS BIGINT) AS shard,
        n_refs, n_ref_docs, domain_rank
 FROM rk WHERE host_rank <= {per_host_cap}"""
+
+
+# Path of a normalized URL: everything after the authority ('' -> '/').
+_URL_PATH_STRIP = r"^[a-z][a-z0-9+.-]*://[^/?#]*"
+
+
+def synthesize_robots(pages: DataFrame, id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Deterministic robots rules for the synthesized web: every
+    source site disallows /buy and /t/ (its ad and trending paths),
+    and every even-numbered partner domain disallows /ref — so the
+    filter exercises internal paths, external domains, and
+    unmatched-domain passthrough. Output: (domain, disallow)."""
+    s = pages.select(F.col(source_col).alias("domain")).distinct()
+    ks = (pages.select((F.col(id_col) % 7).alias("k")).distinct()
+          .where(F.col("k") % 2 == 0))
+    return (s.select("domain", F.lit("/buy").alias("disallow"))
+            .unionByName(
+                s.select("domain", F.lit("/t/").alias("disallow")))
+            .unionByName(ks.select(
+                F.concat(F.lit("partner"), F.col("k").cast("string"),
+                         F.lit(".example")).alias("domain"),
+                F.lit("/ref").alias("disallow"))))
+
+
+def apply_robots(cand: DataFrame, rules: DataFrame) -> DataFrame:
+    """Filter a :func:`frontier_candidates` table by robots disallow
+    rules (original-spec semantics: any matching path prefix for the
+    URL's domain blocks it; domains with no rules pass). The rules
+    join is domain-keyed and rules tables are rule-count-bounded, so
+    the candidate side shuffles once on domain and the blocked set
+    semi-joins back — never a per-rule scan of the corpus."""
+    path = F.regexp_replace(F.col("norm_href"), _URL_PATH_STRIP, "")
+    blocked = (cand.select(
+        "norm_href", "domain",
+        F.when(path == "", "/").otherwise(path).alias("path"))
+        .join(rules, "domain")
+        .where(F.col("path").startswith(F.col("disallow")))
+        .select("norm_href").distinct())
+    return cand.join(blocked, "norm_href", "left_anti")
+
+
+def robots_filter_select(pr_iters: int = 3) -> str:
+    """DuckDB twin of frontier_candidates |> apply_robots with the
+    synthesized rules."""
+    return f"""WITH {_pages_ctes()},
+fc AS ({frontier_candidates_select(pr_iters)}),
+rules AS (
+  SELECT domain, disallow FROM
+    (SELECT DISTINCT source AS domain FROM pages) s
+  CROSS JOIN (VALUES ('/buy'), ('/t/')) v(disallow)
+  UNION ALL
+  SELECT 'partner' || CAST(k AS VARCHAR) || '.example', '/ref'
+  FROM (SELECT DISTINCT doc_id % 7 AS k FROM pages) kk
+  WHERE k % 2 = 0),
+pth AS (
+  SELECT norm_href, domain,
+         CASE WHEN regexp_replace(norm_href,
+                '{_URL_PATH_STRIP}', '') = '' THEN '/'
+              ELSE regexp_replace(norm_href, '{_URL_PATH_STRIP}', '')
+         END AS path
+  FROM fc),
+blk AS (
+  SELECT DISTINCT norm_href
+  FROM pth JOIN rules USING (domain)
+  WHERE starts_with(path, disallow))
+SELECT norm_href, domain, n_refs, n_ref_docs, domain_rank
+FROM fc WHERE norm_href NOT IN (SELECT norm_href FROM blk)"""

@@ -550,6 +550,16 @@ def q_frontier_shards(spark, sf_dir):
         frontier_candidates(synthesize_html(_docs(spark, sf_dir))))
 
 
+def q_robots_filter(spark, sf_dir):
+    from maps_spark.operators.html import (apply_robots,
+                                           frontier_candidates,
+                                           synthesize_html,
+                                           synthesize_robots)
+    pages = synthesize_html(_docs(spark, sf_dir))
+    return apply_robots(frontier_candidates(pages),
+                        synthesize_robots(pages))
+
+
 def q_link_hits(spark, sf_dir):
     from maps_spark.operators.graph import hits
     from maps_spark.operators.html import (DOMAIN_RE, extract_links,
@@ -1242,6 +1252,7 @@ MAPS_QUERIES = {
     "link_hits": q_link_hits,
     "frontier_candidates": q_frontier_candidates,
     "frontier_shards": q_frontier_shards,
+    "robots_filter": q_robots_filter,
     "url_normalize": q_url_normalize,
     "domain_reputation": q_domain_reputation,
     "dup_spans": q_dup_spans,
@@ -1401,6 +1412,7 @@ def _html_oracle(which: str) -> str:
             "domain_reputation": H.domain_reputation_select,
             "frontier": H.frontier_candidates_select,
             "frontier_shards": H.frontier_shards_select,
+            "robots": H.robots_filter_select,
             "block_stats": H.html_block_stats_select,
             "links": H.html_links_select,
             "link_stats": H.link_stats_select,
@@ -1490,6 +1502,7 @@ def maps_oracles() -> dict[str, str]:
         "link_hits": _hits_oracle(),
         "frontier_candidates": _html_oracle("frontier"),
         "frontier_shards": _html_oracle("frontier_shards"),
+        "robots_filter": _html_oracle("robots"),
         "url_normalize": _url_normalize_oracle(),
         "domain_reputation": _html_oracle("domain_reputation"),
         "dup_spans": OT.dup_spans_select(),

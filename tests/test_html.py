@@ -352,3 +352,33 @@ def test_frontier_shards_planted(spark):
     ).collect()[0].s
     assert by_host["big.example"][0].shard == expect
     assert all(0 <= r.shard < 8 for r in got)
+
+
+def test_robots_filter_planted(spark):
+    """Disallow prefixes block matching paths on their own domain
+    only; even partner domains block /ref; rule-less domains pass
+    everything."""
+    from maps_spark.operators.html import (apply_robots,
+                                           synthesize_robots)
+    pages = spark.createDataFrame(
+        [(0, "siteA", "<html></html>"), (1, "siteB", "<html></html>")],
+        "doc_id long, source string, html string")
+    rules = synthesize_robots(pages)
+    rs = {(r.domain, r.disallow) for r in rules.collect()}
+    assert ("siteA", "/buy") in rs and ("siteB", "/t/") in rs
+    assert ("partner0.example", "/ref") in rs       # k=0 even
+    assert ("partner1.example", "/ref") not in rs   # k=1 odd
+    cand = spark.createDataFrame(
+        [("http://siteA/buy", "siteA", 1, 1, 0),
+         ("http://siteA/buyx", "siteA", 1, 1, 0),    # prefix match
+         ("http://siteA/offer", "siteA", 1, 1, 0),
+         ("http://siteB/t/2", "siteB", 1, 1, 0),
+         ("http://partner0.example/ref", "partner0.example", 1, 1, 0),
+         ("http://partner1.example/ref", "partner1.example", 1, 1, 0),
+         ("http://other.example/buy", "other.example", 1, 1, 0)],
+        "norm_href string, domain string, n_refs long, "
+        "n_ref_docs long, domain_rank long")
+    kept = {r.norm_href for r in apply_robots(cand, rules).collect()}
+    assert kept == {"http://siteA/offer",
+                    "http://partner1.example/ref",
+                    "http://other.example/buy"}

@@ -577,3 +577,38 @@ def test_round6_ops_plan_shapes(spark):
         assert "Exchange" not in p
         for udf in ("BatchEvalPython", "ArrowEvalPython"):
             assert udf not in p
+
+
+def test_crawl_frontier_plan_shapes(spark):
+    """Plan audits for the crawl family: the frontier's PageRank join
+    is a broadcast (domain table never shuffles the candidate side
+    twice) with no cartesian anywhere; frontier_shards' politeness
+    window is partitioned by domain, never a global single-partition
+    window; HITS' per-iteration plan stays join+agg with no
+    cartesian (the one-row L1 total rides a broadcast nested loop,
+    which is fine — it is one row)."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.graph import hits
+    from maps_spark.operators.html import (frontier_candidates,
+                                           frontier_shards,
+                                           synthesize_html)
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .where(F.col("doc_id") < 200))
+    cand = frontier_candidates(synthesize_html(docs))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    sh_plan = (frontier_shards(cand)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in sh_plan
+    assert "partitionBy=[domain]".lower() in sh_plan.lower() or \
+        "hashpartitioning(domain" in sh_plan.lower()
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    h_plan = (hits(edges, iters=1)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in h_plan
