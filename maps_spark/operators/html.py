@@ -647,6 +647,55 @@ def extract_and_normalize(pages: DataFrame,
                     "n_dropped", "chars_kept", "chars_dropped"))
 
 
+def site_domain_edges(pages: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """(src, dst) edges of the site->domain link graph: one edge per
+    absolute outlink, src = the referring page's source site, dst =
+    the linked domain — the shared input of the PageRank / HITS /
+    reputation / frontier family."""
+    links = extract_links(pages, html_col, id_col).join(
+        pages.select(id_col, source_col), id_col)
+    return (links.select(
+        F.col(source_col).alias("src"),
+        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
+        .where(F.col("dst") != ""))
+
+
+def candidate_refs(pages: DataFrame, html_col: str = "html",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """(id, norm_href): every outlink instance resolved to an
+    absolute normalized URL (site-relative against the page's source;
+    opaque hrefs drop) — the pre-anti-join half of
+    :func:`frontier_candidates`, reusable incrementally because it is
+    a pure per-page projection."""
+    links = extract_links(pages, html_col, id_col).join(
+        pages.select(id_col, source_col), id_col)
+    abs_href = (
+        F.when(F.regexp_extract("href", DOMAIN_RE, 1) != "",
+               F.col("href"))
+        .when(F.col("href").startswith("/"),
+              F.concat(F.lit("http://"), F.col(source_col),
+                       F.col("href"))))
+    return (links.select(F.col(id_col), abs_href.alias("abs_href"))
+            .where(F.col("abs_href").isNotNull())
+            .select(id_col,
+                    F.expr(norm_url_sql("abs_href")).alias("norm_href")))
+
+
+def page_urls(pages: DataFrame, id_col: str = "doc_id",
+              source_col: str = "source") -> DataFrame:
+    """(norm_href): each page's canonical crawled URL
+    ``http://<source>/doc/<id>``, normalized — the seen set the
+    frontier anti-joins against."""
+    return (pages.select(
+        F.concat(F.lit("http://"), F.col(source_col), F.lit("/doc/"),
+                 F.col(id_col).cast("string")).alias("page_url"))
+        .select(F.expr(norm_url_sql("page_url")).alias("norm_href"))
+        .distinct())
+
+
 def domain_reputation(pages: DataFrame, html_col: str = "html",
                       id_col: str = "doc_id",
                       source_col: str = "source",
@@ -659,12 +708,7 @@ def domain_reputation(pages: DataFrame, html_col: str = "html",
 
     Output: (domain, n_links, n_docs, rank_scaled)."""
     from maps_spark.operators.graph import pagerank
-    links = extract_links(pages, html_col, id_col).join(
-        pages.select(id_col, source_col), id_col)
-    edges = (links.select(
-        F.col(source_col).alias("src"),
-        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
-        .where(F.col("dst") != ""))
+    edges = site_domain_edges(pages, html_col, id_col, source_col)
     pr = pagerank(edges, iters=iters).select(
         F.col("node").alias("domain"), "rank_scaled")
     counts = link_domain_counts(pages, html_col, id_col)
@@ -709,32 +753,25 @@ def frontier_candidates(pages: DataFrame, html_col: str = "html",
     is this same query's pages table — no driver-side state.
 
     Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank)."""
+    return frontier_assemble(
+        candidate_refs(pages, html_col, id_col, source_col),
+        page_urls(pages, id_col, source_col),
+        site_domain_edges(pages, html_col, id_col, source_col),
+        id_col, pr_iters)
+
+
+def frontier_assemble(refs: DataFrame, seen: DataFrame,
+                      edges: DataFrame, id_col: str = "doc_id",
+                      pr_iters: int = 3) -> DataFrame:
+    """Final frontier assembly from its three persistable inputs
+    (link-reference instances, crawled URLs, site->domain edges) —
+    shared verbatim by the one-shot :func:`frontier_candidates` and
+    the streaming store's read path, so the two can never drift."""
     from maps_spark.operators.graph import pagerank
-    links = extract_links(pages, html_col, id_col).join(
-        pages.select(id_col, source_col), id_col)
-    abs_href = (
-        F.when(F.regexp_extract("href", DOMAIN_RE, 1) != "",
-               F.col("href"))
-        .when(F.col("href").startswith("/"),
-              F.concat(F.lit("http://"), F.col(source_col),
-                       F.col("href"))))
-    cand = (links.select(F.col(id_col), abs_href.alias("abs_href"))
-            .where(F.col("abs_href").isNotNull())
-            .select(id_col,
-                    F.expr(norm_url_sql("abs_href")).alias("norm_href")))
-    seen = (pages.select(
-        F.concat(F.lit("http://"), F.col(source_col), F.lit("/doc/"),
-                 F.col(id_col).cast("string")).alias("page_url"))
-        .select(F.expr(norm_url_sql("page_url")).alias("norm_href"))
-        .distinct())
-    agg = (cand.join(seen, "norm_href", "left_anti")
+    agg = (refs.join(seen, "norm_href", "left_anti")
            .groupBy("norm_href")
            .agg(F.count("*").alias("n_refs"),
                 F.countDistinct(id_col).alias("n_ref_docs")))
-    edges = (links.select(
-        F.col(source_col).alias("src"),
-        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
-        .where(F.col("dst") != ""))
     pr = (pagerank(edges, iters=pr_iters)
           .withColumnRenamed("node", "domain"))
     return (agg.withColumn("domain",

@@ -108,3 +108,40 @@ def test_streaming_store_feeds_batch_driver(spark, tmp_path):
     verdicts = curate_corpus(curated.select("doc_id", "text", "source"))
     kept = verdicts.where(F.col("stage") == "kept").count()
     assert 0 < kept <= curated.count() <= 50
+
+
+def test_streaming_frontier_matches_batch_twin(spark, tmp_path):
+    """After draining a multi-batch backlog, the merge-on-read
+    frontier equals frontier_candidates over all landed pages row
+    for row — including retraction (URLs crawled by a later batch
+    leave the frontier) — and a restart replays nothing (marker
+    guard), leaving the store unchanged."""
+    from maps_spark.operators.html import frontier_candidates
+    from maps_spark.streaming.frontier import (read_frontier,
+                                               run_frontier_ingest)
+    # one shared site so next-digest links (/doc/<id+1>) collide with
+    # later-crawled pages' own URLs — the retraction case
+    pages = _pages(spark, 30).withColumn("source", F.lit("one.site"))
+    land = str(tmp_path / "land")
+    pages.repartition(3).write.parquet(land)
+    store = str(tmp_path / "store")
+    q = run_frontier_ingest(spark, land, store, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in read_frontier(spark, store).collect()}
+    want = {tuple(r) for r in frontier_candidates(pages).collect()}
+    assert got == want and len(got) > 0
+    # retraction really happened: the refs store holds references to
+    # crawled URLs (cross-batch), and none of them reach the frontier
+    refs = {r.norm_href
+            for r in spark.read.parquet(f"{store}/refs").collect()}
+    seen = {r.norm_href
+            for r in spark.read.parquet(f"{store}/seen").collect()}
+    retracted = refs & seen
+    assert retracted and not (retracted & {t[0] for t in got})
+
+    q2 = run_frontier_ingest(spark, land, store,
+                             max_files_per_trigger=1)
+    q2.awaitTermination(300)
+    again = {tuple(r) for r in read_frontier(spark, store).collect()}
+    assert again == want
