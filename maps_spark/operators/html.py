@@ -942,3 +942,147 @@ blk AS (
   WHERE starts_with(path, disallow))
 SELECT norm_href, domain, n_refs, n_ref_docs, domain_rank
 FROM fc WHERE norm_href NOT IN (SELECT norm_href FROM blk)"""
+
+
+# --------------------------------------------------------------------------
+# Site-level template removal — the second boilerplate pass a real web
+# pipeline runs after the per-page link-density rule (CCNet-style
+# cross-document repetition): blocks that recur across a large
+# fraction of one site's pages are template (nav text, footers, long
+# link-free "about" blurbs the per-page rule cannot catch) and are
+# stripped from every page of that site.
+# --------------------------------------------------------------------------
+
+
+def site_boilerplate(pages: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id",
+                     source_col: str = "source",
+                     num: int = 1, den: int = 2,
+                     min_pages: int = 2) -> DataFrame:
+    """Blocks occurring on at least ``num/den`` of a site's pages
+    (and at least ``min_pages`` absolute): the site's template set.
+
+    Integer rule (``n_pages * den >= site_pages * num``), counts are
+    distinct pages. One (source, block_text) aggregation — at corpus
+    scale the shuffle key is the block text, whose distinct-per-site
+    cardinality is page-bounded, and the output is tiny (the
+    template set), which downstream strips consume as a broadcast.
+
+    Output: (source, block_text, n_pages, site_pages)."""
+    blocks = (html_block_stats(pages, html_col, id_col)
+              .join(pages.select(id_col, source_col), id_col))
+    per = (blocks.groupBy(source_col, "block_text")
+           .agg(F.countDistinct(id_col).alias("n_pages")))
+    site = (pages.groupBy(source_col)
+            .agg(F.countDistinct(id_col).alias("site_pages")))
+    return (per.join(site, source_col)
+            .where((F.col("n_pages") >= min_pages) &
+                   (F.col("n_pages") * den >=
+                    F.col("site_pages") * num))
+            .select(F.col(source_col).alias("source"), "block_text",
+                    "n_pages", "site_pages"))
+
+
+def extract_site_clean(pages: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id",
+                       source_col: str = "source",
+                       num: int = 1, den: int = 2,
+                       min_pages: int = 2) -> DataFrame:
+    """Two-pass main-text extraction: the per-page keep rule
+    (length + link density) first, then the :func:`site_boilerplate`
+    template set subtracted — per-source template blocks vanish from
+    every page even when they pass the per-page rule. The template
+    set is broadcast; pages with nothing left emit an empty text row
+    (left join back to the page list), so row count is stable.
+
+    Output: (id, text, n_kept)."""
+    bl = (site_boilerplate(pages, html_col, id_col, source_col,
+                           num, den, min_pages)
+          .select(F.col("source").alias("_bp_source"),
+                  F.col("block_text").alias("_bp_text"),
+                  F.lit(True).alias("_bp")))
+    blocks = (html_block_stats(pages, html_col, id_col)
+              .join(pages.select(id_col, source_col), id_col))
+    kept = (blocks.where(F.col("kept"))
+            .join(F.broadcast(bl),
+                  (F.col(source_col) == F.col("_bp_source")) &
+                  (F.col("block_text") == F.col("_bp_text")), "left")
+            .where(F.col("_bp").isNull()))
+    agg = (kept.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("block_idx", "block_text"))),
+                        lambda s: s["block_text"]), "\n").alias("text"),
+                F.count("*").alias("n_kept")))
+    return (pages.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))
+
+
+def _site_blocks_ctes() -> str:
+    """CTE chain adding ``sx(doc_id, source, block_idx, block_text,
+    kept)`` over the synthesized pages."""
+    keep = _keep_sql("(u.s)", MIN_BLOCK_CHARS, LINK_NUM, LINK_DEN)
+    return f"""{_blocks_ctes()},
+sx AS (
+  SELECT blk.doc_id, pages.source,
+         CAST(u.bi - 1 AS BIGINT) AS block_idx,
+         (u.s).txt AS block_text,
+         {keep} AS kept
+  FROM blk JOIN pages USING (doc_id),
+       LATERAL (SELECT unnest(list_transform(
+                  generate_series(1, len(blocks)),
+                  i -> struct_pack(bi := i, s := blocks[i]))) AS u) l)"""
+
+
+def site_boilerplate_select(num: int = 1, den: int = 2,
+                            min_pages: int = 2) -> str:
+    """DuckDB twin of synthesize_html |> site_boilerplate."""
+    return f"""WITH {_site_blocks_ctes()},
+per AS (
+  SELECT source, block_text,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+  FROM sx GROUP BY 1, 2),
+site AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS site_pages
+  FROM pages GROUP BY 1)
+SELECT per.source, block_text, n_pages, site_pages
+FROM per JOIN site USING (source)
+WHERE n_pages >= {min_pages} AND n_pages * {den} >= site_pages * {num}"""
+
+
+def extract_site_clean_select(num: int = 1, den: int = 2,
+                              min_pages: int = 2) -> str:
+    """DuckDB twin of synthesize_html |> extract_site_clean."""
+    return f"""WITH {_site_blocks_ctes()},
+per AS (
+  SELECT source, block_text,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+  FROM sx GROUP BY 1, 2),
+site AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS site_pages
+  FROM pages GROUP BY 1),
+bp AS (
+  SELECT per.source, block_text
+  FROM per JOIN site USING (source)
+  WHERE n_pages >= {min_pages}
+    AND n_pages * {den} >= site_pages * {num}),
+kept AS (
+  SELECT sx.doc_id, sx.block_idx, sx.block_text
+  FROM sx
+  WHERE sx.kept AND NOT EXISTS (
+    SELECT 1 FROM bp
+    WHERE bp.source = sx.source
+      AND bp.block_text = sx.block_text)),
+agg AS (
+  SELECT doc_id,
+         string_agg(block_text, chr(10) ORDER BY block_idx) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1)
+SELECT pages.doc_id,
+       COALESCE(agg.text, '') AS text,
+       COALESCE(agg.n_kept, 0) AS n_kept
+FROM pages LEFT JOIN agg USING (doc_id)"""

@@ -560,18 +560,24 @@ def q_robots_filter(spark, sf_dir):
                         synthesize_robots(pages))
 
 
+def q_site_boilerplate(spark, sf_dir):
+    from maps_spark.operators.html import (site_boilerplate,
+                                           synthesize_html)
+    return site_boilerplate(synthesize_html(_docs(spark, sf_dir)))
+
+
+def q_site_clean_extract(spark, sf_dir):
+    from maps_spark.operators.html import (extract_site_clean,
+                                           synthesize_html)
+    return extract_site_clean(synthesize_html(_docs(spark, sf_dir)))
+
+
 def q_link_hits(spark, sf_dir):
     from maps_spark.operators.graph import hits
-    from maps_spark.operators.html import (DOMAIN_RE, extract_links,
+    from maps_spark.operators.html import (site_domain_edges,
                                            synthesize_html)
-    pages = synthesize_html(_docs(spark, sf_dir))
-    links = extract_links(pages).join(
-        pages.select("doc_id", "source"), "doc_id")
-    edges = (links.select(
-        F.col("source").alias("src"),
-        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
-        .where(F.col("dst") != ""))
-    return hits(edges)
+    return hits(site_domain_edges(synthesize_html(
+        _docs(spark, sf_dir))))
 
 
 def q_url_normalize(spark, sf_dir):
@@ -593,15 +599,9 @@ def q_url_normalize(spark, sf_dir):
 
 def q_link_pagerank(spark, sf_dir):
     from maps_spark.operators.graph import pagerank
-    from maps_spark.operators.html import (DOMAIN_RE, extract_links,
+    from maps_spark.operators.html import (site_domain_edges,
                                            synthesize_html)
-    pages = synthesize_html(_docs(spark, sf_dir))
-    links = extract_links(pages).join(
-        pages.select("doc_id", "source"), "doc_id")
-    edges = (links.select(
-        F.col("source").alias("src"),
-        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
-        .where(F.col("dst") != ""))
+    edges = site_domain_edges(synthesize_html(_docs(spark, sf_dir)))
     return pagerank(edges).select(
         F.col("node").alias("domain"), "rank_scaled")
 
@@ -1253,6 +1253,8 @@ MAPS_QUERIES = {
     "frontier_candidates": q_frontier_candidates,
     "frontier_shards": q_frontier_shards,
     "robots_filter": q_robots_filter,
+    "site_boilerplate": q_site_boilerplate,
+    "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
     "domain_reputation": q_domain_reputation,
     "dup_spans": q_dup_spans,
@@ -1413,6 +1415,8 @@ def _html_oracle(which: str) -> str:
             "frontier": H.frontier_candidates_select,
             "frontier_shards": H.frontier_shards_select,
             "robots": H.robots_filter_select,
+            "site_bp": H.site_boilerplate_select,
+            "site_clean": H.extract_site_clean_select,
             "block_stats": H.html_block_stats_select,
             "links": H.html_links_select,
             "link_stats": H.link_stats_select,
@@ -1503,6 +1507,8 @@ def maps_oracles() -> dict[str, str]:
         "frontier_candidates": _html_oracle("frontier"),
         "frontier_shards": _html_oracle("frontier_shards"),
         "robots_filter": _html_oracle("robots"),
+        "site_boilerplate": _html_oracle("site_bp"),
+        "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),
         "domain_reputation": _html_oracle("domain_reputation"),
         "dup_spans": OT.dup_spans_select(),

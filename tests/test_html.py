@@ -382,3 +382,36 @@ def test_robots_filter_planted(spark):
     assert kept == {"http://siteA/offer",
                     "http://partner1.example/ref",
                     "http://other.example/buy"}
+
+
+def test_site_boilerplate_and_clean_extract(spark):
+    """A long link-free blurb repeated on every page of a site passes
+    the per-page rule but is stripped by the site-level pass; unique
+    prose survives; the same blurb on a minority of another site's
+    pages is NOT template; emptied pages still emit a stable row."""
+    from maps_spark.operators.html import (extract_main_text,
+                                           extract_site_clean,
+                                           site_boilerplate)
+    blurb = ("about us we are a family business serving the finest "
+             "boilerplate since nineteen ninety nine every day")
+    uniq = ("unique editorial content for page number %d with plenty "
+            "of honest length so the per page keep rule passes here")
+    mk = lambda i: (f"<body><p>{blurb}</p><p>{uniq % i}</p></body>")
+    pages = [(i, "siteA", mk(i)) for i in range(3)]
+    pages += [(10, "siteB", f"<body><p>{blurb}</p></body>"),
+              (11, "siteB", f"<body><p>{uniq % 11}</p></body>"),
+              (12, "siteB", f"<body><p>{uniq % 12}</p></body>"),
+              (13, "siteB", f"<body><p>{blurb}</p></body>")]
+    df = spark.createDataFrame(pages, "doc_id long, source string, "
+                                      "html string")
+    bp = {(r.source, r.block_text): (r.n_pages, r.site_pages)
+          for r in site_boilerplate(df, num=2, den=3).collect()}
+    assert bp == {("siteA", blurb): (3, 3)}  # 2/4 on siteB < 2/3
+    # per-page extraction keeps the blurb; site-clean strips it
+    per_page = extract_main_text(df).where(F.col("doc_id") == 0)
+    assert blurb in per_page.collect()[0].main_text
+    clean = {r.doc_id: r for r in
+             extract_site_clean(df, num=2, den=3).collect()}
+    assert clean[0].text == uniq % 0 and clean[0].n_kept == 1
+    assert blurb in clean[10].text      # minority repeat survives
+    assert len(clean) == 7              # every page has a row
