@@ -166,7 +166,10 @@ def hits_select(edges_cte: str, iters: int = 2,
             """nodes AS (
   SELECT src AS node FROM e UNION SELECT dst AS node FROM e)""",
             f"""h0 AS (
-  SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"""]
+  SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)""",
+            # a0 so the iters=0 boundary is valid SQL, matching the
+            # Spark twin's (hub=scale, auth=0) initial state
+            "a0 AS (SELECT node, CAST(0 AS BIGINT) AS a FROM nodes)"]
     for i in range(iters):
         ctes.append(f"""ar{i} AS (
   SELECT e.dst AS node, sum(h{i}.h) AS raw

@@ -407,14 +407,21 @@ def link_stats(pages: DataFrame, html_col: str = "html",
 
 
 def link_domain_counts(pages: DataFrame, html_col: str = "html",
-                       id_col: str = "doc_id") -> DataFrame:
-    """In-link counts per external domain: (domain, n_links,
-    n_docs) — the raw material of a domain-reputation table
-    (crawl-frontier prioritization, source weighting). One extract +
-    one aggregation; relative links carry no domain and are
-    excluded."""
-    d = extract_links(pages, html_col, id_col).select(
-        id_col, F.regexp_extract("href", DOMAIN_RE, 1).alias("domain"))
+                       id_col: str = "doc_id",
+                       links: DataFrame | None = None) -> DataFrame:
+    """In-link counts per external domain of the NORMALIZED href
+    (host case-folded, default port stripped — the same key the
+    graph/frontier family uses): (domain, n_links, n_docs) — the raw
+    material of a domain-reputation table (crawl-frontier
+    prioritization, source weighting). One extract + one
+    aggregation; relative links carry no domain and are excluded.
+    Pass a prebuilt ``links`` table to reuse an existing extraction."""
+    if links is None:
+        links = extract_links(pages, html_col, id_col)
+    d = links.select(
+        id_col,
+        F.regexp_extract(F.expr(norm_url_sql("href")), DOMAIN_RE, 1)
+        .alias("domain"))
     return (d.where(F.col("domain") != "")
             .groupBy("domain")
             .agg(F.count("*").alias("n_links"),
@@ -437,13 +444,18 @@ FROM (SELECT doc_id, hrefs,
 
 
 def link_domain_counts_select() -> str:
-    """DuckDB twin of synthesize_html |> link_domain_counts."""
+    """DuckDB twin of synthesize_html |> link_domain_counts (domain
+    of the NORMALIZED href, matching the Spark side)."""
     return f"""WITH {_pages_ctes()},
+dh AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+  FROM pages),
 d AS (
   SELECT doc_id,
-         regexp_extract(unnest(regexp_extract_all(
-             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS domain
-  FROM pages)
+         regexp_extract({norm_url_sql('href')}, '{DOMAIN_RE}', 1)
+           AS domain
+  FROM dh)
 SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM d WHERE domain <> '' GROUP BY 1"""
@@ -647,31 +659,45 @@ def extract_and_normalize(pages: DataFrame,
                     "n_dropped", "chars_kept", "chars_dropped"))
 
 
+def _links_with_source(pages: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Shared (id, link_idx, href, source) outlink projection — built
+    once and passed into the graph/frontier helpers so composite
+    operators parse each page's HTML a single time."""
+    return extract_links(pages, html_col, id_col).join(
+        pages.select(id_col, source_col), id_col)
+
+
 def site_domain_edges(pages: DataFrame, html_col: str = "html",
                       id_col: str = "doc_id",
-                      source_col: str = "source") -> DataFrame:
+                      source_col: str = "source",
+                      links: DataFrame | None = None) -> DataFrame:
     """(src, dst) edges of the site->domain link graph: one edge per
     absolute outlink, src = the referring page's source site, dst =
-    the linked domain — the shared input of the PageRank / HITS /
-    reputation / frontier family."""
-    links = extract_links(pages, html_col, id_col).join(
-        pages.select(id_col, source_col), id_col)
-    return (links.select(
-        F.col(source_col).alias("src"),
-        F.regexp_extract("href", DOMAIN_RE, 1).alias("dst"))
-        .where(F.col("dst") != ""))
+    the linked domain of the NORMALIZED href (host case-folded,
+    default port stripped) so graph nodes key identically to the
+    frontier's norm_href-derived domains — mixed-case or :80 forms
+    of one domain never split rank mass across two nodes."""
+    if links is None:
+        links = _links_with_source(pages, html_col, id_col, source_col)
+    dst = F.regexp_extract(F.expr(norm_url_sql("href")), DOMAIN_RE, 1)
+    return (links.select(F.col(source_col).alias("src"),
+                         dst.alias("dst"))
+            .where(F.col("dst") != ""))
 
 
 def candidate_refs(pages: DataFrame, html_col: str = "html",
                    id_col: str = "doc_id",
-                   source_col: str = "source") -> DataFrame:
+                   source_col: str = "source",
+                   links: DataFrame | None = None) -> DataFrame:
     """(id, norm_href): every outlink instance resolved to an
     absolute normalized URL (site-relative against the page's source;
     opaque hrefs drop) — the pre-anti-join half of
     :func:`frontier_candidates`, reusable incrementally because it is
     a pure per-page projection."""
-    links = extract_links(pages, html_col, id_col).join(
-        pages.select(id_col, source_col), id_col)
+    if links is None:
+        links = _links_with_source(pages, html_col, id_col, source_col)
     abs_href = (
         F.when(F.regexp_extract("href", DOMAIN_RE, 1) != "",
                F.col("href"))
@@ -696,6 +722,24 @@ def page_urls(pages: DataFrame, id_col: str = "doc_id",
         .distinct())
 
 
+def site_domain_edges_select() -> str:
+    """The site->domain edges query over the synthesized pages — the
+    single SQL twin of :func:`site_domain_edges`, shared by every
+    graph oracle (PageRank, HITS, reputation, frontier) so edge
+    semantics can never drift between them."""
+    return f"""WITH {_pages_ctes()},
+lx AS (
+  SELECT source,
+         unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+  FROM pages),
+ld AS (
+  SELECT source AS src,
+         regexp_extract({norm_url_sql('href')}, '{DOMAIN_RE}', 1)
+           AS dst
+  FROM lx)
+SELECT src, dst FROM ld WHERE dst <> ''"""
+
+
 def domain_reputation(pages: DataFrame, html_col: str = "html",
                       id_col: str = "doc_id",
                       source_col: str = "source",
@@ -708,10 +752,13 @@ def domain_reputation(pages: DataFrame, html_col: str = "html",
 
     Output: (domain, n_links, n_docs, rank_scaled)."""
     from maps_spark.operators.graph import pagerank
-    edges = site_domain_edges(pages, html_col, id_col, source_col)
+    links = _links_with_source(pages, html_col, id_col,
+                               source_col).persist()
+    edges = site_domain_edges(pages, html_col, id_col, source_col,
+                              links)
     pr = pagerank(edges, iters=iters).select(
         F.col("node").alias("domain"), "rank_scaled")
-    counts = link_domain_counts(pages, html_col, id_col)
+    counts = link_domain_counts(pages, html_col, id_col, links)
     return counts.join(pr, "domain")
 
 
@@ -719,14 +766,7 @@ def domain_reputation_select(iters: int = 3) -> str:
     """DuckDB twin of domain_reputation (composes the pagerank and
     domain-count oracles over the synthesized pages)."""
     from maps_spark.operators.graph import pagerank_select
-    edges = f"""WITH {_pages_ctes()},
-ld AS (
-  SELECT source AS src,
-         regexp_extract(unnest(regexp_extract_all(
-             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
-  FROM pages)
-SELECT src, dst FROM ld WHERE dst <> ''"""
-    pr = pagerank_select(edges, iters=iters)
+    pr = pagerank_select(site_domain_edges_select(), iters=iters)
     return f"""WITH pr AS ({pr}),
 dc AS ({link_domain_counts_select()})
 SELECT dc.domain, dc.n_links, dc.n_docs,
@@ -753,10 +793,16 @@ def frontier_candidates(pages: DataFrame, html_col: str = "html",
     is this same query's pages table — no driver-side state.
 
     Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank)."""
+    # one shared (and cached) outlink projection feeds both the refs
+    # and the edges branch, so each page's HTML is parsed once — the
+    # links table is hrefs-only, far smaller than the pages it came
+    # from, so persisting it is the right trade at corpus scale
+    links = _links_with_source(pages, html_col, id_col,
+                               source_col).persist()
     return frontier_assemble(
-        candidate_refs(pages, html_col, id_col, source_col),
+        candidate_refs(pages, html_col, id_col, source_col, links),
         page_urls(pages, id_col, source_col),
-        site_domain_edges(pages, html_col, id_col, source_col),
+        site_domain_edges(pages, html_col, id_col, source_col, links),
         id_col, pr_iters)
 
 
@@ -787,13 +833,7 @@ def frontier_candidates_select(pr_iters: int = 3) -> str:
     pages (shares the verbatim norm_url_sql expression and the
     unrolled pagerank oracle)."""
     from maps_spark.operators.graph import pagerank_select
-    edges = f"""WITH {_pages_ctes()},
-ld AS (
-  SELECT source AS src,
-         regexp_extract(unnest(regexp_extract_all(
-             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
-  FROM pages)
-SELECT src, dst FROM ld WHERE dst <> ''"""
+    edges = site_domain_edges_select()
     page_url = "'http://' || source || '/doc/' || CAST(doc_id AS STRING)"
     return f"""WITH {_pages_ctes()},
 lk AS (
@@ -905,8 +945,12 @@ def apply_robots(cand: DataFrame, rules: DataFrame) -> DataFrame:
     URL's domain blocks it; domains with no rules pass). The rules
     join is domain-keyed and rules tables are rule-count-bounded, so
     the candidate side shuffles once on domain and the blocked set
-    semi-joins back — never a per-rule scan of the corpus."""
+    semi-joins back — never a per-rule scan of the corpus. Rule
+    domains are case-folded to the candidate side's normalized
+    (lowercase) domain key; paths stay case-sensitive per the
+    robots spec."""
     path = F.regexp_replace(F.col("norm_href"), _URL_PATH_STRIP, "")
+    rules = rules.select(F.lower("domain").alias("domain"), "disallow")
     blocked = (cand.select(
         "norm_href", "domain",
         F.when(path == "", "/").otherwise(path).alias("path"))
@@ -922,13 +966,14 @@ def robots_filter_select(pr_iters: int = 3) -> str:
     return f"""WITH {_pages_ctes()},
 fc AS ({frontier_candidates_select(pr_iters)}),
 rules AS (
-  SELECT domain, disallow FROM
-    (SELECT DISTINCT source AS domain FROM pages) s
-  CROSS JOIN (VALUES ('/buy'), ('/t/')) v(disallow)
-  UNION ALL
-  SELECT 'partner' || CAST(k AS VARCHAR) || '.example', '/ref'
-  FROM (SELECT DISTINCT doc_id % 7 AS k FROM pages) kk
-  WHERE k % 2 = 0),
+  SELECT lower(domain) AS domain, disallow FROM (
+    SELECT domain, disallow FROM
+      (SELECT DISTINCT source AS domain FROM pages) s
+    CROSS JOIN (VALUES ('/buy'), ('/t/')) v(disallow)
+    UNION ALL
+    SELECT 'partner' || CAST(k AS VARCHAR) || '.example', '/ref'
+    FROM (SELECT DISTINCT doc_id % 7 AS k FROM pages) kk
+    WHERE k % 2 = 0) raw),
 pth AS (
   SELECT norm_href, domain,
          CASE WHEN regexp_replace(norm_href,
@@ -971,6 +1016,18 @@ def site_boilerplate(pages: DataFrame, html_col: str = "html",
     Output: (source, block_text, n_pages, site_pages)."""
     blocks = (html_block_stats(pages, html_col, id_col)
               .join(pages.select(id_col, source_col), id_col))
+    return _site_boilerplate_from_blocks(pages, blocks, id_col,
+                                         source_col, num, den,
+                                         min_pages)
+
+
+def _site_boilerplate_from_blocks(pages: DataFrame, blocks: DataFrame,
+                                  id_col: str, source_col: str,
+                                  num: int, den: int,
+                                  min_pages: int) -> DataFrame:
+    """Template detection over a prebuilt per-block table, so callers
+    that also need the blocks (the two-pass extractor) parse each
+    page's HTML once."""
     per = (blocks.groupBy(source_col, "block_text")
            .agg(F.countDistinct(id_col).alias("n_pages")))
     site = (pages.groupBy(source_col)
@@ -996,13 +1053,17 @@ def extract_site_clean(pages: DataFrame, html_col: str = "html",
     (left join back to the page list), so row count is stable.
 
     Output: (id, text, n_kept)."""
-    bl = (site_boilerplate(pages, html_col, id_col, source_col,
-                           num, den, min_pages)
+    # one cached block table feeds both the template aggregation and
+    # the per-page strip — the 9-regex-per-block HTML parse runs once
+    blocks = (html_block_stats(pages, html_col, id_col)
+              .join(pages.select(id_col, source_col), id_col)
+              .persist())
+    bl = (_site_boilerplate_from_blocks(pages, blocks, id_col,
+                                        source_col, num, den,
+                                        min_pages)
           .select(F.col("source").alias("_bp_source"),
                   F.col("block_text").alias("_bp_text"),
                   F.lit(True).alias("_bp")))
-    blocks = (html_block_stats(pages, html_col, id_col)
-              .join(pages.select(id_col, source_col), id_col))
     kept = (blocks.where(F.col("kept"))
             .join(F.broadcast(bl),
                   (F.col(source_col) == F.col("_bp_source")) &

@@ -1369,32 +1369,16 @@ FROM messy"""
 
 def _pagerank_oracle() -> str:
     from maps_spark.operators.graph import pagerank_select
-    from maps_spark.operators.html import (DOMAIN_RE, HREF_RE,
-                                           _pages_ctes)
-    edges = f"""WITH {_pages_ctes()},
-ld AS (
-  SELECT source AS src,
-         regexp_extract(unnest(regexp_extract_all(
-             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
-  FROM pages)
-SELECT src, dst FROM ld WHERE dst <> ''"""
-    pr = pagerank_select(edges)
+    from maps_spark.operators.html import site_domain_edges_select
+    pr = pagerank_select(site_domain_edges_select())
     return f"""WITH pr AS ({pr})
 SELECT node AS domain, rank_scaled FROM pr"""
 
 
 def _hits_oracle() -> str:
     from maps_spark.operators.graph import hits_select
-    from maps_spark.operators.html import (DOMAIN_RE, HREF_RE,
-                                           _pages_ctes)
-    edges = f"""WITH {_pages_ctes()},
-ld AS (
-  SELECT source AS src,
-         regexp_extract(unnest(regexp_extract_all(
-             html, '{HREF_RE}', 1)), '{DOMAIN_RE}', 1) AS dst
-  FROM pages)
-SELECT src, dst FROM ld WHERE dst <> ''"""
-    return hits_select(edges)
+    from maps_spark.operators.html import site_domain_edges_select
+    return hits_select(site_domain_edges_select())
 
 
 def _bm25_oracle() -> str:

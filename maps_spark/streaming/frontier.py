@@ -34,16 +34,22 @@ def run_frontier_ingest(spark: SparkSession, input_path: str,
     """Wire the stream: crawled-page files -> per-batch refs/seen/
     edges appends under ``store_root``. ``availableNow`` drains the
     backlog and stops (landing-zone sweep mode)."""
-    from maps_spark.operators.html import (candidate_refs, page_urls,
+    from maps_spark.operators.html import (_links_with_source,
+                                           candidate_refs, page_urls,
                                            site_domain_edges)
     from maps_spark.streaming.dedup import run_file_stream
     marker = store_root.rstrip("/") + "/_meta/last_batch.json"
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()  # one read per projection
-        for name, df in (("refs", candidate_refs(batch_df)),
+        # one materialized href extraction feeds refs AND edges — the
+        # batch's HTML is regex-parsed once
+        links = _links_with_source(batch_df).localCheckpoint()
+        refs = candidate_refs(batch_df, links=links)
+        edges = site_domain_edges(batch_df, links=links)
+        for name, df in (("refs", refs),
                          ("seen", page_urls(batch_df)),
-                         ("edges", site_domain_edges(batch_df))):
+                         ("edges", edges)):
             (df.withColumn("batch_id", F.lit(batch_id))
              .write.mode("append").parquet(f"{store_root}/{name}"))
 

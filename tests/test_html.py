@@ -155,6 +155,7 @@ def test_link_extraction_and_domains(spark):
             '<a data-href="decoy" href="/real1">attr-name trap</a>'
             '<a title="href=" href="/real2">attr-value trap</a>'
             '<a href="HTTP://c.example/up">uppercase scheme</a>'
+            '<a href="http://A.example:80/z">case+port fold</a>'
             '</body></html>')
     df = spark.createDataFrame([(1, html), (2, "<html>no links</html>")],
                                "doc_id long, html string")
@@ -163,14 +164,17 @@ def test_link_extraction_and_domains(spark):
         (1, 0, "/one"), (1, 1, "http://a.example/p"), (1, 2, "/one"),
         (1, 3, "https://b.example:8080/q?z=1"), (1, 4, "mailto:x"),
         (1, 5, "/real1"), (1, 6, "/real2"),
-        (1, 7, "HTTP://c.example/up")]
+        (1, 7, "HTTP://c.example/up"),
+        (1, 8, "http://A.example:80/z")]
     st = {r.doc_id: r for r in link_stats(df).collect()}
     assert (st[1].n_links, st[1].n_unique, st[1].n_internal,
-            st[1].n_absolute) == (8, 7, 4, 3)  # mailto has no ://
+            st[1].n_absolute) == (9, 8, 4, 4)  # mailto has no ://
     assert (st[2].n_links, st[2].n_unique) == (0, 0)
+    # domains key on the NORMALIZED href: A.example:80 folds into
+    # a.example; the non-default https port survives
     doms = {r.domain: (r.n_links, r.n_docs)
             for r in link_domain_counts(df).collect()}
-    assert doms == {"a.example": (1, 1), "b.example:8080": (1, 1),
+    assert doms == {"a.example": (2, 1), "b.example:8080": (1, 1),
                     "c.example": (1, 1)}
 
 
@@ -357,29 +361,32 @@ def test_frontier_shards_planted(spark):
 def test_robots_filter_planted(spark):
     """Disallow prefixes block matching paths on their own domain
     only; even partner domains block /ref; rule-less domains pass
-    everything."""
+    everything; mixed-case rule domains fold onto the normalized
+    (lowercase) candidate domain key."""
     from maps_spark.operators.html import (apply_robots,
                                            synthesize_robots)
     pages = spark.createDataFrame(
-        [(0, "siteA", "<html></html>"), (1, "siteB", "<html></html>")],
+        [(0, "SiteA", "<html></html>"), (1, "siteB", "<html></html>")],
         "doc_id long, source string, html string")
     rules = synthesize_robots(pages)
     rs = {(r.domain, r.disallow) for r in rules.collect()}
-    assert ("siteA", "/buy") in rs and ("siteB", "/t/") in rs
+    assert ("SiteA", "/buy") in rs and ("siteB", "/t/") in rs
     assert ("partner0.example", "/ref") in rs       # k=0 even
     assert ("partner1.example", "/ref") not in rs   # k=1 odd
+    # candidate domains are normalized (lowercase) — the SiteA rules
+    # must still bite on sitea
     cand = spark.createDataFrame(
-        [("http://siteA/buy", "siteA", 1, 1, 0),
-         ("http://siteA/buyx", "siteA", 1, 1, 0),    # prefix match
-         ("http://siteA/offer", "siteA", 1, 1, 0),
-         ("http://siteB/t/2", "siteB", 1, 1, 0),
+        [("http://sitea/buy", "sitea", 1, 1, 0),
+         ("http://sitea/buyx", "sitea", 1, 1, 0),    # prefix match
+         ("http://sitea/offer", "sitea", 1, 1, 0),
+         ("http://siteb/t/2", "siteb", 1, 1, 0),
          ("http://partner0.example/ref", "partner0.example", 1, 1, 0),
          ("http://partner1.example/ref", "partner1.example", 1, 1, 0),
          ("http://other.example/buy", "other.example", 1, 1, 0)],
         "norm_href string, domain string, n_refs long, "
         "n_ref_docs long, domain_rank long")
     kept = {r.norm_href for r in apply_robots(cand, rules).collect()}
-    assert kept == {"http://siteA/offer",
+    assert kept == {"http://sitea/offer",
                     "http://partner1.example/ref",
                     "http://other.example/buy"}
 

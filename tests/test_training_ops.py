@@ -1664,3 +1664,13 @@ def test_sentence_split_and_readability(spark):
     assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (2, 1, 3)
     assert r1.fre_milli == 206835 - 2030 - (84600 * 3) // 2
     assert got[1].fre_milli > got[2].fre_milli  # simple reads easier
+
+def test_hits_select_iters0_matches_spark():
+    """The unrolled oracle is valid SQL at the iters=0 boundary and
+    returns the Spark twin's initial state (hub=scale, auth=0)."""
+    import duckdb
+
+    from maps_spark.operators.graph import HITS_SCALE, hits_select
+    q = hits_select("SELECT 'a' AS src, 'b' AS dst", iters=0)
+    rows = sorted(duckdb.connect().execute(q).fetchall())
+    assert rows == [("a", HITS_SCALE, 0), ("b", HITS_SCALE, 0)]
