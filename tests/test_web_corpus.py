@@ -145,3 +145,41 @@ def test_streaming_frontier_matches_batch_twin(spark, tmp_path):
     q2.awaitTermination(300)
     again = {tuple(r) for r in read_frontier(spark, store).collect()}
     assert again == want
+
+
+def test_run_crawl_plan_e2e(spark, tmp_path):
+    """The scheduling driver composes frontier -> robots -> shards
+    with a monotone funnel, writes shard-partitioned fetch plans a
+    worker can read partition-pruned, and rotates versioned builds
+    keep-2."""
+    from maps_spark.operators.html import synthesize_robots
+    from maps_spark.plans.crawl import read_fetch_plan, run_crawl_plan
+    pages = _pages(spark, 30)
+    root = str(tmp_path / "crawl")
+    rules = synthesize_robots(pages)
+    m = run_crawl_plan(spark, pages, root, rules=rules,
+                       per_host_cap=3, n_shards=4)
+    f = m["funnel"]
+    assert 0 < f["allowed"] < f["candidates"]  # robots really filtered
+    assert 0 < f["planned"] <= f["allowed"]
+    assert f["hosts"] > 0
+    plan = read_fetch_plan(spark, root)
+    assert plan.count() == f["planned"]
+    # politeness: every host rides exactly one shard, cap respected
+    per_host = plan.groupBy("domain").agg(
+        F.countDistinct("shard").alias("ns"),
+        F.count("*").alias("n")).collect()
+    assert all(r.ns == 1 and r.n <= 3 for r in per_host)
+    # a single-shard read sees only its own hosts
+    s0 = read_fetch_plan(spark, root, shard=0)
+    assert s0.count() == plan.where(F.col("shard") == 0).count()
+    # keep-2 rotation
+    import time as _t
+    _t.sleep(1.1)
+    run_crawl_plan(spark, pages, root, rules=rules,
+                   per_host_cap=3, n_shards=4)
+    _t.sleep(1.1)
+    m3 = run_crawl_plan(spark, pages, root, rules=rules,
+                        per_host_cap=3, n_shards=4)
+    builds = sorted(os.listdir(f"{root}/builds"))
+    assert len(builds) <= 2 and m3["build_id"] == builds[-1]
