@@ -1147,3 +1147,47 @@ SELECT pages.doc_id,
        COALESCE(agg.text, '') AS text,
        COALESCE(agg.n_kept, 0) AS n_kept
 FROM pages LEFT JOIN agg USING (doc_id)"""
+
+
+# Tracking parameters every public canonicalization list strips
+# (utm_* campaign tags + the big click-id params). Kept RE2/Java
+# common: inline (?i) at the start, no lookaround.
+TRACKING_PARAM_RE = (r"(?i)&(utm_[^&=#]*|gclid|fbclid|msclkid|mc_eid)"
+                     r"(=[^&]*)?")
+
+
+def canon_href_col(href_col: str) -> Column:
+    """Canonical URL Column: :func:`norm_url_sql` normalization, then
+    tracking parameters removed from the query string (the query is
+    detached, scrubbed with one global replace over '&'-prefixed
+    params, and re-attached only if something survives — so
+    '?utm_only=1' URLs lose the '?' entirely). Pure codegen."""
+    u = F.expr(norm_url_sql(href_col))
+    pre = F.regexp_replace(u, r"\?[^#]*", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qq = F.regexp_replace(
+        F.regexp_replace(F.concat(F.lit("&"), q),
+                         TRACKING_PARAM_RE, ""),
+        "^&", "")
+    return F.when(qq == "", pre).otherwise(
+        F.concat(pre, F.lit("?"), qq))
+
+
+def canonicalize_links(links: DataFrame,
+                       href_col: str = "href") -> DataFrame:
+    """Append ``canon_href`` — the URL-dedup / graph key stronger
+    than plain normalization: two shares of one article that differ
+    only by campaign tags collapse to one node."""
+    return links.withColumn("canon_href", canon_href_col(href_col))
+
+
+def canon_href_sql(col: str) -> str:
+    """DuckDB twin of :func:`canon_href_col` (same stages; DuckDB
+    needs the explicit 'g' flag where Spark replaces globally)."""
+    u = norm_url_sql(col)
+    pre = f"regexp_replace({u}, '\\?[^#]*', '')"
+    q = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    qq = (f"regexp_replace(regexp_replace('&' || {q}, "
+          f"'{TRACKING_PARAM_RE}', '', 'g'), '^&', '')")
+    return (f"CASE WHEN {qq} = '' THEN {pre} "
+            f"ELSE {pre} || '?' || {qq} END")

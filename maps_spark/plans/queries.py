@@ -572,6 +572,25 @@ def q_site_clean_extract(spark, sf_dir):
     return extract_site_clean(synthesize_html(_docs(spark, sf_dir)))
 
 
+def q_url_canonical(spark, sf_dir):
+    from maps_spark.operators.html import canon_href_col
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.concat(F.lit("http://t"), (F.col("doc_id") % 4)
+                 .cast("string"),
+                 F.lit(".example/p/"), i,
+                 F.lit("?utm_source=feed&id="), i,
+                 F.lit("&utm_medium=rss")),
+        F.concat(F.lit("HTTPS://T.Example:443/q?gclid=abc"), i),
+        F.concat(F.lit("/rel/"), i, F.lit("?a=1&fbclid=zz&b=2")),
+        F.concat(F.lit("http://plain"), (F.col("doc_id") % 3)
+                 .cast("string"), F.lit(".example/x?keep="), i))
+    messy = docs.select(
+        "doc_id", F.posexplode(variants).alias("variant", "href"))
+    return messy.withColumn("canon_href", canon_href_col("href"))
+
+
 def q_link_hits(spark, sf_dir):
     from maps_spark.operators.graph import hits
     from maps_spark.operators.html import (site_domain_edges,
@@ -1256,6 +1275,7 @@ MAPS_QUERIES = {
     "site_boilerplate": q_site_boilerplate,
     "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
+    "url_canonical": q_url_canonical,
     "domain_reputation": q_domain_reputation,
     "dup_spans": q_dup_spans,
     "dup_span_stats": q_dup_span_stats,
@@ -1344,6 +1364,33 @@ MAPS_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
 }
+
+
+def _url_canonical_oracle() -> str:
+    from maps_spark.operators.html import canon_href_sql
+    return f"""WITH messy AS (
+  SELECT doc_id, 0 AS variant,
+         'http://t' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR)
+         || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+         || '&utm_medium=rss' AS href
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         'HTTPS://T.Example:443/q?gclid=abc' || CAST(doc_id AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2,
+         '/rel/' || CAST(doc_id AS VARCHAR) || '?a=1&fbclid=zz&b=2'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3,
+         'http://plain' || CAST(doc_id % 3 AS VARCHAR)
+         || '.example/x?keep=' || CAST(doc_id AS VARCHAR)
+  FROM documents)
+SELECT doc_id, CAST(variant AS INT) AS variant, href,
+       {canon_href_sql('href')} AS canon_href
+FROM messy"""
 
 
 def _url_normalize_oracle() -> str:
@@ -1494,6 +1541,7 @@ def maps_oracles() -> dict[str, str]:
         "site_boilerplate": _html_oracle("site_bp"),
         "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),
+        "url_canonical": _url_canonical_oracle(),
         "domain_reputation": _html_oracle("domain_reputation"),
         "dup_spans": OT.dup_spans_select(),
         "dup_span_stats": OT.dup_span_stats_select(),

@@ -422,3 +422,29 @@ def test_site_boilerplate_and_clean_extract(spark):
     assert clean[0].text == uniq % 0 and clean[0].n_kept == 1
     assert blurb in clean[10].text      # minority repeat survives
     assert len(clean) == 7              # every page has a row
+
+
+def test_canonicalize_links_rules(spark):
+    """Closed canonicalization cases: tracking params stripped
+    wherever they sit, '?' dropped when nothing survives, real params
+    and opaque URLs untouched, normalization still applied first."""
+    from maps_spark.operators.html import canonicalize_links
+    cases = [
+        ("http://t.example/p?utm_source=f&id=7&utm_medium=r",
+         "http://t.example/p?id=7"),
+        ("HTTPS://T.Example:443/q?gclid=abc", "https://t.example/q"),
+        ("/rel/9?a=1&fbclid=zz&b=2", "/rel/9?a=1&b=2"),
+        ("http://h.example/x?keep=1&UTM_CAMPAIGN=S", # case-insensitive
+         "http://h.example/x?keep=1"),
+        ("http://h.example/x?gclid", "http://h.example/x"),  # valueless
+        ("http://h.example/p", "http://h.example/p"),
+        ("mailto:a@b?subject=x", "mailto:a@b?subject=x"),
+        ("http://h.example/?utm_only=1", "http://h.example/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "link_id long, href string")
+    got = {r.link_id: r.canon_href
+           for r in canonicalize_links(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
