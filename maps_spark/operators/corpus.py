@@ -705,3 +705,40 @@ def collocations(docs: DataFrame, text_col: str = "text",
                     F.expr(f"((c_pair * {scale}) div c_w1) * n_tok "
                            f"div c_w2")
                     .cast("long").alias("lift_scaled")))
+
+
+def novelty_score(docs: DataFrame, text_col: str = "text",
+                  k: int = 8, scale: int = SCALE) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk /
+    contribution signal dataset analyses report: the fraction of a
+    document's DISTINCT word k-grams that occur in no other document
+    (corpus doc-frequency 1). Boilerplate-heavy or copied documents
+    score low; unique prose scores high.
+
+    Exact integers end to end (df counts + one scaled division).
+    Shapes: grams are per-doc distinct before the explode (so the
+    gram shuffle is set-sized, not occurrence-sized), df is one
+    gram-keyed agg with map-side combine, and the verdict joins back
+    on the same gram key. Documents shorter than ``k`` tokens
+    contribute their whole text as one gram.
+
+    Output: (doc_id, n_grams, n_novel, novelty_scaled)."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(w) - k),
+                    lambda i: F.array_join(
+                        F.slice(w, i + 1, k), " "))
+    ).otherwise(F.array(F.array_join(w, " ")))
+    ex = (docs.select("doc_id",
+                      F.explode(F.array_distinct(grams)).alias("g"))
+          .where(F.col("g") != ""))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    return (ex.join(dfreq, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_novel"))
+            .withColumn("novelty_scaled",
+                        F.expr(f"(n_novel * {scale}) div n_grams")
+                        .cast("long")))

@@ -1017,3 +1017,29 @@ def dedup_method_overlap(docs: DataFrame, text_col: str = "text",
             .select("method_a", "method_b", "n_a", "n_b",
                     F.coalesce("n_common", F.lit(0)).cast("long")
                     .alias("n_common")))
+
+
+def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
+                            source_col: str = "source",
+                            hasher: str = DEFAULT_HASHER) -> DataFrame:
+    """Which sources duplicate which: the near-dup candidate pairs
+    (banded minhash LSH) annotated with both documents' sources and
+    aggregated into an unordered source-pair matrix — the provenance
+    / syndication view a corpus audit reports (e.g. mirror sites,
+    wire-copy spread). Pair canonical order is lexicographic so
+    (a, b) and (b, a) collapse.
+
+    Cost beyond the (already capped, bucketed) LSH pairs: two
+    broadcast-sized source joins and one matrix-sized agg.
+
+    Output: (source_a, source_b, n_pairs)."""
+    pairs = minhash_lsh_pairs(docs, text_col, hasher=hasher)
+    s = docs.select("doc_id", source_col)
+    return (pairs
+            .join(s.select(F.col("doc_id").alias("doc_a"),
+                           F.col(source_col).alias("sa")), "doc_a")
+            .join(s.select(F.col("doc_id").alias("doc_b"),
+                           F.col(source_col).alias("sb")), "doc_b")
+            .groupBy(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count("*").alias("n_pairs")))

@@ -1084,6 +1084,17 @@ def q_readability(spark, sf_dir):
     return readability(synthesize_prose(_docs(spark, sf_dir)))
 
 
+def q_novelty_score(spark, sf_dir):
+    from maps_spark.operators import corpus as CP
+    return CP.novelty_score(_docs(spark, sf_dir))
+
+
+def q_cross_source_dups(spark, sf_dir):
+    from maps_spark.operators import dedup as DD
+    return DD.cross_source_dup_matrix(_docs(spark, sf_dir),
+                                      hasher="reproducible")
+
+
 def q_lm_score(spark, sf_dir):
     from maps_spark.operators import corpus as CP
     return CP.lm_score(_docs(spark, sf_dir))
@@ -1347,6 +1358,8 @@ MAPS_QUERIES = {
     "collocations": q_collocations,
     "sentence_split": q_sentence_split,
     "readability": q_readability,
+    "novelty_score": q_novelty_score,
+    "cross_source_dups": q_cross_source_dups,
     "source_reputation": q_source_reputation,
     "pack_sequences": q_pack_sequences,
     "pack_stats": q_pack_stats,
@@ -1629,6 +1642,8 @@ def maps_oracles() -> dict[str, str]:
         "collocations": OT.collocations_select(),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
+        "novelty_score": OT.novelty_score_select(),
+        "cross_source_dups": OT.cross_source_dup_select(),
         "source_reputation": OT.source_stats_select(keep_threshold=0.5),
         "pack_sequences": OT.pack_sequences_select(budget=PACK_BUDGET),
         "pack_stats": OT.pack_stats_select(budget=PACK_BUDGET),

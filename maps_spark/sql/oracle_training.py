@@ -2794,3 +2794,45 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
                    - (84600 * n_syllables) // n_words AS BIGINT)
          AS fre_milli
 FROM r1"""
+
+
+def novelty_score_select(k: int = 8, scale: int = 1_000_000) -> str:
+    """DuckDB twin of operators.corpus.novelty_score."""
+    return f"""WITH g0 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+g1 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {k} THEN
+           list_transform(generate_series(1, len(w) - {k} + 1),
+             i -> array_to_string(list_slice(w, i, i + {k} - 1), ' '))
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM g0),
+ex AS (
+  SELECT DISTINCT doc_id, unnest(grams) AS g FROM g1),
+exn AS (SELECT doc_id, g FROM ex WHERE g <> ''),
+dfq AS (SELECT g, count(*) AS df FROM exn GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * {scale})
+            // count(*) AS BIGINT) AS novelty_scaled
+FROM exn JOIN dfq USING (g) GROUP BY 1"""
+
+
+def cross_source_dup_select(num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 3, seed: int = 42,
+                            max_bucket: int = 1000) -> str:
+    """DuckDB twin of operators.dedup.cross_source_dup_matrix."""
+    return f"""WITH mp AS (
+{minhash_lsh_select(num_perm, bands, shingle_k, seed, max_bucket)}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM mp
+JOIN s sa ON sa.doc_id = mp.doc_a
+JOIN s sb ON sb.doc_id = mp.doc_b
+GROUP BY 1, 2"""

@@ -1674,3 +1674,41 @@ def test_hits_select_iters0_matches_spark():
     q = hits_select("SELECT 'a' AS src, 'b' AS dst", iters=0)
     rows = sorted(duckdb.connect().execute(q).fetchall())
     assert rows == [("a", HITS_SCALE, 0), ("b", HITS_SCALE, 0)]
+
+def test_novelty_score_hand_computed(spark):
+    """Distinct-gram novelty: a copied span's grams are non-novel in
+    both docs, unique prose is novel, short docs fall back to a
+    whole-text gram."""
+    from maps_spark.operators.corpus import novelty_score
+    shared = "alpha beta gamma"          # one shared 3-gram
+    docs = spark.createDataFrame(
+        [(1, f"{shared} delta"),         # grams: abg, bgd
+         (2, f"zeta {shared}"),          # grams: zab, abg
+         (3, "tiny doc")],               # < k tokens -> one gram
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in novelty_score(docs, k=3).collect()}
+    # doc1: 'alpha beta gamma' df=2 (non-novel), 'beta gamma delta' df=1
+    assert (got[1].n_grams, got[1].n_novel) == (2, 1)
+    assert got[1].novelty_scaled == 500_000
+    assert (got[2].n_grams, got[2].n_novel) == (2, 1)
+    assert (got[3].n_grams, got[3].n_novel) == (1, 1)
+    assert got[3].novelty_scaled == 1_000_000
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    """Near-dup pairs roll up to an unordered source-pair matrix:
+    a cross-source copy lands in (srcA, srcB) regardless of id order,
+    a same-source copy in the diagonal."""
+    from maps_spark.operators.dedup import cross_source_dup_matrix
+    base = " ".join(f"w{i}" for i in range(60))
+    other = " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "srcB", base), (2, "srcA", base),      # cross-source dup
+         (3, "srcA", other), (4, "srcA", other)],   # same-source dup
+        "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in cross_source_dup_matrix(
+               docs, hasher="reproducible").collect()}
+    assert got[("srcA", "srcB")] >= 1   # least/greatest canonical
+    assert got[("srcA", "srcA")] >= 1
+    assert ("srcB", "srcA") not in got
