@@ -30,7 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "width int, height int, sample_rate int, n_frames int")
@@ -1125,3 +1125,64 @@ def write_webdataset_shards(media: DataFrame, path: str,
     return media.sparkSession.createDataFrame(
         [(sh, n, b) for sh, (n, b) in sorted(data.items())],
         "shard long, n_samples long, n_bytes long")
+
+
+# -- audio fingerprint family: envelope dHash over frame energies ------
+
+
+def audio_fingerprint(frames: DataFrame) -> DataFrame:
+    """Energy-envelope fingerprint over :func:`wav_frame_features`
+    output — the audio sibling of the image dHash: bit i is set iff
+    frame i's energy exceeds frame i+1's (the gradient of the
+    loudness envelope, robust to uniform gain like dHash is to
+    brightness). Bits pack little-endian by frame index into one
+    BIGINT (transitions past bit 62 are ignored — envelope prefixes
+    dominate perceptual identity, and the pair join needs one word).
+    Pure window + bit-shift aggregation over the (tiny) frame table.
+
+    Output: (media_id, fp, n_bits)."""
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    t = (frames.withColumn("nxt", F.lead("energy").over(w))
+         .where(F.col("nxt").isNotNull() & (F.col("frame_idx") < 63))
+         .withColumn("bit",
+                     F.when(F.col("energy") > F.col("nxt"), 1)
+                     .otherwise(0)))
+    return (t.groupBy("media_id")
+            .agg(F.sum(F.expr(
+                "shiftleft(CAST(bit AS BIGINT), frame_idx)"))
+                .cast("long").alias("fp"),
+                F.count("*").cast("long").alias("n_bits")))
+
+
+def audio_near_pairs(fps: DataFrame, max_hamming: int = 3,
+                     max_band_df: int = 10_000) -> DataFrame:
+    """Audio near-dup pairs by fingerprint Hamming distance, the
+    same pigeonhole-banded shape as :func:`dhash_near_pairs`: the 64
+    fingerprint bits split into eight 8-bit bands, a candidate pair
+    must share one band exactly (lossless for ``max_hamming <= 7``),
+    verification is exact codegen popcount, hot uniform bands run
+    through the shared ``cap_buckets`` guard.
+
+    Output: (id_a, id_b, hamming)."""
+    from maps_spark.operators.dedup import cap_buckets
+    h = fps.select(F.col("media_id").alias("id"), "fp")
+    bands = [(F.expr(f"fp div {1 << (8 * b)}") % 256).cast("int")
+             .alias(f"band{b}") for b in range(8)]
+    hb = h.select("id", "fp", *bands)
+    cand = None
+    for b in range(8):
+        capped = cap_buckets(hb, [f"band{b}"], max_band_df)
+        a = capped.alias("a")
+        c = capped.alias("c")
+        p = (a.join(c, F.col(f"a.band{b}") == F.col(f"c.band{b}"))
+             .where(F.col("a.id") < F.col("c.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("c.id").alias("id_b"),
+                     F.col("a.fp").alias("fa"),
+                     F.col("c.fp").alias("fb")))
+        cand = p if cand is None else cand.unionByName(p)
+    return (cand.distinct()
+            .select("id_a", "id_b",
+                    F.bit_count(F.expr("fa ^ fb")).cast("int")
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

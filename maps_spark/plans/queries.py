@@ -292,6 +292,23 @@ def q_media_jpeg_decode(spark, sf_dir):
     return jpeg_pixel_sums(synthesize_jpeg_media(spark, n=64))
 
 
+def q_audio_fingerprints(spark, sf_dir):
+    from maps_spark.operators.multimodal import (audio_fingerprint,
+                                                 synthesize_wav_media,
+                                                 wav_frame_features)
+    return audio_fingerprint(wav_frame_features(
+        synthesize_wav_media(spark, n=64), frame=64))
+
+
+def q_audio_near_pairs(spark, sf_dir):
+    from maps_spark.operators.multimodal import (audio_fingerprint,
+                                                 audio_near_pairs,
+                                                 synthesize_wav_media,
+                                                 wav_frame_features)
+    return audio_near_pairs(audio_fingerprint(wav_frame_features(
+        synthesize_wav_media(spark, n=64), frame=64)))
+
+
 def q_media_wav_frames(spark, sf_dir):
     from maps_spark.operators.multimodal import (synthesize_wav_media,
                                                  wav_frame_features)
@@ -1237,6 +1254,8 @@ MAPS_QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_wav_decode": q_media_wav_decode,
     "media_wav_frames": q_media_wav_frames,
+    "audio_fingerprints": q_audio_fingerprints,
+    "audio_near_pairs": q_audio_near_pairs,
     "media_video_decode": q_media_video_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
     "hot_keys": q_hot_keys,
@@ -1661,6 +1680,8 @@ def maps_oracles() -> dict[str, str]:
             n=64, width=31, height=17),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),
+        "audio_fingerprints": OT.audio_fingerprint_select(n=64),
+        "audio_near_pairs": OT.audio_near_pairs_select(n=64),
         "media_video_decode": OT.y4m_frame_sums_select(n=64),
         "media_jpeg_decode": OT.jpeg_pixel_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),

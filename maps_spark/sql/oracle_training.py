@@ -2836,3 +2836,50 @@ FROM mp
 JOIN s sa ON sa.doc_id = mp.doc_a
 JOIN s sb ON sb.doc_id = mp.doc_b
 GROUP BY 1, 2"""
+
+
+def _audio_fp_ctes(n: int = 64, n_samples: int = 1024,
+                   frame: int = 64) -> str:
+    """CTE chain ending in ``fp(media_id, fp, n_bits)`` — closed-form
+    twin of wav_frame_features |> audio_fingerprint over the
+    synthesized sawtooth."""
+    return f"""ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+s AS (SELECT media_id, t,
+         (t * (media_id + 3)) % 2048 - 1024 AS v
+      FROM ids CROSS JOIN generate_series(0, {n_samples - 1}) g(t)),
+fe AS (SELECT media_id, CAST(t // {frame} AS INT) AS frame_idx,
+          CAST(sum(v * v) AS BIGINT) AS energy
+       FROM s GROUP BY 1, 2),
+fb AS (SELECT media_id, frame_idx, energy,
+          lead(energy) OVER (PARTITION BY media_id
+                             ORDER BY frame_idx) AS nxt
+       FROM fe),
+fp AS (SELECT media_id,
+          CAST(sum(CASE WHEN energy > nxt THEN 1 ELSE 0 END
+                   * (CAST(1 AS BIGINT) << frame_idx)) AS BIGINT)
+            AS fp,
+          CAST(count(*) AS BIGINT) AS n_bits
+       FROM fb WHERE nxt IS NOT NULL AND frame_idx < 63
+       GROUP BY 1)"""
+
+
+def audio_fingerprint_select(n: int = 64, n_samples: int = 1024,
+                             frame: int = 64) -> str:
+    """DuckDB twin of synthesize_wav_media |> wav_frame_features |>
+    audio_fingerprint."""
+    return (f"WITH {_audio_fp_ctes(n, n_samples, frame)}\n"
+            f"SELECT media_id, fp, n_bits FROM fp")
+
+
+def audio_near_pairs_select(n: int = 64, n_samples: int = 1024,
+                            frame: int = 64,
+                            max_hamming: int = 3) -> str:
+    """DuckDB twin of the banded audio pair join: brute-force popcount
+    over all fingerprint pairs (the oracle is the LOSSLESS reference
+    the banded join must equal for max_hamming <= 7)."""
+    return f"""WITH {_audio_fp_ctes(n, n_samples, frame)}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""

@@ -601,3 +601,25 @@ def test_bbox_scan_handles_dateline_box_in_one_call(spark):
     with _pytest.raises(ValueError, match="latitude"):
         bbox_scan(df, 20.0, 10.0, 0.0, 1.0, lat_col="lat",
                   lng_col="lng")
+
+
+def test_audio_fingerprint_gain_invariance_and_pairs(spark):
+    """The envelope fingerprint is exact on a hand-set frame table,
+    invariant under uniform gain (energies scale together), and the
+    banded pair join finds the duplicate while rejecting a different
+    envelope."""
+    from maps_spark.operators.multimodal import (audio_fingerprint,
+                                                 audio_near_pairs)
+    rows = [(1, 0, 10), (1, 1, 5), (1, 2, 8), (1, 3, 2),
+            (2, 0, 40), (2, 1, 20), (2, 2, 32), (2, 3, 8),  # 4x gain
+            (3, 0, 1), (3, 1, 2), (3, 2, 3), (3, 3, 4)]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, energy long")
+    fps = audio_fingerprint(frames)
+    got = {r.media_id: (r.fp, r.n_bits) for r in fps.collect()}
+    assert got[1] == (0b101, 3)      # 10>5, 5<8, 8>2
+    assert got[2] == got[1]          # gain-invariant
+    assert got[3] == (0, 3)          # monotone rise
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_near_pairs(fps, max_hamming=1).collect()}
+    assert pairs == {(1, 2): 0}      # popcount(0b101)=2 excluded
