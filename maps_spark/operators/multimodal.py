@@ -1186,3 +1186,55 @@ def audio_near_pairs(fps: DataFrame, max_hamming: int = 3,
                     F.bit_count(F.expr("fa ^ fb")).cast("int")
                     .alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def synthesize_y4m_scene_media(spark: SparkSession, n: int = 64,
+                               width: int = 32, height: int = 24,
+                               n_frames: int = 6,
+                               partitions: int = 4) -> DataFrame:
+    """Y4M media with a PLANTED scene change: per id, luma is an
+    x-gradient (0..127) plus a +64 brightness step from frame
+    ``1 + id % (n_frames - 1)`` on — so consecutive-frame difference
+    energy is exactly ``64*width*height`` at the jump and 0
+    elsewhere, a closed form the scene-cut oracle recomputes. U is a
+    y-gradient, V constant 0."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            yy, xx = np.mgrid[0:height, 0:width]
+            base = (xx * 127 // max(width - 1, 1)).astype(np.int64)
+            uplane = (yy * 255 // max(height - 1, 1)).astype(np.uint8)
+            for i in pdf["id"]:
+                j = 1 + int(i) % (n_frames - 1)
+                fr = np.stack([np.stack(
+                    [(base + (64 if f >= j else 0)).astype(np.uint8),
+                     uplane, np.zeros_like(uplane)], axis=2)
+                    for f in range(n_frames)])
+                rows.append(encode_y4m(fr))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "video",
+                "payload": rows, "width": width, "height": height,
+                "sample_rate": 0, "n_frames": n_frames})
+
+    return (spark.range(n).repartition(partitions)
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def scene_cuts(features: DataFrame, num: int = 1,
+               den: int = 2) -> DataFrame:
+    """Scene-change detection over :func:`y4m_frame_features`: frame
+    f > 0 is a cut iff its difference energy carries at least
+    ``num/den`` of the video's total difference mass (integer
+    cross-multiplication — exact in both engines; a still video with
+    zero total mass has no cuts). The per-video total rides a
+    windowless groupBy + join keyed by media_id — frame tables are
+    tiny relative to payloads, which never leave the decode stage.
+
+    Output: (media_id, frame_idx, diff_energy, is_cut)."""
+    totals = (features.groupBy("media_id")
+              .agg(F.sum("diff_energy").alias("total")))
+    return (features.join(totals, "media_id")
+            .select("media_id", "frame_idx", "diff_energy",
+                    ((F.col("frame_idx") > 0) & (F.col("total") > 0) &
+                     (F.col("diff_energy") * den >=
+                      F.col("total") * num)).alias("is_cut")))

@@ -309,6 +309,14 @@ def q_audio_near_pairs(spark, sf_dir):
         synthesize_wav_media(spark, n=64), frame=64)))
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    from maps_spark.operators.multimodal import (scene_cuts,
+                                                 synthesize_y4m_scene_media,
+                                                 y4m_frame_features)
+    return scene_cuts(y4m_frame_features(
+        synthesize_y4m_scene_media(spark, n=64)))
+
+
 def q_media_wav_frames(spark, sf_dir):
     from maps_spark.operators.multimodal import (synthesize_wav_media,
                                                  wav_frame_features)
@@ -1256,6 +1264,7 @@ MAPS_QUERIES = {
     "media_wav_frames": q_media_wav_frames,
     "audio_fingerprints": q_audio_fingerprints,
     "audio_near_pairs": q_audio_near_pairs,
+    "video_scene_cuts": q_video_scene_cuts,
     "media_video_decode": q_media_video_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
     "hot_keys": q_hot_keys,
@@ -1682,6 +1691,7 @@ def maps_oracles() -> dict[str, str]:
         "media_wav_frames": OT.wav_frame_features_select(n=64),
         "audio_fingerprints": OT.audio_fingerprint_select(n=64),
         "audio_near_pairs": OT.audio_near_pairs_select(n=64),
+        "video_scene_cuts": OT.scene_cuts_select(n=64),
         "media_video_decode": OT.y4m_frame_sums_select(n=64),
         "media_jpeg_decode": OT.jpeg_pixel_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),

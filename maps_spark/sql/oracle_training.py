@@ -2883,3 +2883,23 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
+
+
+def scene_cuts_select(n: int = 64, width: int = 32, height: int = 24,
+                      n_frames: int = 6, num: int = 1,
+                      den: int = 2) -> str:
+    """Closed-form twin of synthesize_y4m_scene_media |>
+    y4m_frame_features |> scene_cuts: difference energy is
+    64*width*height exactly at each video's planted jump frame."""
+    jump = 64 * width * height
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+fr AS (SELECT media_id, CAST(f AS INT) AS frame_idx,
+          CASE WHEN f = 1 + media_id % {n_frames - 1}
+               THEN CAST({jump} AS BIGINT) ELSE 0 END AS diff_energy
+       FROM ids CROSS JOIN generate_series(0, {n_frames - 1}) g(f)),
+tt AS (SELECT media_id, sum(diff_energy) AS total FROM fr GROUP BY 1)
+SELECT fr.media_id, fr.frame_idx, fr.diff_energy,
+       (fr.frame_idx > 0 AND tt.total > 0
+        AND fr.diff_energy * {den} >= tt.total * {num}) AS is_cut
+FROM fr JOIN tt USING (media_id)"""

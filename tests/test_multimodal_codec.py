@@ -623,3 +623,25 @@ def test_audio_fingerprint_gain_invariance_and_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.hamming
              for r in audio_near_pairs(fps, max_hamming=1).collect()}
     assert pairs == {(1, 2): 0}      # popcount(0b101)=2 excluded
+
+
+def test_scene_cuts_planted_jump(spark):
+    """The planted +64 luma step is the single cut per video (through
+    the REAL Y4M encode/decode path); a still video yields no cuts."""
+    from maps_spark.operators.multimodal import (scene_cuts,
+                                                 synthesize_y4m_media,
+                                                 synthesize_y4m_scene_media,
+                                                 y4m_frame_features)
+    feats = y4m_frame_features(
+        synthesize_y4m_scene_media(spark, n=8, n_frames=6))
+    cuts = scene_cuts(feats).collect()
+    per = {}
+    for r in cuts:
+        if r.is_cut:
+            per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert per == {i: [1 + i % 5] for i in range(8)}
+    # luma is constant across frames in the standard synthesis -> a
+    # still video: zero total diff mass, no cuts anywhere
+    still = scene_cuts(y4m_frame_features(
+        synthesize_y4m_media(spark, n=4))).collect()
+    assert all(not r.is_cut for r in still)
