@@ -20,9 +20,14 @@ arXiv:1508.07909, distributed the way practical trainers do it):
   broadcast (greedy lowest-rank merging per word, the exact BPE encode
   rule), so encoding 100 TB is embarrassingly parallel.
 
-Not SQL-expressible (the merge loop is inherently sequential), so these
-carry no DuckDB oracle: correctness is pinned by golden-example,
-roundtrip, and determinism tests instead (tests/test_bpe.py).
+The driver-side trainer and the encoder are not SQL-expressible (the
+greedy encode loop is data-dependent), so they carry no DuckDB oracle:
+correctness is pinned by golden-example, roundtrip, and determinism
+tests instead (tests/test_bpe.py). The DISTRIBUTED trainer below IS
+oracle-expressible for a fixed round count (each round is an
+aggregation plus a fold, unrolled per round) — the `bpe_merges` gate
+hash-checks it against DuckDB, and a test pins it equal to the
+driver-side trainer.
 """
 
 from __future__ import annotations
@@ -137,3 +142,60 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
     enc = _enc(F.col(text_col))
     return docs.select("doc_id", enc.alias("e")).select(
         "doc_id", "e.n_tokens", "e.n_bpe_tokens", "e.bpe_text")
+
+
+def train_bpe_distributed(docs: DataFrame, n_merges: int = 4,
+                          text_col: str = "text",
+                          min_pair_count: int = 2) -> DataFrame:
+    """The fully distributed merge loop — for the regime where even
+    the word-frequency table exceeds one machine (the 100 TB-vocab
+    path :func:`train_bpe`'s bounded driver loop documents away).
+
+    Each round is two distributed steps over the symbolized vocab:
+    an adjacent-pair explode + count-weighted aggregation (shuffle
+    keyed by pair), and a leftmost-greedy merge applied as a pure
+    Column fold. Only the winning pair (ONE row: TakeOrdered with
+    count-desc, lexicographic tie-break) ever reaches the driver, so
+    driver memory is O(n_merges). The vocab is localCheckpointed per
+    round to keep the plan one round deep.
+
+    Unlike the driver-side trainer this IS oracle-expressible for
+    fixed ``n_merges`` (unrolled CTEs, same fold) — the `bpe_merges`
+    gate hash-checks 4 rounds against DuckDB.
+
+    Output: (rank, lhs, rhs, pair_count) — the ordered merge table.
+    """
+    from maps_spark.operators.text import _doc_tokens
+    spark = docs.sparkSession
+    vocab = (_doc_tokens(docs, text_col)
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .select(F.concat(F.split("word", ""),
+                              F.array(F.lit(END))).alias("sym"), "cnt")
+             .localCheckpoint())
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        pairs = (vocab.where(F.size("sym") >= 2)
+                 .select(F.explode(F.expr(
+                     "zip_with(slice(sym, 1, size(sym) - 1), "
+                     "         slice(sym, 2, size(sym) - 1), "
+                     "         (a, b) -> struct(a, b))")).alias("p"),
+                     "cnt")
+                 .groupBy(F.col("p.a").alias("lhs"),
+                          F.col("p.b").alias("rhs"))
+                 .agg(F.sum("cnt").alias("c")))
+        best = pairs.orderBy(F.desc("c"), "lhs", "rhs").limit(1).collect()
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        a, b, c = best[0]["lhs"], best[0]["rhs"], int(best[0]["c"])
+        merges.append((r, a, b, c))
+        fold = F.aggregate(
+            F.col("sym"), F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) &
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(a + b)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        vocab = vocab.select(fold.alias("sym"), "cnt").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, pair_count long")

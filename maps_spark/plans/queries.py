@@ -1189,6 +1189,11 @@ DSIR_TARGET = "lang = 'en'"
 DSIR_N = 100
 
 
+def q_bpe_merges(spark, sf_dir):
+    from maps_spark.operators.bpe import train_bpe_distributed
+    return train_bpe_distributed(_docs(spark, sf_dir), n_merges=4)
+
+
 def q_bpe_tokenize(spark, sf_dir):
     # no DuckDB oracle (sequential merge loop is not SQL-expressible);
     # the driver records the weaker rows-only check, and
@@ -1398,6 +1403,7 @@ MAPS_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "shard_assign": q_shard_assign,
     "bpe_tokenize": q_bpe_tokenize,
+    "bpe_merges": q_bpe_merges,
     "doc_hash_vectors": q_doc_hash_vectors,
     "mix_plan": q_mix_plan,
     "mix_sample": q_mix_sample,
@@ -1668,6 +1674,7 @@ def maps_oracles() -> dict[str, str]:
         "curate_corpus": OT.curate_corpus_select(),
         "lm_score": OT.lm_score_select(),
         "collocations": OT.collocations_select(),
+        "bpe_merges": OT.bpe_merges_select(n_merges=4),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
         "novelty_score": OT.novelty_score_select(),

@@ -2903,3 +2903,39 @@ SELECT fr.media_id, fr.frame_idx, fr.diff_energy,
        (fr.frame_idx > 0 AND tt.total > 0
         AND fr.diff_energy * {den} >= tt.total * {num}) AS is_cut
 FROM fr JOIN tt USING (media_id)"""
+
+
+def bpe_merges_select(n_merges: int = 4) -> str:
+    """DuckDB twin of operators.bpe.train_bpe_distributed: the merge
+    loop unrolled — per round, adjacent-pair counts over the current
+    symbolized vocab, the (count DESC, lexicographic) argmax as a
+    one-row CTE, and the leftmost-greedy merge applied with the same
+    fold (sentinel-prefixed list_reduce; DuckDB's inclusive negative
+    slice [:-2] drops the merged-away last element)."""
+    ctes = [_TOKS_CTE,
+            "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM toks GROUP BY 1)",
+            "v0 AS (SELECT list_append(string_split(word, ''), "
+            "'</w>') AS sym, cnt FROM wc)"]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT u.l AS lhs, u.r2 AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt,
+               unnest(list_transform(generate_series(1, len(sym) - 1),
+                 i -> struct_pack(l := sym[i], r2 := sym[i + 1]))) AS u
+        FROM v{r} WHERE len(sym) >= 2) q
+  GROUP BY 1, 2),
+b{r} AS (SELECT lhs, rhs, c FROM p{r}
+         ORDER BY c DESC, lhs, rhs LIMIT 1),
+v{r + 1} AS (
+  SELECT list_reduce(
+           [[chr(1)]] || list_transform(v.sym, x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
+                       THEN list_append(acc[:-2], b.lhs || b.rhs)
+                       ELSE list_append(acc, x[1]) END)[2:] AS sym,
+         v.cnt
+  FROM v{r} v CROSS JOIN b{r} b)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, "
+        f"c AS pair_count FROM b{r}" for r in range(n_merges))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel

@@ -56,3 +56,20 @@ def test_bpe_roundtrip_and_compression(spark, docs):
 def test_train_bpe_deterministic(spark, docs):
     from maps_spark.operators.bpe import train_bpe
     assert train_bpe(docs, n_merges=30) == train_bpe(docs, n_merges=30)
+
+
+def test_distributed_trainer_matches_driver_trainer(spark):
+    """The fully distributed merge loop reproduces the driver-side
+    trainer merge for merge on the classic Sennrich example, and its
+    merge table carries the exact pair counts."""
+    from maps_spark.operators.bpe import train_bpe, train_bpe_distributed
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string")
+    want = train_bpe(docs, n_merges=5)
+    rows = train_bpe_distributed(docs, n_merges=5).orderBy("rank").collect()
+    assert [(r.lhs, r.rhs) for r in rows] == want
+    assert [r.rank for r in rows] == list(range(5))
+    assert all(r.pair_count >= 2 for r in rows)
+    # first merge is (l, o): 'low' appears in 4+1 words weighted 5+1+1
+    assert (rows[0].lhs, rows[0].rhs) == ("l", "o")
