@@ -499,7 +499,9 @@ def norm_url_sql(col: str) -> str:
     case-sensitive), and the empty-path rule also fires when a query
     string directly follows the authority (``http://h?a=1`` and
     ``http://h/?a=1`` must key to one graph node)."""
-    u = f"regexp_replace(trim({col}), '(?s)#.*', '')"
+    # outer trim: stripping a fragment can expose trailing whitespace
+    # ("x #frag" -> "x ") — the idempotence property test pins this
+    u = f"trim(regexp_replace(trim({col}), '(?s)#.*', ''))"
     scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
     auth = f"regexp_extract({u}, '{_SCHEME_RE}([^/?#]*)', 2)"
     userinfo = f"regexp_extract({auth}, '^(.*@)', 1)"  # up to last @

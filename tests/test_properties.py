@@ -359,3 +359,31 @@ def test_spatial_keys_match_reference_implementation():
     for (la, lo), (m, gh) in zip(pts, rows):
         assert m == ref_morton(la, lo, 10), (la, lo)
         assert gh == ref_geohash(la, lo, 6), (la, lo, gh)
+
+
+@given(st.text(
+    alphabet=("abcXYZ09._-~%/?&=#:@ " + "\t"), max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_url_normalize_and_canonicalize_idempotent(u):
+    """norm(norm(x)) == norm(x) and canon(canon(x)) == canon(x) for
+    arbitrary URL-ish strings — the property that makes the
+    normalized/canonical column safe to use as a graph key no matter
+    how many pipeline stages re-apply it. Evaluated through DuckDB,
+    which runs the SAME dual-dialect expression the Spark side does
+    (the url_normalize/url_canonical gates pin cross-engine parity)."""
+    import duckdb
+
+    from maps_spark.operators.html import canon_href_sql, norm_url_sql
+    con = duckdb.connect()
+
+    def ev(expr_builder, x):
+        return con.execute(
+            f"SELECT {expr_builder('u')} FROM (SELECT ? AS u)",
+            [x]).fetchone()[0]
+
+    n1 = ev(norm_url_sql, u)
+    assert ev(norm_url_sql, n1) == n1
+    c1 = ev(canon_href_sql, u)
+    assert ev(canon_href_sql, c1) == c1
+    # canon is a no-op on already-normalized tracking-free URLs
+    assert ev(canon_href_sql, c1) == ev(norm_url_sql, c1)
