@@ -638,16 +638,39 @@ FROM anch GROUP BY 1"""
 
 
 def extract_and_normalize(pages: DataFrame,
-                          min_doc_chars: int = 100) -> DataFrame:
+                          min_doc_chars: int = 100,
+                          site_template: bool = False) -> DataFrame:
     """Stage 1 of both web drivers (plans.web batch, streaming.web
     incremental), defined ONCE so their funnels cannot drift: extract
     main text, drop pages with fewer than ``min_doc_chars`` kept
     chars, normalize, keep the extraction stats.
 
+    With ``site_template=True`` the :func:`site_boilerplate`
+    cross-document template pass runs after the per-page rule (the
+    CCNet-style second pass), so per-site repeated blocks vanish from
+    the corpus before any downstream hashing sees them. Stats then
+    count the post-template kept blocks (n_blocks/chars_dropped keep
+    their per-page meaning).
+
     Output: (doc_id, source, text, n_blocks, n_kept, n_dropped,
     chars_kept, chars_dropped)."""
     from maps_spark.operators.text import normalize_text
-    ex = extract_main_text(pages)
+    if site_template:
+        sc = extract_site_clean(pages)
+        stats = extract_main_text(pages).drop("main_text")
+        ex = (sc.withColumnRenamed("text", "main_text")
+              .withColumnRenamed("n_kept", "site_kept")
+              .join(stats, "doc_id")
+              .withColumn("n_kept", F.col("site_kept"))
+              # block chars exclude the n-1 newline separators, same
+              # accounting as the per-page path
+              .withColumn("chars_kept",
+                          (F.length("main_text") -
+                           F.greatest(F.col("site_kept") - 1,
+                                      F.lit(0))).cast("long"))
+              .drop("site_kept"))
+    else:
+        ex = extract_main_text(pages)
     thick = ex.where((F.col("n_kept") >= 1) &
                      (F.col("chars_kept") >= min_doc_chars))
     norm = normalize_text(

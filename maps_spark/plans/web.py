@@ -52,6 +52,7 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
                    quality_weights: dict[str, int] | None = None,
                    quality_min_scaled: int = 200_000,
                    seq_budget: int = 512, n_shards: int = 8,
+                   site_template: bool = False,
                    versioned: bool = True,
                    keep_builds: int = 2) -> dict:
     """Run the web pipeline; returns the manifest dict.
@@ -85,7 +86,8 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
 
     # 1+2: the shared extract/thin-filter/normalize funnel (also the
     # streaming ingest body — one definition, no drift)
-    docs = (extract_and_normalize(pages, min_doc_chars)
+    docs = (extract_and_normalize(pages, min_doc_chars,
+                                  site_template=site_template)
             .select("doc_id", "source", "text")
             .localCheckpoint())  # barrier: signals + joins below
     n_extracted = docs.count()
@@ -151,6 +153,7 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
     manifest = {
         "sf_dir": sf_dir, "stage": "web_corpus",
         "min_doc_chars": min_doc_chars,
+        "site_template": site_template,
         "quality_min_scaled": quality_min_scaled,
         "decontaminated": benchmark is not None,
         "seq_budget": seq_budget, "n_shards": n_shards,

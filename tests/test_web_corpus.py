@@ -183,3 +183,32 @@ def test_run_crawl_plan_e2e(spark, tmp_path):
                         per_host_cap=3, n_shards=4)
     builds = sorted(os.listdir(f"{root}/builds"))
     assert len(builds) <= 2 and m3["build_id"] == builds[-1]
+
+
+def test_web_corpus_site_template_stage(spark, tmp_path):
+    """With site_template=True a long link-free blurb planted on
+    every page of every site (which the per-page rule keeps) is gone
+    from the shards; without it, it survives — the cross-document
+    pass is really wired into the driver."""
+    from maps_spark.plans.web import read_web_shards, run_web_corpus
+    blurb = ("about us we are a family business serving the finest "
+             "boilerplate since nineteen ninety nine every day")
+    # one shared site: the template pass needs >= min_pages pages per
+    # site to call a block template (single-page sites keep theirs)
+    pages = (_pages(spark, 30)
+             .withColumn("source", F.lit("one.site"))
+             .withColumn("html",
+                         F.concat("html", F.lit(f"<p>{blurb}</p>"))))
+    r1 = str(tmp_path / "with")
+    m1 = run_web_corpus(spark, SF_SMALL, r1, pages=pages,
+                        quality_min_scaled=0, n_shards=2,
+                        seq_budget=128, site_template=True)
+    assert m1["site_template"] is True
+    texts = [r.text for r in read_web_shards(spark, r1).collect()]
+    assert texts and all("family business" not in t for t in texts)
+
+    r2 = str(tmp_path / "without")
+    run_web_corpus(spark, SF_SMALL, r2, pages=pages,
+                   quality_min_scaled=0, n_shards=2, seq_budget=128)
+    texts2 = [r.text for r in read_web_shards(spark, r2).collect()]
+    assert any("family business" in t for t in texts2)
