@@ -656,19 +656,11 @@ def extract_and_normalize(pages: DataFrame,
     chars_kept, chars_dropped)."""
     from maps_spark.operators.text import normalize_text
     if site_template:
-        sc = extract_site_clean(pages)
-        stats = extract_main_text(pages).drop("main_text")
-        ex = (sc.withColumnRenamed("text", "main_text")
-              .withColumnRenamed("n_kept", "site_kept")
-              .join(stats, "doc_id")
-              .withColumn("n_kept", F.col("site_kept"))
-              # block chars exclude the n-1 newline separators, same
-              # accounting as the per-page path
-              .withColumn("chars_kept",
-                          (F.length("main_text") -
-                           F.greatest(F.col("site_kept") - 1,
-                                      F.lit(0))).cast("long"))
-              .drop("site_kept"))
+        # one HTML parse: text AND stats come from the site pass's
+        # persisted block table (no second extract_main_text scan)
+        ex = _site_clean_full(pages, "html", "doc_id", "source",
+                              1, 2, 2).withColumnRenamed(
+            "text", "main_text")
     else:
         ex = extract_main_text(pages)
     thick = ex.where((F.col("n_kept") >= 1) &
@@ -1078,8 +1070,24 @@ def extract_site_clean(pages: DataFrame, html_col: str = "html",
     (left join back to the page list), so row count is stable.
 
     Output: (id, text, n_kept)."""
-    # one cached block table feeds both the template aggregation and
-    # the per-page strip — the 9-regex-per-block HTML parse runs once
+    return _site_clean_full(pages, html_col, id_col, source_col,
+                            num, den, min_pages).select(
+        id_col, "text", "n_kept")
+
+
+def _site_clean_full(pages: DataFrame, html_col: str,
+                     id_col: str, source_col: str,
+                     num: int, den: int, min_pages: int) -> DataFrame:
+    """extract_site_clean plus the per-page extraction stats, ALL
+    derived from one persisted block table so the HTML parse runs
+    once (n_blocks / n_dropped / chars_dropped keep their per-page
+    meaning; n_kept / chars_kept count post-template blocks).
+
+    Output: (id, text, n_kept, n_blocks, n_dropped, chars_kept,
+    chars_dropped)."""
+    # one cached block table feeds the template aggregation, the
+    # per-page strip AND the stats — the 9-regex-per-block HTML
+    # parse runs once
     blocks = (html_block_stats(pages, html_col, id_col)
               .join(pages.select(id_col, source_col), id_col)
               .persist())
@@ -1100,12 +1108,30 @@ def extract_site_clean(pages: DataFrame, html_col: str = "html",
                         F.array_sort(F.collect_list(
                             F.struct("block_idx", "block_text"))),
                         lambda s: s["block_text"]), "\n").alias("text"),
-                F.count("*").alias("n_kept")))
-    return (pages.select(id_col).join(agg, id_col, "left")
+                F.count("*").alias("n_kept"),
+                F.sum(F.length("block_text")).cast("long")
+                .alias("chars_kept")))
+    page = (blocks.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_blocks"),
+                 F.sum(F.when(F.col("kept"), 0).otherwise(1))
+                 .cast("long").alias("n_dropped"),
+                 F.sum(F.when(F.col("kept"), 0)
+                       .otherwise(F.col("txt_len")))
+                 .cast("long").alias("chars_dropped")))
+    return (pages.select(id_col)
+            .join(agg, id_col, "left").join(page, id_col, "left")
             .select(id_col,
                     F.coalesce("text", F.lit("")).alias("text"),
                     F.coalesce("n_kept", F.lit(0)).cast("long")
-                    .alias("n_kept")))
+                    .alias("n_kept"),
+                    F.coalesce("n_blocks", F.lit(0)).cast("long")
+                    .alias("n_blocks"),
+                    F.coalesce("n_dropped", F.lit(0)).cast("long")
+                    .alias("n_dropped"),
+                    F.coalesce("chars_kept", F.lit(0)).cast("long")
+                    .alias("chars_kept"),
+                    F.coalesce("chars_dropped", F.lit(0)).cast("long")
+                    .alias("chars_dropped")))
 
 
 def _site_blocks_ctes() -> str:
@@ -1177,23 +1203,28 @@ FROM pages LEFT JOIN agg USING (doc_id)"""
 # Tracking parameters every public canonicalization list strips
 # (utm_* campaign tags + the big click-id params). Kept RE2/Java
 # common: inline (?i) at the start, no lookaround.
-TRACKING_PARAM_RE = (r"(?i)&(utm_[^&=#]*|gclid|fbclid|msclkid|mc_eid)"
-                     r"(=[^&]*)?")
+# A WHOLE query parameter is tracking iff its name is utm_* or one of
+# the click ids — anchored ^...$ over the split param, so gclidx=2 or
+# fbclid2=9 are NOT tracking (name-boundary without lookahead, which
+# RE2 lacks; an earlier '&'-prefix global-replace form corrupted
+# adjacent params and is pinned by regression cases).
+TRACKING_PARAM_RE = (r"(?i)^(utm_[^&=#]*|gclid|fbclid|msclkid|mc_eid)"
+                     r"(=.*)?$")
 
 
 def canon_href_col(href_col: str) -> Column:
     """Canonical URL Column: :func:`norm_url_sql` normalization, then
     tracking parameters removed from the query string (the query is
-    detached, scrubbed with one global replace over '&'-prefixed
-    params, and re-attached only if something survives — so
-    '?utm_only=1' URLs lose the '?' entirely). Pure codegen."""
+    detached, split on '&', params whose NAME matches the tracking
+    list are dropped, the rest re-join in order — re-attached only
+    if something survives, so '?utm_only=1' URLs lose the '?'
+    entirely). Pure codegen."""
     u = F.expr(norm_url_sql(href_col))
     pre = F.regexp_replace(u, r"\?[^#]*", "")
     q = F.regexp_extract(u, r"\?([^#]*)", 1)
-    qq = F.regexp_replace(
-        F.regexp_replace(F.concat(F.lit("&"), q),
-                         TRACKING_PARAM_RE, ""),
-        "^&", "")
+    qq = F.array_join(
+        F.filter(F.split(q, "&"),
+                 lambda p: ~p.rlike(TRACKING_PARAM_RE)), "&")
     return F.when(qq == "", pre).otherwise(
         F.concat(pre, F.lit("?"), qq))
 
@@ -1207,12 +1238,16 @@ def canonicalize_links(links: DataFrame,
 
 
 def canon_href_sql(col: str) -> str:
-    """DuckDB twin of :func:`canon_href_col` (same stages; DuckDB
-    needs the explicit 'g' flag where Spark replaces globally)."""
+    """DuckDB twin of :func:`canon_href_col` (same split-filter-join
+    over anchored param names)."""
     u = norm_url_sql(col)
     pre = f"regexp_replace({u}, '\\?[^#]*', '')"
     q = f"regexp_extract({u}, '\\?([^#]*)', 1)"
-    qq = (f"regexp_replace(regexp_replace('&' || {q}, "
-          f"'{TRACKING_PARAM_RE}', '', 'g'), '^&', '')")
+    # COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
+    # Spark's array_join is '' — fold to the Spark convention
+    qq = (f"COALESCE(array_to_string(list_filter("
+          f"string_split({q}, '&'), "
+          f"p -> NOT regexp_matches(p, '{TRACKING_PARAM_RE}')), "
+          f"'&'), '')")
     return (f"CASE WHEN {qq} = '' THEN {pre} "
             f"ELSE {pre} || '?' || {qq} END")

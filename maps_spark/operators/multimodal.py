@@ -1168,7 +1168,11 @@ def audio_near_pairs(fps: DataFrame, max_hamming: int = 3,
     h = fps.select(F.col("media_id").alias("id"), "fp")
     bands = [(F.expr(f"fp div {1 << (8 * b)}") % 256).cast("int")
              .alias(f"band{b}") for b in range(8)]
-    hb = h.select("id", "fp", *bands)
+    # the banded table feeds 8 cap_buckets passes and 16 join sides;
+    # persist so the fingerprint window/agg (and any upstream decode
+    # lineage) runs once, not ~24x — same reason minhash_lsh_pairs
+    # persists its signatures
+    hb = h.select("id", "fp", *bands).persist()
     cand = None
     for b in range(8):
         capped = cap_buckets(hb, [f"band{b}"], max_band_df)

@@ -83,11 +83,25 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     return read_manifest(out_root)
 
 
+FETCH_PLAN_SCHEMA = ("norm_href string, domain string, "
+                     "host_rank long, n_refs long, n_ref_docs long, "
+                     "domain_rank long, shard long")
+
+
 def read_fetch_plan(spark: SparkSession, out_root: str,
                     shard: int | None = None) -> DataFrame:
     """Fetch-worker entry: the active build's plan, optionally pruned
     to one shard directory (partition-pruned read — a worker never
-    lists the other shards' files)."""
+    lists the other shards' files). An EMPTY plan (a converged crawl:
+    everything already fetched or robots-blocked) writes no parquet
+    part files under the dynamic partitioning, so the schema cannot
+    be inferred — that normal terminal state comes back as an empty
+    frame with the declared schema instead of an AnalysisException."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from maps_spark.sources.tile_store import resolve_root
-    df = spark.read.parquet(f"{resolve_root(out_root)}/fetch_plan")
+    try:
+        df = spark.read.parquet(f"{resolve_root(out_root)}/fetch_plan")
+    except AnalysisException:
+        df = spark.createDataFrame([], FETCH_PLAN_SCHEMA)
     return df.where(F.col("shard") == shard) if shard is not None else df

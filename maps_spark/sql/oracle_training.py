@@ -2905,13 +2905,18 @@ SELECT fr.media_id, fr.frame_idx, fr.diff_energy,
 FROM fr JOIN tt USING (media_id)"""
 
 
-def bpe_merges_select(n_merges: int = 4) -> str:
+def bpe_merges_select(n_merges: int = 4,
+                      min_pair_count: int = 2) -> str:
     """DuckDB twin of operators.bpe.train_bpe_distributed: the merge
     loop unrolled — per round, adjacent-pair counts over the current
     symbolized vocab, the (count DESC, lexicographic) argmax as a
     one-row CTE, and the leftmost-greedy merge applied with the same
     fold (sentinel-prefixed list_reduce; DuckDB's inclusive negative
-    slice [:-2] drops the merged-away last element)."""
+    slice [:-2] drops the merged-away last element). The Spark
+    trainer's min_pair_count early-stop is modeled by the WHERE on
+    each argmax CTE: a sub-threshold round yields an empty b{r},
+    the cross join makes every later vocab empty, and the UNION
+    emits exactly the rounds the Spark loop emitted."""
     ctes = [_TOKS_CTE,
             "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt "
             "FROM toks GROUP BY 1)",
@@ -2926,6 +2931,7 @@ def bpe_merges_select(n_merges: int = 4) -> str:
         FROM v{r} WHERE len(sym) >= 2) q
   GROUP BY 1, 2),
 b{r} AS (SELECT lhs, rhs, c FROM p{r}
+         WHERE c >= {min_pair_count}
          ORDER BY c DESC, lhs, rhs LIMIT 1),
 v{r + 1} AS (
   SELECT list_reduce(

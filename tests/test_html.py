@@ -440,6 +440,14 @@ def test_canonicalize_links_rules(spark):
         ("http://h.example/p", "http://h.example/p"),
         ("mailto:a@b?subject=x", "mailto:a@b?subject=x"),
         ("http://h.example/?utm_only=1", "http://h.example/"),
+        # name-boundary regressions: params merely STARTING with a
+        # click-id name are real params, never partially scrubbed
+        ("http://h.example/x?a=1&gclidx=2",
+         "http://h.example/x?a=1&gclidx=2"),
+        ("http://h.example/x?fbclid2=9&b=1",
+         "http://h.example/x?fbclid2=9&b=1"),
+        ("http://h.example/x?gclid=1&fbclid=2&utm_a=3&mc_eid=4&k=5",
+         "http://h.example/x?k=5"),  # adjacent trackers all go
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)],

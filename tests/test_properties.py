@@ -362,7 +362,8 @@ def test_spatial_keys_match_reference_implementation():
 
 
 @given(st.text(
-    alphabet=("abcXYZ09._-~%/?&=#:@ " + "\t"), max_size=60))
+    alphabet=("utmgclidfbsk_abcXYZ09._-~%/?&=#:@ " + "\t"),
+    max_size=60))
 @settings(max_examples=300, deadline=None)
 def test_url_normalize_and_canonicalize_idempotent(u):
     """norm(norm(x)) == norm(x) and canon(canon(x)) == canon(x) for
