@@ -262,8 +262,9 @@ pages AS (
          || '{_P_HEAD4}'
          || array_to_string(list_transform(
               generate_series(CAST(0 AS BIGINT), np - 1),
-              i -> '<p>' || array_to_string(
-                     list_slice(w, i * {p} + 1, i * {p} + {p}), ' ')
+              i -> '<p>' || COALESCE(array_to_string(
+                     list_slice(w, i * {p} + 1, i * {p} + {p}), ' '),
+                     '')
                    || '</p>'), '')
          || '{_P_TAIL1}' || CAST(doc_id % 7 AS VARCHAR)
          || '{_P_TAIL2}' || source
@@ -327,8 +328,8 @@ split AS (
          blocks
   FROM blk)
 SELECT doc_id,
-       array_to_string(list_transform(kept, s -> s.txt), chr(10))
-         AS main_text,
+       COALESCE(array_to_string(list_transform(kept, s -> s.txt),
+                                chr(10)), '') AS main_text,
        CAST(len(blocks) AS BIGINT) AS n_blocks,
        CAST(len(kept) AS BIGINT) AS n_kept,
        CAST(len(blocks) - len(kept) AS BIGINT) AS n_dropped,

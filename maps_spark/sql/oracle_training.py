@@ -2746,8 +2746,9 @@ prose AS (
   SELECT doc_id,
          array_to_string(list_transform(
              generate_series(CAST(0 AS BIGINT), ns - 1),
-             i -> array_to_string(
-                    list_slice(w, i * slen + 1, i * slen + slen), ' ')
+             i -> COALESCE(array_to_string(
+                    list_slice(w, i * slen + 1, i * slen + slen), ' '),
+                    '')
                   || '.'), ' ') AS text
   FROM _sn)"""
 

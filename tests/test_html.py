@@ -456,3 +456,47 @@ def test_canonicalize_links_rules(spark):
            for r in canonicalize_links(df).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_empty_doc_cross_engine_parity(spark):
+    """An empty-text document flows through page synthesis, main-text
+    extraction and prose re-punctuation IDENTICALLY in both engines —
+    DuckDB's array_to_string of an empty list is NULL where Spark's
+    array_join is '', so every list-join boundary must coalesce (the
+    class of divergence only an empty doc exposes; testdata has
+    none)."""
+    import duckdb
+    import pandas as pd
+
+    from maps_spark.operators.html import (extract_main_text,
+                                           html_extract_select,
+                                           synthesize_html)
+    from maps_spark.operators.text import synthesize_prose
+    from maps_spark.sql.oracle_training import sentence_split_select
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "source": ["s", "s"],
+                        "lang": ["en", "en"],
+                        "text": ["", "plain words here"]})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    docs = spark.createDataFrame(pdf)
+
+    got = {r.doc_id: r for r in
+           extract_main_text(synthesize_html(docs)).collect()}
+    want = {r[0]: r for r in
+            con.execute(html_extract_select()).fetchall()}
+    for i in (1, 2):
+        assert got[i].main_text == want[i][1], i  # never NULL
+        assert got[i].n_kept == want[i][3]
+
+    prose = {r.doc_id: r.text
+             for r in synthesize_prose(docs).collect()}
+    assert prose[1] == "."  # empty doc -> one empty sentence, not NULL
+    duck_sent = con.execute(sentence_split_select()).fetchall()
+    spark_sent = [(r.doc_id, r.sent_idx, r.sentence)
+                  for r in __import__(
+                      "maps_spark.operators.text",
+                      fromlist=["sentence_split"]).sentence_split(
+                      synthesize_prose(docs)).collect()]
+    assert sorted(spark_sent) == sorted(
+        (d, s, t) for d, s, t, _, _ in duck_sent)
