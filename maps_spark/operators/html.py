@@ -1219,9 +1219,13 @@ def canon_href_col(href_col: str) -> Column:
     detached, split on '&', params whose NAME matches the tracking
     list are dropped, the rest re-join in order — re-attached only
     if something survives, so '?utm_only=1' URLs lose the '?'
-    entirely). Pure codegen."""
+    entirely). Pure codegen.
+
+    ``pre`` is trimmed: dropping the query can expose trailing
+    whitespace ("0 ?" -> "0 ") exactly like the fragment case in
+    norm_url_sql — the idempotence property test found both."""
     u = F.expr(norm_url_sql(href_col))
-    pre = F.regexp_replace(u, r"\?[^#]*", "")
+    pre = F.trim(F.regexp_replace(u, r"\?[^#]*", ""))
     q = F.regexp_extract(u, r"\?([^#]*)", 1)
     qq = F.array_join(
         F.filter(F.split(q, "&"),
@@ -1242,7 +1246,7 @@ def canon_href_sql(col: str) -> str:
     """DuckDB twin of :func:`canon_href_col` (same split-filter-join
     over anchored param names)."""
     u = norm_url_sql(col)
-    pre = f"regexp_replace({u}, '\\?[^#]*', '')"
+    pre = f"trim(regexp_replace({u}, '\\?[^#]*', ''))"
     q = f"regexp_extract({u}, '\\?([^#]*)', 1)"
     # COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
     # Spark's array_join is '' — fold to the Spark convention
