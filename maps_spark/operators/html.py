@@ -40,6 +40,34 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 # --------------------------------------------------------------------------
+# Transient cache registry: the one-parse-per-page operators persist a
+# shared block/link frame; entries registered here are released by
+# release_transients() so repeated driver calls (per crawl round, per
+# gate batch) don't accumulate cached blocks for the session lifetime.
+# --------------------------------------------------------------------------
+
+_TRANSIENTS: list[DataFrame] = []
+
+
+def _persist_transient(df: DataFrame) -> DataFrame:
+    """persist() a shared intermediate and register it for release.
+    Callers that materialize the returned plan (drivers, gate runners)
+    should call :func:`release_transients` afterwards."""
+    df = df.persist()
+    _TRANSIENTS.append(df)
+    return df
+
+
+def release_transients() -> int:
+    """Unpersist every registered transient; returns how many. Safe to
+    call at any time — a released frame recomputes if re-used."""
+    n = len(_TRANSIENTS)
+    while _TRANSIENTS:
+        _TRANSIENTS.pop().unpersist()
+    return n
+
+
+# --------------------------------------------------------------------------
 # Shared (Java-regex AND RE2 compatible) rules — single-sourced here,
 # imported by the DuckDB oracle builders below.
 # --------------------------------------------------------------------------
@@ -770,8 +798,8 @@ def domain_reputation(pages: DataFrame, html_col: str = "html",
 
     Output: (domain, n_links, n_docs, rank_scaled)."""
     from maps_spark.operators.graph import pagerank
-    links = _links_with_source(pages, html_col, id_col,
-                               source_col).persist()
+    links = _persist_transient(_links_with_source(
+        pages, html_col, id_col, source_col))
     edges = site_domain_edges(pages, html_col, id_col, source_col,
                               links)
     pr = pagerank(edges, iters=iters).select(
@@ -815,8 +843,8 @@ def frontier_candidates(pages: DataFrame, html_col: str = "html",
     # and the edges branch, so each page's HTML is parsed once — the
     # links table is hrefs-only, far smaller than the pages it came
     # from, so persisting it is the right trade at corpus scale
-    links = _links_with_source(pages, html_col, id_col,
-                               source_col).persist()
+    links = _persist_transient(_links_with_source(
+        pages, html_col, id_col, source_col))
     return frontier_assemble(
         candidate_refs(pages, html_col, id_col, source_col, links),
         page_urls(pages, id_col, source_col),
@@ -1089,9 +1117,9 @@ def _site_clean_full(pages: DataFrame, html_col: str,
     # one cached block table feeds the template aggregation, the
     # per-page strip AND the stats — the 9-regex-per-block HTML
     # parse runs once
-    blocks = (html_block_stats(pages, html_col, id_col)
-              .join(pages.select(id_col, source_col), id_col)
-              .persist())
+    blocks = _persist_transient(
+        html_block_stats(pages, html_col, id_col)
+        .join(pages.select(id_col, source_col), id_col))
     bl = (_site_boilerplate_from_blocks(pages, blocks, id_col,
                                         source_col, num, den,
                                         min_pages)

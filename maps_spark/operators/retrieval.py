@@ -70,6 +70,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         F.coalesce(F.sum(F.size(F.filter(
             F.split(F.col(text_col), " "),
             lambda w: w != ""))), F.lit(0))).first()
+    if not tt:  # degenerate corpus (all docs empty/whitespace):
+        # tt would be a 0 divisor in the dl*nd/tt term; no document
+        # can match any term, so the result is exactly empty
+        return docs.sparkSession.createDataFrame(
+            [], "query_id long, doc_id long, score_scaled long, "
+                "rank int")
     tf = (toks.groupBy("doc_id", "word")
           .agg(F.count("*").alias("tf")).localCheckpoint())
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -45,7 +45,8 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     """
     from maps_spark.operators.html import (apply_robots,
                                            frontier_candidates,
-                                           frontier_shards)
+                                           frontier_shards,
+                                           release_transients)
 
     t0 = time.time()
     build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
@@ -53,6 +54,7 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
 
     cand = frontier_candidates(pages, pr_iters=pr_iters)
     cand = cand.localCheckpoint()  # barrier: counted + filtered below
+    release_transients()  # shared links frame served its purpose
     n_cand = cand.count()
 
     allowed = apply_robots(cand, rules) if rules is not None else cand
@@ -102,6 +104,10 @@ def read_fetch_plan(spark: SparkSession, out_root: str,
     from maps_spark.sources.tile_store import resolve_root
     try:
         df = spark.read.parquet(f"{resolve_root(out_root)}/fetch_plan")
+        # Hive partition-column inference types shard=k as INT; the
+        # empty-plan fallback declares it LONG — cast so both paths
+        # match FETCH_PLAN_SCHEMA and union/compare cleanly.
+        df = df.withColumn("shard", F.col("shard").cast("long"))
     except AnalysisException:
         df = spark.createDataFrame([], FETCH_PLAN_SCHEMA)
     return df.where(F.col("shard") == shard) if shard is not None else df

@@ -90,6 +90,8 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
                                   site_template=site_template)
             .select("doc_id", "source", "text")
             .localCheckpoint())  # barrier: signals + joins below
+    from maps_spark.operators.html import release_transients
+    release_transients()  # site-template block cache, if any
     n_extracted = docs.count()
 
     # 3: rank-normalized quality ensemble per source

@@ -262,11 +262,19 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
 
 def _applied_batch(marker: str) -> int:
     import json
-    try:
-        with open(marker) as f:
-            return int(json.load(f)["batch_id"])
-    except (OSError, ValueError, KeyError):
-        return -1
+    # Builds before 2026-08 wrote the marker at '<root>_meta/...'
+    # (missing slash). Falling back to that location keeps the replay
+    # guard intact across the upgrade: without it, the first restart
+    # on a pre-existing store finds no marker and a redelivered last
+    # batch would double-merge. New commits always write the new path.
+    legacy = marker.replace("/_meta/", "_meta/")
+    for path in (marker, legacy):
+        try:
+            with open(path) as f:
+                return int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return -1
 
 
 def _commit_batch(marker: str, batch_id: int) -> None:

@@ -620,3 +620,26 @@ def test_streaming_web_ingest_matches_batch_twin(spark, tmp_path):
     q2 = run_web_ingest(spark, land, store, max_files_per_trigger=1)
     q2.awaitTermination(300)
     assert read_web_store(spark, store).count() == len(got)
+
+
+def test_applied_batch_reads_legacy_marker_location(tmp_path):
+    """Pre-2026-08 builds wrote '<root>_meta/last_batch.json' (no
+    slash). The replay guard must still see those markers after the
+    path fix, or the first restart on an old store double-merges the
+    redelivered last batch (ADVICE r6)."""
+    import json
+    from maps_spark.streaming.refresh import _applied_batch, _commit_batch
+    root = str(tmp_path / "store")
+    marker = root + "/_meta/last_batch.json"
+    # nothing anywhere -> -1
+    assert _applied_batch(marker) == -1
+    # legacy location only -> found via fallback
+    legacy = root + "_meta/last_batch.json"
+    import os
+    os.makedirs(os.path.dirname(legacy), exist_ok=True)
+    with open(legacy, "w") as f:
+        json.dump({"batch_id": 7}, f)
+    assert _applied_batch(marker) == 7
+    # new location wins once written
+    _commit_batch(marker, 9)
+    assert _applied_batch(marker) == 9

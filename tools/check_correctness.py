@@ -60,6 +60,10 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR).toPandas()
+        # release any operator-registered transient caches so a full
+        # 171-gate run doesn't accumulate persisted blocks
+        from maps_spark.operators.html import release_transients
+        release_transients()
         t1 = time.time()
         if name not in oracles:
             print(f"{name:32s} rows-only {len(sdf):7d} rows  "
