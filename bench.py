@@ -62,11 +62,26 @@ def run() -> None:
     local_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_local.json")
 
+    # per-entry per-micro-batch seconds (streaming entries record
+    # them so the O(batch) claim has flatness evidence, not a total)
+    batch_lists = {}
+
     def payload():
+        for bname, lists in batch_lists.items():
+            if bname in stats:
+                stats[bname]["batch_secs"] = lists
         return {"metric": "maps_spark_bench_total",
                 "value": round(sum(timings.values()), 3), "unit": "sec",
                 "queries": timings, "query_stats": stats,
                 "sf": float(sf)}
+
+    def record_batches(name, query):
+        # one list per run: triggerExecution seconds of every
+        # non-empty micro-batch, from the query's own progress log
+        secs = [round(dict(p.durationMs).get("triggerExecution", 0)
+                      / 1000.0, 3)
+                for p in query.recentProgress if p.numInputRows > 0]
+        batch_lists.setdefault(name, []).append(secs)
 
     def checkpoint():
         # Durable copy, refreshed after EVERY entry: two rounds of
@@ -685,9 +700,77 @@ def run() -> None:
             # PageRank-score domains, politeness-cap and shard
             from maps_spark.operators.html import (frontier_candidates,
                                                    frontier_shards,
+                                                   release_transients,
                                                    synthesize_html)
             frontier_shards(
                 frontier_candidates(synthesize_html(docs))).count()
+            release_transients()
+
+        @timed("crawl_frontier_8x", n=2)
+        def _21c8():
+            # extraction-side linearity scale point (VERDICT r6 #5):
+            # the same composite over 8x id-shifted page replicas —
+            # pins pages/sec linearity the way backfill_z10_8x pins
+            # the pyramid. (The 8 replicas share link targets modulo
+            # the shift, so the graph also grows 8x.)
+            from maps_spark.operators.html import (frontier_candidates,
+                                                   frontier_shards,
+                                                   release_transients,
+                                                   synthesize_html)
+            reps = spark.range(8).select(F.col("id").alias("rep"))
+            docs8 = (docs.crossJoin(F.broadcast(reps))
+                     .select((F.col("doc_id") * 8 + F.col("rep"))
+                             .alias("doc_id"),
+                             "text", "source", "lang"))
+            frontier_shards(
+                frontier_candidates(synthesize_html(docs8))).count()
+            release_transients()
+
+        @timed("crawl_loop_2hops", n=2)
+        def _21d():
+            # the CLOSED loop at data scale (VERDICT r6 #1): seed a
+            # third of the corpus -> streaming ingest -> scheduling
+            # round (cold PageRank) -> synthetic fetch of every
+            # planned URL -> ingest the fetched pages -> second round
+            # (warm-started PageRank over the grown store)
+            import shutil
+            import tempfile
+
+            from maps_spark.operators.html import (norm_url_sql,
+                                                   synthesize_html)
+            from maps_spark.plans.crawl import (read_fetch_plan,
+                                                run_crawl_round)
+            from maps_spark.streaming.frontier import \
+                run_frontier_ingest
+            base = tempfile.mkdtemp(prefix="bench_crawl_loop_")
+            land, store = f"{base}/land", f"{base}/store"
+            plans = f"{base}/plans"
+            try:
+                pages = (synthesize_html(docs)
+                         .select("doc_id", "source", "html"))
+                (pages.where(F.col("doc_id") % 3 == 0).coalesce(4)
+                 .write.parquet(land))
+                q = run_frontier_ingest(spark, land, store,
+                                        max_files_per_trigger=4)
+                q.awaitTermination(600)
+                run_crawl_round(spark, store, plans,
+                                per_host_cap=100_000, n_shards=8)
+                plan = read_fetch_plan(spark, plans)
+                hit = (pages.withColumn(
+                    "u", F.concat(F.lit("http://"), F.col("source"),
+                                  F.lit("/doc/"),
+                                  F.col("doc_id").cast("string")))
+                    .withColumn("norm_href", F.expr(norm_url_sql("u"))))
+                (hit.join(plan.select("norm_href"), "norm_href")
+                 .select("doc_id", "source", "html").coalesce(4)
+                 .write.mode("append").parquet(land))
+                q2 = run_frontier_ingest(spark, land, store,
+                                         max_files_per_trigger=4)
+                q2.awaitTermination(600)
+                run_crawl_round(spark, store, plans,
+                                per_host_cap=100_000, n_shards=8)
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
 
         @timed("session_path_analysis")
         def _22():
@@ -738,6 +821,7 @@ def run() -> None:
                                     f"{SF_DIR}/nation.parquet", store,
                                     srs="EPSG:3857", zoom=8)
                     q.awaitTermination(600)
+                    record_batches("streaming_refresh_4batches", q)
                 finally:
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)
@@ -751,6 +835,7 @@ def run() -> None:
                     q = run_incremental_dedup(spark, dedup_land, store,
                                               max_files_per_trigger=1)
                     q.awaitTermination(600)
+                    record_batches("streaming_dedup_4batches", q)
                 finally:
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)

@@ -1,0 +1,411 @@
+"""Crawl-protocol operators: robots.txt parsing, sitemap parsing,
+redirect-chain resolution, and fetch retry scheduling.
+
+These complete the crawl family around the frontier machinery in
+:mod:`maps_spark.operators.html`: a real crawler does not receive
+structured (domain, disallow) rules or a clean URL list — it fetches
+``robots.txt`` and ``sitemap.xml`` bodies and an HTTP status per
+attempt, and the scheduler derives everything else. The reference
+(gbif/maps) has no crawl pipeline (it ingests structured occurrence
+rows — declared new scope); semantics follow the PUBLIC specs:
+robots.txt (the original 1994 REP convention: ``Disallow:`` path
+prefixes per domain), sitemaps.org XML (``<url><loc/><lastmod/>``
+entries), and standard truncated-exponential-backoff retry policy.
+
+Engineering rules (shared with the DuckDB oracle twins, same regex
+discipline as :mod:`operators.html`):
+
+- every regex parses identically under Java regex and RE2 (no
+  lookahead/backreferences; ``(?m)``/``(?s)`` flags only);
+- redirect resolution unrolls a FIXED hop count (``max_hops``) so the
+  oracle is an unrolled CTE chain and the Spark plan is ``max_hops``
+  checkpointed self-joins — never a recursive driver loop over
+  ``collect()``;
+- backoff delays are exact integers (``base << n`` capped), so the
+  schedule gate hash-matches bitwise.
+
+Scale shapes: robots/sitemap parsing is pure per-row codegen
+(regexp_extract_all + array transforms, zero shuffles). Redirect
+resolution shuffles once per hop on the chain key with the edge table
+re-used each hop (checkpointed, so the plan stays one hop deep).
+Fetch scheduling is one per-URL aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+# one Disallow path per line; (?m) anchors per-line, \S rejects the
+# empty "Disallow:" (allow-all) form per the original REP convention
+ROBOTS_DISALLOW_RE = r"(?m)^Disallow:[ \t]*(\S+)"
+
+_RT_SITE = ("User-agent: *\n# site policy\nDisallow: /buy\n"
+            "Allow: /news\nDisallow: /t/\nCrawl-delay: 2\n")
+_RT_PARTNER = "User-agent: *\nDisallow: /ref\nDisallow:\n"
+
+
+def synthesize_robots_txt(pages: DataFrame, id_col: str = "doc_id",
+                          source_col: str = "source") -> DataFrame:
+    """Deterministic raw robots.txt bodies for the synthesized web —
+    the text-form twin of :func:`operators.html.synthesize_robots`:
+    every source site publishes the site policy body (/buy and /t/
+    disallowed, plus Allow/Crawl-delay lines the parser must skip),
+    every even-numbered partner domain the partner body (/ref
+    disallowed plus an EMPTY Disallow line the parser must reject).
+
+    Output: (domain, body)."""
+    s = pages.select(F.col(source_col).alias("domain")).distinct()
+    ks = (pages.select((F.col(id_col) % 7).alias("k")).distinct()
+          .where(F.col("k") % 2 == 0))
+    return (s.select("domain", F.lit(_RT_SITE).alias("body"))
+            .unionByName(ks.select(
+                F.concat(F.lit("partner"), F.col("k").cast("string"),
+                         F.lit(".example")).alias("domain"),
+                F.lit(_RT_PARTNER).alias("body"))))
+
+
+def parse_robots_txt(robots: DataFrame, domain_col: str = "domain",
+                     body_col: str = "body") -> DataFrame:
+    """Raw robots.txt bodies -> the structured (domain, disallow)
+    rules table :func:`operators.html.apply_robots` consumes. The
+    original-REP subset: every non-empty ``Disallow:`` path prefix
+    counts (agent groups are not distinguished — the conservative
+    union a polite crawler applies when it only self-identifies as
+    ``*``); ``Allow:`` / ``Crawl-delay:`` / comments are ignored.
+    Pure codegen — one regexp_extract_all + explode per body."""
+    return (robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.regexp_extract_all(
+            F.col(body_col), F.lit(ROBOTS_DISALLOW_RE), F.lit(1)))
+        .alias("disallow"))
+        .distinct())
+
+
+def _sql_str(s: str) -> str:
+    """Python literal -> single-quoted SQL literal with newlines as
+    chr(10) concats (works in both dialects)."""
+    parts = s.split("\n")
+    quoted = " || chr(10) || ".join("'" + p.replace("'", "''") + "'"
+                                    for p in parts)
+    return quoted
+
+
+def robots_txt_ctes() -> str:
+    """CTE ``robots_txt(domain, body)`` over ``documents`` —
+    byte-identical to :func:`synthesize_robots_txt`."""
+    return f"""robots_txt AS (
+  SELECT domain, {_sql_str(_RT_SITE)} AS body
+  FROM (SELECT DISTINCT source AS domain FROM documents)
+  UNION ALL
+  SELECT 'partner' || CAST(k AS VARCHAR) || '.example' AS domain,
+         {_sql_str(_RT_PARTNER)} AS body
+  FROM (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+  WHERE k % 2 = 0)"""
+
+
+def robots_parse_select() -> str:
+    """DuckDB twin of synthesize_robots_txt |> parse_robots_txt."""
+    return f"""WITH {robots_txt_ctes()}
+SELECT DISTINCT domain,
+       unnest(regexp_extract_all(body, '{ROBOTS_DISALLOW_RE}', 1))
+         AS disallow
+FROM robots_txt"""
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml
+# ---------------------------------------------------------------------------
+
+SITEMAP_URL_RE = r"(?s)<url>.*?</url>"
+SITEMAP_LOC_RE = r"(?s)<loc>([^<]*)</loc>"
+SITEMAP_LASTMOD_RE = r"(?s)<lastmod>([^<]*)</lastmod>"
+
+_SM_HEAD = '<?xml version="1.0"?><urlset>'
+_SM_TAIL = "</urlset>"
+
+
+def _sm_entry_col(id_col: str, source_col: str):
+    """One <url> entry Column for a (doc_id, source) row: loc always;
+    lastmod only when doc_id % 3 == 0 (the optional-field case a
+    parser must not desynchronize on); ghost future entries for
+    doc_id % 7 == 0 (announced but not yet crawled)."""
+    i = F.col(id_col)
+    loc = F.concat(F.lit("http://"), F.col(source_col),
+                   F.lit("/doc/"), i.cast("string"))
+    lastmod = F.when(
+        i % 3 == 0,
+        F.concat(F.lit("<lastmod>2026-01-"),
+                 F.lpad(((i % 28) + 1).cast("string"), 2, "0"),
+                 F.lit("</lastmod>"))).otherwise(F.lit(""))
+    entry = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                     lastmod, F.lit("</url>"))
+    ghost = F.when(
+        i % 7 == 0,
+        F.concat(F.lit("<url><loc>http://"), F.col(source_col),
+                 F.lit("/doc/"), (i + 1_000_000).cast("string"),
+                 F.lit("</loc></url>"))).otherwise(F.lit(""))
+    return F.concat(entry, ghost)
+
+
+def synthesize_sitemaps(docs: DataFrame, id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """Deterministic sitemap.xml bodies: one per source, entries in
+    doc_id order; every third entry carries a <lastmod>, every
+    seventh announces a not-yet-crawled ghost URL (doc_id + 1e6).
+
+    Output: (domain, xml)."""
+    per = docs.select(F.col(source_col).alias("domain"),
+                      F.struct(F.col(id_col).cast("long").alias("i"),
+                               _sm_entry_col(id_col, source_col)
+                               .alias("e")).alias("s"))
+    return (per.groupBy("domain")
+            .agg(F.concat(
+                F.lit(_SM_HEAD),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: s["e"]), ""),
+                F.lit(_SM_TAIL)).alias("xml")))
+
+
+def parse_sitemaps(sitemaps: DataFrame, domain_col: str = "domain",
+                   xml_col: str = "xml") -> DataFrame:
+    """sitemap.xml bodies -> one row per <url> entry, in document
+    order: (domain, entry_idx, loc, lastmod) — absent <lastmod> is ''
+    (the regexp_extract no-match convention). Whole-entry blocks keep
+    loc and lastmod aligned (two parallel extract_alls would
+    desynchronize on entries without a lastmod)."""
+    blocks = F.regexp_extract_all(F.col(xml_col),
+                                  F.lit(SITEMAP_URL_RE), F.lit(0))
+    pairs = F.transform(blocks, lambda b: F.struct(
+        F.regexp_extract(b, SITEMAP_LOC_RE, 1).alias("loc"),
+        F.regexp_extract(b, SITEMAP_LASTMOD_RE, 1).alias("lastmod")))
+    return (sitemaps.select(F.col(domain_col).alias("domain"),
+                            F.posexplode(pairs)
+                            .alias("entry_idx", "u"))
+            .select("domain", F.col("entry_idx").cast("long"),
+                    "u.loc", "u.lastmod"))
+
+
+def sitemap_ctes() -> str:
+    """CTE ``sitemaps(domain, xml)`` over ``documents`` —
+    byte-identical to :func:`synthesize_sitemaps`."""
+    return f"""_sm AS (
+  SELECT source AS domain, doc_id,
+         '<url><loc>http://' || source || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '</loc>'
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<lastmod>2026-01-'
+                || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                || '</lastmod>' ELSE '' END
+         || '</url>'
+         || CASE WHEN doc_id % 7 = 0
+              THEN '<url><loc>http://' || source || '/doc/'
+                || CAST(doc_id + 1000000 AS VARCHAR)
+                || '</loc></url>' ELSE '' END AS entry
+  FROM documents),
+sitemaps AS (
+  SELECT domain,
+         '{_SM_HEAD}' || string_agg(entry, '' ORDER BY doc_id)
+           || '{_SM_TAIL}' AS xml
+  FROM _sm GROUP BY domain)"""
+
+
+def sitemap_parse_select() -> str:
+    """DuckDB twin of synthesize_sitemaps |> parse_sitemaps."""
+    return f"""WITH {sitemap_ctes()},
+blk AS (
+  SELECT domain,
+         regexp_extract_all(xml, '{SITEMAP_URL_RE}', 0) AS bs
+  FROM sitemaps)
+SELECT domain, CAST(u.bi - 1 AS BIGINT) AS entry_idx,
+       regexp_extract(u.b, '{SITEMAP_LOC_RE}', 1) AS loc,
+       regexp_extract(u.b, '{SITEMAP_LASTMOD_RE}', 1) AS lastmod
+FROM blk, LATERAL (SELECT unnest(bs) AS b,
+                          generate_subscripts(bs, 1) AS bi) u"""
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+
+def synthesize_redirects(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic redirect edges over synthetic URLs
+    ``http://r<i%5>.example/p/<i>``: ids with i%30==29 redirect
+    BACKWARD to i-1 (forming a 2-cycle with the i%4==0 forward rule
+    at i%30 in {28,29}), otherwise ids with i%4 in {0,1} redirect
+    forward to i+1 (2-step chains). Each source URL has exactly one
+    target (HTTP redirects are single-valued).
+
+    Output: (src_url, dst_url)."""
+    i = F.col(id_col)
+
+    def url(j):
+        return F.concat(F.lit("http://r"), (j % 5).cast("string"),
+                        F.lit(".example/p/"), j.cast("string"))
+
+    dst_id = (F.when(i % 30 == 29, i - 1)
+              .when((i % 4).isin(0, 1), i + 1))
+    return (docs.select(url(i).alias("src_url"),
+                        url(dst_id).alias("dst_url"))
+            .where(F.col("dst_url").isNotNull()))
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 4,
+                      src_col: str = "src_url",
+                      dst_col: str = "dst_url") -> DataFrame:
+    """Follow each redirect source through up to ``max_hops`` hops:
+    (src_url, final_url, hops, resolved) where ``resolved`` is true
+    iff final_url has no outgoing redirect (loops and
+    over-long chains come back resolved=false at the hop cap —
+    exactly what a fetcher does with HTTP redirect limits).
+
+    Shape: the distinct edge table is checkpointed once and re-joined
+    per hop (plan stays one hop deep); each hop is one equi-join on
+    the current URL — hops * one shuffle, never a driver loop."""
+    e = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_d"))
+         .distinct().localCheckpoint())
+    cur = e.select(F.col("_s").alias("src_url"),
+                   F.col("_d").alias("cur"),
+                   F.lit(1).cast("long").alias("hops"))
+    for _ in range(max_hops - 1):
+        cur = (cur.join(e.withColumnRenamed("_s", "cur"), "cur", "left")
+               .select("src_url",
+                       F.coalesce("_d", F.col("cur")).alias("cur"),
+                       F.when(F.col("_d").isNotNull(),
+                              F.col("hops") + 1)
+                       .otherwise(F.col("hops")).alias("hops"))
+               .localCheckpoint())
+    out_deg = e.select(F.col("_s").alias("cur")).distinct() \
+        .withColumn("_more", F.lit(True))
+    return (cur.join(out_deg, "cur", "left")
+            .select("src_url", F.col("cur").alias("final_url"), "hops",
+                    F.col("_more").isNull().alias("resolved")))
+
+
+def redirect_resolve_select(max_hops: int = 4) -> str:
+    """DuckDB twin of synthesize_redirects |> resolve_redirects —
+    the unrolled-CTE discipline of the pagerank oracle."""
+    url = ("'http://r' || CAST({j} % 5 AS VARCHAR) || '.example/p/' "
+           "|| CAST({j} AS VARCHAR)")
+    ctes = [f"""e AS (
+  SELECT DISTINCT {url.format(j='doc_id')} AS s,
+         {url.format(j='di')} AS d
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 30 = 29 THEN doc_id - 1
+                    WHEN doc_id % 4 IN (0, 1) THEN doc_id + 1
+               END AS di
+        FROM documents)
+  WHERE di IS NOT NULL)""",
+            """c0 AS (
+  SELECT s AS src_url, d AS cur, CAST(1 AS BIGINT) AS hops FROM e)"""]
+    for k in range(max_hops - 1):
+        ctes.append(f"""c{k + 1} AS (
+  SELECT c.src_url,
+         COALESCE(e.d, c.cur) AS cur,
+         CASE WHEN e.d IS NOT NULL THEN c.hops + 1
+              ELSE c.hops END AS hops
+  FROM c{k} c LEFT JOIN e ON e.s = c.cur)""")
+    last = f"c{max_hops - 1}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c.src_url, c.cur AS final_url, c.hops,
+       (o.s IS NULL) AS resolved
+FROM {last} c
+LEFT JOIN (SELECT DISTINCT s FROM e) o ON o.s = c.cur""")
+
+
+# ---------------------------------------------------------------------------
+# fetch retry scheduling
+# ---------------------------------------------------------------------------
+
+
+def synthesize_fetch_log(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fetch-attempt log over the synthetic URLs:
+    URL i has (i % 3) + 1 attempts; attempt a's status is 200 when
+    (i + a) % 3 == 0, else 503 for odd ids (transient) and 404 for
+    even ids (permanent).
+
+    Output: (url, attempt, status)."""
+    i = F.col(id_col)
+    url = F.concat(F.lit("http://r"), (i % 5).cast("string"),
+                   F.lit(".example/p/"), i.cast("string"))
+    a = F.explode(F.sequence(F.lit(0), (i % 3).cast("int")))
+    base = docs.select(url.alias("url"), i.alias("_i"), a.alias("attempt"))
+    status = (F.when((F.col("_i") + F.col("attempt")) % 3 == 0, 200)
+              .when(F.col("_i") % 2 == 1, 503).otherwise(404))
+    return base.select("url", F.col("attempt").cast("long"),
+                       status.cast("long").alias("status"))
+
+
+def fetch_schedule(log: DataFrame, base_delay_s: int = 60,
+                   max_retries: int = 3,
+                   cap_s: int = 3600) -> DataFrame:
+    """Per-URL crawl scheduling from an attempt log: the standard
+    truncated-exponential-backoff policy. last_status is the status
+    of the highest attempt; n_failures counts status >= 400;
+    action is 'done' (last fetch succeeded), 'drop' (permanent 404 or
+    retry budget exhausted) or 'retry'; next_delay_s is
+    min(base << n_failures, cap) for retries, else 0.
+
+    One per-URL aggregation (map-side combinable), zero joins.
+
+    Output: (url, n_attempts, n_failures, last_status, action,
+    next_delay_s)."""
+    agg = log.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.sum(F.when(F.col("status") >= 400, 1).otherwise(0))
+        .cast("long").alias("n_failures"),
+        F.max_by("status", "attempt").cast("long").alias("last_status"))
+    action = (F.when(F.col("last_status") < 400, "done")
+              .when((F.col("last_status") == 404) |
+                    (F.col("n_attempts") >= max_retries), "drop")
+              .otherwise("retry"))
+    delay = F.least(
+        F.expr(f"shiftleft(CAST({int(base_delay_s)} AS BIGINT), "
+               f"CAST(least(n_failures, 30) AS INT))"),
+        F.lit(cap_s).cast("long"))
+    return agg.select(
+        "url", "n_attempts", "n_failures", "last_status",
+        action.alias("action"),
+        F.when(action == "retry", delay).otherwise(F.lit(0))
+        .cast("long").alias("next_delay_s"))
+
+
+def fetch_schedule_select(base_delay_s: int = 60, max_retries: int = 3,
+                          cap_s: int = 3600) -> str:
+    """DuckDB twin of synthesize_fetch_log |> fetch_schedule."""
+    return f"""WITH log AS (
+  SELECT 'http://r' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(u.a AS BIGINT) AS attempt,
+         CAST(CASE WHEN (doc_id + u.a) % 3 = 0 THEN 200
+                   WHEN doc_id % 2 = 1 THEN 503
+                   ELSE 404 END AS BIGINT) AS status
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS a) u),
+agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_attempts,
+         CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_failures,
+         CAST(arg_max(status, attempt) AS BIGINT) AS last_status
+  FROM log GROUP BY url),
+act AS (
+  SELECT *, CASE WHEN last_status < 400 THEN 'done'
+                 WHEN last_status = 404 OR n_attempts >= {max_retries}
+                   THEN 'drop'
+                 ELSE 'retry' END AS action
+  FROM agg)
+SELECT url, n_attempts, n_failures, last_status, action,
+       CAST(CASE WHEN action = 'retry'
+              THEN least({base_delay_s} * (1 << least(n_failures, 30)),
+                         {cap_s})
+              ELSE 0 END AS BIGINT) AS next_delay_s
+FROM act"""

@@ -29,13 +29,22 @@ PR_SCALE = 1_000_000_000_000  # 1e12: room for div by N and outdeg
 def pagerank(edges: DataFrame, iters: int = 3,
              src_col: str = "src", dst_col: str = "dst",
              dampen: int = 85, den: int = 100,
-             scale: int = PR_SCALE) -> DataFrame:
+             scale: int = PR_SCALE,
+             warm_start: DataFrame | None = None) -> DataFrame:
     """(node, rank_scaled) after ``iters`` exact-integer power steps.
 
     r0 = scale div N for every node;
     r'(v) = (scale * (den - dampen)) div (den * N)
             + (dampen * sum over in-edges of (r(u) div outdeg(u)))
               div den.
+
+    ``warm_start`` is an optional prior (node, rank_scaled) table —
+    typically a previous build's converged ranks over a slightly
+    smaller graph. Nodes present in it start from their prior rank;
+    new nodes start uniform. One refresh iteration from a warm prior
+    tracks the power-iteration fixed point about as closely as three
+    from uniform (pinned in tests), which is the read-path economics a
+    growing crawl store needs: gates keep the deterministic cold path.
     """
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
@@ -48,8 +57,33 @@ def pagerank(edges: DataFrame, iters: int = 3,
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = int((scale * (den - dampen)) // (den * n))
-    r = nodes.withColumn("rank_scaled",
-                         F.lit(int(scale // n)).cast("long"))
+    if warm_start is not None:
+        # Renormalize the prior onto the grown graph: new nodes start
+        # uniform (scale div n) and the matched prior ranks are scaled
+        # so total mass stays ~scale — without this, a prior from a
+        # smaller graph injects ~scale of mass PLUS the new nodes'
+        # uniform shares and every rank starts biased high. The ratio
+        # rides a double (the warm path is a serving approximation;
+        # gates use the integer-exact cold path).
+        joined = (nodes.join(warm_start.select(
+                      "node", F.col("rank_scaled").alias("_prior")),
+                      "node", "left")
+                  .localCheckpoint())
+        prior_sum, n_new = joined.agg(
+            F.sum("_prior"), F.sum(F.when(F.col("_prior").isNull(),
+                                          1).otherwise(0))).first()
+        target = max(scale - int(n_new or 0) * (scale // n), 0)
+        ratio = (target / int(prior_sum)) if prior_sum else 0.0
+        r = (joined.select(
+                 "node",
+                 F.coalesce((F.col("_prior") * F.lit(ratio))
+                            .cast("long"),
+                            F.lit(int(scale // n)).cast("long"))
+                 .alias("rank_scaled"))
+             .localCheckpoint())
+    else:
+        r = nodes.withColumn("rank_scaled",
+                             F.lit(int(scale // n)).cast("long"))
     for _ in range(iters):
         contrib = (e.join(r.withColumnRenamed("node", "src"), "src")
                    .join(outdeg, "src")

@@ -67,6 +67,26 @@ def release_transients() -> int:
     return n
 
 
+# Domain-cardinality tables (the site-template set, the domain
+# PageRank table) are broadcast into their consuming joins — the right
+# plan at gate scale and for most corpora, but a 100 TB web corpus has
+# O(10^7-10^8) domains and the broadcast can reach GBs. Above this row
+# threshold the join falls back to a plain shuffle (the keys are exact
+# equi-keys either way). Counting is cheap at the two call sites:
+# both inputs are persisted/checkpointed before the count.
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _broadcast_if_small(df: DataFrame,
+                        max_rows: int | None = None) -> DataFrame:
+    """Broadcast hint iff the frame is small enough to ship to every
+    executor; otherwise return it unhinted (shuffle join)."""
+    limit = BROADCAST_MAX_ROWS if max_rows is None else max_rows
+    if df.limit(limit + 1).count() <= limit:
+        return F.broadcast(df)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Shared (Java-regex AND RE2 compatible) rules — single-sourced here,
 # imported by the DuckDB oracle builders below.
@@ -854,21 +874,35 @@ def frontier_candidates(pages: DataFrame, html_col: str = "html",
 
 def frontier_assemble(refs: DataFrame, seen: DataFrame,
                       edges: DataFrame, id_col: str = "doc_id",
-                      pr_iters: int = 3) -> DataFrame:
+                      pr_iters: int = 3,
+                      prior_ranks: DataFrame | None = None,
+                      ranks: DataFrame | None = None) -> DataFrame:
     """Final frontier assembly from its three persistable inputs
     (link-reference instances, crawled URLs, site->domain edges) —
     shared verbatim by the one-shot :func:`frontier_candidates` and
-    the streaming store's read path, so the two can never drift."""
+    the streaming store's read path, so the two can never drift.
+
+    ``prior_ranks`` warm-starts the PageRank refresh from a previous
+    build's (node, rank_scaled) table (see
+    :func:`operators.graph.pagerank`); the gate path leaves it None so
+    results stay cold-start deterministic. ``ranks`` short-circuits
+    the PageRank entirely with a precomputed (node, rank_scaled)
+    table — the crawl driver computes ranks once, persists them for
+    the next round's warm start, and reuses the same table here. The
+    rank table is broadcast only while it is genuinely small
+    (``BROADCAST_MAX_ROWS``) — above that it joins by shuffle on the
+    exact domain key."""
     from maps_spark.operators.graph import pagerank
     agg = (refs.join(seen, "norm_href", "left_anti")
            .groupBy("norm_href")
            .agg(F.count("*").alias("n_refs"),
                 F.countDistinct(id_col).alias("n_ref_docs")))
-    pr = (pagerank(edges, iters=pr_iters)
-          .withColumnRenamed("node", "domain"))
+    if ranks is None:
+        ranks = pagerank(edges, iters=pr_iters, warm_start=prior_ranks)
+    pr = ranks.withColumnRenamed("node", "domain")
     return (agg.withColumn("domain",
                            F.regexp_extract("norm_href", DOMAIN_RE, 1))
-            .join(F.broadcast(pr), "domain", "left")
+            .join(_broadcast_if_small(pr), "domain", "left")
             .select("norm_href", "domain", "n_refs", "n_ref_docs",
                     F.coalesce("rank_scaled", F.lit(0)).cast("long")
                     .alias("domain_rank")))
@@ -1127,7 +1161,7 @@ def _site_clean_full(pages: DataFrame, html_col: str,
                   F.col("block_text").alias("_bp_text"),
                   F.lit(True).alias("_bp")))
     kept = (blocks.where(F.col("kept"))
-            .join(F.broadcast(bl),
+            .join(_broadcast_if_small(bl),
                   (F.col(source_col) == F.col("_bp_source")) &
                   (F.col("block_text") == F.col("_bp_text")), "left")
             .where(F.col("_bp").isNull()))

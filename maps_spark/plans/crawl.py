@@ -33,6 +33,15 @@ from maps_spark.sources.tile_store import (finalise_build, read_manifest,
                                            write_manifest)
 
 
+def _build_id() -> str:
+    """Millisecond-resolved lexicographically-sortable build id — the
+    closed crawl loop can legitimately run two scheduling rounds
+    within one wall-clock second."""
+    t = time.time()
+    return (time.strftime("%Y%m%d_%H%M%S", time.localtime(t))
+            + f"_{int(t * 1000) % 1000:03d}")
+
+
 def run_crawl_plan(spark: SparkSession, pages: DataFrame,
                    out_root: str, rules: DataFrame | None = None,
                    per_host_cap: int = 5, n_shards: int = 8,
@@ -41,21 +50,88 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     """Run the scheduling pipeline; returns the manifest dict.
 
     ``pages`` is any (doc_id, source, html) frame of crawled pages;
-    ``rules`` an optional (domain, disallow) robots table.
+    ``rules`` an optional (domain, disallow) robots table. Each build
+    also persists its PageRank table (``node_ranks``) so the next
+    round — :func:`run_crawl_round` over a frontier store — can
+    warm-start the rank refresh instead of re-iterating from uniform.
     """
-    from maps_spark.operators.html import (apply_robots,
-                                           frontier_candidates,
-                                           frontier_shards,
-                                           release_transients)
+    from maps_spark.operators.graph import pagerank
+    from maps_spark.operators.html import (_links_with_source,
+                                           candidate_refs,
+                                           frontier_assemble, page_urls,
+                                           site_domain_edges)
 
     t0 = time.time()
-    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    build_id = _build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
-    cand = frontier_candidates(pages, pr_iters=pr_iters)
+    # decomposed frontier_candidates: one materialized link
+    # projection feeds refs + edges (HTML parsed once), and the rank
+    # table is computed HERE so it can be persisted for warm starts
+    links = _links_with_source(pages).localCheckpoint()
+    edges = site_domain_edges(pages, links=links)
+    ranks = pagerank(edges, iters=pr_iters)  # localCheckpointed inside
+    cand = frontier_assemble(candidate_refs(pages, links=links),
+                             page_urls(pages), edges, ranks=ranks)
     cand = cand.localCheckpoint()  # barrier: counted + filtered below
-    release_transients()  # shared links frame served its purpose
     n_cand = cand.count()
+
+    return _plan_and_write(spark, cand, ranks, n_cand, out_root,
+                           out_dir, build_id, rules, per_host_cap,
+                           n_shards, pr_iters, versioned, keep_builds,
+                           t0)
+
+
+def run_crawl_round(spark: SparkSession, store_root: str,
+                    out_root: str, rules: DataFrame | None = None,
+                    per_host_cap: int = 5, n_shards: int = 8,
+                    pr_iters: int = 3, warm_iters: int = 1,
+                    keep_builds: int = 2) -> dict:
+    """One scheduling round of the closed crawl loop: assemble the
+    current frontier from the streaming store
+    (:mod:`maps_spark.streaming.frontier` — everything ingested so
+    far), warm-starting PageRank from the PREVIOUS round's persisted
+    ``node_ranks`` when one exists (``warm_iters`` refresh steps
+    instead of ``pr_iters`` from uniform), then robots -> politeness
+    shards -> versioned fetch plan, exactly like
+    :func:`run_crawl_plan`. The loop a deployment runs:
+
+        ingest batch k (run_frontier_ingest) -> run_crawl_round ->
+        fetch workers read their shard (read_fetch_plan) -> fetched
+        pages land as batch k+1 -> ...
+
+    Always versioned — the round history IS the crawl ledger."""
+    from maps_spark.streaming.frontier import read_frontier
+
+    t0 = time.time()
+    build_id = _build_id()
+    out_dir = f"{out_root}/builds/{build_id}"
+
+    prior = read_node_ranks(spark, out_root)
+    warm = prior is not None
+    holder: list = []
+    cand = read_frontier(spark, store_root,
+                         pr_iters=warm_iters if warm else pr_iters,
+                         prior_ranks=prior, ranks_out=holder)
+    cand = cand.localCheckpoint()
+    n_cand = cand.count()
+    return _plan_and_write(spark, cand, holder[0], n_cand, out_root,
+                           out_dir, build_id, rules, per_host_cap,
+                           n_shards, pr_iters, True, keep_builds,
+                           t0, warm_started=warm)
+
+
+def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
+                    out_root: str, out_dir: str, build_id,
+                    rules, per_host_cap: int, n_shards: int,
+                    pr_iters: int, versioned: bool, keep_builds: int,
+                    t0: float, warm_started: bool = False) -> dict:
+    """Shared back half of the two plan builders: robots filter,
+    politeness shards, fetch-plan + node_ranks writes, manifest."""
+    from maps_spark.operators.html import (apply_robots,
+                                           frontier_shards,
+                                           release_transients)
+    release_transients()  # any operator-registered link/block caches
 
     allowed = apply_robots(cand, rules) if rules is not None else cand
     plan = frontier_shards(allowed, per_host_cap, n_shards)
@@ -67,10 +143,14 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     (plan.repartition("shard")
      .write.mode("overwrite").partitionBy("shard")
      .parquet(f"{out_dir}/fetch_plan"))
+    # the rank table this plan scored with, for the next round's
+    # warm start (driver state stays zero — it's a parquet table)
+    ranks.write.mode("overwrite").parquet(f"{out_dir}/node_ranks")
 
     manifest = {
         "stage": "crawl_plan", "per_host_cap": per_host_cap,
         "n_shards": n_shards, "pr_iters": pr_iters,
+        "warm_started": warm_started,
         "robots": rules is not None,
         "funnel": {"candidates": int(n_cand),
                    "allowed": int(n_allowed),
@@ -83,6 +163,20 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     else:
         write_manifest(out_root, manifest)
     return read_manifest(out_root)
+
+
+def read_node_ranks(spark: SparkSession,
+                    out_root: str) -> DataFrame | None:
+    """The active build's persisted (node, rank_scaled) PageRank
+    table, or None when no build has one yet (first round)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from maps_spark.sources.tile_store import resolve_root
+    try:
+        return spark.read.parquet(
+            f"{resolve_root(out_root)}/node_ranks")
+    except (AnalysisException, FileNotFoundError, OSError):
+        return None
 
 
 FETCH_PLAN_SCHEMA = ("norm_href string, domain string, "

@@ -585,6 +585,30 @@ def q_robots_filter(spark, sf_dir):
                         synthesize_robots(pages))
 
 
+def q_robots_parse(spark, sf_dir):
+    from maps_spark.operators.crawl import (parse_robots_txt,
+                                            synthesize_robots_txt)
+    return parse_robots_txt(synthesize_robots_txt(_docs(spark, sf_dir)))
+
+
+def q_sitemap_parse(spark, sf_dir):
+    from maps_spark.operators.crawl import (parse_sitemaps,
+                                            synthesize_sitemaps)
+    return parse_sitemaps(synthesize_sitemaps(_docs(spark, sf_dir)))
+
+
+def q_redirect_resolve(spark, sf_dir):
+    from maps_spark.operators.crawl import (resolve_redirects,
+                                            synthesize_redirects)
+    return resolve_redirects(synthesize_redirects(_docs(spark, sf_dir)))
+
+
+def q_fetch_schedule(spark, sf_dir):
+    from maps_spark.operators.crawl import (fetch_schedule,
+                                            synthesize_fetch_log)
+    return fetch_schedule(synthesize_fetch_log(_docs(spark, sf_dir)))
+
+
 def q_site_boilerplate(spark, sf_dir):
     from maps_spark.operators.html import (site_boilerplate,
                                            synthesize_html)
@@ -1316,6 +1340,10 @@ MAPS_QUERIES = {
     "frontier_candidates": q_frontier_candidates,
     "frontier_shards": q_frontier_shards,
     "robots_filter": q_robots_filter,
+    "robots_parse": q_robots_parse,
+    "sitemap_parse": q_sitemap_parse,
+    "redirect_resolve": q_redirect_resolve,
+    "fetch_schedule": q_fetch_schedule,
     "site_boilerplate": q_site_boilerplate,
     "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
@@ -1501,6 +1529,14 @@ def _html_oracle(which: str) -> str:
             "domain_counts": H.link_domain_counts_select}[which]()
 
 
+def _crawl_oracle(which: str) -> str:
+    from maps_spark.operators import crawl as CR
+    return {"robots_parse": CR.robots_parse_select,
+            "sitemap_parse": CR.sitemap_parse_select,
+            "redirect_resolve": CR.redirect_resolve_select,
+            "fetch_schedule": CR.fetch_schedule_select}[which]()
+
+
 def maps_oracles() -> dict[str, str]:
     from maps_spark.sql import oracle as O
     from maps_spark.sql import oracle_training as OT
@@ -1585,6 +1621,10 @@ def maps_oracles() -> dict[str, str]:
         "frontier_candidates": _html_oracle("frontier"),
         "frontier_shards": _html_oracle("frontier_shards"),
         "robots_filter": _html_oracle("robots"),
+        "robots_parse": _crawl_oracle("robots_parse"),
+        "sitemap_parse": _crawl_oracle("sitemap_parse"),
+        "redirect_resolve": _crawl_oracle("redirect_resolve"),
+        "fetch_schedule": _crawl_oracle("fetch_schedule"),
         "site_boilerplate": _html_oracle("site_bp"),
         "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),

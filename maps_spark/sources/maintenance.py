@@ -117,6 +117,28 @@ def recover_compaction(path: str) -> str | None:
     return "cleaned" if cleaned else None
 
 
+def compact_frontier_store(spark: SparkSession, store_root: str,
+                           target_file_bytes: int = 128 * 1024 * 1024
+                           ) -> dict:
+    """Compact the three append-only tables of a streaming crawl
+    frontier store (:mod:`maps_spark.streaming.frontier`): every batch
+    appends one file-set to refs/seen/edges, so a long-running crawl
+    accumulates small files linearly with batch count. Same validated
+    rewrite + recovery contract as the dedup store (run between
+    triggers; call :func:`recover_compaction` per table dir on
+    startup). ``batch_id`` is preserved — compaction changes file
+    layout only, so ``read_frontier`` assembles identically."""
+    out = {}
+    for sub, sort in (("refs", ("norm_href",)),
+                      ("seen", ("norm_href",)),
+                      ("edges", ("src",))):
+        p = f"{store_root.rstrip('/')}/{sub}"
+        if os.path.isdir(p):
+            out[sub] = compact_dir(spark, p, target_file_bytes,
+                                   sort_within=sort)
+    return out
+
+
 def compact_dedup_store(spark: SparkSession, store_dir: str,
                         target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """Compact every table of a streaming dedup signature store

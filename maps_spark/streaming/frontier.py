@@ -58,14 +58,29 @@ def run_frontier_ingest(spark: SparkSession, input_path: str,
 
 
 def read_frontier(spark: SparkSession, store_root: str,
-                  pr_iters: int = 3) -> DataFrame:
+                  pr_iters: int = 3,
+                  prior_ranks: DataFrame | None = None,
+                  ranks_out: list | None = None) -> DataFrame:
     """The current frontier: the shared batch assembly over the
     accumulated store — anti-join of refs against every URL crawled
-    so far, reference counts, PageRank-scored domains."""
+    so far, reference counts, PageRank-scored domains.
+
+    At crawl scale reads dominate: recomputing ``pr_iters`` power
+    iterations from uniform over the full accumulated edge store on
+    every read is the expensive part. ``prior_ranks`` warm-starts the
+    PageRank from a previous round's persisted (node, rank_scaled)
+    table, so callers pass ``pr_iters=1`` and get ranks ≈ a 3-step
+    cold start (pinned in tests). ``ranks_out``, if a list, receives
+    the rank table actually used — the crawl driver persists it for
+    the NEXT round's warm start without recomputing."""
+    from maps_spark.operators.graph import pagerank
     from maps_spark.operators.html import frontier_assemble
     root = store_root.rstrip("/")
     refs = spark.read.parquet(f"{root}/refs").drop("batch_id")
     seen = (spark.read.parquet(f"{root}/seen").drop("batch_id")
             .distinct())
     edges = spark.read.parquet(f"{root}/edges").drop("batch_id")
-    return frontier_assemble(refs, seen, edges, pr_iters=pr_iters)
+    ranks = pagerank(edges, iters=pr_iters, warm_start=prior_ranks)
+    if ranks_out is not None:
+        ranks_out.append(ranks)
+    return frontier_assemble(refs, seen, edges, ranks=ranks)

@@ -1,0 +1,139 @@
+"""Crawl-protocol operator tests (operators/crawl.py): robots.txt /
+sitemap parsing, redirect resolution, fetch retry scheduling —
+planted closed-form cases plus composition properties against the
+structured-rules twins."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark, n=60):
+    return (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .where(F.col("doc_id") < n))
+
+
+def test_robots_txt_roundtrip_matches_structured_rules(spark):
+    """parse_robots_txt over the synthesized text bodies yields
+    EXACTLY the structured rules table synthesize_robots builds —
+    the text pipeline and the rules pipeline can never drift. The
+    parser must skip Allow:/Crawl-delay:/comment lines and reject
+    the empty Disallow."""
+    from maps_spark.operators.crawl import (parse_robots_txt,
+                                            synthesize_robots_txt)
+    from maps_spark.operators.html import synthesize_robots
+    docs = _docs(spark)
+    got = {tuple(r) for r in
+           parse_robots_txt(synthesize_robots_txt(docs)).collect()}
+    want = {tuple(r) for r in synthesize_robots(docs).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_parse_robots_txt_planted(spark):
+    from maps_spark.operators.crawl import parse_robots_txt
+    body = ("User-agent: *\r\n"      # \r tolerated via \S
+            "Disallow: /private\n"
+            "disallow: /case\n"      # wrong case: not a Disallow line
+            "Disallow:\n"            # empty: allow-all, ignored
+            "Disallow: /private\n"   # duplicate: deduped
+            "Allow: /public\n"
+            "# Disallow: /comment\n"
+            "Disallow: /tmp/")
+    df = spark.createDataFrame([("a.example", body)],
+                               "domain string, body string")
+    got = {r.disallow for r in parse_robots_txt(df).collect()}
+    assert got == {"/private", "/tmp/"}
+
+
+def test_sitemap_ghosts_are_the_uncrawled_gap(spark):
+    """Composition: sitemap locs minus the crawled URL set is exactly
+    the ghost entries (doc_id + 1e6) the synthesizer announces — the
+    discovery feed a crawler merges into its frontier."""
+    from maps_spark.operators.crawl import (parse_sitemaps,
+                                            synthesize_sitemaps)
+    from maps_spark.operators.html import page_urls, synthesize_html
+    docs = _docs(spark)
+    entries = parse_sitemaps(synthesize_sitemaps(docs))
+    crawled = page_urls(synthesize_html(docs)) \
+        .withColumnRenamed("norm_href", "loc")
+    gap = {r.loc for r in
+           entries.join(crawled, "loc", "left_anti").collect()}
+    want = {f"http://{r.source}/doc/{r.doc_id + 1_000_000}"
+            for r in docs.where(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "source").collect()}
+    assert gap == want and len(gap) > 0
+    # lastmod pairing survived optional fields: every third doc has
+    # one, in document order
+    by_dom = entries.where(F.col("lastmod") != "").count()
+    assert by_dom == docs.where(F.col("doc_id") % 3 == 0).count()
+
+
+def test_resolve_redirects_planted(spark):
+    """Closed-form chains: a 3-hop chain resolves at its end, a
+    2-cycle hits the hop cap unresolved, a 1-hop edge resolves
+    immediately."""
+    from maps_spark.operators.crawl import resolve_redirects
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),   # chain a->b->c->d
+         ("x", "y"), ("y", "x"),               # 2-cycle
+         ("solo", "end")],
+        "src_url string, dst_url string")
+    got = {r.src_url: (r.final_url, r.hops, r.resolved)
+           for r in resolve_redirects(edges, max_hops=4).collect()}
+    assert got["a"] == ("d", 3, True)
+    assert got["b"] == ("d", 2, True)
+    assert got["solo"] == ("end", 1, True)
+    fx, hx, rx = got["x"]
+    assert hx == 4 and rx is False and fx in ("x", "y")
+
+
+def test_fetch_schedule_planted(spark):
+    """Closed-form policy table: success -> done, permanent 404 ->
+    drop, transient failures -> retry with doubled delay, budget
+    exhaustion -> drop."""
+    from maps_spark.operators.crawl import fetch_schedule
+    log = spark.createDataFrame(
+        [("ok", 0, 503), ("ok", 1, 200),        # recovered -> done
+         ("gone", 0, 404),                      # permanent -> drop
+         ("flaky", 0, 503),                     # 1 transient -> retry
+         ("flaky2", 0, 503), ("flaky2", 1, 500),  # 2 transient -> retry
+         ("dead", 0, 503), ("dead", 1, 503), ("dead", 2, 503)],
+        "url string, attempt long, status long")
+    got = {r.url: (r.action, r.next_delay_s, r.n_failures)
+           for r in fetch_schedule(log, base_delay_s=60,
+                                   max_retries=3).collect()}
+    assert got["ok"] == ("done", 0, 1)
+    assert got["gone"] == ("drop", 0, 1)
+    assert got["flaky"] == ("retry", 120, 1)
+    assert got["flaky2"] == ("retry", 240, 2)
+    assert got["dead"] == ("drop", 0, 3)   # budget exhausted
+
+
+def test_crawl_protocol_plan_shapes(spark):
+    """Scale audits: both parsers are pure per-row codegen (no
+    exchange, no Python UDF); redirect resolution has no cartesian
+    and stays one checkpointed hop deep."""
+    from maps_spark.operators.crawl import (parse_robots_txt,
+                                            parse_sitemaps,
+                                            resolve_redirects,
+                                            synthesize_redirects,
+                                            synthesize_robots_txt,
+                                            synthesize_sitemaps)
+    docs = _docs(spark)
+    rb = parse_robots_txt(synthesize_robots_txt(docs))
+    p = rb._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    # robots synthesis aggregates distinct sources; the PARSE stage
+    # itself is codegen — no Python anywhere
+    for udf in ("BatchEvalPython", "ArrowEvalPython"):
+        assert udf not in p
+    sm = parse_sitemaps(synthesize_sitemaps(docs))
+    p2 = sm._jdf.queryExecution().executedPlan().toString()
+    for udf in ("BatchEvalPython", "ArrowEvalPython"):
+        assert udf not in p2
+    rr = resolve_redirects(synthesize_redirects(docs))
+    p3 = rr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p3
+    # checkpoint-per-hop: the final plan joins scan the checkpointed
+    # edge RDD, not a re-derived lineage
+    assert "Scan ExistingRDD" in p3

@@ -643,3 +643,32 @@ def test_applied_batch_reads_legacy_marker_location(tmp_path):
     # new location wins once written
     _commit_batch(marker, 9)
     assert _applied_batch(marker) == 9
+
+
+def test_incremental_dedup_batches_stay_flat(spark, tmp_path):
+    """The O(batch) claim, measured: per-micro-batch trigger times
+    over a 6-equal-batch backlog must not grow with store size. Batch
+    1 is excluded (store creation + JIT warmup); the bound is loose
+    (2x) because wall-clock on a shared box is noisy — real growth
+    with store size would be super-linear across 5 batches, not a
+    constant factor."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.streaming.dedup import run_incremental_dedup
+    from tests.conftest import SF_SMALL
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+    land = str(tmp_path / "land")
+    # 6 equal batches via round-robin split on doc_id
+    docs.withColumn("b", F.col("doc_id") % 6) \
+        .repartitionByRange(6, "b") \
+        .drop("b").write.parquet(land)
+    q = run_incremental_dedup(spark, land, str(tmp_path / "store"),
+                              max_files_per_trigger=1)
+    q.awaitTermination(600)
+    secs = [dict(p.durationMs).get("triggerExecution", 0) / 1000.0
+            for p in q.recentProgress if p.numInputRows > 0]
+    assert len(secs) >= 5, f"expected >=5 non-empty batches, got {secs}"
+    steady = secs[1:]
+    assert steady[-1] <= 2.0 * steady[0] + 0.5, (
+        f"per-batch time grew with store size: {secs}")
