@@ -163,3 +163,69 @@ def probe_queries(docs: DataFrame, n_queries: int = GATE_N_QUERIES,
                         F.split(F.col(text_col), " "),
                         lambda w: w != ""), 1, q_words), " ")
                     .alias("text")))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + dense lists
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60          # the constant of Cormack/Clarke/Buettcher 2009
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(lists: list[DataFrame], k0: int = RRF_K0,
+             scale: int = RRF_SCALE) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of any number of (query_id, doc_id, rank) result lists —
+    the standard way to combine BM25 and dense-ANN retrieval without
+    score calibration. Contribution of a list placing d at rank r is
+    the exact integer ``scale div (k0 + r)``, summed per (query, doc)
+    (order-insensitive integer addition — the ``sum_stable`` rule),
+    then re-ranked per query (ties break on doc_id).
+
+    Scale: a union + one (query_id, doc_id) aggregation over lists
+    that are already top-k-bounded per query — the fused set is
+    O(n_queries * k * n_lists) regardless of corpus size; the window
+    runs per query over <= k * n_lists rows.
+
+    Output: (query_id, doc_id, rrf_scaled, n_lists, rank)."""
+    u = lists[0].select("query_id", "doc_id", "rank")
+    for df in lists[1:]:
+        u = u.unionByName(df.select("query_id", "doc_id", "rank"))
+    agg = (u.select("query_id", "doc_id",
+                    F.expr(f"{int(scale)} div ({int(k0)} + rank)")
+                    .cast("long").alias("c"))
+           .groupBy("query_id", "doc_id")
+           .agg(F.sum("c").cast("long").alias("rrf_scaled"),
+                F.count("*").cast("long").alias("n_lists")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_scaled"), "doc_id")
+    return agg.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_rrf_select(k: int = GATE_K, n_queries: int = GATE_N_QUERIES,
+                      q_words: int = GATE_Q_WORDS, k0: int = RRF_K0,
+                      scale: int = RRF_SCALE) -> str:
+    """DuckDB twin of the hybrid gate: rrf_fuse over the bm25_topk
+    oracle and the exact-cosine ann_topk oracle (both verbatim, as
+    their own gates run them)."""
+    from maps_spark.sql.oracle_training import ann_topk_select
+    bm25 = bm25_topk_select(k=k, n_queries=n_queries, q_words=q_words)
+    ann = ann_topk_select(k=k, n_queries=n_queries)
+    return f"""WITH bm AS ({bm25}),
+an AS ({ann}),
+u AS (
+  SELECT query_id, doc_id, rank FROM bm
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, rank FROM an),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(sum({int(scale)} // ({int(k0)} + rank)) AS BIGINT)
+           AS rrf_scaled,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_scaled, n_lists,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_scaled DESC, doc_id)
+            AS INT) AS rank
+FROM agg"""

@@ -585,6 +585,20 @@ def q_robots_filter(spark, sf_dir):
                         synthesize_robots(pages))
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    from maps_spark.operators import similarity as SIM
+    from maps_spark.operators.retrieval import (GATE_K, GATE_N_QUERIES,
+                                                bm25_topk, probe_queries,
+                                                rrf_fuse)
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    bm = bm25_topk(docs, probe_queries(docs), k=GATE_K)
+    an = (SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < GATE_N_QUERIES), k=GATE_K)
+        .withColumnRenamed("neighbor_id", "doc_id"))
+    return rrf_fuse([bm, an])
+
+
 def q_robots_parse(spark, sf_dir):
     from maps_spark.operators.crawl import (parse_robots_txt,
                                             synthesize_robots_txt)
@@ -1340,6 +1354,7 @@ MAPS_QUERIES = {
     "frontier_candidates": q_frontier_candidates,
     "frontier_shards": q_frontier_shards,
     "robots_filter": q_robots_filter,
+    "hybrid_rrf": q_hybrid_rrf,
     "robots_parse": q_robots_parse,
     "sitemap_parse": q_sitemap_parse,
     "redirect_resolve": q_redirect_resolve,
@@ -1529,6 +1544,11 @@ def _html_oracle(which: str) -> str:
             "domain_counts": H.link_domain_counts_select}[which]()
 
 
+def _hybrid_rrf_oracle() -> str:
+    from maps_spark.operators.retrieval import hybrid_rrf_select
+    return hybrid_rrf_select()
+
+
 def _crawl_oracle(which: str) -> str:
     from maps_spark.operators import crawl as CR
     return {"robots_parse": CR.robots_parse_select,
@@ -1621,6 +1641,7 @@ def maps_oracles() -> dict[str, str]:
         "frontier_candidates": _html_oracle("frontier"),
         "frontier_shards": _html_oracle("frontier_shards"),
         "robots_filter": _html_oracle("robots"),
+        "hybrid_rrf": _hybrid_rrf_oracle(),
         "robots_parse": _crawl_oracle("robots_parse"),
         "sitemap_parse": _crawl_oracle("sitemap_parse"),
         "redirect_resolve": _crawl_oracle("redirect_resolve"),

@@ -1712,3 +1712,23 @@ def test_cross_source_dup_matrix_planted(spark):
     assert got[("srcA", "srcB")] >= 1   # least/greatest canonical
     assert got[("srcA", "srcA")] >= 1
     assert ("srcB", "srcA") not in got
+
+
+def test_rrf_fuse_closed_form(spark):
+    """Reciprocal-rank fusion over two planted lists: exact integer
+    contributions (1e6 div (60 + r)), consensus documents outrank
+    single-list documents, ties break on doc_id."""
+    from maps_spark.operators.retrieval import rrf_fuse
+    bm = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    an = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_id long, doc_id long, rank int")
+    got = {r.doc_id: (r.rrf_scaled, r.n_lists, r.rank)
+           for r in rrf_fuse([bm, an]).collect()}
+    c = lambda r: 1_000_000 // (60 + r)
+    # doc 11: ranks 2 and 1; doc 10: ranks 1 and 3
+    assert got[11] == (c(2) + c(1), 2, 1)
+    assert got[10] == (c(1) + c(3), 2, 2)
+    assert got[12] == (c(3), 1, 4) and got[13] == (c(2), 1, 3)
