@@ -58,12 +58,22 @@ def _persist_transient(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_transients() -> int:
-    """Unpersist every registered transient; returns how many. Safe to
-    call at any time — a released frame recomputes if re-used."""
-    n = len(_TRANSIENTS)
-    while _TRANSIENTS:
+def transient_mark() -> int:
+    """Ownership token: a pipeline takes a mark before building, and
+    releases only the transients IT registered —
+    ``release_transients(mark)`` — so two pipelines composed in one
+    driver never unpersist each other's still-pending caches."""
+    return len(_TRANSIENTS)
+
+
+def release_transients(mark: int = 0) -> int:
+    """Unpersist transients registered after ``mark`` (default: all);
+    returns how many. Safe to call at any time — a released frame
+    recomputes if re-used."""
+    n = 0
+    while len(_TRANSIENTS) > mark:
         _TRANSIENTS.pop().unpersist()
+        n += 1
     return n
 
 
@@ -72,8 +82,9 @@ def release_transients() -> int:
 # plan at gate scale and for most corpora, but a 100 TB web corpus has
 # O(10^7-10^8) domains and the broadcast can reach GBs. Above this row
 # threshold the join falls back to a plain shuffle (the keys are exact
-# equi-keys either way). Counting is cheap at the two call sites:
-# both inputs are persisted/checkpointed before the count.
+# equi-keys either way). Counting is cheap at both call sites: the
+# rank table is localCheckpointed by pagerank and the template set is
+# localCheckpointed before the guard runs.
 BROADCAST_MAX_ROWS = 2_000_000
 
 
@@ -1159,7 +1170,11 @@ def _site_clean_full(pages: DataFrame, html_col: str,
                                         min_pages)
           .select(F.col("source").alias("_bp_source"),
                   F.col("block_text").alias("_bp_text"),
-                  F.lit(True).alias("_bp")))
+                  F.lit(True).alias("_bp"))
+          # materialize the (tiny) template set once: the broadcast
+          # guard's count and the strip join both read it, and the
+          # aggregation it comes from would otherwise run twice
+          .localCheckpoint())
     kept = (blocks.where(F.col("kept"))
             .join(_broadcast_if_small(bl),
                   (F.col(source_col) == F.col("_bp_source")) &

@@ -189,6 +189,8 @@ def rrf_fuse(lists: list[DataFrame], k0: int = RRF_K0,
     runs per query over <= k * n_lists rows.
 
     Output: (query_id, doc_id, rrf_scaled, n_lists, rank)."""
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one result list")
     u = lists[0].select("query_id", "doc_id", "rank")
     for df in lists[1:]:
         u = u.unionByName(df.select("query_id", "doc_id", "rank"))

@@ -59,9 +59,11 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     from maps_spark.operators.html import (_links_with_source,
                                            candidate_refs,
                                            frontier_assemble, page_urls,
-                                           site_domain_edges)
+                                           site_domain_edges,
+                                           transient_mark)
 
     t0 = time.time()
+    mark = transient_mark()
     build_id = _build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
@@ -79,7 +81,7 @@ def run_crawl_plan(spark: SparkSession, pages: DataFrame,
     return _plan_and_write(spark, cand, ranks, n_cand, out_root,
                            out_dir, build_id, rules, per_host_cap,
                            n_shards, pr_iters, versioned, keep_builds,
-                           t0)
+                           t0, iters_used=pr_iters, mark=mark)
 
 
 def run_crawl_round(spark: SparkSession, store_root: str,
@@ -101,37 +103,50 @@ def run_crawl_round(spark: SparkSession, store_root: str,
         pages land as batch k+1 -> ...
 
     Always versioned — the round history IS the crawl ledger."""
+    from maps_spark.operators.html import transient_mark
     from maps_spark.streaming.frontier import read_frontier
 
     t0 = time.time()
+    mark = transient_mark()
     build_id = _build_id()
     out_dir = f"{out_root}/builds/{build_id}"
 
     prior = read_node_ranks(spark, out_root)
-    warm = prior is not None
+    # an empty prior (a degenerate round with no edges) is NOT a warm
+    # start — every node would fall back to uniform and the single
+    # refresh iteration would silently replace the 3-step cold start
+    warm = prior is not None and len(prior.take(1)) > 0
+    iters_used = warm_iters if warm else pr_iters
     holder: list = []
-    cand = read_frontier(spark, store_root,
-                         pr_iters=warm_iters if warm else pr_iters,
-                         prior_ranks=prior, ranks_out=holder)
+    cand = read_frontier(spark, store_root, pr_iters=iters_used,
+                         prior_ranks=prior if warm else None,
+                         ranks_out=holder)
     cand = cand.localCheckpoint()
     n_cand = cand.count()
     return _plan_and_write(spark, cand, holder[0], n_cand, out_root,
                            out_dir, build_id, rules, per_host_cap,
                            n_shards, pr_iters, True, keep_builds,
-                           t0, warm_started=warm)
+                           t0, warm_started=warm, iters_used=iters_used,
+                           mark=mark)
 
 
 def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
                     out_root: str, out_dir: str, build_id,
                     rules, per_host_cap: int, n_shards: int,
                     pr_iters: int, versioned: bool, keep_builds: int,
-                    t0: float, warm_started: bool = False) -> dict:
+                    t0: float, warm_started: bool = False,
+                    iters_used: int | None = None,
+                    mark: int = 0) -> dict:
     """Shared back half of the two plan builders: robots filter,
-    politeness shards, fetch-plan + node_ranks writes, manifest."""
+    politeness shards, fetch-plan + node_ranks writes, manifest.
+    ``iters_used`` records the PageRank step count this plan's ranks
+    ACTUALLY ran (warm refreshes use fewer than the configured
+    ``pr_iters``); ``mark`` scopes the transient release to caches
+    this pipeline registered."""
     from maps_spark.operators.html import (apply_robots,
                                            frontier_shards,
                                            release_transients)
-    release_transients()  # any operator-registered link/block caches
+    release_transients(mark)  # this pipeline's link/block caches
 
     allowed = apply_robots(cand, rules) if rules is not None else cand
     plan = frontier_shards(allowed, per_host_cap, n_shards)
@@ -150,6 +165,8 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
     manifest = {
         "stage": "crawl_plan", "per_host_cap": per_host_cap,
         "n_shards": n_shards, "pr_iters": pr_iters,
+        "pr_iters_used": (pr_iters if iters_used is None
+                          else iters_used),
         "warm_started": warm_started,
         "robots": rules is not None,
         "funnel": {"candidates": int(n_cand),

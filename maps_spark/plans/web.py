@@ -86,12 +86,14 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
 
     # 1+2: the shared extract/thin-filter/normalize funnel (also the
     # streaming ingest body — one definition, no drift)
+    from maps_spark.operators.html import (release_transients,
+                                           transient_mark)
+    mark = transient_mark()
     docs = (extract_and_normalize(pages, min_doc_chars,
                                   site_template=site_template)
             .select("doc_id", "source", "text")
             .localCheckpoint())  # barrier: signals + joins below
-    from maps_spark.operators.html import release_transients
-    release_transients()  # site-template block cache, if any
+    release_transients(mark)  # site-template block cache, if any
     n_extracted = docs.count()
 
     # 3: rank-normalized quality ensemble per source

@@ -87,6 +87,7 @@ def test_crawl_loop_three_hops(spark, tmp_path):
     m2 = run_crawl_round(spark, store, plans, per_host_cap=10,
                          n_shards=4, keep_builds=3)
     assert m2["warm_started"] is True
+    assert m2["pr_iters_used"] == 1 and m2["pr_iters"] == 3
     ids2 = _planned_ids(read_fetch_plan(spark, plans))
     assert ids2 == {3, 4, 5, 6}  # the new fringe, nothing else
     assert not (ids2 & fetched), "refetch of an already-crawled URL"
@@ -110,6 +111,44 @@ def test_crawl_loop_three_hops(spark, tmp_path):
     assert seen2 < _seen_set(spark, store)
     # funnel bookkeeping matches the plan actually written
     assert m3["funnel"]["planned"] == len(ids3)
+
+
+def test_empty_prior_is_not_a_warm_start(spark, tmp_path):
+    """A degenerate round (pages with no outlinks -> empty edge
+    graph) persists an EMPTY node_ranks table; the next round must
+    treat that as a cold start (pr_iters iterations), not a warm
+    refresh from nothing."""
+    from maps_spark.plans.crawl import run_crawl_round
+    pages = spark.createDataFrame(
+        [(i, f"s{i % 2}.example",
+          f"<html><body><p>{'plain text ' * 20}</p></body></html>")
+         for i in range(8)],
+        "doc_id long, source string, html string")
+    land = str(tmp_path / "land")
+    store = str(tmp_path / "store")
+    plans = str(tmp_path / "plans")
+    pages.coalesce(1).write.parquet(land)
+    _ingest(spark, land, store)
+    m1 = run_crawl_round(spark, store, plans, pr_iters=3)
+    assert m1["warm_started"] is False and m1["pr_iters_used"] == 3
+    # node_ranks exists now but is empty -> still a cold start
+    m2 = run_crawl_round(spark, store, plans, pr_iters=3)
+    assert m2["warm_started"] is False and m2["pr_iters_used"] == 3
+
+
+def test_release_transients_is_scoped_by_mark(spark):
+    """A pipeline releasing its own transients must not unpersist
+    caches an outer pipeline registered earlier (the ownership
+    contract behind transient_mark)."""
+    from maps_spark.operators import html as H
+    outer = H._persist_transient(
+        spark.range(5).toDF("doc_id"))
+    mark = H.transient_mark()
+    inner = H._persist_transient(spark.range(3).toDF("doc_id"))
+    assert H.release_transients(mark) == 1
+    assert outer.storageLevel.useMemory  # outer cache untouched
+    assert not inner.storageLevel.useMemory
+    assert H.release_transients() == 1  # cleanup: outer released
 
 
 def test_pagerank_warm_start_tracks_cold(spark):

@@ -58,12 +58,14 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        from maps_spark.operators.html import (release_transients,
+                                               transient_mark)
+        mark = transient_mark()
         t0 = time.time()
         sdf = fn(spark, SF_DIR).toPandas()
-        # release any operator-registered transient caches so a full
-        # 171-gate run doesn't accumulate persisted blocks
-        from maps_spark.operators.html import release_transients
-        release_transients()
+        # release this gate's operator-registered transient caches so
+        # a full registry run doesn't accumulate persisted blocks
+        release_transients(mark)
         t1 = time.time()
         if name not in oracles:
             print(f"{name:32s} rows-only {len(sdf):7d} rows  "
