@@ -585,6 +585,14 @@ def q_robots_filter(spark, sf_dir):
                         synthesize_robots(pages))
 
 
+def q_expectation_report(spark, sf_dir):
+    from maps_spark.operators.expectations import (GATE_CONDITIONS,
+                                                   GATE_UNIQUE,
+                                                   expectation_report)
+    return expectation_report(_docs(spark, sf_dir), GATE_CONDITIONS,
+                              GATE_UNIQUE)
+
+
 def q_hybrid_rrf(spark, sf_dir):
     from maps_spark.operators import similarity as SIM
     from maps_spark.operators.retrieval import (GATE_K, GATE_N_QUERIES,
@@ -1355,6 +1363,7 @@ MAPS_QUERIES = {
     "frontier_shards": q_frontier_shards,
     "robots_filter": q_robots_filter,
     "hybrid_rrf": q_hybrid_rrf,
+    "expectation_report": q_expectation_report,
     "robots_parse": q_robots_parse,
     "sitemap_parse": q_sitemap_parse,
     "redirect_resolve": q_redirect_resolve,
@@ -1544,6 +1553,12 @@ def _html_oracle(which: str) -> str:
             "domain_counts": H.link_domain_counts_select}[which]()
 
 
+def _expectation_oracle() -> str:
+    from maps_spark.operators.expectations import \
+        expectation_report_select
+    return expectation_report_select()
+
+
 def _hybrid_rrf_oracle() -> str:
     from maps_spark.operators.retrieval import hybrid_rrf_select
     return hybrid_rrf_select()
@@ -1642,6 +1657,7 @@ def maps_oracles() -> dict[str, str]:
         "frontier_shards": _html_oracle("frontier_shards"),
         "robots_filter": _html_oracle("robots"),
         "hybrid_rrf": _hybrid_rrf_oracle(),
+        "expectation_report": _expectation_oracle(),
         "robots_parse": _crawl_oracle("robots_parse"),
         "sitemap_parse": _crawl_oracle("sitemap_parse"),
         "redirect_resolve": _crawl_oracle("redirect_resolve"),

@@ -1732,3 +1732,42 @@ def test_rrf_fuse_closed_form(spark):
     assert got[11] == (c(2) + c(1), 2, 1)
     assert got[10] == (c(1) + c(3), 2, 2)
     assert got[12] == (c(3), 1, 4) and got[13] == (c(2), 1, 3)
+
+
+def test_expectation_report_planted(spark):
+    """Closed-form expectation checks: a planted NULL, a range
+    violation, a duplicate key and a NULL key component are each
+    counted by exactly the right rule."""
+    from maps_spark.operators.expectations import expectation_report
+    df = spark.createDataFrame(
+        [(1, "alpha", 10), (2, None, 5), (2, "beta", -1),
+         (None, "gamma", 3)],
+        "id long, name string, score long")
+    rep = {r.rule_id: (r.n_rows, r.n_violations, r.passed)
+           for r in expectation_report(
+               df,
+               conditions={"name_not_null": "name IS NOT NULL",
+                           "score_non_negative": "score >= 0",
+                           "always_true": "1 = 1"},
+               unique={"id_unique": ["id"],
+                       "id_name_unique": ["id", "name"]}).collect()}
+    assert rep["name_not_null"] == (4, 1, False)
+    assert rep["score_non_negative"] == (4, 1, False)
+    assert rep["always_true"] == (4, 0, True)
+    # ids: 1, 2, 2, NULL -> 2 distinct valid keys, 2 surplus rows
+    assert rep["id_unique"] == (4, 2, False)
+    # (id, name): (1,alpha), (2,NULL)->invalid, (2,beta), (NULL,gamma)
+    # ->invalid => 2 distinct valid keys, 2 violations
+    assert rep["id_name_unique"] == (4, 2, False)
+
+
+def test_expectation_report_single_scan_plan(spark):
+    """All row-level condition rules share ONE aggregation pass:
+    exactly one scan of the input in the executed plan."""
+    from maps_spark.operators.expectations import (GATE_CONDITIONS,
+                                                   expectation_report)
+    from tests.conftest import SF_SMALL
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rep = expectation_report(docs, GATE_CONDITIONS)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
