@@ -105,12 +105,19 @@ def test_crawl_loop_three_hops(spark, tmp_path):
     m3 = run_crawl_round(spark, store, plans, per_host_cap=10,
                          n_shards=4, keep_builds=3)
     assert m3["warm_started"] is True
-    ids3 = _planned_ids(read_fetch_plan(spark, plans))
+    plan3 = read_fetch_plan(spark, plans)
+    ids3 = _planned_ids(plan3)
     assert ids3 == set(range(7, 15))
     assert not (ids3 & fetched)
     assert seen2 < _seen_set(spark, store)
     # funnel bookkeeping matches the plan actually written
     assert m3["funnel"]["planned"] == len(ids3)
+    # a real read and the empty-plan fallback yield ONE schema (the
+    # Hive-inferred int shard is cast back to long — ADVICE r6 #1)
+    from maps_spark.plans.crawl import FETCH_PLAN_SCHEMA
+    empty = spark.createDataFrame([], FETCH_PLAN_SCHEMA)
+    assert dict(plan3.dtypes) == dict(empty.dtypes)
+    empty.unionByName(plan3).count()  # union across the paths works
 
 
 def test_empty_prior_is_not_a_warm_start(spark, tmp_path):
