@@ -409,3 +409,99 @@ SELECT url, n_attempts, n_failures, last_status, action,
                          {cap_s})
               ELSE 0 END AS BIGINT) AS next_delay_s
 FROM act"""
+
+
+# ---------------------------------------------------------------------------
+# Sitemap-aware frontier: merge announced URLs into the crawl frontier
+# ---------------------------------------------------------------------------
+
+
+def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
+                           pr_iters: int = 3) -> DataFrame:
+    """The crawl frontier with sitemap discovery merged in: every
+    link-discovered candidate (:func:`operators.html.
+    frontier_candidates`, with its reference counts and domain
+    PageRank) plus every sitemap-announced URL not yet crawled, as a
+    zero-reference candidate. ``via`` says how each URL was
+    discovered ('links', 'sitemap', or 'both' when a sitemap confirms
+    a link-discovered URL). Sitemap-only rows take their domain's
+    link-graph rank when the domain appears in the graph, else 0 — a
+    domain nobody links to has no rank, announced or not.
+
+    Scale: one full-outer join on the shared norm_href key; the
+    per-domain rank side-table is left unhinted so AQE broadcasts it
+    only when it is actually small at runtime.
+
+    Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank,
+    via)."""
+    from maps_spark.operators.html import (DOMAIN_RE,
+                                           frontier_candidates,
+                                           norm_url_sql, page_urls)
+    cand = frontier_candidates(pages, pr_iters=pr_iters)
+    locs = (parse_sitemaps(sitemaps)
+            .select(F.expr(norm_url_sql("loc")).alias("norm_href"))
+            .distinct()
+            .join(page_urls(pages), "norm_href", "left_anti")
+            .withColumn("_sm", F.lit(True)))
+    dr = cand.select("domain", "domain_rank").distinct() \
+        .withColumnRenamed("domain", "_drd") \
+        .withColumnRenamed("domain_rank", "_drr")
+    merged = (cand.withColumn("_lk", F.lit(True))
+              .join(locs, "norm_href", "full_outer")
+              .withColumn("dom", F.coalesce(
+                  "domain", F.regexp_extract("norm_href", DOMAIN_RE, 1))))
+    via = (F.when(F.col("_lk").isNotNull() & F.col("_sm").isNotNull(),
+                  "both")
+           .when(F.col("_sm").isNotNull(), "sitemap")
+           .otherwise("links"))
+    return (merged.join(dr, merged["dom"] == dr["_drd"], "left")
+            .select("norm_href", F.col("dom").alias("domain"),
+                    F.coalesce("n_refs", F.lit(0)).cast("long")
+                    .alias("n_refs"),
+                    F.coalesce("n_ref_docs", F.lit(0)).cast("long")
+                    .alias("n_ref_docs"),
+                    F.coalesce("domain_rank", "_drr", F.lit(0))
+                    .cast("long").alias("domain_rank"),
+                    via.alias("via")))
+
+
+def frontier_sitemap_merge_select(pr_iters: int = 3) -> str:
+    """DuckDB twin of synthesize_sitemaps |> frontier_with_sitemaps
+    over the synthesized pages."""
+    from maps_spark.operators.html import (DOMAIN_RE,
+                                           frontier_candidates_select,
+                                           norm_url_sql)
+    page_url = ("'http://' || source || '/doc/' || "
+                "CAST(doc_id AS VARCHAR)")
+    return f"""WITH fc AS ({frontier_candidates_select(pr_iters)}),
+{sitemap_ctes()},
+sblk AS (
+  SELECT regexp_extract(u.b, '{SITEMAP_LOC_RE}', 1) AS loc
+  FROM (SELECT regexp_extract_all(xml, '{SITEMAP_URL_RE}', 0) AS bs
+        FROM sitemaps) t,
+       LATERAL (SELECT unnest(bs) AS b) u),
+locs AS (SELECT DISTINCT {norm_url_sql('loc')} AS norm_href FROM sblk),
+seen2 AS (
+  SELECT DISTINCT {norm_url_sql(page_url)} AS norm_href
+  FROM documents),
+smn AS (
+  SELECT norm_href, TRUE AS _sm FROM locs
+  WHERE norm_href NOT IN (SELECT norm_href FROM seen2)),
+dr AS (SELECT DISTINCT domain, domain_rank FROM fc),
+m AS (
+  SELECT COALESCE(fc.norm_href, smn.norm_href) AS norm_href,
+         COALESCE(fc.domain,
+                  regexp_extract(smn.norm_href, '{DOMAIN_RE}', 1))
+           AS dom,
+         fc.n_refs, fc.n_ref_docs, fc.domain_rank,
+         fc.norm_href IS NOT NULL AS _lk, smn._sm
+  FROM fc FULL OUTER JOIN smn ON fc.norm_href = smn.norm_href)
+SELECT m.norm_href, m.dom AS domain,
+       CAST(COALESCE(m.n_refs, 0) AS BIGINT) AS n_refs,
+       CAST(COALESCE(m.n_ref_docs, 0) AS BIGINT) AS n_ref_docs,
+       CAST(COALESCE(m.domain_rank, dr.domain_rank, 0) AS BIGINT)
+         AS domain_rank,
+       CASE WHEN m._lk AND m._sm THEN 'both'
+            WHEN m._sm THEN 'sitemap'
+            ELSE 'links' END AS via
+FROM m LEFT JOIN dr ON dr.domain = m.dom"""

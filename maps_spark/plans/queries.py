@@ -607,6 +607,15 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([bm, an])
 
 
+def q_frontier_sitemap_merge(spark, sf_dir):
+    from maps_spark.operators.crawl import (frontier_with_sitemaps,
+                                            synthesize_sitemaps)
+    from maps_spark.operators.html import synthesize_html
+    docs = _docs(spark, sf_dir)
+    return frontier_with_sitemaps(synthesize_html(docs),
+                                  synthesize_sitemaps(docs))
+
+
 def q_robots_parse(spark, sf_dir):
     from maps_spark.operators.crawl import (parse_robots_txt,
                                             synthesize_robots_txt)
@@ -1366,6 +1375,7 @@ MAPS_QUERIES = {
     "expectation_report": q_expectation_report,
     "robots_parse": q_robots_parse,
     "sitemap_parse": q_sitemap_parse,
+    "frontier_sitemap_merge": q_frontier_sitemap_merge,
     "redirect_resolve": q_redirect_resolve,
     "fetch_schedule": q_fetch_schedule,
     "site_boilerplate": q_site_boilerplate,
@@ -1568,6 +1578,7 @@ def _crawl_oracle(which: str) -> str:
     from maps_spark.operators import crawl as CR
     return {"robots_parse": CR.robots_parse_select,
             "sitemap_parse": CR.sitemap_parse_select,
+            "frontier_sitemap": CR.frontier_sitemap_merge_select,
             "redirect_resolve": CR.redirect_resolve_select,
             "fetch_schedule": CR.fetch_schedule_select}[which]()
 
@@ -1660,6 +1671,7 @@ def maps_oracles() -> dict[str, str]:
         "expectation_report": _expectation_oracle(),
         "robots_parse": _crawl_oracle("robots_parse"),
         "sitemap_parse": _crawl_oracle("sitemap_parse"),
+        "frontier_sitemap_merge": _crawl_oracle("frontier_sitemap"),
         "redirect_resolve": _crawl_oracle("redirect_resolve"),
         "fetch_schedule": _crawl_oracle("fetch_schedule"),
         "site_boilerplate": _html_oracle("site_bp"),

@@ -137,3 +137,47 @@ def test_crawl_protocol_plan_shapes(spark):
     # checkpoint-per-hop: the final plan joins scan the checkpointed
     # edge RDD, not a re-derived lineage
     assert "Scan ExistingRDD" in p3
+
+
+def test_frontier_with_sitemaps_merge(spark):
+    """Discovery merge semantics: a sitemap ghost arrives as a
+    zero-ref 'sitemap' candidate with its domain's link-graph rank
+    (or 0 when unlinked), a link-discovered URL stays 'links' with
+    its counts, and a URL found both ways is 'both' — planted via a
+    sitemap that also announces a link-discovered next-digest URL."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.crawl import (frontier_with_sitemaps,
+                                            synthesize_sitemaps)
+    from maps_spark.operators.html import (frontier_candidates,
+                                           synthesize_html)
+    docs = _docs(spark, n=30)
+    pages = synthesize_html(docs)
+    base = frontier_candidates(pages)
+    some_link = base.orderBy("norm_href").first()
+    extra = spark.createDataFrame(
+        [("x.example",
+          f"<?xml version=\"1.0\"?><urlset><url><loc>"
+          f"{some_link.norm_href}</loc></url></urlset>")],
+        "domain string, xml string")
+    sitemaps = synthesize_sitemaps(docs).unionByName(extra)
+    got = frontier_with_sitemaps(pages, sitemaps)
+    by_via = {r["via"]: r["cnt"] for r in
+              got.groupBy("via").agg(F.count("*").alias("cnt"))
+              .collect()}
+    assert by_via.get("both") == 1
+    assert by_via.get("sitemap", 0) > 0  # the ghosts
+    assert by_via.get("links", 0) == base.count() - 1
+    # the 'both' row keeps its link-side counts and rank
+    b = got.where(F.col("via") == "both").first()
+    assert (b.n_refs, b.n_ref_docs, b.domain_rank) == \
+        (some_link.n_refs, some_link.n_ref_docs, some_link.domain_rank)
+    # every sitemap-only row has zero refs and a rank consistent with
+    # the link graph (its domain's rank, or 0 when unlinked)
+    sm = got.where(F.col("via") == "sitemap")
+    assert sm.where((F.col("n_refs") != 0) |
+                    (F.col("n_ref_docs") != 0)).count() == 0
+    ranks = {r.domain: r.domain_rank for r in
+             base.select("domain", "domain_rank").distinct().collect()}
+    for r in sm.collect():
+        assert r.domain_rank == ranks.get(r.domain, 0)
