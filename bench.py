@@ -855,6 +855,25 @@ def run() -> None:
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)
 
+            @timed("streaming_refresh_append_4batches", n=2)
+            def _25a():
+                # the LSM variant: O(delta) appends, merge-on-read —
+                # batch_secs should stay FLAT where the merge-mode
+                # entry above grows with the store rewrite
+                from maps_spark.streaming.refresh import run_refresh
+                store = _tf.mkdtemp(prefix="bench_refrapp_") + "/pixels"
+                try:
+                    q = run_refresh(spark, refresh_land,
+                                    f"{SF_DIR}/nation.parquet", store,
+                                    srs="EPSG:3857", zoom=8,
+                                    pixel_mode="append")
+                    q.awaitTermination(600)
+                    record_batches("streaming_refresh_append_4batches",
+                                   q)
+                finally:
+                    _sh.rmtree(os.path.dirname(store),
+                               ignore_errors=True)
+
             @timed("streaming_dedup_4batches", n=2)
             def _26():
                 from maps_spark.streaming.dedup import \

@@ -147,9 +147,81 @@ def merge_into_pixels(delta: DataFrame, pixel_store: str,
      .partitionBy("bucket").parquet(pixel_store))
 
 
+def append_pixel_deltas(delta: DataFrame, pixel_store: str,
+                        n_buckets: int = N_BUCKETS) -> None:
+    """foreachBatch body, LSM variant: append the bucketed delta as a
+    new file-set and let reads fold (merge-on-read). Per-batch write
+    work is O(delta) — nothing of the existing store is read or
+    rewritten, which keeps per-batch wall time FLAT as the store
+    grows (the measured merge-mode growth was the store-rewrite
+    fraction, `BENCH_local.json` batch_secs). The costs move to the
+    read side (fold over appended deltas — bounded by running
+    :func:`compact_pixel_store` on the same cadence as the dedup
+    store's compaction) and to small-file accumulation (same
+    compaction)."""
+    (delta.withColumn(
+        "bucket", F.pmod(F.xxhash64("mapKey"), F.lit(n_buckets))
+        .cast("int"))
+     .write.mode("append").partitionBy("bucket").parquet(pixel_store))
+
+
+def fold_pixels(df: DataFrame) -> DataFrame:
+    """Merge-on-read fold: sum per-batch deltas per pixel key. On a
+    merge-mode (already unique-key) store this is a no-op fold that
+    returns the identical row set."""
+    return (df.groupBy("mapKey", "px", "py", "borYear")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def compact_pixel_store(spark: SparkSession, pixel_store: str,
+                        n_buckets: int = N_BUCKETS) -> dict:
+    """Fold an append-mode pixel store's accumulated deltas into one
+    unique-key file-set per touched bucket (validated rewrite + the
+    shared ``.compact``/``.old`` crash-recovery contract — run
+    :func:`maps_spark.sources.maintenance.recover_compaction` on the
+    store path at startup). Unlike ``compact_dir`` this rewrite
+    CHANGES row counts (it folds duplicates), so validation compares
+    the conserved quantities instead: total cnt mass and distinct
+    key count."""
+    import shutil
+
+    df = spark.read.parquet(pixel_store)
+    want_mass, want_keys = df.agg(
+        F.sum("cnt"), F.count_distinct(
+            "mapKey", "px", "py", "borYear")).first()
+    folded = (df.groupBy("bucket", "mapKey", "px", "py", "borYear")
+              .agg(F.sum("cnt").alias("cnt")).localCheckpoint())
+    staging = pixel_store.rstrip("/") + ".compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    (folded.write.mode("overwrite").partitionBy("bucket")
+     .parquet(staging))
+    got = spark.read.parquet(staging)
+    got_mass, got_rows = got.agg(F.sum("cnt"), F.count("*")).first()
+    if got_mass != want_mass or got_rows != want_keys:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"pixel compaction validation failed for {pixel_store}: "
+            f"mass {got_mass} != {want_mass} or "
+            f"rows {got_rows} != distinct keys {want_keys}")
+    # the replay-guard marker lives under <store>/_meta — copy it
+    # INTO the staging tree before the swap, so there is no crash
+    # window where the live store exists without its marker (losing
+    # the marker would re-apply a redelivered batch on restart)
+    marker_dir = os.path.join(pixel_store, "_meta")
+    if os.path.isdir(marker_dir):
+        shutil.copytree(marker_dir, os.path.join(staging, "_meta"))
+    old = pixel_store.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(pixel_store, old)
+    os.rename(staging, pixel_store)
+    shutil.rmtree(old)
+    return {"rows": int(got_rows), "mass": int(got_mass or 0)}
+
+
 def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
                      srs: str, zoom: int,
-                     n_buckets: int = N_BUCKETS) -> None:
+                     n_buckets: int = N_BUCKETS,
+                     fold: bool = False) -> None:
     """Re-encode ONLY the tiles whose pixel set changed and upsert them
     into a bucketed MVT tile store. Call after :func:`merge_into_pixels`
     has folded ``delta`` into ``pixel_store``.
@@ -189,6 +261,8 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
         return
     merged = (spark.read.parquet(pixel_store)
               .where(F.col("bucket").isin(touched_buckets)).drop("bucket"))
+    if fold:  # append-mode store: fold per-batch deltas before encode
+        merged = fold_pixels(merged)
     trows = PY.tile_rows(merged, srs, zoom).join(
         F.broadcast(touched_tiles), ["mapKey", "tileX", "tileY"],
         "left_semi")
@@ -213,8 +287,11 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
 
 
 def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
-    """Read the merged pixel store without the internal bucket column."""
-    return spark.read.parquet(pixel_store).drop("bucket")
+    """Read the pixel store without the internal bucket column,
+    folding per-batch deltas (merge-on-read). One read path for both
+    store modes: on a merge-mode store the fold is a no-op
+    aggregation over already-unique keys."""
+    return fold_pixels(spark.read.parquet(pixel_store).drop("bucket"))
 
 
 def read_tile_store(spark: SparkSession, tile_store: str) -> DataFrame:
@@ -225,7 +302,8 @@ def read_tile_store(spark: SparkSession, tile_store: str) -> DataFrame:
 
 def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
                 pixel_store: str, srs: str = "EPSG:3857", zoom: int = 8,
-                tile_store: str | None = None):
+                tile_store: str | None = None,
+                pixel_mode: str = "merge"):
     """Wire the incremental refresh: stream -> per-batch delta -> merge
     -> (optional) incremental tile re-encode.
 
@@ -236,24 +314,42 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
     otherwise grow with the number of distinct (mapKey, px, py, year)
     groups, which is the corpus size. With ``tile_store`` set, each
     batch also re-encodes the tiles its delta touched from the merged
-    pixel state, so served MVTs stay fresh without a full rebuild."""
+    pixel state, so served MVTs stay fresh without a full rebuild.
+
+    ``pixel_mode`` picks the store maintenance strategy:
+
+    - ``"merge"`` (default): sum-on-conflict rewrite of touched
+      buckets per batch — reads stay pre-folded, but per-batch cost
+      includes rewriting every touched bucket, which grows with the
+      store when batch keys spread across it (measured in
+      ``BENCH_local.json`` batch_secs);
+    - ``"append"``: LSM-style O(delta) append, merge-on-read
+      (:func:`read_pixel_store` folds), periodic
+      :func:`compact_pixel_store` — per-batch wall time stays flat.
+    """
+    if pixel_mode not in ("merge", "append"):
+        raise ValueError(f"unknown pixel_mode {pixel_mode!r}")
     occ = stream_occurrence(spark, input_dir, nation_dir)
     marker = pixel_store.rstrip("/") + "/_meta/last_batch.json"
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: after a failure between the
         # sink write and the checkpoint commit, Structured Streaming
-        # re-delivers the same batch_id. A sum-on-conflict merge is NOT
-        # idempotent, so replayed batch ids are skipped via a marker
-        # written after both merges land (the standard batch-id guard;
-        # a Delta/Iceberg sink would make the merge itself
-        # transactional instead).
+        # re-delivers the same batch_id. Neither a sum-on-conflict
+        # merge nor a delta append is idempotent, so replayed batch
+        # ids are skipped via a marker written after both merges land
+        # (the standard batch-id guard; a Delta/Iceberg sink would
+        # make the merge itself transactional instead).
         if _applied_batch(marker) >= batch_id:
             return
         delta = stream_pixel_deltas(batch_df, srs, zoom).localCheckpoint()
-        merge_into_pixels(delta, pixel_store)
+        if pixel_mode == "append":
+            append_pixel_deltas(delta, pixel_store)
+        else:
+            merge_into_pixels(delta, pixel_store)
         if tile_store is not None:
-            merge_into_tiles(delta, pixel_store, tile_store, srs, zoom)
+            merge_into_tiles(delta, pixel_store, tile_store, srs, zoom,
+                             fold=(pixel_mode == "append"))
         _commit_batch(marker, batch_id)
 
     return (occ.writeStream.foreachBatch(_merge)

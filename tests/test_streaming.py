@@ -672,3 +672,92 @@ def test_incremental_dedup_batches_stay_flat(spark, tmp_path):
     steady = secs[1:]
     assert steady[-1] <= 2.0 * steady[0] + 0.5, (
         f"per-batch time grew with store size: {secs}")
+
+
+class TestAppendModeRefresh:
+    def test_append_mode_equals_batch_and_compacts(self, spark, tmp_path):
+        """LSM refresh: multi-batch append-mode run equals the batch
+        pipeline through the shared fold-on-read path; compaction
+        folds the per-batch file-sets without changing what reads see,
+        preserves the replay-guard marker, and a crash mid-swap is
+        repaired by recover_compaction."""
+        import pyspark.sql.functions as F
+
+        from maps_spark.operators import pyramid as PY
+        from maps_spark.sources.maintenance import recover_compaction
+        from maps_spark.sources.occurrence import occurrence_df
+        from maps_spark.streaming.refresh import (_applied_batch,
+                                                  compact_pixel_store,
+                                                  read_pixel_store,
+                                                  read_tile_store,
+                                                  run_refresh)
+
+        landing = str(tmp_path / "landing")
+        (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+         .repartition(9).write.parquet(landing))
+        store = str(tmp_path / "pixels")
+        tiles = str(tmp_path / "tiles")
+        q = run_refresh(spark, landing, f"{SF_SMALL}/nation.parquet",
+                        store, srs="EPSG:3857", zoom=6,
+                        tile_store=tiles, pixel_mode="append")
+        q.awaitTermination(300)
+
+        batch = PY.pixel_table(
+            PY.keyed_occurrence(occurrence_df(spark, SF_SMALL)),
+            "EPSG:3857", 6)
+
+        def pixel_diff():
+            merged = read_pixel_store(spark, store)
+            return (merged.exceptAll(batch).count() +
+                    batch.exceptAll(merged).count())
+
+        assert pixel_diff() == 0
+        # the store is append-only: every batch's delta is present
+        # (at this SF pixel groups are nearly all single-event, so
+        # cross-batch key overlap is data-dependent — the closed-form
+        # fold case below pins the duplicate-key path exactly)
+        raw = spark.read.parquet(store)
+        assert raw.count() >= batch.count()
+        # the fold-mode tile path produced fresh tiles
+        assert read_tile_store(spark, tiles).count() > 0
+
+        marker_before = _applied_batch(
+            store + "/_meta/last_batch.json")
+        assert marker_before >= 0
+        stats = compact_pixel_store(spark, store)
+        assert stats["rows"] == batch.count()
+        assert spark.read.parquet(store).count() == batch.count()
+        assert pixel_diff() == 0
+        assert _applied_batch(
+            store + "/_meta/last_batch.json") == marker_before
+
+        # crash between the two swap renames -> restore
+        os.rename(store, store + ".old")
+        assert recover_compaction(store) == "restored"
+        assert pixel_diff() == 0
+        assert _applied_batch(
+            store + "/_meta/last_batch.json") == marker_before
+
+    def test_append_compaction_conserves_and_is_idempotent(
+            self, spark, tmp_path):
+        """Compaction folds duplicate keys exactly (conserved mass and
+        key set) and a second compaction is a no-op rewrite."""
+        from maps_spark.streaming import refresh as R
+        store = str(tmp_path / "pixels")
+        delta = spark.createDataFrame(
+            [("0:0", 1, 2, 100, 5), ("0:0", 1, 2, 100, 7),
+             ("1:x", 3, 4, 200, 1)],
+            "mapKey string, px int, py int, borYear int, cnt long")
+        R.append_pixel_deltas(delta, store, n_buckets=4)
+        before = {tuple(r) for r in
+                  R.read_pixel_store(spark, store).collect()}
+        assert ("0:0", 1, 2, 100, 12) in before  # fold-on-read works
+        stats = R.compact_pixel_store(spark, store, n_buckets=4)
+        assert stats == {"rows": 2, "mass": 13}
+        assert spark.read.parquet(store).count() == 2  # folded on disk
+        after = {tuple(r) for r in
+                 R.read_pixel_store(spark, store).collect()}
+        assert after == before
+        R.compact_pixel_store(spark, store, n_buckets=4)
+        assert {tuple(r) for r in
+                R.read_pixel_store(spark, store).collect()} == before
