@@ -424,9 +424,10 @@ def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
     PageRank) plus every sitemap-announced URL not yet crawled, as a
     zero-reference candidate. ``via`` says how each URL was
     discovered ('links', 'sitemap', or 'both' when a sitemap confirms
-    a link-discovered URL). Sitemap-only rows take their domain's
-    link-graph rank when the domain appears in the graph, else 0 — a
-    domain nobody links to has no rank, announced or not.
+    a link-discovered URL). Sitemap-only rows are scored against the
+    RANK TABLE itself — a ranked domain whose link-discovered URLs
+    are all crawled still ranks its announcements — else 0: a domain
+    nobody links to has no rank, announced or not.
 
     Scale: one full-outer join on the shared norm_href key; the
     per-domain rank side-table is left unhinted so AQE broadcasts it
@@ -434,18 +435,31 @@ def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
 
     Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank,
     via)."""
+    from maps_spark.operators.graph import pagerank
     from maps_spark.operators.html import (DOMAIN_RE,
-                                           frontier_candidates,
-                                           norm_url_sql, page_urls)
-    cand = frontier_candidates(pages, pr_iters=pr_iters)
+                                           _links_with_source,
+                                           candidate_refs,
+                                           frontier_assemble,
+                                           norm_url_sql, page_urls,
+                                           site_domain_edges)
+    # decomposed so the RANK TABLE itself (not the candidate table's
+    # projection of it) scores sitemap-only rows: a ranked domain
+    # whose link-discovered URLs are all crawled never appears among
+    # the candidates, but its announced URLs must still carry its
+    # rank
+    links = _links_with_source(pages).localCheckpoint()
+    edges = site_domain_edges(pages, links=links)
+    ranks = pagerank(edges, iters=pr_iters)  # localCheckpointed inside
+    seen = page_urls(pages)
+    cand = frontier_assemble(candidate_refs(pages, links=links),
+                             seen, edges, ranks=ranks)
     locs = (parse_sitemaps(sitemaps)
             .select(F.expr(norm_url_sql("loc")).alias("norm_href"))
             .distinct()
-            .join(page_urls(pages), "norm_href", "left_anti")
+            .join(seen, "norm_href", "left_anti")
             .withColumn("_sm", F.lit(True)))
-    dr = cand.select("domain", "domain_rank").distinct() \
-        .withColumnRenamed("domain", "_drd") \
-        .withColumnRenamed("domain_rank", "_drr")
+    dr = ranks.select(F.col("node").alias("_drd"),
+                      F.col("rank_scaled").alias("_drr"))
     merged = (cand.withColumn("_lk", F.lit(True))
               .join(locs, "norm_href", "full_outer")
               .withColumn("dom", F.coalesce(
@@ -468,11 +482,14 @@ def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
 def frontier_sitemap_merge_select(pr_iters: int = 3) -> str:
     """DuckDB twin of synthesize_sitemaps |> frontier_with_sitemaps
     over the synthesized pages."""
+    from maps_spark.operators.graph import pagerank_select
     from maps_spark.operators.html import (DOMAIN_RE,
                                            frontier_candidates_select,
-                                           norm_url_sql)
+                                           norm_url_sql,
+                                           site_domain_edges_select)
     page_url = ("'http://' || source || '/doc/' || "
                 "CAST(doc_id AS VARCHAR)")
+    pr = pagerank_select(site_domain_edges_select(), iters=pr_iters)
     return f"""WITH fc AS ({frontier_candidates_select(pr_iters)}),
 {sitemap_ctes()},
 sblk AS (
@@ -487,7 +504,9 @@ seen2 AS (
 smn AS (
   SELECT norm_href, TRUE AS _sm FROM locs
   WHERE norm_href NOT IN (SELECT norm_href FROM seen2)),
-dr AS (SELECT DISTINCT domain, domain_rank FROM fc),
+dr AS (
+  SELECT node AS domain, CAST(rank_scaled AS BIGINT) AS domain_rank
+  FROM ({pr})),
 m AS (
   SELECT COALESCE(fc.norm_href, smn.norm_href) AS norm_href,
          COALESCE(fc.domain,

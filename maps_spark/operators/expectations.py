@@ -57,9 +57,12 @@ def expectation_report(df: DataFrame,
     if conditions:
         aggs = [F.count("*").cast("long").alias("_n")]
         for i, cond in enumerate(conditions.values()):
-            aggs.append(F.sum(
+            # coalesce the sum: over an EMPTY table sum() is NULL and
+            # `passed` would be NULL instead of true — an empty table
+            # violates nothing
+            aggs.append(F.coalesce(F.sum(
                 F.when(F.coalesce(F.expr(cond), F.lit(False)), 0)
-                .otherwise(1)).cast("long").alias(f"_v{i}"))
+                .otherwise(1)), F.lit(0)).cast("long").alias(f"_v{i}"))
         # ONE aggregation row for every condition rule, unpivoted via
         # stack — a per-rule union would re-plan (and re-scan) the
         # aggregation once per rule
@@ -107,7 +110,8 @@ def expectation_report_select() -> str:
     for rid, cond in GATE_CONDITIONS.items():
         parts.append(f"""SELECT '{rid}' AS rule_id,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN COALESCE({cond}, FALSE) THEN 0 ELSE 1 END)
+       CAST(COALESCE(sum(CASE WHEN COALESCE({cond}, FALSE)
+                         THEN 0 ELSE 1 END), 0)
             AS BIGINT) AS n_violations
 FROM documents""")
     for rid, cols in GATE_UNIQUE.items():

@@ -61,8 +61,12 @@ def _persist_transient(df: DataFrame) -> DataFrame:
 def transient_mark() -> int:
     """Ownership token: a pipeline takes a mark before building, and
     releases only the transients IT registered —
-    ``release_transients(mark)`` — so two pipelines composed in one
-    driver never unpersist each other's still-pending caches."""
+    ``release_transients(mark)`` — so a pipeline nested inside
+    another never unpersists its caller's still-pending caches. The
+    guarantee is LIFO: releases must nest like the pipelines do (a
+    stale mark taken before an already-released deeper scope would
+    pop an outer pipeline's entries). Every in-repo caller is either
+    sequential or strictly nested."""
     return len(_TRANSIENTS)
 
 

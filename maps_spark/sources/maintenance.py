@@ -32,6 +32,19 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def swap_compacted(path: str, staging: str) -> None:
+    """The shared two-rename swap every compaction uses (live ->
+    ``.old``, staging -> live, drop ``.old``). ONE implementation so
+    the crash-recovery contract :func:`recover_compaction` repairs
+    stays true for every store kind. Callers must have validated the
+    staging copy first."""
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)  # validated rewrite is live; safe to drop
+
+
 def dir_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) under ``path`` (recursive)."""
     n, size = 0, 0
@@ -81,11 +94,7 @@ def compact_dir(spark: SparkSession, path: str,
         raise RuntimeError(
             f"compaction validation failed for {path}: "
             f"{staged_rows} staged rows != {n_rows} source rows")
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)  # validated rewrite is live; safe to drop
+    swap_compacted(path, staging)
     n_after, _ = dir_stats(path)
     return {"files_before": n_before, "files_after": n_after,
             "bytes": size, "rows": n_rows}

@@ -173,8 +173,31 @@ def fold_pixels(df: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt")))
 
 
-def compact_pixel_store(spark: SparkSession, pixel_store: str,
-                        n_buckets: int = N_BUCKETS) -> dict:
+def _store_mode(pixel_store: str) -> str:
+    """The store's maintenance mode from its ``_meta/mode.json``
+    marker; stores from before the marker existed (always merge-mode)
+    default to ``"merge"``."""
+    import json
+    try:
+        with open(os.path.join(pixel_store, "_meta", "mode.json")) as f:
+            return json.load(f)["pixel_mode"]
+    except (OSError, ValueError, KeyError):
+        return "merge"
+
+
+def _write_store_mode(pixel_store: str, mode: str) -> None:
+    import json
+    meta = os.path.join(pixel_store, "_meta")
+    os.makedirs(meta, exist_ok=True)
+    path = os.path.join(meta, "mode.json")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"pixel_mode": mode}, f)
+        os.replace(tmp, path)
+
+
+def compact_pixel_store(spark: SparkSession, pixel_store: str) -> dict:
     """Fold an append-mode pixel store's accumulated deltas into one
     unique-key file-set per touched bucket (validated rewrite + the
     shared ``.compact``/``.old`` crash-recovery contract — run
@@ -182,8 +205,12 @@ def compact_pixel_store(spark: SparkSession, pixel_store: str,
     store path at startup). Unlike ``compact_dir`` this rewrite
     CHANGES row counts (it folds duplicates), so validation compares
     the conserved quantities instead: total cnt mass and distinct
-    key count."""
+    key count. The store's existing bucket assignment is preserved —
+    re-bucketing a live store is not supported (a key split across
+    two bucket counts would fail the distinct-key validation)."""
     import shutil
+
+    from maps_spark.sources.maintenance import swap_compacted
 
     df = spark.read.parquet(pixel_store)
     want_mass, want_keys = df.agg(
@@ -210,11 +237,7 @@ def compact_pixel_store(spark: SparkSession, pixel_store: str,
     marker_dir = os.path.join(pixel_store, "_meta")
     if os.path.isdir(marker_dir):
         shutil.copytree(marker_dir, os.path.join(staging, "_meta"))
-    old = pixel_store.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(pixel_store, old)
-    os.rename(staging, pixel_store)
-    shutil.rmtree(old)
+    swap_compacted(pixel_store, staging)
     return {"rows": int(got_rows), "mass": int(got_mass or 0)}
 
 
@@ -287,11 +310,14 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
 
 
 def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
-    """Read the pixel store without the internal bucket column,
-    folding per-batch deltas (merge-on-read). One read path for both
-    store modes: on a merge-mode store the fold is a no-op
-    aggregation over already-unique keys."""
-    return fold_pixels(spark.read.parquet(pixel_store).drop("bucket"))
+    """Read the pixel store without the internal bucket column. One
+    entry point for both store modes: the ``_meta/mode.json`` marker
+    says whether per-batch deltas need the merge-on-read fold —
+    merge-mode stores (already unique-keyed) stay a plain
+    partition-prunable scan with no extra shuffle."""
+    df = spark.read.parquet(pixel_store).drop("bucket")
+    return fold_pixels(df) if _store_mode(pixel_store) == "append" \
+        else df
 
 
 def read_tile_store(spark: SparkSession, tile_store: str) -> DataFrame:
@@ -347,6 +373,7 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
             append_pixel_deltas(delta, pixel_store)
         else:
             merge_into_pixels(delta, pixel_store)
+        _write_store_mode(pixel_store, pixel_mode)
         if tile_store is not None:
             merge_into_tiles(delta, pixel_store, tile_store, srs, zoom,
                              fold=(pixel_mode == "append"))

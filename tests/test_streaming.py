@@ -749,15 +749,16 @@ class TestAppendModeRefresh:
              ("1:x", 3, 4, 200, 1)],
             "mapKey string, px int, py int, borYear int, cnt long")
         R.append_pixel_deltas(delta, store, n_buckets=4)
+        R._write_store_mode(store, "append")  # run_refresh writes this
         before = {tuple(r) for r in
                   R.read_pixel_store(spark, store).collect()}
         assert ("0:0", 1, 2, 100, 12) in before  # fold-on-read works
-        stats = R.compact_pixel_store(spark, store, n_buckets=4)
+        stats = R.compact_pixel_store(spark, store)
         assert stats == {"rows": 2, "mass": 13}
         assert spark.read.parquet(store).count() == 2  # folded on disk
         after = {tuple(r) for r in
                  R.read_pixel_store(spark, store).collect()}
         assert after == before
-        R.compact_pixel_store(spark, store, n_buckets=4)
+        R.compact_pixel_store(spark, store)
         assert {tuple(r) for r in
                 R.read_pixel_store(spark, store).collect()} == before
