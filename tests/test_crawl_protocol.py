@@ -181,3 +181,40 @@ def test_frontier_with_sitemaps_merge(spark):
              base.select("domain", "domain_rank").distinct().collect()}
     for r in sm.collect():
         assert r.domain_rank == ranks.get(r.domain, 0)
+
+
+def test_sitemap_only_rows_rank_from_graph_not_candidates(spark):
+    """Regression (round-7 second review): a ranked domain whose
+    link-discovered URLs are ALL crawled never appears among the
+    frontier candidates — its sitemap announcements must still carry
+    its link-graph rank, not 0."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.crawl import frontier_with_sitemaps
+    from maps_spark.operators.graph import pagerank
+    from maps_spark.operators.html import site_domain_edges
+
+    # two pages on a.example both link to b.example's only page,
+    # which is ALREADY crawled (it is page 2's own URL) -> b.example
+    # is ranked in the site->domain graph but yields no candidates
+    pages = spark.createDataFrame(
+        [(1, "a.example",
+          '<html><body><p>' + 'w ' * 40 + '</p>'
+          '<a href="http://b.example/doc/2">b</a></body></html>'),
+         (2, "b.example",
+          "<html><body><p>" + "x " * 40 + "</p></body></html>")],
+        "doc_id long, source string, html string")
+    sitemaps = spark.createDataFrame(
+        [("b.example",
+          '<?xml version="1.0"?><urlset><url><loc>'
+          "http://b.example/doc/999</loc></url></urlset>")],
+        "domain string, xml string")
+    got = {r.norm_href: r for r in
+           frontier_with_sitemaps(pages, sitemaps).collect()}
+    row = got["http://b.example/doc/999"]
+    ranks = {r.node: r.rank_scaled
+             for r in pagerank(site_domain_edges(pages)).collect()}
+    assert row.via == "sitemap" and row.n_refs == 0
+    assert ranks["b.example"] > 0
+    assert row.domain_rank == ranks["b.example"], \
+        "announced URL lost its ranked domain's score"

@@ -1771,3 +1771,17 @@ def test_expectation_report_single_scan_plan(spark):
     rep = expectation_report(docs, GATE_CONDITIONS)
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_expectation_report_empty_table(spark):
+    """An empty table violates nothing: condition rules report 0/true
+    (not NULL/NULL — the sum-over-zero-rows trap), matching the
+    unique rules' arithmetic."""
+    from maps_spark.operators.expectations import expectation_report
+    df = spark.createDataFrame([], "id long, name string")
+    rep = {r.rule_id: (r.n_rows, r.n_violations, r.passed)
+           for r in expectation_report(
+               df, conditions={"c": "name IS NOT NULL"},
+               unique={"u": ["id"]}).collect()}
+    assert rep["c"] == (0, 0, True)
+    assert rep["u"] == (0, 0, True)
