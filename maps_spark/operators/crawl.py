@@ -40,9 +40,14 @@ from pyspark.sql import DataFrame
 # robots.txt
 # ---------------------------------------------------------------------------
 
-# one Disallow path per line; (?m) anchors per-line, \S rejects the
-# empty "Disallow:" (allow-all) form per the original REP convention
-ROBOTS_DISALLOW_RE = r"(?m)^Disallow:[ \t]*(\S+)"
+# One Disallow path per line, engine-identical BY CONSTRUCTION:
+# no (?m) (Java's multiline ^ also fires after bare \r /   etc.,
+# RE2's only after \n) and no \S (Java's excludes \x0B, RE2's does
+# not) — start-of-input-or-\n plus an explicit negated class behave
+# bit-identically in both engines on ANY input, which the hypothesis
+# parity property exercises. The path class rejects the empty
+# "Disallow:" (allow-all) form per the original REP convention.
+ROBOTS_DISALLOW_RE = r"(?:^|\n)Disallow:[ \t]*([^ \t\r\n]+)"
 
 _RT_SITE = ("User-agent: *\n# site policy\nDisallow: /buy\n"
             "Allow: /news\nDisallow: /t/\nCrawl-delay: 2\n")

@@ -388,3 +388,84 @@ def test_url_normalize_and_canonicalize_idempotent(u):
     assert ev(canon_href_sql, c1) == c1
     # canon is a no-op on already-normalized tracking-free URLs
     assert ev(canon_href_sql, c1) == ev(norm_url_sql, c1)
+
+
+@given(st.text(alphabet="Disalow:ufbckrt/#*- \t\r\n\x0b" + "AU",
+               max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_robots_disallow_regex_is_engine_identical(body):
+    """ROBOTS_DISALLOW_RE through DuckDB's RE2 equals a pure-Python
+    reference of the intended semantics (start-of-input-or-newline,
+    'Disallow:', optional space/tab run, a nonempty run of anything
+    but space/tab/CR/LF) on ADVERSARIAL bodies — including vertical
+    tabs and bare-\\r line endings, exactly the inputs where Java's
+    (?m)/\\S and RE2's diverge; the regex is written without either
+    construct so both engines agree on any input, and the
+    robots_parse gate pins the Spark (Java) side to the same rows."""
+    import duckdb
+
+    from maps_spark.operators.crawl import ROBOTS_DISALLOW_RE
+
+    def ref(b):
+        out = []
+        i = 0
+        while True:
+            j = b.find("Disallow:", i)
+            if j < 0:
+                return out
+            if j == 0 or b[j - 1] == "\n":
+                k = j + len("Disallow:")
+                while k < len(b) and b[k] in " \t":
+                    k += 1
+                m = k
+                while m < len(b) and b[m] not in " \t\r\n":
+                    m += 1
+                if m > k:
+                    out.append(b[k:m])
+            i = j + 1
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT regexp_extract_all(?, '{ROBOTS_DISALLOW_RE}', 1)",
+        [body]).fetchone()[0]
+    assert got == ref(body), body
+
+
+@given(st.lists(
+    st.tuples(st.text(alphabet="abc/?&=#xyz09._- ", max_size=20),
+              st.one_of(st.none(),
+                        st.text(alphabet="0123456789-T:Z", max_size=12))),
+    max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_sitemap_block_extraction_keeps_loc_lastmod_aligned(entries):
+    """Whole-<url>-block parsing through DuckDB (RE2) recovers every
+    (loc, lastmod-or-'') pair in order for arbitrary loc text and
+    optional lastmod — the alignment guarantee two parallel
+    extract_alls could not give. (A raw '<' inside a loc is invalid
+    sitemap XML — it must be entity-escaped — and voids that entry's
+    match identically in both engines, so the alphabet excludes
+    it.)"""
+    import duckdb
+
+    from maps_spark.operators.crawl import (SITEMAP_LASTMOD_RE,
+                                            SITEMAP_LOC_RE,
+                                            SITEMAP_URL_RE)
+
+    xml = "<urlset>" + "".join(
+        "<url><loc>" + loc + "</loc>" +
+        ("" if lm is None else "<lastmod>" + lm + "</lastmod>") +
+        "</url>"
+        for loc, lm in entries) + "</urlset>"
+    con = duckdb.connect()
+    blocks = con.execute(
+        f"SELECT regexp_extract_all(?, '{SITEMAP_URL_RE}', 0)",
+        [xml]).fetchone()[0]
+    got = [(con.execute(
+                f"SELECT regexp_extract(?, '{SITEMAP_LOC_RE}', 1)",
+                [b]).fetchone()[0],
+            con.execute(
+                f"SELECT regexp_extract(?, '{SITEMAP_LASTMOD_RE}', 1)",
+                [b]).fetchone()[0])
+           for b in blocks]
+    want = [(loc, "" if lm is None else lm) for loc, lm in entries]
+    assert got == want, xml
