@@ -187,6 +187,39 @@ def finalise_build(root: str, build_id: str, meta: dict | None = None,
                 shutil.rmtree(f"{builds_dir}/{old}", ignore_errors=True)
 
 
+def list_builds(root: str) -> list[dict]:
+    """The retained builds of a versioned store, oldest first:
+    [{"build_id", "active"}]. The keep-N rotation retains exactly the
+    builds a rollback can target."""
+    try:
+        active = read_manifest(root).get("build_id")
+    except FileNotFoundError:
+        active = None
+    builds_dir = f"{root}/builds"
+    ids = sorted(os.listdir(builds_dir)) if os.path.isdir(builds_dir) \
+        else []
+    return [{"build_id": b, "active": b == active} for b in ids]
+
+
+def pin_build(root: str, build_id: str) -> dict:
+    """Roll back (or forward) by atomically repointing the manifest at
+    a RETAINED build — the operational point of the keep-2 rotation:
+    a bad deploy reverts with one manifest swap, no data movement.
+    Earlier manifest metadata for that build is not reconstructed;
+    the new manifest records the pin. Raises if the build directory
+    does not exist (rotation already dropped it)."""
+    if not os.path.isdir(f"{root}/builds/{build_id}"):
+        raise FileNotFoundError(
+            f"build {build_id!r} is not retained under {root}/builds")
+    try:
+        prev = read_manifest(root).get("build_id")
+    except FileNotFoundError:
+        prev = None
+    write_manifest(root, {"build_id": build_id,
+                          "pinned_from": prev})
+    return read_manifest(root)
+
+
 def read_tiles(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(f"{resolve_root(root)}/tiles")
 

@@ -275,3 +275,38 @@ def test_domain_broadcast_size_guard(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     H.release_transients()
+
+
+def test_pin_build_rolls_back_the_active_plan(spark, tmp_path):
+    """Rollback primitive: after two scheduling builds, pin_build
+    repoints the manifest at the retained older build — readers
+    resolve the OLD fetch plan with no data movement — and pinning
+    forward restores the newer one; a rotated-away build refuses."""
+    import pytest
+
+    from maps_spark.plans.crawl import read_fetch_plan, run_crawl_plan
+    from maps_spark.sources.tile_store import list_builds, pin_build
+    uni = _universe(spark, n=16)
+    root = str(tmp_path / "plans")
+    run_crawl_plan(spark, uni.where(F.col("doc_id") < 8), root,
+                   per_host_cap=100, n_shards=4)
+    first = {b["build_id"]: b for b in list_builds(root)}
+    plan_a = _planned_ids(read_fetch_plan(spark, root))
+    run_crawl_plan(spark, uni, root, per_host_cap=100, n_shards=4)
+    builds = list_builds(root)
+    assert len(builds) == 2 and builds[-1]["active"]
+    plan_b = _planned_ids(read_fetch_plan(spark, root))
+    assert plan_a != plan_b  # the two builds genuinely differ
+
+    old_id = builds[0]["build_id"]
+    assert old_id in first
+    m = pin_build(root, old_id)
+    assert m["build_id"] == old_id
+    assert _planned_ids(read_fetch_plan(spark, root)) == plan_a
+    assert [b for b in list_builds(root) if b["active"]][0][
+        "build_id"] == old_id
+    # roll forward again
+    pin_build(root, builds[-1]["build_id"])
+    assert _planned_ids(read_fetch_plan(spark, root)) == plan_b
+    with pytest.raises(FileNotFoundError):
+        pin_build(root, "20000101_000000_000")
