@@ -65,8 +65,11 @@ def expectation_report(df: DataFrame,
                 .otherwise(1)), F.lit(0)).cast("long").alias(f"_v{i}"))
         # ONE aggregation row for every condition rule, unpivoted via
         # stack — a per-rule union would re-plan (and re-scan) the
-        # aggregation once per rule
-        stack = ", ".join(f"'{rid}', _v{i}"
+        # aggregation once per rule. Rule ids are interpolated into
+        # the stack() SQL as string literals, so quotes must be
+        # SQL-escaped or a rule id containing ' breaks the query
+        # (ADVICE r7).
+        stack = ", ".join(f"""'{rid.replace("'", "''")}', _v{i}"""
                           for i, rid in enumerate(conditions))
         reports.append(df.agg(*aggs).select(
             F.expr(f"stack({len(conditions)}, {stack}) "

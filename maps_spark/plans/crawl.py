@@ -36,9 +36,13 @@ from maps_spark.sources.tile_store import (finalise_build, read_manifest,
 def _build_id() -> str:
     """Millisecond-resolved lexicographically-sortable build id — the
     closed crawl loop can legitimately run two scheduling rounds
-    within one wall-clock second."""
+    within one wall-clock second. Derived from UTC (gmtime): local
+    time repeats an hour at a DST fall-back, and a build id from the
+    repeated hour would sort BEFORE already-written builds, breaking
+    finalise_build's keep-N rotation and list_builds' oldest-first
+    ordering (ADVICE r7)."""
     t = time.time()
-    return (time.strftime("%Y%m%d_%H%M%S", time.localtime(t))
+    return (time.strftime("%Y%m%d_%H%M%S", time.gmtime(t))
             + f"_{int(t * 1000) % 1000:03d}")
 
 

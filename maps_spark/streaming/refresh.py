@@ -173,16 +173,22 @@ def fold_pixels(df: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt")))
 
 
-def _store_mode(pixel_store: str) -> str:
-    """The store's maintenance mode from its ``_meta/mode.json``
-    marker; stores from before the marker existed (always merge-mode)
-    default to ``"merge"``."""
+def _store_mode_marker(pixel_store: str) -> str | None:
+    """The store's recorded maintenance mode, or None when no
+    ``_meta/mode.json`` marker exists (store absent, or pre-marker)."""
     import json
     try:
         with open(os.path.join(pixel_store, "_meta", "mode.json")) as f:
             return json.load(f)["pixel_mode"]
     except (OSError, ValueError, KeyError):
-        return "merge"
+        return None
+
+
+def _store_mode(pixel_store: str) -> str:
+    """The store's maintenance mode from its ``_meta/mode.json``
+    marker; stores from before the marker existed (always merge-mode)
+    default to ``"merge"``."""
+    return _store_mode_marker(pixel_store) or "merge"
 
 
 def _write_store_mode(pixel_store: str, mode: str) -> None:
@@ -355,6 +361,21 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
     """
     if pixel_mode not in ("merge", "append"):
         raise ValueError(f"unknown pixel_mode {pixel_mode!r}")
+    # A store keeps the mode it was created with: running append on a
+    # merge-mode store would add per-batch delta rows the (marker-
+    # driven) read path never folds — point reads would silently
+    # return split counts. Refuse the mismatch up front (ADVICE r7).
+    existing = _store_mode_marker(pixel_store)
+    if existing is None and os.path.isdir(pixel_store):
+        # pre-marker stores were always merge-mode; an existing store
+        # directory without a marker is one of those
+        existing = "merge"
+    if existing is not None and existing != pixel_mode:
+        raise ValueError(
+            f"pixel store {pixel_store} was created with "
+            f"pixel_mode={existing!r}; refusing pixel_mode="
+            f"{pixel_mode!r} — compact/rebuild the store to switch "
+            "modes")
     occ = stream_occurrence(spark, input_dir, nation_dir)
     marker = pixel_store.rstrip("/") + "/_meta/last_batch.json"
 
@@ -390,7 +411,11 @@ def _applied_batch(marker: str) -> int:
     # guard intact across the upgrade: without it, the first restart
     # on a pre-existing store finds no marker and a redelivered last
     # batch would double-merge. New commits always write the new path.
-    legacy = marker.replace("/_meta/", "_meta/")
+    # Replace only the marker's OWN '/_meta/' segment (the last one):
+    # a store path that itself contains '/_meta/' earlier must not be
+    # rewritten, or the fallback would probe a wrong legacy location.
+    head, sep, tail = marker.rpartition("/_meta/")
+    legacy = head + "_meta/" + tail if sep else marker
     for path in (marker, legacy):
         try:
             with open(path) as f:

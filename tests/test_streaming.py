@@ -762,3 +762,59 @@ class TestAppendModeRefresh:
         R.compact_pixel_store(spark, store)
         assert {tuple(r) for r in
                 R.read_pixel_store(spark, store).collect()} == before
+
+
+def test_refresh_mode_mismatch_is_refused(spark, tmp_path):
+    """Running pixel_mode='merge' against a store created in append
+    mode (or vice versa) must raise up front: the read path folds
+    based on the STORE's marker, so a silent mode switch would leave
+    unfolded delta rows (split counts) or rewrite an append store's
+    history (ADVICE r7)."""
+    import pytest
+
+    from maps_spark.streaming import refresh as R
+    store = str(tmp_path / "pixels")
+    delta = spark.createDataFrame(
+        [("0:0", 1, 2, 100, 5)],
+        "mapKey string, px int, py int, borYear int, cnt long")
+    R.append_pixel_deltas(delta, store, n_buckets=4)
+    R._write_store_mode(store, "append")
+    with pytest.raises(ValueError, match="pixel_mode"):
+        R.run_refresh(spark, str(tmp_path / "nope"),
+                      str(tmp_path / "nope2"), store,
+                      pixel_mode="merge")
+    # a pre-marker store directory (no mode.json) is merge-mode:
+    # append against it must refuse too
+    legacy = str(tmp_path / "legacy_pixels")
+    delta.write.parquet(legacy)
+    with pytest.raises(ValueError, match="pixel_mode"):
+        R.run_refresh(spark, str(tmp_path / "nope"),
+                      str(tmp_path / "nope2"), legacy,
+                      pixel_mode="append")
+
+
+def test_legacy_marker_fallback_replaces_last_meta_segment(tmp_path):
+    """The legacy-marker fallback must rewrite the marker's OWN
+    '/_meta/' segment, not the first occurrence anywhere in the store
+    path (ADVICE r7): a store rooted under '.../x/_meta/y/store' must
+    probe '.../x/_meta/y/store_meta/last_batch.json', never
+    '.../x_meta/y/store/_meta/last_batch.json'."""
+    import json
+    import os
+
+    from maps_spark.streaming.refresh import _applied_batch
+    root = str(tmp_path / "x" / "_meta" / "y" / "store")
+    marker = root + "/_meta/last_batch.json"
+    # the WRONG (replace-first) location must be ignored
+    wrong = str(tmp_path / "x_meta" / "y" / "store" /
+                "_meta" / "last_batch.json")
+    os.makedirs(os.path.dirname(wrong), exist_ok=True)
+    with open(wrong, "w") as f:
+        json.dump({"batch_id": 99}, f)
+    assert _applied_batch(marker) == -1
+    # the correct legacy location (last segment rewritten) is found
+    good = root + "_meta/last_batch.json"
+    os.makedirs(os.path.dirname(good), exist_ok=True)
+    with open(good, "w") as f:
+        json.dump({"batch_id": 4}, f)
+    assert _applied_batch(marker) == 4

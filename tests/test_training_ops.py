@@ -1785,3 +1785,15 @@ def test_expectation_report_empty_table(spark):
                unique={"u": ["id"]}).collect()}
     assert rep["c"] == (0, 0, True)
     assert rep["u"] == (0, 0, True)
+
+
+def test_expectation_rule_id_with_quote(spark):
+    """Rule ids are interpolated into the stack() SQL as string
+    literals — a rule id containing a single quote must survive
+    (escaped), not break the query (ADVICE r7)."""
+    from maps_spark.operators.expectations import expectation_report
+    df = spark.createDataFrame([(1,), (None,)], "doc_id int")
+    rows = {r.rule_id: r.n_violations
+            for r in expectation_report(
+                df, {"o'brien's rule": "doc_id IS NOT NULL"}).collect()}
+    assert rows == {"o'brien's rule": 1}
