@@ -295,6 +295,76 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 4,
                     F.col("_more").isNull().alias("resolved")))
 
 
+def apply_redirects(cand: DataFrame, redirects: DataFrame,
+                    seen: DataFrame,
+                    ranks: DataFrame | None = None,
+                    max_hops: int = 4) -> DataFrame:
+    """Canonicalize an assembled frontier through the redirect graph
+    — the alias-resolution step a real crawler runs BEFORE deciding
+    what to fetch, so an already-crawled page is never refetched
+    under a redirecting alias:
+
+    - a candidate that is a redirect SOURCE is replaced by its final
+      URL (:func:`resolve_redirects`, normalized);
+    - unresolved chains (loops / over ``max_hops``) drop — a fetcher
+      gives up on them at its redirect limit anyway;
+    - candidates whose final URL is already in ``seen`` drop;
+    - aliases collapsing onto one final URL merge: reference counts
+      sum (``n_ref_docs`` becomes an upper bound — a doc referencing
+      two aliases of one page counts twice; exact would re-scan the
+      refs store for a rare case), ``via`` provenance re-derives from
+      the contributing rows, and ``domain_rank`` re-scores against
+      ``ranks`` for the FINAL URL's domain (falling back to the best
+      contributing alias rank when that domain is unranked).
+
+    Scale: one left join on norm_href against the (bounded) resolved
+    redirect map, one anti-join against seen, one regroup on the
+    canonical URL — all on the frontier's existing shuffle key.
+
+    Output: cand's columns (via preserved when present)."""
+    from maps_spark.operators.html import (DOMAIN_RE,
+                                           _broadcast_if_small,
+                                           norm_url_sql)
+    res = resolve_redirects(redirects, max_hops=max_hops)
+    alias_map = (res.select(
+        F.expr(norm_url_sql("src_url")).alias("norm_href"),
+        F.expr(norm_url_sql("final_url")).alias("_final"),
+        F.col("resolved").alias("_resolved")).distinct())
+    has_via = "via" in cand.columns
+    x = (cand.join(_broadcast_if_small(alias_map), "norm_href", "left")
+         .where(F.col("_resolved").isNull() | F.col("_resolved"))
+         .withColumn("_eff", F.coalesce("_final", F.col("norm_href")))
+         .join(seen.select(F.col("norm_href").alias("_eff")),
+               "_eff", "left_anti"))
+    aggs = [F.sum("n_refs").cast("long").alias("n_refs"),
+            F.sum("n_ref_docs").cast("long").alias("n_ref_docs"),
+            F.max("domain_rank").alias("_alias_rank")]
+    if has_via:
+        aggs += [F.max(F.col("via").isin("links", "both"))
+                 .alias("_has_lk"),
+                 F.max(F.col("via").isin("sitemap", "both"))
+                 .alias("_has_sm")]
+    agg = (x.groupBy("_eff").agg(*aggs)
+           .withColumn("domain",
+                       F.regexp_extract("_eff", DOMAIN_RE, 1)))
+    if ranks is not None:
+        dr = ranks.select(F.col("node").alias("domain"),
+                          F.col("rank_scaled").alias("_drr"))
+        agg = agg.join(_broadcast_if_small(dr), "domain", "left")
+        rank = F.coalesce("_drr", "_alias_rank", F.lit(0))
+    else:
+        rank = F.coalesce("_alias_rank", F.lit(0))
+    cols = [F.col("_eff").alias("norm_href"), F.col("domain"),
+            "n_refs", "n_ref_docs",
+            rank.cast("long").alias("domain_rank")]
+    if has_via:
+        cols.append(
+            F.when(F.col("_has_lk") & F.col("_has_sm"), "both")
+            .when(F.col("_has_sm"), "sitemap")
+            .otherwise("links").alias("via"))
+    return agg.select(*cols)
+
+
 def redirect_resolve_select(max_hops: int = 4) -> str:
     """DuckDB twin of synthesize_redirects |> resolve_redirects —
     the unrolled-CTE discipline of the pagerank oracle."""
@@ -421,47 +491,22 @@ FROM act"""
 # ---------------------------------------------------------------------------
 
 
-def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
-                           pr_iters: int = 3) -> DataFrame:
-    """The crawl frontier with sitemap discovery merged in: every
-    link-discovered candidate (:func:`operators.html.
-    frontier_candidates`, with its reference counts and domain
-    PageRank) plus every sitemap-announced URL not yet crawled, as a
-    zero-reference candidate. ``via`` says how each URL was
-    discovered ('links', 'sitemap', or 'both' when a sitemap confirms
-    a link-discovered URL). Sitemap-only rows are scored against the
-    RANK TABLE itself — a ranked domain whose link-discovered URLs
-    are all crawled still ranks its announcements — else 0: a domain
-    nobody links to has no rank, announced or not.
+def merge_sitemap_locs(cand: DataFrame, sitemaps: DataFrame,
+                       seen: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Merge sitemap-announced URLs into an ALREADY-ASSEMBLED
+    frontier: the store-level half of :func:`frontier_with_sitemaps`,
+    shared verbatim with it so the gate-proven semantics and the
+    crawl loop can never drift. ``cand`` is a frontier table
+    (norm_href, domain, n_refs, n_ref_docs, domain_rank), ``seen``
+    the crawled-URL set, ``ranks`` the (node, rank_scaled) PageRank
+    table sitemap-only rows are scored against.
 
-    Scale: one full-outer join on the shared norm_href key; the
-    per-domain rank side-table is left unhinted so AQE broadcasts it
-    only when it is actually small at runtime.
-
-    Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank,
-    via)."""
-    from maps_spark.operators.graph import pagerank
-    from maps_spark.operators.html import (DOMAIN_RE,
-                                           _links_with_source,
-                                           candidate_refs,
-                                           frontier_assemble,
-                                           norm_url_sql, page_urls,
-                                           site_domain_edges)
-    # decomposed so the RANK TABLE itself (not the candidate table's
-    # projection of it) scores sitemap-only rows: a ranked domain
-    # whose link-discovered URLs are all crawled never appears among
-    # the candidates, but its announced URLs must still carry its
-    # rank
-    links = _links_with_source(pages).localCheckpoint()
-    edges = site_domain_edges(pages, links=links)
-    ranks = pagerank(edges, iters=pr_iters)  # localCheckpointed inside
-    seen = page_urls(pages)
-    cand = frontier_assemble(candidate_refs(pages, links=links),
-                             seen, edges, ranks=ranks)
+    Output: cand's columns + ``via`` ('links' | 'sitemap' | 'both')."""
+    from maps_spark.operators.html import DOMAIN_RE, norm_url_sql
     locs = (parse_sitemaps(sitemaps)
             .select(F.expr(norm_url_sql("loc")).alias("norm_href"))
             .distinct()
-            .join(seen, "norm_href", "left_anti")
+            .join(seen.select("norm_href"), "norm_href", "left_anti")
             .withColumn("_sm", F.lit(True)))
     dr = ranks.select(F.col("node").alias("_drd"),
                       F.col("rank_scaled").alias("_drr"))
@@ -482,6 +527,45 @@ def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
                     F.coalesce("domain_rank", "_drr", F.lit(0))
                     .cast("long").alias("domain_rank"),
                     via.alias("via")))
+
+
+def frontier_with_sitemaps(pages: DataFrame, sitemaps: DataFrame,
+                           pr_iters: int = 3) -> DataFrame:
+    """The crawl frontier with sitemap discovery merged in: every
+    link-discovered candidate (:func:`operators.html.
+    frontier_candidates`, with its reference counts and domain
+    PageRank) plus every sitemap-announced URL not yet crawled, as a
+    zero-reference candidate. ``via`` says how each URL was
+    discovered ('links', 'sitemap', or 'both' when a sitemap confirms
+    a link-discovered URL). Sitemap-only rows are scored against the
+    RANK TABLE itself — a ranked domain whose link-discovered URLs
+    are all crawled still ranks its announcements — else 0: a domain
+    nobody links to has no rank, announced or not.
+
+    Scale: one full-outer join on the shared norm_href key; the
+    per-domain rank side-table is left unhinted so AQE broadcasts it
+    only when it is actually small at runtime.
+
+    Output: (norm_href, domain, n_refs, n_ref_docs, domain_rank,
+    via)."""
+    from maps_spark.operators.graph import pagerank
+    from maps_spark.operators.html import (_links_with_source,
+                                           candidate_refs,
+                                           frontier_assemble,
+                                           page_urls,
+                                           site_domain_edges)
+    # decomposed so the RANK TABLE itself (not the candidate table's
+    # projection of it) scores sitemap-only rows: a ranked domain
+    # whose link-discovered URLs are all crawled never appears among
+    # the candidates, but its announced URLs must still carry its
+    # rank
+    links = _links_with_source(pages).localCheckpoint()
+    edges = site_domain_edges(pages, links=links)
+    ranks = pagerank(edges, iters=pr_iters)  # localCheckpointed inside
+    seen = page_urls(pages)
+    cand = frontier_assemble(candidate_refs(pages, links=links),
+                             seen, edges, ranks=ranks)
+    return merge_sitemap_locs(cand, sitemaps, seen, ranks)
 
 
 def frontier_sitemap_merge_select(pr_iters: int = 3) -> str:

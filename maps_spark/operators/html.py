@@ -983,13 +983,17 @@ def frontier_shards(cand: DataFrame, per_host_cap: int = 5,
     from maps_spark.operators.similarity import token_hash_col
     w = (Window.partitionBy("domain")
          .orderBy(F.desc("n_refs"), F.desc("n_ref_docs"), "norm_href"))
+    # protocol-layer provenance columns ride through when the caller
+    # (the crawl loop) attached them; the gate path has neither, so
+    # the gate-proven output is byte-identical
+    extra = [c for c in ("via", "next_delay_s") if c in cand.columns]
     return (cand.withColumn("host_rank",
                             F.row_number().over(w).cast("long"))
             .where(F.col("host_rank") <= per_host_cap)
             .select("norm_href", "domain", "host_rank",
                     (token_hash_col(F.col("domain")) % n_shards)
                     .cast("long").alias("shard"),
-                    "n_refs", "n_ref_docs", "domain_rank"))
+                    "n_refs", "n_ref_docs", "domain_rank", *extra))
 
 
 def frontier_shards_select(per_host_cap: int = 5,

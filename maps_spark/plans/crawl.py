@@ -92,7 +92,10 @@ def run_crawl_round(spark: SparkSession, store_root: str,
                     out_root: str, rules: DataFrame | None = None,
                     per_host_cap: int = 5, n_shards: int = 8,
                     pr_iters: int = 3, warm_iters: int = 1,
-                    keep_builds: int = 2) -> dict:
+                    keep_builds: int = 2,
+                    redirects: DataFrame | None = None,
+                    fetch_log: DataFrame | None = None,
+                    sitemaps: DataFrame | None = None) -> dict:
     """One scheduling round of the closed crawl loop: assemble the
     current frontier from the streaming store
     (:mod:`maps_spark.streaming.frontier` — everything ingested so
@@ -106,7 +109,26 @@ def run_crawl_round(spark: SparkSession, store_root: str,
         fetch workers read their shard (read_fetch_plan) -> fetched
         pages land as batch k+1 -> ...
 
+    The protocol layer plugs in through three optional inputs the
+    fetch workers produce alongside the pages themselves:
+
+    - ``sitemaps`` (domain, xml): announced URLs merge into the
+      frontier first (:func:`operators.crawl.merge_sitemap_locs`) —
+      sitemap-only candidates enter the plan with ``via='sitemap'``;
+    - ``redirects`` (src_url, dst_url): candidates canonicalize
+      through the redirect graph (:func:`operators.crawl.
+      apply_redirects`) BEFORE planning, so a page already crawled
+      under its final URL is never refetched under an alias (and
+      vice versa — aliases collapse onto one planned fetch);
+    - ``fetch_log`` (url, attempt, status): per-URL retry state
+      (:func:`operators.crawl.fetch_schedule`) — permanently failed
+      ('drop': 404 / budget exhausted) and already-succeeded ('done')
+      URLs leave the plan before the per-host cap is spent on them;
+      transient failures stay with their backoff in ``next_delay_s``.
+
     Always versioned — the round history IS the crawl ledger."""
+    from maps_spark.operators.crawl import (apply_redirects,
+                                            merge_sitemap_locs)
     from maps_spark.operators.html import transient_mark
     from maps_spark.streaming.frontier import read_frontier
 
@@ -125,13 +147,24 @@ def run_crawl_round(spark: SparkSession, store_root: str,
     cand = read_frontier(spark, store_root, pr_iters=iters_used,
                          prior_ranks=prior if warm else None,
                          ranks_out=holder)
+    if sitemaps is not None or redirects is not None:
+        seen = (spark.read.parquet(f"{store_root.rstrip('/')}/seen")
+                .drop("batch_id").distinct())
+        if sitemaps is not None:
+            cand = merge_sitemap_locs(cand, sitemaps, seen, holder[0])
+        if redirects is not None:
+            cand = apply_redirects(cand, redirects, seen,
+                                   ranks=holder[0])
     cand = cand.localCheckpoint()
     n_cand = cand.count()
     return _plan_and_write(spark, cand, holder[0], n_cand, out_root,
                            out_dir, build_id, rules, per_host_cap,
                            n_shards, pr_iters, True, keep_builds,
                            t0, warm_started=warm, iters_used=iters_used,
-                           mark=mark)
+                           mark=mark, fetch_log=fetch_log,
+                           protocol={"sitemaps": sitemaps is not None,
+                                     "redirects": redirects is not None,
+                                     "fetch_log": fetch_log is not None})
 
 
 def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
@@ -140,22 +173,48 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
                     pr_iters: int, versioned: bool, keep_builds: int,
                     t0: float, warm_started: bool = False,
                     iters_used: int | None = None,
-                    mark: int = 0) -> dict:
+                    mark: int = 0, fetch_log=None,
+                    protocol: dict | None = None) -> dict:
     """Shared back half of the two plan builders: robots filter,
-    politeness shards, fetch-plan + node_ranks writes, manifest.
-    ``iters_used`` records the PageRank step count this plan's ranks
-    ACTUALLY ran (warm refreshes use fewer than the configured
-    ``pr_iters``); ``mark`` scopes the transient release to caches
-    this pipeline registered."""
+    retry-schedule filter, politeness shards, fetch-plan +
+    node_ranks writes, manifest. ``iters_used`` records the PageRank
+    step count this plan's ranks ACTUALLY ran (warm refreshes use
+    fewer than the configured ``pr_iters``); ``mark`` scopes the
+    transient release to caches this pipeline registered."""
     from maps_spark.operators.html import (apply_robots,
                                            frontier_shards,
+                                           norm_url_sql,
                                            release_transients)
     release_transients(mark)  # this pipeline's link/block caches
 
     allowed = apply_robots(cand, rules) if rules is not None else cand
+    if fetch_log is not None:
+        # fold the retry schedule in BEFORE the per-host cap: a
+        # dropped (404 / budget-exhausted) or already-succeeded URL
+        # must not consume one of its host's fetch slots
+        from maps_spark.operators.crawl import fetch_schedule
+        sched = fetch_schedule(fetch_log).select(
+            F.expr(norm_url_sql("url")).alias("norm_href"),
+            "action", "next_delay_s")
+        allowed = allowed.join(
+            sched.where(F.col("action").isin("drop", "done"))
+            .select("norm_href"), "norm_href", "left_anti")
+        allowed = (allowed.join(
+            sched.where(F.col("action") == "retry")
+            .select("norm_href",
+                    F.col("next_delay_s").alias("_delay")),
+            "norm_href", "left")
+            .withColumn("next_delay_s",
+                        F.coalesce("_delay", F.lit(0)).cast("long"))
+            .drop("_delay"))
     plan = frontier_shards(allowed, per_host_cap, n_shards)
+    for col, default in (("via", F.lit("links")),
+                         ("next_delay_s", F.lit(0).cast("long"))):
+        if col not in plan.columns:
+            plan = plan.withColumn(col, default)
     plan = plan.localCheckpoint()  # barrier: stats + shard write
-    n_allowed = allowed.count() if rules is not None else n_cand
+    n_allowed = allowed.count() if (rules is not None
+                                    or fetch_log is not None) else n_cand
     n_plan, n_hosts = plan.agg(
         F.count("*"), F.countDistinct("domain")).first()
 
@@ -173,6 +232,9 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
                           else iters_used),
         "warm_started": warm_started,
         "robots": rules is not None,
+        "protocol": protocol or {"sitemaps": False,
+                                 "redirects": False,
+                                 "fetch_log": False},
         "funnel": {"candidates": int(n_cand),
                    "allowed": int(n_allowed),
                    "planned": int(n_plan or 0),
@@ -202,7 +264,8 @@ def read_node_ranks(spark: SparkSession,
 
 FETCH_PLAN_SCHEMA = ("norm_href string, domain string, "
                      "host_rank long, n_refs long, n_ref_docs long, "
-                     "domain_rank long, shard long")
+                     "domain_rank long, via string, "
+                     "next_delay_s long, shard long")
 
 
 def read_fetch_plan(spark: SparkSession, out_root: str,

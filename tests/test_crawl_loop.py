@@ -310,3 +310,128 @@ def test_pin_build_rolls_back_the_active_plan(spark, tmp_path):
     assert _planned_ids(read_fetch_plan(spark, root)) == plan_b
     with pytest.raises(FileNotFoundError):
         pin_build(root, "20000101_000000_000")
+
+
+def _sitemap_xml(locs):
+    entries = "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+    return f'<?xml version="1.0"?><urlset>{entries}</urlset>'
+
+
+def test_crawl_round_protocol_inputs(spark, tmp_path):
+    """The protocol layer wired INTO the loop (VERDICT r7 #1): one
+    round consuming sitemaps + redirects + a fetch log must (a) admit
+    a sitemap ghost into the plan with via='sitemap', (b) never plan
+    a URL under a redirecting alias — an alias of a SEEN page drops,
+    an alias of an unseen page is planned under its canonical URL
+    only, (c) keep a transiently-failed (503) URL with its backoff
+    delay while dropping a permanently-failed (404) one, and (d) a
+    following hop retracts everything fetched meanwhile under either
+    name, converging to an empty plan."""
+    from maps_spark.plans.crawl import read_fetch_plan, run_crawl_round
+    uni = _universe(spark)
+    land = str(tmp_path / "land")
+    store = str(tmp_path / "store")
+    plans = str(tmp_path / "plans")
+
+    _land(uni, {0}, land)
+    _ingest(spark, land, store)
+    # link candidates after fetching page 0: {1, 2, 999 (hub)}
+    sitemaps = spark.createDataFrame(
+        [("s1.example", _sitemap_xml(["http://s1.example/doc/555",
+                                      "http://s1.example/doc/556"]))],
+        "domain string, xml string")
+    redirects = spark.createDataFrame(
+        [("http://s1.example/doc/1", "http://s0.example/doc/0"),
+         ("http://s2.example/doc/2", "http://s2.example/doc/42")],
+        "src_url string, dst_url string")
+    fetch_log = spark.createDataFrame(
+        [("http://hub.example/doc/999", 0, 503),   # transient: retry
+         ("http://s1.example/doc/556", 0, 404)],   # permanent: drop
+        "url string, attempt long, status long")
+    m1 = run_crawl_round(spark, store, plans, per_host_cap=10,
+                         n_shards=4, keep_builds=3,
+                         redirects=redirects, fetch_log=fetch_log,
+                         sitemaps=sitemaps)
+    assert m1["protocol"] == {"sitemaps": True, "redirects": True,
+                              "fetch_log": True}
+    plan1 = read_fetch_plan(spark, plans)
+    rows = {int(r.norm_href.rsplit("/doc/", 1)[1]): r
+            for r in plan1.collect()}
+    # 1 dropped (alias of seen 0); 2 canonicalized to 42; 556 dropped
+    # (404); 555 entered via sitemap; 999 retried with backoff
+    assert set(rows) == {42, 555, 999}
+    assert rows[555].via == "sitemap" and rows[555].next_delay_s == 0
+    assert rows[999].via == "links"
+    assert rows[999].next_delay_s == 120  # 60 << 1 failure
+    assert rows[42].via == "links" and rows[42].next_delay_s == 0
+    # the alias's reference counts moved onto the canonical URL
+    assert rows[42].n_refs >= 1
+
+    # hop 2: fetch the plan (pages land under their PLANNED urls),
+    # ingest, re-plan with the same protocol state
+    time.sleep(0.1)
+    fetched_pages = spark.createDataFrame(
+        [(42, "s2.example",
+          "<html><body><p>" + "forty two " * 30 + "</p></body></html>"),
+         (555, "s1.example",
+          "<html><body><p>" + "five five five " * 20 +
+          "</p></body></html>"),
+         (999, "hub.example",
+          "<html><body><p>" + "hub " * 40 + "</p></body></html>")],
+        "doc_id long, source string, html string")
+    fetched_pages.coalesce(1).write.mode("append").parquet(land)
+    _ingest(spark, land, store)
+    m2 = run_crawl_round(spark, store, plans, per_host_cap=10,
+                         n_shards=4, keep_builds=3,
+                         redirects=redirects, fetch_log=fetch_log,
+                         sitemaps=sitemaps)
+    plan2 = read_fetch_plan(spark, plans)
+    # candidates {1, 2} resurface from page 0's refs, but both
+    # canonicalize onto SEEN pages (0 and 42) — never refetched under
+    # either alias; 555/999 are seen; 556 stays dropped: empty plan
+    assert plan2.count() == 0
+    assert m2["funnel"]["planned"] == 0
+    # the empty-plan read path agrees with the declared schema
+    from maps_spark.plans.crawl import FETCH_PLAN_SCHEMA
+    empty = spark.createDataFrame([], FETCH_PLAN_SCHEMA)
+    assert dict(plan2.dtypes) == dict(empty.dtypes)
+
+
+def test_apply_redirects_closed_form(spark):
+    """Unit semantics of apply_redirects: alias collapse merges
+    reference counts onto the canonical URL and re-scores its domain
+    from the rank table; an unresolved loop drops; a candidate whose
+    final URL is seen drops; via provenance re-derives."""
+    from maps_spark.operators.crawl import apply_redirects
+    cand = spark.createDataFrame(
+        [("http://a.example/p/1", "a.example", 3, 2, 10, "links"),
+         ("http://a.example/p/2", "a.example", 5, 4, 10, "sitemap"),
+         ("http://b.example/p/3", "b.example", 1, 1, 7, "links"),
+         ("http://c.example/p/4", "c.example", 2, 2, 9, "links"),
+         ("http://d.example/p/5", "d.example", 8, 8, 3, "links")],
+        "norm_href string, domain string, n_refs long, "
+        "n_ref_docs long, domain_rank long, via string")
+    redirects = spark.createDataFrame(
+        [("http://a.example/p/1", "http://x.example/canon"),
+         ("http://a.example/p/2", "http://x.example/canon"),
+         ("http://b.example/p/3", "http://b.example/p/3b"),
+         ("http://b.example/p/3b", "http://b.example/p/3"),  # loop
+         ("http://c.example/p/4", "http://c.example/seen")],
+        "src_url string, dst_url string")
+    seen = spark.createDataFrame([("http://c.example/seen",)],
+                                 "norm_href string")
+    ranks = spark.createDataFrame([("x.example", 42)],
+                                  "node string, rank_scaled long")
+    got = {r.norm_href: r for r in
+           apply_redirects(cand, redirects, seen, ranks=ranks)
+           .collect()}
+    # loop (3) dropped, seen-target (4) dropped, aliases 1+2 merged
+    assert set(got) == {"http://x.example/canon",
+                        "http://d.example/p/5"}
+    canon = got["http://x.example/canon"]
+    assert canon.n_refs == 8 and canon.n_ref_docs == 6
+    assert canon.domain == "x.example" and canon.domain_rank == 42
+    assert canon.via == "both"  # links alias + sitemap alias
+    untouched = got["http://d.example/p/5"]
+    assert (untouched.n_refs, untouched.domain_rank,
+            untouched.via) == (8, 3, "links")
