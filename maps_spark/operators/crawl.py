@@ -123,6 +123,181 @@ FROM robots_txt"""
 
 
 # ---------------------------------------------------------------------------
+# robots.txt v2 — RFC 9309 precedence (longest match, Allow wins ties)
+# ---------------------------------------------------------------------------
+
+# Same engine-identical-by-construction discipline as
+# ROBOTS_DISALLOW_RE: (?:^|\n) anchor + explicit negated class.
+ROBOTS_ALLOW_RE = r"(?:^|\n)Allow:[ \t]*([^ \t\r\n]+)"
+ROBOTS_DELAY_RE = r"(?:^|\n)Crawl-delay:[ \t]*([0-9]+)"
+
+# v2 synthetic body: every RFC 9309 precedence case in one policy —
+# a longer Allow beating a shorter Disallow (/t/news vs /t/), an
+# equal-length tie Allow wins (/t/news both ways), a longer Disallow
+# beating a shorter Allow (/buy/checkout vs /buy), plus a
+# Crawl-delay the fetch plan must honor.
+_RT_V2 = ("User-agent: *\n"
+          "Disallow: /t/\n"
+          "Allow: /t/news\n"
+          "Disallow: /t/news\n"
+          "Allow: /buy\n"
+          "Disallow: /buy/checkout\n"
+          "Crawl-delay: 3\n")
+
+
+def synthesize_robots_v2(docs: DataFrame,
+                         source_col: str = "source") -> DataFrame:
+    """Every source site publishes the v2 precedence policy body.
+    Output: (domain, body)."""
+    return (docs.select(F.col(source_col).alias("domain")).distinct()
+            .select("domain", F.lit(_RT_V2).alias("body")))
+
+
+def parse_robots_v2(robots: DataFrame, domain_col: str = "domain",
+                    body_col: str = "body") -> DataFrame:
+    """Raw robots.txt bodies -> RFC 9309 rule rows: both ``Allow:``
+    and ``Disallow:`` lines as (domain, rule_type, path). Empty-path
+    lines are no-ops in the RFC and are rejected by the path class.
+    Pure codegen — two regexp_extract_alls per body."""
+    d = F.col(domain_col).alias("domain")
+
+    def rules(rx: str, t: str):
+        return (robots.select(
+            d, F.lit(t).alias("rule_type"),
+            F.explode(F.regexp_extract_all(
+                F.col(body_col), F.lit(rx), F.lit(1))).alias("path")))
+
+    return (rules(ROBOTS_ALLOW_RE, "allow")
+            .unionByName(rules(ROBOTS_DISALLOW_RE, "disallow"))
+            .distinct())
+
+
+def robots_crawl_delay(robots: DataFrame, domain_col: str = "domain",
+                       body_col: str = "body") -> DataFrame:
+    """Per-domain ``Crawl-delay:`` seconds (the conservative MAX when
+    a body repeats it). Output: (domain, crawl_delay_s)."""
+    return (robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.regexp_extract_all(
+            F.col(body_col), F.lit(ROBOTS_DELAY_RE), F.lit(1)))
+        .alias("_d"))
+        .groupBy("domain")
+        .agg(F.max(F.col("_d").cast("long")).alias("crawl_delay_s")))
+
+
+def robots_decisions_v2(urls: DataFrame,
+                        rules: DataFrame) -> DataFrame:
+    """RFC 9309 match decision per URL: among the URL's domain rules
+    whose path is a prefix of the URL's path, the LONGEST match wins
+    and an equal-length Allow beats a Disallow; no matching rule
+    means allowed. ``urls`` needs (url, domain, path) — see
+    :func:`url_paths`.
+
+    Shape: one domain-keyed join against the (bounded, broadcast-
+    when-small) rules table, one per-URL max-struct aggregation —
+    the struct orders by (match length, allow-wins-tie), so the
+    winner is picked without a window sort.
+
+    Output: (url, domain, match_path, match_type, blocked)."""
+    from maps_spark.operators.html import _broadcast_if_small
+    r = rules.select(F.lower("domain").alias("domain"),
+                     "rule_type", F.col("path").alias("rpath"))
+    m = (urls.join(_broadcast_if_small(r), "domain")
+         .where(F.col("path").startswith(F.col("rpath")))
+         .groupBy("url")
+         .agg(F.max(F.struct(
+             F.length("rpath").alias("l"),
+             (F.col("rule_type") == "allow").cast("int").alias("a"),
+             F.col("rpath").alias("p"))).alias("b")))
+    return (urls.join(m, "url", "left")
+            .select("url", "domain",
+                    F.coalesce(F.col("b.p"), F.lit(""))
+                    .alias("match_path"),
+                    F.when(F.col("b").isNull(), "")
+                    .when(F.col("b.a") == 1, "allow")
+                    .otherwise("disallow").alias("match_type"),
+                    F.coalesce(F.col("b.a") == 0, F.lit(False))
+                    .alias("blocked")))
+
+
+def url_paths(cand: DataFrame,
+              url_col: str = "norm_href") -> DataFrame:
+    """(url, domain, path) projection of a candidate table — the
+    robots matcher's input shape ('' paths normalize to '/')."""
+    from maps_spark.operators.html import _URL_PATH_STRIP, DOMAIN_RE
+    path = F.regexp_replace(F.col(url_col), _URL_PATH_STRIP, "")
+    return cand.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), DOMAIN_RE, 1).alias("domain"),
+        F.when(path == "", "/").otherwise(path).alias("path"))
+
+
+def apply_robots_v2(cand: DataFrame, rules: DataFrame) -> DataFrame:
+    """Filter a frontier table by RFC 9309 rules: drop candidates
+    whose winning match is a Disallow (longest match, Allow wins
+    ties, unmatched passes)."""
+    blocked = (robots_decisions_v2(url_paths(cand), rules)
+               .where("blocked")
+               .select(F.col("url").alias("norm_href")).distinct())
+    return cand.join(blocked, "norm_href", "left_anti")
+
+
+_V2_PATHS = ["/t/x", "/t/news/1", "/buy/item", "/buy/checkout/2",
+             "/other"]
+
+
+def synthesize_v2_urls(docs: DataFrame, id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Deterministic candidate URLs hitting every precedence case:
+    doc i requests path _V2_PATHS[i % 5] on its source site.
+    Output: (url, domain, path)."""
+    p = F.element_at(F.array(*[F.lit(x) for x in _V2_PATHS]),
+                     (F.col(id_col) % 5 + 1).cast("int"))
+    return (docs.select(
+        F.concat(F.lit("http://"), F.col(source_col), p).alias("url"),
+        F.col(source_col).alias("domain"), p.alias("path"))
+        .distinct())
+
+
+def robots_v2_select() -> str:
+    """DuckDB twin of synthesize_robots_v2 + synthesize_v2_urls
+    |> robots_decisions_v2."""
+    paths = ", ".join(f"'{p}'" for p in _V2_PATHS)
+    return f"""WITH bodies AS (
+  SELECT domain, {_sql_str(_RT_V2)} AS body
+  FROM (SELECT DISTINCT source AS domain FROM documents)),
+rules AS (
+  SELECT DISTINCT domain, 'allow' AS rule_type,
+         unnest(regexp_extract_all(body, '{ROBOTS_ALLOW_RE}', 1))
+           AS rpath
+  FROM bodies
+  UNION
+  SELECT DISTINCT domain, 'disallow',
+         unnest(regexp_extract_all(body, '{ROBOTS_DISALLOW_RE}', 1))
+  FROM bodies),
+urls AS (
+  SELECT DISTINCT 'http://' || source || p AS url,
+         source AS domain, p AS path
+  FROM documents,
+       LATERAL (SELECT ([{paths}])[(doc_id % 5) + 1] AS p) v),
+m AS (
+  SELECT u.url, r.rule_type, r.rpath,
+         row_number() OVER (
+           PARTITION BY u.url
+           ORDER BY length(r.rpath) DESC,
+                    CASE WHEN r.rule_type = 'allow' THEN 1 ELSE 0
+                    END DESC) AS rn
+  FROM urls u JOIN rules r ON r.domain = lower(u.domain)
+  WHERE starts_with(u.path, r.rpath))
+SELECT u.url, u.domain,
+       COALESCE(m.rpath, '') AS match_path,
+       COALESCE(m.rule_type, '') AS match_type,
+       COALESCE(m.rule_type = 'disallow', FALSE) AS blocked
+FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+  ON m.url = u.url"""
+
+
+# ---------------------------------------------------------------------------
 # sitemap.xml
 # ---------------------------------------------------------------------------
 
@@ -232,6 +407,83 @@ SELECT domain, CAST(u.bi - 1 AS BIGINT) AS entry_idx,
        regexp_extract(u.b, '{SITEMAP_LASTMOD_RE}', 1) AS lastmod
 FROM blk, LATERAL (SELECT unnest(bs) AS b,
                           generate_subscripts(bs, 1) AS bi) u"""
+
+
+def synthesize_fetch_dates(docs: DataFrame, id_col: str = "doc_id",
+                           source_col: str = "source") -> DataFrame:
+    """Deterministic last-fetch dates for the synthesized crawl: page
+    i was fetched on 2026-01-<((i*5) % 28) + 1> — co-prime with the
+    sitemap synthesizer's lastmod day ((i % 28) + 1), so the
+    stale/fresh split is a non-trivial deterministic subset.
+
+    Output: (norm_href, fetched_at)."""
+    from maps_spark.operators.html import norm_url_sql
+    i = F.col(id_col)
+    return docs.select(
+        F.expr(norm_url_sql(
+            f"concat('http://', {source_col}, '/doc/', "
+            f"cast({id_col} as string))")).alias("norm_href"),
+        F.concat(F.lit("2026-01-"),
+                 F.lpad(((i * 5) % 28 + 1).cast("string"), 2, "0"))
+        .alias("fetched_at"))
+
+
+def recrawl_candidates(sitemaps: DataFrame,
+                       fetched: DataFrame) -> DataFrame:
+    """The incremental-crawl half of sitemap discovery: announced
+    URLs whose ``<lastmod>`` postdates their last successful fetch
+    should re-enter the frontier as recrawl candidates. ``fetched``
+    is the crawl ledger's (norm_href, fetched_at) table — ISO dates,
+    so string comparison IS date comparison in both engines. Entries
+    without a lastmod never qualify (no change signal), and an URL
+    announced by several sitemaps recrawls on its NEWEST lastmod.
+
+    Scale: one per-URL max aggregation over the parsed entries + one
+    equi-join against the ledger — both on the norm_href key.
+
+    Output: (norm_href, domain, lastmod, fetched_at)."""
+    from maps_spark.operators.html import DOMAIN_RE, norm_url_sql
+    ent = (parse_sitemaps(sitemaps)
+           .where(F.col("lastmod") != "")
+           .select(F.expr(norm_url_sql("loc")).alias("norm_href"),
+                   "lastmod")
+           .groupBy("norm_href")
+           .agg(F.max("lastmod").alias("lastmod")))
+    return (ent.join(fetched.select("norm_href", "fetched_at"),
+                     "norm_href")
+            .where(F.col("lastmod") > F.col("fetched_at"))
+            .select("norm_href",
+                    F.regexp_extract("norm_href", DOMAIN_RE, 1)
+                    .alias("domain"),
+                    "lastmod", "fetched_at"))
+
+
+def recrawl_candidates_select() -> str:
+    """DuckDB twin of synthesize_sitemaps + synthesize_fetch_dates
+    |> recrawl_candidates."""
+    from maps_spark.operators.html import DOMAIN_RE, norm_url_sql
+    page_url = ("'http://' || source || '/doc/' || "
+                "CAST(doc_id AS VARCHAR)")
+    return f"""WITH {sitemap_ctes()},
+blk AS (
+  SELECT regexp_extract(u.b, '{SITEMAP_LOC_RE}', 1) AS loc,
+         regexp_extract(u.b, '{SITEMAP_LASTMOD_RE}', 1) AS lastmod
+  FROM (SELECT regexp_extract_all(xml, '{SITEMAP_URL_RE}', 0) AS bs
+        FROM sitemaps) t,
+       LATERAL (SELECT unnest(bs) AS b) u),
+ent AS (
+  SELECT {norm_url_sql('loc')} AS norm_href, max(lastmod) AS lastmod
+  FROM blk WHERE lastmod <> '' GROUP BY 1),
+fd AS (
+  SELECT {norm_url_sql(page_url)} AS norm_href,
+         '2026-01-' || lpad(CAST((doc_id * 5) % 28 + 1 AS VARCHAR),
+                            2, '0') AS fetched_at
+  FROM documents)
+SELECT ent.norm_href,
+       regexp_extract(ent.norm_href, '{DOMAIN_RE}', 1) AS domain,
+       lastmod, fetched_at
+FROM ent JOIN fd USING (norm_href)
+WHERE lastmod > fetched_at"""
 
 
 # ---------------------------------------------------------------------------

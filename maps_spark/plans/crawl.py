@@ -95,7 +95,9 @@ def run_crawl_round(spark: SparkSession, store_root: str,
                     keep_builds: int = 2,
                     redirects: DataFrame | None = None,
                     fetch_log: DataFrame | None = None,
-                    sitemaps: DataFrame | None = None) -> dict:
+                    sitemaps: DataFrame | None = None,
+                    fetched: DataFrame | None = None,
+                    robots_bodies: DataFrame | None = None) -> dict:
     """One scheduling round of the closed crawl loop: assemble the
     current frontier from the streaming store
     (:mod:`maps_spark.streaming.frontier` — everything ingested so
@@ -124,11 +126,25 @@ def run_crawl_round(spark: SparkSession, store_root: str,
       (:func:`operators.crawl.fetch_schedule`) — permanently failed
       ('drop': 404 / budget exhausted) and already-succeeded ('done')
       URLs leave the plan before the per-host cap is spent on them;
-      transient failures stay with their backoff in ``next_delay_s``.
+      transient failures stay with their backoff in ``next_delay_s``;
+    - ``fetched`` (norm_href, fetched_at): the crawl ledger's last-
+      fetch dates — with ``sitemaps``, announced URLs whose lastmod
+      postdates their fetch re-enter the plan as ``via='recrawl'``
+      candidates (:func:`operators.crawl.recrawl_candidates`); they
+      are exempt from the fetch log's 'done' drop (done-but-stale is
+      exactly what a recrawl is) but not from its 404 'drop';
+    - ``robots_bodies`` (domain, body): raw robots.txt bodies — RFC
+      9309 filtering (longest match, Allow wins ties) via
+      :func:`operators.crawl.apply_robots_v2`, with each domain's
+      ``Crawl-delay:`` carried onto its planned rows as
+      ``crawl_delay_s`` so the shard worker spaces that host's
+      fetches. Independent of the structured v1 ``rules`` (both
+      apply when both are given — the conservative union).
 
     Always versioned — the round history IS the crawl ledger."""
     from maps_spark.operators.crawl import (apply_redirects,
-                                            merge_sitemap_locs)
+                                            merge_sitemap_locs,
+                                            recrawl_candidates)
     from maps_spark.operators.html import transient_mark
     from maps_spark.streaming.frontier import read_frontier
 
@@ -155,6 +171,24 @@ def run_crawl_round(spark: SparkSession, store_root: str,
         if redirects is not None:
             cand = apply_redirects(cand, redirects, seen,
                                    ranks=holder[0])
+    if sitemaps is not None and fetched is not None:
+        # AFTER apply_redirects: recrawl candidates are deliberately
+        # SEEN URLs — the canonicalization step's seen anti-join
+        # would (correctly, for discovery) drop them
+        ranks = holder[0]
+        dr = ranks.select(F.col("node").alias("domain"),
+                          F.col("rank_scaled").alias("_drr"))
+        rc = (recrawl_candidates(sitemaps, fetched)
+              .join(dr, "domain", "left")
+              .select("norm_href", "domain",
+                      F.lit(0).cast("long").alias("n_refs"),
+                      F.lit(0).cast("long").alias("n_ref_docs"),
+                      F.coalesce("_drr", F.lit(0)).cast("long")
+                      .alias("domain_rank"),
+                      F.lit("recrawl").alias("via")))
+        if "via" not in cand.columns:
+            cand = cand.withColumn("via", F.lit("links"))
+        cand = cand.unionByName(rc)
     cand = cand.localCheckpoint()
     n_cand = cand.count()
     return _plan_and_write(spark, cand, holder[0], n_cand, out_root,
@@ -162,9 +196,13 @@ def run_crawl_round(spark: SparkSession, store_root: str,
                            n_shards, pr_iters, True, keep_builds,
                            t0, warm_started=warm, iters_used=iters_used,
                            mark=mark, fetch_log=fetch_log,
+                           robots_bodies=robots_bodies,
                            protocol={"sitemaps": sitemaps is not None,
                                      "redirects": redirects is not None,
-                                     "fetch_log": fetch_log is not None})
+                                     "fetch_log": fetch_log is not None,
+                                     "recrawl": fetched is not None,
+                                     "robots_v2":
+                                         robots_bodies is not None})
 
 
 def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
@@ -174,6 +212,7 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
                     t0: float, warm_started: bool = False,
                     iters_used: int | None = None,
                     mark: int = 0, fetch_log=None,
+                    robots_bodies=None,
                     protocol: dict | None = None) -> dict:
     """Shared back half of the two plan builders: robots filter,
     retry-schedule filter, politeness shards, fetch-plan +
@@ -188,19 +227,31 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
     release_transients(mark)  # this pipeline's link/block caches
 
     allowed = apply_robots(cand, rules) if rules is not None else cand
+    if robots_bodies is not None:
+        from maps_spark.operators.crawl import (apply_robots_v2,
+                                                parse_robots_v2)
+        allowed = apply_robots_v2(allowed,
+                                  parse_robots_v2(robots_bodies))
     if fetch_log is not None:
         # fold the retry schedule in BEFORE the per-host cap: a
         # dropped (404 / budget-exhausted) or already-succeeded URL
-        # must not consume one of its host's fetch slots
+        # must not consume one of its host's fetch slots. Recrawl
+        # candidates are exempt from the 'done' drop — done-but-stale
+        # is what a recrawl IS — but a 404'd URL never recrawls.
         from maps_spark.operators.crawl import fetch_schedule
         sched = fetch_schedule(fetch_log).select(
             F.expr(norm_url_sql("url")).alias("norm_href"),
-            "action", "next_delay_s")
-        allowed = allowed.join(
-            sched.where(F.col("action").isin("drop", "done"))
-            .select("norm_href"), "norm_href", "left_anti")
+            F.col("action").alias("_action"), "next_delay_s")
+        drops = sched.where(F.col("_action").isin("drop", "done")) \
+            .select("norm_href", "_action")
+        allowed = allowed.join(drops, "norm_href", "left")
+        keep = F.col("_action").isNull()
+        if "via" in allowed.columns:
+            keep = keep | ((F.col("_action") == "done") &
+                           (F.col("via") == "recrawl"))
+        allowed = allowed.where(keep).drop("_action")
         allowed = (allowed.join(
-            sched.where(F.col("action") == "retry")
+            sched.where(F.col("_action") == "retry")
             .select("norm_href",
                     F.col("next_delay_s").alias("_delay")),
             "norm_href", "left")
@@ -208,12 +259,22 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
                         F.coalesce("_delay", F.lit(0)).cast("long"))
             .drop("_delay"))
     plan = frontier_shards(allowed, per_host_cap, n_shards)
+    if robots_bodies is not None:
+        from maps_spark.operators.crawl import robots_crawl_delay
+        plan = (plan.join(
+            F.broadcast(robots_crawl_delay(robots_bodies)),
+            "domain", "left")
+            .withColumn("crawl_delay_s",
+                        F.coalesce("crawl_delay_s", F.lit(0))
+                        .cast("long")))
     for col, default in (("via", F.lit("links")),
-                         ("next_delay_s", F.lit(0).cast("long"))):
+                         ("next_delay_s", F.lit(0).cast("long")),
+                         ("crawl_delay_s", F.lit(0).cast("long"))):
         if col not in plan.columns:
             plan = plan.withColumn(col, default)
     plan = plan.localCheckpoint()  # barrier: stats + shard write
     n_allowed = allowed.count() if (rules is not None
+                                    or robots_bodies is not None
                                     or fetch_log is not None) else n_cand
     n_plan, n_hosts = plan.agg(
         F.count("*"), F.countDistinct("domain")).first()
@@ -265,7 +326,8 @@ def read_node_ranks(spark: SparkSession,
 FETCH_PLAN_SCHEMA = ("norm_href string, domain string, "
                      "host_rank long, n_refs long, n_ref_docs long, "
                      "domain_rank long, via string, "
-                     "next_delay_s long, shard long")
+                     "next_delay_s long, crawl_delay_s long, "
+                     "shard long")
 
 
 def read_fetch_plan(spark: SparkSession, out_root: str,

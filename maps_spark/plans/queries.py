@@ -640,6 +640,26 @@ def q_fetch_schedule(spark, sf_dir):
     return fetch_schedule(synthesize_fetch_log(_docs(spark, sf_dir)))
 
 
+def q_recrawl_candidates(spark, sf_dir):
+    from maps_spark.operators.crawl import (recrawl_candidates,
+                                            synthesize_fetch_dates,
+                                            synthesize_sitemaps)
+    docs = _docs(spark, sf_dir)
+    return recrawl_candidates(synthesize_sitemaps(docs),
+                              synthesize_fetch_dates(docs))
+
+
+def q_robots_v2_decisions(spark, sf_dir):
+    from maps_spark.operators.crawl import (parse_robots_v2,
+                                            robots_decisions_v2,
+                                            synthesize_robots_v2,
+                                            synthesize_v2_urls)
+    docs = _docs(spark, sf_dir)
+    return robots_decisions_v2(synthesize_v2_urls(docs),
+                               parse_robots_v2(
+                                   synthesize_robots_v2(docs)))
+
+
 def q_site_boilerplate(spark, sf_dir):
     from maps_spark.operators.html import (site_boilerplate,
                                            synthesize_html)
@@ -1378,6 +1398,8 @@ MAPS_QUERIES = {
     "frontier_sitemap_merge": q_frontier_sitemap_merge,
     "redirect_resolve": q_redirect_resolve,
     "fetch_schedule": q_fetch_schedule,
+    "recrawl_candidates": q_recrawl_candidates,
+    "robots_v2_decisions": q_robots_v2_decisions,
     "site_boilerplate": q_site_boilerplate,
     "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
@@ -1580,7 +1602,9 @@ def _crawl_oracle(which: str) -> str:
             "sitemap_parse": CR.sitemap_parse_select,
             "frontier_sitemap": CR.frontier_sitemap_merge_select,
             "redirect_resolve": CR.redirect_resolve_select,
-            "fetch_schedule": CR.fetch_schedule_select}[which]()
+            "fetch_schedule": CR.fetch_schedule_select,
+            "recrawl_candidates": CR.recrawl_candidates_select,
+            "robots_v2_decisions": CR.robots_v2_select}[which]()
 
 
 def maps_oracles() -> dict[str, str]:
@@ -1674,6 +1698,8 @@ def maps_oracles() -> dict[str, str]:
         "frontier_sitemap_merge": _crawl_oracle("frontier_sitemap"),
         "redirect_resolve": _crawl_oracle("redirect_resolve"),
         "fetch_schedule": _crawl_oracle("fetch_schedule"),
+        "recrawl_candidates": _crawl_oracle("recrawl_candidates"),
+        "robots_v2_decisions": _crawl_oracle("robots_v2_decisions"),
         "site_boilerplate": _html_oracle("site_bp"),
         "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),

@@ -353,7 +353,8 @@ def test_crawl_round_protocol_inputs(spark, tmp_path):
                          redirects=redirects, fetch_log=fetch_log,
                          sitemaps=sitemaps)
     assert m1["protocol"] == {"sitemaps": True, "redirects": True,
-                              "fetch_log": True}
+                              "fetch_log": True, "recrawl": False,
+                              "robots_v2": False}
     plan1 = read_fetch_plan(spark, plans)
     rows = {int(r.norm_href.rsplit("/doc/", 1)[1]): r
             for r in plan1.collect()}
@@ -435,3 +436,105 @@ def test_apply_redirects_closed_form(spark):
     untouched = got["http://d.example/p/5"]
     assert (untouched.n_refs, untouched.domain_rank,
             untouched.via) == (8, 3, "links")
+
+
+def test_crawl_round_recrawl_and_robots_v2(spark, tmp_path):
+    """Sitemap lastmod drives recrawl (VERDICT r7 #4) and RFC 9309
+    robots with Crawl-delay are honored in the plan (VERDICT r7 #6):
+    a stale already-fetched page resurfaces exactly once as
+    via='recrawl' (exempt from the fetch log's 'done' drop), a
+    longest-match Allow admits one URL while a shorter Disallow
+    blocks its sibling, and the domain's Crawl-delay rides the
+    planned rows."""
+    from maps_spark.plans.crawl import read_fetch_plan, run_crawl_round
+    uni = _universe(spark)
+    land = str(tmp_path / "land")
+    store = str(tmp_path / "store")
+    plans = str(tmp_path / "plans")
+
+    _land(uni, {0, 1, 2}, land)
+    _ingest(spark, land, store)
+    # link candidates now: fringe {3,4,5,6} + hub 999
+    robots_bodies = spark.createDataFrame(
+        [("s3.example", "User-agent: *\nDisallow: /doc/\n"
+                        "Allow: /doc/3\nCrawl-delay: 7\n"),
+         ("s0.example", "User-agent: *\nDisallow: /doc/\n")],
+        "domain string, body string")
+    sitemaps = spark.createDataFrame(
+        [("s1.example",
+          '<?xml version="1.0"?><urlset>'
+          "<url><loc>http://s1.example/doc/1</loc>"
+          "<lastmod>2026-02-01</lastmod></url>"
+          "<url><loc>http://s2.example/doc/2</loc>"
+          "<lastmod>2026-01-01</lastmod></url></urlset>")],
+        "domain string, xml string")
+    fetched = spark.createDataFrame(
+        [("http://s1.example/doc/1", "2026-01-15"),
+         ("http://s2.example/doc/2", "2026-01-15")],
+        "norm_href string, fetched_at string")
+    # page 1 completed successfully — the 'done' drop must NOT kill
+    # its recrawl (done-but-stale is what a recrawl is)
+    fetch_log = spark.createDataFrame(
+        [("http://s1.example/doc/1", 0, 200)],
+        "url string, attempt long, status long")
+    m1 = run_crawl_round(spark, store, plans, per_host_cap=10,
+                         n_shards=4, keep_builds=3,
+                         sitemaps=sitemaps, fetched=fetched,
+                         fetch_log=fetch_log,
+                         robots_bodies=robots_bodies)
+    assert m1["protocol"]["recrawl"] and m1["protocol"]["robots_v2"]
+    rows = {int(r.norm_href.rsplit("/doc/", 1)[1]): r
+            for r in read_fetch_plan(spark, plans).collect()}
+    # 4 blocked (s0 Disallow /doc/); 3 allowed (longer Allow /doc/3);
+    # 1 recrawls (lastmod 02-01 > fetched 01-15); 2 fresh (01-01 <
+    # 01-15) stays out
+    assert set(rows) == {1, 3, 5, 6, 999}
+    assert rows[1].via == "recrawl"
+    assert rows[3].crawl_delay_s == 7
+    assert all(rows[i].crawl_delay_s == 0 for i in (1, 5, 6, 999))
+    assert rows[3].via == "links"
+
+    # hop 2: the recrawl was performed and the ledger updated — the
+    # stale page must NOT resurface (recrawled exactly once)
+    time.sleep(0.1)
+    fetched2 = spark.createDataFrame(
+        [("http://s1.example/doc/1", "2026-02-10"),
+         ("http://s2.example/doc/2", "2026-01-15")],
+        "norm_href string, fetched_at string")
+    m2 = run_crawl_round(spark, store, plans, per_host_cap=10,
+                         n_shards=4, keep_builds=3,
+                         sitemaps=sitemaps, fetched=fetched2,
+                         fetch_log=fetch_log,
+                         robots_bodies=robots_bodies)
+    rows2 = {int(r.norm_href.rsplit("/doc/", 1)[1])
+             for r in read_fetch_plan(spark, plans).collect()}
+    assert 1 not in rows2 and 4 not in rows2
+    assert rows2 == {3, 5, 6, 999}
+
+
+def test_read_fetch_plan_prunes_shard_partitions(spark, tmp_path):
+    """The long-cast read_fetch_plan applies before its shard filter
+    must still prune at the PARTITION level (Catalyst unwraps the
+    cast): the scan's PartitionFilters carries the shard equality and
+    no post-scan Filter node re-checks it — a Spark version change
+    that broke cast-unwrapping would silently turn every worker read
+    into a full-plan scan (VERDICT r7 #5)."""
+    import re
+
+    from maps_spark.plans.crawl import read_fetch_plan, run_crawl_plan
+    uni = _universe(spark)
+    root = str(tmp_path / "plans")
+    # a PARTIAL crawl so an uncrawled fringe exists -> non-empty plan
+    run_crawl_plan(spark, uni.where(F.col("doc_id") < 12), root,
+                   per_host_cap=100, n_shards=4)
+    full = read_fetch_plan(spark, root)
+    assert full.count() > 0
+    k = full.select("shard").first()[0]
+    df = read_fetch_plan(spark, root, shard=int(k))
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(rf"\(shard#\d+ = {k}\)", m.group(1)), \
+        f"shard equality not pushed to PartitionFilters:\n{plan}"
+    # and no post-scan Filter re-evaluates the shard predicate
+    assert not re.search(r"\) Filter .*shard", plan), plan

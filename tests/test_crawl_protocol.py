@@ -218,3 +218,81 @@ def test_sitemap_only_rows_rank_from_graph_not_candidates(spark):
     assert ranks["b.example"] > 0
     assert row.domain_rank == ranks["b.example"], \
         "announced URL lost its ranked domain's score"
+
+
+def test_robots_v2_rfc_precedence_planted(spark):
+    """RFC 9309 resolution on planted rules: longest match wins,
+    an equal-length Allow beats a Disallow, unmatched URLs pass,
+    and rule domains case-fold onto the URL's domain."""
+    from maps_spark.operators.crawl import (parse_robots_v2,
+                                            robots_decisions_v2,
+                                            url_paths)
+    body = ("User-agent: *\n"
+            "Disallow: /t/\n"
+            "Allow: /t/news\n"
+            "Disallow: /t/news\n"
+            "Allow: /buy\n"
+            "Disallow: /buy/checkout\n"
+            "Crawl-delay: 3\n")
+    rules = parse_robots_v2(spark.createDataFrame(
+        [("A.example", body)], "domain string, body string"))
+    cand = spark.createDataFrame(
+        [(f"http://a.example{p}",) for p in
+         ("/t/x", "/t/news/1", "/buy/item", "/buy/checkout/2",
+          "/other")], "norm_href string")
+    got = {r.url: (r.match_path, r.match_type, r.blocked)
+           for r in robots_decisions_v2(url_paths(cand),
+                                        rules).collect()}
+    assert got["http://a.example/t/x"] == ("/t/", "disallow", True)
+    assert got["http://a.example/t/news/1"] == \
+        ("/t/news", "allow", False)      # equal length: allow wins
+    assert got["http://a.example/buy/item"] == \
+        ("/buy", "allow", False)
+    assert got["http://a.example/buy/checkout/2"] == \
+        ("/buy/checkout", "disallow", True)  # longer disallow wins
+    assert got["http://a.example/other"] == ("", "", False)
+
+
+def test_robots_crawl_delay_extraction(spark):
+    from maps_spark.operators.crawl import robots_crawl_delay
+    df = spark.createDataFrame(
+        [("a.example", "Crawl-delay: 2\nDisallow: /x\nCrawl-delay: 9\n"),
+         ("b.example", "Disallow: /y\n")],
+        "domain string, body string")
+    got = {r.domain: r.crawl_delay_s
+           for r in robots_crawl_delay(df).collect()}
+    assert got == {"a.example": 9}  # max wins; no-delay domain absent
+
+
+def test_recrawl_candidates_planted(spark):
+    """Only announced URLs with a lastmod NEWER than their last fetch
+    recrawl; the newest lastmod wins across sitemaps; never-fetched
+    (ghost) and lastmod-free entries are excluded."""
+    from maps_spark.operators.crawl import recrawl_candidates
+    sitemaps = spark.createDataFrame(
+        [("a.example",
+          '<?xml version="1.0"?><urlset>'
+          "<url><loc>http://a.example/p/1</loc>"
+          "<lastmod>2026-01-10</lastmod></url>"
+          "<url><loc>http://a.example/p/2</loc>"
+          "<lastmod>2026-03-01</lastmod></url>"
+          "<url><loc>http://a.example/p/3</loc></url>"
+          "<url><loc>http://a.example/ghost</loc>"
+          "<lastmod>2026-12-31</lastmod></url></urlset>"),
+         ("m.example",
+          '<?xml version="1.0"?><urlset>'
+          "<url><loc>http://a.example/p/2</loc>"
+          "<lastmod>2026-02-01</lastmod></url></urlset>")],
+        "domain string, xml string")
+    fetched = spark.createDataFrame(
+        [("http://a.example/p/1", "2026-02-01"),
+         ("http://a.example/p/2", "2026-02-15"),
+         ("http://a.example/p/3", "2026-01-01")],
+        "norm_href string, fetched_at string")
+    got = {r.norm_href: (r.lastmod, r.fetched_at)
+           for r in recrawl_candidates(sitemaps, fetched).collect()}
+    # p/1 fresh (01-10 < 02-01); p/2 stale on the NEWEST lastmod
+    # (03-01 > 02-15, even though m.example's 02-01 is older);
+    # p/3 no lastmod; ghost never fetched
+    assert got == {"http://a.example/p/2":
+                   ("2026-03-01", "2026-02-15")}
