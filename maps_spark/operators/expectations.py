@@ -90,6 +90,24 @@ def expectation_report(df: DataFrame,
                       (F.col("n_violations") == 0).alias("passed"))
 
 
+def evaluate_contract(df: DataFrame, contract: dict) -> dict:
+    """Evaluate a build-promotion contract — the gate a pipeline
+    driver runs on its INPUT before spending a multi-hour build on a
+    bad snapshot. ``contract`` is ``{"conditions": {rule_id:
+    predicate}, "unique": {rule_id: [cols]}, "waived": [rule_id]}``;
+    waived rules are evaluated and recorded but never block.
+
+    Returns ``{"report": [rule rows], "failed": [non-waived failed
+    rule ids], "ok": bool}`` — collect-safe (rules-count rows)."""
+    res = expectation_report(df, contract.get("conditions"),
+                             contract.get("unique"))
+    waived = set(contract.get("waived") or ())
+    report = [r.asDict() for r in res.collect()]
+    failed = sorted(r["rule_id"] for r in report
+                    if not r["passed"] and r["rule_id"] not in waived)
+    return {"report": report, "failed": failed, "ok": not failed}
+
+
 # gate configuration over the documents table — a realistic contract
 # with one DELIBERATELY failing rule (n_chars >= 100) so the report
 # proves it counts violations rather than just rubber-stamping

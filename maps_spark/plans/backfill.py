@@ -36,7 +36,8 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                  max_zoom: int = 8, threshold: int = PY.DEFAULT_THRESHOLD,
                  snapshot: bool | str = True, versioned: bool = True,
                  keep_builds: int = 2, parallel_srs: bool = False,
-                 skew_report: bool = True) -> dict:
+                 skew_report: bool = True,
+                 expectations: dict | None = None) -> dict:
     """Build the full tile index + point bundles. Returns manifest.
 
     ``versioned`` writes into ``out_root/builds/<ts>/`` and atomically
@@ -55,6 +56,14 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
       executor loss recomputes from the staged table instead of
       killing the job. The staging tree is dropped on finalise.
     - ``False``: no barrier (every consumer re-reads the source).
+
+    ``expectations`` is an optional promotion contract
+    (:func:`operators.expectations.evaluate_contract` shape) run on
+    the input snapshot BEFORE any build work: when a non-waived rule
+    fails, the build aborts with no writes and no manifest swap —
+    the prior build stays active — and the rejection report is
+    returned as ``{"promoted": False, "expectations": ...}``. On
+    success the report is recorded in the promoted manifest.
     """
     t0 = time.time()
     build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
@@ -63,6 +72,14 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     staging_root = f"{out_dir}/staging" if staged else None
 
     occ = occurrence_df(spark, sf_dir)
+    contract = None
+    if expectations is not None:
+        from maps_spark.operators.expectations import evaluate_contract
+        contract = evaluate_contract(occ, expectations)
+        if not contract["ok"]:
+            return {"stage": "backfill", "promoted": False,
+                    "rejected_build_id": build_id,
+                    "expectations": contract}
     if staged:
         # reliable barrier: staged Parquet table, read back with a
         # fresh lineage rooted at replicated storage
@@ -152,6 +169,8 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                                               bool(snapshot)),
         "hot_keys": hot,
     }
+    if contract is not None:
+        manifest["expectations"] = contract
     if versioned:
         tile_store.finalise_build(out_root, build_id, manifest,
                                   keep=keep_builds)

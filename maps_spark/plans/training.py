@@ -39,7 +39,8 @@ def run_training_prep(spark: SparkSession, sf_dir: str, out_root: str,
                       budget_tokens: int | None = None,
                       seq_budget: int = 512, n_shards: int = 8,
                       versioned: bool = True,
-                      keep_builds: int = 2) -> dict:
+                      keep_builds: int = 2,
+                      expectations: dict | None = None) -> dict:
     """Run the four-stage prep; returns the manifest dict.
 
     ``weights=None`` keeps every source at weight 1 (the mixture stage
@@ -56,6 +57,17 @@ def run_training_prep(spark: SparkSession, sf_dir: str, out_root: str,
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contract = None
+    if expectations is not None:
+        # promotion contract on the input snapshot, before any build
+        # work: a failed non-waived rule aborts with no writes and no
+        # manifest swap (the prior build stays active)
+        from maps_spark.operators.expectations import evaluate_contract
+        contract = evaluate_contract(docs, expectations)
+        if not contract["ok"]:
+            return {"stage": "training_prep", "promoted": False,
+                    "rejected_build_id": build_id,
+                    "expectations": contract}
     n_in = docs.count()
 
     verdicts = curate_corpus(docs)
@@ -99,6 +111,8 @@ def run_training_prep(spark: SparkSession, sf_dir: str, out_root: str,
                    "sequences": int(n_seqs or 0)},
         "build_sec": round(time.time() - t0, 2),
     }
+    if contract is not None:
+        manifest["expectations"] = contract
     if versioned:
         finalise_build(out_root, build_id, manifest, keep=keep_builds)
     else:

@@ -54,7 +54,8 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
                    seq_budget: int = 512, n_shards: int = 8,
                    site_template: bool = False,
                    versioned: bool = True,
-                   keep_builds: int = 2) -> dict:
+                   keep_builds: int = 2,
+                   expectations: dict | None = None) -> dict:
     """Run the web pipeline; returns the manifest dict.
 
     ``pages`` is any (doc_id, source, html) frame — a real deployment
@@ -82,6 +83,17 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
     if pages is None:
         pages = synthesize_html(
             spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    contract = None
+    if expectations is not None:
+        # promotion contract on the INPUT pages, before any build
+        # work: a failed non-waived rule aborts with no writes and no
+        # manifest swap (the prior build stays active)
+        from maps_spark.operators.expectations import evaluate_contract
+        contract = evaluate_contract(pages, expectations)
+        if not contract["ok"]:
+            return {"stage": "web_corpus", "promoted": False,
+                    "rejected_build_id": build_id,
+                    "expectations": contract}
     n_pages = pages.count()
 
     # 1+2: the shared extract/thin-filter/normalize funnel (also the
@@ -172,6 +184,8 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
                    "sequences": int(n_seqs or 0)},
         "build_sec": round(time.time() - t0, 2),
     }
+    if contract is not None:
+        manifest["expectations"] = contract
     if versioned:
         finalise_build(out_root, build_id, manifest, keep=keep_builds)
     else:

@@ -612,3 +612,56 @@ def test_crawl_frontier_plan_shapes(spark):
     h_plan = (hits(edges, iters=1)
               ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in h_plan
+
+
+def test_expectations_gate_build_promotion(spark, tmp_path):
+    """Promotion contract e2e (VERDICT r7 #3): a planted bad snapshot
+    aborts run_backfill BEFORE any write — the prior build stays
+    active and no new build directory appears; a waived failing rule
+    promotes with the full report recorded in the manifest; and
+    run_training_prep rejects the same way."""
+    import os
+    import time as _t
+
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.plans.training import run_training_prep
+    from maps_spark.sources.tile_store import list_builds, read_manifest
+    from tests.conftest import SF_SMALL
+
+    root = str(tmp_path / "maps")
+    m1 = run_backfill(spark, SF_SMALL, root, srs_list=("EPSG:3857",),
+                      max_zoom=2, threshold=500)
+    builds1 = [b["build_id"] for b in list_builds(root)]
+
+    bad = {"conditions": {"impossible": "decimalLatitude > 1000",
+                          "occ_id_not_null": "occurrenceId IS NOT NULL"}}
+    res = run_backfill(spark, SF_SMALL, root, srs_list=("EPSG:3857",),
+                       max_zoom=2, threshold=500, expectations=bad)
+    assert res["promoted"] is False
+    assert res["expectations"]["failed"] == ["impossible"]
+    # no swap, no writes: the prior build is still the active one
+    assert [b["build_id"] for b in list_builds(root)] == builds1
+    assert read_manifest(root)["build_sec"] == m1["build_sec"]
+    assert not os.path.isdir(
+        f"{root}/builds/{res['rejected_build_id']}")
+
+    # waived failing rule -> promoted, report in the manifest
+    _t.sleep(1.1)  # second-resolved backfill build ids
+    waived = dict(bad, waived=["impossible"])
+    m3 = run_backfill(spark, SF_SMALL, root, srs_list=("EPSG:3857",),
+                      max_zoom=2, threshold=500, expectations=waived)
+    exp = m3["expectations"]
+    assert exp["ok"] and exp["failed"] == []
+    by_rule = {r["rule_id"]: r for r in exp["report"]}
+    assert by_rule["impossible"]["passed"] is False  # recorded
+    assert by_rule["occ_id_not_null"]["passed"] is True
+    assert len(list_builds(root)) == 2
+
+    # training prep rejects on its own input the same way
+    troot = str(tmp_path / "train")
+    tres = run_training_prep(
+        spark, SF_SMALL, troot,
+        expectations={"conditions": {"neg": "doc_id < 0"}})
+    assert tres["promoted"] is False and tres["expectations"][
+        "failed"] == ["neg"]
+    assert not os.path.exists(f"{troot}/manifest.json")
