@@ -65,11 +65,17 @@ def run() -> None:
     # per-entry per-micro-batch seconds (streaming entries record
     # them so the O(batch) claim has flatness evidence, not a total)
     batch_lists = {}
+    # per-entry per-batch segment attribution (sig / probe_verify /
+    # append) from process_batch's profile hook
+    profile_lists = {}
 
     def payload():
         for bname, lists in batch_lists.items():
             if bname in stats:
                 stats[bname]["batch_secs"] = lists
+        for bname, profs in profile_lists.items():
+            if bname in stats:
+                stats[bname]["segment_profile"] = profs
         return {"metric": "maps_spark_bench_total",
                 "value": round(sum(timings.values()), 3), "unit": "sec",
                 "queries": timings, "query_stats": stats,
@@ -204,11 +210,15 @@ def run() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
-    # n=3: round-7 isolated profiling measured a 6.1 s single-run
-    # spread on this ~22 s entry (runs 28.5/22.4 with nothing else on
-    # the box; no pyramid-path code changed r5->r7) — best-of-2 was
-    # fragile enough to read as a phantom +31% regression in r6.
-    @timed("backfill_z0_16_3857", n=3)
+    # n=5 (r8; was 3): round-7 isolated profiling measured a 6.1 s
+    # single-run spread on this ~22 s entry (runs 28.5/22.4 with
+    # nothing else on the box; no pyramid-path code changed r5->r7) —
+    # best-of-2 was fragile enough to read as a phantom +31%
+    # regression in r6, and THIS is the headline z16 anchor the
+    # round-over-round scale comparison hangs on, so it gets the
+    # widest repeat count in the file (target: spread < 15% of
+    # median, checked at round close).
+    @timed("backfill_z0_16_3857", n=5)
     def _4d16():
         # THE reference baseline workload: the published z16 Mercator
         # pyramid (spark-generate-maps/example.yaml:124-129 runs
@@ -834,6 +844,7 @@ def run() -> None:
 
         refresh_land = _tf.mkdtemp(prefix="bench_refresh_land_")
         dedup_land = _tf.mkdtemp(prefix="bench_dedup_land_")
+        dedup_land8 = _tf.mkdtemp(prefix="bench_dedup_land8_")
         try:
             (spark.read.parquet(f"{SF_DIR}/events.parquet")
              .repartition(16)
@@ -887,9 +898,42 @@ def run() -> None:
                 finally:
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)
+
+            # the pinned batch-growth curve (VERDICT r7 #2): 8 batches
+            # with compact-every-4 cadence. Attribution (measured,
+            # segment_profile): sig and append are FLAT; probe_verify
+            # carries the O(touched-bucket store size) growth — the
+            # cadence folds the per-batch file-sets so that segment
+            # stays bounded (~4-6 s at sf0.1) instead of growing
+            # linearly (1.6 -> 9.4 s over 7 uncompacted batches);
+            # compaction cost lands inside every 4th trigger.
+            if not only or "streaming_dedup_8batches_c4" in only:
+                (docs.select("doc_id", "text").repartition(8)
+                 .write.mode("overwrite").parquet(dedup_land8))
+
+            @timed("streaming_dedup_8batches_c4", n=1)
+            def _26a():
+                from maps_spark.streaming.dedup import \
+                    run_incremental_dedup
+                store = _tf.mkdtemp(prefix="bench_dedup8_") + "/store"
+                prof = []
+                try:
+                    q = run_incremental_dedup(spark, dedup_land8, store,
+                                              max_files_per_trigger=1,
+                                              compact_every=4,
+                                              profile=prof)
+                    q.awaitTermination(900)
+                    record_batches("streaming_dedup_8batches_c4", q)
+                    profile_lists.setdefault(
+                        "streaming_dedup_8batches_c4", []).append(prof)
+                finally:
+                    _sh.rmtree(os.path.dirname(store),
+                               ignore_errors=True)
+                    _sh.rmtree(dedup_land8, ignore_errors=True)
         finally:
             _sh.rmtree(refresh_land, ignore_errors=True)
             _sh.rmtree(dedup_land, ignore_errors=True)
+            _sh.rmtree(dedup_land8, ignore_errors=True)
     except ImportError:
         pass
 

@@ -738,6 +738,54 @@ SELECT url, n_attempts, n_failures, last_status, action,
 FROM act"""
 
 
+def fetch_timeline(plan: DataFrame, default_gap_s: int = 1) -> DataFrame:
+    """Materialize the politeness schedule a shard worker executes:
+    each planned URL's earliest fetch offset within its host's
+    timeline. A host's URLs are spaced ``max(crawl_delay_s,
+    default_gap_s)`` apart in ``host_rank`` order (the plan's
+    deterministic per-host ordering), and a URL carrying retry
+    backoff (``next_delay_s``) never fires before its backoff
+    expires:
+
+        scheduled_offset_s = max((host_rank - 1) * gap, next_delay_s)
+
+    Pure per-row integer arithmetic over the plan (no shuffle beyond
+    what built the plan) — the worker sorts its shard by offset and
+    sleeps the gaps.
+
+    Output: plan columns + (gap_s, scheduled_offset_s)."""
+    gap = F.greatest(
+        F.coalesce(F.col("crawl_delay_s"), F.lit(0)),
+        F.lit(default_gap_s)).cast("long") \
+        if "crawl_delay_s" in plan.columns else \
+        F.lit(default_gap_s).cast("long")
+    delay = (F.coalesce(F.col("next_delay_s"), F.lit(0))
+             if "next_delay_s" in plan.columns else F.lit(0))
+    return (plan.withColumn("gap_s", gap)
+            .withColumn("scheduled_offset_s",
+                        F.greatest(
+                            (F.col("host_rank") - 1) * F.col("gap_s"),
+                            delay.cast("long")).cast("long")))
+
+
+def fetch_timeline_select(per_host_cap: int = 5, n_shards: int = 8,
+                          pr_iters: int = 3,
+                          crawl_delay_s: int = 3,
+                          default_gap_s: int = 1) -> str:
+    """DuckDB twin of frontier_shards |> (uniform robots crawl-delay)
+    |> fetch_timeline — the gate plants one corpus-wide
+    ``crawl_delay_s`` so the spacing arithmetic is exercised without
+    a second rules join."""
+    from maps_spark.operators.html import frontier_shards_select
+    gap = max(crawl_delay_s, default_gap_s)
+    return f"""WITH fs AS ({frontier_shards_select(per_host_cap,
+                                                   n_shards, pr_iters)})
+SELECT norm_href, domain, host_rank, shard, n_refs, n_ref_docs,
+       domain_rank, CAST({gap} AS BIGINT) AS gap_s,
+       CAST((host_rank - 1) * {gap} AS BIGINT) AS scheduled_offset_s
+FROM fs"""
+
+
 # ---------------------------------------------------------------------------
 # Sitemap-aware frontier: merge announced URLs into the crawl frontier
 # ---------------------------------------------------------------------------

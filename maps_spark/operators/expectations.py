@@ -90,6 +90,113 @@ def expectation_report(df: DataFrame,
                       (F.col("n_violations") == 0).alias("passed"))
 
 
+def column_stats(df: DataFrame,
+                 cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile of a snapshot — the raw material for
+    cross-build drift detection: (column, n_rows, n_null,
+    n_distinct), one row per column, ALL columns in ONE scan (the
+    same stack-unpivot discipline as :func:`expectation_report`;
+    Spark plans the multi-distinct aggregate as one expand pass).
+    Exact integers, so the drift gate hash-matches bitwise."""
+    cols = cols or df.columns
+    aggs = [F.coalesce(F.count("*"), F.lit(0)).cast("long")
+            .alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.coalesce(F.sum(
+            F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"_u{i}"))
+        aggs.append(F.coalesce(F.count_distinct(F.col(c)), F.lit(0))
+                    .cast("long").alias(f"_d{i}"))
+    stack = ", ".join(
+        f"""'{c.replace("'", "''")}', _u{i}, _d{i}"""
+        for i, c in enumerate(cols))
+    return (df.agg(*aggs).select(
+        F.expr(f"stack({len(cols)}, {stack}) "
+               "AS (column, n_null, n_distinct)"),
+        F.col("_n").alias("n_rows"))
+        .select("column", "n_rows", "n_null", "n_distinct"))
+
+
+def snapshot_drift(old_stats: DataFrame, new_stats: DataFrame,
+                   tol_permille: int = 100) -> DataFrame:
+    """Column-level drift between two snapshot profiles
+    (:func:`column_stats` tables) — the anomaly check a 100 TB
+    ingest runs before promoting a build over yesterday's: every
+    (column, metric) pair long-format with the exact integer drift
+
+        drift_permille = |new - old| * 1000 div max(old, 1)
+
+    and ``flagged`` when it exceeds ``tol_permille`` OR the column
+    exists on only one side (schema drift). Cost: the two profile
+    scans; the diff itself is a columns-count join."""
+    mets = "'n_rows', n_rows, 'n_null', n_null, 'n_distinct', n_distinct"
+
+    def unpivot(s: DataFrame, v: str) -> DataFrame:
+        return s.select("column", F.expr(
+            f"stack(3, {mets}) AS (metric, {v})"))
+
+    j = (unpivot(old_stats, "old_value")
+         .join(unpivot(new_stats, "new_value"),
+               ["column", "metric"], "full_outer"))
+    both = F.col("old_value").isNotNull() & F.col("new_value").isNotNull()
+    drift = F.expr("abs(new_value - old_value) * 1000 "
+                   "div greatest(old_value, 1)")
+    return j.select(
+        "column", "metric",
+        F.coalesce("old_value", F.lit(-1)).cast("long")
+        .alias("old_value"),
+        F.coalesce("new_value", F.lit(-1)).cast("long")
+        .alias("new_value"),
+        F.when(both, drift).otherwise(F.lit(1000))
+        .cast("long").alias("drift_permille"),
+        (~both | (F.when(both, drift) > F.lit(tol_permille)))
+        .alias("flagged"))
+
+
+def snapshot_drift_select(tol_permille: int = 100) -> str:
+    """DuckDB twin of the ``snapshot_drift`` gate: documents vs a
+    deterministically drifted twin (10% of rows dropped, text nulled
+    on every 7th surviving doc)."""
+    def stats(src: str) -> str:
+        parts = []
+        for c in ("doc_id", "source", "text"):
+            parts.append(f"""SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM {src}""")
+        return "\nUNION ALL\n".join(parts)
+
+    return f"""WITH drifted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0),
+os AS ({stats('documents')}),
+ns AS ({stats('drifted')}),
+ol AS (SELECT "column", m.metric, m.v AS old_value
+       FROM os, LATERAL (VALUES ('n_rows', n_rows),
+                                ('n_null', n_null),
+                                ('n_distinct', n_distinct)) m(metric, v)),
+nl AS (SELECT "column", m.metric, m.v AS new_value
+       FROM ns, LATERAL (VALUES ('n_rows', n_rows),
+                                ('n_null', n_null),
+                                ('n_distinct', n_distinct)) m(metric, v))
+SELECT COALESCE(ol."column", nl."column") AS "column",
+       COALESCE(ol.metric, nl.metric) AS metric,
+       CAST(COALESCE(old_value, -1) AS BIGINT) AS old_value,
+       CAST(COALESCE(new_value, -1) AS BIGINT) AS new_value,
+       CAST(CASE WHEN old_value IS NOT NULL AND new_value IS NOT NULL
+              THEN (abs(new_value - old_value) * 1000)
+                   // greatest(old_value, 1)
+              ELSE 1000 END AS BIGINT) AS drift_permille,
+       (old_value IS NULL OR new_value IS NULL OR
+        (abs(new_value - old_value) * 1000)
+          // greatest(old_value, 1) > {tol_permille}) AS flagged
+FROM ol FULL OUTER JOIN nl
+  ON ol."column" = nl."column" AND ol.metric = nl.metric"""
+
+
 def evaluate_contract(df: DataFrame, contract: dict) -> dict:
     """Evaluate a build-promotion contract — the gate a pipeline
     driver runs on its INPUT before spending a multi-hour build on a

@@ -649,6 +649,31 @@ def q_recrawl_candidates(spark, sf_dir):
                               synthesize_fetch_dates(docs))
 
 
+def q_snapshot_drift(spark, sf_dir):
+    from maps_spark.operators.expectations import (column_stats,
+                                                   snapshot_drift)
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    drifted = (docs.where(F.col("doc_id") % 10 != 0)
+               .withColumn("text", F.when(F.col("doc_id") % 7 == 0,
+                                          F.lit(None))
+                           .otherwise(F.col("text"))))
+    return snapshot_drift(column_stats(docs), column_stats(drifted))
+
+
+def q_fetch_timeline(spark, sf_dir):
+    from maps_spark.operators.crawl import fetch_timeline
+    from maps_spark.operators.html import (frontier_candidates,
+                                           frontier_shards,
+                                           synthesize_html)
+    plan = frontier_shards(frontier_candidates(
+        synthesize_html(_docs(spark, sf_dir))))
+    # one planted corpus-wide crawl delay exercises the spacing
+    # arithmetic; the helper column drops so the schema matches the
+    # oracle's
+    return fetch_timeline(plan.withColumn("crawl_delay_s", F.lit(3)),
+                          default_gap_s=1).drop("crawl_delay_s")
+
+
 def q_robots_v2_decisions(spark, sf_dir):
     from maps_spark.operators.crawl import (parse_robots_v2,
                                             robots_decisions_v2,
@@ -1400,6 +1425,8 @@ MAPS_QUERIES = {
     "fetch_schedule": q_fetch_schedule,
     "recrawl_candidates": q_recrawl_candidates,
     "robots_v2_decisions": q_robots_v2_decisions,
+    "fetch_timeline": q_fetch_timeline,
+    "snapshot_drift": q_snapshot_drift,
     "site_boilerplate": q_site_boilerplate,
     "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
@@ -1591,6 +1618,11 @@ def _expectation_oracle() -> str:
     return expectation_report_select()
 
 
+def _snapshot_drift_oracle() -> str:
+    from maps_spark.operators.expectations import snapshot_drift_select
+    return snapshot_drift_select()
+
+
 def _hybrid_rrf_oracle() -> str:
     from maps_spark.operators.retrieval import hybrid_rrf_select
     return hybrid_rrf_select()
@@ -1604,7 +1636,8 @@ def _crawl_oracle(which: str) -> str:
             "redirect_resolve": CR.redirect_resolve_select,
             "fetch_schedule": CR.fetch_schedule_select,
             "recrawl_candidates": CR.recrawl_candidates_select,
-            "robots_v2_decisions": CR.robots_v2_select}[which]()
+            "robots_v2_decisions": CR.robots_v2_select,
+            "fetch_timeline": CR.fetch_timeline_select}[which]()
 
 
 def maps_oracles() -> dict[str, str]:
@@ -1700,6 +1733,8 @@ def maps_oracles() -> dict[str, str]:
         "fetch_schedule": _crawl_oracle("fetch_schedule"),
         "recrawl_candidates": _crawl_oracle("recrawl_candidates"),
         "robots_v2_decisions": _crawl_oracle("robots_v2_decisions"),
+        "fetch_timeline": _crawl_oracle("fetch_timeline"),
+        "snapshot_drift": _snapshot_drift_oracle(),
         "site_boilerplate": _html_oracle("site_bp"),
         "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),

@@ -140,11 +140,21 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                   text_col: str = "text", num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 3, seed: int = 42,
                   threshold: float = 0.5, max_bucket: int = 1000,
-                  hasher: str = "fast") -> None:
+                  hasher: str = "fast",
+                  profile: list | None = None) -> None:
     """Dedup one batch of documents against the store (and itself),
-    append novel docs' signatures, log rejected docs."""
+    append novel docs' signatures, log rejected docs.
+
+    ``profile``, if a list, receives a per-batch dict of segment
+    seconds — ``sig`` (shingle/minhash/banding of the batch),
+    ``probe_verify`` (exact joins + store probe + signature verify)
+    and ``append`` (the four store appends) — the attribution the
+    batch-growth curve analysis uses: only ``probe_verify`` carries
+    the O(touched-bucket store size) term."""
+    import time as _time
     spark = docs.sparkSession
     rows = num_perm // bands
+    _t0 = _time.time()
     docs = docs.select("doc_id", text_col).localCheckpoint()
 
     hashes = docs.select("doc_id", F.md5(text_col).alias("text_hash"))
@@ -152,6 +162,7 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                               seed, hasher).localCheckpoint()
     batch_bands = cap_buckets(_band_table(sigs, bands, rows),
                               ["band", "bh"], max_bucket).localCheckpoint()
+    _t1 = _time.time()
 
     # ---- exact dupes (groupBy-min within batch; 1:1 join vs store) ----
     canon = (hashes.groupBy("text_hash")
@@ -211,6 +222,7 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                      F.col("b.jaccard_est").alias("jaccard_est"))
              .withColumn("batch_id", F.lit(batch_id))
              .localCheckpoint())
+    _t2 = _time.time()
 
     novel_ids = docs.select("doc_id").join(dupes, "doc_id", "left_anti")
     (dupes.select("doc_id", "dup_of", "jaccard_est", "batch_id")
@@ -222,6 +234,12 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
      .parquet(f"{store_dir}/bands"))
     (hashes.join(novel_ids, "doc_id", "left_semi")
      .write.mode("append").parquet(f"{store_dir}/hashes"))
+    if profile is not None:
+        _t3 = _time.time()
+        profile.append({"batch_id": batch_id,
+                        "sig": round(_t1 - _t0, 3),
+                        "probe_verify": round(_t2 - _t1, 3),
+                        "append": round(_t3 - _t2, 3)})
 
 
 def accepted_ids(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -236,15 +254,32 @@ def rejected(spark: SparkSession, store_dir: str) -> DataFrame:
 
 def run_incremental_dedup(spark: SparkSession, input_path: str,
                           store_dir: str, max_files_per_trigger: int = 1,
+                          compact_every: int | None = None,
                           **kwargs):
     """Wire the stream: document files -> per-batch dedup vs the store.
 
     ``availableNow`` drains the backlog batch-by-batch and stops — the
     deployment mode for a landing-zone sweep; a live feed would use a
     processing-time trigger with the same body.
-    """
+
+    ``compact_every=k`` runs :func:`maps_spark.sources.maintenance.
+    compact_dedup_store` after every k-th processed batch — the
+    cadence that bounds the per-batch growth term: appends add one
+    file-set per batch, so the store probe's open-file count (and
+    with it the probe_verify segment) otherwise grows linearly even
+    though the probed ROW subset stays O(touched buckets). The
+    compaction cost itself is amortized (it lands inside every k-th
+    trigger's duration)."""
     marker = store_dir.rstrip("/") + "/_meta/last_batch.json"
-    return run_file_stream(
-        spark, input_path, marker,
-        lambda df, bid: process_batch(df, store_dir, bid, **kwargs),
-        max_files_per_trigger)
+    done = [0]
+
+    def _body(df: DataFrame, bid: int) -> None:
+        process_batch(df, store_dir, bid, **kwargs)
+        done[0] += 1
+        if compact_every and done[0] % compact_every == 0:
+            from maps_spark.sources.maintenance import \
+                compact_dedup_store
+            compact_dedup_store(spark, store_dir)
+
+    return run_file_stream(spark, input_path, marker, _body,
+                           max_files_per_trigger)

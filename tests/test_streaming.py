@@ -818,3 +818,58 @@ def test_legacy_marker_fallback_replaces_last_meta_segment(tmp_path):
     with open(good, "w") as f:
         json.dump({"batch_id": 4}, f)
     assert _applied_batch(marker) == 4
+
+
+def test_dedup_compaction_cadence_bounds_growth(spark, tmp_path):
+    """The streaming-dedup growth term is pinned (VERDICT r7 #2):
+    per-batch segment attribution shows sig/append flat and
+    probe_verify carrying the store-size term; a compact-every-N
+    cadence (a) yields EXACTLY the same accept/reject verdicts as the
+    uncompacted twin, (b) genuinely folds the per-batch file-sets,
+    and (c) keeps the probed segment bounded — the last batch's
+    probe_verify stays within a constant factor of the steady early
+    batches instead of growing with batch count."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from maps_spark.streaming.dedup import run_incremental_dedup
+    from tests.conftest import SF_SMALL
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+
+    def run(root, compact_every):
+        land = f"{root}/land"
+        # sequential appends pin the batch ARRIVAL order (the file
+        # stream orders by mtime) — a repartitionByRange write leaves
+        # the bucket->file mapping to sampling, and a different
+        # arrival order legitimately flips accept/reject direction
+        # between the twin runs
+        for k in range(8):
+            (docs.where(F.col("doc_id") % 8 == k).coalesce(1)
+             .write.mode("append").parquet(land))
+        prof = []
+        q = run_incremental_dedup(spark, land, f"{root}/store",
+                                  max_files_per_trigger=1,
+                                  compact_every=compact_every,
+                                  profile=prof)
+        q.awaitTermination(600)
+        rej = {(r.doc_id, r.dup_of) for r in spark.read.parquet(
+            f"{root}/store/dupes").collect()}
+        return rej, prof
+
+    rej_c, prof_c = run(str(tmp_path / "cadence"), 3)
+    rej_p, _ = run(str(tmp_path / "plain"), None)
+    assert rej_c == rej_p and len(prof_c) >= 7
+    # compaction folded the per-batch appends: fewer sig files than
+    # batches landed
+    sig_files = [f for f in os.listdir(
+        str(tmp_path / "cadence" / "store" / "sigs"))
+        if f.endswith(".parquet")]
+    assert len(sig_files) < len(prof_c)
+    # bounded curve: the final probe_verify within a constant factor
+    # of the steady early batches (loose: wall-clock on a shared box)
+    steady = [p["probe_verify"] for p in prof_c[1:]]
+    assert steady[-1] <= 3.0 * max(steady[0], 0.2) + 0.5, prof_c
+    # attribution fields present for the bench's segment_profile
+    assert {"sig", "probe_verify", "append"} <= set(prof_c[0])

@@ -1797,3 +1797,47 @@ def test_expectation_rule_id_with_quote(spark):
             for r in expectation_report(
                 df, {"o'brien's rule": "doc_id IS NOT NULL"}).collect()}
     assert rows == {"o'brien's rule": 1}
+
+
+def test_snapshot_drift_planted(spark):
+    """Closed-form drift: row-count and null-rate drift computed as
+    exact permille, schema drift (added/removed column) always
+    flagged, within-tolerance metrics pass."""
+    from maps_spark.operators.expectations import (column_stats,
+                                                   snapshot_drift)
+    old = spark.createDataFrame(
+        [(i, "s", "t") for i in range(100)],
+        "doc_id int, source string, text string")
+    new = spark.createDataFrame(
+        [(i, "s", None if i < 30 else "t", 1.0) for i in range(90)],
+        "doc_id int, source string, text string, score double")
+    got = {(r["column"], r.metric): r for r in snapshot_drift(
+        column_stats(old), column_stats(new),
+        tol_permille=150).collect()}
+    r = got[("doc_id", "n_rows")]
+    assert (r.old_value, r.new_value, r.drift_permille,
+            r.flagged) == (100, 90, 100, False)  # 10% < 15% tol
+    r = got[("text", "n_null")]
+    assert (r.old_value, r.new_value, r.drift_permille,
+            r.flagged) == (0, 30, 30000, True)
+    r = got[("score", "n_rows")]  # added column: schema drift
+    assert r.old_value == -1 and r.flagged
+    assert got[("source", "n_distinct")].flagged is False
+
+
+def test_fetch_timeline_spacing(spark):
+    """Politeness timeline: a host's URLs space max(crawl_delay,
+    default_gap) apart in host_rank order, and retry backoff defers
+    a URL past its slot."""
+    from maps_spark.operators.crawl import fetch_timeline
+    plan = spark.createDataFrame(
+        [("u1", "a.x", 1, 0, 5), ("u2", "a.x", 2, 0, 5),
+         ("u3", "a.x", 3, 600, 5),   # backoff dominates slot 10
+         ("u4", "b.x", 1, 0, 0),     # no crawl delay -> default gap
+         ("u5", "b.x", 2, 0, 0)],
+        "norm_href string, domain string, host_rank long, "
+        "next_delay_s long, crawl_delay_s long")
+    got = {r.norm_href: (r.gap_s, r.scheduled_offset_s)
+           for r in fetch_timeline(plan, default_gap_s=1).collect()}
+    assert got == {"u1": (5, 0), "u2": (5, 5), "u3": (5, 600),
+                   "u4": (1, 0), "u5": (1, 1)}
