@@ -215,6 +215,55 @@ def evaluate_contract(df: DataFrame, contract: dict) -> dict:
     return {"report": report, "failed": failed, "ok": not failed}
 
 
+_PROFILE_SCHEMA = ("column string, n_rows long, n_null long, "
+                   "n_distinct long")
+
+
+def promotion_gate(df: DataFrame, contract: dict,
+                   prior_manifest: dict | None = None) -> dict:
+    """The full build-promotion check a pipeline driver runs on its
+    input: rule expectations (:func:`evaluate_contract`, when the
+    contract has ``conditions``/``unique``), a recorded per-column
+    ``profile`` (``contract["profile"] = [cols]``), and — when the
+    PRIOR build's manifest carries a profile and the contract sets
+    ``drift_tol_permille`` — a :func:`snapshot_drift` comparison
+    against it (``drift_waived`` columns never block; a first build
+    with no prior profile bootstraps without a drift check).
+
+    Returns ``{"expectations": ..., "profile": [...], "drift": ...,
+    "ok": bool}`` — every piece JSON-able for the manifest."""
+    out: dict = {"expectations": None, "profile": None,
+                 "drift": None, "ok": True}
+    if contract.get("conditions") or contract.get("unique"):
+        out["expectations"] = evaluate_contract(df, contract)
+        out["ok"] = out["expectations"]["ok"]
+    cols = contract.get("profile")
+    if cols:
+        out["profile"] = [r.asDict()
+                          for r in column_stats(df, cols).collect()]
+        tol = contract.get("drift_tol_permille")
+        prior = (prior_manifest or {}).get("profile")
+        if tol is not None and prior:
+            spark = df.sparkSession
+            old = spark.createDataFrame(
+                [(d["column"], d["n_rows"], d["n_null"],
+                  d["n_distinct"]) for d in prior], _PROFILE_SCHEMA)
+            new = spark.createDataFrame(
+                [(d["column"], d["n_rows"], d["n_null"],
+                  d["n_distinct"]) for d in out["profile"]],
+                _PROFILE_SCHEMA)
+            rows = [r.asDict() for r in
+                    snapshot_drift(old, new, tol).collect()]
+            waived = set(contract.get("drift_waived") or ())
+            failed = sorted({r["column"] for r in rows
+                             if r["flagged"]
+                             and r["column"] not in waived})
+            out["drift"] = {"report": rows, "failed": failed,
+                            "ok": not failed}
+            out["ok"] = out["ok"] and not failed
+    return out
+
+
 # gate configuration over the documents table — a realistic contract
 # with one DELIBERATELY failing rule (n_chars >= 100) so the report
 # proves it counts violations rather than just rubber-stamping

@@ -72,14 +72,19 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     staging_root = f"{out_dir}/staging" if staged else None
 
     occ = occurrence_df(spark, sf_dir)
-    contract = None
+    gate = None
     if expectations is not None:
-        from maps_spark.operators.expectations import evaluate_contract
-        contract = evaluate_contract(occ, expectations)
-        if not contract["ok"]:
+        from maps_spark.operators.expectations import promotion_gate
+        try:
+            prior = tile_store.read_manifest(out_root)
+        except (FileNotFoundError, ValueError):
+            prior = None
+        gate = promotion_gate(occ, expectations, prior)
+        if not gate["ok"]:
             return {"stage": "backfill", "promoted": False,
                     "rejected_build_id": build_id,
-                    "expectations": contract}
+                    "expectations": gate["expectations"],
+                    "drift": gate["drift"]}
     if staged:
         # reliable barrier: staged Parquet table, read back with a
         # fresh lineage rooted at replicated storage
@@ -169,8 +174,12 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
                                               bool(snapshot)),
         "hot_keys": hot,
     }
-    if contract is not None:
-        manifest["expectations"] = contract
+    if gate is not None:
+        manifest["expectations"] = gate["expectations"]
+        if gate["profile"] is not None:
+            manifest["profile"] = gate["profile"]
+        if gate["drift"] is not None:
+            manifest["drift"] = gate["drift"]
     if versioned:
         tile_store.finalise_build(out_root, build_id, manifest,
                                   keep=keep_builds)

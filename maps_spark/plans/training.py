@@ -57,17 +57,23 @@ def run_training_prep(spark: SparkSession, sf_dir: str, out_root: str,
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    contract = None
+    gate = None
     if expectations is not None:
         # promotion contract on the input snapshot, before any build
-        # work: a failed non-waived rule aborts with no writes and no
-        # manifest swap (the prior build stays active)
-        from maps_spark.operators.expectations import evaluate_contract
-        contract = evaluate_contract(docs, expectations)
-        if not contract["ok"]:
+        # work: a failed non-waived rule (or above-tolerance drift vs
+        # the prior build's recorded profile) aborts with no writes
+        # and no manifest swap (the prior build stays active)
+        from maps_spark.operators.expectations import promotion_gate
+        try:
+            prior = read_manifest(out_root)
+        except (FileNotFoundError, ValueError):
+            prior = None
+        gate = promotion_gate(docs, expectations, prior)
+        if not gate["ok"]:
             return {"stage": "training_prep", "promoted": False,
                     "rejected_build_id": build_id,
-                    "expectations": contract}
+                    "expectations": gate["expectations"],
+                    "drift": gate["drift"]}
     n_in = docs.count()
 
     verdicts = curate_corpus(docs)
@@ -111,8 +117,12 @@ def run_training_prep(spark: SparkSession, sf_dir: str, out_root: str,
                    "sequences": int(n_seqs or 0)},
         "build_sec": round(time.time() - t0, 2),
     }
-    if contract is not None:
-        manifest["expectations"] = contract
+    if gate is not None:
+        manifest["expectations"] = gate["expectations"]
+        if gate["profile"] is not None:
+            manifest["profile"] = gate["profile"]
+        if gate["drift"] is not None:
+            manifest["drift"] = gate["drift"]
     if versioned:
         finalise_build(out_root, build_id, manifest, keep=keep_builds)
     else:

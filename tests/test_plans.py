@@ -665,3 +665,47 @@ def test_expectations_gate_build_promotion(spark, tmp_path):
     assert tres["promoted"] is False and tres["expectations"][
         "failed"] == ["neg"]
     assert not os.path.exists(f"{troot}/manifest.json")
+
+
+def test_drift_gate_blocks_promotion_against_prior_profile(
+        spark, tmp_path):
+    """Cross-build drift composition: build 1 records its per-column
+    profile in the manifest; build 2 over a drifted snapshot is
+    rejected when the drift beats the contract's tolerance (prior
+    build stays active), and promotes — recording the drift report —
+    when the tolerance allows it."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.plans.training import run_training_prep
+    from maps_spark.sources.tile_store import read_manifest
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sf1, sf2 = str(tmp_path / "sf1"), str(tmp_path / "sf2")
+    docs.write.parquet(f"{sf1}/documents.parquet")
+    # drifted snapshot: ~30% of rows gone
+    docs.where(F.col("doc_id") % 10 > 2) \
+        .write.parquet(f"{sf2}/documents.parquet")
+    root = str(tmp_path / "train")
+    contract = {"profile": ["doc_id", "source", "text"],
+                "drift_tol_permille": 100}
+
+    m1 = run_training_prep(spark, sf1, root, expectations=contract)
+    assert m1["profile"] and m1.get("drift") is None  # bootstrap
+    assert {p["column"] for p in m1["profile"]} == \
+        {"doc_id", "source", "text"}
+
+    res = run_training_prep(spark, sf2, root, expectations=contract)
+    assert res["promoted"] is False
+    assert "doc_id" in res["drift"]["failed"]
+    assert read_manifest(root)["build_id"] == m1["build_id"]
+
+    import time as _t
+    _t.sleep(1.1)
+    loose = dict(contract, drift_tol_permille=900)
+    m3 = run_training_prep(spark, sf2, root, expectations=loose)
+    assert m3["drift"]["ok"] and m3["build_id"] != m1["build_id"]
+    rows = {(r["column"], r["metric"]): r for r in
+            m3["drift"]["report"]}
+    assert rows[("doc_id", "n_rows")]["flagged"] is False
+    assert rows[("doc_id", "n_rows")]["drift_permille"] > 100
