@@ -906,7 +906,9 @@ def run() -> None:
             # cadence folds the per-batch file-sets so that segment
             # stays bounded (~4-6 s at sf0.1) instead of growing
             # linearly (1.6 -> 9.4 s over 7 uncompacted batches);
-            # compaction cost lands inside every 4th trigger.
+            # compaction runs at the START of every 4th trigger
+            # (after the prior marker committed — crash-safe), so its
+            # cost lands inside that trigger's duration.
             if not only or "streaming_dedup_8batches_c4" in only:
                 (docs.select("doc_id", "text").repartition(8)
                  .write.mode("overwrite").parquet(dedup_land8))

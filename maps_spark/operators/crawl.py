@@ -200,9 +200,12 @@ def robots_decisions_v2(urls: DataFrame,
 
     Output: (url, domain, match_path, match_type, blocked)."""
     from maps_spark.operators.html import _broadcast_if_small
-    r = rules.select(F.lower("domain").alias("domain"),
+    r = rules.select(F.lower("domain").alias("_rd"),
                      "rule_type", F.col("path").alias("rpath"))
-    m = (urls.join(_broadcast_if_small(r), "domain")
+    # case-fold BOTH sides (the rules table above, the URL's domain
+    # here) — robots host matching is case-insensitive
+    m = (urls.join(_broadcast_if_small(r),
+                   F.lower(urls["domain"]) == r["_rd"])
          .where(F.col("path").startswith(F.col("rpath")))
          .groupBy("url")
          .agg(F.max(F.struct(

@@ -111,8 +111,8 @@ def run_crawl_round(spark: SparkSession, store_root: str,
         fetch workers read their shard (read_fetch_plan) -> fetched
         pages land as batch k+1 -> ...
 
-    The protocol layer plugs in through three optional inputs the
-    fetch workers produce alongside the pages themselves:
+    The protocol layer plugs in through optional inputs the fetch
+    workers produce alongside the pages themselves:
 
     - ``sitemaps`` (domain, xml): announced URLs merge into the
       frontier first (:func:`operators.crawl.merge_sitemap_locs`) —
@@ -334,7 +334,10 @@ def read_fetch_plan(spark: SparkSession, out_root: str,
                     shard: int | None = None) -> DataFrame:
     """Fetch-worker entry: the active build's plan, optionally pruned
     to one shard directory (partition-pruned read — a worker never
-    lists the other shards' files). An EMPTY plan (a converged crawl:
+    lists the other shards' files); the worker turns its shard into
+    an executable politeness schedule with
+    :func:`operators.crawl.fetch_timeline` (crawl_delay spacing +
+    retry backoff). An EMPTY plan (a converged crawl:
     everything already fetched or robots-blocked) writes no parquet
     part files under the dynamic partitioning, so the schema cannot
     be inferred — that normal terminal state comes back as an empty

@@ -263,23 +263,29 @@ def run_incremental_dedup(spark: SparkSession, input_path: str,
     processing-time trigger with the same body.
 
     ``compact_every=k`` runs :func:`maps_spark.sources.maintenance.
-    compact_dedup_store` after every k-th processed batch — the
+    compact_dedup_store` at the START of every k-th trigger — the
     cadence that bounds the per-batch growth term: appends add one
     file-set per batch, so the store probe's open-file count (and
     with it the probe_verify segment) otherwise grows linearly even
-    though the probed ROW subset stays O(touched buckets). The
-    compaction cost itself is amortized (it lands inside every k-th
-    trigger's duration)."""
+    though the probed ROW subset stays O(touched buckets). Running
+    BEFORE the batch body (i.e. after the previous batch's replay
+    marker committed) keeps the crash contract intact: a crash
+    mid-compaction replays nothing (the marker is already durable)
+    and the half-swap is repaired by the recover_compaction pass
+    that precedes every compaction and the first trigger."""
     marker = store_dir.rstrip("/") + "/_meta/last_batch.json"
-    done = [0]
+    state = {"n": 0}
 
     def _body(df: DataFrame, bid: int) -> None:
+        if compact_every:
+            from maps_spark.sources.maintenance import (
+                compact_dedup_store, recover_compaction)
+            for sub in SIG_DIRS:
+                recover_compaction(f"{store_dir}/{sub}")
+            if state["n"] and state["n"] % compact_every == 0:
+                compact_dedup_store(spark, store_dir)
         process_batch(df, store_dir, bid, **kwargs)
-        done[0] += 1
-        if compact_every and done[0] % compact_every == 0:
-            from maps_spark.sources.maintenance import \
-                compact_dedup_store
-            compact_dedup_store(spark, store_dir)
+        state["n"] += 1
 
     return run_file_stream(spark, input_path, marker, _body,
                            max_files_per_trigger)
