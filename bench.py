@@ -811,6 +811,53 @@ def run() -> None:
             finally:
                 shutil.rmtree(base, ignore_errors=True)
 
+        @timed("crawl_loop_protocol", n=2)
+        def _21e():
+            # the r8 FULL-protocol round: same store shape as
+            # crawl_loop_2hops' first hop, but the scheduling round
+            # consumes every protocol input — robots bodies (RFC
+            # 9309 + crawl delay), sitemaps (+ recrawl ledger),
+            # redirects and a fetch log — measuring what the protocol
+            # layer adds per round on top of the bare loop
+            import shutil
+            import tempfile
+
+            from maps_spark.operators.crawl import (
+                synthesize_fetch_dates, synthesize_fetch_log,
+                synthesize_robots_txt, synthesize_sitemaps)
+            from maps_spark.operators.html import synthesize_html
+            from maps_spark.plans.crawl import run_crawl_round
+            from maps_spark.streaming.frontier import \
+                run_frontier_ingest
+            base = tempfile.mkdtemp(prefix="bench_crawl_proto_")
+            land, store = f"{base}/land", f"{base}/store"
+            try:
+                pages = (synthesize_html(docs)
+                         .select("doc_id", "source", "html"))
+                (pages.where(F.col("doc_id") % 3 == 0).coalesce(4)
+                 .write.parquet(land))
+                q = run_frontier_ingest(spark, land, store,
+                                        max_files_per_trigger=4)
+                q.awaitTermination(600)
+                seeded = docs.where(F.col("doc_id") % 3 == 0)
+                redirects = (seeded.select(
+                    F.concat(F.lit("http://"), F.col("source"),
+                             F.lit("/doc/"),
+                             F.col("doc_id").cast("string"))
+                    .alias("src_url"))
+                    .withColumn("dst_url",
+                                F.concat("src_url", F.lit("/r"))))
+                run_crawl_round(
+                    spark, store, f"{base}/plans",
+                    per_host_cap=100_000, n_shards=8,
+                    robots_bodies=synthesize_robots_txt(seeded),
+                    sitemaps=synthesize_sitemaps(seeded),
+                    fetched=synthesize_fetch_dates(seeded),
+                    redirects=redirects,
+                    fetch_log=synthesize_fetch_log(seeded))
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
+
         @timed("session_path_analysis")
         def _22():
             SE.event_transitions(events).count()

@@ -620,6 +620,29 @@ def apply_redirects(cand: DataFrame, redirects: DataFrame,
     return agg.select(*cols)
 
 
+def redirect_frontier_select(pr_iters: int = 3) -> str:
+    """DuckDB twin of the ``redirect_frontier`` gate: the frontier
+    canonicalized through a frontier-derived redirect set — every
+    candidate URL ending in an odd digit 301s to ``<url>/r``, every
+    one ending in '0' self-loops (unresolvable -> dropped), the rest
+    are untouched. Closed-form: eff-URL regroup with summed reference
+    counts and the alias-rank fallback (the gate passes ranks=None)."""
+    from maps_spark.operators.html import (DOMAIN_RE,
+                                           frontier_candidates_select)
+    return f"""WITH fc AS ({frontier_candidates_select(pr_iters)}),
+eff AS (
+  SELECT CASE WHEN right(norm_href, 1) IN ('1','3','5','7','9')
+              THEN norm_href || '/r' ELSE norm_href END AS norm_href,
+         n_refs, n_ref_docs, domain_rank
+  FROM fc WHERE right(norm_href, 1) <> '0')
+SELECT norm_href,
+       regexp_extract(norm_href, '{DOMAIN_RE}', 1) AS domain,
+       CAST(sum(n_refs) AS BIGINT) AS n_refs,
+       CAST(sum(n_ref_docs) AS BIGINT) AS n_ref_docs,
+       CAST(COALESCE(max(domain_rank), 0) AS BIGINT) AS domain_rank
+FROM eff GROUP BY 1"""
+
+
 def redirect_resolve_select(max_hops: int = 4) -> str:
     """DuckDB twin of synthesize_redirects |> resolve_redirects —
     the unrolled-CTE discipline of the pagerank oracle."""

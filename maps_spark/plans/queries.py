@@ -649,6 +649,24 @@ def q_recrawl_candidates(spark, sf_dir):
                               synthesize_fetch_dates(docs))
 
 
+def q_redirect_frontier(spark, sf_dir):
+    from maps_spark.operators.crawl import apply_redirects
+    from maps_spark.operators.html import (frontier_candidates,
+                                           page_urls, synthesize_html)
+    pages = synthesize_html(_docs(spark, sf_dir))
+    cand = frontier_candidates(pages)
+    last = F.substring("norm_href", -1, 1)
+    edges = (cand.where(last.isin(*"13579"))
+             .select(F.col("norm_href").alias("src_url"),
+                     F.concat("norm_href", F.lit("/r"))
+                     .alias("dst_url"))
+             .unionByName(
+                 cand.where(last == "0")
+                 .select(F.col("norm_href").alias("src_url"),
+                         F.col("norm_href").alias("dst_url"))))
+    return apply_redirects(cand, edges, page_urls(pages))
+
+
 def q_snapshot_drift(spark, sf_dir):
     from maps_spark.operators.expectations import (column_stats,
                                                    snapshot_drift)
@@ -1427,6 +1445,7 @@ MAPS_QUERIES = {
     "robots_v2_decisions": q_robots_v2_decisions,
     "fetch_timeline": q_fetch_timeline,
     "snapshot_drift": q_snapshot_drift,
+    "redirect_frontier": q_redirect_frontier,
     "site_boilerplate": q_site_boilerplate,
     "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
@@ -1637,7 +1656,8 @@ def _crawl_oracle(which: str) -> str:
             "fetch_schedule": CR.fetch_schedule_select,
             "recrawl_candidates": CR.recrawl_candidates_select,
             "robots_v2_decisions": CR.robots_v2_select,
-            "fetch_timeline": CR.fetch_timeline_select}[which]()
+            "fetch_timeline": CR.fetch_timeline_select,
+            "redirect_frontier": CR.redirect_frontier_select}[which]()
 
 
 def maps_oracles() -> dict[str, str]:
@@ -1735,6 +1755,7 @@ def maps_oracles() -> dict[str, str]:
         "robots_v2_decisions": _crawl_oracle("robots_v2_decisions"),
         "fetch_timeline": _crawl_oracle("fetch_timeline"),
         "snapshot_drift": _snapshot_drift_oracle(),
+        "redirect_frontier": _crawl_oracle("redirect_frontier"),
         "site_boilerplate": _html_oracle("site_bp"),
         "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),

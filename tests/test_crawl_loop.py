@@ -494,6 +494,18 @@ def test_crawl_round_recrawl_and_robots_v2(spark, tmp_path):
     assert all(rows[i].crawl_delay_s == 0 for i in (1, 5, 6, 999))
     assert rows[3].via == "links"
 
+    # the worker-side politeness schedule over the REAL plan: hosts
+    # space by their Crawl-delay (s3: 7 s), others by the default gap
+    from maps_spark.operators.crawl import fetch_timeline
+    tl = {r.norm_href: r for r in fetch_timeline(
+        read_fetch_plan(spark, plans), default_gap_s=1).collect()}
+    for r in tl.values():
+        assert r.scheduled_offset_s == (r.host_rank - 1) * r.gap_s
+    assert tl["http://s3.example/doc/3"].gap_s == 7
+    s1 = sorted(r.scheduled_offset_s for r in tl.values()
+                if r.domain == "s1.example")
+    assert s1 == [0, 1]  # two s1 URLs at the default 1 s gap
+
     # hop 2: the recrawl was performed and the ledger updated — the
     # stale page must NOT resurface (recrawled exactly once)
     time.sleep(0.1)
