@@ -1841,3 +1841,21 @@ def test_fetch_timeline_spacing(spark):
            for r in fetch_timeline(plan, default_gap_s=1).collect()}
     assert got == {"u1": (5, 0), "u2": (5, 5), "u3": (5, 600),
                    "u4": (1, 0), "u5": (1, 1)}
+
+
+def test_column_stats_single_scan_plan(spark):
+    """A profile over N columns (null counts + N distinct aggregates)
+    still reads the input ONCE — Spark plans the multi-distinct
+    aggregate as a single scan + expand, not a scan per column."""
+    from maps_spark.operators.expectations import column_stats
+    from tests.conftest import SF_SMALL
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    prof = column_stats(docs, ["doc_id", "source", "text"])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # and the profile agrees with per-column queries
+    import pyspark.sql.functions as F
+    want_distinct = docs.select(F.count_distinct("source")).first()[0]
+    got = {r["column"]: r for r in prof.collect()}
+    assert got["source"]["n_distinct"] == want_distinct
+    assert got["doc_id"]["n_null"] == 0
