@@ -949,13 +949,16 @@ def run() -> None:
             # the pinned batch-growth curve (VERDICT r7 #2): 8 batches
             # with compact-every-4 cadence. Attribution (measured,
             # segment_profile): sig and append are FLAT; probe_verify
-            # carries the O(touched-bucket store size) growth — the
-            # cadence folds the per-batch file-sets so that segment
-            # stays bounded (~4-6 s at sf0.1) instead of growing
-            # linearly (1.6 -> 9.4 s over 7 uncompacted batches);
-            # compaction runs at the START of every 4th trigger
-            # (after the prior marker committed — crash-safe), so its
-            # cost lands inside that trigger's duration.
+            # carries two growth terms — the per-batch FILE-set
+            # accumulation, which the start-of-trigger fold removes
+            # (the post-compaction batch measures the drop), and the
+            # structural O(accepted rows) merge-on-read scan, which
+            # stays (a batch larger than the 16x64 sub-bucket fan-out
+            # touches the whole band store; ~0.2 ms per stored doc
+            # per batch at sf0.1, verify join bounded by bucket
+            # caps). Compaction runs at the START of every 4th
+            # trigger (after the prior marker committed — crash-safe)
+            # so its cost lands inside that trigger's duration.
             if not only or "streaming_dedup_8batches_c4" in only:
                 (docs.select("doc_id", "text").repartition(8)
                  .write.mode("overwrite").parquet(dedup_land8))

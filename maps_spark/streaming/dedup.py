@@ -264,10 +264,16 @@ def run_incremental_dedup(spark: SparkSession, input_path: str,
 
     ``compact_every=k`` runs :func:`maps_spark.sources.maintenance.
     compact_dedup_store` at the START of every k-th trigger — the
-    cadence that bounds the per-batch growth term: appends add one
-    file-set per batch, so the store probe's open-file count (and
-    with it the probe_verify segment) otherwise grows linearly even
-    though the probed ROW subset stays O(touched buckets). Running
+    cadence that removes the FILE-count growth term: appends add one
+    file-set per batch, so the store probe's open-file cost otherwise
+    grows with batch count. The probe's ROW term is structural to
+    merge-on-read dedup and remains: a batch wider than the
+    ``bands x BAND_SUBBUCKETS`` fan-out touches the whole accepted
+    store, so probe_verify is linear in accepted rows with a small
+    slope (measured in ``streaming_dedup_8batches_c4``'s
+    segment_profile; the verify join itself is bounded by the
+    hot-bucket caps, and SMALL batches — the incremental-curation
+    resubmit path — stay O(touched buckets)). Running
     BEFORE the batch body (i.e. after the previous batch's replay
     marker committed) keeps the crash contract intact: a crash
     mid-compaction replays nothing (the marker is already durable)
