@@ -118,7 +118,10 @@ def column_stats(df: DataFrame,
 
 
 def snapshot_drift(old_stats: DataFrame, new_stats: DataFrame,
-                   tol_permille: int = 100) -> DataFrame:
+                   tol_permille: int = 100,
+                   metrics: tuple[str, ...] = ("n_rows", "n_null",
+                                               "n_distinct")
+                   ) -> DataFrame:
     """Column-level drift between two snapshot profiles
     (:func:`column_stats` tables) — the anomaly check a 100 TB
     ingest runs before promoting a build over yesterday's: every
@@ -128,12 +131,16 @@ def snapshot_drift(old_stats: DataFrame, new_stats: DataFrame,
 
     and ``flagged`` when it exceeds ``tol_permille`` OR the column
     exists on only one side (schema drift). Cost: the two profile
-    scans; the diff itself is a columns-count join."""
-    mets = "'n_rows', n_rows, 'n_null', n_null, 'n_distinct', n_distinct"
+    scans; the diff itself is a columns-count join.
+
+    ``metrics`` names the profile columns to unpivot — the default is
+    the :func:`column_stats` shape; pass ``("n_rows", "sum_v",
+    "min_v", "max_v")`` for :func:`numeric_stats` profiles."""
+    mets = ", ".join(f"'{m}', {m}" for m in metrics)
 
     def unpivot(s: DataFrame, v: str) -> DataFrame:
         return s.select("column", F.expr(
-            f"stack(3, {mets}) AS (metric, {v})"))
+            f"stack({len(metrics)}, {mets}) AS (metric, {v})"))
 
     j = (unpivot(old_stats, "old_value")
          .join(unpivot(new_stats, "new_value"),
@@ -151,6 +158,73 @@ def snapshot_drift(old_stats: DataFrame, new_stats: DataFrame,
         .cast("long").alias("drift_permille"),
         (~both | (F.when(both, drift) > F.lit(tol_permille)))
         .alias("flagged"))
+
+
+def numeric_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact integer range profile of INTEGER-typed columns —
+    (column, n_rows, sum_v, min_v, max_v), all columns in ONE scan —
+    the drift signal :func:`column_stats` cannot see: a column whose
+    null/distinct counts hold while its value RANGE shifts (ids gone
+    negative, a unit change, an epoch regression). BIGINT-exact in
+    both engines, so the gate hash-matches bitwise; empty-table
+    aggregates coalesce to 0 (the documented sentinel). Feed two
+    profiles to :func:`snapshot_drift` with ``metrics=("n_rows",
+    "sum_v", "min_v", "max_v")``."""
+    aggs = [F.coalesce(F.count("*"), F.lit(0)).cast("long")
+            .alias("_n")]
+    for i, c in enumerate(cols):
+        for tag, fn in (("s", F.sum), ("mn", F.min), ("mx", F.max)):
+            aggs.append(F.coalesce(fn(F.col(c)), F.lit(0))
+                        .cast("long").alias(f"_{tag}{i}"))
+    stack = ", ".join(
+        f"""'{c.replace("'", "''")}', _s{i}, _mn{i}, _mx{i}"""
+        for i, c in enumerate(cols))
+    return (df.agg(*aggs).select(
+        F.expr(f"stack({len(cols)}, {stack}) "
+               "AS (column, sum_v, min_v, max_v)"),
+        F.col("_n").alias("n_rows"))
+        .select("column", "n_rows", "sum_v", "min_v", "max_v"))
+
+
+def numeric_drift_select(tol_permille: int = 100) -> str:
+    """DuckDB twin of the ``numeric_drift`` gate: events id columns
+    vs a drifted twin (every 9th event dropped, user_id shifted
+    +1000) through :func:`numeric_stats` + :func:`snapshot_drift`."""
+    def stats(src: str) -> str:
+        parts = []
+        for c in ("event_id", "user_id"):
+            parts.append(f"""SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(sum({c}), 0) AS BIGINT) AS sum_v,
+       CAST(COALESCE(min({c}), 0) AS BIGINT) AS min_v,
+       CAST(COALESCE(max({c}), 0) AS BIGINT) AS max_v
+FROM {src}""")
+        return "\nUNION ALL\n".join(parts)
+
+    mets = ("('n_rows', n_rows), ('sum_v', sum_v), "
+            "('min_v', min_v), ('max_v', max_v)")
+    return f"""WITH drifted AS (
+  SELECT event_id, user_id + 1000 AS user_id
+  FROM events WHERE event_id % 9 <> 0),
+os AS ({stats('events')}),
+ns AS ({stats('drifted')}),
+ol AS (SELECT "column", m.metric, m.v AS old_value
+       FROM os, LATERAL (VALUES {mets}) m(metric, v)),
+nl AS (SELECT "column", m.metric, m.v AS new_value
+       FROM ns, LATERAL (VALUES {mets}) m(metric, v))
+SELECT COALESCE(ol."column", nl."column") AS "column",
+       COALESCE(ol.metric, nl.metric) AS metric,
+       CAST(COALESCE(old_value, -1) AS BIGINT) AS old_value,
+       CAST(COALESCE(new_value, -1) AS BIGINT) AS new_value,
+       CAST(CASE WHEN old_value IS NOT NULL AND new_value IS NOT NULL
+              THEN (abs(new_value - old_value) * 1000)
+                   // greatest(old_value, 1)
+              ELSE 1000 END AS BIGINT) AS drift_permille,
+       (old_value IS NULL OR new_value IS NULL OR
+        (abs(new_value - old_value) * 1000)
+          // greatest(old_value, 1) > {tol_permille}) AS flagged
+FROM ol FULL OUTER JOIN nl
+  ON ol."column" = nl."column" AND ol.metric = nl.metric"""
 
 
 def snapshot_drift_select(tol_permille: int = 100) -> str:
@@ -232,6 +306,13 @@ def promotion_gate(df: DataFrame, contract: dict,
 
     Returns ``{"expectations": ..., "profile": [...], "drift": ...,
     "ok": bool}`` — every piece JSON-able for the manifest."""
+    if not any(k in contract for k in ("conditions", "unique",
+                                       "profile")):
+        # a typo'd contract ({"condtions": ...}) must fail loudly,
+        # not rubber-stamp the build
+        raise ValueError(
+            "promotion contract has no conditions/unique/profile "
+            f"keys: {sorted(contract)}")
     out: dict = {"expectations": None, "profile": None,
                  "drift": None, "ok": True}
     if contract.get("conditions") or contract.get("unique"):

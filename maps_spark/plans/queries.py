@@ -649,6 +649,20 @@ def q_recrawl_candidates(spark, sf_dir):
                               synthesize_fetch_dates(docs))
 
 
+def q_numeric_drift(spark, sf_dir):
+    from maps_spark.operators.expectations import (numeric_stats,
+                                                   snapshot_drift)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id"))
+    drifted = (ev.where(F.col("event_id") % 9 != 0)
+               .withColumn("user_id", F.col("user_id") + 1000))
+    cols = ["event_id", "user_id"]
+    return snapshot_drift(numeric_stats(ev, cols),
+                          numeric_stats(drifted, cols),
+                          metrics=("n_rows", "sum_v", "min_v",
+                                   "max_v"))
+
+
 def q_redirect_frontier(spark, sf_dir):
     from maps_spark.operators.crawl import apply_redirects
     from maps_spark.operators.html import (frontier_candidates,
@@ -1446,6 +1460,7 @@ MAPS_QUERIES = {
     "fetch_timeline": q_fetch_timeline,
     "snapshot_drift": q_snapshot_drift,
     "redirect_frontier": q_redirect_frontier,
+    "numeric_drift": q_numeric_drift,
     "site_boilerplate": q_site_boilerplate,
     "site_clean_extract": q_site_clean_extract,
     "url_normalize": q_url_normalize,
@@ -1642,6 +1657,11 @@ def _snapshot_drift_oracle() -> str:
     return snapshot_drift_select()
 
 
+def _numeric_drift_oracle() -> str:
+    from maps_spark.operators.expectations import numeric_drift_select
+    return numeric_drift_select()
+
+
 def _hybrid_rrf_oracle() -> str:
     from maps_spark.operators.retrieval import hybrid_rrf_select
     return hybrid_rrf_select()
@@ -1756,6 +1776,7 @@ def maps_oracles() -> dict[str, str]:
         "fetch_timeline": _crawl_oracle("fetch_timeline"),
         "snapshot_drift": _snapshot_drift_oracle(),
         "redirect_frontier": _crawl_oracle("redirect_frontier"),
+        "numeric_drift": _numeric_drift_oracle(),
         "site_boilerplate": _html_oracle("site_bp"),
         "site_clean_extract": _html_oracle("site_clean"),
         "url_normalize": _url_normalize_oracle(),

@@ -709,3 +709,14 @@ def test_drift_gate_blocks_promotion_against_prior_profile(
             m3["drift"]["report"]}
     assert rows[("doc_id", "n_rows")]["flagged"] is False
     assert rows[("doc_id", "n_rows")]["drift_permille"] > 100
+
+
+def test_promotion_gate_rejects_unrecognized_contract(spark):
+    """A contract with none of the recognized keys (e.g. a typo'd
+    'condtions') must raise, not silently rubber-stamp the build."""
+    import pytest
+
+    from maps_spark.operators.expectations import promotion_gate
+    df = spark.range(3).toDF("doc_id")
+    with pytest.raises(ValueError, match="no conditions"):
+        promotion_gate(df, {"condtions": {"x": "doc_id >= 0"}})

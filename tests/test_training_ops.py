@@ -1859,3 +1859,33 @@ def test_column_stats_single_scan_plan(spark):
     got = {r["column"]: r for r in prof.collect()}
     assert got["source"]["n_distinct"] == want_distinct
     assert got["doc_id"]["n_null"] == 0
+
+
+def test_numeric_stats_planted(spark):
+    """Exact range profile + drift over it: a value shift that keeps
+    row/null/distinct counts IDENTICAL is invisible to column_stats
+    but flagged by the numeric metrics."""
+    from maps_spark.operators.expectations import (column_stats,
+                                                   numeric_stats,
+                                                   snapshot_drift)
+    old = spark.createDataFrame([(i, i * 2) for i in range(10)],
+                                "a long, b long")
+    new = spark.createDataFrame([(i, i * 2 + 500) for i in range(10)],
+                                "a long, b long")  # b shifted +500
+    ns = {r["column"]: r for r in numeric_stats(old, ["a", "b"])
+          .collect()}
+    assert (ns["b"].n_rows, ns["b"].sum_v, ns["b"].min_v,
+            ns["b"].max_v) == (10, 90, 0, 18)
+    mets = ("n_rows", "sum_v", "min_v", "max_v")
+    drift = {(r["column"], r.metric): r for r in snapshot_drift(
+        numeric_stats(old, ["a", "b"]), numeric_stats(new, ["a", "b"]),
+        tol_permille=100, metrics=mets).collect()}
+    assert drift[("b", "sum_v")].flagged      # 90 -> 5090
+    assert not drift[("a", "sum_v")].flagged  # unchanged
+    assert not drift[("b", "n_rows")].flagged
+    # the count-based profile sees NOTHING (same rows, nulls,
+    # distinct count) — the blind spot numeric_stats exists for
+    cdrift = snapshot_drift(column_stats(old, ["a", "b"]),
+                            column_stats(new, ["a", "b"]),
+                            tol_permille=100)
+    assert cdrift.where("flagged").count() == 0
