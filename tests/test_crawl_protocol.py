@@ -296,3 +296,33 @@ def test_recrawl_candidates_planted(spark):
     # p/3 no lastmod; ghost never fetched
     assert got == {"http://a.example/p/2":
                    ("2026-03-01", "2026-02-15")}
+
+
+def test_robots_v2_rules_broadcast_guard(spark, monkeypatch):
+    """The v2 rules join broadcasts only below BROADCAST_MAX_ROWS;
+    above it (patched to 0) the same equi-join runs as a shuffle
+    join — the size-guard contract every broadcast in the crawl
+    family honors."""
+    from maps_spark.operators import html as H
+    from maps_spark.operators.crawl import (parse_robots_v2,
+                                            robots_decisions_v2,
+                                            synthesize_robots_v2,
+                                            synthesize_v2_urls)
+    docs = _docs(spark)
+    rules = parse_robots_v2(synthesize_robots_v2(docs))
+    urls = synthesize_v2_urls(docs)
+
+    def plan():
+        df = robots_decisions_v2(urls, rules)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastExchange" in plan(), \
+            "small rules table should broadcast"
+        monkeypatch.setattr(H, "BROADCAST_MAX_ROWS", 0)
+        assert "BroadcastExchange" not in plan(), \
+            "above-threshold rules must fall back to a shuffle join"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
