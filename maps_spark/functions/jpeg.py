@@ -1,4 +1,4 @@
-"""Baseline sequential JPEG codec (ITU-T T.81), pure numpy/stdlib.
+"""Baseline + progressive JPEG codec (ITU-T T.81), pure numpy/stdlib.
 
 Closes the engine's last multimodal stub: the decoder implements the
 real baseline pipeline — marker parse, DQT/DHT table load, canonical
@@ -7,8 +7,17 @@ zigzag dequantization, 2-D IDCT, chroma upsampling and YCbCr->RGB —
 for 8-bit grayscale and 3-component YCbCr at any sampling factors
 h,v in {1,2} (covers 4:4:4, 4:2:2, 4:2:0), including DRI/RSTn restart
 intervals (DC prediction resets, sequence-checked markers).
-Progressive, arithmetic coding, and 12-bit raise ValueError (declared
-out of scope, like interlaced PNG).
+
+Progressive JPEG (SOF2) is decoded too — the full T.81 Annex G
+Huffman path: multi-scan coefficient accumulation, spectral selection
+(Ss/Se bands, non-interleaved AC scans over each component's own
+block grid), successive approximation (DC first/refine at any Al, AC
+first with EOBRUN spans, the AC refinement correction-bit algorithm
+of G.7.2 incl. ZRL-over-nonzero-history and EOB-span correction
+bits), DHT redefinition between scans, and per-scan restart
+intervals (DC prediction + EOBRUN reset). Arithmetic coding and
+12-bit precision raise ValueError (no public-stdlib arithmetic
+decoder; declared out of scope like interlaced PNG).
 
 The encoder exists to synthesize test payloads engine-side (grayscale
 and 4:4:4 color, standard Annex K style flow with caller-supplied
@@ -171,6 +180,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> codes
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: per-component (by, bx, 64) zigzag
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -179,6 +189,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI: progressive decode finishes here
+            break
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         seg = payload[pos + 4:pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -203,10 +215,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = list(seg[i + 17:i + 17 + nsym])
                 htables[(tc, th)] = _canonical_codes(counts, symbols)
                 i += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -214,10 +226,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("zero sampling factor in SOF")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError("unsupported SOF type (arithmetic/"
+                             "lossless/hierarchical)")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("short DRI segment")
@@ -225,10 +239,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            data_pos = pos + 2 + seglen
+            if frame.get("progressive"):
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_progressive_scan(
+                    payload, data_pos, seg, frame, qtables, htables,
+                    restart_interval, coefs)
+                continue
             ns = seg[0]
             if ns != len(frame["comps"]):
-                # Legal per T.81, but this decoder only handles the
-                # single interleaved scan baseline encoders emit.
+                # Legal per T.81, but the sequential path only handles
+                # the single interleaved scan baseline encoders emit.
                 raise ValueError("non-interleaved scans unsupported")
             sel = {}
             for c in range(ns):
@@ -236,10 +258,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cs] = (tt >> 4, tt & 0xF)
             if any(c["id"] not in sel for c in frame["comps"]):
                 raise ValueError("SOS component ids do not match SOF")
-            data_pos = pos + 2 + seglen
             return _decode_scan(payload, data_pos, frame, sel,
                                 qtables, htables, restart_interval)
         pos += 2 + seglen
+    if coefs is not None:
+        return _finish_progressive(frame, coefs, qtables)
     raise ValueError("no SOS marker")
 
 
@@ -318,6 +341,13 @@ def _decode_scan(payload, pos, frame, sel, qtables, htables,
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: level-shift, chroma upsample by pixel
+    replication, crop, and (for 3 components) YCbCr->RGB with the
+    round-half-up contract. ``planes`` are centered (pre +128)."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
@@ -337,6 +367,250 @@ def _decode_scan(payload, pos, frame, sel, qtables, htables,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive decoder (T.81 Annex G, Huffman path) -------------------
+
+def _alloc_coefs(frame) -> list:
+    """Per-component MCU-padded (block_y, block_x, 64) zigzag-order
+    coefficient accumulators shared by every scan of the image."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["mcux"] = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return [np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"],
+                      64), dtype=np.int64) for c in comps]
+
+
+def _comp_grid(frame, c) -> tuple[int, int]:
+    """(blocks_x, blocks_y) of a component's OWN grid — the block
+    count of a non-interleaved scan (T.81 A.2.2: ceil of the scaled
+    component dimensions, NOT the MCU-padded grid)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_progressive_scan(payload, pos, seg, frame, qtables,
+                             htables, restart_interval, coefs) -> int:
+    """Decode one progressive scan into ``coefs``; returns the
+    payload offset of the marker that follows the entropy data."""
+    comps = frame["comps"]
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("short SOS segment")
+    scomps = []
+    for i in range(ns):
+        cs, tt = seg[1 + 2 * i:3 + 2 * i]
+        ci = next((j for j, c in enumerate(comps) if c["id"] == cs),
+                  None)
+        if ci is None:
+            raise ValueError("SOS component id not in SOF")
+        scomps.append((ci, tt >> 4, tt & 0xF))
+    ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if ss > se or se > 63:
+        raise ValueError("invalid spectral band")
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("AC scans must be non-interleaved")
+    br = _BitReader(payload, pos)
+    if ss == 0:
+        _scan_dc(br, frame, scomps, htables, restart_interval,
+                 coefs, ah, al)
+    else:
+        _scan_ac(br, frame, scomps[0], htables, restart_interval,
+                 coefs, ss, se, ah, al)
+    br.align()
+    return br.pos
+
+
+def _scan_units(frame, scomps):
+    """Restart-unit block coordinates for a scan: MCU-interleaved
+    when Ns > 1, the component's own raster grid when Ns == 1."""
+    comps = frame["comps"]
+    if len(scomps) > 1:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                unit = []
+                for ci, _, _ in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append((ci, my * c["v"] + by,
+                                         mx * c["h"] + bx))
+                yield unit
+    else:
+        ci = scomps[0][0]
+        bw, bh = _comp_grid(frame, comps[ci])
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(ci, by, bx)]
+
+
+def _scan_dc(br, frame, scomps, htables, ri, coefs, ah, al):
+    """DC scan: first pass (Ah=0) Huffman-decodes point-transformed
+    DC differences; refinement passes read one bit per block."""
+    tabs = {}
+    if ah == 0:
+        for ci, td, _ in scomps:
+            t = htables.get((0, td))
+            if t is None:
+                raise ValueError("missing DC table")
+            tabs[ci] = t
+    preds = {ci: 0 for ci, _, _ in scomps}
+    unit_i = 0
+    rst = 0
+    for unit in _scan_units(frame, scomps):
+        if ri and unit_i and unit_i % ri == 0:
+            got = br.read_restart()
+            if got != rst:
+                raise ValueError("restart marker out of sequence")
+            rst = (rst + 1) & 7
+            preds = dict.fromkeys(preds, 0)
+        unit_i += 1
+        for ci, by, bx in unit:
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                s = br.decode_symbol(tabs[ci])
+                if s > 15:
+                    raise ValueError(f"invalid DC category {s}")
+                preds[ci] += _extend(br.read_bits(s), s)
+                blk[0] = preds[ci] << al
+            elif br.read_bit():
+                blk[0] |= 1 << al
+
+
+def _scan_ac(br, frame, scomp, htables, ri, coefs, ss, se, ah, al):
+    """AC scan over one component's band [Ss, Se]: first pass with
+    EOBRUN spans, or the G.7.2 refinement correction-bit pass."""
+    ci, _, ta = scomp
+    tab = htables.get((1, ta))
+    if tab is None:
+        raise ValueError("missing AC table")
+    bw, bh = _comp_grid(frame, frame["comps"][ci])
+    eobrun = 0
+    unit_i = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit_i and unit_i % ri == 0:
+                got = br.read_restart()
+                if got != rst:
+                    raise ValueError("restart marker out of sequence")
+                rst = (rst + 1) & 7
+                eobrun = 0
+            unit_i += 1
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                eobrun = _first_ac_block(br, tab, blk, ss, se, al,
+                                         eobrun)
+            else:
+                eobrun = _refine_ac_block(br, tab, blk, ss, se, al,
+                                          eobrun)
+
+
+def _first_ac_block(br, tab, blk, ss, se, al, eobrun) -> int:
+    """First AC pass for one block: run/size symbols with the point
+    transform applied on write; EOBn symbols start a run of blocks
+    whose band is entirely zero at this precision."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index outside spectral band")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac_block(br, tab, blk, ss, se, al, eobrun) -> int:
+    """AC refinement (T.81 G.7.2): newly-significant coefficients
+    arrive as ±1<<Al; every nonzero-history coefficient passed on the
+    way — including the EOB span — contributes one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_symbol(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: the span handler below refines
+                    # this block's tail, then decrements (unlike the
+                    # first pass, no -1 here — T.81 G.7.2)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions, no coef
+            elif s == 1:
+                newval = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("invalid AC refinement magnitude")
+            # advance over r zero-history positions, reading
+            # correction bits for nonzero-history coefficients passed
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB span: correction bits only
+            if blk[k] != 0 and br.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, coefs, qtables) -> np.ndarray:
+    """EOI: dequantize + IDCT every accumulated block (vectorized
+    over the whole component), then the shared upsample/color tail —
+    same snap + round-half-up contract as the sequential path."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table for component")
+        arr = coefs[ci]
+        bv, bh = arr.shape[:2]
+        dq = np.zeros((bv, bh, 64), dtype=np.float64)
+        dq[..., ZIGZAG] = arr * q
+        spatial = np.einsum("ij,abjk,kl->abil", _M.T,
+                            dq.reshape(bv, bh, 8, 8), _M)
+        near2 = np.round(spatial * 2.0)
+        spatial = np.where(np.abs(spatial * 2.0 - near2) < 1e-6,
+                           near2 / 2.0, spatial)
+        planes.append(spatial.transpose(0, 2, 1, 3)
+                      .reshape(bv * 8, bh * 8))
+    return _planes_to_image(planes, comps, frame["h"], frame["w"],
+                            hmax, vmax)
 
 
 # -- encoder (test-payload synthesis) -----------------------------------
@@ -403,28 +677,37 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(img: np.ndarray,
-                q_luma: np.ndarray | int = 16,
-                q_chroma: np.ndarray | int = 16,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG encoder for (h, w) grayscale or (h, w, 3) RGB
-    uint8 (4:4:4, standard Huffman tables). ``q_*`` is a scalar
-    (uniform quantization — the closed-form gate regime) or a full
-    64-entry table in zigzag order. ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs (and the decoder resets
-    its DC prediction there), matching real-world baseline files."""
+def _qtab(q) -> np.ndarray:
+    t = (np.full(64, int(q), dtype=np.int64)
+         if np.isscalar(q) else np.asarray(q, dtype=np.int64))
+    if t.shape != (64,):
+        raise ValueError("quant table must have 64 entries")
+    return t
+
+
+def _quantize_block(f: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """DCT + zigzag + near-integer snap + round-half-up quantize of
+    one centered 8x8 block: the single source of truth for the
+    baseline AND progressive encoders (the progressive-vs-baseline
+    pixel-identical twin test depends on both quantizing alike)."""
+    coef = _M @ f @ _M.T
+    zz = coef.reshape(-1)[ZIGZAG]
+    # snap near-integer coefficients (flat blocks give exactly-
+    # integer DCs in exact arithmetic): keeps the round-half-up
+    # quantization boundary deterministic and oracle-matchable
+    near = np.round(zz)
+    zz = np.where(np.abs(zz - near) < 1e-6, near, zz)
+    return _round_half_up(zz / q).astype(np.int64)
+
+
+def _encoder_planes(img: np.ndarray, ql: np.ndarray,
+                    qc: np.ndarray):
+    """Shared encoder front: RGB->YCbCr (or grayscale), level shift,
+    and edge-replication padding to 8x8 block multiples. Returns
+    (padded planes, per-plane quant tables, gray flag, h, w)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
-
-    def qtab(q):
-        t = (np.full(64, int(q), dtype=np.int64)
-             if np.isscalar(q) else np.asarray(q, dtype=np.int64))
-        if t.shape != (64,):
-            raise ValueError("quant table must have 64 entries")
-        return t
-
-    ql, qc = qtab(q_luma), qtab(q_chroma)
     if gray:
         planes = [img.astype(np.float64) - 128.0]
         qs = [ql]
@@ -436,12 +719,6 @@ def encode_jpeg(img: np.ndarray,
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qs = [ql, qc, qc]
-
-    dc_codes = _encode_codes(*_STD_DC)
-    ac_codes = _encode_codes(*_STD_AC)
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    # pad planes to block multiples by edge replication
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     padded = []
     for p in planes:
@@ -450,6 +727,27 @@ def encode_jpeg(img: np.ndarray,
         pp[h:, :w] = p[h - 1:h, :]
         pp[:, w:] = pp[:, w - 1:w]
         padded.append(pp)
+    return padded, qs, gray, h, w
+
+
+def encode_jpeg(img: np.ndarray,
+                q_luma: np.ndarray | int = 16,
+                q_chroma: np.ndarray | int = 16,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JPEG encoder for (h, w) grayscale or (h, w, 3) RGB
+    uint8 (4:4:4, standard Huffman tables). ``q_*`` is a scalar
+    (uniform quantization — the closed-form gate regime) or a full
+    64-entry table in zigzag order. ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (and the decoder resets
+    its DC prediction there), matching real-world baseline files."""
+    ql, qc = _qtab(q_luma), _qtab(q_chroma)
+    padded, qs, gray, h, w = _encoder_planes(img, ql, qc)
+    ph, pw = padded[0].shape
+
+    dc_codes = _encode_codes(*_STD_DC)
+    ac_codes = _encode_codes(*_STD_AC)
+    bw = _BitWriter()
+    preds = [0] * len(padded)
     mcu_i = 0
     rst_n = 0
     for my in range(ph // 8):
@@ -459,19 +757,11 @@ def encode_jpeg(img: np.ndarray,
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + rst_n])
                 rst_n = (rst_n + 1) & 7
-                preds = [0] * len(planes)
+                preds = [0] * len(padded)
             mcu_i += 1
             for ci, p in enumerate(padded):
                 f = p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                coef = _M @ f @ _M.T
-                zz = coef.reshape(-1)[ZIGZAG]
-                # snap near-integer coefficients (flat blocks give
-                # exactly-integer DCs in exact arithmetic): keeps the
-                # round-half-up quantization boundary deterministic
-                # and matching the closed-form oracle
-                near = np.round(zz)
-                zz = np.where(np.abs(zz - near) < 1e-6, near, zz)
-                qv = _round_half_up(zz / qs[ci]).astype(np.int64)
+                qv = _quantize_block(f, qs[ci])
                 # DC
                 diff = int(qv[0]) - preds[ci]
                 preds[ci] = int(qv[0])
@@ -524,6 +814,248 @@ def encode_jpeg(img: np.ndarray,
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Progressive AC Huffman spec: all 256 run/size symbols, 255 at 9
+# bits + 0xFF at 10 (a DHT count byte caps at 255 per length). The
+# Annex K table lacks the EOBn symbols (0x10..0xE0) progressive
+# scans need for EOBRUN > 1, so the progressive encoder carries its
+# own flat canonical table (decoders rebuild it from the DHT counts
+# like any other; code space 255/512 + 1/1024 is prefix-free).
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+def _pt_toward_zero(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            q_luma: np.ndarray | int = 16,
+                            q_chroma: np.ndarray | int = 16,
+                            al_dc: int = 1, al_ac: int = 1,
+                            bands: tuple = ((1, 5), (6, 63)),
+                            restart_interval: int = 0) -> bytes:
+    """Progressive JPEG encoder (SOF2) for (h, w) grayscale or
+    (h, w, 3) RGB uint8 at 4:4:4 — the test-payload twin of
+    :func:`encode_jpeg`, quantizing through the same
+    :func:`_quantize_block`, so a progressive decode must be
+    pixel-identical to the baseline decode of the same image.
+
+    Scan script: interleaved DC first at ``Al=al_dc``; per-component
+    AC first scans over each ``bands`` entry at ``Al=al_ac``; DC
+    refinement passes down to 0; AC refinement passes down to 0 —
+    exercising spectral selection, successive approximation, EOBRUN
+    spans (via the flat ``_PROG_AC`` table), and the G.7.2
+    correction-bit algorithm. ``restart_interval`` > 0 emits RSTn
+    every that many MCUs/blocks inside every scan."""
+    ql, qc = _qtab(q_luma), _qtab(q_chroma)
+    padded, qs, gray, h, w = _encoder_planes(img, ql, qc)
+    ph, pw = padded[0].shape
+    by_n, bx_n = ph // 8, pw // 8
+    nc = len(padded)
+    lo_prev = 0
+    for lo, hi in bands:
+        if not (1 <= lo <= hi <= 63 and lo > lo_prev):
+            raise ValueError("bands must be increasing within 1..63")
+        lo_prev = hi
+
+    # quantize every block once; scans re-read slices of this
+    qv = np.empty((nc, by_n, bx_n, 64), dtype=np.int64)
+    for ci, p in enumerate(padded):
+        for my in range(by_n):
+            for mx in range(bx_n):
+                qv[ci, my, mx] = _quantize_block(
+                    p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qs[ci])
+
+    dc_codes = _encode_codes(*_STD_DC)
+    ac_codes = _encode_codes(*_PROG_AC)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_STD_DC[0])
+                + bytes(_STD_DC[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_PROG_AC[0])
+                + bytes(_PROG_AC[1]))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def emit_scan(kind, comp_ids, ss, se, ah, al):
+        out.extend(sos_header(comp_ids, ss, se, ah, al))
+        bw = _BitWriter()
+        rst = [0]
+
+        def restart():
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst[0]])
+            rst[0] = (rst[0] + 1) & 7
+
+        if kind == "dc":
+            preds = dict.fromkeys(comp_ids, 0)
+            unit_i = 0
+            for my in range(by_n):
+                for mx in range(bx_n):
+                    if (restart_interval and unit_i
+                            and unit_i % restart_interval == 0):
+                        restart()
+                        preds = dict.fromkeys(preds, 0)
+                    unit_i += 1
+                    for ci in comp_ids:
+                        v = int(qv[ci, my, mx, 0]) >> al
+                        if ah == 0:
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _category(diff)
+                            code, ln = dc_codes[s]
+                            bw.write(code, ln)
+                            if s:
+                                bits = (diff if diff >= 0
+                                        else diff + (1 << s) - 1)
+                                bw.write(bits & ((1 << s) - 1), s)
+                        else:
+                            bw.write(v & 1, 1)
+        elif kind == "ac_first":
+            ci = comp_ids[0]
+            eobrun = [0]
+
+            def flush_eob():
+                if eobrun[0] > 0:
+                    r = eobrun[0].bit_length() - 1
+                    code, ln = ac_codes[r << 4]
+                    bw.write(code, ln)
+                    if r:
+                        bw.write(eobrun[0] - (1 << r), r)
+                    eobrun[0] = 0
+
+            unit_i = 0
+            for my in range(by_n):
+                for mx in range(bx_n):
+                    if (restart_interval and unit_i
+                            and unit_i % restart_interval == 0):
+                        flush_eob()
+                        restart()
+                    unit_i += 1
+                    vals = [_pt_toward_zero(int(v), al)
+                            for v in qv[ci, my, mx, ss:se + 1]]
+                    if not any(vals):
+                        eobrun[0] += 1
+                        if eobrun[0] == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    for v in vals:
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s = _category(v)
+                        code, ln = ac_codes[(run << 4) | s]
+                        bw.write(code, ln)
+                        bits = v if v >= 0 else v + (1 << s) - 1
+                        bw.write(bits & ((1 << s) - 1), s)
+                        run = 0
+                    if run:
+                        eobrun[0] = 1
+            flush_eob()
+        else:  # ac_refine — mirror of the decoder's G.7.2 algorithm
+            ci = comp_ids[0]
+            eobrun = [0]
+            be_bits: list[int] = []
+
+            def flush_eob():
+                if eobrun[0] > 0:
+                    r = eobrun[0].bit_length() - 1
+                    code, ln = ac_codes[r << 4]
+                    bw.write(code, ln)
+                    if r:
+                        bw.write(eobrun[0] - (1 << r), r)
+                    eobrun[0] = 0
+                    for b in be_bits:
+                        bw.write(b, 1)
+                    be_bits.clear()
+
+            unit_i = 0
+            for my in range(by_n):
+                for mx in range(bx_n):
+                    if (restart_interval and unit_i
+                            and unit_i % restart_interval == 0):
+                        flush_eob()
+                        restart()
+                    unit_i += 1
+                    blk = qv[ci, my, mx]
+                    absv = [abs(int(v)) >> al
+                            for v in blk[ss:se + 1]]
+                    negs = [int(v) < 0 for v in blk[ss:se + 1]]
+                    eob_pos = ss - 1
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eob_pos = ss + i
+                    r = 0
+                    brb: list[int] = []
+                    for i, t in enumerate(absv):
+                        k = ss + i
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_pos:
+                            flush_eob()
+                            code, ln = ac_codes[0xF0]
+                            bw.write(code, ln)
+                            r -= 16
+                            for b in brb:
+                                bw.write(b, 1)
+                            brb = []
+                        if t > 1:  # old-significant: correction bit
+                            brb.append(t & 1)
+                            continue
+                        flush_eob()
+                        code, ln = ac_codes[(r << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(0 if negs[i] else 1, 1)
+                        for b in brb:
+                            bw.write(b, 1)
+                        brb = []
+                        r = 0
+                    if r > 0 or brb:
+                        eobrun[0] += 1
+                        be_bits.extend(brb)
+                        if eobrun[0] == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+        bw.flush()
+        out.extend(bw.out)
+
+    allc = list(range(nc))
+    emit_scan("dc", allc, 0, 0, 0, al_dc)
+    for lo, hi in bands:
+        for ci in range(nc):
+            emit_scan("ac_first", [ci], lo, hi, 0, al_ac)
+    for lvl in range(al_dc - 1, -1, -1):
+        emit_scan("dc", allc, 0, 0, lvl + 1, lvl)
+    for lvl in range(al_ac - 1, -1, -1):
+        for lo, hi in bands:
+            for ci in range(nc):
+                emit_scan("ac_refine", [ci], lo, hi, lvl + 1, lvl)
     out += b"\xff\xd9"
     return bytes(out)
 

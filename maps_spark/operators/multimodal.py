@@ -6,14 +6,15 @@ Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row objects. Five codecs are REAL (stdlib/numpy only): P6 PPM,
 PNG (zlib deflate + the five scanline filters), baseline JPEG
 (:mod:`maps_spark.functions.jpeg` — Huffman entropy decode, dequant,
-IDCT, chroma upsampling), WAV/RIFF PCM16 audio, and Y4M/YUV4MPEG2
-uncompressed video (header parse + FRAME walk + planar reads incl.
-4:2:0/4:2:2 chroma upsample) — each with a hash-checked decode gate.
+IDCT, chroma upsampling — baseline AND progressive/SOF2 multi-scan),
+WAV/RIFF PCM16 audio, and Y4M/YUV4MPEG2 uncompressed video (header
+parse + FRAME walk + planar reads incl. 4:2:0/4:2:2 chroma upsample)
+— each with a hash-checked decode gate.
 Only formats whose decoders cannot be written against stdlib within
-reason (compressed video h264/vp9/av1, mp3/aac, progressive/
-arithmetic JPEG) stay behind the clearly-marked synthetic-media stub;
-their engine-side plumbing (schemas, batching, partition sizing, UDF
-signatures) is real and tested.
+reason (inter-frame compressed video h264/vp9/av1, entropy-coded
+audio mp3/aac, arithmetic-coded JPEG) stay behind the clearly-marked
+synthetic-media stub; their engine-side plumbing (schemas, batching,
+partition sizing, UDF signatures) is real and tested.
 
 Partitioning note: media tables should be written with
 ``maxRecordsPerFile`` tuned so row groups stay ~128 MB despite wide
@@ -252,8 +253,9 @@ def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
 # scanline filters from the spec, so this path is REAL too: chunk/CRC
 # parse, IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth).
 # JPEG is real too (maps_spark/functions/jpeg.py: Huffman entropy
-# decode, dequant, IDCT); only progressive/arithmetic JPEG, interlaced
-# PNG, video, and compressed audio remain out of scope.
+# decode, dequant, IDCT — baseline and progressive); only
+# arithmetic-coded JPEG, interlaced PNG, inter-frame video, and
+# entropy-coded audio remain out of scope.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> samples per pixel (8-bit depth only; no palette)
@@ -667,15 +669,20 @@ def wav_frame_features(media: DataFrame, frame: int = 256
 
 def synthesize_jpeg_media(spark: SparkSession, n: int = 64,
                           blocks_x: int = 4, blocks_y: int = 3,
-                          q: int = 16,
+                          q: int = 16, progressive: bool = False,
                           partitions: int = 4) -> DataFrame:
-    """Media table whose payloads are REAL baseline JPEGs: grayscale
-    images flat per 8x8 block (level = (17*bx + 29*by + id) % 256,
-    uniform quantizer ``q``), so the decode result has the exact
-    closed form the SQL oracle recomputes (a flat block round-trips
-    through DC-only quantization — integer arithmetic end to end)."""
-    from maps_spark.functions.jpeg import encode_jpeg
+    """Media table whose payloads are REAL JPEGs: grayscale images
+    flat per 8x8 block (level = (17*bx + 29*by + id) % 256, uniform
+    quantizer ``q``), so the decode result has the exact closed form
+    the SQL oracle recomputes (a flat block round-trips through
+    DC-only quantization — integer arithmetic end to end).
+    ``progressive=True`` emits SOF2 multi-scan streams instead (DC
+    first/refine + banded AC scans with EOBRUN spans); both coders
+    quantize identically, so the SAME oracle covers both gates."""
+    from maps_spark.functions.jpeg import (encode_jpeg,
+                                           encode_jpeg_progressive)
     w, h = blocks_x * 8, blocks_y * 8
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -685,8 +692,7 @@ def synthesize_jpeg_media(spark: SparkSession, n: int = 64,
             for i in pdf["id"]:
                 levels = (17 * bx + 29 * by + int(i)) % 256
                 img = np.repeat(np.repeat(levels, 8, 0), 8, 1)
-                rows.append(encode_jpeg(img.astype(np.uint8),
-                                        q_luma=q))
+                rows.append(enc(img.astype(np.uint8), q_luma=q))
             yield pd.DataFrame({
                 "media_id": pdf["id"], "kind": "image",
                 "payload": rows, "width": w, "height": h,
@@ -725,8 +731,9 @@ def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
 # stream header, then per frame a "FRAME" marker + raw planar YUV
 # bytes (https://wiki.multimedia.cx/index.php/YUV4MPEG2; mjpegtools'
 # reference format). This makes VIDEO a real decoded modality in the
-# PPM/WAV style; compressed video (h264/vp9/av1) stays out of scope
-# with mp3/aac and progressive JPEG.
+# PPM/WAV style; inter-frame compressed video (h264/vp9/av1) stays
+# out of scope with mp3/aac. Intra-frame compressed video is covered
+# by the MJPEG/AVI path further down.
 
 _Y4M_MAGIC = b"YUV4MPEG2"
 # colorspace tag -> (chroma x/y subsample factors, n_planes)

@@ -292,6 +292,17 @@ def q_media_jpeg_decode(spark, sf_dir):
     return jpeg_pixel_sums(synthesize_jpeg_media(spark, n=64))
 
 
+def q_media_jpeg_progressive(spark, sf_dir):
+    """SOF2 multi-scan decode gate: same flat-block closed form as
+    the baseline gate, but the payloads are progressive streams (DC
+    first/refine + banded AC first/refine with EOBRUN spans), so the
+    hash proves the full Annex G scan accumulation path."""
+    from maps_spark.operators.multimodal import (jpeg_pixel_sums,
+                                                 synthesize_jpeg_media)
+    return jpeg_pixel_sums(
+        synthesize_jpeg_media(spark, n=64, progressive=True))
+
+
 def q_audio_fingerprints(spark, sf_dir):
     from maps_spark.operators.multimodal import (audio_fingerprint,
                                                  synthesize_wav_media,
@@ -1404,6 +1415,7 @@ MAPS_QUERIES = {
     "video_scene_cuts": q_video_scene_cuts,
     "media_video_decode": q_media_video_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
+    "media_jpeg_progressive": q_media_jpeg_progressive,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
@@ -1893,6 +1905,9 @@ def maps_oracles() -> dict[str, str]:
         "video_scene_cuts": OT.scene_cuts_select(n=64),
         "media_video_decode": OT.y4m_frame_sums_select(n=64),
         "media_jpeg_decode": OT.jpeg_pixel_sums_select(n=64),
+        # progressive coder quantizes through the same _quantize_block,
+        # so the flat-block closed form is shared with the baseline gate
+        "media_jpeg_progressive": OT.jpeg_pixel_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
         "containment_pairs": OT.containment_pairs_select(threshold=0.5),

@@ -70,8 +70,13 @@ def test_rejects_unsupported_and_malformed():
     good = encode_jpeg(img)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG" + good[4:])
-    with pytest.raises(ValueError, match="non-baseline"):
-        # flip SOF0 -> SOF2 (progressive); find the marker
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        # flip SOF0 -> SOF9 (arithmetic coding); find the marker
+        i = good.index(b"\xff\xc0")
+        decode_jpeg(good[:i] + b"\xff\xc9" + good[i + 2:])
+    with pytest.raises(ValueError):
+        # SOF0 -> SOF2 makes the baseline SOS (Ss=0, Se=63) an
+        # invalid progressive scan header: DC scans must have Se=0
         i = good.index(b"\xff\xc0")
         decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2:])
     with pytest.raises(ValueError):
@@ -181,3 +186,124 @@ def test_jpeg_pixel_sums_closed_form(spark):
                 want += max(0, min(255, 2 * ((L - 127) // 2) + 128))
         assert r["sum_lum"] == 64 * want
         assert r["n_pixels"] == 768
+
+
+# -- progressive (SOF2, T.81 Annex G) ------------------------------------
+
+def test_progressive_matches_baseline_exactly():
+    """The progressive encoder quantizes through the same
+    _quantize_block as baseline, so decode must be PIXEL-IDENTICAL —
+    across spectral-selection splits, successive-approximation
+    depths, and per-scan restart intervals."""
+    from maps_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                           encode_jpeg_progressive)
+    rng = np.random.RandomState(7)
+    configs = [
+        dict(al_dc=1, al_ac=1, bands=((1, 5), (6, 63))),
+        dict(al_dc=0, al_ac=0, bands=((1, 63),)),
+        dict(al_dc=2, al_ac=2, bands=((1, 2), (3, 20), (21, 63))),
+        dict(al_dc=1, al_ac=1, bands=((1, 5), (6, 63)),
+             restart_interval=2),
+        dict(al_dc=3, al_ac=2, bands=((1, 63),), restart_interval=3),
+    ]
+    for shape in [(8, 8), (17, 23), (40, 48)]:
+        g = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for q in (16, 4):
+            base = decode_jpeg(encode_jpeg(g, q_luma=q))
+            for cfg in configs:
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(g, q_luma=q, **cfg))
+                assert np.array_equal(base, prog), (shape, q, cfg)
+    c = rng.randint(0, 256, size=(33, 41, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(c, q_luma=16, q_chroma=24))
+    for cfg in configs[:3]:
+        prog = decode_jpeg(
+            encode_jpeg_progressive(c, q_luma=16, q_chroma=24, **cfg))
+        assert np.array_equal(base, prog), cfg
+
+
+def test_progressive_eobrun_spans():
+    """A mostly-flat strip forces EOBRUN > 1 in both the AC first
+    pass (runs of all-zero-band blocks) and the refinement pass
+    (EOB spans carrying correction bits): decode must still be
+    pixel-identical to baseline."""
+    from maps_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                           encode_jpeg_progressive)
+    g = np.full((8, 64 * 8), 128, dtype=np.uint8)
+    g[3, 8 * 63 + 2] = 255  # AC energy only in the very last block
+    g[5, 4] = 96            # ... and the very first
+    base = decode_jpeg(encode_jpeg(g, q_luma=8))
+    prog = decode_jpeg(encode_jpeg_progressive(g, q_luma=8))
+    assert np.array_equal(base, prog)
+    # EOBn symbols with r > 0 only exist in the flat _PROG_AC table;
+    # the 62-block gap cannot be expressed without EOBRUN > 1, so a
+    # byte-identical re-decode through the spans is the proof.
+
+
+def test_progressive_handmade_bitstream():
+    """A progressive stream assembled by-spec-by-hand (independent
+    of encode_jpeg_progressive): one 8x8 block, quantized DC=6 at
+    q=16 split across DC-first(Al=1) + DC-refine + AC-first +
+    AC-refine scans. Dequant 96 -> every pixel rhu(96/8+128)=140."""
+    from maps_spark.functions.jpeg import _STD_DC, decode_jpeg
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_STD_DC[0]) + bytes(_STD_DC[1])
+    # flat AC table: symbols 0..254 at 9 bits, 255 at 10 (EOB0 = sym
+    # 0x00 -> code 000000000)
+    counts = [0] * 16
+    counts[8], counts[9] = 255, 1
+    dht_ac = bytes([0x10]) + bytes(counts) + bytes(range(256))
+
+    def sos(ss, se, ah, al):
+        return (bytes([1, 1, 0x00])
+                + bytes([ss, se, (ah << 4) | al]))
+
+    payload = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof)
+               + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+               # DC first, Al=1: v=6>>1=3, cat 2 ('011') + bits '11',
+               # 1-padded -> 0111 1111
+               + _seg(0xDA, sos(0, 0, 0, 1)) + b"\x7f"
+               # AC first 1..63, Al=1: EOB0 = 9 zero bits, 1-padded
+               + _seg(0xDA, sos(1, 63, 0, 1)) + b"\x00\x7f"
+               # DC refine Ah=1,Al=0: bit (6>>0)&1 = 0, 1-padded
+               + _seg(0xDA, sos(0, 0, 1, 0)) + b"\x7f"
+               # AC refine Ah=1,Al=0: EOB0 again
+               + _seg(0xDA, sos(1, 63, 1, 0)) + b"\x00\x7f"
+               + b"\xff\xd9")
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 8)
+    assert (out == 140).all()
+
+
+def test_progressive_malformed_streams_normalize():
+    """Mutation fuzz over a progressive payload: every truncation or
+    byte flip either decodes (possibly to different pixels) or
+    raises ValueError — never any other exception type."""
+    from maps_spark.functions.jpeg import (decode_jpeg,
+                                           encode_jpeg_progressive)
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    good = encode_jpeg_progressive(g, q_luma=8)
+    for cut in range(2, len(good), max(1, len(good) // 60)):
+        try:
+            decode_jpeg(good[:cut])
+        except ValueError:
+            pass
+    for _ in range(200):
+        i = int(rng.randint(2, len(good)))
+        b = bytearray(good)
+        b[i] ^= 1 << int(rng.randint(8))
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass
+    # structural rejects with clear messages
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="spectral"):
+        i = good.index(b"\xff\xda")
+        ln = struct.unpack(">H", good[i + 2:i + 4])[0]
+        bad = bytearray(good)
+        bad[i + 2 + ln - 2] = 64  # Se = 64 in the first (DC) scan
+        bad[i + 2 + ln - 3] = 1   # Ss = 1 so the band check trips
+        decode_jpeg(bytes(bad))
