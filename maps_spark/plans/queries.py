@@ -303,6 +303,15 @@ def q_media_jpeg_progressive(spark, sf_dir):
         synthesize_jpeg_media(spark, n=64, progressive=True))
 
 
+def q_media_adpcm_decode(spark, sf_dir):
+    """Compressed-audio decode gate: IMA ADPCM payloads built from
+    deterministic nibble streams; the oracle re-runs the full step-
+    table state machine in a recursive CTE (see adpcm_stats_select)."""
+    from maps_spark.operators.multimodal import (adpcm_stats,
+                                                 synthesize_adpcm_media)
+    return adpcm_stats(synthesize_adpcm_media(spark, n=64))
+
+
 def q_audio_fingerprints(spark, sf_dir):
     from maps_spark.operators.multimodal import (audio_fingerprint,
                                                  synthesize_wav_media,
@@ -1416,6 +1425,7 @@ MAPS_QUERIES = {
     "media_video_decode": q_media_video_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_jpeg_progressive": q_media_jpeg_progressive,
+    "media_adpcm_decode": q_media_adpcm_decode,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
@@ -1908,6 +1918,7 @@ def maps_oracles() -> dict[str, str]:
         # progressive coder quantizes through the same _quantize_block,
         # so the flat-block closed form is shared with the baseline gate
         "media_jpeg_progressive": OT.jpeg_pixel_sums_select(n=64),
+        "media_adpcm_decode": OT.adpcm_stats_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
         "containment_pairs": OT.containment_pairs_select(threshold=0.5),

@@ -1833,6 +1833,55 @@ SELECT media_id, CAST({n_samples} AS BIGINT) AS n_samples,
 FROM s"""
 
 
+def adpcm_stats_select(n: int = 64, blocks: int = 2,
+                       block_align: int = 36) -> str:
+    """State-machine twin of operators.multimodal.adpcm_stats over
+    synthesize_adpcm_media's deterministic nibble streams: a
+    recursive CTE re-runs the ENTIRE IMA ADPCM decoder — 89-entry
+    step table, per-nibble diff accumulation, predictor clamp to
+    int16, index walk clamp to [0, 88] — sample by sample, like the
+    BPE unrolled-CTE oracle. Only the step TABLE (spec data) is
+    shared with the Python decoder; the transition logic is
+    re-expressed in SQL."""
+    from maps_spark.operators.multimodal import _IMA_STEPS
+    spb = 1 + (block_align - 4) * 2
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(_IMA_STEPS))
+    return f"""WITH RECURSIVE
+steps(i, s) AS (VALUES {steps}),
+blk AS (SELECT i AS media_id, b
+  FROM generate_series(0, {n - 1}) t(i)
+  CROSS JOIN generate_series(0, {blocks - 1}) g(b)),
+dec AS (
+  SELECT media_id, b, 0 AS k,
+         ((37 * media_id + 13 * b) % 256 - 128) * 16 AS pred,
+         (3 * media_id + 5 * b) % 89 AS idx
+  FROM blk
+  UNION ALL
+  SELECT media_id, b, k + 1,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+         GREATEST(0, LEAST(88, idx
+           + CASE nib & 7 WHEN 4 THEN 2 WHEN 5 THEN 4
+                  WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END))
+  FROM (
+    SELECT q.*,
+           (q.s >> 3)
+           + CASE WHEN q.nib & 1 = 1 THEN q.s >> 2 ELSE 0 END
+           + CASE WHEN q.nib & 2 = 2 THEN q.s >> 1 ELSE 0 END
+           + CASE WHEN q.nib & 4 = 4 THEN q.s ELSE 0 END AS diff
+    FROM (
+      SELECT d.media_id, d.b, d.k, d.pred, d.idx, st.s,
+             (7 * d.k + 11 * d.media_id + 3 * d.b) % 16 AS nib
+      FROM dec d JOIN steps st ON st.i = d.idx
+      WHERE d.k < {spb - 1}) q))
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(pred) AS BIGINT) AS sum_amp,
+       CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+       CAST(max(pred) AS BIGINT) AS max_amp
+FROM dec GROUP BY 1"""
+
+
 def nb_classify_select(scale: int = 1_000_000) -> str:
     """DuckDB twin of operators.classify.nb_classify self-trained on
     documents with label = source: same add-one smoothing, same

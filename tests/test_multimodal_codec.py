@@ -645,3 +645,104 @@ def test_scene_cuts_planted_jump(spark):
     still = scene_cuts(y4m_frame_features(
         synthesize_y4m_media(spark, n=4))).collect()
     assert all(not r.is_cut for r in still)
+
+
+# -- IMA ADPCM (compressed audio, WAV format 0x11) -----------------------
+
+def test_adpcm_roundtrip_bounded_error_mono_and_stereo():
+    """ADPCM is lossy; for a smooth signal the greedy quantizer must
+    track within a small bound (worst at block starts, where the
+    step index resets). Header predictors are carried verbatim, so
+    the first sample of every block is EXACT."""
+    import struct
+
+    import numpy as np
+
+    from maps_spark.operators.multimodal import (decode_wav,
+                                                 encode_wav_adpcm)
+    t = np.arange(130)
+    sig = (800 * np.sin(t / 9)).astype(np.int16)  # 2 blocks of 65
+    dec, rate = decode_wav(encode_wav_adpcm(sig, 8000))
+    assert rate == 8000 and dec.shape == (130, 1)
+    assert np.abs(dec[:, 0].astype(int) - sig.astype(int)).max() < 256
+    assert dec[0, 0] == sig[0] and dec[65, 0] == sig[65]
+    st = np.stack([sig, (-sig).astype(np.int16)], axis=1)
+    d2, _ = decode_wav(encode_wav_adpcm(st, 8000))
+    assert d2.shape == (130, 2)
+    assert np.abs(d2.astype(int) - st.astype(int)).max() < 256
+    # fmt tag is 0x11 with a 4-bit sample size
+    p = encode_wav_adpcm(sig, 8000)
+    i = p.index(b"fmt ")
+    tag, ch, _, _, _, bits = struct.unpack("<HHIIHH", p[i + 8:i + 24])
+    assert (tag, ch, bits) == (0x11, 1, 4)
+
+
+def test_adpcm_synthesis_matches_pure_state_machine():
+    """Decode of synthesize_adpcm_media's deterministic payloads ==
+    a from-scratch replay of the IMA state machine (the same
+    arithmetic the gate's recursive-CTE oracle re-expresses)."""
+    import struct
+
+    import numpy as np
+
+    from maps_spark.operators.multimodal import (_IMA_STEPS,
+                                                 decode_wav)
+    blocks, block_align = 2, 36
+    spb = 1 + (block_align - 4) * 2
+    idx_adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+    for i in (0, 7, 63):
+        data = bytearray()
+        want = []
+        for b in range(blocks):
+            pred = ((37 * i + 13 * b) % 256 - 128) * 16
+            idx = (3 * i + 5 * b) % 89
+            data += struct.pack("<hBB", pred, idx, 0)
+            want.append(pred)
+            nibs = [(7 * k + 11 * i + 3 * b) % 16
+                    for k in range(spb - 1)]
+            for j in range(0, len(nibs), 2):
+                data.append(nibs[j] | (nibs[j + 1] << 4))
+            for nb in nibs:  # independent replay
+                step = _IMA_STEPS[idx]
+                diff = (step >> 3) + (step >> 2 if nb & 1 else 0) \
+                    + (step >> 1 if nb & 2 else 0) \
+                    + (step if nb & 4 else 0)
+                pred = pred - diff if nb & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + idx_adj[nb & 7]))
+                want.append(pred)
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000,
+                          block_align, 4, 2, spb)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + bytes(data))
+        dec, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body))
+                            + body)
+        assert np.array_equal(dec[:, 0], np.array(want, np.int16))
+
+
+def test_adpcm_malformed_normalizes_to_valueerror():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from maps_spark.operators.multimodal import (decode_wav,
+                                                 encode_wav_adpcm)
+    sig = np.zeros(65, dtype=np.int16)
+    good = encode_wav_adpcm(sig, 8000)
+    # step index > 88 in a block header
+    i = good.index(b"data") + 8
+    bad = bytearray(good)
+    bad[i + 2] = 89
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+    # 3 channels is out of the format's scope
+    with pytest.raises(ValueError, match="channels"):
+        encode_wav_adpcm(np.zeros((65, 3), np.int16))
+    # partial final block
+    j = good.index(b"data")
+    ln = struct.unpack("<I", good[j + 4:j + 8])[0]
+    clipped = good[:j + 4] + struct.pack("<I", ln - 1) \
+        + good[j + 8:j + 8 + ln - 1]
+    with pytest.raises(ValueError):
+        decode_wav(clipped)
