@@ -312,6 +312,15 @@ def q_media_adpcm_decode(spark, sf_dir):
     return adpcm_stats(synthesize_adpcm_media(spark, n=64))
 
 
+def q_media_mjpeg_decode(spark, sf_dir):
+    """Compressed-video decode gate: MJPEG frames in a RIFF/AVI
+    container, each a flat-block JPEG whose level varies per frame —
+    the per-(media, frame) hash proves the chunk walk + frame order."""
+    from maps_spark.operators.multimodal import (mjpeg_frame_sums,
+                                                 synthesize_mjpeg_media)
+    return mjpeg_frame_sums(synthesize_mjpeg_media(spark, n=64))
+
+
 def q_audio_fingerprints(spark, sf_dir):
     from maps_spark.operators.multimodal import (audio_fingerprint,
                                                  synthesize_wav_media,
@@ -1426,6 +1435,7 @@ MAPS_QUERIES = {
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_jpeg_progressive": q_media_jpeg_progressive,
     "media_adpcm_decode": q_media_adpcm_decode,
+    "media_mjpeg_decode": q_media_mjpeg_decode,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
@@ -1919,6 +1929,7 @@ def maps_oracles() -> dict[str, str]:
         # so the flat-block closed form is shared with the baseline gate
         "media_jpeg_progressive": OT.jpeg_pixel_sums_select(n=64),
         "media_adpcm_decode": OT.adpcm_stats_select(n=64),
+        "media_mjpeg_decode": OT.mjpeg_frame_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
         "containment_pairs": OT.containment_pairs_select(threshold=0.5),

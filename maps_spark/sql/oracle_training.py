@@ -1833,6 +1833,35 @@ SELECT media_id, CAST({n_samples} AS BIGINT) AS n_samples,
 FROM s"""
 
 
+def mjpeg_frame_sums_select(n: int = 64, blocks_x: int = 4,
+                            blocks_y: int = 3,
+                            n_frames: int = 4) -> str:
+    """Closed-form twin of operators.multimodal.mjpeg_frame_sums
+    over synthesize_mjpeg_media's MJPEG/AVI payloads: every frame is
+    a flat-block baseline JPEG at q=16 with level
+    (17*bx + 29*by + id + 7*frame) % 256, so each frame's sum is the
+    same DC-only integer arithmetic as the still-JPEG gates — per
+    (media_id, frame_idx)."""
+    return f"""WITH fr AS (SELECT i AS media_id, f AS frame_idx
+  FROM generate_series(0, {n - 1}) t(i)
+  CROSS JOIN generate_series(0, {n_frames - 1}) g(f)),
+blocks AS (
+  SELECT media_id, frame_idx,
+         (17 * bx + 29 * by + media_id + 7 * frame_idx) % 256 AS L
+  FROM fr
+  CROSS JOIN generate_series(0, {blocks_x - 1}) gx(bx)
+  CROSS JOIN generate_series(0, {blocks_y - 1}) gy(by)),
+dec AS (
+  SELECT media_id, frame_idx,
+         least(255, greatest(0,
+           (L - 127 - (((L - 127) % 2) + 2) % 2) + 128)) AS d
+  FROM blocks)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST({blocks_x * blocks_y * 64} AS BIGINT) AS n_pixels,
+       CAST(64 * sum(d) AS BIGINT) AS sum_lum
+FROM dec GROUP BY 1, 2"""
+
+
 def adpcm_stats_select(n: int = 64, blocks: int = 2,
                        block_align: int = 36) -> str:
     """State-machine twin of operators.multimodal.adpcm_stats over

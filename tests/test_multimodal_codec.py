@@ -746,3 +746,69 @@ def test_adpcm_malformed_normalizes_to_valueerror():
         + good[j + 8:j + 8 + ln - 1]
     with pytest.raises(ValueError):
         decode_wav(clipped)
+
+
+# -- MJPEG in AVI (intra-frame compressed video) -------------------------
+
+def test_mjpeg_avi_roundtrip_and_frame_order():
+    """RIFF/AVI walk + per-frame baseline JPEG decode: q=1 keeps the
+    per-pixel error <= 1; frame ORDER is pinned by giving each frame
+    a distinct mean level."""
+    import numpy as np
+
+    from maps_spark.operators.multimodal import (decode_mjpeg_avi,
+                                                 encode_mjpeg_avi)
+    rng = np.random.RandomState(3)
+    frames = [np.clip(rng.randint(0, 64, (24, 32)) + 48 * f,
+                      0, 255).astype(np.uint8) for f in range(4)]
+    out, fps = decode_mjpeg_avi(encode_mjpeg_avi(frames, fps=30,
+                                                 q=1))
+    assert out.shape == (4, 24, 32) and fps == 30
+    for f in range(4):
+        assert np.abs(out[f].astype(int)
+                      - frames[f].astype(int)).max() <= 1
+    means = out.reshape(4, -1).mean(axis=1)
+    assert list(np.argsort(means)) == [0, 1, 2, 3]
+    # color frames stack to (n, h, w, 3)
+    cf = [rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+          for _ in range(2)]
+    o2, _ = decode_mjpeg_avi(encode_mjpeg_avi(cf, q=1))
+    assert o2.shape == (2, 16, 16, 3)
+
+
+def test_mjpeg_avi_rejects_malformed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from maps_spark.operators.multimodal import (decode_mjpeg_avi,
+                                                 encode_mjpeg_avi)
+    good = encode_mjpeg_avi(
+        [np.zeros((8, 8), np.uint8) for _ in range(2)])
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_mjpeg_avi(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+    with pytest.raises(ValueError, match="not MJPG"):
+        decode_mjpeg_avi(good.replace(b"MJPG", b"H264"))
+    with pytest.raises(ValueError):
+        decode_mjpeg_avi(good[:len(good) // 2])  # truncated
+    # a corrupted frame chunk must surface as ValueError, not a
+    # foreign exception from the JPEG layer
+    i = good.index(b"00dc")
+    bad = bytearray(good)
+    bad[i + 10] ^= 0xFF
+    try:
+        decode_mjpeg_avi(bytes(bad))
+    except ValueError:
+        pass
+    # mutation fuzz across the container
+    rng = np.random.RandomState(5)
+    for _ in range(150):
+        j = int(rng.randint(0, len(good)))
+        b = bytearray(good)
+        b[j] ^= 1 << int(rng.randint(8))
+        try:
+            decode_mjpeg_avi(bytes(b))
+        except ValueError:
+            pass
+    _ = struct  # keep the import style consistent with siblings
