@@ -17,7 +17,7 @@ of G.7.2 incl. ZRL-over-nonzero-history and EOB-span correction
 bits), DHT redefinition between scans, and per-scan restart
 intervals (DC prediction + EOBRUN reset). Arithmetic coding and
 12-bit precision raise ValueError (no public-stdlib arithmetic
-decoder; declared out of scope like interlaced PNG).
+decoder; the only remaining JPEG descope).
 
 The encoder exists to synthesize test payloads engine-side (grayscale
 and 4:4:4 color, standard Annex K style flow with caller-supplied

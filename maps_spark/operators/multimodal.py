@@ -249,13 +249,13 @@ def extract_image_features(media: DataFrame, grid: int = 3) -> DataFrame:
 
 
 # -- real codec path: PNG (stdlib zlib) ---------------------------------
-# Non-interlaced 8-bit PNG needs only ``zlib`` (deflate) plus the five
-# scanline filters from the spec, so this path is REAL too: chunk/CRC
-# parse, IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth).
-# JPEG is real too (maps_spark/functions/jpeg.py: Huffman entropy
-# decode, dequant, IDCT — baseline and progressive); only
-# arithmetic-coded JPEG, interlaced PNG, inter-frame video, and
-# entropy-coded audio remain out of scope.
+# 8-bit PNG needs only ``zlib`` (deflate) plus the five scanline
+# filters from the spec, so this path is REAL too: chunk/CRC parse,
+# IDAT inflate, per-row unfiltering (None/Sub/Up/Average/Paeth), and
+# Adam7 interlace reassembly. JPEG is real too
+# (maps_spark/functions/jpeg.py: Huffman entropy decode, dequant,
+# IDCT — baseline and progressive); only arithmetic-coded JPEG,
+# inter-frame video, and entropy-coded audio remain out of scope.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> samples per pixel (8-bit depth only; no palette)
@@ -274,21 +274,12 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def encode_png(arr: np.ndarray, filter_mode: str = "cycle",
-               level: int = 6) -> bytes:
-    """REAL PNG encoder for 8-bit (h, w[, ch]) uint8 arrays, ch in
-    {1 gray, 2 gray+alpha, 3 RGB, 4 RGBA}. ``filter_mode='cycle'``
-    applies scanline filter ``y % 5`` so every decoder filter branch is
-    exercised by round-trips; ``'none'`` writes filter 0 throughout."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
-    if color is None:
-        raise ValueError(f"unsupported channel count {ch}")
-    bpp, stride = ch, w * ch
-    lines = arr.reshape(h, stride).astype(np.int32)
+def _filter_scanlines(lines: np.ndarray, bpp: int,
+                      filter_mode: str) -> bytearray:
+    """Apply PNG scanline filters to (h, stride) int32 rows —
+    ``'cycle'`` uses filter y % 5 so every decoder branch is
+    exercised; shared by the sequential path and each Adam7 pass."""
+    h, stride = lines.shape
     zeros = np.zeros(bpp, dtype=np.int32)
     raw = bytearray()
     prior = np.zeros(stride, dtype=np.int32)
@@ -312,7 +303,40 @@ def encode_png(arr: np.ndarray, filter_mode: str = "cycle",
         raw.append(f)
         raw.extend(filt.astype(np.uint8).tobytes())
         prior = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return raw
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "cycle",
+               level: int = 6, interlace: bool = False) -> bytes:
+    """REAL PNG encoder for 8-bit (h, w[, ch]) uint8 arrays, ch in
+    {1 gray, 2 gray+alpha, 3 RGB, 4 RGBA}. ``filter_mode='cycle'``
+    applies scanline filter ``y % 5`` so every decoder filter branch is
+    exercised by round-trips; ``'none'`` writes filter 0 throughout.
+    ``interlace=True`` writes Adam7: the seven passes extracted by
+    the spec geometry, each filtered independently."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    bpp = ch
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            raw += _filter_scanlines(
+                sub.reshape(ph, pw * ch).astype(np.int32), bpp,
+                filter_mode)
+    else:
+        raw = _filter_scanlines(
+            arr.reshape(h, w * ch).astype(np.int32), bpp, filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level))
             + _png_chunk(b"IEND", b""))
@@ -321,8 +345,8 @@ def encode_png(arr: np.ndarray, filter_mode: str = "cycle",
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode: signature + chunk walk with CRC verification,
     IDAT inflate, and scanline unfiltering per the spec's five filter
-    types. Supports non-interlaced 8-bit gray / gray+alpha / RGB /
-    RGBA; raises ValueError on anything else or on corrupt input
+    types. Supports 8-bit gray / gray+alpha / RGB / RGBA, sequential
+    or Adam7 interlaced; raises ValueError on anything else or corrupt input
     (every parse failure is normalized to ValueError so mapInPandas
     decode stages never crash on a bad payload).
     Returns (h, w, channels) uint8."""
@@ -365,8 +389,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported bit depth {depth}")
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     ch = _PNG_CHANNELS.get(color)
     if ch is None:
         raise ValueError(f"unsupported color type {color}")
@@ -374,16 +398,52 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt deflate stream
         raise ValueError(f"bad IDAT stream: {e}") from e
-    bpp, stride = ch, w * ch
-    if len(raw) != h * (stride + 1):
+    bpp = ch
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("scanline data size mismatch")
+        return (_unfilter_scanlines(raw, 0, h, stride, bpp)
+                .reshape(h, w, ch))
+    # Adam7: seven independently-filtered sub-images, scattered onto
+    # the full grid by the spec's (x0, y0, dx, dy) pass geometry;
+    # empty passes contribute no bytes (not even filter bytes).
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        need = ph * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("scanline data size mismatch")
+        sub = _unfilter_scanlines(raw, off, ph, stride, bpp)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        off += need
+    if off != len(raw):
         raise ValueError("scanline data size mismatch")
+    return out
+
+
+# Adam7 pass geometry: (x origin, y origin, x step, y step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_scanlines(raw: bytes, off: int, h: int, stride: int,
+                        bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes starting at ``off`` (shared by the sequential
+    path and each Adam7 pass — every pass filters independently)."""
     out = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        off = y * (stride + 1)
-        f = raw[off]
+        o = off + y * (stride + 1)
+        f = raw[o]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                             offset=off + 1).astype(np.int32)
+                             offset=o + 1).astype(np.int32)
         if f == 0:
             pass
         elif f == 2:
@@ -406,7 +466,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {f}")
         prior = line
         out[y] = line.astype(np.uint8)
-    return out.reshape(h, w, ch)
+    return out
 
 
 def to_rgb(img: np.ndarray) -> np.ndarray:
@@ -438,11 +498,13 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def synthesize_png_media(spark: SparkSession, n: int = 64,
                          width: int = 31, height: int = 17,
+                         interlace: bool = False,
                          partitions: int = 4) -> DataFrame:
     """Media table whose payloads are REAL PNGs (same deterministic
     per-id gradients as :func:`synthesize_ppm_media`, cycling scanline
     filters), exercising the true decode path end-to-end. Odd default
-    dims stress non-aligned strides."""
+    dims stress non-aligned strides — and, with ``interlace=True``,
+    ragged Adam7 passes (31x17 leaves several passes partial)."""
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -453,7 +515,7 @@ def synthesize_png_media(spark: SparkSession, n: int = 64,
                     (yy * 255 // max(height - 1, 1)),
                     np.full_like(xx, int(i) % 256),
                 ], axis=-1).astype(np.uint8)
-                rows.append(encode_png(img))
+                rows.append(encode_png(img, interlace=interlace))
             yield pd.DataFrame({
                 "media_id": pdf["id"], "kind": "image",
                 "payload": rows,

@@ -248,6 +248,17 @@ def q_media_png_decode(spark, sf_dir):
     return png_channel_sums(synthesize_png_media(spark, n=64))
 
 
+def q_media_png_interlaced(spark, sf_dir):
+    """Adam7 decode gate: the same 31x17 gradient pixels, but stored
+    as seven independently-filtered interlace passes — the shared
+    closed-form oracle proves the scatter geometry reassembles every
+    pixel at its original coordinate."""
+    from maps_spark.operators.multimodal import (png_channel_sums,
+                                                 synthesize_png_media)
+    return png_channel_sums(
+        synthesize_png_media(spark, n=64, interlace=True))
+
+
 def q_media_wav_decode(spark, sf_dir):
     from maps_spark.operators.multimodal import (synthesize_wav_media,
                                                  wav_stats)
@@ -1436,6 +1447,7 @@ MAPS_QUERIES = {
     "media_jpeg_progressive": q_media_jpeg_progressive,
     "media_adpcm_decode": q_media_adpcm_decode,
     "media_mjpeg_decode": q_media_mjpeg_decode,
+    "media_png_interlaced": q_media_png_interlaced,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
@@ -1917,6 +1929,10 @@ def maps_oracles() -> dict[str, str]:
         # same closed-form oracle as PPM: pixels are the same gradient,
         # only the container codec differs (31x17 stresses odd strides)
         "media_png_decode": OT.ppm_channel_sums_select(
+            n=64, width=31, height=17),
+        # Adam7 stores the SAME pixels in pass order; the shared
+        # closed form proves the scatter reassembly
+        "media_png_interlaced": OT.ppm_channel_sums_select(
             n=64, width=31, height=17),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),

@@ -144,13 +144,20 @@ def test_png_rejects_malformed():
         decode_png(bytes(corrupt))
     with pytest.raises(ValueError):
         decode_png(good[:-6])  # truncated
-    # interlaced flag -> explicit unsupported error (rebuild IHDR CRC)
+    # invalid interlace METHOD (2) -> explicit error; method 1 is
+    # Adam7 and supported (rebuild IHDR CRC either way)
     import zlib as _z
     ihdr = bytearray(good[8:8 + 25])
-    ihdr[8 + 12] = 1  # interlace byte of IHDR data
+    ihdr[8 + 12] = 2  # interlace byte of IHDR data
     body = bytes(ihdr[4:8 + 13])
     ihdr[-4:] = struct.pack(">I", _z.crc32(body) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="interlace"):
+        decode_png(good[:8] + bytes(ihdr) + good[8 + 25:])
+    # method 1 with a non-interlaced payload: wrong stream layout
+    ihdr[8 + 12] = 1
+    ihdr[-4:] = struct.pack(
+        ">I", _z.crc32(bytes(ihdr[4:8 + 13])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="size mismatch"):
         decode_png(good[:8] + bytes(ihdr) + good[8 + 25:])
 
 
@@ -812,3 +819,80 @@ def test_mjpeg_avi_rejects_malformed():
         except ValueError:
             pass
     _ = struct  # keep the import style consistent with siblings
+
+
+# -- Adam7 interlaced PNG -------------------------------------------------
+
+def test_adam7_handmade_spec_figure():
+    """Build an interlaced PNG by hand where every pass-p pixel
+    carries the value p, then demand the decode reproduce the PNG
+    spec's classic 8x8 Adam7 figure — fully independent of
+    encode_png, so a symmetric pass-geometry bug cannot hide."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from maps_spark.operators.multimodal import decode_png
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(passes, start=1):
+        pw = (8 - x0 + dx - 1) // dx
+        ph = (8 - y0 + dy - 1) // dy
+        for _ in range(ph):
+            raw += bytes([0]) + bytes([p] * pw)  # filter None
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)  # gray, Adam7
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", _z.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    out = decode_png(payload)[:, :, 0]
+    want = np.array([
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7]], dtype=np.uint8)
+    assert np.array_equal(out, want)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_adam7_roundtrip_ragged_dims(ch):
+    """Interlaced round-trips across dims that leave passes empty or
+    partial (1x1 has ONLY pass 1; 3x5 skips several)."""
+    from maps_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.RandomState(23 + ch)
+    for shape in [(1, 1), (3, 5), (8, 8), (17, 31), (2, 2)]:
+        img = rng.randint(0, 256,
+                          size=(*shape, ch)).astype(np.uint8)
+        for fm in ("cycle", "none"):
+            out = decode_png(encode_png(img, filter_mode=fm,
+                                        interlace=True))
+            assert np.array_equal(out, img), (shape, ch, fm)
+
+
+def test_adam7_truncated_pass_data_is_valueerror():
+    from maps_spark.operators.multimodal import decode_png, encode_png
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_png(img, interlace=True)
+    # recompress a clipped raw stream so only the CRC-valid IDAT
+    # layout differs: drop the last pass's final scanline
+    import struct
+    import zlib as _z
+    i = good.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", good[i:i + 4])
+    raw = _z.decompress(good[i + 8:i + 8 + ln])
+    clipped = _z.compress(raw[:-25])
+    chunk = (struct.pack(">I", len(clipped)) + b"IDAT" + clipped
+             + struct.pack(
+                 ">I", _z.crc32(b"IDAT" + clipped) & 0xFFFFFFFF))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(good[:i] + chunk + good[i + 12 + ln:])
