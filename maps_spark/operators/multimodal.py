@@ -481,8 +481,9 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes to a REAL decoder (P6 PPM, PNG, or
-    baseline JPEG); raises ValueError for unknown formats."""
+    """Dispatch on magic bytes to a REAL decoder (P6 PPM, PNG incl.
+    Adam7 interlaced, or JPEG baseline/progressive); raises
+    ValueError for unknown formats."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
@@ -1181,12 +1182,30 @@ def y4m_frame_sums(media: DataFrame) -> DataFrame:
              "sum_v long")
 
 
+def _video_luma(payload: bytes) -> np.ndarray:
+    """(n_frames, h, w) int64 luma planes from any supported video
+    container, dispatched on magic bytes: YUV4MPEG2 (Y plane) or
+    MJPEG/AVI (decoded pixels; BT.601 integer luma for RGB frames) —
+    so every frame-analysis operator downstream of this helper works
+    on compressed video too."""
+    if payload[:4] == b"RIFF":
+        frames, _ = decode_mjpeg_avi(payload)
+        a = frames.astype(np.int64)
+        if a.ndim == 4:  # RGB -> integer BT.601 luma
+            return (299 * a[..., 0] + 587 * a[..., 1]
+                    + 114 * a[..., 2]) // 1000
+        return a
+    frames, _ = decode_y4m(payload)
+    return frames[:, :, :, 0].astype(np.int64)
+
+
 def y4m_frame_features(media: DataFrame) -> DataFrame:
     """Per-frame video analysis from the REAL decode — the
     scene-cut/motion stage of a video-curation pipeline: exact integer
     luma sum and the absolute frame-difference energy vs the previous
     frame (sum |Y_f - Y_{f-1}|; 0 for frame 0). One Arrow-batched
-    mapInPandas stage; frames never leave the worker.
+    mapInPandas stage; frames never leave the worker. Accepts Y4M
+    and MJPEG/AVI payloads (magic-byte dispatch via _video_luma).
 
     Output: (media_id, frame_idx, sum_luma, diff_energy)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1194,8 +1213,7 @@ def y4m_frame_features(media: DataFrame) -> DataFrame:
             out = {"media_id": [], "frame_idx": [], "sum_luma": [],
                    "diff_energy": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames, _ = decode_y4m(bytes(payload))
-                luma = frames[:, :, :, 0].astype(np.int64)
+                luma = _video_luma(bytes(payload))
                 for f in range(luma.shape[0]):
                     d = (0 if f == 0 else
                          int(np.abs(luma[f] - luma[f - 1]).sum()))

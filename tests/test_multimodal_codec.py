@@ -896,3 +896,36 @@ def test_adam7_truncated_pass_data_is_valueerror():
                  ">I", _z.crc32(b"IDAT" + clipped) & 0xFFFFFFFF))
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(good[:i] + chunk + good[i + 12 + ln:])
+
+
+def test_scene_cuts_work_on_mjpeg_video(spark):
+    """Compressed video is first-class in the frame-analysis family:
+    a planted luma jump inside an MJPEG/AVI stream surfaces as the
+    single scene cut, through the same y4m_frame_features path."""
+    import pandas as pd
+
+    from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 encode_mjpeg_avi,
+                                                 scene_cuts,
+                                                 y4m_frame_features)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                level = [40] * 3 + [200] * 3  # jump at frame 3
+                fr = [np.full((16, 16), lv, np.uint8)
+                      for lv in level]
+                rows.append(encode_mjpeg_avi(fr, q=1))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "video",
+                "payload": rows, "width": 16, "height": 16,
+                "sample_rate": 0, "n_frames": 6})
+
+    media = spark.range(4).mapInPandas(gen, MEDIA_SCHEMA)
+    cuts = scene_cuts(y4m_frame_features(media)).collect()
+    per = {}
+    for r in cuts:
+        if r.is_cut:
+            per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert per == {i: [3] for i in range(4)}
