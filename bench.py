@@ -529,6 +529,26 @@ def run() -> None:
             finally:
                 shutil.rmtree(out, ignore_errors=True)
 
+        @timed("compressed_codecs")
+        def _14b():
+            # the four late-round-8 codecs in one entry: progressive
+            # JPEG (multi-scan), IMA ADPCM (step-machine audio),
+            # MJPEG/AVI (per-frame video), Adam7 interlaced PNG —
+            # decode throughput of the compressed-media ingest path
+            from maps_spark.operators.multimodal import (
+                adpcm_stats, jpeg_pixel_sums, mjpeg_frame_sums,
+                png_channel_sums, synthesize_adpcm_media,
+                synthesize_jpeg_media, synthesize_mjpeg_media,
+                synthesize_png_media)
+            jpeg_pixel_sums(synthesize_jpeg_media(
+                spark, n=192, progressive=True)).count()
+            adpcm_stats(synthesize_adpcm_media(
+                spark, n=192, blocks=8)).count()
+            mjpeg_frame_sums(synthesize_mjpeg_media(
+                spark, n=128, n_frames=6)).count()
+            png_channel_sums(synthesize_png_media(
+                spark, n=192, interlace=True)).count()
+
         @timed("pair_curation_e2e")
         def _14c():
             # image-TEXT pair curation (contrastive-data prep): real
