@@ -157,8 +157,9 @@ def _extend(bits: int, s: int) -> int:
 # -- decoder ------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL baseline JPEG decode: (h, w) uint8 for grayscale, (h, w, 3)
-    RGB for YCbCr. ValueError on non-baseline or malformed input —
+    """REAL JPEG decode — baseline (SOF0) and progressive (SOF2):
+    (h, w) uint8 for grayscale, (h, w, 3) RGB for YCbCr. ValueError
+    on arithmetic/lossless/12-bit variants or malformed input —
     including structurally-malformed streams (short segments, scans
     referencing undefined tables): every parse failure is normalized to
     ValueError so mapInPandas decode stages honor the

@@ -307,3 +307,49 @@ def test_progressive_malformed_streams_normalize():
         bad[i + 2 + ln - 2] = 64  # Se = 64 in the first (DC) scan
         bad[i + 2 + ln - 3] = 1   # Ss = 1 so the band check trips
         decode_jpeg(bytes(bad))
+
+
+def test_progressive_420_subsampled_handmade():
+    """Hand-assembled 4:2:0 PROGRESSIVE stream (the encoder only
+    writes 4:4:4, so this pins the decoder-only path): the DC scan
+    is MCU-interleaved (4 luma + 1 Cb + 1 Cr blocks), while each AC
+    scan walks the COMPONENT's own grid — 2x2 blocks for luma but
+    1x1 for chroma (T.81 A.2.2), which nothing 4:4:4 can cover.
+    Luma DC diffs of +5 per block at q=16 give quadrant means
+    138/148/158/168; chroma stays 128, so RGB == replicated luma."""
+    from maps_spark.functions.jpeg import decode_jpeg
+    dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = (struct.pack(">BHHB", 8, 16, 16, 3)
+           + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+           + bytes([3, 0x11, 0]))
+    one = bytes([1] + [0] * 15)           # a single length-1 code
+    dht_dc0 = bytes([0x00]) + one + bytes([3])     # category 3
+    dht_dc1 = bytes([0x01]) + one + bytes([0])     # category 0
+    dht_ac0 = bytes([0x10]) + one + bytes([0x00])  # EOB
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for cid, tt in comps:
+            body += bytes([cid, tt])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    payload = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof)
+               + _seg(0xC4, dht_dc0) + _seg(0xC4, dht_dc1)
+               + _seg(0xC4, dht_ac0)
+               # DC scan, interleaved: 4x ('0'+'101') + Cb '0' + Cr
+               # '0' = 18 bits, 1-padded to 0x55 0x55 0x3F
+               + sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 0)
+               + b"\x55\x55\x3f"
+               # AC luma: component grid 2x2 -> 4 EOB bits
+               + sos([(1, 0x00)], 1, 63, 0, 0) + b"\x0f"
+               # AC chroma: component grid 1x1 -> 1 EOB bit each
+               + sos([(2, 0x00)], 1, 63, 0, 0) + b"\x7f"
+               + sos([(3, 0x00)], 1, 63, 0, 0) + b"\x7f"
+               + b"\xff\xd9")
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 16, 3)
+    want = np.zeros((16, 16), dtype=np.uint8)
+    want[:8, :8], want[:8, 8:] = 138, 148
+    want[8:, :8], want[8:, 8:] = 158, 168
+    for c in range(3):  # chroma flat at 128 -> RGB == luma
+        assert np.array_equal(out[:, :, c], want), c
