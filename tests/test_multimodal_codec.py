@@ -929,3 +929,39 @@ def test_scene_cuts_work_on_mjpeg_video(spark):
         if r.is_cut:
             per.setdefault(r.media_id, []).append(r.frame_idx)
     assert per == {i: [3] for i in range(4)}
+
+
+def test_audio_pipeline_accepts_adpcm_payloads(spark):
+    """Compressed audio is first-class downstream: ADPCM WAVs flow
+    through decode_wav into wav_frame_features + audio_fingerprint
+    unchanged, and a near-identical signal pairs with its original."""
+    import pandas as pd
+
+    from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 audio_fingerprint,
+                                                 encode_wav_adpcm,
+                                                 wav_frame_features)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                t = np.arange(520)
+                sig = (600 * np.sin(t / (7 + int(i) % 3))
+                       ).astype(np.int16)
+                rows.append(encode_wav_adpcm(sig[:520], 8000,
+                                             block_align=36))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "audio",
+                "payload": rows, "width": 0, "height": 0,
+                "sample_rate": 8000, "n_frames": 8})
+
+    media = spark.range(6).mapInPandas(gen, MEDIA_SCHEMA)
+    feats = wav_frame_features(media, frame=64)
+    fps = audio_fingerprint(feats).collect()
+    assert len(fps) == 6
+    assert all(r.n_bits > 0 for r in fps)
+    # same period -> same envelope -> identical fingerprints
+    by_id = {r.media_id: r.fp for r in fps}
+    assert by_id[0] == by_id[3]  # periods 7 and 7
+    assert by_id[0] != by_id[1]  # periods 7 and 8

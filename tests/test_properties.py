@@ -469,3 +469,101 @@ def test_sitemap_block_extraction_keeps_loc_lastmod_aligned(entries):
            for b in blocks]
     want = [(loc, "" if lm is None else lm) for loc, lm in entries]
     assert got == want, xml
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(1, 4),
+       st.randoms(use_true_random=False))
+def test_adam7_roundtrip_property(h, w, ch, rnd):
+    """Interlaced encode -> decode is the identity for every shape
+    and channel count — arbitrary dims leave arbitrary subsets of
+    the seven passes empty or partial."""
+    import numpy as np
+
+    from maps_spark.operators.multimodal import decode_png, encode_png
+    arr = np.array([rnd.randrange(256) for _ in range(h * w * ch)],
+                   dtype=np.uint8).reshape(h, w, ch)
+    out = decode_png(encode_png(arr, interlace=True))
+    assert np.array_equal(out, arr), (h, w, ch)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2),
+       st.integers(0, 2), st.randoms(use_true_random=False))
+def test_progressive_equals_baseline_property(h, w, al_dc, al_ac, rnd):
+    """For every image and successive-approximation depth, the
+    progressive decode must be PIXEL-IDENTICAL to the baseline
+    decode (both encoders quantize through _quantize_block)."""
+    import numpy as np
+
+    from maps_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                           encode_jpeg_progressive)
+    arr = np.array([rnd.randrange(256) for _ in range(h * w)],
+                   dtype=np.uint8).reshape(h, w)
+    base = decode_jpeg(encode_jpeg(arr, q_luma=16))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        arr, q_luma=16, al_dc=al_dc, al_ac=al_ac))
+    assert np.array_equal(base, prog), (h, w, al_dc, al_ac)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=4, max_size=36),
+       st.integers(-32768, 32767), st.integers(0, 88))
+def test_adpcm_decoder_matches_replay_for_arbitrary_nibbles(
+        data_bytes, pred0, idx0):
+    """The WAV-level ADPCM decoder must agree with a from-scratch
+    replay of the IMA state machine for ARBITRARY nibble payloads
+    and block headers — not just encoder-produced streams."""
+    import struct
+
+    import numpy as np
+
+    from maps_spark.operators.multimodal import _IMA_STEPS, decode_wav
+    nbytes = len(data_bytes) - len(data_bytes) % 4  # whole 4-byte groups
+    payload_bytes = bytes(data_bytes[:nbytes])
+    block_align = 4 + nbytes
+    spb = 1 + nbytes * 2
+    data = struct.pack("<hBB", pred0, idx0, 0) + payload_bytes
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, block_align,
+                      4, 2, spb)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    out, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    idx_adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+    want = [pred0]
+    pred, idx = pred0, idx0
+    for byte in payload_bytes:
+        for nb in (byte & 0xF, byte >> 4):
+            step = _IMA_STEPS[idx]
+            diff = ((step >> 3) + (step >> 2 if nb & 1 else 0)
+                    + (step >> 1 if nb & 2 else 0)
+                    + (step if nb & 4 else 0))
+            pred = pred - diff if nb & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + idx_adj[nb & 7]))
+            want.append(pred)
+    assert np.array_equal(out[:, 0], np.array(want, np.int16))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 3), st.integers(1, 3),
+       st.randoms(use_true_random=False))
+def test_mjpeg_avi_frames_equal_independent_jpeg_decodes(
+        n_frames, bh, bw, rnd):
+    """Container property: decoding an MJPEG/AVI must yield exactly
+    the per-frame baseline JPEG decodes, in order, for any frame
+    count and dimensions."""
+    import numpy as np
+
+    from maps_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from maps_spark.operators.multimodal import (decode_mjpeg_avi,
+                                                 encode_mjpeg_avi)
+    h, w = bh * 8, bw * 8
+    frames = [np.array([rnd.randrange(256) for _ in range(h * w)],
+                       dtype=np.uint8).reshape(h, w)
+              for _ in range(n_frames)]
+    out, _ = decode_mjpeg_avi(encode_mjpeg_avi(frames, q=16))
+    assert out.shape[0] == n_frames
+    for f in range(n_frames):
+        assert np.array_equal(
+            out[f], decode_jpeg(encode_jpeg(frames[f], q_luma=16)))
