@@ -91,13 +91,24 @@ def expectation_report(df: DataFrame,
 
 
 def column_stats(df: DataFrame,
-                 cols: list[str] | None = None) -> DataFrame:
+                 cols: list[str] | None = None,
+                 approx: bool = False,
+                 rsd: float = 0.02) -> DataFrame:
     """Per-column profile of a snapshot — the raw material for
     cross-build drift detection: (column, n_rows, n_null,
     n_distinct), one row per column, ALL columns in ONE scan (the
     same stack-unpivot discipline as :func:`expectation_report`;
     Spark plans the multi-distinct aggregate as one expand pass).
-    Exact integers, so the drift gate hash-matches bitwise."""
+    Exact integers, so the drift gate hash-matches bitwise.
+
+    ``approx=True`` swaps ``count_distinct`` for HLL
+    ``approx_count_distinct(rsd)``: the exact multi-distinct plan
+    EXPANDS the input (one row per profiled column per input row)
+    and shuffles every distinct value — fine at gate scale, the
+    dominant cost on a 100 TB snapshot. The approx plan keeps the
+    plain partial-aggregate shape (no Expand, fixed-size sketches
+    merged map-side); drift tolerances must then absorb ~rsd of
+    n_distinct noise, so keep the exact mode for hash gates."""
     cols = cols or df.columns
     aggs = [F.coalesce(F.count("*"), F.lit(0)).cast("long")
             .alias("_n")]
@@ -105,7 +116,9 @@ def column_stats(df: DataFrame,
         aggs.append(F.coalesce(F.sum(
             F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
             .cast("long").alias(f"_u{i}"))
-        aggs.append(F.coalesce(F.count_distinct(F.col(c)), F.lit(0))
+        distinct = (F.approx_count_distinct(F.col(c), rsd) if approx
+                    else F.count_distinct(F.col(c)))
+        aggs.append(F.coalesce(distinct, F.lit(0))
                     .cast("long").alias(f"_d{i}"))
     stack = ", ".join(
         f"""'{c.replace("'", "''")}', _u{i}, _d{i}"""

@@ -1861,6 +1861,32 @@ def test_column_stats_single_scan_plan(spark):
     assert got["doc_id"]["n_null"] == 0
 
 
+def test_column_stats_approx_mode_no_expand(spark):
+    """approx=True is the 100 TB path: HLL approx_count_distinct
+    keeps the plain partial-aggregate shape — NO Expand operator
+    (the exact multi-distinct plan expands one row per profiled
+    column per input row) — and lands within a few rsd of exact."""
+    from maps_spark.operators.expectations import column_stats
+    from tests.conftest import SF_SMALL
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cols = ["doc_id", "source", "lang"]
+    exact = column_stats(docs, cols)
+    approx = column_stats(docs, cols, approx=True, rsd=0.02)
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan     # the cost approx avoids
+    assert "Expand" not in approx_plan
+    assert approx_plan.count("Scan parquet") == 1
+    e = {r["column"]: r["n_distinct"] for r in exact.collect()}
+    a = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    for c in cols:
+        assert abs(a[c] - e[c]) <= max(3, 0.06 * e[c]), (c, a[c], e[c])
+    # null counts stay exact in both modes
+    ae = {r["column"]: r["n_null"] for r in approx.collect()}
+    ee = {r["column"]: r["n_null"] for r in exact.collect()}
+    assert ae == ee
+
+
 def test_numeric_stats_planted(spark):
     """Exact range profile + drift over it: a value shift that keeps
     row/null/distinct counts IDENTICAL is invisible to column_stats
