@@ -95,3 +95,49 @@ def test_pair_curation_e2e(spark, tmp_path):
     kept = {r.media_id for r in read_pairs(spark, root).collect()}
     assert kept == {0, 1, 3, 200}       # 100 = same image + same text
     assert f["cross_modal_dups_dropped"] == 1
+
+
+def test_cross_format_dedup_collapses_all_codecs(spark, tmp_path):
+    """The SAME pixels stored as PPM, plain PNG, Adam7-interlaced
+    PNG, and (near-lossless q=1) progressive JPEG all collapse to
+    ONE survivor: feature extraction is format-invariant because
+    every decoder feeds the same decode_image dispatch."""
+    import numpy as np
+    import pandas as pd
+
+    from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 encode_png,
+                                                 encode_ppm)
+    from maps_spark.functions.jpeg import encode_jpeg_progressive
+    from maps_spark.plans.media import (read_media_features,
+                                        run_media_curation)
+    yy, xx = np.mgrid[0:16, 0:24]
+    base = np.stack([xx * 10 % 256, yy * 13 % 256,
+                     (xx + yy) * 7 % 256], axis=-1).astype(np.uint8)
+    other = (base + 96).astype(np.uint8)  # a distinct second image
+    payloads = [
+        (0, encode_ppm(base)),
+        (1, encode_png(base)),
+        (2, encode_png(base, interlace=True)),
+        (3, encode_jpeg_progressive(base, q_luma=1, q_chroma=1)),
+        (10, encode_ppm(other)),
+    ]
+
+    def gen(it):
+        for pdf in it:
+            rows = [payloads[int(i)] for i in pdf["id"]]
+            yield pd.DataFrame({
+                "media_id": [r[0] for r in rows], "kind": "image",
+                "payload": [r[1] for r in rows],
+                "width": 24, "height": 16,
+                "sample_rate": 0, "n_frames": 0})
+
+    media = spark.range(5).mapInPandas(gen, MEDIA_SCHEMA)
+    root = str(tmp_path / "xfmt")
+    m = run_media_curation(spark, media, root, dup_threshold=0.999)
+    kept = {r.media_id for r in
+            read_media_features(spark, root).collect()}
+    # the lowest id of the four-format cluster survives; the
+    # unrelated image is untouched
+    assert kept == {0, 10}
+    assert m["funnel"]["near_dups_dropped"] == 3
