@@ -1367,9 +1367,11 @@ def q_bpe_merges(spark, sf_dir):
 
 
 def q_bpe_tokenize(spark, sf_dir):
-    # no DuckDB oracle (sequential merge loop is not SQL-expressible);
-    # the driver records the weaker rows-only check, and
-    # tests/test_bpe.py pins golden/roundtrip/determinism
+    """Was rows-only for seven rounds ("sequential merge loop is not
+    SQL-expressible") — now hash-gated: the oracle replays encode_word
+    as a RECURSIVE CTE over merges from the same unrolled trainer
+    (one-merge-at-a-time is provably equivalent to batch BPE because
+    pairs created by a merge always rank later)."""
     from maps_spark.operators.bpe import bpe_encode, train_bpe
     docs = _docs(spark, sf_dir)
     return bpe_encode(docs, train_bpe(docs, n_merges=100))
@@ -1911,6 +1913,7 @@ def maps_oracles() -> dict[str, str]:
         "lm_score": OT.lm_score_select(),
         "collocations": OT.collocations_select(),
         "bpe_merges": OT.bpe_merges_select(n_merges=4),
+        "bpe_tokenize": OT.bpe_tokenize_select(n_merges=100),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
         "novelty_score": OT.novelty_score_select(),

@@ -2996,11 +2996,24 @@ def bpe_merges_select(n_merges: int = 4,
     each argmax CTE: a sub-threshold round yields an empty b{r},
     the cross join makes every later vocab empty, and the UNION
     emits exactly the rounds the Spark loop emitted."""
+    ctes = _bpe_trainer_ctes(n_merges, min_pair_count)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, "
+        f"c AS pair_count FROM b{r}" for r in range(n_merges))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def _bpe_trainer_ctes(n_merges: int, min_pair_count: int) -> list:
+    """The unrolled BPE-trainer CTE chain shared by the merges and
+    tokenize oracles. Every v{r} is MATERIALIZED: v{r} is referenced
+    twice (pair counts + next vocab), and DuckDB inlines plain CTEs
+    per reference, which at large n_merges makes the plan tree — and
+    its parquet scans — grow exponentially."""
     ctes = [_TOKS_CTE,
             "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt "
             "FROM toks GROUP BY 1)",
-            "v0 AS (SELECT list_append(string_split(word, ''), "
-            "'</w>') AS sym, cnt FROM wc)"]
+            "v0 AS MATERIALIZED (SELECT list_append("
+            "string_split(word, ''), '</w>') AS sym, cnt FROM wc)"]
     for r in range(n_merges):
         ctes.append(f"""p{r} AS (
   SELECT u.l AS lhs, u.r2 AS rhs, CAST(sum(cnt) AS BIGINT) AS c
@@ -3009,10 +3022,10 @@ def bpe_merges_select(n_merges: int = 4,
                  i -> struct_pack(l := sym[i], r2 := sym[i + 1]))) AS u
         FROM v{r} WHERE len(sym) >= 2) q
   GROUP BY 1, 2),
-b{r} AS (SELECT lhs, rhs, c FROM p{r}
+b{r} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{r}
          WHERE c >= {min_pair_count}
          ORDER BY c DESC, lhs, rhs LIMIT 1),
-v{r + 1} AS (
+v{r + 1} AS MATERIALIZED (
   SELECT list_reduce(
            [[chr(1)]] || list_transform(v.sym, x -> [x]),
            (acc, x) -> CASE WHEN acc[-1] = b.lhs AND x[1] = b.rhs
@@ -3020,7 +3033,61 @@ v{r + 1} AS (
                        ELSE list_append(acc, x[1]) END)[2:] AS sym,
          v.cnt
   FROM v{r} v CROSS JOIN b{r} b)""")
-    sel = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, "
-        f"c AS pair_count FROM b{r}" for r in range(n_merges))
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return ctes
+
+
+def bpe_tokenize_select(n_merges: int = 100,
+                        min_pair_count: int = 2) -> str:
+    """State-machine twin of operators.bpe.bpe_encode over merges
+    learned by the same unrolled trainer: a RECURSIVE CTE replays
+    encode_word exactly — per step, look up every adjacent pair's
+    rank in the merge map, take the leftmost occurrence of the
+    minimum rank, splice the merged token, repeat until no learned
+    pair remains. One-merge-at-a-time is equivalent to the batch
+    form because any pair created by a merge was learned later (its
+    rank is strictly higher), so the pending minimum never changes.
+    Output matches bpe_encode: (doc_id, n_tokens, n_bpe_tokens,
+    bpe_text)."""
+    ctes = _bpe_trainer_ctes(n_merges, min_pair_count)
+    ranks_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs FROM b{r}"
+        for r in range(n_merges))
+    ctes.append(f"ranks AS MATERIALIZED ({ranks_union})")
+    # chr(1) joins pair keys; learned tokens come from corpus words,
+    # which are space-split text and never contain control bytes
+    ctes.append("""rmap AS MATERIALIZED (
+  SELECT map(list(lhs || chr(1) || rhs ORDER BY rank),
+             list(rank ORDER BY rank)) AS m FROM ranks)""")
+    ctes.append("""enc AS (
+  SELECT word, 0 AS k,
+         list_append(string_split(word, ''), '</w>') AS sym
+  FROM (SELECT DISTINCT word FROM toks)
+  UNION ALL
+  SELECT word, k + 1,
+         sym[1:pos - 1] || [sym[pos] || sym[pos + 1]] || sym[pos + 2:]
+  FROM (
+    SELECT word, k, sym, list_position(pr, list_min(pr)) AS pos
+    FROM (
+      SELECT e.word, e.k, e.sym,
+             list_transform(generate_series(1, len(e.sym) - 1),
+               i -> (m[e.sym[i] || chr(1) || e.sym[i + 1]])[1]) AS pr
+      FROM enc e CROSS JOIN rmap) q1) q2
+  WHERE pos IS NOT NULL)""")
+    ctes.append("""fin AS (
+  SELECT word, sym FROM (
+    SELECT word, sym,
+           row_number() OVER (PARTITION BY word ORDER BY k DESC) AS rn
+    FROM enc) WHERE rn = 1)""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + """
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       coalesce(t.bpe_text, '') AS bpe_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(len(f.sym)) AS n_bpe,
+         string_agg(array_to_string(f.sym, ' '), ' '
+                    ORDER BY pos) AS bpe_text
+  FROM toks JOIN fin f USING (word)
+  GROUP BY doc_id) t USING (doc_id)""")
