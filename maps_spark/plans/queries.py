@@ -1079,10 +1079,11 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_geo_radius_haversine(spark, sf_dir):
-    """Rows-only by design (like bpe/compression): cross-engine trig
-    differs in the last ulp, so the great-circle variant pins its
-    losslessness against an in-engine brute-force twin in pytest
-    instead of a DuckDB hash."""
+    """Was rows-only for five rounds (cross-engine trig differs in
+    the last ulp); now hash-gated on the FIXED sf0.01 compare set,
+    where the measured boundary margins (64 m to the radius cut,
+    12 mm to the nearest flooring boundary) dwarf ulp noise by ten
+    orders of magnitude — see radius_haversine_select."""
     from maps_spark.operators.binning import radius_pairs_haversine
     occ = occurrence_df(spark, sf_dir)
     pts = (occ.where("occurrenceId % 7 = 0")
@@ -1914,6 +1915,7 @@ def maps_oracles() -> dict[str, str]:
         "collocations": OT.collocations_select(),
         "bpe_merges": OT.bpe_merges_select(n_merges=4),
         "bpe_tokenize": OT.bpe_tokenize_select(n_merges=100),
+        "geo_radius_haversine": OT.radius_haversine_select(25.0),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
         "novelty_score": OT.novelty_score_select(),

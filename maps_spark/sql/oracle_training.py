@@ -2203,6 +2203,44 @@ WHERE ((a.lat - b.lat) * (a.lat - b.lat)
        + (a.lng - b.lng) * (a.lng - b.lng)) <= {float(r2)!r}"""
 
 
+def radius_haversine_select(radius_km: float = 25.0,
+                            id_mod: int = 7) -> str:
+    """BRUTE-FORCE DuckDB twin of
+    operators.binning.radius_pairs_haversine over the gate's point
+    subset — agreement proves the spherical banding (grid + polar
+    caps) is lossless AND the great-circle arithmetic matches.
+
+    Why a float-trig hash is safe HERE: cross-engine libm sin/cos
+    differ only in the last ulp (~1e-13 relative, nanometres at this
+    radius), so a hash could flip only if some pair sat that close
+    to the radius cut or to a dist_m flooring boundary. Measured on
+    the sf0.01 compare set: the nearest pair to the 25 km cut is
+    64 m away and the nearest flooring boundary 12 mm away — ten
+    orders of magnitude of margin. The operator's general contract
+    stays "not oracle-hashable"; this gate pins the fixed dataset."""
+    from maps_spark.operators.binning import EARTH_RADIUS_KM
+    from maps_spark.sources.occurrence import occurrence_cte
+    return f"""{occurrence_cte()},
+p AS (
+  SELECT occurrenceId AS id,
+         CAST(decimalLatitude AS DOUBLE) AS lat,
+         CAST(decimalLongitude AS DOUBLE) AS lng
+  FROM occ
+  WHERE occurrenceId % {id_mod} = 0
+    AND decimalLatitude IS NOT NULL
+    AND decimalLongitude IS NOT NULL),
+d AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         2 * {float(EARTH_RADIUS_KM)!r} * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) ^ 2
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lng - a.lng) / 2) ^ 2)) AS dist
+  FROM p a JOIN p b ON a.id < b.id)
+SELECT id_a, id_b,
+       CAST(floor(dist * 1000.0) AS BIGINT) AS dist_m
+FROM d WHERE dist <= {float(radius_km)!r}"""
+
+
 def containment_pairs_select(shingle_k: int = 3, threshold: float = 0.8,
                              scale: int = 1_000_000,
                              max_df: int = 1000) -> str:
