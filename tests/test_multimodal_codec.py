@@ -965,3 +965,29 @@ def test_audio_pipeline_accepts_adpcm_payloads(spark):
     by_id = {r.media_id: r.fp for r in fps}
     assert by_id[0] == by_id[3]  # periods 7 and 7
     assert by_id[0] != by_id[1]  # periods 7 and 8
+
+
+def test_codec_gate_plans_are_shuffle_free(spark):
+    """Scale shape of the decode gates: synthesis and decode fuse
+    into ONE stage pair — exactly one Exchange (the explicit
+    synthesis repartition) and two Arrow-batched MapInPandas stages,
+    no hidden shuffle between them. At 100 TB the decode path is
+    embarrassingly parallel; a stray Exchange here would serialize
+    payload bytes through a shuffle."""
+    from maps_spark.operators.multimodal import (
+        adpcm_stats, jpeg_pixel_sums, mjpeg_frame_sums,
+        png_channel_sums, synthesize_adpcm_media,
+        synthesize_jpeg_media, synthesize_mjpeg_media,
+        synthesize_png_media)
+    gates = {
+        "prog_jpeg": jpeg_pixel_sums(
+            synthesize_jpeg_media(spark, n=8, progressive=True)),
+        "adpcm": adpcm_stats(synthesize_adpcm_media(spark, n=8)),
+        "mjpeg": mjpeg_frame_sums(synthesize_mjpeg_media(spark, n=8)),
+        "png_adam7": png_channel_sums(
+            synthesize_png_media(spark, n=8, interlace=True)),
+    }
+    for name, df in gates.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert plan.count("MapInPandas") == 2, (name, plan)
