@@ -498,6 +498,51 @@ def compression_signals(docs: DataFrame, text_col: str = "text",
                 .alias("ratio_scaled")))
 
 
+def lz_complexity(docs: DataFrame, text_col: str = "text",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Lempel-Ziv complexity per document — the phrase count of the
+    LZ78 incremental parse (Lempel & Ziv 1976/1978): repetitive or
+    templated text parses into FEW phrases, diverse prose into many.
+    The oracle-hashable sibling of :func:`compression_signals`:
+    deflate needs zlib (rows-only gate), but the LZ78 parse is pure
+    integer/string logic the DuckDB twin replays exactly as a
+    recursive CTE (the parse dictionary is prefix-closed, so each
+    next phrase is the longest dictionary prefix of the remainder
+    plus one character; a trailing already-known phrase counts).
+
+    One Arrow-batched pandas UDF, amortized O(chars) per doc via the
+    hash-set parse. Output: (doc_id, n_chars, n_phrases,
+    density_scaled) with density = floor(n_phrases * scale /
+    n_chars); empty docs report 0."""
+    @pandas_udf("array<long>")
+    def _parse(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            seen: set[str] = set()
+            n = 0
+            cur = ""
+            for ch in t:
+                cur += ch
+                if cur not in seen:
+                    seen.add(cur)
+                    n += 1
+                    cur = ""
+            if cur:  # text ends inside a known phrase
+                n += 1
+            out.append(np.array([len(t), n], dtype=np.int64))
+        return pd.Series(out)
+
+    s = docs.select("doc_id", _parse(F.col(text_col)).alias("s"))
+    return (s.select(
+        "doc_id", F.element_at("s", 1).alias("n_chars"),
+        F.element_at("s", 2).alias("n_phrases"))
+        .select("doc_id", "n_chars", "n_phrases",
+                F.when(F.col("n_chars") > 0,
+                       F.expr(f"(n_phrases * {scale}) div n_chars"))
+                .otherwise(F.lit(0)).cast("long")
+                .alias("density_scaled")))
+
+
 def quality_ensemble(signals: DataFrame, weights: dict[str, int],
                      group_col: str = "source",
                      id_col: str = "doc_id") -> DataFrame:

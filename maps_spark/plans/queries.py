@@ -943,11 +943,20 @@ def q_quality_ensemble(spark, sf_dir):
 
 
 def q_compression_signals(spark, sf_dir):
-    """Rows-only by design: zlib deflate has no DuckDB twin (like the
-    BPE tokenizer); correctness pins via pytest ordering/accounting
-    invariants instead of a value hash."""
+    """The LAST rows-only gate, by design: zlib deflate has no DuckDB
+    twin; correctness pins via pytest ordering/accounting invariants
+    instead of a value hash. Its hash-gated sibling is
+    q_lz_complexity (the LZ78 parse is pure integer/string logic)."""
     from maps_spark.operators.text import compression_signals
     return compression_signals(_docs(spark, sf_dir))
+
+
+def q_lz_complexity(spark, sf_dir):
+    """Lempel-Ziv (LZ78) phrase-count compressibility — the
+    oracle-hashable repetitiveness signal beside zlib's rows-only
+    gate; the oracle replays the parse as a recursive CTE."""
+    from maps_spark.operators.text import lz_complexity
+    return lz_complexity(_docs(spark, sf_dir))
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -1546,6 +1555,7 @@ MAPS_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
     "compression_signals": q_compression_signals,
+    "lz_complexity": q_lz_complexity,
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "winnow_contamination": q_winnow_contamination,
@@ -1916,6 +1926,7 @@ def maps_oracles() -> dict[str, str]:
         "bpe_merges": OT.bpe_merges_select(n_merges=4),
         "bpe_tokenize": OT.bpe_tokenize_select(n_merges=100),
         "geo_radius_haversine": OT.radius_haversine_select(25.0),
+        "lz_complexity": OT.lz_complexity_select(),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
         "novelty_score": OT.novelty_score_select(),

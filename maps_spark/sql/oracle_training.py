@@ -2203,6 +2203,39 @@ WHERE ((a.lat - b.lat) * (a.lat - b.lat)
        + (a.lng - b.lng) * (a.lng - b.lng)) <= {float(r2)!r}"""
 
 
+def lz_complexity_select(scale: int = 1_000_000) -> str:
+    """State-machine twin of operators.text.lz_complexity: a
+    recursive CTE replays the LZ78 incremental parse phrase by
+    phrase. The parse dictionary is prefix-closed (every phrase is a
+    previous phrase plus one character), so the next phrase length
+    is 1 + the longest dictionary entry that prefixes the remainder,
+    capped at the remainder (a trailing already-known phrase still
+    counts, matching the Python parse)."""
+    return f"""WITH RECURSIVE
+parse AS (
+  SELECT doc_id, text AS rem, CAST([] AS VARCHAR[]) AS dict, 0 AS k
+  FROM documents WHERE text <> '' AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, rem[plen + 1:], list_append(dict, rem[1:plen]),
+         k + 1
+  FROM (
+    SELECT doc_id, rem, dict, k,
+           least(len(rem),
+             1 + coalesce(list_max(list_transform(dict,
+                   d -> CASE WHEN d = rem[1:len(d)]
+                        THEN len(d) END)), 0)) AS plen
+    FROM parse WHERE rem <> '') q),
+fin AS (SELECT doc_id, max(k) AS n_phrases FROM parse GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+       CAST(coalesce(f.n_phrases, 0) AS BIGINT) AS n_phrases,
+       CAST(CASE WHEN len(coalesce(d.text, '')) > 0
+            THEN coalesce(f.n_phrases, 0) * {scale}
+                 // len(d.text) ELSE 0 END AS BIGINT)
+         AS density_scaled
+FROM documents d LEFT JOIN fin f USING (doc_id)"""
+
+
 def radius_haversine_select(radius_km: float = 25.0,
                             id_mod: int = 7) -> str:
     """BRUTE-FORCE DuckDB twin of

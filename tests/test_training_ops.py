@@ -1069,6 +1069,27 @@ def test_compression_signals_order_and_accounting(spark):
     assert out[3].ratio_scaled == 0 and out[3].n_compressed > 0
 
 
+def test_lz_complexity_goldens_and_ordering(spark):
+    """LZ78 phrase counts against hand-computed parses, the same
+    repetitive-vs-diverse ordering contract as the zlib signal, and
+    the trailing-known-phrase convention ('aaaa' -> a, aa, a = 3)."""
+    from maps_spark.operators.text import lz_complexity
+    rep = "ababab" * 30
+    div = " ".join(f"w{(i * 2654435761) % 100003}" for i in range(60))
+    rows = [(1, "aaaa"), (2, "abcabcabc"), (3, ""),
+            (4, "to be or not to be"), (5, rep), (6, div)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lz_complexity(docs).collect()}
+    assert out[1].n_phrases == 3      # a, aa, a(trailing)
+    assert out[2].n_phrases == 6      # a, b, c, ab, ca, bc(trailing)
+    assert out[3].n_phrases == 0 and out[3].density_scaled == 0
+    assert out[4].n_phrases == 12
+    for i, t in rows:
+        assert out[i].n_chars == len(t)
+    # repetitive text parses far denser than diverse text
+    assert out[5].density_scaled < out[6].density_scaled / 2
+
+
 def test_quality_ensemble_semantics(spark):
     """Rank normalization: scale-free (multiplying a signal by 1000
     changes nothing), per-group (one group's outlier can't shift
