@@ -309,3 +309,68 @@ def weighted_sample(weighted: DataFrame, rate: float,
     rate_p31 = int(rate * P31)
     thresh = F.expr(f"({rate_p31} * {weight_col}) div {wscale}")
     return weighted.where(_mix(F.col(id_col)) < thresh)
+
+
+def negative_samples(pairs: DataFrame, candidates: DataFrame,
+                     k: int = 4, oversample: int = 4,
+                     num_buckets: int = 64,
+                     anchor_col: str = "doc_a",
+                     pos_col: str = "doc_b",
+                     cand_col: str = "doc_id") -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor in ``pairs``, up to ``k`` pseudo-random candidates
+    that are neither the anchor nor one of its positives.
+
+    No RNG state and NO cross join: candidates hash into
+    ``num_buckets`` buckets (the two-round :func:`_mix`), each anchor
+    emits ``k + oversample`` probes whose target bucket is a pure
+    function of (anchor, probe index), and each probe keeps the
+    bucket member minimizing a probe-keyed mix — one bucket-equality
+    shuffle join of anchors x probes against the candidate set, so
+    the work is O(|anchors| * probes * bucket_size), never
+    |anchors| x |candidates|. Oversampled probes absorb collisions
+    with positives/self and duplicate draws; anchors can return
+    fewer than ``k`` rows only if the probe budget is exhausted
+    (deterministically — the same shortfall on every engine).
+
+    Everything is int64-exact mixer arithmetic, so the DuckDB twin
+    replays it bitwise. Output: (anchor, negative, rank) with rank
+    1..k in probe order.
+    """
+    from maps_spark.operators.corpus import P31, _mix
+    n_probes = k + oversample
+    cands = (candidates.select(F.col(cand_col).alias("negative"))
+             .distinct()
+             .withColumn("bucket",
+                         _mix(F.col("negative") % P31) % num_buckets))
+    anchors = pairs.select(F.col(anchor_col).alias("anchor")).distinct()
+    probes = (anchors
+              .select("anchor", F.explode(
+                  F.sequence(F.lit(0), F.lit(n_probes - 1))).alias("j"))
+              .withColumn("bucket",
+                          _mix(((F.col("anchor") % P31) * 64
+                                + F.col("j")) % P31) % num_buckets))
+    hits = probes.join(cands, "bucket")
+    # per probe, keep the bucket member with the smallest probe-keyed
+    # mix (ties on the candidate id) — a deterministic "draw"
+    score = _mix(((F.col("negative") % P31) * 53
+                  + (F.col("anchor") % P31) * 7 + F.col("j")) % P31)
+    w_probe = Window.partitionBy("anchor", "j").orderBy(
+        score.asc(), F.col("negative").asc())
+    drawn = (hits.withColumn("rn", F.row_number().over(w_probe))
+             .where(F.col("rn") == 1).drop("rn", "bucket"))
+    # drop self-draws and positives of the SAME anchor
+    pos = pairs.select(F.col(anchor_col).alias("anchor"),
+                       F.col(pos_col).alias("negative")).distinct()
+    neg = (drawn.where(F.col("negative") != F.col("anchor"))
+           .join(pos, ["anchor", "negative"], "left_anti"))
+    # a candidate drawn by two probes of one anchor counts once (the
+    # earliest probe wins), then the first k draws survive
+    w_dup = Window.partitionBy("anchor", "negative").orderBy("j")
+    w_rank = Window.partitionBy("anchor").orderBy("j")
+    return (neg.withColumn("rn", F.row_number().over(w_dup))
+            .where(F.col("rn") == 1).drop("rn")
+            .withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("anchor", "negative",
+                    F.col("rank").cast("int").alias("rank")))

@@ -951,6 +951,20 @@ def q_compression_signals(spark, sf_dir):
     return compression_signals(_docs(spark, sf_dir))
 
 
+def q_negative_samples(spark, sf_dir):
+    """Contrastive-training negative sampling over same-source
+    positives: bucket-probe draws with the shared two-round mixer —
+    deterministic, cross-joins nothing, replayed bitwise in SQL."""
+    from pyspark.sql import Window
+    from maps_spark.operators.mixture import negative_samples
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.min("doc_id").over(Window.partitionBy("source"))
+        .alias("doc_b"))
+    return negative_samples(pos, docs, k=4)
+
+
 def q_lz_complexity(spark, sf_dir):
     """Lempel-Ziv (LZ78) phrase-count compressibility — the
     oracle-hashable repetitiveness signal beside zlib's rows-only
@@ -1556,6 +1570,7 @@ MAPS_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "compression_signals": q_compression_signals,
     "lz_complexity": q_lz_complexity,
+    "negative_samples": q_negative_samples,
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "winnow_contamination": q_winnow_contamination,
@@ -1927,6 +1942,7 @@ def maps_oracles() -> dict[str, str]:
         "bpe_tokenize": OT.bpe_tokenize_select(n_merges=100),
         "geo_radius_haversine": OT.radius_haversine_select(25.0),
         "lz_complexity": OT.lz_complexity_select(),
+        "negative_samples": OT.negative_samples_select(k=4),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
         "novelty_score": OT.novelty_score_select(),

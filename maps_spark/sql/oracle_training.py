@@ -2203,6 +2203,59 @@ WHERE ((a.lat - b.lat) * (a.lat - b.lat)
        + (a.lng - b.lng) * (a.lng - b.lng)) <= {float(r2)!r}"""
 
 
+def negative_samples_select(k: int = 4, oversample: int = 4,
+                            num_buckets: int = 64) -> str:
+    """DuckDB twin of operators.mixture.negative_samples over the
+    gate's same-source positive pairs (anchor = every doc, positive
+    = its source's min doc_id): the bucket-probe draw replayed
+    bitwise with the shared two-round mixer — probe bucket, min
+    probe-keyed mix per bucket, self/positive drop, earliest-probe
+    dedup, first-k rank."""
+    from maps_spark.operators.corpus import mix_sql
+    from maps_spark.operators.dedup import P31
+    n_probes = k + oversample
+    return f"""WITH
+pos AS (SELECT doc_id AS doc_a,
+               min(doc_id) OVER (PARTITION BY source) AS doc_b
+        FROM documents),
+cands AS (SELECT DISTINCT doc_id AS negative,
+                 {mix_sql(f"(doc_id % {P31})")} % {num_buckets}
+                   AS bucket
+          FROM documents),
+anchors AS (SELECT DISTINCT doc_a AS anchor FROM pos),
+probes AS (
+  SELECT anchor, j,
+         {mix_sql(f"(((anchor % {P31}) * 64 + j) % {P31})")}
+           % {num_buckets} AS bucket
+  FROM anchors CROSS JOIN generate_series(0, {n_probes - 1}) g(j)),
+drawn AS (
+  SELECT anchor, j, negative FROM (
+    SELECT p.anchor, p.j, c.negative,
+           row_number() OVER (PARTITION BY p.anchor, p.j
+             ORDER BY {mix_sql(f"(((c.negative % {P31}) * 53 + "
+                               f"(p.anchor % {P31}) * 7 + p.j) "
+                               f"% {P31})")}, c.negative) AS rn
+    FROM probes p JOIN cands c USING (bucket)) q
+  WHERE rn = 1),
+neg AS (
+  SELECT d.anchor, d.j, d.negative
+  FROM drawn d
+  WHERE d.negative <> d.anchor
+    AND NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.doc_a = d.anchor
+                      AND pos.doc_b = d.negative)),
+dedup AS (
+  SELECT anchor, j, negative FROM (
+    SELECT anchor, j, negative,
+           row_number() OVER (PARTITION BY anchor, negative
+                              ORDER BY j) AS rn
+    FROM neg) q WHERE rn = 1)
+SELECT anchor, negative, CAST(rank AS INT) AS rank FROM (
+  SELECT anchor, negative,
+         row_number() OVER (PARTITION BY anchor ORDER BY j) AS rank
+  FROM dedup) q WHERE rank <= {k}"""
+
+
 def lz_complexity_select(scale: int = 1_000_000) -> str:
     """State-machine twin of operators.text.lz_complexity: a
     recursive CTE replays the LZ78 incremental parse phrase by

@@ -273,3 +273,42 @@ def test_weighted_sample_downweights_clusters(spark):
     assert 20 <= quarter <= 80  # ~50 expected of 200 at p=1/4
     again = {r.doc_id for r in weighted_sample(w, rate=1.0).collect()}
     assert kept_ids == again
+
+
+def test_negative_samples_contracts(spark):
+    """Contrastive negative sampling: never the anchor, never a
+    positive of that anchor, at most k per anchor with contiguous
+    ranks, fully deterministic across runs, and probe-bounded (the
+    plan joins anchors x probes against buckets — no cross join)."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.mixture import negative_samples
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)],
+        "doc_id long, source string")
+    pos = spark.createDataFrame(
+        [(i, (i + 1) % 60) for i in range(60)]
+        + [(i, (i + 2) % 60) for i in range(60)],
+        "doc_a long, doc_b long")
+    out = negative_samples(pos, docs, k=3, oversample=5)
+    rows = out.collect()
+    positives = {(i, (i + 1) % 60) for i in range(60)} \
+        | {(i, (i + 2) % 60) for i in range(60)}
+    per = {}
+    for r in rows:
+        assert r.negative != r.anchor
+        assert (r.anchor, r.negative) not in positives
+        per.setdefault(r.anchor, []).append(r.rank)
+    assert set(per) == set(range(60))
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # deterministic: a second evaluation returns the identical set
+    again = {(r.anchor, r.negative, r.rank)
+             for r in negative_samples(pos, docs, k=3,
+                                       oversample=5).collect()}
+    assert again == {(r.anchor, r.negative, r.rank) for r in rows}
+    # scale shape: no CartesianProduct / BroadcastNestedLoop anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
