@@ -21,7 +21,7 @@ are treated as a distinct simple digraph.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 PR_SCALE = 1_000_000_000_000  # 1e12: room for div by N and outdeg
 
@@ -230,3 +230,92 @@ h{i + 1} AS (
               f"a{iters}.a AS auth_scaled\nFROM nodes "
               f"JOIN h{iters} ON h{iters}.node = nodes.node "
               f"JOIN a{iters} ON a{iters}.node = nodes.node")
+
+
+def random_walks(edges: DataFrame, walk_len: int = 5,
+                 walks_per_node: int = 2) -> DataFrame:
+    """Deterministic DeepWalk-style random walks — the corpus
+    generator for graph-embedding training (Perozzi et al. 2014):
+    ``walks_per_node`` walks of up to ``walk_len`` nodes from every
+    source node of the integer-keyed edge set.
+
+    No RNG state: at node v, step t of walk w follows the neighbor
+    at index mix((v * 8191 + w*131 + t) mod p) mod degree(v), with
+    neighbors ranked once by (src, dst) — a pure function of the
+    graph, so the same walks come out of any cluster, any engine
+    (the DuckDB twin replays the arithmetic bitwise), and any rerun.
+    Dead ends (nodes without out-edges) simply end the walk early.
+
+    Plan shape: adjacency ranks + degrees are computed once
+    (per-src window, never a global sort); each of the walk_len - 1
+    steps is ONE equi-join of the live frontier against the indexed
+    adjacency, checkpointed so lineage stays flat like the pagerank
+    loop. Output: (start, walk, step, node), step 0-based.
+    """
+    from maps_spark.operators.dedup import P31
+    from maps_spark.operators.corpus import _mix
+    e = edges.select(F.col("src").cast("long"),
+                     F.col("dst").cast("long")).distinct()
+    w_adj = Window.partitionBy("src").orderBy("dst")
+    adj = (e.withColumn("idx", F.row_number().over(w_adj) - 1)
+           .localCheckpoint()
+           .select(F.col("src").alias("asrc"), "dst", "idx"))
+    deg = (adj.groupBy("asrc").agg(F.count("*").alias("d"))
+           .withColumnRenamed("asrc", "dsrc"))
+    starts = e.select("src").distinct()
+    frontier = (starts.select(
+        F.col("src").alias("start"),
+        F.explode(F.sequence(
+            F.lit(0), F.lit(walks_per_node - 1))).alias("walk"))
+        .withColumn("step", F.lit(0))
+        .withColumn("node", F.col("start"))
+        .localCheckpoint())
+    out = frontier
+    for t in range(1, walk_len):
+        pick = _mix(((F.col("node") % P31) * 8191
+                     + F.col("walk") * 131 + t) % P31) % F.col("d")
+        frontier = (frontier
+                    .join(deg, F.col("node") == F.col("dsrc"))
+                    .withColumn("pick", pick)
+                    .join(adj, (F.col("node") == F.col("asrc"))
+                          & (F.col("pick") == F.col("idx")))
+                    .select("start", "walk",
+                            (F.col("step") + 1).alias("step"),
+                            F.col("dst").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(frontier)
+    return out.select("start", "walk",
+                      F.col("step").cast("int").alias("step"), "node")
+
+
+def random_walks_select(edges_cte: str, walk_len: int = 5,
+                        walks_per_node: int = 2) -> str:
+    """DuckDB twin of :func:`random_walks`: the walk recursion over
+    ``edges_cte`` (a CTE body yielding integer (src, dst) rows) with
+    the same neighbor ranking and mixer arithmetic."""
+    from maps_spark.operators.corpus import mix_sql
+    from maps_spark.operators.dedup import P31
+    return f"""WITH RECURSIVE
+eraw AS ({edges_cte}),
+e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src,
+             CAST(dst AS BIGINT) AS dst FROM eraw),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                 AS idx
+        FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        FROM e GROUP BY 1),
+walk AS (
+  SELECT src AS start, w AS walk, 0 AS step, src AS node
+  FROM (SELECT DISTINCT src FROM e)
+  CROSS JOIN generate_series(0, {walks_per_node - 1}) g(w)
+  UNION ALL
+  SELECT wk.start, wk.walk, wk.step + 1, a.dst
+  FROM walk wk
+  JOIN deg ON deg.src = wk.node
+  JOIN adj a ON a.src = wk.node
+   AND a.idx = {mix_sql(f"(((wk.node % {P31}) * 8191 "
+                        f"+ wk.walk * 131 + wk.step + 1) % {P31})")}
+               % deg.d
+  WHERE wk.step + 1 < {walk_len})
+SELECT start, walk, CAST(step AS INT) AS step, node FROM walk"""

@@ -951,6 +951,23 @@ def q_compression_signals(spark, sf_dir):
     return compression_signals(_docs(spark, sf_dir))
 
 
+def q_random_walks(spark, sf_dir):
+    """DeepWalk corpus generation over the customer<->supplier
+    interaction graph (orders x lineitem, ids disambiguated onto
+    even/odd longs, both directions): deterministic mixer-driven
+    walks, replayed bitwise by the recursive-CTE twin."""
+    from maps_spark.operators.graph import random_walks
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst")))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst")))
+    return random_walks(edges, walk_len=5, walks_per_node=2)
+
+
 def q_negative_samples(spark, sf_dir):
     """Contrastive-training negative sampling over same-source
     positives: bucket-probe draws with the shared two-round mixer —
@@ -1571,6 +1588,7 @@ MAPS_QUERIES = {
     "compression_signals": q_compression_signals,
     "lz_complexity": q_lz_complexity,
     "negative_samples": q_negative_samples,
+    "random_walks": q_random_walks,
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "winnow_contamination": q_winnow_contamination,
@@ -1755,6 +1773,7 @@ def _crawl_oracle(which: str) -> str:
 def maps_oracles() -> dict[str, str]:
     from maps_spark.sql import oracle as O
     from maps_spark.sql import oracle_training as OT
+    from maps_spark.operators import graph as GR
     return {
         "occ_country_counts": O.occ_country_counts_select(),
         "map_view_counts": O.map_view_counts_select(),
@@ -1943,6 +1962,13 @@ def maps_oracles() -> dict[str, str]:
         "geo_radius_haversine": OT.radius_haversine_select(25.0),
         "lz_complexity": OT.lz_complexity_select(),
         "negative_samples": OT.negative_samples_select(k=4),
+        "random_walks": GR.random_walks_select(
+            """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT l_suppkey * 2 + 1, o_custkey * 2
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""", walk_len=5,
+            walks_per_node=2),
         "sentence_split": OT.sentence_split_select(),
         "readability": OT.readability_select(),
         "novelty_score": OT.novelty_score_select(),

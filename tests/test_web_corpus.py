@@ -212,3 +212,34 @@ def test_web_corpus_site_template_stage(spark, tmp_path):
                    quality_min_scaled=0, n_shards=2, seq_budget=128)
     texts2 = [r.text for r in read_web_shards(spark, r2).collect()]
     assert any("family business" in t for t in texts2)
+
+
+def test_random_walks_contracts(spark):
+    """DeepWalk corpus generation: every consecutive (node, next)
+    is a real edge, dead ends stop walks early, every start emits
+    walks_per_node walks, picks are deterministic across runs."""
+    from maps_spark.operators.graph import random_walks
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 5)],  # 5 is a dead end
+        "src long, dst long")
+    out = random_walks(edges, walk_len=4, walks_per_node=3).collect()
+    eset = {(1, 2), (1, 3), (2, 3), (3, 1), (4, 5)}
+    walks = {}
+    for r in out:
+        walks.setdefault((r.start, r.walk), {})[r.step] = r.node
+    # every start node with out-edges launches all 3 walks
+    assert {s for s, _ in walks} == {1, 2, 3, 4}
+    assert all(sum(1 for k in walks if k[0] == s) == 3
+               for s in (1, 2, 3, 4))
+    for (s, _w), steps in walks.items():
+        assert steps[0] == s
+        seq = [steps[i] for i in sorted(steps)]
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in eset, (seq,)
+        # walks from 4 reach the dead end 5 and stop there
+        if s == 4:
+            assert seq == [4, 5]
+        else:
+            assert len(seq) == 4  # the cycle component never ends
+    again = random_walks(edges, walk_len=4, walks_per_node=3).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
