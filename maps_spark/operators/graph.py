@@ -319,3 +319,39 @@ walk AS (
                % deg.d
   WHERE wk.step + 1 < {walk_len})
 SELECT start, walk, CAST(step AS INT) AS step, node FROM walk"""
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) training pairs from random-walk sequences —
+    the step that turns :func:`random_walks` output into a word2vec-
+    style corpus: within each walk, every ordered pair of nodes at
+    step distance 1..window. One self-equi-join on the walk key with
+    a banded step predicate (the join keys carry (start, walk), so
+    the band never degenerates into a cross join across walks).
+    Output: (center, context, dist) with dist = |step gap|."""
+    a = walks.select(F.col("start").alias("s"),
+                     F.col("walk").alias("w"),
+                     F.col("step").alias("step_a"),
+                     F.col("node").alias("center"))
+    b = walks.select(F.col("start").alias("s"),
+                     F.col("walk").alias("w"),
+                     F.col("step").alias("step_b"),
+                     F.col("node").alias("context"))
+    j = a.join(b, ["s", "w"])
+    dist = F.abs(F.col("step_a") - F.col("step_b"))
+    return (j.where((dist >= 1) & (dist <= window))
+            .select("center", "context",
+                    dist.cast("int").alias("dist")))
+
+
+def skipgram_pairs_select(edges_cte: str, walk_len: int = 5,
+                          walks_per_node: int = 2,
+                          window: int = 2) -> str:
+    """DuckDB twin of :func:`skipgram_pairs` over the same walks."""
+    walks = random_walks_select(edges_cte, walk_len, walks_per_node)
+    return f"""WITH w AS ({walks})
+SELECT a.node AS center, b.node AS context,
+       CAST(abs(a.step - b.step) AS INT) AS dist
+FROM w a JOIN w b
+  ON a.start = b.start AND a.walk = b.walk
+WHERE abs(a.step - b.step) BETWEEN 1 AND {window}"""

@@ -968,6 +968,25 @@ def q_random_walks(spark, sf_dir):
     return random_walks(edges, walk_len=5, walks_per_node=2)
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    """word2vec-style (center, context) pairs from the same walks —
+    counted with multiplicity, so the hash also pins pair ORDER
+    structure inside every walk."""
+    from maps_spark.operators.graph import random_walks, skipgram_pairs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst")))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst")))
+    pairs = skipgram_pairs(
+        random_walks(edges, walk_len=5, walks_per_node=2), window=2)
+    return (pairs.groupBy("center", "context", "dist")
+            .agg(F.count("*").alias("n_pairs")))
+
+
 def q_negative_samples(spark, sf_dir):
     """Contrastive-training negative sampling over same-source
     positives: bucket-probe draws with the shared two-round mixer —
@@ -1589,6 +1608,7 @@ MAPS_QUERIES = {
     "lz_complexity": q_lz_complexity,
     "negative_samples": q_negative_samples,
     "random_walks": q_random_walks,
+    "skipgram_pairs": q_skipgram_pairs,
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "winnow_contamination": q_winnow_contamination,
@@ -1962,6 +1982,16 @@ def maps_oracles() -> dict[str, str]:
         "geo_radius_haversine": OT.radius_haversine_select(25.0),
         "lz_complexity": OT.lz_complexity_select(),
         "negative_samples": OT.negative_samples_select(k=4),
+        "skipgram_pairs": ("SELECT center, context, dist, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM ("
+            + GR.skipgram_pairs_select(
+                """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT l_suppkey * 2 + 1, o_custkey * 2
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""", walk_len=5,
+                walks_per_node=2, window=2)
+            + ") GROUP BY 1, 2, 3"),
         "random_walks": GR.random_walks_select(
             """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -243,3 +243,26 @@ def test_random_walks_contracts(spark):
             assert len(seq) == 4  # the cycle component never ends
     again = random_walks(edges, walk_len=4, walks_per_node=3).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_skipgram_pairs_window_and_multiplicity(spark):
+    """A single known walk yields exactly the within-window ordered
+    pairs; cross-walk pairs never form."""
+    from maps_spark.operators.graph import skipgram_pairs
+    rows = [(1, 0, s, n) for s, n in enumerate([1, 2, 3, 1])] \
+        + [(9, 0, s, n) for s, n in enumerate([7, 8])]
+    walks = spark.createDataFrame(
+        rows, "start long, walk int, step int, node long")
+    out = [(r.center, r.context, r.dist)
+           for r in skipgram_pairs(walks, window=2).collect()]
+    from collections import Counter
+    got = Counter(out)
+    want = Counter()
+    seqs = [[1, 2, 3, 1], [7, 8]]
+    for seq in seqs:
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if 1 <= abs(i - j) <= 2:
+                    want[(c, x, abs(i - j))] += 1
+    assert got == want
+    assert not any((a in (7, 8)) != (b in (7, 8)) for a, b, _ in got)
