@@ -790,7 +790,7 @@ def _decode_ima_adpcm(data: bytes, ch: int,
     for b0 in range(0, len(data), block_align):
         preds, idxs = [], []
         for c in range(ch):
-            pred, idx, resv = struct.unpack(
+            pred, idx, _resv = struct.unpack(
                 "<hBB", data[b0 + 4 * c:b0 + 4 * c + 4])
             if idx > 88:
                 raise ValueError("IMA step index out of range")
@@ -823,8 +823,9 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 8000,
     """REAL IMA ADPCM encoder (WAV format 0x11): (n,) or (n, ch<=2)
     int16 -> RIFF/WAVE bytes. The standard greedy quantizer: nibble
     chosen by successive step subtraction, state updated through the
-    same :func:`_ima_step` the decoder uses. n-1 must divide into
-    whole blocks (first sample of each block travels in the header)."""
+    same :func:`_ima_step` the decoder uses. The sample count must be
+    a whole number of blocks (samples-per-block = 1 + 2*(payload
+    bytes)/channels; each block's first sample rides its header)."""
     arr = np.ascontiguousarray(samples, dtype=np.int64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -941,7 +942,8 @@ def adpcm_stats(media: DataFrame) -> DataFrame:
                 out["n_samples"].append(int(a.shape[0]))
                 out["sum_amp"].append(int(a.sum()))
                 out["sum_abs"].append(int(np.abs(a).sum()))
-                out["max_amp"].append(int(a.max()))
+                # a legal zero-block stream has no samples at all
+                out["max_amp"].append(int(a.max()) if a.size else 0)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
