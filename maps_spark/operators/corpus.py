@@ -742,3 +742,58 @@ def novelty_score(docs: DataFrame, text_col: str = "text",
             .withColumn("novelty_scaled",
                         F.expr(f"(n_novel * {scale}) div n_grams")
                         .cast("long")))
+
+
+def group_sample(df: DataFrame, group_cols: list[str], k: int = 100,
+                 id_col: str = "doc_id", margin: int = 32) -> DataFrame:
+    """EXACT deterministic per-group sample: for every group, the
+    ``k`` rows with the smallest ``(mix(id), id)`` — the balanced
+    eval-set / per-class-quota primitive. No RNG state: the same k
+    rows come out of any engine, partitioning, or rerun.
+
+    Scale shape: a naive per-group ``row_number`` sorts ENTIRE
+    groups; here a count pass derives an integer mix threshold that
+    admits ~``margin * k`` expected survivors per group, the window
+    then sorts only those. Exactness is preserved by a rescue pass:
+    any group the probabilistic cut left with fewer than k survivors
+    is re-admitted in full (deterministically — both engines take
+    the same branch), so the result is always the true k smallest.
+    Groups at or below ``margin * k`` rows skip the cut entirely.
+
+    Output: the group columns + (id, sample_rank), rank 1..k.
+    """
+    tagged = (df.select(*group_cols, F.col(id_col).alias("_gs_id"))
+              .withColumn("_gs_mix", _mix(F.col("_gs_id") % P31)))
+    counts = (tagged.groupBy(*group_cols)
+              .agg(F.count("*").alias("_gs_n")))
+    thr = F.when(F.col("_gs_n") <= k * margin, F.lit(P31)) \
+        .otherwise(F.expr(f"CAST({k} AS BIGINT) * {margin} * {P31} "
+                          "DIV _gs_n"))
+    cand = (tagged.join(counts, group_cols)
+            .where(F.col("_gs_mix") < thr)
+            .drop("_gs_n"))
+    short = (cand.groupBy(*group_cols)
+             .agg(F.count("*").alias("_gs_s"))
+             .where(F.col("_gs_s") < k).select(*group_cols))
+    pool = (cand.join(short, group_cols, "left_anti")
+            .unionByName(tagged.join(short, group_cols, "left_semi")))
+    w = Window.partitionBy(*group_cols).orderBy("_gs_mix", "_gs_id")
+    return (pool.withColumn("_gs_rn", F.row_number().over(w))
+            .where(F.col("_gs_rn") <= k)
+            .select(*group_cols, F.col("_gs_id").alias(id_col),
+                    F.col("_gs_rn").cast("int").alias("sample_rank")))
+
+
+def group_sample_select(group_col: str = "source", k: int = 20,
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`group_sample` over documents: the
+    prefilter/rescue machinery is a pure speedup, so the twin is the
+    straight definition — row_number over (mix(id), id) per group."""
+    return f"""WITH ranked AS (
+  SELECT {group_col}, {id_col},
+         row_number() OVER (PARTITION BY {group_col}
+           ORDER BY {mix_sql(f"({id_col} % {P31})")}, {id_col})
+           AS sample_rank
+  FROM documents)
+SELECT {group_col}, {id_col}, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {k}"""

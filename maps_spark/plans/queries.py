@@ -1001,6 +1001,14 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(pos, docs, k=4)
 
 
+def q_group_sample(spark, sf_dir):
+    """Balanced per-group sampling: the k smallest (mix(id), id) per
+    source — exact despite the scale prefilter (the oracle is the
+    straight window definition; the prefilter/rescue is a speedup)."""
+    from maps_spark.operators.corpus import group_sample
+    return group_sample(_docs(spark, sf_dir), ["source"], k=20)
+
+
 def q_lz_complexity(spark, sf_dir):
     """Lempel-Ziv (LZ78) phrase-count compressibility — the
     oracle-hashable repetitiveness signal beside zlib's rows-only
@@ -1606,6 +1614,7 @@ MAPS_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "compression_signals": q_compression_signals,
     "lz_complexity": q_lz_complexity,
+    "group_sample": q_group_sample,
     "negative_samples": q_negative_samples,
     "random_walks": q_random_walks,
     "skipgram_pairs": q_skipgram_pairs,
@@ -1794,6 +1803,7 @@ def maps_oracles() -> dict[str, str]:
     from maps_spark.sql import oracle as O
     from maps_spark.sql import oracle_training as OT
     from maps_spark.operators import graph as GR
+    from maps_spark.operators import corpus as CO
     return {
         "occ_country_counts": O.occ_country_counts_select(),
         "map_view_counts": O.map_view_counts_select(),
@@ -1981,6 +1991,7 @@ def maps_oracles() -> dict[str, str]:
         "bpe_tokenize": OT.bpe_tokenize_select(n_merges=100),
         "geo_radius_haversine": OT.radius_haversine_select(25.0),
         "lz_complexity": OT.lz_complexity_select(),
+        "group_sample": CO.group_sample_select(k=20),
         "negative_samples": OT.negative_samples_select(k=4),
         "skipgram_pairs": ("SELECT center, context, dist, "
             "CAST(count(*) AS BIGINT) AS n_pairs FROM ("

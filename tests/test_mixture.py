@@ -312,3 +312,35 @@ def test_negative_samples_contracts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_group_sample_exact_with_and_without_rescue(spark):
+    """group_sample must equal the naive per-group window for EVERY
+    margin — margin=1 under-admits some groups, forcing the rescue
+    pass, and the result must still be the true k smallest."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from maps_spark.operators.corpus import P31, _mix, group_sample
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(200)],
+        "doc_id long, source string")
+    w = Window.partitionBy("source").orderBy(
+        _mix(F.col("doc_id") % P31), "doc_id")
+    naive = {tuple(r) for r in docs
+             .withColumn("r", F.row_number().over(w))
+             .where("r <= 9")
+             .select("source", "doc_id",
+                     F.col("r").cast("int").alias("sample_rank"))
+             .collect()}
+    for margin in (32, 1):
+        got = {tuple(r) for r in
+               group_sample(docs, ["source"], k=9, id_col="doc_id",
+                            margin=margin).collect()}
+        assert got == naive, margin
+    # k larger than the group returns the whole group, ranked
+    small = spark.createDataFrame([(1, "a"), (2, "a")],
+                                  "doc_id long, source string")
+    rows = group_sample(small, ["source"], k=10).collect()
+    assert len(rows) == 2
+    assert sorted(r.sample_rank for r in rows) == [1, 2]
