@@ -355,3 +355,147 @@ SELECT a.node AS center, b.node AS context,
 FROM w a JOIN w b
   ON a.start = b.start AND a.walk = b.walk
 WHERE abs(a.step - b.step) BETWEEN 1 AND {window}"""
+
+
+def node2vec_walks(edges: DataFrame, walk_len: int = 4,
+                   walks_per_node: int = 2,
+                   wp: int = 1, w1: int = 4, wq: int = 2) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec 2016): the
+    second-order biased sibling of :func:`random_walks`. Step 1 is
+    uniform; from step 2 on, each neighbor x of the current node v
+    with previous node t weighs ``wp`` if x == t (return), ``w1`` if
+    x is also a neighbor of t (BFS-ish), else ``wq`` (DFS-ish) —
+    integer weights standing in for the paper's 1/p, 1, 1/q. The
+    draw picks the dst-ordered neighbor whose cumulative weight
+    interval contains mix(v, walk, step) mod total — all int64-exact,
+    so the unrolled SQL twin replays every pick bitwise.
+
+    Per step: one equi-join to expand the frontier's neighbors, one
+    LEFT join against the edge set for the common-neighbor flag, and
+    one per-(start, walk) window for the cumulative draw; the
+    frontier is checkpointed per step like the other iterative graph
+    operators. Output: (start, walk, step, node)."""
+    from maps_spark.operators.corpus import _mix
+    from maps_spark.operators.dedup import P31
+    e = (edges.select(F.col("src").cast("long"),
+                      F.col("dst").cast("long"))
+         .distinct().localCheckpoint())
+    adj = e.select(F.col("src").alias("asrc"),
+                   F.col("dst").alias("nxt"))
+    w_adj = Window.partitionBy("asrc").orderBy("nxt")
+    idx_adj = adj.withColumn("idx", F.row_number().over(w_adj) - 1)
+    deg = adj.groupBy("asrc").agg(F.count("*").alias("d")) \
+        .withColumnRenamed("asrc", "dsrc")
+    pflag = e.select(F.col("src").alias("psrc"),
+                     F.col("dst").alias("pnxt"),
+                     F.lit(1).alias("is_nbr"))
+    starts = e.select("src").distinct()
+    frontier = (starts.select(
+        F.col("src").alias("start"),
+        F.explode(F.sequence(
+            F.lit(0), F.lit(walks_per_node - 1))).alias("walk"))
+        .withColumn("step", F.lit(0))
+        .withColumn("prev", F.lit(None).cast("long"))
+        .withColumn("node", F.col("start"))
+        .localCheckpoint())
+    out = frontier.select("start", "walk", "step", "node")
+    if walk_len > 1:  # step 1: uniform first-order pick
+        pick = _mix(((F.col("node") % P31) * 8191
+                     + F.col("walk") * 131 + 1) % P31) % F.col("d")
+        frontier = (frontier
+                    .join(deg, F.col("node") == F.col("dsrc"))
+                    .withColumn("pick", pick)
+                    .join(idx_adj, (F.col("node") == F.col("asrc"))
+                          & (F.col("pick") == F.col("idx")))
+                    .select("start", "walk", F.lit(1).alias("step"),
+                            F.col("node").alias("prev"),
+                            F.col("nxt").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(
+            frontier.select("start", "walk", "step", "node"))
+    for t in range(2, walk_len):
+        cand = (frontier.join(adj, F.col("node") == F.col("asrc"))
+                .join(pflag, (F.col("prev") == F.col("psrc"))
+                      & (F.col("nxt") == F.col("pnxt")), "left"))
+        wt = (F.when(F.col("nxt") == F.col("prev"), wp)
+              .when(F.col("is_nbr") == 1, w1)
+              .otherwise(wq)).cast("long")
+        w_cum = (Window.partitionBy("start", "walk").orderBy("nxt")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        w_tot = Window.partitionBy("start", "walk")
+        cand = (cand.withColumn("wt", wt)
+                .withColumn("cum", F.sum("wt").over(w_cum))
+                .withColumn("tot", F.sum("wt").over(w_tot)))
+        r = _mix(((F.col("node") % P31) * 8191
+                  + F.col("walk") * 131 + t) % P31) % F.col("tot")
+        frontier = (cand.withColumn("r", r)
+                    .where((F.col("cum") > F.col("r"))
+                           & (F.col("cum") - F.col("wt")
+                              <= F.col("r")))
+                    .select("start", "walk", F.lit(t).alias("step"),
+                            F.col("node").alias("prev"),
+                            F.col("nxt").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(
+            frontier.select("start", "walk", "step", "node"))
+    return out.select("start", "walk",
+                      F.col("step").cast("int").alias("step"), "node")
+
+
+def node2vec_walks_select(edges_cte: str, walk_len: int = 4,
+                          walks_per_node: int = 2, wp: int = 1,
+                          w1: int = 4, wq: int = 2) -> str:
+    """DuckDB twin of :func:`node2vec_walks`: the step loop unrolled
+    into chained CTEs, each with the same common-neighbor flag,
+    cumulative-weight window, and mixer draw."""
+    from maps_spark.operators.corpus import mix_sql
+    from maps_spark.operators.dedup import P31
+    ctes = [f"eraw AS ({edges_cte})",
+            "e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, "
+            "CAST(dst AS BIGINT) AS dst FROM eraw)",
+            "adjn AS (SELECT src AS asrc, dst AS nxt, "
+            "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 "
+            "AS idx FROM e)",
+            "deg AS (SELECT src AS dsrc, CAST(count(*) AS BIGINT) "
+            "AS d FROM e GROUP BY 1)",
+            f"""s0 AS (
+  SELECT src AS start, w AS walk, 0 AS step,
+         CAST(NULL AS BIGINT) AS prev, src AS node
+  FROM (SELECT DISTINCT src FROM e)
+  CROSS JOIN generate_series(0, {walks_per_node - 1}) g(w))"""]
+    if walk_len > 1:
+        ctes.append(f"""s1 AS (
+  SELECT s.start, s.walk, 1 AS step, s.node AS prev, a.nxt AS node
+  FROM s0 s
+  JOIN deg ON deg.dsrc = s.node
+  JOIN adjn a ON a.asrc = s.node
+   AND a.idx = {mix_sql(f"(((s.node % {P31}) * 8191 "
+                        f"+ s.walk * 131 + 1) % {P31})")} % deg.d)""")
+    for t in range(2, walk_len):
+        ctes.append(f"""s{t} AS (
+  SELECT start, walk, {t} AS step, node AS prev, nxt AS node FROM (
+    SELECT q.*,
+           {mix_sql(f"(((q.node % {P31}) * 8191 "
+                    f"+ q.walk * 131 + {t}) % {P31})")} % q.tot AS r
+    FROM (
+      SELECT s.start, s.walk, s.node, a.nxt, wts.wt,
+             sum(wts.wt) OVER (PARTITION BY s.start, s.walk
+               ORDER BY a.nxt ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wts.wt) OVER (PARTITION BY s.start, s.walk) AS tot
+      FROM s{t - 1} s
+      JOIN adjn a ON a.asrc = s.node
+      LEFT JOIN (SELECT src AS psrc, dst AS pnxt, 1 AS is_nbr
+                 FROM e) p
+        ON p.psrc = s.prev AND p.pnxt = a.nxt
+      CROSS JOIN LATERAL (SELECT CAST(CASE
+            WHEN a.nxt = s.prev THEN {wp}
+            WHEN p.is_nbr = 1 THEN {w1}
+            ELSE {wq} END AS BIGINT) AS wt) wts) q) q2
+  WHERE cum > r AND cum - wt <= r)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT start, walk, step, node FROM s{t}"
+        for t in range(walk_len))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT start, walk, CAST(step AS INT) AS step, "
+              f"node FROM ({union})")

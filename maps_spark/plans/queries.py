@@ -968,6 +968,22 @@ def q_random_walks(spark, sf_dir):
     return random_walks(edges, walk_len=5, walks_per_node=2)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks over the same interaction graph:
+    return/BFS/DFS integer weights, cumulative-draw picks — replayed
+    bitwise by the unrolled-CTE twin."""
+    from maps_spark.operators.graph import node2vec_walks
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst")))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst")))
+    return node2vec_walks(edges, walk_len=4, walks_per_node=2)
+
+
 def q_skipgram_pairs(spark, sf_dir):
     """word2vec-style (center, context) pairs from the same walks —
     counted with multiplicity, so the hash also pins pair ORDER
@@ -1618,6 +1634,7 @@ MAPS_QUERIES = {
     "negative_samples": q_negative_samples,
     "random_walks": q_random_walks,
     "skipgram_pairs": q_skipgram_pairs,
+    "node2vec_walks": q_node2vec_walks,
     "quality_ensemble": q_quality_ensemble,
     "winnow_pairs": q_winnow_pairs,
     "winnow_contamination": q_winnow_contamination,
@@ -2003,6 +2020,13 @@ def maps_oracles() -> dict[str, str]:
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey""", walk_len=5,
                 walks_per_node=2, window=2)
             + ") GROUP BY 1, 2, 3"),
+        "node2vec_walks": GR.node2vec_walks_select(
+            """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT l_suppkey * 2 + 1, o_custkey * 2
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""", walk_len=4,
+            walks_per_node=2),
         "random_walks": GR.random_walks_select(
             """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -266,3 +266,37 @@ def test_skipgram_pairs_window_and_multiplicity(spark):
                     want[(c, x, abs(i - j))] += 1
     assert got == want
     assert not any((a in (7, 8)) != (b in (7, 8)) for a, b, _ in got)
+
+
+def test_node2vec_bias_and_validity(spark):
+    """Second-order semantics: with a huge return weight nearly
+    every step>=2 transition goes back to the previous node; with
+    default weights walks stay on real edges and are deterministic."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.graph import node2vec_walks
+    # K4: every node adjacent to every other
+    nodes = [1, 2, 3, 4]
+    e = [(a, b) for a in nodes for b in nodes if a != b]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    out = node2vec_walks(edges, walk_len=4, walks_per_node=4,
+                         wp=1_000_000, w1=1, wq=1).collect()
+    seqs = {}
+    for r in out:
+        seqs.setdefault((r.start, r.walk), {})[r.step] = r.node
+    returns = total = 0
+    for steps in seqs.values():
+        seq = [steps[i] for i in sorted(steps)]
+        assert len(seq) == 4
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in set(e)
+        for i in range(2, len(seq)):
+            total += 1
+            returns += seq[i] == seq[i - 2]
+    assert returns / total > 0.9  # the mixer sliver allows rare misses
+    # determinism with default weights
+    d1 = {tuple(r) for r in node2vec_walks(
+        edges, walk_len=4, walks_per_node=2).collect()}
+    d2 = {tuple(r) for r in node2vec_walks(
+        edges, walk_len=4, walks_per_node=2).collect()}
+    assert d1 == d2 and len(d1) == 4 * 2 * 4
