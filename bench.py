@@ -549,6 +549,31 @@ def run() -> None:
             png_channel_sums(synthesize_png_media(
                 spark, n=192, interlace=True)).count()
 
+        @timed("graph_walk_corpus")
+        def _14d():
+            # graph-embedding corpus generation over the
+            # customer<->supplier interaction graph: DeepWalk walks ->
+            # skip-gram pairs, plus node2vec second-order walks
+            from maps_spark.operators.graph import (node2vec_walks,
+                                                    random_walks,
+                                                    skipgram_pairs)
+            orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            lineitem = spark.read.parquet(
+                f"{SF_DIR}/lineitem.parquet")
+            fwd = (orders.join(
+                       lineitem,
+                       orders["o_orderkey"] == lineitem["l_orderkey"])
+                   .select((F.col("o_custkey") * 2).alias("src"),
+                           (F.col("l_suppkey") * 2 + 1).alias("dst")))
+            edges = fwd.unionByName(
+                fwd.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+            skipgram_pairs(random_walks(edges, walk_len=5,
+                                        walks_per_node=2),
+                           window=2).count()
+            node2vec_walks(edges, walk_len=4,
+                           walks_per_node=2).count()
+
         @timed("pair_curation_e2e")
         def _14c():
             # image-TEXT pair curation (contrastive-data prep): real
