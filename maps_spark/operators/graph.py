@@ -232,6 +232,33 @@ h{i + 1} AS (
               f"JOIN a{iters} ON a{iters}.node = nodes.node")
 
 
+def _walk_pick(start, walk, node, t):
+    """Deterministic per-step draw for the walk family, nonlinear in
+    (start, node) jointly: two independently mixed halves multiplied
+    mod P31. A single affine mixer is NOT enough — mix(x) here is
+    (x*A*C + B*C + D) mod p, so a constant start offset would shift
+    every colliding walk's pick by the same amount and walks meeting
+    at a node would still share suffixes. The product of the
+    (start, walk) half and the (node, step) half makes the offset
+    vary with the collision site, so walks diverge again after
+    meeting. All operands < 2^31, products < 2^62 — int64-exact,
+    replayed bitwise by :func:`_walk_pick_sql` in DuckDB."""
+    from maps_spark.operators.corpus import _mix
+    from maps_spark.operators.dedup import P31
+    a = _mix(((start % P31) * 131 + walk) % P31)
+    b = _mix(((node % P31) * 8191 + t) % P31)
+    return (a * b) % P31
+
+
+def _walk_pick_sql(start: str, walk: str, node: str, t) -> str:
+    """DuckDB twin of :func:`_walk_pick` (same halves, same fold)."""
+    from maps_spark.operators.corpus import mix_sql
+    from maps_spark.operators.dedup import P31
+    a = mix_sql(f"((({start}) % {P31}) * 131 + ({walk})) % {P31}")
+    b = mix_sql(f"((({node}) % {P31}) * 8191 + ({t})) % {P31}")
+    return f"((({a}) * ({b})) % {P31})"
+
+
 def random_walks(edges: DataFrame, walk_len: int = 5,
                  walks_per_node: int = 2) -> DataFrame:
     """Deterministic DeepWalk-style random walks — the corpus
@@ -239,8 +266,10 @@ def random_walks(edges: DataFrame, walk_len: int = 5,
     ``walks_per_node`` walks of up to ``walk_len`` nodes from every
     source node of the integer-keyed edge set.
 
-    No RNG state: at node v, step t of walk w follows the neighbor
-    at index mix((v * 8191 + w*131 + t) mod p) mod degree(v), with
+    No RNG state: at node v, step t of walk w started at s follows
+    the neighbor at index ``_walk_pick(s, w, v, t) mod degree(v)``
+    (mix(s,w) * mix(v,t) mod p — nonlinear in (s, v) so walks that
+    meet at a node diverge again; see :func:`_walk_pick`), with
     neighbors ranked once by (src, dst) — a pure function of the
     graph, so the same walks come out of any cluster, any engine
     (the DuckDB twin replays the arithmetic bitwise), and any rerun.
@@ -272,8 +301,8 @@ def random_walks(edges: DataFrame, walk_len: int = 5,
         .localCheckpoint())
     out = frontier
     for t in range(1, walk_len):
-        pick = _mix(((F.col("node") % P31) * 8191
-                     + F.col("walk") * 131 + t) % P31) % F.col("d")
+        pick = _walk_pick(F.col("start"), F.col("walk"),
+                          F.col("node"), t) % F.col("d")
         frontier = (frontier
                     .join(deg, F.col("node") == F.col("dsrc"))
                     .withColumn("pick", pick)
@@ -314,8 +343,8 @@ walk AS (
   FROM walk wk
   JOIN deg ON deg.src = wk.node
   JOIN adj a ON a.src = wk.node
-   AND a.idx = {mix_sql(f"(((wk.node % {P31}) * 8191 "
-                        f"+ wk.walk * 131 + wk.step + 1) % {P31})")}
+   AND a.idx = {_walk_pick_sql("wk.start", "wk.walk",
+                               "wk.node", "wk.step + 1")}
                % deg.d
   WHERE wk.step + 1 < {walk_len})
 SELECT start, walk, CAST(step AS INT) AS step, node FROM walk"""
@@ -367,7 +396,7 @@ def node2vec_walks(edges: DataFrame, walk_len: int = 4,
     x is also a neighbor of t (BFS-ish), else ``wq`` (DFS-ish) —
     integer weights standing in for the paper's 1/p, 1, 1/q. The
     draw picks the dst-ordered neighbor whose cumulative weight
-    interval contains mix(v, walk, step) mod total — all int64-exact,
+    interval contains mix(v, start, walk, step) mod total — int64-exact,
     so the unrolled SQL twin replays every pick bitwise.
 
     Per step: one equi-join to expand the frontier's neighbors, one
@@ -400,8 +429,8 @@ def node2vec_walks(edges: DataFrame, walk_len: int = 4,
         .localCheckpoint())
     out = frontier.select("start", "walk", "step", "node")
     if walk_len > 1:  # step 1: uniform first-order pick
-        pick = _mix(((F.col("node") % P31) * 8191
-                     + F.col("walk") * 131 + 1) % P31) % F.col("d")
+        pick = _walk_pick(F.col("start"), F.col("walk"),
+                          F.col("node"), 1) % F.col("d")
         frontier = (frontier
                     .join(deg, F.col("node") == F.col("dsrc"))
                     .withColumn("pick", pick)
@@ -427,8 +456,8 @@ def node2vec_walks(edges: DataFrame, walk_len: int = 4,
         cand = (cand.withColumn("wt", wt)
                 .withColumn("cum", F.sum("wt").over(w_cum))
                 .withColumn("tot", F.sum("wt").over(w_tot)))
-        r = _mix(((F.col("node") % P31) * 8191
-                  + F.col("walk") * 131 + t) % P31) % F.col("tot")
+        r = _walk_pick(F.col("start"), F.col("walk"),
+                       F.col("node"), t) % F.col("tot")
         frontier = (cand.withColumn("r", r)
                     .where((F.col("cum") > F.col("r"))
                            & (F.col("cum") - F.col("wt")
@@ -470,14 +499,14 @@ def node2vec_walks_select(edges_cte: str, walk_len: int = 4,
   FROM s0 s
   JOIN deg ON deg.dsrc = s.node
   JOIN adjn a ON a.asrc = s.node
-   AND a.idx = {mix_sql(f"(((s.node % {P31}) * 8191 "
-                        f"+ s.walk * 131 + 1) % {P31})")} % deg.d)""")
+   AND a.idx = {_walk_pick_sql("s.start", "s.walk",
+                               "s.node", "1")} % deg.d)""")
     for t in range(2, walk_len):
         ctes.append(f"""s{t} AS (
   SELECT start, walk, {t} AS step, node AS prev, nxt AS node FROM (
     SELECT q.*,
-           {mix_sql(f"(((q.node % {P31}) * 8191 "
-                    f"+ q.walk * 131 + {t}) % {P31})")} % q.tot AS r
+           {_walk_pick_sql("q.start", "q.walk",
+                           "q.node", t)} % q.tot AS r
     FROM (
       SELECT s.start, s.walk, s.node, a.nxt, wts.wt,
              sum(wts.wt) OVER (PARTITION BY s.start, s.walk

@@ -1303,15 +1303,22 @@ def _decode_mjpeg_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("truncated RIFF payload")
     fps = 25
     vids_mjpg = False
-    frames = []
+    # two-digit stream id of the MJPG vids stream: movi chunk ids are
+    # '##dc'/'##db' where ## is the strl ordinal within hdrl — frames
+    # of any OTHER stream (a second video track, audio) must not leak
+    # into the decoded sequence
+    video_sid = None
+    movi_chunks = []  # (two-digit stream id, frame bytes)
     for cid, p, ln in _riff_subchunks(payload, 12, 8 + riff_len):
         if cid != b"LIST":
             continue
         ltype = payload[p:p + 4]
         if ltype == b"hdrl":
+            stream_no = -1
             for c2, p2, l2 in _riff_subchunks(payload, p + 4, p + ln):
                 if c2 != b"LIST" or payload[p2:p2 + 4] != b"strl":
                     continue
+                stream_no += 1
                 for c3, p3, l3 in _riff_subchunks(
                         payload, p2 + 4, p2 + l2):
                     if c3 == b"strh" and l3 >= 28:
@@ -1320,17 +1327,21 @@ def _decode_mjpeg_avi(payload: bytes) -> tuple[np.ndarray, int]:
                         if payload[p3 + 4:p3 + 8] != b"MJPG":
                             raise ValueError(
                                 "unsupported video codec (not MJPG)")
-                        vids_mjpg = True
-                        scale, rate = struct.unpack(
-                            "<II", payload[p3 + 20:p3 + 28])
-                        if scale:
-                            fps = rate // scale
+                        if not vids_mjpg:  # first MJPG vids stream
+                            vids_mjpg = True
+                            video_sid = b"%02d" % stream_no
+                            scale, rate = struct.unpack(
+                                "<II", payload[p3 + 20:p3 + 28])
+                            if scale:
+                                fps = rate // scale
         elif ltype == b"movi":
             for c2, p2, l2 in _riff_subchunks(payload, p + 4, p + ln):
                 if c2[2:4] in (b"dc", b"db"):
-                    frames.append(decode_jpeg(payload[p2:p2 + l2]))
+                    movi_chunks.append((c2[:2], payload[p2:p2 + l2]))
     if not vids_mjpg:
         raise ValueError("no MJPG video stream in AVI")
+    frames = [decode_jpeg(raw) for sid, raw in movi_chunks
+              if sid == video_sid]
     if not frames:
         raise ValueError("no video frames in movi list")
     if any(f.shape != frames[0].shape for f in frames):

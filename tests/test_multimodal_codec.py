@@ -821,6 +821,60 @@ def test_mjpeg_avi_rejects_malformed():
     _ = struct  # keep the import style consistent with siblings
 
 
+def test_mjpeg_avi_second_stream_ignored():
+    """An AVI with a second stream (audio strl + '01dc'/'01wb' movi
+    chunks) must decode ONLY the validated MJPG stream 00's frames —
+    a second track must neither interleave into the sequence nor
+    trip the mixed-frame-shapes check."""
+    import struct
+
+    import numpy as np
+
+    from maps_spark.functions.jpeg import encode_jpeg
+    from maps_spark.operators.multimodal import (decode_mjpeg_avi,
+                                                 encode_mjpeg_avi)
+
+    def chunk(cid, body):
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    frames = [np.full((8, 8), 10 * (i + 1), np.uint8)
+              for i in range(3)]
+    base = encode_mjpeg_avi(frames, fps=25, q=1)
+    # append an 'auds' strl to hdrl and alien 01-stream chunks
+    # (one with a different-shape JPEG) to movi
+    strh_a = (b"auds" + b"\x00" * 4
+              + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0,
+                            16, 0, 0xFFFFFFFF, 0)
+              + struct.pack("<4H", 0, 0, 0, 0))
+    strl_a = chunk(b"LIST", b"strl" + chunk(b"strh", strh_a)
+                   + chunk(b"strf", b"\x00" * 16))
+    alien_jpg = encode_jpeg(np.zeros((16, 16), np.uint8), q_luma=1)
+    alien = chunk(b"01dc", alien_jpg) + chunk(b"01wb", b"\x01\x02")
+
+    # LIST layout: b"LIST" | <u32 size> | b"hdrl"/b"movi" | children;
+    # the size field is the 4 bytes just before the list-type tag
+    i_hdrl = base.index(b"hdrl")
+    (hdrl_len,) = struct.unpack("<I", base[i_hdrl - 4:i_hdrl])
+    hdrl_end = i_hdrl + hdrl_len
+    i_movi = base.index(b"movi")
+    (movi_len,) = struct.unpack("<I", base[i_movi - 4:i_movi])
+    movi_end = i_movi + movi_len
+    two = (base[:i_hdrl - 4]
+           + struct.pack("<I", hdrl_len + len(strl_a))
+           + base[i_hdrl:hdrl_end] + strl_a
+           + base[hdrl_end:i_movi - 4]
+           + struct.pack("<I", movi_len + len(alien))
+           + base[i_movi:movi_end] + alien
+           + base[movi_end:])
+    two = bytearray(two)
+    struct.pack_into("<I", two, 4, len(two) - 8)  # RIFF size
+    out, fps = decode_mjpeg_avi(bytes(two))
+    assert out.shape == (3, 8, 8) and fps == 25
+    for i in range(3):
+        assert abs(int(out[i].mean()) - 10 * (i + 1)) <= 2
+
+
 # -- Adam7 interlaced PNG -------------------------------------------------
 
 def test_adam7_handmade_spec_figure():

@@ -245,6 +245,36 @@ def test_random_walks_contracts(spark):
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
 
 
+def test_random_walks_diverge_after_collision(spark):
+    """Corpus diversity: two walks (different starts) that land on
+    the same node at the same offset must not share their whole
+    suffix — the pick seed is nonlinear in (start, node), so a
+    collision does not collapse the walks (an affine seed would:
+    a constant start offset shifts every pick identically)."""
+    from maps_spark.operators.graph import random_walks
+    nodes = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b],
+        "src long, dst long")
+    out = random_walks(edges, walk_len=6, walks_per_node=2).collect()
+    seqs = {}
+    for r in out:
+        seqs.setdefault((r.start, r.walk), {})[r.step] = r.node
+    seqs = {k: [v[i] for i in sorted(v)] for k, v in seqs.items()}
+    # all 8 walks distinct, and most same-node collisions diverge
+    assert len(set(map(tuple, seqs.values()))) == len(seqs) == 8
+    coll = div = 0
+    ks = sorted(seqs)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            a, b = seqs[ks[i]], seqs[ks[j]]
+            for t in range(min(len(a), len(b)) - 1):
+                if a[t] == b[t]:
+                    coll += 1
+                    div += a[t + 1] != b[t + 1]
+    assert coll > 0 and div / coll > 0.5, (coll, div)
+
+
 def test_skipgram_pairs_window_and_multiplicity(spark):
     """A single known walk yields exactly the within-window ordered
     pairs; cross-walk pairs never form."""
