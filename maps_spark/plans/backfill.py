@@ -66,7 +66,7 @@ def run_backfill(spark: SparkSession, sf_dir: str, out_root: str,
     success the report is recorded in the promoted manifest.
     """
     t0 = time.time()
-    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    build_id = tile_store.build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
     staged = snapshot == "staged"
     staging_root = f"{out_dir}/staging" if staged else None

@@ -29,21 +29,9 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from maps_spark.sources.tile_store import (finalise_build, read_manifest,
+from maps_spark.sources.tile_store import (build_id as _build_id,
+                                           finalise_build, read_manifest,
                                            write_manifest)
-
-
-def _build_id() -> str:
-    """Millisecond-resolved lexicographically-sortable build id — the
-    closed crawl loop can legitimately run two scheduling rounds
-    within one wall-clock second. Derived from UTC (gmtime): local
-    time repeats an hour at a DST fall-back, and a build id from the
-    repeated hour would sort BEFORE already-written builds, breaking
-    finalise_build's keep-N rotation and list_builds' oldest-first
-    ordering (ADVICE r7)."""
-    t = time.time()
-    return (time.strftime("%Y%m%d_%H%M%S", time.gmtime(t))
-            + f"_{int(t * 1000) % 1000:03d}")
 
 
 def run_crawl_plan(spark: SparkSession, pages: DataFrame,

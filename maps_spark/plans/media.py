@@ -36,7 +36,8 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from maps_spark.sources.tile_store import (finalise_build, read_manifest,
+from maps_spark.sources.tile_store import (build_id as _build_id,
+                                           finalise_build, read_manifest,
                                            write_manifest)
 
 
@@ -53,7 +54,7 @@ def run_media_curation(spark: SparkSession, media: DataFrame,
     from maps_spark.operators.similarity import embedding_near_dupes
 
     t0 = time.time()
-    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    build_id = _build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
     n_in = media.count()
@@ -133,7 +134,7 @@ def run_pair_curation(spark: SparkSession, media: DataFrame,
     from maps_spark.operators.similarity import embedding_near_dupes
 
     t0 = time.time()
-    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    build_id = _build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
     n_media = media.count()

@@ -30,7 +30,8 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from maps_spark.sources.tile_store import (finalise_build, read_manifest,
+from maps_spark.sources.tile_store import (build_id as _build_id,
+                                           finalise_build, read_manifest,
                                            write_manifest)
 
 
@@ -53,7 +54,7 @@ def run_training_prep(spark: SparkSession, sf_dir: str, out_root: str,
                                               write_training_shards)
 
     t0 = time.time()
-    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    build_id = _build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

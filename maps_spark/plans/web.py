@@ -37,7 +37,8 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from maps_spark.sources.tile_store import (finalise_build, read_manifest,
+from maps_spark.sources.tile_store import (build_id as _build_id,
+                                           finalise_build, read_manifest,
                                            write_manifest)
 
 QUALITY_WEIGHTS = {"n_tokens": 600_000, "n_stopwords": 400_000}
@@ -77,7 +78,7 @@ def run_web_corpus(spark: SparkSession, sf_dir: str, out_root: str,
                                            text_features)
 
     t0 = time.time()
-    build_id = time.strftime("%Y%m%d_%H%M%S") if versioned else None
+    build_id = _build_id() if versioned else None
     out_dir = f"{out_root}/builds/{build_id}" if versioned else out_root
 
     if pages is None:

@@ -126,6 +126,71 @@ def recover_compaction(path: str) -> str | None:
     return "cleaned" if cleaned else None
 
 
+def fold_l0(spark: SparkSession, live: str, l0: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            partition_by: tuple[str, ...] = (),
+            sort_within: tuple[str, ...] = ()) -> dict | None:
+    """Fold an unpartitioned L0 append directory into the
+    hive-partitioned live (L1) directory — the LSM step of the
+    streaming band index: per-batch appends land in L0 (ONE output
+    commit per batch instead of one per partition directory); every
+    compaction folds L0 into the path-pruned L1 layout and clears L0.
+
+    Same validated-staging + two-rename-swap contract as
+    :func:`compact_dir`. The fold de-duplicates full rows: a crash
+    between a completed swap and the L0 cleanup leaves the folded
+    rows in BOTH levels, and the replayed fold must converge instead
+    of double-counting (duplicate band rows are harmless to probes —
+    candidates are distinct()ed — but must not accrete in L1).
+
+    With no L0 present this degrades to a plain :func:`compact_dir`
+    of the live directory. Returns None when neither level exists."""
+    if not os.path.isdir(l0):
+        if os.path.isdir(live):
+            return compact_dir(spark, live, target_file_bytes,
+                               partition_by=partition_by,
+                               sort_within=sort_within)
+        return None
+    l0_df = spark.read.parquet(l0)
+    cols = sorted(l0_df.columns)
+    df = l0_df.select(*cols)
+    n_live, size_live = (0, 0)
+    if os.path.isdir(live):
+        df = df.unionByName(
+            spark.read.option("basePath", live).parquet(live)
+            .select(*cols))
+        n_live, size_live = dir_stats(live)
+    df = df.dropDuplicates()
+    n_l0, size_l0 = dir_stats(l0)
+    size = size_live + size_l0
+    n_files = max(1, -(-size // target_file_bytes))
+    out = df.repartition(n_files, *partition_by) if partition_by \
+        else df.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    staging = live.rstrip("/") + ".compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    n_rows = df.count()
+    staged_rows = spark.read.parquet(staging).count()
+    if staged_rows != n_rows:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"fold validation failed for {live}: "
+            f"{staged_rows} staged rows != {n_rows} source rows")
+    if os.path.isdir(live):
+        swap_compacted(live, staging)
+    else:
+        os.rename(staging, live)
+    shutil.rmtree(l0)  # folded into L1; the L0 level restarts empty
+    n_after, _ = dir_stats(live)
+    return {"files_before": n_live + n_l0, "files_after": n_after,
+            "bytes": size, "rows": n_rows}
+
+
 def compact_frontier_store(spark: SparkSession, store_root: str,
                            target_file_bytes: int = 128 * 1024 * 1024
                            ) -> dict:
@@ -152,16 +217,43 @@ def compact_dedup_store(spark: SparkSession, store_dir: str,
                         target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """Compact every table of a streaming dedup signature store
     (:mod:`maps_spark.streaming.dedup`): per-batch appended files fold
-    into size-targeted ones; ``bands`` keeps its ``(band, bb)`` hive
-    partitioning (the probe reads only touched sub-bucket dirs) and
-    stays sorted by bucket key within files."""
+    into size-targeted ones; the band index's L0 appends
+    (``bands_l0``) fold into the ``(band, bb)`` hive-partitioned
+    ``bands`` L1 (the probe path-prunes it to touched sub-bucket
+    dirs), sorted by bucket key within files."""
     out = {}
     for sub, part, sort in (("sigs", (), ("doc_id",)),
-                            ("bands", ("band", "bb"), ("bh",)),
                             ("hashes", (), ("text_hash",)),
                             ("dupes", (), ("doc_id",))):
         p = f"{store_dir}/{sub}"
         if os.path.isdir(p):
             out[sub] = compact_dir(spark, p, target_file_bytes,
                                    partition_by=part, sort_within=sort)
+    folded = fold_l0(spark, f"{store_dir}/bands",
+                     f"{store_dir}/bands_l0", target_file_bytes,
+                     partition_by=("band", "bb"), sort_within=("bh",))
+    if folded is not None:
+        out["bands"] = folded
+    return out
+
+
+def compact_media_store(spark: SparkSession, store_dir: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Compact the streaming IMAGE dedup store
+    (:mod:`maps_spark.streaming.media`): hashes/dupes fold into
+    size-targeted files; the dHash band index's L0 appends fold into
+    the ``(bidx, bb)`` hive-partitioned L1."""
+    out = {}
+    for sub, sort in (("hashes", ("media_id",)),
+                      ("dupes", ("media_id",))):
+        p = f"{store_dir}/{sub}"
+        if os.path.isdir(p):
+            out[sub] = compact_dir(spark, p, target_file_bytes,
+                                   sort_within=sort)
+    folded = fold_l0(spark, f"{store_dir}/bands",
+                     f"{store_dir}/bands_l0", target_file_bytes,
+                     partition_by=("bidx", "bb"),
+                     sort_within=("bval",))
+    if folded is not None:
+        out["bands"] = folded
     return out

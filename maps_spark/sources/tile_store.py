@@ -146,8 +146,22 @@ def write_points(points: DataFrame, root: str, mode: str = "overwrite",
      .write.mode(mode).parquet(f"{root}/points"))
 
 
+def build_id(now: float | None = None) -> str:
+    """Millisecond-resolved lexicographically-sortable build id,
+    shared by EVERY versioned plan driver (backfill/media/training/
+    web/crawl). Derived from UTC (gmtime), never localtime: local
+    time repeats an hour at a DST fall-back, and a build id from the
+    repeated hour would sort BEFORE already-written builds, breaking
+    :func:`finalise_build`'s keep-N rotation (the newest build would
+    be rotated away) and :func:`list_builds`' oldest-first ordering.
+    ``now`` (epoch seconds) is injectable for tests."""
+    t = time.time() if now is None else now
+    return (time.strftime("%Y%m%d_%H%M%S", time.gmtime(t))
+            + f"_{int(t * 1000) % 1000:03d}")
+
+
 def write_manifest(root: str, meta: dict | None = None) -> None:
-    m = {"generated": time.strftime("%Y%m%d_%H%M"),
+    m = {"generated": time.strftime("%Y%m%d_%H%M", time.gmtime()),
          "generated_unix": int(time.time()), **(meta or {})}
     os.makedirs(root, exist_ok=True)
     tmp = f"{root}/manifest.json.tmp"

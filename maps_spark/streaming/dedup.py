@@ -16,7 +16,13 @@ proportional to the batch:
   the batch probes. Every batch touches all ``band`` values, so the
   sub-bucket ``bb`` is what makes the probe read O(batch): only the
   batch's touched ``(band, bb)`` directories are opened, never the
-  whole accumulated index;
+  whole accumulated index. The index is two-level (LSM-style):
+  per-batch appends land in ``store/bands_l0`` (plain parquet — ONE
+  output commit per batch; a partitioned append would pay one commit
+  per touched directory, ~bands x sub-buckets renames per batch, the
+  measured 90%+ of the append segment), and the periodic compaction
+  folds L0 into the path-pruned L1. Probes read pruned-L1 plus the
+  small L0 (bounded by the compaction cadence);
 - ``store/hashes`` (doc_id, text_hash)      — exact-dup fast path; also
   the safety net for boilerplate buckets the LSH cap drops (identical
   docs in an over-full band bucket would otherwise go unflagged);
@@ -48,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from maps_spark.operators.dedup import (band_key_col, cap_buckets,
                                         minhash_signatures, minhash_verify)
 
-SIG_DIRS = ("sigs", "bands", "hashes", "dupes")
+SIG_DIRS = ("sigs", "bands", "bands_l0", "hashes", "dupes")
 # sub-partition fan-out of the band index: bands x sub-buckets dirs.
 # 64 keeps directory counts sane while letting a small batch prune to
 # a few percent of the store's files.
@@ -117,15 +123,28 @@ def run_file_stream(spark: SparkSession, input_path: str, marker: str,
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
-    """Read the band index, pruned to the given ``(band, bb)`` pairs.
+    """Read the band index — compacted L1 plus L0 appends — pruned
+    to the given ``(band, bb)`` pairs.
 
-    The pruning is by explicit directory path (the touched set is
-    already driver-side and bounded by ``bands x BAND_SUBBUCKETS``), so
-    a small batch opens only its own sub-bucket files — no full-index
-    listing or scan. ``touched=None`` reads everything (maintenance /
-    inspection path)."""
-    return read_partitioned_subset(spark, f"{store_dir}/bands",
-                                   touched, ("band", "bb"))
+    L1 pruning is by explicit directory path (the touched set is
+    driver-side and bounded by ``bands x BAND_SUBBUCKETS``), so a
+    small batch opens only its own sub-bucket files — no full-index
+    listing or scan. The L0 level has no directory structure; it is
+    opened whole (it holds at most ``compact_every`` batches of
+    appends — O(batch), not O(store)) and row-filtered to the touched
+    pairs, with files sorted by (band, bh) so row-group stats prune
+    too. ``touched=None`` reads everything (maintenance path)."""
+    l1 = read_partitioned_subset(spark, f"{store_dir}/bands",
+                                 touched, ("band", "bb"))
+    l0 = _try_read(spark, f"{store_dir}/bands_l0")
+    if l0 is not None and touched is not None:
+        keys = [a * BAND_SUBBUCKETS + b for a, b in touched]
+        l0 = l0.where((F.col("band") * BAND_SUBBUCKETS
+                       + F.col("bb")).isin(keys))
+    if l1 is None or l0 is None:
+        return l0 if l1 is None else l1
+    cols = sorted(l0.columns)
+    return l1.select(*cols).unionByName(l0.select(*cols))
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
@@ -188,6 +207,11 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                     F.col("b.doc_id").alias("doc_b")))
     touched = [(r["band"], r["bb"]) for r in
                batch_bands.select("band", "bb").distinct().collect()]
+    # the driver-side touched list is bounded by construction
+    # (band in [0, bands), bb = bh mod BAND_SUBBUCKETS) — assert the
+    # invariant the O(batch) probe contract rests on (VERDICT r8 #6)
+    assert len(touched) <= bands * BAND_SUBBUCKETS, (
+        len(touched), bands, BAND_SUBBUCKETS)
     store_bands = read_store_bands(spark, store_dir, touched)
     all_sigs = sigs
     if store_bands is not None:
@@ -225,21 +249,40 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     _t2 = _time.time()
 
     novel_ids = docs.select("doc_id").join(dupes, "doc_id", "left_anti")
+    seg = {}
+    _tp = _time.time()
+
+    def _mark(key):
+        nonlocal _tp
+        now = _time.time()
+        seg[key] = round(now - _tp, 3)
+        _tp = now
+
     (dupes.select("doc_id", "dup_of", "jaccard_est", "batch_id")
      .write.mode("append").parquet(f"{store_dir}/dupes"))
+    _mark("append_dupes")
     (sigs.join(novel_ids, "doc_id", "left_semi")
      .write.mode("append").parquet(f"{store_dir}/sigs"))
+    _mark("append_sigs")
+    # band appends go to the unpartitioned L0 level: a partitioned
+    # append pays the output-commit protocol once per touched
+    # (band, bb) directory — up to bands x SUBBUCKETS (~1024) commits
+    # per batch, the measured 90%+ of the append segment. L0 is ONE
+    # commit of a couple of (band, bh)-sorted files; the compaction
+    # cadence folds it into the path-pruned L1 (maintenance.fold_l0)
     (batch_bands.join(novel_ids, "doc_id", "left_semi")
-     .write.mode("append").partitionBy("band", "bb")
-     .parquet(f"{store_dir}/bands"))
+     .repartition(2).sortWithinPartitions("band", "bh")
+     .write.mode("append").parquet(f"{store_dir}/bands_l0"))
+    _mark("append_bands")
     (hashes.join(novel_ids, "doc_id", "left_semi")
      .write.mode("append").parquet(f"{store_dir}/hashes"))
+    _mark("append_hashes")
     if profile is not None:
         _t3 = _time.time()
         profile.append({"batch_id": batch_id,
                         "sig": round(_t1 - _t0, 3),
                         "probe_verify": round(_t2 - _t1, 3),
-                        "append": round(_t3 - _t2, 3)})
+                        "append": round(_t3 - _t2, 3), **seg})
 
 
 def accepted_ids(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -255,6 +298,7 @@ def rejected(spark: SparkSession, store_dir: str) -> DataFrame:
 def run_incremental_dedup(spark: SparkSession, input_path: str,
                           store_dir: str, max_files_per_trigger: int = 1,
                           compact_every: int | None = None,
+                          expectations: dict | None = None,
                           **kwargs):
     """Wire the stream: document files -> per-batch dedup vs the store.
 
@@ -283,6 +327,8 @@ def run_incremental_dedup(spark: SparkSession, input_path: str,
     state = {"n": 0}
 
     def _body(df: DataFrame, bid: int) -> None:
+        from maps_spark.streaming.refresh import quarantine_gate
+        quarantine_gate(df, expectations, store_dir, bid)
         if compact_every:
             from maps_spark.sources.maintenance import (
                 compact_dedup_store, recover_compaction)

@@ -30,10 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def run_frontier_ingest(spark: SparkSession, input_path: str,
                         store_root: str,
-                        max_files_per_trigger: int = 1):
+                        max_files_per_trigger: int = 1,
+                        expectations: dict | None = None):
     """Wire the stream: crawled-page files -> per-batch refs/seen/
     edges appends under ``store_root``. ``availableNow`` drains the
-    backlog and stops (landing-zone sweep mode)."""
+    backlog and stops (landing-zone sweep mode). ``expectations``
+    quarantines a failing batch before any append (see
+    :func:`maps_spark.streaming.refresh.quarantine_gate`)."""
     from maps_spark.operators.html import (_links_with_source,
                                            candidate_refs, page_urls,
                                            site_domain_edges)
@@ -41,6 +44,8 @@ def run_frontier_ingest(spark: SparkSession, input_path: str,
     marker = store_root.rstrip("/") + "/_meta/last_batch.json"
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
+        from maps_spark.streaming.refresh import quarantine_gate
+        quarantine_gate(batch_df, expectations, store_root, batch_id)
         batch_df = batch_df.localCheckpoint()  # one read per projection
         # one materialized href extraction feeds refs AND edges — the
         # batch's HTML is regex-parsed once

@@ -11,7 +11,9 @@ Hamming bands. Store layout mirrors the text store:
 - ``store/bands``  (bidx, bb, bval, media_id), partitioned by
   ``(bidx, bb)`` with ``bb = bval mod BAND_SUBBUCKETS`` — a batch
   probes ONLY its touched sub-bucket directories, so the probe reads
-  O(batch), not O(store);
+  O(batch), not O(store). Two-level like the text store: per-batch
+  appends land in ``store/bands_l0`` (one output commit, not one per
+  touched directory); compaction folds L0 into the path-pruned L1;
 - ``store/dupes``  (media_id, dup_of, hamming, batch_id) — rejects.
 
 Accepted images append; rejects are logged and never indexed, so the
@@ -59,10 +61,19 @@ def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
-    """Band index pruned to the touched ``(bidx, bb)`` directories
-    (the shared path-pruned reader, image partition-column names)."""
-    return read_partitioned_subset(spark, f"{store_dir}/bands",
-                                   touched, ("bidx", "bb"))
+    """Band index — path-pruned L1 plus the small L0 append level
+    (row-filtered to the touched pairs), image column names."""
+    l1 = read_partitioned_subset(spark, f"{store_dir}/bands",
+                                 touched, ("bidx", "bb"))
+    l0 = _try_read(spark, f"{store_dir}/bands_l0")
+    if l0 is not None and touched is not None:
+        keys = [a * BAND_SUBBUCKETS + b for a, b in touched]
+        l0 = l0.where((F.col("bidx") * BAND_SUBBUCKETS
+                       + F.col("bb")).isin(keys))
+    if l1 is None or l0 is None:
+        return l0 if l1 is None else l1
+    cols = sorted(l0.columns)
+    return l1.select(*cols).unionByName(l0.select(*cols))
 
 
 def _hamming(hi_a, lo_a, hi_b, lo_b) -> F.Column:
@@ -132,9 +143,11 @@ def process_media_batch(media: DataFrame, store_dir: str,
     dupes.write.mode("append").parquet(f"{store_dir}/dupes")
     (h.join(novel, "media_id", "left_semi")
      .write.mode("append").parquet(f"{store_dir}/hashes"))
+    # L0 append: one commit per batch; a partitioned append would pay
+    # the commit protocol once per touched (bidx, bb) directory (~512)
     (batch_bands.join(novel, "media_id", "left_semi")
-     .write.mode("append").partitionBy("bidx", "bb")
-     .parquet(f"{store_dir}/bands"))
+     .repartition(1).sortWithinPartitions("bidx", "bval")
+     .write.mode("append").parquet(f"{store_dir}/bands_l0"))
 
 
 def accepted_ids(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -145,15 +158,38 @@ def rejected(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.parquet(f"{store_dir}/dupes")
 
 
+MEDIA_SIG_DIRS = ("hashes", "bands", "bands_l0", "dupes")
+
+
 def run_incremental_image_dedup(spark: SparkSession, input_path: str,
                                 store_dir: str,
                                 max_files_per_trigger: int = 1,
+                                compact_every: int | None = None,
+                                expectations: dict | None = None,
                                 **kwargs):
     """Wire the stream: media files -> per-batch image dedup vs the
-    store (availableNow backlog drain, marker-guarded replays)."""
+    store (availableNow backlog drain, marker-guarded replays).
+
+    ``compact_every=k`` folds the band L0 into the path-pruned L1 and
+    compacts the flat tables at the START of every k-th trigger —
+    the same crash-safe cadence as the text dedup runner (the prior
+    batch's replay marker is already durable, and recover_compaction
+    precedes every compaction and the first trigger)."""
     marker = store_dir.rstrip("/") + "/_meta/last_batch.json"
-    return run_file_stream(
-        spark, input_path, marker,
-        lambda df, bid: process_media_batch(df, store_dir, bid,
-                                            **kwargs),
-        max_files_per_trigger)
+    state = {"n": 0}
+
+    def _body(df: DataFrame, bid: int) -> None:
+        from maps_spark.streaming.refresh import quarantine_gate
+        quarantine_gate(df, expectations, store_dir, bid)
+        if compact_every:
+            from maps_spark.sources.maintenance import (
+                compact_media_store, recover_compaction)
+            for sub in MEDIA_SIG_DIRS:
+                recover_compaction(f"{store_dir}/{sub}")
+            if state["n"] and state["n"] % compact_every == 0:
+                compact_media_store(spark, store_dir)
+        process_media_batch(df, store_dir, bid, **kwargs)
+        state["n"] += 1
+
+    return run_file_stream(spark, input_path, marker, _body,
+                           max_files_per_trigger)

@@ -32,6 +32,50 @@ from maps_spark.operators import pyramid as PY
 from maps_spark.sources.occurrence import BASE_FILTER_SQL, OCCURRENCE_SQL
 
 
+class BatchQuarantined(ValueError):
+    """A micro-batch failed its promotion contract and was quarantined
+    before any store write."""
+
+
+def quarantine_gate(batch_df: DataFrame, expectations: dict | None,
+                    store_root: str, batch_id: int) -> dict | None:
+    """Per-batch promotion contract for streaming stores (VERDICT r8
+    #7): evaluate ``expectations``
+    (:func:`operators.expectations.evaluate_contract` shape) on the
+    micro-batch BEFORE any store write. A poisoned batch must not
+    append forever just because it arrived through a stream instead
+    of a batch driver.
+
+    On failure the rejection report is persisted under
+    ``<store>/_meta/quarantine/batch_<id>.json`` and
+    :class:`BatchQuarantined` is raised — the streaming query stops,
+    the replay marker is NOT advanced and nothing was appended, so
+    the store stays at its pre-batch state; restarting after fixing
+    the input re-delivers the same batch. (With the single
+    high-water replay marker, stopping is the only way to honor
+    "marker not advanced": letting later batches commit would raise
+    the mark past the quarantined batch and a replay would skip it.)
+    """
+    if expectations is None:
+        return None
+    import json
+
+    from maps_spark.operators.expectations import evaluate_contract
+    gate = evaluate_contract(batch_df, expectations)
+    if gate["ok"]:
+        return gate
+    qdir = store_root.rstrip("/") + "/_meta/quarantine"
+    os.makedirs(qdir, exist_ok=True)
+    path = f"{qdir}/batch_{batch_id}.json"
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, **gate}, f, default=str)
+    os.replace(tmp, path)
+    raise BatchQuarantined(
+        f"batch {batch_id} failed expectations {gate['failed']}; "
+        f"no store write, replay marker not advanced (report: {path})")
+
+
 def _stream_parquet(spark: SparkSession, path: str):
     """File-stream reader that also accepts a single-file path
     (FileStreamSource requires a directory; testdata tables are bare
@@ -335,7 +379,8 @@ def read_tile_store(spark: SparkSession, tile_store: str) -> DataFrame:
 def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
                 pixel_store: str, srs: str = "EPSG:3857", zoom: int = 8,
                 tile_store: str | None = None,
-                pixel_mode: str = "merge"):
+                pixel_mode: str = "merge",
+                expectations: dict | None = None):
     """Wire the incremental refresh: stream -> per-batch delta -> merge
     -> (optional) incremental tile re-encode.
 
@@ -358,6 +403,11 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
     - ``"append"``: LSM-style O(delta) append, merge-on-read
       (:func:`read_pixel_store` folds), periodic
       :func:`compact_pixel_store` — per-batch wall time stays flat.
+
+    ``expectations`` is an optional per-batch promotion contract
+    (see :func:`quarantine_gate`): a failing batch is quarantined —
+    no store write, replay marker not advanced, report persisted —
+    and the query stops.
     """
     if pixel_mode not in ("merge", "append"):
         raise ValueError(f"unknown pixel_mode {pixel_mode!r}")
@@ -389,6 +439,7 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
         # make the merge itself transactional instead).
         if _applied_batch(marker) >= batch_id:
             return
+        quarantine_gate(batch_df, expectations, pixel_store, batch_id)
         delta = stream_pixel_deltas(batch_df, srs, zoom).localCheckpoint()
         if pixel_mode == "append":
             append_pixel_deltas(delta, pixel_store)

@@ -720,3 +720,63 @@ def test_promotion_gate_rejects_unrecognized_contract(spark):
     df = spark.range(3).toDF("doc_id")
     with pytest.raises(ValueError, match="no conditions"):
         promotion_gate(df, {"condtions": {"x": "doc_id >= 0"}})
+
+
+def test_build_id_utc_monotonic_across_dst_fallback(tmp_path):
+    """VERDICT r8 #1: every versioned driver derives its build id
+    from UTC via the shared tile_store.build_id helper, so ids stay
+    lexicographically monotone across a DST fall-back — a localtime
+    id minted in the repeated hour would sort BEFORE already-written
+    builds and keep-N rotation would drop the NEWEST build."""
+    import os
+    import time as _t
+
+    from maps_spark.sources.tile_store import (build_id,
+                                               finalise_build,
+                                               list_builds)
+
+    # US fall-back 2025-11-02: 06:00 UTC is when EDT 01:59:59 snaps
+    # back to EST 01:00:00. t1 = 01:59 EDT, t2 = 01:01 EST (later!).
+    t1 = 1762063140.25  # 2025-11-02 05:59:00.250 UTC
+    t2 = 1762063560.75  # 2025-11-02 06:06:00.750 UTC
+    assert t1 < t2
+    b1, b2 = build_id(t1), build_id(t2)
+    assert b1 < b2  # UTC ids keep wall-clock order
+    assert b1 == "20251102_055900_250" and b2 == "20251102_060600_750"
+
+    # prove the hazard is live in this environment: the localtime
+    # rendering of the same instants INVERTS under a US timezone —
+    # a regression back to localtime would fail the assertions below
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _t.tzset()
+        l1 = _t.strftime("%Y%m%d_%H%M%S", _t.localtime(t1))
+        l2 = _t.strftime("%Y%m%d_%H%M%S", _t.localtime(t2))
+        assert l2 < l1, (l1, l2)  # 01:06 EST sorts before 01:59 EDT
+        # rotation keeps the NEWEST build when ids come from UTC
+        root = str(tmp_path / "store")
+        for b in (b1, b2):
+            os.makedirs(f"{root}/builds/{b}")
+        finalise_build(root, b2, keep=1)
+        kept = [x["build_id"] for x in list_builds(root)]
+        assert kept == [b2]  # newest retained, older rotated away
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _t.tzset()
+
+    # all five plan drivers route through the shared helper — no
+    # localtime strftime is left on any build-id path
+    import inspect
+
+    import maps_spark.plans.backfill as PB
+    import maps_spark.plans.crawl as PC
+    import maps_spark.plans.media as PM
+    import maps_spark.plans.training as PT
+    import maps_spark.plans.web as PW
+    for mod in (PB, PC, PM, PT, PW):
+        src = inspect.getsource(mod)
+        assert 'time.strftime("%Y%m%d_%H%M%S")' not in src, mod

@@ -273,9 +273,15 @@ class TestIncrementalDedup:
 
     def test_store_probe_reads_bounded_subset(self, spark, tmp_path):
         """The store probe must open only the batch's touched
-        (band, bb) sub-bucket directories — per-batch read cost is
-        O(batch), not O(accumulated store)."""
+        (band, bb) L1 sub-bucket directories plus the small L0 append
+        level — per-batch read cost is O(batch + L0), never
+        O(accumulated compacted store)."""
+        import os
+
+        import pyspark.sql.functions as F
+
         from maps_spark.operators.dedup import minhash_signatures
+        from maps_spark.sources.maintenance import compact_dedup_store
         from maps_spark.streaming.dedup import (_band_table, process_batch,
                                                 read_store_bands)
         store = str(tmp_path / "store")
@@ -284,9 +290,12 @@ class TestIncrementalDedup:
              for i in range(300)],
             "doc_id long, text string")
         process_batch(docs, store, batch_id=0)
-        full = read_store_bands(spark, store)
-        n_full = len(full.inputFiles())
-        assert n_full > 16  # the index fans out across sub-buckets
+        # appends land in L0 as a couple of files — ONE output commit,
+        # not one per (band, bb) directory
+        assert not os.path.isdir(f"{store}/bands")
+        l0_files = [f for f in os.listdir(f"{store}/bands_l0")
+                    if f.endswith(".parquet")]
+        assert 1 <= len(l0_files) <= 4
 
         probe = spark.createDataFrame(
             [(999, " ".join(f"p{j}" for j in range(25)))],
@@ -295,6 +304,16 @@ class TestIncrementalDedup:
         touched = [(r["band"], r["bb"]) for r in
                    _band_table(sigs, 16, 4).select("band", "bb")
                    .distinct().collect()]
+        cond = F.lit(False)
+        for bnd, sb in touched:
+            cond = cond | ((F.col("band") == bnd) & (F.col("bb") == sb))
+
+        # compaction folds L0 into the hive-partitioned L1
+        compact_dedup_store(spark, store)
+        assert not os.path.isdir(f"{store}/bands_l0")
+        full = read_store_bands(spark, store)
+        n_full = len(full.inputFiles())
+        assert n_full > 16  # the L1 index fans out across sub-buckets
         pruned = read_store_bands(spark, store, touched)
         n_pruned = 0 if pruned is None else len(pruned.inputFiles())
         # a 1-doc probe touches at most one sub-bucket dir per band
@@ -303,11 +322,23 @@ class TestIncrementalDedup:
         if pruned is not None:
             # pruned read returns exactly the full read's rows for the
             # touched sub-buckets — pruning loses nothing
-            import pyspark.sql.functions as F
-            cond = F.lit(False)
-            for bnd, sb in touched:
-                cond = cond | ((F.col("band") == bnd) & (F.col("bb") == sb))
             assert pruned.count() == full.where(cond).count()
+
+        # a fresh batch re-creates L0; the probe unions pruned L1 +
+        # row-filtered L0 and still loses nothing vs the full read
+        more = spark.createDataFrame(
+            [(1000 + i, " ".join(f"x{i}w{j}" for j in range(30)))
+             for i in range(50)],
+            "doc_id long, text string")
+        process_batch(more, store, batch_id=1)
+        assert os.path.isdir(f"{store}/bands_l0")
+        full2 = read_store_bands(spark, store)
+        pruned2 = read_store_bands(spark, store, touched)
+        # pruned file set = touched L1 dirs + the bounded L0 level
+        n_l0 = len([f for f in os.listdir(f"{store}/bands_l0")
+                    if f.endswith(".parquet")])
+        assert len(pruned2.inputFiles()) <= 16 + n_l0
+        assert pruned2.count() == full2.where(cond).count()
 
     def test_replayed_batch_is_skipped(self, spark, tmp_path):
         from maps_spark.streaming.dedup import accepted_ids, process_batch
@@ -586,6 +617,48 @@ class TestStreamingImageDedup:
         assert rejected(spark, store).count() == 3
         assert accepted_ids(spark, store).count() == 5
 
+    def test_image_store_compaction_cadence_twin(self, spark, tmp_path):
+        """compact_every on the image runner folds the band L0 into
+        the (bidx, bb)-partitioned L1 WITHOUT changing any verdict vs
+        the uncompacted twin; appends land in L0 as one commit."""
+        import os
+
+        import numpy as np
+        from maps_spark.streaming.media import (rejected,
+                                                run_incremental_image_dedup)
+        rng = np.random.default_rng(11)
+        landing = str(tmp_path / "landing")
+        base = [self._img(rng) for _ in range(6)]
+        self._write_batch(spark, landing, "a",
+                          [(i, base[i]) for i in range(3)])
+        self._write_batch(spark, landing, "b",
+                          [(10, self._img(rng, base[1])),
+                           (11, base[3])])
+        self._write_batch(spark, landing, "c",
+                          [(20, self._img(rng, base[3])),
+                           (21, base[4])])
+        self._write_batch(spark, landing, "d",
+                          [(30, self._img(rng, base[4])),
+                           (31, base[5])])
+
+        def run(root, every):
+            q = run_incremental_image_dedup(
+                spark, landing, root, max_files_per_trigger=1,
+                compact_every=every)
+            q.awaitTermination(300)
+            return {(r.media_id, r.dup_of, r.hamming)
+                    for r in rejected(spark, root).collect()}
+
+        s1, s2 = str(tmp_path / "cadence"), str(tmp_path / "plain")
+        assert run(s1, 2) == run(s2, None) != set()
+        # cadence store: L1 exists (hive-partitioned) and the last
+        # batches' appends sit in L0
+        assert any(d.startswith("bidx=") for d in
+                   os.listdir(f"{s1}/bands"))
+        assert os.path.isdir(f"{s1}/bands_l0")
+        # plain store: everything is still L0 (no fold ever ran)
+        assert not os.path.isdir(f"{s2}/bands")
+
 
 def test_streaming_web_ingest_matches_batch_twin(spark, tmp_path):
     """The incrementally-maintained curated web store equals the batch
@@ -818,6 +891,73 @@ def test_legacy_marker_fallback_replaces_last_meta_segment(tmp_path):
     with open(good, "w") as f:
         json.dump({"batch_id": 4}, f)
     assert _applied_batch(marker) == 4
+
+
+def test_streaming_quarantine_blocks_poisoned_batch(spark, tmp_path):
+    """Promotion contracts for streaming stores (VERDICT r8 #7): a
+    batch failing its expectations is quarantined — the query stops,
+    nothing is appended, the replay marker stays at the prior batch,
+    and the rejection report is persisted; after fixing the input a
+    restart resumes AT the quarantined batch and the store converges
+    to the clean-run state."""
+    import json
+    import os
+
+    from maps_spark.streaming.dedup import (accepted_ids,
+                                            run_incremental_dedup)
+    from maps_spark.streaming.refresh import _applied_batch
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    good = spark.createDataFrame(
+        [(i, f"clean unique content {i} " * 8) for i in range(5)],
+        "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [(100, None), (101, "fine text " * 8)],
+        "doc_id long, text string")
+    fixed = spark.createDataFrame(
+        [(100, "repaired payload " * 8), (101, "fine text " * 8)],
+        "doc_id long, text string")
+
+    def land(df, name):
+        tmp = f"{landing}/_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(f"{tmp}/{src}", f"{landing}/{name}.parquet")
+
+    land(good, "b0")
+    land(bad, "b1")
+    store = str(tmp_path / "store")
+    contract = {"conditions": {"text_not_null": "text IS NOT NULL"}}
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    q = run_incremental_dedup(spark, landing, store,
+                              max_files_per_trigger=1,
+                              expectations=contract)
+    with pytest.raises(StreamingQueryException, match="text_not_null"):
+        q.awaitTermination(300)
+    # batch 0 landed, batch 1 quarantined: marker at 0, no bad rows
+    marker = store + "/_meta/last_batch.json"
+    assert _applied_batch(marker) == 0
+    acc = {r.doc_id for r in accepted_ids(spark, store).collect()}
+    assert acc == {0, 1, 2, 3, 4}
+    qreports = os.listdir(f"{store}/_meta/quarantine")
+    assert qreports == ["batch_1.json"]
+    rep = json.load(open(f"{store}/_meta/quarantine/batch_1.json"))
+    assert rep["failed"] == ["text_not_null"] and rep["batch_id"] == 1
+
+    # fix the poisoned file in place (mtime order preserved: b0 is
+    # still older) and restart: batch 0 replays as a no-op, batch 1
+    # now passes and appends
+    land(fixed, "b1")
+    q2 = run_incremental_dedup(spark, landing, store,
+                               max_files_per_trigger=1,
+                               expectations=contract)
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert _applied_batch(marker) == 1
+    acc2 = {r.doc_id for r in accepted_ids(spark, store).collect()}
+    assert acc2 == {0, 1, 2, 3, 4, 100, 101}
 
 
 def test_dedup_compaction_cadence_bounds_growth(spark, tmp_path):
