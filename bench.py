@@ -531,13 +531,14 @@ def run() -> None:
 
         @timed("compressed_codecs")
         def _14b():
-            # the four late-round-8 codecs in one entry: progressive
-            # JPEG (multi-scan), IMA ADPCM (step-machine audio),
-            # MJPEG/AVI (per-frame video), Adam7 interlaced PNG —
-            # decode throughput of the compressed-media ingest path
+            # the compressed codecs in one entry: progressive JPEG
+            # (multi-scan), IMA ADPCM (step-machine audio), MJPEG/AVI
+            # (per-frame video), Adam7 interlaced PNG, GIF (LZW,
+            # interlaced) — decode throughput of the media ingest path
             from maps_spark.operators.multimodal import (
-                adpcm_stats, jpeg_pixel_sums, mjpeg_frame_sums,
-                png_channel_sums, synthesize_adpcm_media,
+                adpcm_stats, gif_channel_sums, jpeg_pixel_sums,
+                mjpeg_frame_sums, png_channel_sums,
+                synthesize_adpcm_media, synthesize_gif_media,
                 synthesize_jpeg_media, synthesize_mjpeg_media,
                 synthesize_png_media)
             jpeg_pixel_sums(synthesize_jpeg_media(
@@ -547,6 +548,8 @@ def run() -> None:
             mjpeg_frame_sums(synthesize_mjpeg_media(
                 spark, n=128, n_frames=6)).count()
             png_channel_sums(synthesize_png_media(
+                spark, n=192, interlace=True)).count()
+            gif_channel_sums(synthesize_gif_media(
                 spark, n=192, interlace=True)).count()
 
         @timed("graph_walk_corpus")

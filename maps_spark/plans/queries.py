@@ -259,6 +259,24 @@ def q_media_png_interlaced(spark, sf_dir):
         synthesize_png_media(spark, n=64, interlace=True))
 
 
+def q_media_gif_decode(spark, sf_dir):
+    """GIF/LZW decode gate: variable-width LZW expansion of the
+    palette images against the closed-form channel-sum oracle."""
+    from maps_spark.operators.multimodal import (gif_channel_sums,
+                                                 synthesize_gif_media)
+    return gif_channel_sums(synthesize_gif_media(spark, n=64))
+
+
+def q_media_gif_interlaced(spark, sf_dir):
+    """GIF 4-pass interlace gate: the same pixels stored in pass row
+    order — the shared oracle proves the de-interlace reassembles
+    every pixel at its original coordinate."""
+    from maps_spark.operators.multimodal import (gif_channel_sums,
+                                                 synthesize_gif_media)
+    return gif_channel_sums(
+        synthesize_gif_media(spark, n=64, interlace=True))
+
+
 def q_media_wav_decode(spark, sf_dir):
     from maps_spark.operators.multimodal import (synthesize_wav_media,
                                                  wav_stats)
@@ -1534,6 +1552,8 @@ MAPS_QUERIES = {
     "media_adpcm_decode": q_media_adpcm_decode,
     "media_mjpeg_decode": q_media_mjpeg_decode,
     "media_png_interlaced": q_media_png_interlaced,
+    "media_gif_decode": q_media_gif_decode,
+    "media_gif_interlaced": q_media_gif_interlaced,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
@@ -2057,6 +2077,10 @@ def maps_oracles() -> dict[str, str]:
         # closed form proves the scatter reassembly
         "media_png_interlaced": OT.ppm_channel_sums_select(
             n=64, width=31, height=17),
+        # LZW expansion must read every pixel at its coordinate; the
+        # interlaced twin additionally proves the 4-pass reassembly
+        "media_gif_decode": OT.gif_channel_sums_select(n=64),
+        "media_gif_interlaced": OT.gif_channel_sums_select(n=64),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),
         "audio_fingerprints": OT.audio_fingerprint_select(n=64),

@@ -1045,3 +1045,104 @@ def test_codec_gate_plans_are_shuffle_free(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, (name, plan)
         assert plan.count("MapInPandas") == 2, (name, plan)
+
+
+def test_gif_roundtrip_all_modes():
+    """GIF/LZW codec: encode->decode identity for few-color and
+    full-256-palette images, sequential and 4-pass interlaced, gray
+    input replication, and a payload large enough to force the LZW
+    code width to 12 bits and a mid-stream clear/reset."""
+    import numpy as np
+
+    from maps_spark.operators.multimodal import (decode_gif,
+                                                 decode_image,
+                                                 encode_gif)
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 6, (17, 31)) * 40).astype(np.uint8)
+    img3 = np.repeat(img[:, :, None], 3, axis=2)
+    for il in (False, True):
+        out = decode_gif(encode_gif(img3, interlace=il))
+        assert out.shape == (17, 31, 3) and (out == img3).all()
+    # 256 colors + 101x211 pixels: width grows to 12, table fills,
+    # clear code resets the dictionary mid-stream
+    big = rng.integers(0, 256, (101, 211)).astype(np.uint8)
+    pal = np.stack([big, (3 * big) % 256, (7 * big) % 256],
+                   axis=-1).astype(np.uint8)
+    assert (decode_gif(encode_gif(pal)) == pal).all()
+    assert (decode_gif(encode_gif(pal, interlace=True)) == pal).all()
+    # gray input replicates to RGB
+    g = decode_gif(encode_gif(img))
+    assert (g[:, :, 0] == img).all() and (g[:, :, 2] == img).all()
+    # LZW actually compresses the smooth palette image
+    assert len(encode_gif(pal)) < pal.size
+    # magic-byte dispatch reaches the GIF decoder
+    assert decode_image(encode_gif(img3)).shape == (17, 31, 3)
+
+
+def test_gif_transparency_and_malformed():
+    """89a Graphic Control transparency yields RGBA with alpha 0 at
+    the transparent index; malformed payloads raise ValueError (never
+    a foreign exception) under targeted corruption and bit-flip fuzz."""
+    import numpy as np
+    import pytest
+
+    from maps_spark.operators.multimodal import decode_gif, encode_gif
+    t = np.zeros((8, 8, 3), np.uint8)
+    t[2:4, 2:4] = (255, 0, 0)
+    payload = encode_gif(t, transparent_color=(0, 0, 0))
+    assert payload[:6] == b"GIF89a"
+    d = decode_gif(payload)
+    assert d.shape == (8, 8, 4)
+    assert d[0, 0, 3] == 0 and d[2, 2, 3] == 255
+    assert tuple(d[2, 2, :3]) == (255, 0, 0)
+    # a color not in the image can't be declared transparent
+    with pytest.raises(ValueError, match="transparent_color"):
+        encode_gif(t, transparent_color=(1, 2, 3))
+    # >256 colors cannot be palettized
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(noisy)
+    good = encode_gif(np.repeat(
+        (rng.integers(0, 5, (16, 16)) * 50).astype(np.uint8)
+        [:, :, None], 3, axis=2))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JIF87a" + good[6:])
+    with pytest.raises(ValueError):
+        decode_gif(good[:len(good) // 2])  # truncated
+    gct_end = 13 + 3 * (2 << (good[10] & 7))  # header + GCT
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif(good[:gct_end] + b"\x3b")  # straight to trailer
+    for _ in range(300):  # mutation fuzz across the container
+        j = int(rng.integers(0, len(good)))
+        b = bytearray(good)
+        b[j] ^= 1 << int(rng.integers(8))
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_gif_lzw_stream_level():
+    """The LZW layer alone: arbitrary byte streams round-trip at every
+    legal min code size, and the decoder rejects codes beyond the
+    table instead of misreading them."""
+    import numpy as np
+    import pytest
+
+    from maps_spark.operators.multimodal import (_gif_lzw_decode,
+                                                 _gif_lzw_encode)
+    rng = np.random.default_rng(11)
+    for mcs in (2, 3, 5, 8):
+        hi = 1 << mcs
+        for n in (0, 1, 7, 4096, 20000):
+            data = bytes(rng.integers(0, hi, n).astype(np.uint8))
+            enc = _gif_lzw_encode(data, mcs)
+            assert _gif_lzw_decode(enc, mcs, n) == data
+    # repetitive input (the KwKwK case) round-trips too
+    rep = bytes([1, 1, 1, 1, 2, 2, 2, 2] * 500)
+    assert _gif_lzw_decode(_gif_lzw_encode(rep, 2), 2, len(rep)) == rep
+    with pytest.raises(ValueError, match="truncated"):
+        _gif_lzw_decode(b"", 4, 10)
+    with pytest.raises(ValueError, match="min code size"):
+        _gif_lzw_decode(b"\x00", 1, 1)
