@@ -59,8 +59,10 @@ def run() -> None:
     # (query_stats keeps every run so the spread stays visible).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    local_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH_local.json")
+    local_json = (os.environ.get("SPARK_GRAFT_BENCH_OUT")
+                  or os.path.join(
+                      os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH_local.json"))
 
     # per-entry per-micro-batch seconds (streaming entries record
     # them so the O(batch) claim has flatness evidence, not a total)
@@ -104,6 +106,9 @@ def run() -> None:
     # use for self-contained entries when profiling a drift.
     only = {s for s in os.environ.get(
         "SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+    # SPARK_GRAFT_BENCH_RUNS=k overrides every entry's repeat count —
+    # the isolated re-pin protocol (quiet machine, BENCH_ONLY + n>=5)
+    runs_override = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "0"))
 
     def timed(name, n=None):
         if only and name not in only:
@@ -120,7 +125,7 @@ def run() -> None:
         # regressions.
         def deco(fn):
             runs = []
-            for _ in range(n or repeats):
+            for _ in range(runs_override or n or repeats):
                 spark.catalog.clearCache()
                 t0 = time.time()
                 fn()
@@ -350,6 +355,39 @@ def run() -> None:
             snap = rep.localCheckpoint(eager=True)
             k8 = PY.keyed_occurrence(snap)
             large, small = PY.split_views(k8, 10_000)
+            tile_store.write_points(PY.point_blobs(small), out)
+            tiles = PY.build_pyramid(large, "EPSG:3857", 10)
+            tile_store.write_tiles(tiles, out)
+            PY.unpersist_pyramid(tiles)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    @timed("backfill_z10_16x", n=2)
+    def _4f16():
+        # the 16x point of the scale curve (VERDICT r8 #5): the
+        # sublinearity claim (1x -> 4x -> 8x) is the engine's core
+        # 100x-scale argument — this extends it another doubling and
+        # gives the 8x point a same-run sibling so the wall-per-2x
+        # ratio is read off one run, not across rounds. Same
+        # shifted-replica recipe as the 4x/8x entries.
+        import shutil
+        import tempfile
+
+        from maps_spark.sources import tile_store
+        rep = occ
+        for i in range(1, 16):
+            rep = rep.unionByName(occ.withColumns({
+                "decimalLongitude": F.pmod(
+                    F.col("decimalLongitude") + F.lit(180.0 + i * 0.013),
+                    F.lit(360.0)) - 180.0,
+                "decimalLatitude": F.greatest(F.lit(-84.9), F.least(
+                    F.lit(84.9), F.col("decimalLatitude") + i * 0.0071)),
+            }))
+        out = tempfile.mkdtemp(prefix="bench_bf16x_")
+        try:
+            snap = rep.localCheckpoint(eager=True)
+            k16 = PY.keyed_occurrence(snap)
+            large, small = PY.split_views(k16, 10_000)
             tile_store.write_points(PY.point_blobs(small), out)
             tiles = PY.build_pyramid(large, "EPSG:3857", 10)
             tile_store.write_tiles(tiles, out)

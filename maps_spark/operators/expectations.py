@@ -199,6 +199,82 @@ def numeric_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         .select("column", "n_rows", "sum_v", "min_v", "max_v"))
 
 
+def keyed_delta(cur: DataFrame, prev: DataFrame,
+                key_cols: list[str],
+                compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level CDC between two snapshots of a keyed table — the
+    row-granular complement to :func:`snapshot_drift`'s column stats,
+    and the natural feeder for incremental curation (re-dedup and
+    re-score only what actually changed instead of the whole corpus).
+
+    Output: key columns + ``change`` in {'added', 'removed',
+    'changed'} + ``changed_cols`` (comma-joined differing column
+    names in ``compare_cols`` order; '' for added/removed).
+    Unchanged rows are dropped. Comparison is null-safe per column
+    (``<=>``), never a serialized row hash — no cross-engine float/
+    string formatting hazards, and the differing columns come free.
+
+    Cost: ONE full-outer shuffle join on the key; the per-row compare
+    is codegen'd column equality. At 100 TB both snapshots should be
+    bucketed by the key so the join co-locates without a shuffle."""
+    compare_cols = compare_cols or [
+        c for c in cur.columns if c not in key_cols]
+    c = cur.select(*key_cols,
+                   *[F.col(x).alias(f"_c_{x}") for x in compare_cols],
+                   F.lit(1).alias("_in_cur"))
+    p = prev.select(*key_cols,
+                    *[F.col(x).alias(f"_p_{x}") for x in compare_cols],
+                    F.lit(1).alias("_in_prev"))
+    j = c.join(p, key_cols, "full_outer")
+    diffs = [~F.col(f"_c_{x}").eqNullSafe(F.col(f"_p_{x}"))
+             for x in compare_cols]
+    any_diff = diffs[0]
+    for d in diffs[1:]:
+        any_diff = any_diff | d
+    change = (F.when(F.col("_in_prev").isNull(), "added")
+              .when(F.col("_in_cur").isNull(), "removed")
+              .otherwise("changed"))
+    both = F.col("_in_cur").isNotNull() & F.col("_in_prev").isNotNull()
+    changed_cols = F.when(both, F.concat_ws(",", *[
+        F.when(d, F.lit(x)) for x, d in zip(compare_cols, diffs)
+    ])).otherwise(F.lit(""))
+    return (j.where(~both | any_diff)
+            .select(*key_cols, change.alias("change"),
+                    changed_cols.alias("changed_cols")))
+
+
+def keyed_delta_select() -> str:
+    """DuckDB twin of the ``snapshot_delta`` gate: documents vs a
+    deterministic prior snapshot (every 5th doc absent from the prior
+    -> added; every 7th surviving doc's text reversed -> changed;
+    synthetic prior-only ids -> removed)."""
+    return """WITH prev AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 11 = 0),
+j AS (SELECT cur.doc_id AS ck, prev.doc_id AS pk,
+             cur.source AS cs, prev.source AS ps,
+             cur.text AS ct, prev.text AS pt
+      FROM documents cur FULL OUTER JOIN prev
+        ON cur.doc_id = prev.doc_id)
+SELECT COALESCE(ck, pk) AS doc_id,
+       CASE WHEN pk IS NULL THEN 'added'
+            WHEN ck IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN pk IS NULL OR ck IS NULL THEN ''
+            ELSE concat_ws(',',
+              CASE WHEN cs IS DISTINCT FROM ps THEN 'source' END,
+              CASE WHEN ct IS DISTINCT FROM pt THEN 'text' END)
+       END AS changed_cols
+FROM j
+WHERE pk IS NULL OR ck IS NULL
+   OR (cs IS DISTINCT FROM ps) OR (ct IS DISTINCT FROM pt)"""
+
+
 def numeric_drift_select(tol_permille: int = 100) -> str:
     """DuckDB twin of the ``numeric_drift`` gate: events id columns
     vs a drifted twin (every 9th event dropped, user_id shifted

@@ -750,6 +750,23 @@ def q_snapshot_drift(spark, sf_dir):
     return snapshot_drift(column_stats(docs), column_stats(drifted))
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Row-level CDC gate: documents vs a deterministic prior
+    snapshot — every 5th doc missing from the prior (added), every
+    7th survivor's text reversed (changed, with the column named),
+    synthetic prior-only ids (removed)."""
+    from maps_spark.operators.expectations import keyed_delta
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    prev = (docs.where(F.col("doc_id") % 5 != 0)
+            .withColumn("text", F.when(F.col("doc_id") % 7 == 0,
+                                       F.reverse(F.col("text")))
+                        .otherwise(F.col("text")))
+            .unionByName(docs.where(F.col("doc_id") % 11 == 0)
+                         .withColumn("doc_id",
+                                     F.col("doc_id") + 10_000_000)))
+    return keyed_delta(docs, prev, ["doc_id"])
+
+
 def q_fetch_timeline(spark, sf_dir):
     from maps_spark.operators.crawl import fetch_timeline
     from maps_spark.operators.html import (frontier_candidates,
@@ -1609,6 +1626,7 @@ MAPS_QUERIES = {
     "robots_v2_decisions": q_robots_v2_decisions,
     "fetch_timeline": q_fetch_timeline,
     "snapshot_drift": q_snapshot_drift,
+    "snapshot_delta": q_snapshot_delta,
     "redirect_frontier": q_redirect_frontier,
     "numeric_drift": q_numeric_drift,
     "site_boilerplate": q_site_boilerplate,
@@ -1839,6 +1857,7 @@ def _crawl_oracle(which: str) -> str:
 def maps_oracles() -> dict[str, str]:
     from maps_spark.sql import oracle as O
     from maps_spark.sql import oracle_training as OT
+    from maps_spark.operators import expectations as EX
     from maps_spark.operators import graph as GR
     from maps_spark.operators import corpus as CO
     return {
@@ -1933,6 +1952,7 @@ def maps_oracles() -> dict[str, str]:
         "robots_v2_decisions": _crawl_oracle("robots_v2_decisions"),
         "fetch_timeline": _crawl_oracle("fetch_timeline"),
         "snapshot_drift": _snapshot_drift_oracle(),
+        "snapshot_delta": EX.keyed_delta_select(),
         "redirect_frontier": _crawl_oracle("redirect_frontier"),
         "numeric_drift": _numeric_drift_oracle(),
         "site_boilerplate": _html_oracle("site_bp"),

@@ -28,7 +28,8 @@ from maps_spark.sources.ann_index import upsert_ivf_index
 
 def run_ann_ingest(spark: SparkSession, input_path: str, root: str,
                    max_files_per_trigger: int = 1,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   expectations: dict | None = None):
     """Wire the stream: embedding files -> per-batch index upsert.
 
     ``availableNow`` drains the backlog and stops (landing-zone sweep);
@@ -50,6 +51,8 @@ def run_ann_ingest(spark: SparkSession, input_path: str, root: str,
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         if _applied_batch(marker) >= batch_id:
             return
+        from maps_spark.streaming.refresh import quarantine_gate
+        quarantine_gate(batch_df, expectations, root, batch_id)
         upsert_ivf_index(batch_df, root, id_col=id_col, vec_col=vec_col)
         _commit_batch(marker, batch_id)
 

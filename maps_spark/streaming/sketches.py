@@ -104,7 +104,8 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
                        store_root: str, key_col: str = "user_id",
                        value_col: str = "value",
                        width: int = 1024, depth: int = 4,
-                       top_k: int = 16, top_m: int = 32):
+                       top_k: int = 16, top_m: int = 32,
+                       expectations: dict | None = None):
     """Maintain ``store_root/cms`` (frequency) and ``store_root/values``
     (quantiles) over an event file stream. availableNow-triggered like
     the pixel refresh; both stores must equal the batch sketches of the
@@ -117,6 +118,8 @@ def run_sketch_refresh(spark: SparkSession, input_dir: str,
         prev = _applied_batch(marker)
         if prev >= batch_id:
             return
+        from maps_spark.streaming.refresh import quarantine_gate
+        quarantine_gate(batch_df, expectations, store_root, batch_id)
         _merge_version(cms_build(batch_df, key_col, width, depth),
                        store_root, "cms", ["d", "bucket"],
                        prev, batch_id)

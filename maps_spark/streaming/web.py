@@ -37,15 +37,20 @@ def extract_batch(pages: DataFrame,
 
 def run_web_ingest(spark: SparkSession, input_path: str,
                    store_root: str, min_doc_chars: int = 100,
-                   max_files_per_trigger: int = 1):
+                   max_files_per_trigger: int = 1,
+                   expectations: dict | None = None):
     """Wire the stream: page files -> per-batch extract/normalize ->
     append-only curated docs store (``store_root/docs``, one
     ``batch_id`` column per arrival batch). ``availableNow`` drains
-    the backlog and stops (landing-zone sweep mode)."""
+    the backlog and stops (landing-zone sweep mode). ``expectations``
+    quarantines a failing batch before any append (see
+    :func:`maps_spark.streaming.refresh.quarantine_gate`)."""
     from maps_spark.streaming.dedup import run_file_stream
     marker = store_root.rstrip("/") + "/_meta/last_batch.json"
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
+        from maps_spark.streaming.refresh import quarantine_gate
+        quarantine_gate(batch_df, expectations, store_root, batch_id)
         (extract_batch(batch_df, min_doc_chars)
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{store_root}/docs"))

@@ -119,3 +119,40 @@ def test_crash_retry_does_not_duplicate_signatures(spark, tmp_path):
     # a following snapshot advances the counter normally
     r2 = C.run_incremental_curation(spark, docs, state)
     assert r2["batch_id"] == 1
+
+
+def test_keyed_delta_cdc_semantics(spark):
+    """Row-level CDC: added/removed/changed classification with
+    null-safe per-column compare (None -> value and value -> None are
+    changes; None -> None is not), changed_cols named in compare-col
+    order, unchanged rows absent, multi-column keys supported."""
+    from maps_spark.operators.expectations import keyed_delta
+    cur = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (5, "e", "w"),
+         (6, None, "v")],
+        "k long, s string, t string")
+    prev = spark.createDataFrame(
+        [(1, "a", "x"),          # unchanged -> dropped
+         (2, "b", "gone"),       # t: value -> None = changed
+         (3, "C", "zz"),         # both compare cols changed
+         (4, "d", "q"),          # only in prev -> removed
+         (6, None, "v")],        # None <=> None -> unchanged
+        "k long, s string, t string")
+    got = {r.k: (r.change, r.changed_cols)
+           for r in keyed_delta(cur, prev, ["k"]).collect()}
+    assert got == {2: ("changed", "t"),
+                   3: ("changed", "s,t"),
+                   4: ("removed", ""),
+                   5: ("added", "")}
+    # compare_cols subset: differences outside it are invisible
+    got2 = {r.k for r in
+            keyed_delta(cur, prev, ["k"], compare_cols=["s"]).collect()}
+    assert got2 == {3, 4, 5}
+    # composite key
+    cur2 = spark.createDataFrame([(1, "a", 10), (1, "b", 20)],
+                                 "k long, kk string, v long")
+    prev2 = spark.createDataFrame([(1, "a", 10), (1, "b", 99)],
+                                  "k long, kk string, v long")
+    got3 = {(r.k, r.kk): r.change for r in
+            keyed_delta(cur2, prev2, ["k", "kk"]).collect()}
+    assert got3 == {(1, "b"): "changed"}
