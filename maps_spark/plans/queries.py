@@ -98,6 +98,32 @@ def q_streaming_refresh_pixels(spark, sf_dir):
         "mapKey", "px", "py", "borYear", "cnt")
 
 
+def q_streaming_touch_join(spark, sf_dir):
+    """TRUE stream-stream join promoted to a hash gate: the events
+    table lands as 8 unordered files (two availableNow micro-batches
+    per side), both sides watermarked, and the joined (touch,
+    conversion) interval pairs must hash-match DuckDB's batch
+    interval join over the full table — proving the watermarked
+    stream-stream join machinery loses and fabricates nothing when
+    draining a backlog. The generous watermark keeps the gate
+    deterministic (the data spans 30 days of event time; unordered
+    arrival must not cross the lateness bound)."""
+    import tempfile
+
+    from maps_spark.streaming.joins import run_touch_conversion_join
+    land = tempfile.mkdtemp(prefix="maps-spark-ssj-land-")
+    (spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8)
+     .write.mode("overwrite").parquet(land))
+    out = tempfile.mkdtemp(prefix="maps-spark-ssj-")
+    q = run_touch_conversion_join(spark, land, out,
+                                  horizon_s=6 * 3600,
+                                  watermark="90 days")
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{out}/pairs").select(
+        "conversion_id", "user_id", "conv_tus", "touch_id",
+        "touch_type", "touch_tus", "lag_us")
+
+
 def q_pyramid_invariant(spark, sf_dir):
     """Build-sanity canary as a hash gate: run a real z4 build, then
     the distributed cross-zoom conservation check over its tile
@@ -1538,6 +1564,7 @@ MAPS_QUERIES = {
     "pixel_agg_3575_z4": q_pixel_agg_3575_z4,
     "pixel_agg_3031_z4": q_pixel_agg_3031_z4,
     "streaming_refresh_pixels": q_streaming_refresh_pixels,
+    "streaming_touch_join": q_streaming_touch_join,
     "pyramid_invariant": q_pyramid_invariant,
     "points_invariant": q_points_invariant,
     "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
@@ -1866,6 +1893,19 @@ def maps_oracles() -> dict[str, str]:
         "pixel_agg_3857_z6": O.pixel_select("EPSG:3857", 6, PIXEL_VIEWS),
         "pixel_agg_4326_z6": O.pixel_select("EPSG:4326", 6, PIXEL_VIEWS),
         "streaming_refresh_pixels": O.pixel_select("EPSG:3857", 6, None),
+        "streaming_touch_join": """WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+  FROM events),
+conv AS (SELECT user_id, event_id AS conversion_id, tus AS conv_tus
+         FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT user_id AS t_user, event_id AS touch_id,
+                 event_type AS touch_type, tus AS touch_tus
+          FROM ev WHERE event_type IN ('click', 'view'))
+SELECT conversion_id, user_id, conv_tus, touch_id, touch_type,
+       touch_tus, conv_tus - touch_tus AS lag_us
+FROM conv JOIN touch ON user_id = t_user
+  AND touch_tus <= conv_tus
+  AND touch_tus >= conv_tus - 21600000000""",
         "pyramid_invariant": O.pyramid_invariant_select(
             "EPSG:3857", max_zoom=4, threshold=500),
         "points_invariant": O.points_invariant_select(threshold=500),

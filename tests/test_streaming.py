@@ -1013,3 +1013,44 @@ def test_dedup_compaction_cadence_bounds_growth(spark, tmp_path):
     assert steady[-1] <= 3.0 * max(steady[0], 0.2) + 0.5, prof_c
     # attribution fields present for the bench's segment_profile
     assert {"sig", "probe_verify", "append"} <= set(prof_c[0])
+
+
+def test_stream_stream_interval_join_equals_batch_twin(spark, tmp_path):
+    """TRUE stream-stream join (both sides unbounded, watermarked
+    interval condition): draining the events backlog through
+    run_touch_conversion_join yields EXACTLY the batch interval
+    join's (touch, conversion) pairs — and a replayed start appends
+    nothing (the parquet sink's own commit log dedupes)."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.streaming.joins import (batch_touch_conversion_join,
+                                            run_touch_conversion_join)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    land = str(tmp_path / "land")
+    # time-ordered landing files so the generous watermark never
+    # drops a pair (file stream delivers in mtime order)
+    import time as _t
+    parts = ev.withColumn(
+        "bucket", F.ntile(4).over(
+            __import__("pyspark.sql.window",
+                       fromlist=["Window"]).Window.orderBy("ts")))
+    for k in range(1, 5):
+        (parts.where(F.col("bucket") == k).drop("bucket").coalesce(1)
+         .write.mode("append").parquet(land))
+        _t.sleep(0.05)
+    out = str(tmp_path / "out")
+    q = run_touch_conversion_join(spark, land, out, horizon_s=6 * 3600)
+    q.awaitTermination(300)
+    got = {tuple(r) for r in
+           spark.read.parquet(f"{out}/pairs").collect()}
+    want = {tuple(r) for r in
+            batch_touch_conversion_join(ev, horizon_s=6 * 3600)
+            .collect()}
+    assert got == want and got
+    # every pair respects the interval
+    assert all(0 <= r[-1] <= 6 * 3600 * 1_000_000 for r in got)
+    # restart over the same landing: no duplicate appends
+    q2 = run_touch_conversion_join(spark, land, out,
+                                   horizon_s=6 * 3600)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/pairs").count() == len(got)
