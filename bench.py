@@ -574,11 +574,11 @@ def run() -> None:
             # (per-frame video), Adam7 interlaced PNG, GIF (LZW,
             # interlaced) — decode throughput of the media ingest path
             from maps_spark.operators.multimodal import (
-                adpcm_stats, gif_channel_sums, jpeg_pixel_sums,
-                mjpeg_frame_sums, png_channel_sums,
-                synthesize_adpcm_media, synthesize_gif_media,
-                synthesize_jpeg_media, synthesize_mjpeg_media,
-                synthesize_png_media)
+                adpcm_stats, gif_channel_sums, gif_frame_sums,
+                jpeg_pixel_sums, mjpeg_frame_sums, png_channel_sums,
+                synthesize_adpcm_media, synthesize_gif_anim_media,
+                synthesize_gif_media, synthesize_jpeg_media,
+                synthesize_mjpeg_media, synthesize_png_media)
             jpeg_pixel_sums(synthesize_jpeg_media(
                 spark, n=192, progressive=True)).count()
             adpcm_stats(synthesize_adpcm_media(
@@ -589,6 +589,8 @@ def run() -> None:
                 spark, n=192, interlace=True)).count()
             gif_channel_sums(synthesize_gif_media(
                 spark, n=192, interlace=True)).count()
+            gif_frame_sums(synthesize_gif_anim_media(
+                spark, n=128, n_frames=4)).count()
 
         @timed("graph_walk_corpus")
         def _14d():

@@ -814,6 +814,225 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("no image data in GIF")
 
 
+def encode_gif_animation(frames, fps: int = 10,
+                         disposal: int = 1) -> bytes:
+    """REAL animated-GIF encoder for a sequence of same-shape (h, w)
+    gray or (h, w, 3) RGB uint8 frames: one global palette over ALL
+    frames (<=256 colors total), a Netscape loop block, and one
+    full-screen image descriptor per frame, each preceded by an 89a
+    Graphic Control block carrying the delay and ``disposal``."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    frames = [np.repeat(f[:, :, None], 3, axis=2) if f.ndim == 2
+              else f for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("mixed frame shapes in GIF animation")
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors exceed GIF's 256")
+    tbits = max(1, int(len(palette) - 1).bit_length())
+    min_code = max(2, tbits)
+    idx_all = inv.astype(np.uint8).reshape(len(frames), h, w)
+    delay_cs = max(1, round(100 / fps))  # GIF delays are centiseconds
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((tbits - 1) & 7), 0, 0)
+    gct = np.zeros((1 << tbits, 3), dtype=np.uint8)
+    gct[:len(palette)] = palette
+    out += gct.tobytes()
+    # Netscape 2.0 application extension: loop forever
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for idx in idx_all:
+        out += bytes([0x21, 0xF9, 4, (disposal & 7) << 2,
+                      delay_cs & 0xFF, delay_cs >> 8, 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _gif_lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i:i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL animated-GIF decode: every image descriptor composited in
+    sequence with the 89a disposal model — disposal 0/1 leave the
+    canvas as drawn, 2 restores the frame's rect to background, 3
+    restores the canvas the frame drew over — plus per-frame local
+    palettes, interlace, and transparent-index pass-through (a
+    transparent pixel leaves the underlying canvas showing).
+    Returns ((n_frames, h, w, 3) uint8, fps from the first frame's
+    delay; 0 delay -> 10 fps). ValueError on malformed payloads."""
+    try:
+        return _decode_gif_frames(payload)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError, OverflowError) as e:
+        raise ValueError(f"malformed GIF stream: {e!r}") from e
+
+
+def _decode_gif_frames(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    w, h, packed, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) \
+        else np.zeros(3, np.uint8)
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames = []
+    fps = 10
+    t_index = None
+    disposal = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            while True:
+                ln = payload[pos]
+                if label == 0xF9 and ln == 4:
+                    gce_packed = payload[pos + 1]
+                    disposal = (gce_packed >> 2) & 7
+                    t_index = payload[pos + 4] \
+                        if gce_packed & 1 else None
+                    if not frames:
+                        delay_cs = payload[pos + 2] \
+                            | (payload[pos + 3] << 8)
+                        if delay_cs:
+                            fps = max(1, round(100 / delay_cs))
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, iw, ih, ipacked = struct.unpack(
+            "<HHHHB", payload[pos + 1:pos + 10])
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(payload, np.uint8,
+                                n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("no color table for image")
+        if left + iw > w or top + ih > h:
+            raise ValueError("frame exceeds logical screen")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated image data sub-block")
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+            if ln == 0:
+                break
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), min_code, iw * ih),
+            dtype=np.uint8).reshape(ih, iw)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("pixel index beyond color table")
+        if ipacked & 0x40:
+            rows = [r for o, s in _GIF_INTERLACE
+                    for r in range(o, ih, s)]
+            deint = np.empty_like(idx)
+            deint[rows] = idx
+            idx = deint
+        region = canvas[top:top + ih, left:left + iw]
+        saved = region.copy() if disposal == 3 else None
+        drawn = pal[idx]
+        if t_index is not None:
+            mask = (idx != t_index)[:, :, None]
+            region[:] = np.where(mask, drawn, region)
+        else:
+            region[:] = drawn
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore rect to background
+            canvas[top:top + ih, left:left + iw] = bg_rgb
+        elif disposal == 3 and saved is not None:  # restore previous
+            canvas[top:top + ih, left:left + iw] = saved
+        t_index = None
+        disposal = 0
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return np.stack(frames), fps
+
+
+def synthesize_gif_anim_media(spark: SparkSession, n: int = 64,
+                              width: int = 31, height: int = 17,
+                              n_frames: int = 4,
+                              partitions: int = 4) -> DataFrame:
+    """Media table whose payloads are REAL animated GIFs: frame f of
+    id i uses pixel index (x + 3y + i + 11f) mod 256 over the shared
+    (k, 3k, 7k) palette — the level varies per FRAME, so matching
+    per-frame sums proves the descriptor walk and disposal
+    compositing, not just one decode (the MJPEG gate's regime)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            yy, xx = np.mgrid[0:height, 0:width]
+            for i in pdf["id"]:
+                fr = []
+                for f in range(n_frames):
+                    k = (xx + 3 * yy + int(i) + 11 * f) % 256
+                    fr.append(np.stack(
+                        [k, (3 * k) % 256, (7 * k) % 256],
+                        axis=-1).astype(np.uint8))
+                rows.append(encode_gif_animation(fr, fps=10))
+            yield pd.DataFrame({
+                "media_id": pdf["id"], "kind": "video",
+                "payload": rows,
+                "width": width, "height": height,
+                "sample_rate": 0, "n_frames": n_frames})
+
+    return (spark.range(n).repartition(partitions)
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+def gif_frame_sums(media: DataFrame) -> DataFrame:
+    """Per-frame channel sums from the REAL animated-GIF decode —
+    the cross-engine check of the multi-frame path (twin of
+    :func:`mjpeg_frame_sums`).
+    Output: (media_id, frame_idx, sum_r, sum_g, sum_b)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "sum_r": [],
+                   "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _fps = decode_gif_frames(bytes(payload))
+                a = frames.astype(np.int64)
+                for f in range(a.shape[0]):
+                    s = a[f].reshape(-1, 3).sum(axis=0)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, frame_idx int, sum_r long, sum_g long, "
+             "sum_b long")
+
+
 def synthesize_gif_media(spark: SparkSession, n: int = 64,
                          width: int = 31, height: int = 17,
                          interlace: bool = False,
@@ -1499,17 +1718,21 @@ def y4m_frame_sums(media: DataFrame) -> DataFrame:
 
 def _video_luma(payload: bytes) -> np.ndarray:
     """(n_frames, h, w) int64 luma planes from any supported video
-    container, dispatched on magic bytes: YUV4MPEG2 (Y plane) or
-    MJPEG/AVI (decoded pixels; BT.601 integer luma for RGB frames) —
-    so every frame-analysis operator downstream of this helper works
-    on compressed video too."""
+    container, dispatched on magic bytes: YUV4MPEG2 (Y plane),
+    MJPEG/AVI, or animated GIF (decoded pixels; BT.601 integer luma
+    for RGB frames) — so every frame-analysis operator downstream of
+    this helper works on compressed video too."""
+    def rgb_luma(a):
+        return (299 * a[..., 0] + 587 * a[..., 1]
+                + 114 * a[..., 2]) // 1000
+
     if payload[:4] == b"RIFF":
         frames, _ = decode_mjpeg_avi(payload)
         a = frames.astype(np.int64)
-        if a.ndim == 4:  # RGB -> integer BT.601 luma
-            return (299 * a[..., 0] + 587 * a[..., 1]
-                    + 114 * a[..., 2]) // 1000
-        return a
+        return rgb_luma(a) if a.ndim == 4 else a
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames, _ = decode_gif_frames(payload)
+        return rgb_luma(frames.astype(np.int64))
     frames, _ = decode_y4m(payload)
     return frames[:, :, :, 0].astype(np.int64)
 

@@ -293,6 +293,15 @@ def q_media_gif_decode(spark, sf_dir):
     return gif_channel_sums(synthesize_gif_media(spark, n=64))
 
 
+def q_media_gif_frames(spark, sf_dir):
+    """Animated-GIF gate: per-frame channel sums vary by frame, so a
+    hash match proves the image-descriptor walk and disposal
+    compositing, not just one decode (the MJPEG gate's regime)."""
+    from maps_spark.operators.multimodal import (gif_frame_sums,
+                                                 synthesize_gif_anim_media)
+    return gif_frame_sums(synthesize_gif_anim_media(spark, n=64))
+
+
 def q_media_gif_interlaced(spark, sf_dir):
     """GIF 4-pass interlace gate: the same pixels stored in pass row
     order — the shared oracle proves the de-interlace reassembles
@@ -1598,6 +1607,7 @@ MAPS_QUERIES = {
     "media_png_interlaced": q_media_png_interlaced,
     "media_gif_decode": q_media_gif_decode,
     "media_gif_interlaced": q_media_gif_interlaced,
+    "media_gif_frames": q_media_gif_frames,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "containment_pairs": q_containment_pairs,
@@ -2141,6 +2151,7 @@ FROM conv JOIN touch ON user_id = t_user
         # interlaced twin additionally proves the 4-pass reassembly
         "media_gif_decode": OT.gif_channel_sums_select(n=64),
         "media_gif_interlaced": OT.gif_channel_sums_select(n=64),
+        "media_gif_frames": OT.gif_frame_sums_select(n=64),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),
         "audio_fingerprints": OT.audio_fingerprint_select(n=64),

@@ -1481,6 +1481,28 @@ SELECT media_id,
 FROM ids CROSS JOIN px GROUP BY 1"""
 
 
+def gif_frame_sums_select(n: int = 64, width: int = 31,
+                          height: int = 17, n_frames: int = 4) -> str:
+    """Closed-form twin of operators.multimodal.gif_frame_sums over
+    synthesize_gif_anim_media's animations: frame f of id i uses
+    pixel index k = (x + 3y + i + 11f) mod 256, palette
+    (k, 3k mod 256, 7k mod 256)."""
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+fs AS (SELECT f AS frame_idx
+       FROM generate_series(0, {n_frames - 1}) t(f)),
+px AS (SELECT x, y FROM generate_series(0, {width - 1}) t(x)
+       CROSS JOIN generate_series(0, {height - 1}) u(y))
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(sum((x + 3 * y + media_id + 11 * frame_idx) % 256)
+            AS BIGINT) AS sum_r,
+       CAST(sum((3 * ((x + 3 * y + media_id + 11 * frame_idx) % 256))
+                % 256) AS BIGINT) AS sum_g,
+       CAST(sum((7 * ((x + 3 * y + media_id + 11 * frame_idx) % 256))
+                % 256) AS BIGINT) AS sum_b
+FROM ids CROSS JOIN fs CROSS JOIN px GROUP BY 1, 2"""
+
+
 def y4m_frame_sums_select(n: int = 64, width: int = 32,
                           height: int = 24, n_frames: int = 6) -> str:
     """Closed-form twin of operators.multimodal.y4m_frame_sums over

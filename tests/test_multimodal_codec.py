@@ -1146,3 +1146,95 @@ def test_gif_lzw_stream_level():
         _gif_lzw_decode(b"", 4, 10)
     with pytest.raises(ValueError, match="min code size"):
         _gif_lzw_decode(b"\x00", 1, 1)
+
+
+def test_gif_animation_roundtrip_and_first_frame():
+    """Animated GIF: encode_gif_animation -> decode_gif_frames is
+    frame-exact; the still decoder reads frame 0 of an animation;
+    fps round-trips from the per-frame delay."""
+    import numpy as np
+
+    from maps_spark.operators.multimodal import (decode_gif,
+                                                 decode_gif_frames,
+                                                 encode_gif_animation)
+    yy, xx = np.mgrid[0:17, 0:31]
+    frames = []
+    for f in range(4):
+        k = (xx + 3 * yy + 5 + 11 * f) % 256
+        frames.append(np.stack([k, (3 * k) % 256, (7 * k) % 256],
+                               axis=-1).astype(np.uint8))
+    pay = encode_gif_animation(frames, fps=20)
+    out, fps = decode_gif_frames(pay)
+    assert out.shape == (4, 17, 31, 3) and fps == 20
+    for f in range(4):
+        assert (out[f] == frames[f]).all()
+    assert (decode_gif(pay) == frames[0]).all()
+    import pytest
+    with pytest.raises(ValueError, match="mixed frame shapes"):
+        encode_gif_animation([frames[0], frames[0][:5]])
+
+
+def test_gif_animation_disposal_model():
+    """The 89a disposal model, from a hand-assembled multi-descriptor
+    stream: disposal 1 leaves the canvas as drawn (next frame's
+    transparent pixels show it), disposal 2 restores the frame's rect
+    to background, disposal 3 restores what the frame drew over."""
+    import struct
+
+    import numpy as np
+
+    from maps_spark.operators.multimodal import (_gif_lzw_encode,
+                                                 decode_gif_frames)
+
+    # palette: 0=bg black, 1=red, 2=blue, 3=green; screen 6x6
+    pal = b"\x00\x00\x00\xff\x00\x00\x00\x00\xff\x00\xff\x00"
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 6, 6, 0x80 | 1, 0, 0)  # 4-color GCT
+    out += pal
+
+    def img(left, top, w, h, indices, disposal, transparent=None):
+        b = bytearray()
+        t_flag = 1 if transparent is not None else 0
+        b += bytes([0x21, 0xF9, 4, ((disposal & 7) << 2) | t_flag,
+                    10, 0, transparent or 0, 0])
+        b += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        b.append(2)  # min code size
+        lzw = _gif_lzw_encode(bytes(indices), 2)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i:i + 255]
+            b.append(len(blk))
+            b += blk
+        b.append(0)
+        return b
+
+    # f0: full screen red, disposal 1 (keep)
+    out += img(0, 0, 6, 6, [1] * 36, disposal=1)
+    # f1: blue 2x2 at (1,1), disposal 2 (restore rect to bg black)
+    out += img(1, 1, 2, 2, [2] * 4, disposal=2)
+    # f2: green 2x2 at (3,3), disposal 3 (restore previous)
+    out += img(3, 3, 2, 2, [3] * 4, disposal=3)
+    # f3: full screen, all transparent -> shows the composited canvas
+    out += img(0, 0, 6, 6, [0] * 36, disposal=1, transparent=0)
+    out += b"\x3b"
+
+    frames, _fps = decode_gif_frames(bytes(out))
+    assert frames.shape == (4, 6, 6, 3)
+    RED, BLUE, GREEN, BLACK = ((255, 0, 0), (0, 0, 255),
+                               (0, 255, 0), (0, 0, 0))
+    # f0 all red
+    assert (frames[0] == RED).all()
+    # f1: red canvas with blue box
+    assert tuple(frames[1][1, 1]) == BLUE and \
+        tuple(frames[1][0, 0]) == RED
+    # f2: blue box's rect was restored to BACKGROUND (disposal 2),
+    # green box drawn at (3,3)
+    assert tuple(frames[2][1, 1]) == BLACK
+    assert tuple(frames[2][3, 3]) == GREEN
+    assert tuple(frames[2][0, 0]) == RED
+    # f3: fully transparent frame -> green box's rect was restored to
+    # PREVIOUS (disposal 3): red at (3,3) again? no — previous content
+    # at (3,3) before f2 drew was RED (from f0, untouched by f1's
+    # disposal-2 rect), so disposal 3 restores RED there
+    assert tuple(frames[3][3, 3]) == RED
+    assert tuple(frames[3][1, 1]) == BLACK  # still bg from disposal 2
+    assert tuple(frames[3][0, 0]) == RED
