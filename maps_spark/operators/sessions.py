@@ -319,6 +319,78 @@ def attribute_conversions(events: DataFrame,
                 (F.col("conv_tus") - F.col("touch_tus")).alias("lag_us")))
 
 
+def time_gapfill(events: DataFrame, bucket_s: int = 3600,
+                 key_col: str = "user_id") -> DataFrame:
+    """Regular-grid resample with gap fill + LOCF — the
+    TimescaleDB ``time_bucket_gapfill`` / ``locf`` operator family:
+    per key, events are bucketed onto a fixed time grid, EVERY bucket
+    between the key's first and last activity appears in the output
+    (gap buckets with ``n_events = 0``), and ``last_eid`` carries the
+    latest event id forward across gaps (last-observation-carried-
+    forward). Integer-only outputs so the cross-engine gate is
+    hash-exact (no float sum ordering).
+
+    Plan shape: one groupBy on (key, bucket); the per-key grid comes
+    from ``sequence`` + ``explode`` over the key's (min, max) bucket
+    span — rows generated ∝ time-span/bucket per key, never a global
+    calendar cross join; one (key, bucket) left join back; one
+    per-key window for the fill. Keys with pathological spans should
+    be range-capped upstream (a key spanning years at 1-second
+    buckets explodes to millions of rows — that is the operator's
+    honest cost on any engine).
+
+    Output: (key, bucket, n_events, last_eid), bucket = floor(epoch
+    micros / bucket). Anchor: epoch, like date_bin's default origin.
+    """
+    us = bucket_s * 1_000_000
+    ev = events.select(
+        F.col(key_col).alias("key"), "event_id",
+        (F.expr(TS_US_SPARK).cast("long") / us)
+        .cast("long").alias("bucket"))
+    agg = (ev.groupBy("key", "bucket")
+           .agg(F.count("*").alias("n_events"),
+                F.max("event_id").alias("max_eid")))
+    grid = (agg.groupBy("key")
+            .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+            .select("key", F.explode(
+                F.sequence("mn", "mx")).alias("bucket")))
+    j = grid.join(agg, ["key", "bucket"], "left")
+    w = (Window.partitionBy("key").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (j.select(
+        "key", "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("max_eid", ignorenulls=True).over(w).alias("last_eid")))
+
+
+def time_gapfill_select(bucket_s: int = 3600,
+                        key_col: str = "user_id") -> str:
+    """DuckDB twin of :func:`time_gapfill` over the events table."""
+    us = bucket_s * 1_000_000
+    return f"""WITH ev AS (
+  SELECT {key_col} AS key, event_id,
+         epoch_us(ts) // {us} AS bucket
+  FROM events),
+agg AS (SELECT key, bucket, count(*) AS n_events,
+               max(event_id) AS max_eid
+        FROM ev GROUP BY 1, 2),
+rng AS (SELECT key, min(bucket) AS mn, max(bucket) AS mx
+        FROM agg GROUP BY 1),
+grid AS (SELECT key, unnest(generate_series(mn, mx)) AS bucket
+         FROM rng),
+j AS (SELECT g.key, g.bucket,
+             COALESCE(a.n_events, 0) AS n_events, a.max_eid
+      FROM grid g LEFT JOIN agg a
+        ON g.key = a.key AND g.bucket = a.bucket)
+SELECT key, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(last_value(max_eid IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS last_eid
+FROM j"""
+
+
 def rolling_active_users(events: DataFrame, window_days: int = 7,
                          day_us: int = 86_400_000_000) -> DataFrame:
     """Rolling distinct-actives (DAU -> WAU/MAU) by SKETCH REUSE: the

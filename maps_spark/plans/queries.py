@@ -543,6 +543,15 @@ def q_rolling_active(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"), window_days=7)
 
 
+def q_time_gapfill(spark, sf_dir):
+    """time_bucket_gapfill/LOCF gate: hourly per-user grid with gap
+    buckets present (n_events = 0) and the last event id carried
+    forward across them — integer-only, hash-exact."""
+    from maps_spark.operators.sessions import time_gapfill
+    return time_gapfill(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), bucket_s=3600)
+
+
 def q_attribution(spark, sf_dir):
     from maps_spark.operators.sessions import attribute_conversions
     return attribute_conversions(
@@ -1629,6 +1638,7 @@ MAPS_QUERIES = {
     "event_windows": q_event_windows,
     "attribution": q_attribution,
     "rolling_active_users": q_rolling_active,
+    "time_gapfill": q_time_gapfill,
     "asof_join": q_asof_join,
     "range_join_sessions": q_range_join_sessions,
     "funnel_counts": q_funnel_counts,
@@ -1897,6 +1907,7 @@ def maps_oracles() -> dict[str, str]:
     from maps_spark.operators import expectations as EX
     from maps_spark.operators import graph as GR
     from maps_spark.operators import corpus as CO
+    from maps_spark.operators import sessions as SN
     return {
         "occ_country_counts": O.occ_country_counts_select(),
         "map_view_counts": O.map_view_counts_select(),
@@ -1960,6 +1971,7 @@ FROM conv JOIN touch ON user_id = t_user
         "event_windows": OT.event_windows_select(),
         "attribution": OT.attribute_conversions_select(),
         "rolling_active_users": OT.rolling_active_users_select(),
+        "time_gapfill": SN.time_gapfill_select(bucket_s=3600),
         "asof_join": OT.asof_join_select(),
         "range_join_sessions": OT.session_events_range_select(),
         "funnel_counts": OT.funnel_counts_select(),

@@ -681,3 +681,33 @@ def test_session_paths_orders_by_ts_then_event_id(spark):
     ])
     out = session_paths(df).collect()
     assert [(r["path"], r["n_sessions"]) for r in out] == [("a>b", 1)]
+
+
+def test_time_gapfill_grid_and_locf(spark):
+    """Gap buckets appear with n_events=0; last_eid carries forward
+    across gaps (LOCF) and resets per key; the grid spans exactly
+    each key's [first, last] bucket — no global calendar."""
+    from datetime import datetime
+
+    from maps_spark.operators.sessions import time_gapfill
+    rows = [
+        # user 1: hours 0, 3 (gap at 1, 2)
+        (10, datetime(2024, 1, 1, 0, 30), 1),
+        (11, datetime(2024, 1, 1, 0, 45), 1),
+        (12, datetime(2024, 1, 1, 3, 10), 1),
+        # user 2: single hour -> no gaps
+        (20, datetime(2024, 1, 2, 5, 0), 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long")
+    out = {(r.key, r.bucket): (r.n_events, r.last_eid)
+           for r in time_gapfill(ev, bucket_s=3600).collect()}
+    b0 = datetime(2024, 1, 1).timestamp()  # noqa: F841 (clarity)
+    u1 = sorted(b for k, b in out if k == 1)
+    assert len(u1) == 4 and u1 == list(range(u1[0], u1[0] + 4))
+    assert out[(1, u1[0])] == (2, 11)     # two events, max id 11
+    assert out[(1, u1[1])] == (0, 11)     # gap: LOCF holds 11
+    assert out[(1, u1[2])] == (0, 11)
+    assert out[(1, u1[3])] == (1, 12)
+    u2 = [b for k, b in out if k == 2]
+    assert len(u2) == 1 and out[(2, u2[0])] == (1, 20)
