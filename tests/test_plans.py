@@ -780,3 +780,33 @@ def test_build_id_utc_monotonic_across_dst_fallback(tmp_path):
     for mod in (PB, PC, PM, PT, PW):
         src = inspect.getsource(mod)
         assert 'time.strftime("%Y%m%d_%H%M%S")' not in src, mod
+
+
+def test_round9_ops_plan_shapes(spark):
+    """Plan audits for the round-9 operators: keyed_delta is ONE
+    full-outer sort-merge join with no cartesian and no Python UDF;
+    time_gapfill never forms a cartesian (the grid explodes each
+    key's own span) and stays JVM-side."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.expectations import keyed_delta
+    from maps_spark.operators.sessions import time_gapfill
+    from tests.conftest import SF_SMALL
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "source", "text"))
+    prev = docs.where(F.col("doc_id") % 3 != 0)
+    plan = (keyed_delta(docs, prev, ["doc_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 1  # exactly the key join
+    for udf in ("BatchEvalPython", "ArrowEvalPython"):
+        assert udf not in plan
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    gplan = (time_gapfill(ev, bucket_s=3600)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in gplan
+    for udf in ("BatchEvalPython", "ArrowEvalPython"):
+        assert udf not in gplan
+    assert "Generate explode" in gplan or "explode" in gplan
