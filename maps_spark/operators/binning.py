@@ -351,3 +351,120 @@ def radius_pairs_haversine(points: DataFrame, radius_km: float,
                  .select("id_a", "id_b", "dist_m"))
 
     return grid_pairs.unionByName(cap_pairs)
+
+
+# -- point-in-polygon (integer ray casting) ------------------------------
+
+# star-polygon vertex offsets (unit pattern, scaled per polygon):
+# non-convex on purpose, so the even-odd rule is genuinely exercised
+PIP_OFFSETS = ((5, 0), (2, 2), (0, 5), (-2, 2),
+               (-5, 0), (-2, -2), (0, -5), (2, -2))
+
+
+def synthesize_polygons(spark, n: int = 24) -> DataFrame:
+    """Deterministic star polygons in integer microdegrees:
+    (poly_id, vertices array<struct<x,y>>) — center and scale are
+    closed-form in poly_id so the SQL oracle regenerates the exact
+    same integer vertex set."""
+    p = F.col("id")
+    cx = ((p * 29) % 340 - 170) * 1_000_000
+    cy = ((p * 17) % 140 - 70) * 1_000_000
+    s = (1 + p % 3) * 200_000
+    verts = F.array(*[
+        F.struct((cx + dx * s).cast("long").alias("x"),
+                 (cy + dy * s).cast("long").alias("y"))
+        for dx, dy in PIP_OFFSETS])
+    return (spark.range(n)
+            .select(F.col("id").alias("poly_id"),
+                    verts.alias("vertices")))
+
+
+def point_in_polygon(points: DataFrame, polys: DataFrame) -> DataFrame:
+    """Even-odd (ray casting) point-in-polygon in PURE int64
+    arithmetic — no floats, so the crossing test is bitwise
+    deterministic in any engine: for edge (x1,y1)->(x2,y2) and point
+    (px,py), a rightward ray crosses iff the edge straddles py
+    strictly (``(y1 > py) != (y2 > py)``) and the sign of
+
+        t = (x1 - px)(y2 - y1) + (py - y1)(x2 - x1)
+
+    matches sign(y2 - y1) — the division-free form of
+    ``px < x_intersection`` (microdegree operands < 2^29, products
+    < 2^58: int64-exact). Points exactly on an edge line (t = 0)
+    do not count a crossing — a deterministic boundary convention.
+
+    Plan: polygons are a broadcast dim table; the candidate set is a
+    broadcast bbox range join (each point tests only polygons whose
+    bounding box contains it), and the crossing count is a codegen
+    ``aggregate`` over the edge array — no explode, no shuffle on
+    the big side, no Python. Inputs: points (id, px, py) in integer
+    microdegrees; polys (poly_id, vertices). Output: (id, poly_id)
+    for every containment."""
+    n = F.size("vertices")
+    edges = F.transform(
+        "vertices",
+        lambda v, i: F.struct(
+            v.x.alias("x1"), v.y.alias("y1"),
+            F.element_at(F.col("vertices"),
+                         F.pmod(i + 1, n) + 1).x.alias("x2"),
+            F.element_at(F.col("vertices"),
+                         F.pmod(i + 1, n) + 1).y.alias("y2")))
+    xs = F.transform("vertices", lambda v: v.x)
+    ys = F.transform("vertices", lambda v: v.y)
+    pl = polys.select(
+        "poly_id", edges.alias("edges"),
+        F.array_min(xs).alias("xmin"), F.array_max(xs).alias("xmax"),
+        F.array_min(ys).alias("ymin"), F.array_max(ys).alias("ymax"))
+    px, py = F.col("px"), F.col("py")
+    cand = points.join(
+        F.broadcast(pl),
+        (px >= F.col("xmin")) & (px <= F.col("xmax"))
+        & (py >= F.col("ymin")) & (py <= F.col("ymax")))
+
+    def crossing(e):
+        t = ((e.x1 - px) * (e.y2 - e.y1)
+             + (py - e.y1) * (e.x2 - e.x1))
+        straddle = (e.y1 > py) != (e.y2 > py)
+        return F.when(
+            straddle & (t != 0) & ((t > 0) == (e.y2 > e.y1)),
+            F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(
+        "edges", F.lit(0).cast("long"),
+        lambda acc, e: acc + crossing(e))
+    return (cand.where(crossings % 2 == 1)
+            .select("id", "poly_id"))
+
+
+def point_in_polygon_select(n_polys: int = 24) -> str:
+    """DuckDB twin of the ``point_in_polygon`` gate: the same star
+    polygons regenerated closed-form, the same int64 crossing test,
+    counted per (point, polygon) via an exploded edge join."""
+    offs = ", ".join(f"({i}, {dx}, {dy})"
+                     for i, (dx, dy) in enumerate(PIP_OFFSETS))
+    return f"""polys AS (
+  SELECT p AS poly_id,
+         ((p * 29) % 340 - 170) * 1000000 AS cx,
+         ((p * 17) % 140 - 70) * 1000000 AS cy,
+         (1 + p % 3) * 200000 AS s
+  FROM generate_series(0, {n_polys - 1}) t(p)),
+verts AS (
+  SELECT poly_id, i, cx + dx * s AS x, cy + dy * s AS y
+  FROM polys, (VALUES {offs}) v(i, dx, dy)),
+pedges AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM verts a JOIN verts b
+    ON a.poly_id = b.poly_id
+   AND b.i = (a.i + 1) % {len(PIP_OFFSETS)}),
+crossed AS (
+  SELECT pt.id, e.poly_id,
+         sum(CASE WHEN ((e.y1 > pt.py) <> (e.y2 > pt.py))
+                   AND ((e.x1 - pt.px) * (e.y2 - e.y1)
+                        + (pt.py - e.y1) * (e.x2 - e.x1)) <> 0
+                   AND (((e.x1 - pt.px) * (e.y2 - e.y1)
+                         + (pt.py - e.y1) * (e.x2 - e.x1)) > 0)
+                       = (e.y2 > e.y1)
+              THEN 1 ELSE 0 END) AS c
+  FROM pts pt JOIN pedges e ON TRUE
+  GROUP BY 1, 2)
+SELECT id, poly_id FROM crossed WHERE c % 2 = 1"""

@@ -344,6 +344,23 @@ def q_geo_radius_pairs(spark, sf_dir):
     return radius_pairs(occ, radius_deg=0.5)
 
 
+def q_point_in_polygon(spark, sf_dir):
+    """Integer ray-casting containment gate: occurrence points (in
+    microdegrees) against 24 closed-form star polygons — both
+    engines run the same division-free int64 crossing test, so the
+    (id, poly_id) containment set hash-matches exactly."""
+    from maps_spark.operators.binning import (point_in_polygon,
+                                              synthesize_polygons)
+    occ = occurrence_df(spark, sf_dir)
+    pts = occ.select(
+        F.col("occurrenceId").alias("id"),
+        F.round(F.col("decimalLongitude") * 1_000_000)
+        .cast("long").alias("px"),
+        F.round(F.col("decimalLatitude") * 1_000_000)
+        .cast("long").alias("py"))
+    return point_in_polygon(pts, synthesize_polygons(spark, 24))
+
+
 def q_hot_keys(spark, sf_dir):
     from maps_spark.operators.adhoc import hot_keys
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1619,6 +1636,7 @@ MAPS_QUERIES = {
     "media_gif_frames": q_media_gif_frames,
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
+    "point_in_polygon": q_point_in_polygon,
     "containment_pairs": q_containment_pairs,
     "event_anomalies": q_event_anomalies,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
@@ -1901,6 +1919,17 @@ def _crawl_oracle(which: str) -> str:
             "redirect_frontier": CR.redirect_frontier_select}[which]()
 
 
+def _pip_oracle() -> str:
+    from maps_spark.operators.binning import point_in_polygon_select
+    from maps_spark.sources.occurrence import occurrence_cte
+    return (occurrence_cte() + """,
+pts AS (SELECT occurrenceId AS id,
+         CAST(round(decimalLongitude * 1000000) AS BIGINT) AS px,
+         CAST(round(decimalLatitude * 1000000) AS BIGINT) AS py
+        FROM occ),
+""" + point_in_polygon_select(24))
+
+
 def maps_oracles() -> dict[str, str]:
     from maps_spark.sql import oracle as O
     from maps_spark.sql import oracle_training as OT
@@ -2178,6 +2207,7 @@ FROM conv JOIN touch ON user_id = t_user
         "media_mjpeg_decode": OT.mjpeg_frame_sums_select(n=64),
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
+        "point_in_polygon": _pip_oracle(),
         "containment_pairs": OT.containment_pairs_select(threshold=0.5),
         "event_anomalies": OT.event_anomalies_select(),
         "media_features": OT.media_features_select(),

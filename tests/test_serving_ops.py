@@ -462,3 +462,35 @@ def test_haversine_radius_pairs_lossless_vs_bruteforce(spark):
     assert any(300 <= x < 400 for x, _ in want), "no polar pair"
     # the exact-180.0 pair (both endpoints at the seam) must survive
     assert (250, 251) in want, "exact lng=180.0 pair missing"
+
+
+def test_point_in_polygon_star_semantics(spark):
+    """Integer ray casting on the star polygon: center inside, a
+    point in the concave notch OUTSIDE (the even-odd rule at work),
+    far points outside, near-edge points classified by the exact
+    int64 crossing test; plan stays broadcast + codegen (no Python,
+    no shuffle of the point side beyond the bbox join)."""
+    import pyspark.sql.functions as F
+
+    from maps_spark.operators.binning import (point_in_polygon,
+                                              synthesize_polygons)
+    polys = synthesize_polygons(spark, 1)  # poly 0: cx=-170e6, cy=-70e6
+    cx, cy, s = -170_000_000, -70_000_000, 200_000
+    pts = spark.createDataFrame(
+        [(1, cx, cy),                       # center: inside
+         (2, cx + 4 * s, cy + 4 * s),       # concave notch: outside
+         (3, cx + 3 * s, cy),               # on the x-arm: inside
+         (4, cx + 10 * s, cy),              # beyond the arm: outside
+         (5, cx + 1 * s, cy + 1 * s),       # inner diamond: inside
+         (6, cx, cy + 4 * s),               # upper arm: inside
+         ],
+        "id long, px long, py long")
+    got = {r.id for r in point_in_polygon(pts, polys).collect()}
+    assert got == {1, 3, 5, 6}
+
+    plan = (point_in_polygon(pts, polys)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    for udf in ("BatchEvalPython", "ArrowEvalPython"):
+        assert udf not in plan
