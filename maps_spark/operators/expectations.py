@@ -219,6 +219,9 @@ def keyed_delta(cur: DataFrame, prev: DataFrame,
     bucketed by the key so the join co-locates without a shuffle."""
     compare_cols = compare_cols or [
         c for c in cur.columns if c not in key_cols]
+    if not compare_cols:
+        raise ValueError(
+            "keyed_delta needs at least one non-key column to compare")
     c = cur.select(*key_cols,
                    *[F.col(x).alias(f"_c_{x}") for x in compare_cols],
                    F.lit(1).alias("_in_cur"))

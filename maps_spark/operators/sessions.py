@@ -343,9 +343,12 @@ def time_gapfill(events: DataFrame, bucket_s: int = 3600,
     micros / bucket). Anchor: epoch, like date_bin's default origin.
     """
     us = bucket_s * 1_000_000
+    # floor division, not cast-truncation: pre-epoch timestamps have
+    # negative micros, and truncation would round toward zero while
+    # the DuckDB twin's // floors — the buckets must agree everywhere
     ev = events.select(
         F.col(key_col).alias("key"), "event_id",
-        (F.expr(TS_US_SPARK).cast("long") / us)
+        F.floor(F.expr(TS_US_SPARK).cast("long") / F.lit(us))
         .cast("long").alias("bucket"))
     agg = (ev.groupBy("key", "bucket")
            .agg(F.count("*").alias("n_events"),
