@@ -783,9 +783,9 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         lzw = bytearray()
         while True:
             ln = payload[pos]
-            lzw += payload[pos + 1:pos + 1 + ln]
             if pos + 1 + ln > len(payload):
                 raise ValueError("truncated image data sub-block")
+            lzw += payload[pos + 1:pos + 1 + ln]
             pos += 1 + ln
             if ln == 0:
                 break
@@ -801,7 +801,10 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             idx = deint
         ch = 4 if t_index is not None else 3
         out = np.zeros((h, w, ch), dtype=np.uint8)
-        bg_rgb = pal[bg] if bg < len(pal) else np.zeros(3, np.uint8)
+        # the background index refers to the GLOBAL color table per
+        # the spec — a frame's local palette must not recolor it
+        bg_rgb = gct[bg] if gct is not None and bg < len(gct) \
+            else np.zeros(3, np.uint8)
         out[:, :, :3] = bg_rgb
         if ch == 4:
             out[:, :, 3] = 255
@@ -1844,6 +1847,7 @@ def _decode_mjpeg_avi(payload: bytes) -> tuple[np.ndarray, int]:
     # of any OTHER stream (a second video track, audio) must not leak
     # into the decoded sequence
     video_sid = None
+    saw_other_vids = False
     movi_chunks = []  # (two-digit stream id, frame bytes)
     for cid, p, ln in _riff_subchunks(payload, 12, 8 + riff_len):
         if cid != b"LIST":
@@ -1859,10 +1863,13 @@ def _decode_mjpeg_avi(payload: bytes) -> tuple[np.ndarray, int]:
                         payload, p2 + 4, p2 + l2):
                     if c3 == b"strh" and l3 >= 28:
                         if payload[p3:p3 + 4] != b"vids":
-                            break  # not the video stream
+                            break  # audio/text stream: ignore
                         if payload[p3 + 4:p3 + 8] != b"MJPG":
-                            raise ValueError(
-                                "unsupported video codec (not MJPG)")
+                            # a non-MJPG SECONDARY video track is
+                            # skipped like audio; only when no MJPG
+                            # stream exists at all does the file fail
+                            saw_other_vids = True
+                            break
                         if not vids_mjpg:  # first MJPG vids stream
                             vids_mjpg = True
                             video_sid = b"%02d" % stream_no
@@ -1875,7 +1882,9 @@ def _decode_mjpeg_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 if c2[2:4] in (b"dc", b"db"):
                     movi_chunks.append((c2[:2], payload[p2:p2 + l2]))
     if not vids_mjpg:
-        raise ValueError("no MJPG video stream in AVI")
+        raise ValueError(
+            "unsupported video codec (not MJPG)" if saw_other_vids
+            else "no MJPG video stream in AVI")
     frames = [decode_jpeg(raw) for sid, raw in movi_chunks
               if sid == video_sid]
     if not frames:

@@ -344,8 +344,10 @@ def time_gapfill(events: DataFrame, bucket_s: int = 3600,
     """
     us = bucket_s * 1_000_000
     # floor division, not cast-truncation: pre-epoch timestamps have
-    # negative micros, and truncation would round toward zero while
-    # the DuckDB twin's // floors — the buckets must agree everywhere
+    # negative micros and truncation rounds toward zero, splitting
+    # the epoch-adjacent bucket in two. The DuckDB twin's // ALSO
+    # truncates (-7 // 2 = -3 there), so its twin applies an explicit
+    # floor correction — both engines bucket by mathematical floor.
     ev = events.select(
         F.col(key_col).alias("key"), "event_id",
         F.floor(F.expr(TS_US_SPARK).cast("long") / F.lit(us))
@@ -372,7 +374,9 @@ def time_gapfill_select(bucket_s: int = 3600,
     us = bucket_s * 1_000_000
     return f"""WITH ev AS (
   SELECT {key_col} AS key, event_id,
-         epoch_us(ts) // {us} AS bucket
+         (epoch_us(ts) // {us})
+           - CASE WHEN epoch_us(ts) < 0 AND epoch_us(ts) % {us} <> 0
+                  THEN 1 ELSE 0 END AS bucket
   FROM events),
 agg AS (SELECT key, bucket, count(*) AS n_events,
                max(event_id) AS max_eid

@@ -32,6 +32,11 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def _count_star():
+    import pyspark.sql.functions as F
+    return F.count(F.lit(1))
+
+
 def swap_compacted(path: str, staging: str) -> None:
     """The shared two-rename swap every compaction uses (live ->
     ``.old``, staging -> live, drop ``.old``). ONE implementation so
@@ -164,6 +169,12 @@ def fold_l0(spark: SparkSession, live: str, l0: str,
     n_l0, size_l0 = dir_stats(l0)
     size = size_live + size_l0
     n_files = max(1, -(-size // target_file_bytes))
+    # observe the source row count DURING the write — a post-hoc
+    # df.count() would re-execute the whole union + dropDuplicates
+    # shuffle a second time, doubling every fold's cost
+    from pyspark.sql import Observation
+    obs = Observation()
+    df = df.observe(obs, _count_star().alias("n"))
     out = df.repartition(n_files, *partition_by) if partition_by \
         else df.repartition(n_files)
     if sort_within:
@@ -174,7 +185,7 @@ def fold_l0(spark: SparkSession, live: str, l0: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    n_rows = df.count()
+    n_rows = obs.get["n"]
     staged_rows = spark.read.parquet(staging).count()
     if staged_rows != n_rows:
         shutil.rmtree(staging)

@@ -120,31 +120,41 @@ def run_file_stream(spark: SparkSession, input_path: str, marker: str,
             .trigger(availableNow=True).start())
 
 
-def read_store_bands(spark: SparkSession, store_dir: str,
-                     touched: list[tuple[int, int]] | None = None
-                     ) -> DataFrame | None:
-    """Read the band index — compacted L1 plus L0 appends — pruned
-    to the given ``(band, bb)`` pairs.
+def read_two_level(spark: SparkSession, l1_root: str, l0_root: str,
+                   touched: list[tuple[int, int]] | None,
+                   keys: tuple[str, str]) -> DataFrame | None:
+    """Read a two-level (path-pruned hive L1 + unpartitioned L0
+    append level) band index, pruned to the touched key pairs —
+    shared by the text and image dedup stores.
 
     L1 pruning is by explicit directory path (the touched set is
-    driver-side and bounded by ``bands x BAND_SUBBUCKETS``), so a
-    small batch opens only its own sub-bucket files — no full-index
-    listing or scan. The L0 level has no directory structure; it is
-    opened whole (it holds at most ``compact_every`` batches of
-    appends — O(batch), not O(store)) and row-filtered to the touched
-    pairs, with files sorted by (band, bh) so row-group stats prune
-    too. ``touched=None`` reads everything (maintenance path)."""
-    l1 = read_partitioned_subset(spark, f"{store_dir}/bands",
-                                 touched, ("band", "bb"))
-    l0 = _try_read(spark, f"{store_dir}/bands_l0")
+    driver-side and bounded by the key fan-out), so a small batch
+    opens only its own sub-bucket files. The L0 level has no
+    directory structure; it is opened whole (it holds at most
+    ``compact_every`` batches of appends — O(batch), not O(store))
+    and row-filtered to the touched pairs, with files sorted by
+    (key1, value) so row-group stats prune too. ``touched=None``
+    reads everything (maintenance path)."""
+    k1, k2 = keys
+    l1 = read_partitioned_subset(spark, l1_root, touched, keys)
+    l0 = _try_read(spark, l0_root)
     if l0 is not None and touched is not None:
-        keys = [a * BAND_SUBBUCKETS + b for a, b in touched]
-        l0 = l0.where((F.col("band") * BAND_SUBBUCKETS
-                       + F.col("bb")).isin(keys))
+        lin = [a * BAND_SUBBUCKETS + b for a, b in touched]
+        l0 = l0.where((F.col(k1) * BAND_SUBBUCKETS
+                       + F.col(k2)).isin(lin))
     if l1 is None or l0 is None:
         return l0 if l1 is None else l1
     cols = sorted(l0.columns)
     return l1.select(*cols).unionByName(l0.select(*cols))
+
+
+def read_store_bands(spark: SparkSession, store_dir: str,
+                     touched: list[tuple[int, int]] | None = None
+                     ) -> DataFrame | None:
+    """Text dedup band index through the shared two-level reader."""
+    return read_two_level(spark, f"{store_dir}/bands",
+                          f"{store_dir}/bands_l0", touched,
+                          ("band", "bb"))
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:

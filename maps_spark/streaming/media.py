@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from maps_spark.operators.dedup import cap_buckets
 from maps_spark.operators.multimodal import image_dhash
 from maps_spark.streaming.dedup import (BAND_SUBBUCKETS, _try_read,
-                                        read_partitioned_subset,
                                         run_file_stream)
 
 
@@ -61,19 +60,12 @@ def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
-    """Band index — path-pruned L1 plus the small L0 append level
-    (row-filtered to the touched pairs), image column names."""
-    l1 = read_partitioned_subset(spark, f"{store_dir}/bands",
-                                 touched, ("bidx", "bb"))
-    l0 = _try_read(spark, f"{store_dir}/bands_l0")
-    if l0 is not None and touched is not None:
-        keys = [a * BAND_SUBBUCKETS + b for a, b in touched]
-        l0 = l0.where((F.col("bidx") * BAND_SUBBUCKETS
-                       + F.col("bb")).isin(keys))
-    if l1 is None or l0 is None:
-        return l0 if l1 is None else l1
-    cols = sorted(l0.columns)
-    return l1.select(*cols).unionByName(l0.select(*cols))
+    """dHash band index through the shared two-level reader
+    (image key-column names)."""
+    from maps_spark.streaming.dedup import read_two_level
+    return read_two_level(spark, f"{store_dir}/bands",
+                          f"{store_dir}/bands_l0", touched,
+                          ("bidx", "bb"))
 
 
 def _hamming(hi_a, lo_a, hi_b, lo_b) -> F.Column:

@@ -61,6 +61,14 @@ def quarantine_gate(batch_df: DataFrame, expectations: dict | None,
     import json
 
     from maps_spark.operators.expectations import evaluate_contract
+    if not any(k in expectations for k in ("conditions", "unique")):
+        # a typo'd contract ({"condtions": ...}) must fail loudly —
+        # evaluate_contract would see no rules and rubber-stamp every
+        # batch forever (the same guard promotion_gate applies)
+        raise ValueError(
+            f"expectations contract has no recognized keys "
+            f"(got {sorted(expectations)}; expected 'conditions' "
+            f"and/or 'unique')")
     gate = evaluate_contract(batch_df, expectations)
     if gate["ok"]:
         return gate

@@ -874,6 +874,23 @@ def test_mjpeg_avi_second_stream_ignored():
     for i in range(3):
         assert abs(int(out[i].mean()) - 10 * (i + 1)) <= 2
 
+    # a non-MJPG SECONDARY video track must be skipped like audio,
+    # not fail the whole file
+    strh_v = (b"vids" + b"H264"
+              + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                            3, 0, 0xFFFFFFFF, 0)
+              + struct.pack("<4H", 0, 0, 8, 8))
+    strl_v = chunk(b"LIST", b"strl" + chunk(b"strh", strh_v)
+                   + chunk(b"strf", b"\x00" * 40))
+    mixed = (base[:i_hdrl - 4]
+             + struct.pack("<I", hdrl_len + len(strl_v))
+             + base[i_hdrl:hdrl_end] + strl_v
+             + base[hdrl_end:])
+    mixed = bytearray(mixed)
+    struct.pack_into("<I", mixed, 4, len(mixed) - 8)
+    out2, _ = decode_mjpeg_avi(bytes(mixed))
+    assert out2.shape == (3, 8, 8)
+
 
 # -- Adam7 interlaced PNG -------------------------------------------------
 

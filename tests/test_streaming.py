@@ -1054,3 +1054,24 @@ def test_stream_stream_interval_join_equals_batch_twin(spark, tmp_path):
                                    horizon_s=6 * 3600)
     q2.awaitTermination(300)
     assert spark.read.parquet(f"{out}/pairs").count() == len(got)
+
+
+def test_quarantine_rejects_typod_contract(spark, tmp_path):
+    """A contract with no recognized keys must fail the stream loudly
+    (the promotion_gate typo guard), never rubber-stamp batches."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from maps_spark.streaming.dedup import run_incremental_dedup
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    (spark.createDataFrame([(1, "x " * 20)], "doc_id long, text string")
+     .coalesce(1).write.mode("append").parquet(landing))
+    q = run_incremental_dedup(
+        spark, landing, str(tmp_path / "store"),
+        expectations={"condtions": {"t": "text IS NOT NULL"}})
+    with pytest.raises(StreamingQueryException,
+                       match="no recognized keys"):
+        q.awaitTermination(300)
