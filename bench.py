@@ -1070,6 +1070,43 @@ def run() -> None:
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)
                     _sh.rmtree(dedup_land8, ignore_errors=True)
+
+            @timed("streaming_dedup_small_batches", n=1)
+            def _26c():
+                # the O(touched-buckets) claim for SMALL batches (the
+                # incremental-curation resubmit path), measured: one
+                # big seed batch builds the store, then four ~190-doc
+                # batches probe it — their probe_verify should sit far
+                # below the seed batch's, because a small batch
+                # touches few (band, bb) sub-buckets and the pruned
+                # L1 read opens only those directories plus the
+                # bounded L0. batch_secs + segment_profile recorded.
+                from maps_spark.streaming.dedup import \
+                    run_incremental_dedup
+                land = _tf.mkdtemp(prefix="bench_dedupsm_land_")
+                store = _tf.mkdtemp(prefix="bench_dedupsm_") + "/store"
+                prof = []
+                try:
+                    d = docs.select("doc_id", "text")
+                    (d.where(F.col("doc_id") % 100 >= 4).coalesce(1)
+                     .write.mode("append").parquet(land))
+                    import time as _time
+                    for k in range(4):  # sequential: pin mtime order
+                        _time.sleep(0.05)
+                        (d.where(F.col("doc_id") % 100 == k)
+                         .coalesce(1).write.mode("append")
+                         .parquet(land))
+                    q = run_incremental_dedup(
+                        spark, land, store, max_files_per_trigger=1,
+                        profile=prof)
+                    q.awaitTermination(900)
+                    record_batches("streaming_dedup_small_batches", q)
+                    profile_lists.setdefault(
+                        "streaming_dedup_small_batches", []).append(prof)
+                finally:
+                    _sh.rmtree(os.path.dirname(store),
+                               ignore_errors=True)
+                    _sh.rmtree(land, ignore_errors=True)
         finally:
             _sh.rmtree(refresh_land, ignore_errors=True)
             _sh.rmtree(dedup_land, ignore_errors=True)

@@ -468,3 +468,76 @@ crossed AS (
   FROM pts pt JOIN pedges e ON TRUE
   GROUP BY 1, 2)
 SELECT id, poly_id FROM crossed WHERE c % 2 = 1"""
+
+
+def polygon_metrics(polys: DataFrame) -> DataFrame:
+    """Integer-exact polygon metrics via the shoelace formula — the
+    companion to :func:`point_in_polygon` for polygon dim-table QA:
+
+    - ``area2``     = |Σ (x_i · y_{i+1} − x_{i+1} · y_i)|, TWICE the
+      signed area in square microdegrees, kept doubled so the value
+      stays an exact int64: each cross term on world-scale
+      microdegree coordinates is < 2^56, so the sum is int64-exact
+      up to ~128 vertices (documented bound — beyond that, rescale
+      upstream);
+    - ``n_vertices``, plus the integer bbox.
+
+    The classic centroid numerators Σ (x_i+x_{i+1})·cross are
+    deliberately NOT published: they reach ~2^84 on world-scale
+    microdegrees — past int64, where Spark wraps silently while
+    DuckDB raises, the worst cross-engine failure mode. Consumers
+    needing centroids should shift to polygon-local coordinates and
+    bound the span first. Pure codegen ``aggregate`` over the edge
+    array — zero shuffle, zero Python."""
+    n = F.size("vertices")
+    edges = F.transform(
+        "vertices",
+        lambda v, i: F.struct(
+            v.x.alias("x1"), v.y.alias("y1"),
+            F.element_at(F.col("vertices"),
+                         F.pmod(i + 1, n) + 1).x.alias("x2"),
+            F.element_at(F.col("vertices"),
+                         F.pmod(i + 1, n) + 1).y.alias("y2")))
+    zero = F.lit(0).cast("long")
+
+    def fold(expr):
+        return F.aggregate(edges, zero, expr)
+
+    signed2 = fold(lambda acc, e: acc + (e.x1 * e.y2 - e.x2 * e.y1))
+    xs = F.transform("vertices", lambda v: v.x)
+    ys = F.transform("vertices", lambda v: v.y)
+    return polys.select(
+        "poly_id",
+        n.cast("int").alias("n_vertices"),
+        F.abs(signed2).alias("area2"),
+        F.array_min(xs).alias("xmin"), F.array_max(xs).alias("xmax"),
+        F.array_min(ys).alias("ymin"), F.array_max(ys).alias("ymax"))
+
+
+def polygon_metrics_select(n_polys: int = 24) -> str:
+    """DuckDB twin of the ``polygon_metrics`` gate over the same
+    closed-form star polygons (shares :func:`point_in_polygon_select`
+    vertex generation)."""
+    offs = ", ".join(f"({i}, {dx}, {dy})"
+                     for i, (dx, dy) in enumerate(PIP_OFFSETS))
+    k = len(PIP_OFFSETS)
+    return f"""WITH polys AS (
+  SELECT p AS poly_id,
+         ((p * 29) % 340 - 170) * 1000000 AS cx,
+         ((p * 17) % 140 - 70) * 1000000 AS cy,
+         (1 + p % 3) * 200000 AS s
+  FROM generate_series(0, {n_polys - 1}) t(p)),
+verts AS (
+  SELECT poly_id, i, cx + dx * s AS x, cy + dy * s AS y
+  FROM polys, (VALUES {offs}) v(i, dx, dy)),
+pedges AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM verts a JOIN verts b
+    ON a.poly_id = b.poly_id AND b.i = (a.i + 1) % {k})
+SELECT poly_id, CAST({k} AS INT) AS n_vertices,
+       CAST(abs(sum(x1 * y2 - x2 * y1)) AS BIGINT) AS area2,
+       CAST(min(least(x1, x2)) AS BIGINT) AS xmin,
+       CAST(max(greatest(x1, x2)) AS BIGINT) AS xmax,
+       CAST(min(least(y1, y2)) AS BIGINT) AS ymin,
+       CAST(max(greatest(y1, y2)) AS BIGINT) AS ymax
+FROM pedges GROUP BY 1"""

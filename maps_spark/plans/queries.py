@@ -361,6 +361,15 @@ def q_point_in_polygon(spark, sf_dir):
     return point_in_polygon(pts, synthesize_polygons(spark, 24))
 
 
+def q_polygon_metrics(spark, sf_dir):
+    """Shoelace gate: twice-area (exact int64), vertex count, and
+    integer bbox of the 24 star polygons — both engines fold the
+    identical cross-product sum."""
+    from maps_spark.operators.binning import (polygon_metrics,
+                                              synthesize_polygons)
+    return polygon_metrics(synthesize_polygons(spark, 24))
+
+
 def q_hot_keys(spark, sf_dir):
     from maps_spark.operators.adhoc import hot_keys
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1637,6 +1646,7 @@ MAPS_QUERIES = {
     "hot_keys": q_hot_keys,
     "geo_radius_pairs": q_geo_radius_pairs,
     "point_in_polygon": q_point_in_polygon,
+    "polygon_metrics": q_polygon_metrics,
     "containment_pairs": q_containment_pairs,
     "event_anomalies": q_event_anomalies,
     "adhoc_grid_bounds_z5": q_adhoc_grid_bounds_z5,
@@ -2208,6 +2218,7 @@ FROM conv JOIN touch ON user_id = t_user
         "hot_keys": OT.hot_keys_select(k=20),
         "geo_radius_pairs": OT.radius_pairs_select(0.5),
         "point_in_polygon": _pip_oracle(),
+        "polygon_metrics": B.polygon_metrics_select(24),
         "containment_pairs": OT.containment_pairs_select(threshold=0.5),
         "event_anomalies": OT.event_anomalies_select(),
         "media_features": OT.media_features_select(),

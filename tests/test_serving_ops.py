@@ -494,3 +494,28 @@ def test_point_in_polygon_star_semantics(spark):
     assert "CartesianProduct" not in plan
     for udf in ("BatchEvalPython", "ArrowEvalPython"):
         assert udf not in plan
+
+
+def test_polygon_metrics_shoelace(spark):
+    """Shoelace area2 against a hand-computed square and an
+    independent Python shoelace over the star polygons."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from maps_spark.operators.binning import (polygon_metrics,
+                                              synthesize_polygons)
+    sq = spark.createDataFrame(
+        [(99, [(0, 0), (10, 0), (10, 10), (0, 10)])],
+        "poly_id long, vertices array<struct<x: long, y: long>>")
+    row = polygon_metrics(sq).first()
+    assert row.area2 == 200 and row.n_vertices == 4
+    assert (row.xmin, row.xmax, row.ymin, row.ymax) == (0, 10, 0, 10)
+
+    polys = synthesize_polygons(spark, 6)
+    got = {r.poly_id: r.area2 for r in polygon_metrics(polys).collect()}
+    verts = {r.poly_id: [(v.x, v.y) for v in r.vertices]
+             for r in polys.collect()}
+    for pid, vs in verts.items():
+        s = sum(x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2)
+                in zip(vs, vs[1:] + vs[:1]))
+        assert got[pid] == abs(s), pid
