@@ -601,6 +601,156 @@ def _cms_bucket_cols(key_col: str, width: int, depth: int,
             .cast("int").alias(f"b{d}") for d in range(depth)]
 
 
+def kmv_sketch(events: DataFrame, group_col: str = "event_type",
+               value_col: str = "user_id", k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch per group —
+    the set-OPERATION sketch HLL lacks: two KMV sets intersect and
+    union meaningfully (Beyer et al. 2007), so segment-overlap
+    questions ("how many users did both A and B?") stay sketch-sized.
+
+    Per group keeps the k smallest mixed hashes of the distinct
+    values. Estimate: exact count when the group has < k distinct
+    values, else ``(k - 1) * p div theta`` with theta = the k-th
+    minimum — pure integer arithmetic, so the gate hash-matches
+    bitwise. Plan: one distinct (group, h) shuffle + one per-group
+    window rank (the rank sorts each group once — the standard
+    bottom-k shape; the mixed hash is uniform so no value skew).
+
+    Output: (group, theta, n_kept, est_distinct)."""
+    from maps_spark.operators.corpus import _mix
+    from maps_spark.operators.dedup import P31
+    h = _mix(F.col(value_col).cast("long") % P31)
+    d = (events.select(F.col(group_col).alias("group"),
+                       h.alias("h")).distinct())
+    w = Window.partitionBy("group").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    sk = ranked.where(F.col("rn") <= k)
+    agg = sk.groupBy("group").agg(
+        F.max("h").alias("theta"),
+        F.count("*").cast("long").alias("n_kept"))
+    est = (F.when(F.col("n_kept") < k, F.col("n_kept"))
+           .otherwise(F.expr(f"({k} - 1) * {P31}L div theta")))
+    return agg.select("group", "theta", "n_kept",
+                      est.cast("long").alias("est_distinct"))
+
+
+def kmv_overlap(events: DataFrame, group_col: str = "event_type",
+                value_col: str = "user_id", k: int = 64) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their KMV
+    sketches: for each group pair, merge the two bottom-k sets, keep
+    the k smallest of the union, and count how many of those appear
+    in BOTH sketches — ``matches div k`` estimates Jaccard, and
+    ``matches * union_est div k`` the intersection cardinality
+    (integer numerators published; consumers divide).
+
+    Cost is sketch-sized: the pair join runs over k-row sketches per
+    group (groups x k rows total), never over the raw values.
+    Output: (group_a, group_b, matches, union_theta, union_est)."""
+    from maps_spark.operators.corpus import _mix
+    from maps_spark.operators.dedup import P31
+    h = _mix(F.col(value_col).cast("long") % P31)
+    d = (events.select(F.col(group_col).alias("group"),
+                       h.alias("h")).distinct())
+    w = Window.partitionBy("group").orderBy("h")
+    sk = (d.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= k).select("group", "h")
+          .localCheckpoint())
+    groups = sk.select("group").distinct()
+    pairs = (groups.select(F.col("group").alias("ga"))
+             .crossJoin(groups.select(F.col("group").alias("gb")))
+             .where(F.col("ga") < F.col("gb")))
+    # union of the two bottom-k sets per pair, re-ranked, k smallest
+    union_rows = (pairs.join(sk, F.col("group") == F.col("ga"))
+                  .select("ga", "gb", "h")
+                  .unionByName(
+                      pairs.join(sk, F.col("group") == F.col("gb"))
+                      .select("ga", "gb", "h"))
+                  .distinct())
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    topu = (union_rows.withColumn("rn", F.row_number().over(wu))
+            .where(F.col("rn") <= k).drop("rn"))
+    # membership of each kept union hash in BOTH sketches
+    in_a = topu.join(
+        sk.select(F.col("group").alias("ga"), "h"), ["ga", "h"],
+        "left_semi")
+    in_both = in_a.join(
+        sk.select(F.col("group").alias("gb"), "h"), ["gb", "h"],
+        "left_semi")
+    matches = (in_both.groupBy("ga", "gb")
+               .agg(F.count("*").cast("long").alias("matches")))
+    uni = (topu.groupBy("ga", "gb")
+           .agg(F.max("h").alias("union_theta"),
+                F.count("*").cast("long").alias("n_u")))
+    est = (F.when(F.col("n_u") < k, F.col("n_u"))
+           .otherwise(F.expr(f"({k} - 1) * {P31}L div union_theta")))
+    return (uni.join(matches, ["ga", "gb"], "left")
+            .select(F.col("ga").alias("group_a"),
+                    F.col("gb").alias("group_b"),
+                    F.coalesce("matches", F.lit(0)).cast("long")
+                    .alias("matches"),
+                    "union_theta",
+                    est.cast("long").alias("union_est")))
+
+
+def _kmv_sk_cte(group_col: str, value_col: str, k: int) -> str:
+    from maps_spark.operators.corpus import mix_sql
+    from maps_spark.operators.dedup import P31
+    h = mix_sql(f"CAST({value_col} AS BIGINT) % {P31}")
+    return f"""d AS (SELECT DISTINCT {group_col} AS grp, {h} AS h
+       FROM events),
+sk AS (SELECT grp, h FROM (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) rn
+  FROM d) WHERE rn <= {k})"""
+
+
+def kmv_sketch_select(group_col: str = "event_type",
+                      value_col: str = "user_id",
+                      k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_sketch`."""
+    from maps_spark.operators.dedup import P31
+    return f"""WITH {_kmv_sk_cte(group_col, value_col, k)}
+SELECT grp AS "group", theta, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_kept < {k} THEN n_kept
+            ELSE CAST({k} - 1 AS BIGINT) * {P31} // theta END AS BIGINT)
+         AS est_distinct
+FROM (SELECT grp, max(h) AS theta, count(*) AS n_kept
+      FROM sk GROUP BY 1)"""
+
+
+def kmv_overlap_select(group_col: str = "event_type",
+                       value_col: str = "user_id",
+                       k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_overlap`."""
+    from maps_spark.operators.dedup import P31
+    return f"""WITH {_kmv_sk_cte(group_col, value_col, k)},
+pairs AS (SELECT a.grp AS ga, b.grp AS gb
+          FROM (SELECT DISTINCT grp FROM sk) a
+          JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+u AS (SELECT DISTINCT ga, gb, h FROM (
+  SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.grp = p.ga
+  UNION ALL
+  SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.grp = p.gb)),
+topu AS (SELECT ga, gb, h FROM (
+  SELECT ga, gb, h,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) rn
+  FROM u) WHERE rn <= {k}),
+m AS (SELECT t.ga, t.gb, count(*) AS matches FROM topu t
+      WHERE EXISTS (SELECT 1 FROM sk s
+                    WHERE s.grp = t.ga AND s.h = t.h)
+        AND EXISTS (SELECT 1 FROM sk s
+                    WHERE s.grp = t.gb AND s.h = t.h)
+      GROUP BY 1, 2),
+uni AS (SELECT ga, gb, max(h) AS union_theta, count(*) AS n_u
+        FROM topu GROUP BY 1, 2)
+SELECT uni.ga AS group_a, uni.gb AS group_b,
+       CAST(COALESCE(m.matches, 0) AS BIGINT) AS matches,
+       union_theta,
+       CAST(CASE WHEN n_u < {k} THEN n_u
+            ELSE CAST({k} - 1 AS BIGINT) * {P31} // union_theta END AS BIGINT)
+         AS union_est
+FROM uni LEFT JOIN m ON uni.ga = m.ga AND uni.gb = m.gb"""
+
+
 def cms_build(events: DataFrame, key_col: str = "user_id",
               width: int = 1024, depth: int = 4,
               seed: int = CMS_SEED) -> DataFrame:

@@ -569,6 +569,23 @@ def q_rolling_active(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"), window_days=7)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch gate: per-event-type user
+    sketches with integer-exact theta/estimate arithmetic."""
+    from maps_spark.operators.sessions import kmv_sketch
+    return kmv_sketch(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), k=64)
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """KMV set-operation gate: pairwise audience overlap between
+    event types from merged bottom-k sketches — the intersection/
+    union capability HLL lacks."""
+    from maps_spark.operators.sessions import kmv_overlap
+    return kmv_overlap(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), k=64)
+
+
 def q_time_gapfill(spark, sf_dir):
     """time_bucket_gapfill/LOCF gate: hourly per-user grid with gap
     buckets present (n_events = 0) and the last event id carried
@@ -1667,6 +1684,8 @@ MAPS_QUERIES = {
     "attribution": q_attribution,
     "rolling_active_users": q_rolling_active,
     "time_gapfill": q_time_gapfill,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_overlap": q_kmv_overlap,
     "asof_join": q_asof_join,
     "range_join_sessions": q_range_join_sessions,
     "funnel_counts": q_funnel_counts,
@@ -2011,6 +2030,8 @@ FROM conv JOIN touch ON user_id = t_user
         "attribution": OT.attribute_conversions_select(),
         "rolling_active_users": OT.rolling_active_users_select(),
         "time_gapfill": SN.time_gapfill_select(bucket_s=3600),
+        "kmv_distinct": SN.kmv_sketch_select(k=64),
+        "kmv_overlap": SN.kmv_overlap_select(k=64),
         "asof_join": OT.asof_join_select(),
         "range_join_sessions": OT.session_events_range_select(),
         "funnel_counts": OT.funnel_counts_select(),

@@ -711,3 +711,36 @@ def test_time_gapfill_grid_and_locf(spark):
     assert out[(1, u1[3])] == (1, 12)
     u2 = [b for k, b in out if k == 2]
     assert len(u2) == 1 and out[(2, u2[0])] == (1, 20)
+
+
+def test_kmv_sketch_accuracy_and_overlap(spark):
+    """KMV estimates: exact below k, within ~2/sqrt(k) relative error
+    above it; pairwise overlap recovers a constructed 50% Jaccard
+    within sketch tolerance and the disjoint pair reports 0."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from maps_spark.operators.sessions import kmv_overlap, kmv_sketch
+    rows = []
+    # group S: 40 distinct values (< k=64 -> exact)
+    rows += [("S", v) for v in range(40)]
+    # groups A and B: 3000 distinct each, sharing 2000 (J = 0.5)
+    rows += [("A", 10_000 + v) for v in range(3000)]
+    rows += [("B", 11_000 + v) for v in range(3000)]
+    # group D: 1000 values disjoint from A and B
+    rows += [("D", 1_000_000 + v) for v in range(1000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    sk = {r.group: r for r in kmv_sketch(df, k=64).collect()}
+    assert sk["S"].est_distinct == 40 and sk["S"].n_kept == 40
+    for g, true in (("A", 3000), ("B", 3000), ("D", 1000)):
+        est = sk[g].est_distinct
+        assert abs(est - true) / true < 0.5, (g, est)  # k=64 bound
+    ov = {(r.group_a, r.group_b): r
+          for r in kmv_overlap(df, k=64).collect()}
+    ab = ov[("A", "B")]
+    jac = ab.matches / 64
+    assert 0.25 < jac < 0.75  # true 0.5, sketch tolerance
+    # union estimate ~4000
+    assert 2000 < ab.union_est < 8000
+    # disjoint pairs: no shared hashes at all
+    assert ov[("A", "D")].matches == 0
+    assert ov[("B", "D")].matches == 0
