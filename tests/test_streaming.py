@@ -1008,8 +1008,13 @@ def test_dedup_compaction_cadence_bounds_growth(spark, tmp_path):
         if f.endswith(".parquet")]
     assert len(sig_files) < len(prof_c)
     # bounded curve: the final probe_verify within a constant factor
-    # of the steady early batches (loose: wall-clock on a shared box)
-    steady = [p["probe_verify"] for p in prof_c[1:]]
+    # of the steady POST-FIRST-FOLD batches. Under the two-level band
+    # store, pre-fold probes read only the tiny L0 (no L1 exists yet)
+    # and are structurally cheaper than any post-fold probe, which
+    # pays the path-pruned L1 directory-open term — comparing against
+    # them would mis-calibrate the bound (loose: wall-clock on a
+    # shared box)
+    steady = [p["probe_verify"] for p in prof_c[3:]]  # compact_every=3
     assert steady[-1] <= 3.0 * max(steady[0], 0.2) + 0.5, prof_c
     # attribution fields present for the bench's segment_profile
     assert {"sig", "probe_verify", "append"} <= set(prof_c[0])
