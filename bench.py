@@ -514,6 +514,61 @@ def run() -> None:
         def _10():
             DD.minhash_lsh_pairs(docs).count()
 
+        # --- dedup scale curve (VERDICT r9 #5): the LLM-side flagship
+        # (minhash LSH + verify) gets the same 1x/4x/8x replicated-
+        # scale treatment as the backfill. Each replica rotates a
+        # 9-letter alphabet through every token (F.translate): the
+        # WITHIN-replica similarity structure is preserved exactly
+        # (both sides of any pair transform identically, so shingle
+        # Jaccard is unchanged -> same dup rate per replica), while
+        # CROSS-replica shingle sets are disjoint (~0 Jaccard) — rows
+        # scale Nx, candidate pairs scale Nx, never N^2.
+        _DEDUP_ALPHA = "aeiousnrt"
+
+        def _replicate_docs(base, times):
+            rep = base
+            for i in range(1, times):
+                rot = _DEDUP_ALPHA[i:] + _DEDUP_ALPHA[:i]
+                rep = rep.unionByName(base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000))
+                    .alias("doc_id"),
+                    F.translate("text", _DEDUP_ALPHA, rot)
+                    .alias("text")))
+            return rep
+
+        @timed("dedup_lsh_4x", n=2)
+        def _10x4():
+            d = _replicate_docs(docs.select("doc_id", "text"), 4)
+            DD.minhash_lsh_pairs(d.localCheckpoint(eager=True)).count()
+
+        @timed("dedup_lsh_8x", n=2)
+        def _10x8():
+            # with 1x (dedup_minhash_lsh) and 4x above this pins the
+            # exponent: wall-per-2x-data should stay <= ~2.0 (the
+            # capped-bucket join is linear in candidates)
+            d = _replicate_docs(docs.select("doc_id", "text"), 8)
+            DD.minhash_lsh_pairs(d.localCheckpoint(eager=True)).count()
+
+        @timed("dedup_lsh_skewed", n=2)
+        def _10sk():
+            # adversarial hot bucket (VERDICT r9 #6): 30% of docs are
+            # byte-identical boilerplate — one shingle set, so ALL 16
+            # bands put the same ~1500 docs (at sf0.1) into one
+            # bucket, far over max_bucket=1000. cap_buckets must drop
+            # those buckets instead of joining them (1500^2/2 x 16
+            # candidate rows); wall must track the uniform entry at
+            # ~<=1.3x, and the planted-dup recall pytest
+            # (test_training_ops) proves true dups OUTSIDE the hot
+            # bucket still surface.
+            boiler = F.lit(" ".join(f"boiler{j % 97}tok"
+                                    for j in range(60)))
+            skewed = docs.select(
+                "doc_id",
+                F.when(F.col("doc_id") % 10 < 3, boiler)
+                .otherwise(F.col("text")).alias("text"))
+            DD.minhash_lsh_pairs(
+                skewed.localCheckpoint(eager=True)).count()
+
         @timed("ann_topk")
         def _11():
             SIM.brute_force_topk(emb, emb.limit(16), k=10).count()

@@ -823,7 +823,15 @@ def encode_gif_animation(frames, fps: int = 10,
     gray or (h, w, 3) RGB uint8 frames: one global palette over ALL
     frames (<=256 colors total), a Netscape loop block, and one
     full-screen image descriptor per frame, each preceded by an 89a
-    Graphic Control block carrying the delay and ``disposal``."""
+    Graphic Control block carrying the delay and ``disposal``.
+
+    ``fps`` must be >= 1; GIF stores delays in centiseconds, so the
+    effective ceiling is 100 fps (a 1 cs delay) — higher requests
+    raise rather than silently round-tripping as 100."""
+    if not isinstance(fps, int) or fps < 1 or fps > 100:
+        raise ValueError(
+            f"fps must be an int in [1, 100] (GIF delays are whole "
+            f"centiseconds), got {fps!r}")
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames:
         raise ValueError("animation needs at least one frame")
@@ -1082,6 +1090,33 @@ def gif_channel_sums(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(
         run, "media_id long, sum_r long, sum_g long, sum_b long")
+
+
+def gif_coord_weighted_sums(media: DataFrame) -> DataFrame:
+    """Position-SENSITIVE decode check: per-channel sums weighted by
+    the pixel's linear coordinate, ``sum((x + width*y) * channel)``.
+    Plain channel sums are permutation-invariant — a wrong (but
+    bijective) interlace-pass reassembly in the GIF decoder would
+    still match them; weighting by coordinate makes any pixel placed
+    at the wrong (x, y) change the result, so the cross-engine gate
+    certifies placement, not just the value multiset."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "wsum_r": [],
+                   "wsum_g": [], "wsum_b": []}
+            for payload in pdf["payload"]:
+                img = decode_gif(bytes(payload)).astype(np.int64)
+                h, w = img.shape[:2]
+                weight = (np.arange(w)[None, :]
+                          + w * np.arange(h)[:, None])
+                for ch, key in enumerate(("wsum_r", "wsum_g",
+                                          "wsum_b")):
+                    out[key].append(int((weight
+                                         * img[:, :, ch]).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, wsum_r long, wsum_g long, wsum_b long")
 
 
 # -- real codec path: WAV (RIFF PCM) ------------------------------------

@@ -343,14 +343,17 @@ def time_gapfill(events: DataFrame, bucket_s: int = 3600,
     micros / bucket). Anchor: epoch, like date_bin's default origin.
     """
     us = bucket_s * 1_000_000
-    # floor division, not cast-truncation: pre-epoch timestamps have
-    # negative micros and truncation rounds toward zero, splitting
-    # the epoch-adjacent bucket in two. The DuckDB twin's // ALSO
-    # truncates (-7 // 2 = -3 there), so its twin applies an explicit
-    # floor correction — both engines bucket by mathematical floor.
+    # floor division in PURE integer arithmetic: `div` truncates
+    # toward zero, so pre-epoch (negative) micros get an explicit -1
+    # floor correction — the same shape as the DuckDB twin. Spark's
+    # `/` is double division (floor(a/b) is only float-exact while
+    # micros stay below 2^53), so the integer path keeps the
+    # "hash-exact on any epoch" claim unconditional.
+    q = F.expr(f"CAST({TS_US_SPARK} AS LONG) div {us}")
+    r = F.expr(f"CAST({TS_US_SPARK} AS LONG) % {us}")
     ev = events.select(
         F.col(key_col).alias("key"), "event_id",
-        F.floor(F.expr(TS_US_SPARK).cast("long") / F.lit(us))
+        (q - F.when(r < 0, F.lit(1)).otherwise(F.lit(0)))
         .cast("long").alias("bucket"))
     agg = (ev.groupBy("key", "bucket")
            .agg(F.count("*").alias("n_events"),

@@ -11,6 +11,8 @@ pixel math, cascade rollup) — not re-implementations.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -94,8 +96,20 @@ def q_streaming_refresh_pixels(spark, sf_dir):
     q = run_refresh(spark, land, f"{sf_dir}/nation.parquet", store,
                     srs="EPSG:3857", zoom=6)
     q.awaitTermination(600)
-    return read_pixel_store(spark, store).select(
-        "mapKey", "px", "py", "borYear", "cnt")
+    return _detach(read_pixel_store(spark, store).select(
+        "mapKey", "px", "py", "borYear", "cnt"),
+        land, os.path.dirname(store))
+
+
+def _detach(df, *tmp_dirs):
+    """Eagerly localCheckpoint a gate result, then remove the /tmp
+    dirs it was computed from — gate/replica/bench runs must not leak
+    a store (or a copy of an input table) per invocation."""
+    import shutil
+    out = df.localCheckpoint()
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def q_streaming_touch_join(spark, sf_dir):
@@ -108,20 +122,28 @@ def q_streaming_touch_join(spark, sf_dir):
     draining a backlog. The generous watermark keeps the gate
     deterministic (the data spans 30 days of event time; unordered
     arrival must not cross the lateness bound)."""
+    import shutil
     import tempfile
 
     from maps_spark.streaming.joins import run_touch_conversion_join
     land = tempfile.mkdtemp(prefix="maps-spark-ssj-land-")
-    (spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8)
-     .write.mode("overwrite").parquet(land))
     out = tempfile.mkdtemp(prefix="maps-spark-ssj-")
-    q = run_touch_conversion_join(spark, land, out,
-                                  horizon_s=6 * 3600,
-                                  watermark="90 days")
-    q.awaitTermination(600)
-    return spark.read.parquet(f"{out}/pairs").select(
-        "conversion_id", "user_id", "conv_tus", "touch_id",
-        "touch_type", "touch_tus", "lag_us")
+    try:
+        (spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8)
+         .write.mode("overwrite").parquet(land))
+        q = run_touch_conversion_join(spark, land, out,
+                                      horizon_s=6 * 3600,
+                                      watermark="90 days")
+        q.awaitTermination(600)
+        # localCheckpoint (eager) detaches the result from the /tmp
+        # files so both dirs can be removed before returning — every
+        # gate/replica run otherwise leaked a copy of the events table
+        return (spark.read.parquet(f"{out}/pairs").select(
+            "conversion_id", "user_id", "conv_tus", "touch_id",
+            "touch_type", "touch_tus", "lag_us").localCheckpoint())
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_pyramid_invariant(spark, sf_dir):
@@ -138,7 +160,26 @@ def q_pyramid_invariant(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="maps-spark-pyrinv-") + "/build"
     run_backfill(spark, sf_dir, root, max_zoom=4, threshold=500,
                  srs_list=("EPSG:3857",), skew_report=False)
-    return pyramid_invariant(spark, root)
+    return _detach(pyramid_invariant(spark, root),
+                   os.path.dirname(root))
+
+
+def q_pyramid_invariant_3575(spark, sf_dir):
+    """The conservation canary on a POLAR SRS (EPSG:3575, z4): the
+    buffer-band NULLing of the LAEA-North projection
+    (sql/dual.py laea_pixel_exprs, projections.py polar clip) is
+    exactly where a conservation bug would hide — the reference's
+    trickiest path (NorthPoleLAEAEurope.java:67-201). Same raw-data
+    oracle shape as the EPSG:3857 gate."""
+    import tempfile
+
+    from maps_spark.plans.backfill import run_backfill
+    from maps_spark.sources.tile_store import pyramid_invariant
+    root = tempfile.mkdtemp(prefix="maps-spark-pyrinv3575-") + "/build"
+    run_backfill(spark, sf_dir, root, max_zoom=4, threshold=500,
+                 srs_list=("EPSG:3575",), skew_report=False)
+    return _detach(pyramid_invariant(spark, root),
+                   os.path.dirname(root))
 
 
 def q_points_invariant(spark, sf_dir):
@@ -151,7 +192,8 @@ def q_points_invariant(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="maps-spark-ptsinv-") + "/build"
     run_backfill(spark, sf_dir, root, max_zoom=2, threshold=500,
                  srs_list=("EPSG:3857",), skew_report=False)
-    return points_invariant(spark, root)
+    return _detach(points_invariant(spark, root),
+                   os.path.dirname(root))
 
 
 def q_pyramid_rollup_z6_to_z2(spark, sf_dir):
@@ -304,11 +346,15 @@ def q_media_gif_frames(spark, sf_dir):
 
 def q_media_gif_interlaced(spark, sf_dir):
     """GIF 4-pass interlace gate: the same pixels stored in pass row
-    order — the shared oracle proves the de-interlace reassembles
-    every pixel at its original coordinate."""
-    from maps_spark.operators.multimodal import (gif_channel_sums,
+    order, checked with COORDINATE-WEIGHTED channel sums — plain
+    sums are permutation-invariant (any bijective but WRONG pass
+    reassembly would still match them); weighting each pixel by
+    ``x + width*y`` makes the oracle position-sensitive, so the hash
+    match proves the de-interlace puts every pixel back at its
+    original coordinate."""
+    from maps_spark.operators.multimodal import (gif_coord_weighted_sums,
                                                  synthesize_gif_media)
-    return gif_channel_sums(
+    return gif_coord_weighted_sums(
         synthesize_gif_media(spark, n=64, interlace=True))
 
 
@@ -665,8 +711,20 @@ def q_source_divergence(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # The synthetic corpus has no byte-identical documents, so the raw
+    # gate would hash-match on an empty result — certifying only the
+    # negative path (VERDICT r9 #4). Seed three deterministic
+    # byte-identical pairs (doc_id+10M copies of docs 0-2) so the
+    # oracle must reproduce real clusters; the oracle SQL unions the
+    # same copies.
+    import pyspark.sql.functions as F
+
     from maps_spark.operators import dedup as DD
-    return DD.exact_duplicates(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.where(F.col("doc_id") < 3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    return DD.exact_duplicates(seeded)
 
 
 def q_dedup_prefix(spark, sf_dir):
@@ -1176,7 +1234,9 @@ def q_ann_recall_index(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="maps-spark-ivfrec-") + "/index"
     build_ivf_index(emb, root, n_clusters=16, kmeans_iters=2)
     approx = query_ivf_index(spark, root, queries, k=10, n_probe=4)
-    return recall_counts(brute_force_topk(emb, queries, k=10), approx)
+    return _detach(
+        recall_counts(brute_force_topk(emb, queries, k=10), approx),
+        os.path.dirname(root))
 
 
 def q_winnow_contamination(spark, sf_dir):
@@ -1267,9 +1327,10 @@ def q_ann_ivf_index(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="maps-spark-ivf-") + "/index"
     build_ivf_index(emb, root, n_clusters=16, kmeans_iters=2)
-    return query_ivf_index(spark, root,
-                           emb.where(F.col("vec_id") < 16),
-                           k=10, n_probe=4)
+    return _detach(query_ivf_index(spark, root,
+                                   emb.where(F.col("vec_id") < 16),
+                                   k=10, n_probe=4),
+                   os.path.dirname(root))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1413,8 +1474,9 @@ def q_ann_pq_index(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="maps-spark-pq-") + "/index"
     build_pq_index(emb, root, train_sample=PQ_TRAIN)
-    return query_pq_index(spark, root,
-                          emb.where(F.col("vec_id") < 16))
+    return _detach(query_pq_index(spark, root,
+                                  emb.where(F.col("vec_id") < 16)),
+                   os.path.dirname(root))
 
 
 def q_dedup_method_overlap(spark, sf_dir):
@@ -1627,6 +1689,7 @@ MAPS_QUERIES = {
     "streaming_refresh_pixels": q_streaming_refresh_pixels,
     "streaming_touch_join": q_streaming_touch_join,
     "pyramid_invariant": q_pyramid_invariant,
+    "pyramid_invariant_3575": q_pyramid_invariant_3575,
     "points_invariant": q_points_invariant,
     "pyramid_rollup_z6_to_z2": q_pyramid_rollup_z6_to_z2,
     "pyramid_span_z6_to_z2": q_pyramid_span_z6_to_z2,
@@ -1987,6 +2050,8 @@ FROM conv JOIN touch ON user_id = t_user
   AND touch_tus >= conv_tus - 21600000000""",
         "pyramid_invariant": O.pyramid_invariant_select(
             "EPSG:3857", max_zoom=4, threshold=500),
+        "pyramid_invariant_3575": O.pyramid_invariant_select(
+            "EPSG:3575", max_zoom=4, threshold=500),
         "points_invariant": O.points_invariant_select(threshold=500),
         "pyramid_rollup_z6_to_z2": O.rollup_select("EPSG:3857", 6, 2,
                                                    ROLLUP_VIEWS),
@@ -2222,7 +2287,7 @@ FROM conv JOIN touch ON user_id = t_user
         # LZW expansion must read every pixel at its coordinate; the
         # interlaced twin additionally proves the 4-pass reassembly
         "media_gif_decode": OT.gif_channel_sums_select(n=64),
-        "media_gif_interlaced": OT.gif_channel_sums_select(n=64),
+        "media_gif_interlaced": OT.gif_coord_sums_select(n=64),
         "media_gif_frames": OT.gif_frame_sums_select(n=64),
         "media_wav_decode": OT.wav_stats_select(n=64),
         "media_wav_frames": OT.wav_frame_features_select(n=64),

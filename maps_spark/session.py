@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The streaming dedup stores probe hive sub-bucket dirs by
+        # explicit path list (bounded by the band fan-out, <=1024).
+        # Above the default threshold (32 paths) Spark runs a cluster
+        # job with one task PER PATH to list them — measured 3-4 s of
+        # pure scheduling per probe on local[32] for a listing the
+        # driver does in milliseconds. Driver-side listing stays the
+        # right call on a real cluster too: these reads are a few
+        # thousand sequential metadata RPCs at most, cheaper than a
+        # 1024-task job.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "4096")
         .config("spark.sql.files.maxRecordsPerFile", "10000000")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -61,10 +61,25 @@ def dir_stats(path: str) -> tuple[int, int]:
     return n, size
 
 
+def _write_staging_stats(spark: SparkSession, staging: str,
+                         stats: tuple[tuple[str, str], str] | None) -> None:
+    """Build the per-sub-bucket Bloom stats for a staged band-index
+    rewrite, INSIDE the staging dir (``_stats/`` — underscore-hidden
+    from parquet readers of the data) so the swap publishes data and
+    stats atomically (:mod:`maps_spark.sources.bloom`)."""
+    if stats is None:
+        return
+    from maps_spark.sources.bloom import write_stats
+    keys, value_col = stats
+    write_stats(spark.read.parquet(staging), f"{staging}/_stats",
+                keys, value_col)
+
+
 def compact_dir(spark: SparkSession, path: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
                 partition_by: tuple[str, ...] = (),
-                sort_within: tuple[str, ...] = ()) -> dict:
+                sort_within: tuple[str, ...] = (),
+                stats: tuple[tuple[str, str], str] | None = None) -> dict:
     """Rewrite the parquet directory at ``path`` into
     ``max(1, ceil(total_bytes / target_file_bytes))`` files (per
     partition directory when ``partition_by`` is set), optionally
@@ -99,6 +114,7 @@ def compact_dir(spark: SparkSession, path: str,
         raise RuntimeError(
             f"compaction validation failed for {path}: "
             f"{staged_rows} staged rows != {n_rows} source rows")
+    _write_staging_stats(spark, staging, stats)
     swap_compacted(path, staging)
     n_after, _ = dir_stats(path)
     return {"files_before": n_before, "files_after": n_after,
@@ -134,7 +150,8 @@ def recover_compaction(path: str) -> str | None:
 def fold_l0(spark: SparkSession, live: str, l0: str,
             target_file_bytes: int = 128 * 1024 * 1024,
             partition_by: tuple[str, ...] = (),
-            sort_within: tuple[str, ...] = ()) -> dict | None:
+            sort_within: tuple[str, ...] = (),
+            stats: tuple[tuple[str, str], str] | None = None) -> dict | None:
     """Fold an unpartitioned L0 append directory into the
     hive-partitioned live (L1) directory — the LSM step of the
     streaming band index: per-batch appends land in L0 (ONE output
@@ -154,7 +171,7 @@ def fold_l0(spark: SparkSession, live: str, l0: str,
         if os.path.isdir(live):
             return compact_dir(spark, live, target_file_bytes,
                                partition_by=partition_by,
-                               sort_within=sort_within)
+                               sort_within=sort_within, stats=stats)
         return None
     l0_df = spark.read.parquet(l0)
     cols = sorted(l0_df.columns)
@@ -192,6 +209,7 @@ def fold_l0(spark: SparkSession, live: str, l0: str,
         raise RuntimeError(
             f"fold validation failed for {live}: "
             f"{staged_rows} staged rows != {n_rows} source rows")
+    _write_staging_stats(spark, staging, stats)
     if os.path.isdir(live):
         swap_compacted(live, staging)
     else:
@@ -242,7 +260,8 @@ def compact_dedup_store(spark: SparkSession, store_dir: str,
                                    partition_by=part, sort_within=sort)
     folded = fold_l0(spark, f"{store_dir}/bands",
                      f"{store_dir}/bands_l0", target_file_bytes,
-                     partition_by=("band", "bb"), sort_within=("bh",))
+                     partition_by=("band", "bb"), sort_within=("bh",),
+                     stats=(("band", "bb"), "bh"))
     if folded is not None:
         out["bands"] = folded
     return out
@@ -264,7 +283,8 @@ def compact_media_store(spark: SparkSession, store_dir: str,
     folded = fold_l0(spark, f"{store_dir}/bands",
                      f"{store_dir}/bands_l0", target_file_bytes,
                      partition_by=("bidx", "bb"),
-                     sort_within=("bval",))
+                     sort_within=("bval",),
+                     stats=(("bidx", "bb"), "bval"))
     if folded is not None:
         out["bands"] = folded
     return out

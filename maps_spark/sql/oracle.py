@@ -53,11 +53,23 @@ def pyramid_invariant_select(srs: str, max_zoom: int,
     """Oracle twin of ``tile_store.pyramid_invariant`` over a build
     from this dataset: every over-threshold view must show
     ``max_zoom + 1`` zoom levels, exactly ONE distinct visible-region
-    total, and that total equal to the view's plottable row count —
-    recomputed here straight from the RAW data, so a hash match
-    proves conservation through snapshot, pixel agg, span rollup,
-    tile fan-out, MVT encode, storage, and decode."""
+    total, and that total equal to the view's PIXEL-PRODUCING row
+    count — recomputed here straight from the RAW data, so a hash
+    match proves conservation through snapshot, pixel agg, span
+    rollup, tile fan-out, MVT encode, storage, and decode.
+
+    "Pixel-producing" = plottable AND on-canvas: the polar SRS keep a
+    1-degree plottable buffer past the equator whose projection can
+    overshoot the square canvas — those rows NULL out by design
+    (``functions.projections.pixel_cols``, mirrored by the
+    ``pixel_agg_*`` oracles' ``px IS NOT NULL``) and never enter the
+    pyramid, so the conservation law is over the NOT-NULL set. For
+    EPSG:3857/4326 every plottable row is on-canvas and the clause is
+    a no-op. Overshoot is zoom-independent (canvas and projection
+    scale together), so testing at ``max_zoom`` covers every level."""
     plot = _plottable(srs)
+    pxe, pye = dual.pixel_exprs(srs, "decimalLatitude",
+                                "decimalLongitude", max_zoom)
     stored = srs.replace(":", "_")
     return f"""{mapkeys_cte()},
 vc AS (SELECT mapKey, count(*) AS n FROM keyed GROUP BY 1),
@@ -67,7 +79,7 @@ SELECT '{stored}' AS srs, k.mapKey,
        CAST(1 AS BIGINT) AS n_distinct_totals,
        count(*) AS total
 FROM keyed k JOIN large USING (mapKey)
-WHERE {plot}
+WHERE {plot} AND ({pxe}) IS NOT NULL AND ({pye}) IS NOT NULL
 GROUP BY 2"""
 
 

@@ -6,9 +6,17 @@ from maps_spark.operators.text import STOPWORDS, lang_id_sql, occurrences_sql
 
 
 def dedup_exact_select() -> str:
-    return """SELECT md5(text) AS text_hash, count(*) AS n_dupes,
+    # seeded byte-identical pairs mirror plans.queries.q_dedup_exact
+    # (the raw corpus has none, and a 0-row gate certifies only the
+    # negative path)
+    return """WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id < 3)
+SELECT md5(text) AS text_hash, count(*) AS n_dupes,
        min(doc_id) AS keeper_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1"""
+FROM seeded GROUP BY 1 HAVING count(*) > 1"""
 
 
 def dedup_prefix_select(n_tokens: int = 10) -> str:
@@ -1478,6 +1486,26 @@ SELECT media_id,
             AS BIGINT) AS sum_g,
        CAST(sum((7 * ((x + 3 * y + media_id) % 256)) % 256)
             AS BIGINT) AS sum_b
+FROM ids CROSS JOIN px GROUP BY 1"""
+
+
+def gif_coord_sums_select(n: int = 64, width: int = 31,
+                          height: int = 17) -> str:
+    """Closed-form twin of operators.multimodal.gif_coord_weighted_sums
+    over synthesize_gif_media's palette images: pixel index
+    k = (x + 3y + id) mod 256, palette (k, 3k mod 256, 7k mod 256),
+    each channel weighted by the linear coordinate x + width*y so a
+    row-permutation error in the de-interlace changes the output."""
+    k = "((x + 3 * y + media_id) % 256)"
+    wgt = f"(x + {width} * y)"
+    return f"""WITH ids AS (SELECT i AS media_id
+  FROM generate_series(0, {n - 1}) t(i)),
+px AS (SELECT x, y FROM generate_series(0, {width - 1}) t(x)
+       CROSS JOIN generate_series(0, {height - 1}) u(y))
+SELECT media_id,
+       CAST(sum({wgt} * {k}) AS BIGINT) AS wsum_r,
+       CAST(sum({wgt} * ((3 * {k}) % 256)) AS BIGINT) AS wsum_g,
+       CAST(sum({wgt} * ((7 * {k}) % 256)) AS BIGINT) AS wsum_b
 FROM ids CROSS JOIN px GROUP BY 1"""
 
 

@@ -122,21 +122,33 @@ def run_file_stream(spark: SparkSession, input_path: str, marker: str,
 
 def read_two_level(spark: SparkSession, l1_root: str, l0_root: str,
                    touched: list[tuple[int, int]] | None,
-                   keys: tuple[str, str]) -> DataFrame | None:
+                   keys: tuple[str, str],
+                   l1_touched: list[tuple[int, int]] | None = None
+                   ) -> DataFrame | None:
     """Read a two-level (path-pruned hive L1 + unpartitioned L0
     append level) band index, pruned to the touched key pairs —
     shared by the text and image dedup stores.
 
     L1 pruning is by explicit directory path (the touched set is
     driver-side and bounded by the key fan-out), so a small batch
-    opens only its own sub-bucket files. The L0 level has no
-    directory structure; it is opened whole (it holds at most
-    ``compact_every`` batches of appends — O(batch), not O(store))
-    and row-filtered to the touched pairs, with files sorted by
-    (key1, value) so row-group stats prune too. ``touched=None``
+    opens only its own sub-bucket files; ``l1_touched``, when the
+    caller computed the Bloom-stats gate
+    (:func:`maps_spark.sources.bloom.probe_keys`), narrows the L1
+    read further to the sub-buckets whose filters admit at least one
+    batch key — the gate that keeps a LARGE batch's probe
+    proportional to its possible matches instead of the sub-bucket
+    fan-out. Bloom false positives only cost an extra directory
+    read; false negatives cannot occur (the stats cover every L1 row
+    by construction). The L0 level has no directory structure; it is
+    opened whole (it holds at most ``compact_every`` batches of
+    appends — O(batch), not O(store)) and row-filtered to the FULL
+    touched pairs, with files sorted by (key1, value) so row-group
+    stats prune too — L0 is never Bloom-pruned. ``touched=None``
     reads everything (maintenance path)."""
     k1, k2 = keys
-    l1 = read_partitioned_subset(spark, l1_root, touched, keys)
+    if l1_touched is None:
+        l1_touched = touched
+    l1 = read_partitioned_subset(spark, l1_root, l1_touched, keys)
     l0 = _try_read(spark, l0_root)
     if l0 is not None and touched is not None:
         lin = [a * BAND_SUBBUCKETS + b for a, b in touched]
@@ -149,12 +161,15 @@ def read_two_level(spark: SparkSession, l1_root: str, l0_root: str,
 
 
 def read_store_bands(spark: SparkSession, store_dir: str,
-                     touched: list[tuple[int, int]] | None = None
+                     touched: list[tuple[int, int]] | None = None,
+                     l1_touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
-    """Text dedup band index through the shared two-level reader."""
+    """Text dedup band index through the shared two-level reader;
+    ``l1_touched`` (from the Bloom-stats gate) narrows the compacted
+    L1 read."""
     return read_two_level(spark, f"{store_dir}/bands",
                           f"{store_dir}/bands_l0", touched,
-                          ("band", "bb"))
+                          ("band", "bb"), l1_touched=l1_touched)
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
@@ -215,14 +230,19 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
             .where(F.col("a.doc_id") > F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
-    touched = [(r["band"], r["bb"]) for r in
-               batch_bands.select("band", "bb").distinct().collect()]
+    from maps_spark.sources.bloom import probe_keys
+    touched, l1_hits = probe_keys(spark, batch_bands,
+                                  f"{store_dir}/bands/_stats",
+                                  ("band", "bb"), "bh")
+    _t_touch = _time.time()
     # the driver-side touched list is bounded by construction
     # (band in [0, bands), bb = bh mod BAND_SUBBUCKETS) — assert the
     # invariant the O(batch) probe contract rests on (VERDICT r8 #6)
     assert len(touched) <= bands * BAND_SUBBUCKETS, (
         len(touched), bands, BAND_SUBBUCKETS)
-    store_bands = read_store_bands(spark, store_dir, touched)
+    store_bands = read_store_bands(spark, store_dir, touched,
+                                   l1_touched=l1_hits)
+    _t_read = _time.time()
     all_sigs = sigs
     if store_bands is not None:
         store_bands = cap_buckets(store_bands, ["band", "bh"], max_bucket)
@@ -292,6 +312,9 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
         profile.append({"batch_id": batch_id,
                         "sig": round(_t1 - _t0, 3),
                         "probe_verify": round(_t2 - _t1, 3),
+                        "pv_touch": round(_t_touch - _t1, 3),
+                        "pv_read": round(_t_read - _t_touch, 3),
+                        "pv_exec": round(_t2 - _t_read, 3),
                         "append": round(_t3 - _t2, 3), **seg})
 
 

@@ -58,14 +58,16 @@ def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
 
 
 def read_store_bands(spark: SparkSession, store_dir: str,
-                     touched: list[tuple[int, int]] | None = None
+                     touched: list[tuple[int, int]] | None = None,
+                     l1_touched: list[tuple[int, int]] | None = None
                      ) -> DataFrame | None:
     """dHash band index through the shared two-level reader
-    (image key-column names)."""
+    (image key-column names); ``l1_touched`` (from the Bloom-stats
+    gate) narrows the compacted L1 read."""
     from maps_spark.streaming.dedup import read_two_level
     return read_two_level(spark, f"{store_dir}/bands",
                           f"{store_dir}/bands_l0", touched,
-                          ("bidx", "bb"))
+                          ("bidx", "bb"), l1_touched=l1_touched)
 
 
 def _hamming(hi_a, lo_a, hi_b, lo_b) -> F.Column:
@@ -90,9 +92,12 @@ def process_media_batch(media: DataFrame, store_dir: str,
             .where(F.col("a.media_id") > F.col("b.media_id"))
             .select(F.col("a.media_id").alias("media_id"),
                     F.col("b.media_id").alias("dup_of")))
-    touched = [(r["bidx"], r["bb"]) for r in
-               batch_bands.select("bidx", "bb").distinct().collect()]
-    store_bands = read_store_bands(spark, store_dir, touched)
+    from maps_spark.sources.bloom import probe_keys
+    touched, l1_hits = probe_keys(spark, batch_bands,
+                                  f"{store_dir}/bands/_stats",
+                                  ("bidx", "bb"), "bval")
+    store_bands = read_store_bands(spark, store_dir, touched,
+                                   l1_touched=l1_hits)
     all_hashes = h
     if store_bands is not None:
         store_bands = cap_buckets(store_bands, ["bidx", "bval"],

@@ -1,0 +1,118 @@
+"""Per-sub-bucket Bloom gate for the streaming dedup L1 probes
+(:mod:`maps_spark.sources.bloom`).
+
+The gate's correctness contract is asymmetric: false positives only
+cost an extra directory read, false negatives would silently drop a
+duplicate — so the properties pinned here are (a) zero false
+negatives by construction, (b) build/probe determinism, and (c) the
+end-to-end guarantee that a Bloom-pruned probe still catches a dup
+whose counterpart lives in the compacted L1 (while actually pruning
+the match-free sub-buckets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def test_bloom_no_false_negatives_and_determinism():
+    from maps_spark.sources.bloom import (bloom_any, bloom_size_bits,
+                                          build_bloom)
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2**31 - 1, 3000, dtype=np.int64)
+    b = build_bloom(vals)
+    assert b == build_bloom(vals)  # deterministic bytes
+    assert len(b) * 8 == bloom_size_bits(len(vals))
+    # every inserted value answers True — singly and as a batch
+    assert bloom_any(b, vals)
+    for v in vals[:300]:
+        assert bloom_any(b, np.array([v], dtype=np.int64))
+    # FPR sanity on disjoint values: 10 bits/key, k=7 -> ~1%
+    others = rng.integers(2**31, 2**32, 3000, dtype=np.int64)
+    fp = sum(bloom_any(b, np.array([v])) for v in others)
+    assert fp < 0.05 * len(others), fp
+    # empties never match
+    assert not bloom_any(build_bloom(np.array([], dtype=np.int64)), vals)
+    assert not bloom_any(b, np.array([], dtype=np.int64))
+
+
+def test_bloom_size_caps():
+    from maps_spark.sources.bloom import BLOOM_MAX_BYTES, bloom_size_bits
+    assert bloom_size_bits(0) == 64
+    assert bloom_size_bits(100) == 1024  # 10 bits/key, 64-aligned
+    assert bloom_size_bits(10**9) == BLOOM_MAX_BYTES * 8  # capped
+
+
+def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path):
+    """End-to-end on the text dedup store: seed a store with one batch
+    and compact it (so L1 + _stats exist), then probe with a batch
+    holding ONE true duplicate. The Bloom gate must (a) return an
+    l1_hits list that still finds the dup — verdicts identical to an
+    ungated probe — and (b) actually prune: l1_hits is a strict
+    subset of the touched sub-buckets for a corpus whose other docs
+    share no band hash."""
+    from maps_spark.sources.bloom import probe_keys
+    from maps_spark.sources.maintenance import compact_dedup_store
+    from maps_spark.streaming.dedup import (_band_table, process_batch,
+                                            read_store_bands)
+    from maps_spark.operators.dedup import minhash_signatures
+    from tests.conftest import SF_SMALL
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+    store = str(tmp_path / "store")
+    seed = docs.where("doc_id % 5 != 0")
+    process_batch(seed, store, batch_id=0)
+    compact_dedup_store(spark, store)
+    assert (tmp_path / "store" / "bands" / "_stats").is_dir()
+
+    # probe batch: fresh docs + ONE byte-identical copy of a stored
+    # doc under a new id (its minhash bands match the store exactly)
+    kept = seed.orderBy("doc_id").limit(1)
+    dup = kept.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      "text")
+    batch = (docs.where("doc_id % 5 = 0").unionByName(dup)
+             .localCheckpoint())
+
+    sigs = minhash_signatures(batch, "text", 64, 3, 42, "fast")
+    batch_bands = _band_table(sigs, 16, 4).localCheckpoint()
+    touched, l1_hits = probe_keys(spark, batch_bands,
+                                  f"{store}/bands/_stats",
+                                  ("band", "bb"), "bh")
+    assert l1_hits is not None
+    assert set(l1_hits) <= set(touched)
+    assert len(l1_hits) < len(touched)  # real pruning happened
+
+    # the gated read still returns every store row the ungated read
+    # would have matched on the batch's (band, bh) keys
+    gated = read_store_bands(spark, store, touched, l1_touched=l1_hits)
+    ungated = read_store_bands(spark, store, touched)
+    keys = batch_bands.select("band", "bh").distinct()
+    a = set(map(tuple, gated.join(keys, ["band", "bh"])
+                .select("band", "bh", "doc_id").collect()))
+    b = set(map(tuple, ungated.join(keys, ["band", "bh"])
+                .select("band", "bh", "doc_id").collect()))
+    assert a == b and len(a) > 0
+
+    # and the full batch body flags the planted dup against the store
+    process_batch(batch, store, batch_id=1)
+    rej = {(r.doc_id, r.dup_of)
+           for r in spark.read.parquet(f"{store}/dupes").collect()}
+    kept_id = kept.collect()[0]["doc_id"]
+    assert (kept_id + 10_000_000, kept_id) in rej
+
+
+def test_probe_keys_without_stats_returns_full_touched(spark, tmp_path):
+    """A store that has never been compacted has no _stats — the gate
+    degrades to (touched, None) and the probe reads every touched
+    directory (the safe fallback)."""
+    from maps_spark.sources.bloom import probe_keys
+    df = spark.range(200).select(
+        (F.col("id") % 16).alias("band"),
+        (F.col("id") % 64).alias("bb"),
+        (F.col("id") * 7 + 1).alias("bh"))
+    touched, l1_hits = probe_keys(spark, df,
+                                  str(tmp_path / "nope" / "_stats"),
+                                  ("band", "bb"), "bh")
+    assert l1_hits is None
+    assert len(touched) == len(set(touched)) > 0

@@ -1189,6 +1189,15 @@ def test_gif_animation_roundtrip_and_first_frame():
     import pytest
     with pytest.raises(ValueError, match="mixed frame shapes"):
         encode_gif_animation([frames[0], frames[0][:5]])
+    # fps contract: GIF delays are whole centiseconds, so fps is an
+    # int in [1, 100] — 0 must raise ValueError (not
+    # ZeroDivisionError) and >100 must raise (not silently clamp to
+    # a 1 cs delay that round-trips as 100)
+    for bad in (0, -5, 101, 1000):
+        with pytest.raises(ValueError, match="fps"):
+            encode_gif_animation(frames, fps=bad)
+    pay100 = encode_gif_animation(frames, fps=100)
+    assert decode_gif_frames(pay100)[1] == 100
 
 
 def test_gif_animation_disposal_model():

@@ -134,6 +134,41 @@ def test_exact_dedup_finds_planted_dupes(spark, docs):
     assert all(r.n_dupes == 2 for r in dupes)
 
 
+def test_lsh_cap_drops_hot_bucket_but_keeps_planted_dups(spark, docs):
+    """The cap_buckets skew guard under an adversarial hot bucket
+    (VERDICT r9 #6): 30% of docs replaced by one byte-identical
+    boilerplate text — every band maps them to ONE bucket, far over
+    the cap — while three planted near-dup pairs live OUTSIDE the hot
+    bucket. The cap must drop the boilerplate bucket's quadratic join
+    (no boilerplate-boilerplate pair in the output) and must NOT cost
+    the planted pairs their recall."""
+    from maps_spark.operators.dedup import minhash_lsh_pairs
+    boiler = " ".join(f"boiler{j % 97}tok" for j in range(60))
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 3, F.lit(boiler))
+        .otherwise(F.col("text")).alias("text"))
+    # planted true dups: byte-identical copies of three NON-boilerplate
+    # docs under fresh ids (identical text => identical signature =>
+    # same bucket in every band)
+    planted = (base.where("doc_id % 10 >= 3")
+               .orderBy("doc_id").limit(3)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = base.unionByName(planted).localCheckpoint()
+    n_boiler = corpus.where(F.col("text") == boiler).count()
+    cap = max(10, n_boiler // 3)  # hot bucket decisively over the cap
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(corpus, max_bucket=cap).collect()}
+    boiler_ids = {r.doc_id for r in
+                  corpus.where(F.col("text") == boiler).collect()}
+    assert not any(a in boiler_ids and b in boiler_ids
+                   for a, b in pairs), "hot bucket joined despite cap"
+    for r in planted.collect():
+        orig = r.doc_id - 100000
+        assert (orig, r.doc_id) in pairs or (r.doc_id, orig) in pairs, \
+            f"planted dup {orig} lost to the cap"
+
+
 def test_ann_ivf_recall(spark, emb):
     from maps_spark.operators.similarity import brute_force_topk, ivf_topk
     queries = emb.where(F.col("vec_id") < 8)

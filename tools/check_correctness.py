@@ -55,6 +55,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    zero_rows: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,6 +82,8 @@ def main() -> int:
         odf.columns = [c.lower() for c in odf.columns]
         h1, h2 = value_hash(sdf), value_hash(odf)
         ok = ok_rows and ok_cols and h1 == h2
+        if ok and len(sdf) == 0:
+            zero_rows.append(name)
         status = "OK " if ok else "FAIL"
         print(f"{name:32s} {status} rows {len(sdf):7d}/{len(odf):7d} "
               f"hash {'=' if h1 == h2 else '!'}  "
@@ -92,6 +95,13 @@ def main() -> int:
                 print(f"   duck  cols: {sorted(odf.columns)}")
             elif ok_rows:
                 _diff(sdf, odf)
+    # a hash-match on an empty result certifies only the negative
+    # path — every gate is expected to exercise real rows (gates with
+    # naturally-empty outputs seed deterministic positives instead,
+    # e.g. dedup_exact)
+    if zero_rows:
+        print(f"\nZERO-ROW PASSES (weak gates): {zero_rows}")
+        failures += len(zero_rows)
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
