@@ -32,6 +32,7 @@ of large views.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -364,7 +365,8 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
                          partitions: int | None = None,
                          persisted_out: list | None = None,
                          min_chunk: int = 512 * 1024,
-                         stage_dir: str | None = None
+                         stage_dir: str | None = None,
+                         rss_log: str | None = None
                          ) -> Iterator[tuple[int, int, DataFrame]]:
     """The span engine behind :func:`pyramid_pixels_spans`: yields one
     ``(z_top, k, levels)`` per span, where ``levels`` is the persisted
@@ -381,7 +383,14 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
     survives executor loss: at 2.5 B-row scale a lost executor costs a
     re-read, not the job. The write is also the span's shuffle barrier,
     so no extra stage is introduced — the cost is one round-trip
-    through the (columnar, compressed) Parquet codec per span."""
+    through the (columnar, compressed) Parquet codec per span.
+
+    ``rss_log`` (diagnostics, used by the bench's scale entries):
+    each Arrow worker appends one ``"<pid> <z_top> <ru_maxrss_kb>"``
+    line per finished partition — the measurement behind the
+    O(groups) worker-memory claim (peak RSS must stay flat as the
+    input replicates 8x -> 16x). Local-filesystem only; leave None in
+    production."""
     spark = keyed.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
     key_dt = keyed.schema["mapKey"].dataType.simpleString()
@@ -484,6 +493,16 @@ def pyramid_span_parents(keyed: DataFrame, srs: str, max_zoom: int,
                        .groupby(gcols, as_index=False, sort=False)
                        .agg(cnt=("cnt", "sum")))
                 yield restore(cur, z_top - j)
+            if rss_log:
+                import resource
+                kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                fd = os.open(rss_log,
+                             os.O_WRONLY | os.O_APPEND | os.O_CREAT,
+                             0o644)
+                try:
+                    os.write(fd, f"{os.getpid()} {z_top} {kb}\n".encode())
+                finally:
+                    os.close(fd)
 
         return run
 
@@ -525,7 +544,8 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
                   buffer: int = T.DEFAULT_BUFFER,
                   strategy: str = "spans_multi",
                   dictionary: bool = False,
-                  stage_dir: str | None = None) -> DataFrame:
+                  stage_dir: str | None = None,
+                  rss_log: str | None = None) -> DataFrame:
     """Full pyramid as one DataFrame of (srs, mapKey, z, x, y, tile).
 
     ``strategy="spans_multi"`` (default) builds all pixel levels with
@@ -567,7 +587,8 @@ def build_pyramid(keyed: DataFrame, srs: str, max_zoom: int,
         rows: DataFrame | None = None
         for z_top, k, levels in pyramid_span_parents(
                 keyed, srs, max_zoom, min_zoom, tile_size=tile_size,
-                persisted_out=persisted, stage_dir=stage_dir):
+                persisted_out=persisted, stage_dir=stage_dir,
+                rss_log=rss_log):
             z_lo = z_top - k
             parts: list[DataFrame] = []
             if z_top >= 2:
