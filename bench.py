@@ -601,6 +601,14 @@ def run() -> None:
             DD.minhash_lsh_pairs(
                 skewed.localCheckpoint(eager=True)).count()
 
+        @timed("dedup_jaccard_prefix")
+        def _10pf():
+            # the LOSSLESS exact-similarity join (PPJoin-style prefix
+            # filtering): same all-pairs answer as brute force, pruned
+            # candidate generation — the exact-dedup scale path when
+            # the df cap's dropped boilerplate pairs matter
+            DD.jaccard_prefix_pairs(docs, threshold=0.25).count()
+
         @timed("ann_topk")
         def _11():
             SIM.brute_force_topk(emb, emb.limit(16), k=10).count()
@@ -915,6 +923,41 @@ def run() -> None:
             SIM.pq_topk(emb, emb.where(F.col("vec_id") < 16),
                         m=8, n_cent=16, iters=2,
                         train_sample=2048).count()
+
+        # --- ANN scale curve (the one family without one): ivfpq at
+        # 16x and 64x replicated embeddings. Each replica jitters
+        # every component deterministically (xxhash64 of id/rep/index
+        # — no RNG), so vectors are distinct but the cluster geometry
+        # is preserved. Train samples stay FIXED (2048) — the
+        # production rule — so the curve isolates the per-vector
+        # costs: assign + PQ-encode + the n_probe/n_clusters pruned
+        # candidate scan, all linear in corpus. wall-per-4x should
+        # stay <= ~4 (read 16x vs 64x off the same run).
+        def _replicate_emb(times):
+            reps = spark.range(times).select(F.col("id").alias("rep"))
+            jit = ((F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"),
+                                      F.lit(7)), F.lit(1000))
+                    .cast("double") - 500.0) / 10000.0)
+            return (emb.select("vec_id", "embedding")
+                    .crossJoin(F.broadcast(reps))
+                    .select((F.col("vec_id") * times + F.col("rep"))
+                            .alias("vec_id"),
+                            F.transform(
+                                "embedding",
+                                lambda x, i: (x + jit * (1.0 + i % 3))
+                                .cast("float")).alias("embedding")))
+
+        @timed("ann_ivfpq_16x", n=2)
+        def _21s16():
+            c = _replicate_emb(16).localCheckpoint(eager=True)
+            SIM.ivfpq_topk(c, emb.where(F.col("vec_id") < 16),
+                           k_results=10).count()
+
+        @timed("ann_ivfpq_64x", n=2)
+        def _21s64():
+            c = _replicate_emb(64).localCheckpoint(eager=True)
+            SIM.ivfpq_topk(c, emb.where(F.col("vec_id") < 16),
+                           k_results=10).count()
 
         @timed("bm25_search")
         def _21b():

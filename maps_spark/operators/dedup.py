@@ -393,6 +393,86 @@ def _shingle_array(text_col: str, k: int):
         .otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def jaccard_prefix_pairs(docs: DataFrame, text_col: str = "text",
+                         shingle_k: int = 3, threshold: float = 0.5,
+                         scale: int = 1_000_000) -> DataFrame:
+    """Exact shingle-set Jaccard pairs via LOSSLESS prefix filtering
+    (the PPJoin family, Xiao et al. "Efficient Similarity Joins for
+    Near Duplicate Detection", WWW'08).
+
+    :func:`ngram_jaccard_pairs` keeps the self-join linear with a
+    hot-shingle df cap — cheap, but it DROPS pairs whose only overlap
+    is boilerplate. This operator prunes without dropping anything:
+    order every doc's shingles by ascending global document frequency
+    (rarest first, ties by shingle), and join only each doc's PREFIX —
+    the first ``sz - minoverlap(sz) + 1`` shingles, where
+    ``minoverlap(sz) = ceil(ts * sz / scale)`` is the smallest
+    intersection any partner at ``jaccard_scaled >= ts`` can have
+    (``inter * scale >= ts * uni >= ts * sz``). Two qualifying sets
+    MUST collide inside their prefixes under a shared total order, so
+    candidate generation is complete; exact verification then
+    recomputes inter/union per candidate. Net effect at corpus scale:
+    the quadratic blowup concentrates in high-df shingles, exactly the
+    ones prefix ordering pushes OUT of the prefixes — candidates
+    shrink by orders of magnitude while the result stays the full
+    exact all-pairs answer (the oracle for this gate is plain
+    all-pairs Jaccard with NO cap).
+
+    Integer-exact end to end: the prefix bound is computed with
+    integer div (no float ceil that could under-shoot and lose a
+    pair), and ``jaccard_scaled`` is the same ``floor(inter * scale /
+    union)`` fold as the rest of the family.
+
+    Output: (doc_a, doc_b, inter, uni, jaccard_scaled), doc_a < doc_b,
+    jaccard_scaled >= threshold * scale.
+    """
+    from pyspark.sql import Window
+    ts = int(threshold * scale)
+    sh = (docs.select("doc_id",
+                      F.explode(F.array_distinct(
+                          _shingle_array(text_col, shingle_k)))
+                      .alias("shingle"))
+          .localCheckpoint())
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (sh.join(df_counts, "shingle")
+              .select("doc_id", "shingle",
+                      F.row_number().over(w).alias("rn"),
+                      F.count("*").over(
+                          Window.partitionBy("doc_id")).alias("sz")))
+    # minoverlap = ceil(ts * sz / scale) via integer div;
+    # prefix keeps rn <= sz - minoverlap + 1
+    prefix_len = (F.col("sz")
+                  - F.expr(f"(CAST({ts} AS BIGINT) * sz "
+                           f"+ {scale - 1}) DIV {scale}") + 1)
+    pre = (ranked.where(F.col("rn") <= prefix_len)
+           .select("doc_id", "shingle"))
+    cand = (pre.alias("a").join(pre.alias("b"), "shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                   "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                   ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("szb"))
+    jac = F.expr(f"CAST(floor(CAST(inter * {scale} AS DOUBLE) / "
+                 f"CAST(sza + szb - inter AS DOUBLE)) AS BIGINT)")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "inter",
+                    (F.col("sza") + F.col("szb") - F.col("inter"))
+                    .alias("uni"), jac.alias("jaccard_scaled"))
+            .where(F.col("jaccard_scaled") >= ts))
+
+
 def dedup_clusters(pairs: DataFrame, max_iters: int = 50,
                    method: str = "auto",
                    driver_threshold: int = 1_000_000) -> DataFrame:

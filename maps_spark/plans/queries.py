@@ -1112,6 +1112,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.25)
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    # lossless prefix-filtered exact similarity join: the oracle is
+    # brute-force all-pairs Jaccard with NO cap, so this gate proves
+    # the pruned candidate generation drops nothing
+    from maps_spark.operators import dedup as DD
+    return DD.jaccard_prefix_pairs(_docs(spark, sf_dir), threshold=0.25)
+
+
 def q_quality_ensemble(spark, sf_dir):
     from maps_spark.operators.text import quality_ensemble, text_features
     docs = _docs(spark, sf_dir)
@@ -1810,6 +1818,7 @@ MAPS_QUERIES = {
     "token_count_bpe": q_token_count,
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "jaccard_prefix_pairs": q_jaccard_prefix,
     "ann_topk": q_ann_topk,
     "minhash_lsh_pairs": q_minhash_lsh,
     "minhash_verify": q_minhash_verify,
@@ -2166,6 +2175,7 @@ FROM conv JOIN touch ON user_id = t_user
         "token_count_bpe": OT.token_count_select(),
         "quality_score": OT.quality_score_select(),
         "ngram_jaccard_pairs": OT.ngram_jaccard_select(threshold=0.25),
+        "jaccard_prefix_pairs": OT.jaccard_prefix_select(threshold=0.25),
         "ann_topk": OT.ann_topk_select(k=10, n_queries=16),
         "minhash_lsh_pairs": OT.minhash_lsh_select(),
         "minhash_verify": OT.minhash_verify_select(threshold=0.25),

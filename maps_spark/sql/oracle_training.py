@@ -211,6 +211,39 @@ WHERE CAST(floor(CAST(inter * {scale} AS DOUBLE) /
       >= {int(threshold * scale)}"""
 
 
+def jaccard_prefix_select(shingle_k: int = 3, threshold: float = 0.25,
+                          scale: int = 1_000_000) -> str:
+    """Oracle for the prefix-filtered exact similarity join: plain
+    all-pairs shingle Jaccard with NO cap and NO pruning — prefix
+    filtering is lossless, so the engine's pruned plan must reproduce
+    the brute-force answer bit for bit."""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 1)))
+                 AS i
+        FROM toks) s),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       sa.sz + sb.sz - inter AS uni,
+       CAST(floor(CAST(inter * {scale} AS DOUBLE) /
+                  CAST(sa.sz + sb.sz - inter AS DOUBLE)) AS BIGINT)
+         AS jaccard_scaled
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(CAST(inter * {scale} AS DOUBLE) /
+                 CAST(sa.sz + sb.sz - inter AS DOUBLE)) AS BIGINT)
+      >= {int(threshold * scale)}"""
+
+
 def dedup_clusters_select(shingle_k: int = 3, threshold: float = 0.25,
                           scale: int = 1_000_000,
                           max_df: int = 1000) -> str:

@@ -76,6 +76,45 @@ def test_minhash_estimates_jaccard(spark, docs):
             assert abs(est[p] - j) < 0.35  # signature estimate sanity
 
 
+def test_jaccard_prefix_equals_all_pairs(spark, docs):
+    # prefix filtering is LOSSLESS: the pruned plan must reproduce the
+    # brute-force all-pairs result exactly (ngram_jaccard_pairs with an
+    # effectively-infinite df cap IS that brute force)
+    from maps_spark.operators.dedup import (jaccard_prefix_pairs,
+                                            ngram_jaccard_pairs)
+    brute = {(r.doc_a, r.doc_b): (r.inter, r.uni, r.jaccard_scaled)
+             for r in ngram_jaccard_pairs(
+                 docs, threshold=0.2, max_df=10**9).collect()}
+    pruned = {(r.doc_a, r.doc_b): (r.inter, r.uni, r.jaccard_scaled)
+              for r in jaccard_prefix_pairs(
+                  docs, threshold=0.2).collect()}
+    assert pruned == brute
+    assert brute  # the corpus must actually produce pairs at 0.2
+
+
+def test_jaccard_prefix_planted_boilerplate_pair(spark):
+    # a pair whose ONLY overlap is a boilerplate shingle shared by the
+    # whole corpus: the df-capped variant drops it by design; the
+    # prefix-filtered variant must keep it (lossless)
+    from maps_spark.operators.dedup import (jaccard_prefix_pairs,
+                                            ngram_jaccard_pairs)
+    boiler = "all rights reserved to the original publisher site"
+    rows = [(i, f"alpha{i} beta{i} gamma{i} {boiler}")
+            for i in range(40)]
+    # the planted pair's true Jaccard is 0.9, but most of that overlap
+    # IS the boilerplate: with the hot shingles df-capped away it
+    # drops to 0.75 and vanishes below the 0.8 threshold
+    rows.append((100, f"promo sale today {boiler}"))
+    rows.append((101, f"promo sale today {boiler} extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = {(r.doc_a, r.doc_b): r.jaccard_scaled
+              for r in jaccard_prefix_pairs(docs, threshold=0.8)
+              .collect()}
+    assert pruned == {(100, 101): 900_000}
+    capped = ngram_jaccard_pairs(docs, threshold=0.8, max_df=10).count()
+    assert capped == 0  # the df cap loses the boilerplate-heavy pair
+
+
 def test_simhash_identical_docs_collide(spark, docs):
     from maps_spark.operators.dedup import simhash
     two = docs.limit(1)
