@@ -1144,6 +1144,7 @@ def run() -> None:
         refresh_land = _tf.mkdtemp(prefix="bench_refresh_land_")
         dedup_land = _tf.mkdtemp(prefix="bench_dedup_land_")
         dedup_land8 = _tf.mkdtemp(prefix="bench_dedup_land8_")
+        dedup_land16 = _tf.mkdtemp(prefix="bench_dedup_land16_")
         try:
             (spark.read.parquet(f"{SF_DIR}/events.parquet")
              .repartition(16)
@@ -1235,6 +1236,40 @@ def run() -> None:
                                ignore_errors=True)
                     _sh.rmtree(dedup_land8, ignore_errors=True)
 
+            # the LSM write-cost curve: 16 batches with compact-every-2
+            # is SEVEN compactions over a store that grows every fold.
+            # The pre-r10 design rewrote the whole band L1 per fold
+            # (O(store): per-fold cost grows linearly with fold index,
+            # quadratic lifetime writes); the size-tiered segment fold
+            # is O(delta) with occasional tier merges, so the
+            # per-compaction marker rows in segment_profile ("compact")
+            # must stay FLAT apart from the bounded merge spikes.
+            if not only or "streaming_dedup_16batches_c2" in only:
+                (docs.select("doc_id", "text")
+                 .where(F.col("doc_id") % 5 < 2).repartition(16)
+                 .write.mode("overwrite").parquet(dedup_land16))
+
+            @timed("streaming_dedup_16batches_c2", n=1)
+            def _26b():
+                from maps_spark.streaming.dedup import \
+                    run_incremental_dedup
+                store = _tf.mkdtemp(prefix="bench_dedup16_") + "/store"
+                prof = []
+                try:
+                    q = run_incremental_dedup(spark, dedup_land16,
+                                              store,
+                                              max_files_per_trigger=1,
+                                              compact_every=2,
+                                              profile=prof)
+                    q.awaitTermination(900)
+                    record_batches("streaming_dedup_16batches_c2", q)
+                    profile_lists.setdefault(
+                        "streaming_dedup_16batches_c2", []).append(prof)
+                finally:
+                    _sh.rmtree(os.path.dirname(store),
+                               ignore_errors=True)
+                    _sh.rmtree(dedup_land16, ignore_errors=True)
+
             @timed("streaming_dedup_small_batches", n=1)
             def _26c():
                 # the O(touched-buckets) claim for SMALL batches (the
@@ -1275,6 +1310,7 @@ def run() -> None:
             _sh.rmtree(refresh_land, ignore_errors=True)
             _sh.rmtree(dedup_land, ignore_errors=True)
             _sh.rmtree(dedup_land8, ignore_errors=True)
+            _sh.rmtree(dedup_land16, ignore_errors=True)
     except ImportError:
         pass
 

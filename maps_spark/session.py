@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
                 "4096")
         .config("spark.sql.files.maxRecordsPerFile", "10000000")
+        # Task-side output commit (v2): partitioned writes (the band
+        # index's ~1024 hive dirs per segment) finalize in parallel
+        # across tasks instead of one driver-side merge per partition
+        # dir at job commit. Safe for every writer in this repo: the
+        # stores publish through staging dirs that are validated then
+        # renamed (or manifest-swapped) — nothing relies on job-commit
+        # atomicity, so v2's weaker failure story costs nothing.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

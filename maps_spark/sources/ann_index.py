@@ -95,9 +95,14 @@ def query_ivf_index(spark: SparkSession, root: str, queries: DataFrame,
                      qb.select("cluster").distinct().collect()})
     # partition-pruned scan: only the probed cluster directories load
     cb = (spark.read.parquet(f"{root}/vectors")
-          .where(F.col("cluster").isin(probed))
-          .select("cluster", F.col("vec_id").alias("neighbor_id"),
-                  F.col("embedding").alias("cvec")))
+          .where(F.col("cluster").isin(probed)))
+    tomb = _vec_tombstones(spark, root)
+    if tomb is not None:
+        # retraction filter BEFORE ranking: a retracted neighbor
+        # frees its top-k slot instead of leaving a hole
+        cb = cb.join(tomb, "vec_id", "left_anti")
+    cb = cb.select("cluster", F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cvec"))
     scored = (cb.join(F.broadcast(qb), "cluster")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
@@ -157,6 +162,65 @@ def upsert_ivf_index(emb_new: DataFrame, root: str,
     return {"appended": int(n_fresh),
             "skipped_existing": int(assigned.count() - n_fresh),
             "clusters": [int(c) for c in touched]}
+
+
+def _vec_tombstones(spark: SparkSession, root: str) -> DataFrame | None:
+    import os
+    p = f"{root.rstrip('/')}/tombstones"
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("vec_id").distinct()
+
+
+def retract_vectors(spark: SparkSession, root: str, vec_ids) -> dict:
+    """Retract vectors from the served index (the delete half of the
+    delete+compact split :func:`upsert_ivf_index` defers to): append
+    the ids to ``root/tombstones``. Serving is correct immediately —
+    both query paths anti-join the set BEFORE ranking, so a retracted
+    neighbor frees its top-k slot instead of leaving a hole — and
+    :func:`purge_ann_tombstones` makes the deletion physical. A
+    retracted id stays dead to upserts until the purge (the
+    existing-id skip still sees its stored row); re-adding means
+    purge first or use a new id."""
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long")
+    n = vec_ids.count()
+    (vec_ids.select("vec_id").coalesce(1)
+     .write.mode("append").parquet(f"{root.rstrip('/')}/tombstones"))
+    return {"retracted": int(n)}
+
+
+def purge_ann_tombstones(spark: SparkSession, root: str,
+                         target_file_bytes: int = 128 * 1024 * 1024
+                         ) -> dict | None:
+    """Physically drop retracted vectors: filtered rewrite of the
+    cluster-partitioned vectors table and the flat pq_codes
+    (:func:`maps_spark.sources.maintenance.purge_rows`), then clear
+    the tombstone set. Idempotent on replay (tombstones are cleared
+    last). O(index) — run on takedown cadence, not per batch."""
+    import os
+    import shutil
+    from maps_spark.sources.maintenance import purge_rows
+    tpath = f"{root.rstrip('/')}/tombstones"
+    if not os.path.isdir(tpath):
+        return None
+    ids = (spark.read.parquet(tpath)
+           .select("vec_id").distinct().localCheckpoint())
+    out: dict = {"tombstones": ids.count()}
+    vec = f"{root.rstrip('/')}/vectors"
+    if os.path.isdir(vec):
+        out["vectors"] = purge_rows(spark, vec, ids, "vec_id",
+                                    partition_by=("cluster",),
+                                    sort_within=("vec_id",),
+                                    target_file_bytes=target_file_bytes)
+    pq = f"{root.rstrip('/')}/pq_codes"
+    if os.path.isdir(pq):
+        out["pq_codes"] = purge_rows(spark, pq, ids, "vec_id",
+                                     sort_within=("vec_id",),
+                                     target_file_bytes=target_file_bytes)
+    shutil.rmtree(tpath)
+    return out
 
 
 # -- PQ index: compressed codes beside the IVF partitions ----------------
@@ -229,9 +293,12 @@ def query_pq_index(spark: SparkSession, root: str, queries: DataFrame,
     books = load_pq_codebooks(spark, root)
     lut = pq_query_lut(queries, books, id_col, vec_col,
                        scale=int(manifest.get("pq_scale", 1_000_000)))
-    codes = (spark.read.parquet(f"{root}/pq_codes")
-             .select("vec_id", F.posexplode("codes")
-                     .alias("subspace", "code")))
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    tomb = _vec_tombstones(spark, root)
+    if tomb is not None:
+        codes = codes.join(tomb, "vec_id", "left_anti")
+    codes = codes.select("vec_id", F.posexplode("codes")
+                         .alias("subspace", "code"))
     return adc_topk(codes, lut, k_results)
 
 

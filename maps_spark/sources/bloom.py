@@ -8,24 +8,26 @@ all ``bands x BAND_SUBBUCKETS`` directories even though only the
 handful holding a band-hash the batch actually carries can ever
 produce a candidate (the bucket key space is 2^31; random collisions
 are ~0, so a sub-bucket matters only if it holds a TRUE dup's bucket
-key). This module stores, next to each compacted L1 level, one small
+key). This module stores, inside each compacted L1 segment, one small
 Bloom filter per sub-bucket over the bucket-key values present there;
-the probe tests the batch's keys against the filters and reads only
-the sub-buckets with a possible hit.
+the probe tests the batch's keys against every segment's filters in
+one pass and reads, per segment, only the sub-buckets with a possible
+hit in THAT segment — an old large segment rarely admits a fresh
+batch's keys, so size-tiered L1 growth does not grow the probe.
 
 Correctness contract: Bloom filters admit false POSITIVES only — a
 false positive reads one sub-bucket unnecessarily; a false negative
 would silently drop a duplicate, so the filter must cover every value
 in the level it describes. That is guaranteed structurally:
 
-- the stats are built from the exact staged bytes of a compaction
-  rewrite and written INSIDE the staging directory (``_stats/`` —
+- the stats are built from the exact staged bytes of a segment
+  publish and written INSIDE the staging directory (``_stats/`` —
   the leading underscore hides it from parquet readers of the data),
-  so the two-rename swap publishes data and stats atomically together
-  and :func:`~maps_spark.sources.maintenance.recover_compaction`
-  restores them together;
-- L1 is immutable between compactions (appends land in L0, which the
-  probe reads whole and never prunes by stats);
+  so the segment rename publishes data and stats atomically together
+  and :func:`~maps_spark.sources.maintenance.recover_segments`
+  drops them together;
+- segments are immutable once published (appends land in L0, which
+  the probe reads whole and never prunes by stats);
 - a store whose L1 has no ``_stats`` (never compacted, or compacted
   by an older writer) simply skips pruning — the probe falls back to
   reading every touched directory, which is the pre-stats behavior.
@@ -103,12 +105,19 @@ def bloom_any(bloom: bytes, values: np.ndarray) -> bool:
 
 
 def write_stats(df: DataFrame, out_dir: str, keys: tuple[str, str],
-                value_col: str) -> None:
+                value_col: str) -> int:
     """Build one Bloom row per (k1, k2) sub-bucket of ``df`` and write
     the stats table to ``out_dir`` (callers pass the staging
-    directory's ``_stats`` path so the compaction swap publishes data
-    and stats atomically)."""
+    directory's ``_stats`` path so the segment rename publishes data
+    and stats atomically). Returns the TOTAL row count covered (sum
+    of per-sub-bucket ``n``, read back from the tiny written table
+    driver-side) — the segment publish uses it as the validation
+    count, so stats and validation share one scan of the staged
+    bytes."""
+    import glob
+
     import pandas as pd
+    import pyarrow.parquet as pq
     k1, k2 = keys
     schema = f"{k1} long, {k2} long, n long, bloom binary"
 
@@ -122,6 +131,11 @@ def write_stats(df: DataFrame, out_dir: str, keys: tuple[str, str],
     (df.select(k1, k2, value_col).groupBy(k1, k2)
      .applyInPandas(_build, schema)
      .repartition(1).write.mode("overwrite").parquet(out_dir))
+    total = 0
+    for f in glob.glob(f"{out_dir}/*.parquet"):
+        t = pq.read_table(f, columns=["n"])
+        total += sum(t["n"].to_pylist())
+    return int(total)
 
 
 def load_blooms(stats_dir: str) -> dict[tuple[int, int], bytes] | None:
@@ -151,57 +165,75 @@ def load_blooms(stats_dir: str) -> dict[tuple[int, int], bytes] | None:
 
 
 def probe_keys(spark: SparkSession, batch_bands: DataFrame,
-               stats_dir: str, keys: tuple[str, str], value_col: str
+               stats_dirs: list[str] | str,
+               keys: tuple[str, str], value_col: str
                ) -> tuple[list[tuple[int, int]],
-                          list[tuple[int, int]] | None]:
+                          list[list[tuple[int, int]] | None]]:
     """One pass over the batch's band table returning
-    ``(touched, l1_hits)``:
+    ``(touched, seg_hits)``:
 
     - ``touched`` — every distinct (k1, k2) sub-bucket the batch
       probes (what the L0 row filter and the O(batch) contract
       assert on);
-    - ``l1_hits`` — the subset whose compacted-L1 Bloom filter admits
-      at least one of the batch's ``value_col`` keys (what the L1
-      directory read is pruned to), or None when the store has no
-      stats.
+    - ``seg_hits`` — one entry per ``stats_dirs`` element (the L1
+      segments, manifest order): the subset of ``touched`` whose
+      Bloom filter in THAT segment admits at least one of the batch's
+      ``value_col`` keys (what the segment's directory read is pruned
+      to), or None for a segment with no stats (the caller falls back
+      to reading its full touched set — the safe pre-stats behavior).
+
+    Per-segment gating matters once L1 is a size-tiered segment list:
+    an old large segment rarely admits a fresh batch's keys, so it is
+    usually skipped entirely even though a young segment hits.
 
     This REPLACES the plain ``distinct().collect()`` the probe used
     for ``touched`` — same single job, no extra shuffle: a
     ``mapInPandas`` pass dedups per partition and tests every batch
-    key against the broadcast filters, and the driver unions the
-    per-partition sets (bounded by fan-out x partitions). Bloom false
-    positives only cost an extra directory read; false negatives
-    cannot occur because every batch key is tested against filters
-    that cover every L1 row."""
+    key against the broadcast filters (hit set encoded as a per-key
+    segment bitmask), and the driver unions the per-partition sets
+    (bounded by fan-out x partitions). Bloom false positives only
+    cost an extra directory read; false negatives cannot occur
+    because every segment's filters cover every row of that
+    segment."""
     import pandas as pd
+    if isinstance(stats_dirs, str):
+        stats_dirs = [stats_dirs]
     k1, k2 = keys
-    blooms = load_blooms(stats_dir)
+    blooms = [load_blooms(d) for d in stats_dirs]
     bc = spark.sparkContext.broadcast(blooms)
 
     def _scan(batches):
-        seen: set[tuple[int, int]] = set()
-        hits: set[tuple[int, int]] = set()
-        bl = bc.value
+        masks: dict[tuple[int, int], int] = {}
+        with_stats = sum(1 << i for i, bl in enumerate(bc.value)
+                         if bl is not None)
         for pdf in batches:
             for (a, b), grp in pdf.groupby([k1, k2]):
                 key = (int(a), int(b))
-                seen.add(key)
-                if bl is not None and key not in hits:
-                    filt = bl.get(key)
-                    if filt is not None and bloom_any(
-                            filt, grp[value_col].to_numpy(
-                                dtype=np.int64)):
-                        hits.add(key)
-        items = list(seen)
-        yield pd.DataFrame({k1: [a for a, _ in items],
-                            k2: [b for _, b in items],
-                            "hit": [k in hits for k in items]})
+                mask = masks.get(key, 0)
+                if (mask & with_stats) != with_stats:
+                    vals = grp[value_col].to_numpy(dtype=np.int64)
+                    for i, bl in enumerate(bc.value):
+                        if bl is None or mask >> i & 1:
+                            continue
+                        filt = bl.get(key)
+                        if filt is not None and bloom_any(filt, vals):
+                            mask |= 1 << i
+                masks[key] = mask
+        items = list(masks.items())
+        yield pd.DataFrame({k1: [a for (a, _), _m in items],
+                            k2: [b for (_, b), _m in items],
+                            "mask": [m for _k, m in items]})
 
     rows = (batch_bands.select(k1, k2, value_col)
-            .mapInPandas(_scan, f"{k1} long, {k2} long, hit boolean")
+            .mapInPandas(_scan, f"{k1} long, {k2} long, mask long")
             .collect())
-    touched = sorted({(r[k1], r[k2]) for r in rows})
-    if blooms is None:
-        return touched, None
-    l1_hits = sorted({(r[k1], r[k2]) for r in rows if r["hit"]})
-    return touched, l1_hits
+    merged: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (r[k1], r[k2])
+        merged[key] = merged.get(key, 0) | r["mask"]
+    touched = sorted(merged)
+    seg_hits: list[list[tuple[int, int]] | None] = [
+        None if bl is None
+        else sorted(k for k, m in merged.items() if m >> i & 1)
+        for i, bl in enumerate(blooms)]
+    return touched, seg_hits

@@ -16,13 +16,18 @@ proportional to the batch:
   the batch probes. Every batch touches all ``band`` values, so the
   sub-bucket ``bb`` is what makes the probe read O(batch): only the
   batch's touched ``(band, bb)`` directories are opened, never the
-  whole accumulated index. The index is two-level (LSM-style):
+  whole accumulated index. The index is a size-tiered LSM:
   per-batch appends land in ``store/bands_l0`` (plain parquet — ONE
   output commit per batch; a partitioned append would pay one commit
   per touched directory, ~bands x sub-buckets renames per batch, the
   measured 90%+ of the append segment), and the periodic compaction
-  folds L0 into the path-pruned L1. Probes read pruned-L1 plus the
-  small L0 (bounded by the compaction cadence);
+  folds L0 into a NEW immutable hive-partitioned L1 segment — O(L0),
+  never rewriting the accumulated store — merging same-size-tier
+  segments only when a tier over-fills, so per-byte lifetime write
+  cost is O(log store) (:func:`maps_spark.sources.maintenance.
+  fold_l0_segments`). Probes read the per-segment Bloom-gated,
+  path-pruned segments plus the small L0 (bounded by the compaction
+  cadence);
 - ``store/hashes`` (doc_id, text_hash)      — exact-dup fast path; also
   the safety net for boilerplate buckets the LSH cap drops (identical
   docs in an over-full band bucket would otherwise go unflagged);
@@ -123,53 +128,69 @@ def run_file_stream(spark: SparkSession, input_path: str, marker: str,
 def read_two_level(spark: SparkSession, l1_root: str, l0_root: str,
                    touched: list[tuple[int, int]] | None,
                    keys: tuple[str, str],
-                   l1_touched: list[tuple[int, int]] | None = None
-                   ) -> DataFrame | None:
-    """Read a two-level (path-pruned hive L1 + unpartitioned L0
+                   seg_hits: list[list[tuple[int, int]] | None] |
+                   None = None) -> DataFrame | None:
+    """Read a two-level (size-tiered segmented L1 + unpartitioned L0
     append level) band index, pruned to the touched key pairs —
     shared by the text and image dedup stores.
 
-    L1 pruning is by explicit directory path (the touched set is
+    The L1 level is a manifest-published list of immutable
+    hive-partitioned segment directories
+    (:func:`maps_spark.sources.maintenance.fold_l0_segments`); each
+    is pruned by explicit directory path (the touched set is
     driver-side and bounded by the key fan-out), so a small batch
-    opens only its own sub-bucket files; ``l1_touched``, when the
+    opens only its own sub-bucket files. ``seg_hits``, when the
     caller computed the Bloom-stats gate
-    (:func:`maps_spark.sources.bloom.probe_keys`), narrows the L1
-    read further to the sub-buckets whose filters admit at least one
-    batch key — the gate that keeps a LARGE batch's probe
-    proportional to its possible matches instead of the sub-bucket
-    fan-out. Bloom false positives only cost an extra directory
-    read; false negatives cannot occur (the stats cover every L1 row
-    by construction). The L0 level has no directory structure; it is
+    (:func:`maps_spark.sources.bloom.probe_keys`), narrows each
+    segment's read further to the sub-buckets whose filters in THAT
+    segment admit at least one batch key — the gate that keeps a
+    LARGE batch's probe proportional to its possible matches instead
+    of segments x sub-bucket fan-out. Bloom false positives only
+    cost an extra directory read; false negatives cannot occur (each
+    segment's stats cover every row of that segment by
+    construction). The L0 level has no directory structure; it is
     opened whole (it holds at most ``compact_every`` batches of
     appends — O(batch), not O(store)) and row-filtered to the FULL
     touched pairs, with files sorted by (key1, value) so row-group
     stats prune too — L0 is never Bloom-pruned. ``touched=None``
     reads everything (maintenance path)."""
+    from maps_spark.sources.maintenance import list_segments
     k1, k2 = keys
-    if l1_touched is None:
-        l1_touched = touched
-    l1 = read_partitioned_subset(spark, l1_root, l1_touched, keys)
+    parts: list[DataFrame] = []
+    for i, seg in enumerate(list_segments(l1_root)):
+        t = touched
+        if touched is not None and seg_hits is not None \
+                and i < len(seg_hits) and seg_hits[i] is not None:
+            t = seg_hits[i]
+        sub = read_partitioned_subset(spark, seg, t, keys)
+        if sub is not None:
+            parts.append(sub)
     l0 = _try_read(spark, l0_root)
     if l0 is not None and touched is not None:
         lin = [a * BAND_SUBBUCKETS + b for a, b in touched]
         l0 = l0.where((F.col(k1) * BAND_SUBBUCKETS
                        + F.col(k2)).isin(lin))
-    if l1 is None or l0 is None:
-        return l0 if l1 is None else l1
-    cols = sorted(l0.columns)
-    return l1.select(*cols).unionByName(l0.select(*cols))
+    if l0 is not None:
+        parts.append(l0)
+    if not parts:
+        return None
+    cols = sorted(parts[0].columns)
+    out = parts[0].select(*cols)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*cols))
+    return out
 
 
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None,
-                     l1_touched: list[tuple[int, int]] | None = None
-                     ) -> DataFrame | None:
+                     seg_hits: list[list[tuple[int, int]] | None] |
+                     None = None) -> DataFrame | None:
     """Text dedup band index through the shared two-level reader;
-    ``l1_touched`` (from the Bloom-stats gate) narrows the compacted
-    L1 read."""
+    ``seg_hits`` (from the per-segment Bloom-stats gate) narrows
+    each compacted L1 segment's read."""
     return read_two_level(spark, f"{store_dir}/bands",
                           f"{store_dir}/bands_l0", touched,
-                          ("band", "bb"), l1_touched=l1_touched)
+                          ("band", "bb"), seg_hits=seg_hits)
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
@@ -214,7 +235,15 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     exact_within = (hashes.join(canon, "text_hash")
                     .where(F.col("doc_id") != F.col("canon_id"))
                     .select("doc_id", F.col("canon_id").alias("dup_of")))
+    # retraction is merge-on-read: a tombstoned doc must stop matching
+    # NOW, not at the next purge (purge_dedup_tombstones makes it
+    # physical). The set is tiny relative to the store and Spark
+    # broadcasts the anti-join side
+    tomb = _tombstones(spark, store_dir)
     store_hashes = _try_read(spark, f"{store_dir}/hashes")
+    if store_hashes is not None and tomb is not None:
+        store_hashes = store_hashes.join(
+            tomb.select("doc_id").distinct(), "doc_id", "left_anti")
     exact_cross = (
         hashes.join(store_hashes.withColumnRenamed("doc_id", "dup_of"),
                     "text_hash")
@@ -231,9 +260,11 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
     from maps_spark.sources.bloom import probe_keys
-    touched, l1_hits = probe_keys(spark, batch_bands,
-                                  f"{store_dir}/bands/_stats",
-                                  ("band", "bb"), "bh")
+    from maps_spark.sources.maintenance import list_segments
+    segs = list_segments(f"{store_dir}/bands")
+    touched, seg_hits = probe_keys(spark, batch_bands,
+                                   [f"{s}/_stats" for s in segs],
+                                   ("band", "bb"), "bh")
     _t_touch = _time.time()
     # the driver-side touched list is bounded by construction
     # (band in [0, bands), bb = bh mod BAND_SUBBUCKETS) — assert the
@@ -241,9 +272,12 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     assert len(touched) <= bands * BAND_SUBBUCKETS, (
         len(touched), bands, BAND_SUBBUCKETS)
     store_bands = read_store_bands(spark, store_dir, touched,
-                                   l1_touched=l1_hits)
+                                   seg_hits=seg_hits)
     _t_read = _time.time()
     all_sigs = sigs
+    if store_bands is not None and tomb is not None:
+        store_bands = store_bands.join(
+            tomb.select("doc_id").distinct(), "doc_id", "left_anti")
     if store_bands is not None:
         store_bands = cap_buckets(store_bands, ["band", "bh"], max_bucket)
         cross = (batch_bands.join(
@@ -299,7 +333,8 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     # (band, bb) directory — up to bands x SUBBUCKETS (~1024) commits
     # per batch, the measured 90%+ of the append segment. L0 is ONE
     # commit of a couple of (band, bh)-sorted files; the compaction
-    # cadence folds it into the path-pruned L1 (maintenance.fold_l0)
+    # cadence folds it into a new path-pruned L1 segment
+    # (maintenance.fold_l0_segments)
     (batch_bands.join(novel_ids, "doc_id", "left_semi")
      .repartition(2).sortWithinPartitions("band", "bh")
      .write.mode("append").parquet(f"{store_dir}/bands_l0"))
@@ -318,9 +353,43 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                         "append": round(_t3 - _t2, 3), **seg})
 
 
+def _tombstones(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    return _try_read(spark, f"{store_dir}/tombstones")
+
+
+def retract_docs(spark: SparkSession, store_dir: str, doc_ids) -> dict:
+    """Retract canonical documents (takedown / license retraction —
+    at 100 TB a first-class operation, not an afterthought): append
+    the ids to ``store/tombstones``. Effect is immediate by
+    merge-on-read — every probe anti-joins the tombstone set, so a
+    retracted doc stops blocking new submissions at the next batch —
+    and physical by the next :func:`purge_dedup_tombstones` (the
+    major-compaction half). The rejection LOG is history and is kept:
+    verdicts already issued against the doc stay queryable.
+
+    ``doc_ids``: iterable of ids or a DataFrame with ``doc_id``.
+    Re-submitting a retracted id is undefined (tombstones hide the id
+    wholesale until the purge) — incremental curation assigns new ids
+    to new content versions, per the resubmit contract in
+    :func:`process_batch`. Idempotent: retracting twice appends a
+    duplicate tombstone row, which every consumer ``distinct()``s."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long")
+    n = doc_ids.count()
+    (doc_ids.select("doc_id").coalesce(1)
+     .write.mode("append").parquet(f"{store_dir}/tombstones"))
+    return {"retracted": int(n)}
+
+
 def accepted_ids(spark: SparkSession, store_dir: str) -> DataFrame:
-    """doc_ids currently accepted as canonical."""
-    return spark.read.parquet(f"{store_dir}/sigs").select("doc_id")
+    """doc_ids currently accepted as canonical (minus retractions)."""
+    acc = spark.read.parquet(f"{store_dir}/sigs").select("doc_id")
+    tomb = _tombstones(acc.sparkSession, store_dir)
+    if tomb is not None:
+        acc = acc.join(tomb.select("doc_id").distinct(), "doc_id",
+                       "left_anti")
+    return acc
 
 
 def rejected(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -364,11 +433,29 @@ def run_incremental_dedup(spark: SparkSession, input_path: str,
         quarantine_gate(df, expectations, store_dir, bid)
         if compact_every:
             from maps_spark.sources.maintenance import (
-                compact_dedup_store, recover_compaction)
+                compact_dedup_store, recover_compaction,
+                recover_segments)
             for sub in SIG_DIRS:
                 recover_compaction(f"{store_dir}/{sub}")
+            recover_segments(f"{store_dir}/bands")
             if state["n"] and state["n"] % compact_every == 0:
-                compact_dedup_store(spark, store_dir)
+                import time as _time
+                _c0 = _time.time()
+                res = compact_dedup_store(spark, store_dir)
+                prof = kwargs.get("profile")
+                if prof is not None:
+                    # one marker row per compaction, interleaved with
+                    # process_batch's per-batch rows — the evidence
+                    # that per-fold cost stays FLAT as the store
+                    # grows (the size-tiered LSM claim): only a tier
+                    # merge, not every fold, touches old segments
+                    b = res.get("bands") or {}
+                    prof.append({
+                        "batch_id": bid,
+                        "compact": round(_time.time() - _c0, 3),
+                        "segments": b.get("segments"),
+                        "merged": sum(m.get("merged", 0)
+                                      for m in b.get("merges", []))})
         process_batch(df, store_dir, bid, **kwargs)
         state["n"] += 1
 

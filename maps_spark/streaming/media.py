@@ -59,15 +59,15 @@ def dhash_band_rows(h: DataFrame, id_col: str = "media_id",
 
 def read_store_bands(spark: SparkSession, store_dir: str,
                      touched: list[tuple[int, int]] | None = None,
-                     l1_touched: list[tuple[int, int]] | None = None
-                     ) -> DataFrame | None:
+                     seg_hits: list[list[tuple[int, int]] | None] |
+                     None = None) -> DataFrame | None:
     """dHash band index through the shared two-level reader
-    (image key-column names); ``l1_touched`` (from the Bloom-stats
-    gate) narrows the compacted L1 read."""
+    (image key-column names); ``seg_hits`` (from the per-segment
+    Bloom-stats gate) narrows each compacted L1 segment's read."""
     from maps_spark.streaming.dedup import read_two_level
     return read_two_level(spark, f"{store_dir}/bands",
                           f"{store_dir}/bands_l0", touched,
-                          ("bidx", "bb"), l1_touched=l1_touched)
+                          ("bidx", "bb"), seg_hits=seg_hits)
 
 
 def _hamming(hi_a, lo_a, hi_b, lo_b) -> F.Column:
@@ -93,11 +93,13 @@ def process_media_batch(media: DataFrame, store_dir: str,
             .select(F.col("a.media_id").alias("media_id"),
                     F.col("b.media_id").alias("dup_of")))
     from maps_spark.sources.bloom import probe_keys
-    touched, l1_hits = probe_keys(spark, batch_bands,
-                                  f"{store_dir}/bands/_stats",
-                                  ("bidx", "bb"), "bval")
+    from maps_spark.sources.maintenance import list_segments
+    segs = list_segments(f"{store_dir}/bands")
+    touched, seg_hits = probe_keys(spark, batch_bands,
+                                   [f"{s}/_stats" for s in segs],
+                                   ("bidx", "bb"), "bval")
     store_bands = read_store_bands(spark, store_dir, touched,
-                                   l1_touched=l1_hits)
+                                   seg_hits=seg_hits)
     all_hashes = h
     if store_bands is not None:
         store_bands = cap_buckets(store_bands, ["bidx", "bval"],
@@ -180,9 +182,11 @@ def run_incremental_image_dedup(spark: SparkSession, input_path: str,
         quarantine_gate(df, expectations, store_dir, bid)
         if compact_every:
             from maps_spark.sources.maintenance import (
-                compact_media_store, recover_compaction)
+                compact_media_store, recover_compaction,
+                recover_segments)
             for sub in MEDIA_SIG_DIRS:
                 recover_compaction(f"{store_dir}/{sub}")
+            recover_segments(f"{store_dir}/bands")
             if state["n"] and state["n"] % compact_every == 0:
                 compact_media_store(spark, store_dir)
         process_media_batch(df, store_dir, bid, **kwargs)

@@ -46,13 +46,14 @@ def test_bloom_size_caps():
 def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path):
     """End-to-end on the text dedup store: seed a store with one batch
     and compact it (so L1 + _stats exist), then probe with a batch
-    holding ONE true duplicate. The Bloom gate must (a) return an
-    l1_hits list that still finds the dup — verdicts identical to an
-    ungated probe — and (b) actually prune: l1_hits is a strict
-    subset of the touched sub-buckets for a corpus whose other docs
-    share no band hash."""
+    holding ONE true duplicate. The Bloom gate must (a) return a
+    seg_hits list that still finds the dup — verdicts identical to an
+    ungated probe — and (b) actually prune: the segment's hits are a
+    strict subset of the touched sub-buckets for a corpus whose other
+    docs share no band hash."""
     from maps_spark.sources.bloom import probe_keys
-    from maps_spark.sources.maintenance import compact_dedup_store
+    from maps_spark.sources.maintenance import (compact_dedup_store,
+                                                list_segments)
     from maps_spark.streaming.dedup import (_band_table, process_batch,
                                             read_store_bands)
     from maps_spark.operators.dedup import minhash_signatures
@@ -64,7 +65,10 @@ def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path):
     seed = docs.where("doc_id % 5 != 0")
     process_batch(seed, store, batch_id=0)
     compact_dedup_store(spark, store)
-    assert (tmp_path / "store" / "bands" / "_stats").is_dir()
+    segs = list_segments(f"{store}/bands")
+    assert len(segs) == 1  # one fold -> one published segment
+    import os
+    assert os.path.isdir(f"{segs[0]}/_stats")
 
     # probe batch: fresh docs + ONE byte-identical copy of a stored
     # doc under a new id (its minhash bands match the store exactly)
@@ -76,16 +80,16 @@ def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path):
 
     sigs = minhash_signatures(batch, "text", 64, 3, 42, "fast")
     batch_bands = _band_table(sigs, 16, 4).localCheckpoint()
-    touched, l1_hits = probe_keys(spark, batch_bands,
-                                  f"{store}/bands/_stats",
-                                  ("band", "bb"), "bh")
-    assert l1_hits is not None
-    assert set(l1_hits) <= set(touched)
-    assert len(l1_hits) < len(touched)  # real pruning happened
+    touched, seg_hits = probe_keys(spark, batch_bands,
+                                   [f"{s}/_stats" for s in segs],
+                                   ("band", "bb"), "bh")
+    assert len(seg_hits) == 1 and seg_hits[0] is not None
+    assert set(seg_hits[0]) <= set(touched)
+    assert len(seg_hits[0]) < len(touched)  # real pruning happened
 
     # the gated read still returns every store row the ungated read
     # would have matched on the batch's (band, bh) keys
-    gated = read_store_bands(spark, store, touched, l1_touched=l1_hits)
+    gated = read_store_bands(spark, store, touched, seg_hits=seg_hits)
     ungated = read_store_bands(spark, store, touched)
     keys = batch_bands.select("band", "bh").distinct()
     a = set(map(tuple, gated.join(keys, ["band", "bh"])
@@ -103,16 +107,20 @@ def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path):
 
 
 def test_probe_keys_without_stats_returns_full_touched(spark, tmp_path):
-    """A store that has never been compacted has no _stats — the gate
-    degrades to (touched, None) and the probe reads every touched
-    directory (the safe fallback)."""
+    """A segment with no _stats yields seg_hits[i] = None — the probe
+    reads every touched directory of that segment (the safe
+    fallback); a store with no segments yields seg_hits = []."""
     from maps_spark.sources.bloom import probe_keys
     df = spark.range(200).select(
         (F.col("id") % 16).alias("band"),
         (F.col("id") % 64).alias("bb"),
         (F.col("id") * 7 + 1).alias("bh"))
-    touched, l1_hits = probe_keys(spark, df,
-                                  str(tmp_path / "nope" / "_stats"),
-                                  ("band", "bb"), "bh")
-    assert l1_hits is None
+    touched, seg_hits = probe_keys(spark, df,
+                                   [str(tmp_path / "nope" / "_stats")],
+                                   ("band", "bb"), "bh")
+    assert seg_hits == [None]
     assert len(touched) == len(set(touched)) > 0
+
+    # a store with no segments at all: empty seg_hits, same touched
+    touched2, seg_hits2 = probe_keys(spark, df, [], ("band", "bb"), "bh")
+    assert seg_hits2 == [] and touched2 == touched

@@ -382,9 +382,12 @@ class TestCompaction:
 
         stats = compact_dedup_store(spark, store)
         assert stats["sigs"]["files_after"] < stats["sigs"]["files_before"]
-        # band= hive partitioning survives (probe join prunes on it)
-        assert any(d.startswith("band=")
-                   for d in os.listdir(f"{store}/bands"))
+        # band= hive partitioning survives inside the published
+        # segment (probe path-pruning depends on it)
+        from maps_spark.sources.maintenance import list_segments
+        segs = list_segments(f"{store}/bands")
+        assert segs and any(d.startswith("band=")
+                            for d in os.listdir(segs[0]))
         acc_after = {r.doc_id for r in accepted_ids(spark, store).collect()}
         rej_after = {(r.doc_id, r.dup_of, r.jaccard_est, r.batch_id)
                      for r in rejected(spark, store).collect()}
@@ -473,6 +476,48 @@ def test_streaming_ann_ingest_matches_bulk_upsert(spark, tmp_path):
     q2 = run_ann_ingest(spark, landing, root)
     q2.awaitTermination(300)
     assert spark.read.parquet(f"{root}/vectors").count() == emb.count()
+
+
+def test_streaming_ann_ingest_compaction_twin(spark, tmp_path):
+    """compact_every on the ANN ingest merges each cluster partition's
+    per-batch appended small files (size-tiered, per cluster dir)
+    WITHOUT changing a single serving result: top-k from the
+    compacted store equals the uncompacted twin row for row, and the
+    vectors' file count drops."""
+    import pyspark.sql.functions as F  # noqa: F401
+    from maps_spark.sources.ann_index import (build_ivf_index,
+                                              query_ivf_index)
+    from maps_spark.sources.maintenance import (compact_ann_store,
+                                                dir_stats)
+    from maps_spark.streaming.ann import run_ann_ingest
+    from tests.conftest import SF_SMALL
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+    def build(root, landing, every):
+        build_ivf_index(emb.where("vec_id < 200"), root,
+                        n_clusters=8, train_sample=200)
+        for lo in range(200, 500, 100):  # three micro-batches
+            (emb.where(f"vec_id >= {lo} and vec_id < {lo + 100}")
+             .coalesce(1).write.mode("append").parquet(landing))
+        q = run_ann_ingest(spark, landing, root, compact_every=every)
+        q.awaitTermination(300)
+        return {tuple(r) for r in query_ivf_index(
+            spark, root, emb.where("vec_id >= 450").limit(6),
+            k=5).collect()}
+
+    r1 = build(str(tmp_path / "c"), str(tmp_path / "lc"), 2)
+    r2 = build(str(tmp_path / "p"), str(tmp_path / "lp"), None)
+    assert r1 == r2 != set()
+    # a final full compaction on the plain store converges the two
+    # stores to the same serving results AND cuts its file count
+    before, _ = dir_stats(str(tmp_path / "p" / "vectors"))
+    out = compact_ann_store(spark, str(tmp_path / "p"))
+    after, _ = dir_stats(str(tmp_path / "p" / "vectors"))
+    assert out and after < before
+    r3 = {tuple(r) for r in query_ivf_index(
+        spark, str(tmp_path / "p"),
+        emb.where("vec_id >= 450").limit(6), k=5).collect()}
+    assert r3 == r2
 
 
 def test_streaming_sketch_store_equals_batch_build(spark, tmp_path):
@@ -651,10 +696,13 @@ class TestStreamingImageDedup:
 
         s1, s2 = str(tmp_path / "cadence"), str(tmp_path / "plain")
         assert run(s1, 2) == run(s2, None) != set()
-        # cadence store: L1 exists (hive-partitioned) and the last
-        # batches' appends sit in L0
-        assert any(d.startswith("bidx=") for d in
-                   os.listdir(f"{s1}/bands"))
+        # cadence store: L1 segments exist (hive-partitioned inside)
+        # and the last batches' appends sit in L0
+        from maps_spark.sources.maintenance import list_segments
+        segs = list_segments(f"{s1}/bands")
+        assert segs and all(
+            any(d.startswith("bidx=") for d in os.listdir(s))
+            for s in segs)
         assert os.path.isdir(f"{s1}/bands_l0")
         # plain store: everything is still L0 (no fold ever ran)
         assert not os.path.isdir(f"{s2}/bands")
@@ -1005,9 +1053,14 @@ def test_dedup_compaction_cadence_bounds_growth(spark, tmp_path):
             f"{root}/store/dupes").collect()}
         return rej, prof
 
-    rej_c, prof_c = run(str(tmp_path / "cadence"), 3)
+    rej_c, prof_all = run(str(tmp_path / "cadence"), 3)
     rej_p, _ = run(str(tmp_path / "plain"), None)
+    # compaction marker rows ("compact" timing) interleave with the
+    # per-batch attribution rows — split them
+    prof_c = [p for p in prof_all if "probe_verify" in p]
+    compactions = [p for p in prof_all if "compact" in p]
     assert rej_c == rej_p and len(prof_c) >= 7
+    assert len(compactions) == 2  # triggers 3 and 6 at cadence 3
     # compaction folded the per-batch appends: fewer sig files than
     # batches landed
     sig_files = [f for f in os.listdir(
