@@ -201,10 +201,14 @@ def purge_ann_tombstones(spark: SparkSession, root: str,
     last). O(index) — run on takedown cadence, not per batch."""
     import os
     import shutil
-    from maps_spark.sources.maintenance import purge_rows
+    from maps_spark.sources.maintenance import (purge_rows,
+                                                recover_compaction)
     tpath = f"{root.rstrip('/')}/tombstones"
     if not os.path.isdir(tpath):
         return None
+    # self-repair a crashed earlier purge before rewriting
+    for sub in ("vectors", "pq_codes", "tombstones"):
+        recover_compaction(f"{root.rstrip('/')}/{sub}")
     ids = (spark.read.parquet(tpath)
            .select("vec_id").distinct().localCheckpoint())
     out: dict = {"tombstones": ids.count()}

@@ -701,6 +701,11 @@ def purge_dedup_tombstones(spark: SparkSession, store_dir: str,
     tpath = f"{store_dir}/tombstones"
     if not os.path.isdir(tpath):
         return None
+    # self-repair first: a crashed earlier purge may have left
+    # half-swapped tables or unreferenced segments
+    for sub in ("sigs", "hashes", "dupes", "tombstones"):
+        recover_compaction(f"{store_dir}/{sub}")
+    recover_segments(f"{store_dir}/bands")
     ids = (spark.read.parquet(tpath)
            .select("doc_id").distinct().localCheckpoint())
     out: dict = {"tombstones": ids.count()}
@@ -718,6 +723,41 @@ def purge_dedup_tombstones(spark: SparkSession, store_dir: str,
     seg = purge_segments(spark, f"{store_dir}/bands", ids, "doc_id",
                          ("band", "bb"), ("bh",),
                          (("band", "bb"), "bh"), target_file_bytes)
+    if seg is not None:
+        out["bands"] = seg
+    shutil.rmtree(tpath)
+    return out
+
+
+def purge_media_tombstones(spark: SparkSession, store_dir: str,
+                           target_file_bytes: int = 128 * 1024 * 1024
+                           ) -> dict | None:
+    """Physical deletion for the image store's retractions — the
+    dHash twin of :func:`purge_dedup_tombstones`: fold pending L0,
+    purge ``hashes`` and the band segments, keep ``dupes`` (history),
+    clear the tombstone set. Idempotent on replay."""
+    tpath = f"{store_dir}/tombstones"
+    if not os.path.isdir(tpath):
+        return None
+    for sub in ("hashes", "dupes", "tombstones"):
+        recover_compaction(f"{store_dir}/{sub}")
+    recover_segments(f"{store_dir}/bands")
+    ids = (spark.read.parquet(tpath)
+           .select("media_id").distinct().localCheckpoint())
+    out: dict = {"tombstones": ids.count()}
+    fold_l0_segments(spark, f"{store_dir}/bands",
+                     f"{store_dir}/bands_l0", target_file_bytes,
+                     partition_by=("bidx", "bb"),
+                     sort_within=("bval",),
+                     stats=(("bidx", "bb"), "bval"))
+    p = f"{store_dir}/hashes"
+    if os.path.isdir(p):
+        out["hashes"] = purge_rows(spark, p, ids, "media_id",
+                                   sort_within=("media_id",),
+                                   target_file_bytes=target_file_bytes)
+    seg = purge_segments(spark, f"{store_dir}/bands", ids, "media_id",
+                         ("bidx", "bb"), ("bval",),
+                         (("bidx", "bb"), "bval"), target_file_bytes)
     if seg is not None:
         out["bands"] = seg
     shutil.rmtree(tpath)

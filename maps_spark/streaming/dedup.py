@@ -59,7 +59,8 @@ from pyspark.sql import DataFrame, SparkSession
 from maps_spark.operators.dedup import (band_key_col, cap_buckets,
                                         minhash_signatures, minhash_verify)
 
-SIG_DIRS = ("sigs", "bands", "bands_l0", "hashes", "dupes")
+SIG_DIRS = ("sigs", "bands", "bands_l0", "hashes", "dupes",
+            "tombstones")
 # sub-partition fan-out of the band index: bands x sub-buckets dirs.
 # 64 keeps directory counts sane while letting a small batch prune to
 # a few percent of the store's files.

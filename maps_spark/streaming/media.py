@@ -100,6 +100,15 @@ def process_media_batch(media: DataFrame, store_dir: str,
                                    ("bidx", "bb"), "bval")
     store_bands = read_store_bands(spark, store_dir, touched,
                                    seg_hits=seg_hits)
+    # retraction is merge-on-read (same contract as the text store):
+    # a tombstoned image stops matching NOW; purge_media_tombstones
+    # makes the deletion physical
+    from maps_spark.streaming.dedup import _try_read
+    tomb = _try_read(spark, f"{store_dir}/tombstones")
+    if store_bands is not None and tomb is not None:
+        store_bands = store_bands.join(
+            tomb.select("media_id").distinct(), "media_id",
+            "left_anti")
     all_hashes = h
     if store_bands is not None:
         store_bands = cap_buckets(store_bands, ["bidx", "bval"],
@@ -149,15 +158,41 @@ def process_media_batch(media: DataFrame, store_dir: str,
      .write.mode("append").parquet(f"{store_dir}/bands_l0"))
 
 
+def retract_media(spark: SparkSession, store_dir: str, media_ids
+                  ) -> dict:
+    """Retract canonical images (takedown — for media the most
+    common retraction trigger): append the ids to
+    ``store/tombstones``. Immediate by merge-on-read (the probe
+    anti-joins the set), physical at the next
+    :func:`maps_spark.sources.maintenance.purge_media_tombstones`.
+    The rejection log is kept as history; re-submitting a retracted
+    id is undefined until the purge — same contract as the text
+    store's :func:`maps_spark.streaming.dedup.retract_docs`."""
+    if not isinstance(media_ids, DataFrame):
+        media_ids = spark.createDataFrame(
+            [(int(i),) for i in media_ids], "media_id long")
+    n = media_ids.count()
+    (media_ids.select("media_id").coalesce(1)
+     .write.mode("append").parquet(f"{store_dir}/tombstones"))
+    return {"retracted": int(n)}
+
+
 def accepted_ids(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{store_dir}/hashes").select("media_id")
+    from maps_spark.streaming.dedup import _try_read
+    acc = spark.read.parquet(f"{store_dir}/hashes").select("media_id")
+    tomb = _try_read(acc.sparkSession, f"{store_dir}/tombstones")
+    if tomb is not None:
+        acc = acc.join(tomb.select("media_id").distinct(), "media_id",
+                       "left_anti")
+    return acc
 
 
 def rejected(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.parquet(f"{store_dir}/dupes")
 
 
-MEDIA_SIG_DIRS = ("hashes", "bands", "bands_l0", "dupes")
+MEDIA_SIG_DIRS = ("hashes", "bands", "bands_l0", "dupes",
+                  "tombstones")
 
 
 def run_incremental_image_dedup(spark: SparkSession, input_path: str,

@@ -118,6 +118,82 @@ class TestDedupRetraction:
         assert sigs == {0, 2, 4, 5}
 
 
+class TestMediaRetraction:
+    def _media(self, spark, imgs):
+        import pandas as pd
+        from maps_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                     encode_ppm)
+        rows = [(mid, "image", bytearray(encode_ppm(img)),
+                 img.shape[1], img.shape[0], 0, 0)
+                for mid, img in imgs]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                        "width", "height",
+                                        "sample_rate", "n_frames"]),
+            schema=MEDIA_SCHEMA)
+
+    def test_retracted_image_stops_blocking_and_purges(self, spark,
+                                                       tmp_path):
+        import numpy as np
+
+        from maps_spark.sources.maintenance import (
+            compact_media_store, purge_media_tombstones)
+        from maps_spark.streaming.media import (accepted_ids,
+                                                process_media_batch,
+                                                read_store_bands,
+                                                retract_media)
+        rng = np.random.default_rng(7)
+        store = str(tmp_path / "store")
+        base = [rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+                for _ in range(4)]
+
+        def noisy(img):
+            return np.clip(img.astype(int)
+                           + rng.integers(-3, 4, img.shape),
+                           0, 255).astype(np.uint8)
+
+        process_media_batch(self._media(
+            spark, list(enumerate(base))), store, batch_id=0)
+        process_media_batch(self._media(
+            spark, [(10, noisy(base[1]))]), store, batch_id=1)
+        rej = {(r.media_id, r.dup_of) for r in
+               spark.read.parquet(f"{store}/dupes").collect()}
+        assert (10, 1) in rej
+
+        retract_media(spark, store, [1])
+        acc = {r.media_id for r in
+               accepted_ids(spark, store).collect()}
+        assert 1 not in acc and 0 in acc
+
+        # a new near-copy of the retracted image is ACCEPTED now
+        process_media_batch(self._media(
+            spark, [(20, noisy(base[1]))]), store, batch_id=2)
+        acc = {r.media_id for r in
+               accepted_ids(spark, store).collect()}
+        assert 20 in acc
+
+        # composes with the compacted (segmented) store: the next
+        # copy matches the re-accepted canonical, never the retracted
+        compact_media_store(spark, store)
+        process_media_batch(self._media(
+            spark, [(30, noisy(base[1]))]), store, batch_id=3)
+        rej = {(r.media_id, r.dup_of) for r in
+               spark.read.parquet(f"{store}/dupes").collect()}
+        assert (30, 20) in rej and (30, 1) not in rej
+
+        res = purge_media_tombstones(spark, store)
+        assert res["tombstones"] == 1
+        assert not os.path.isdir(f"{store}/tombstones")
+        raw = {r.media_id for r in
+               spark.read.parquet(f"{store}/hashes").collect()}
+        assert 1 not in raw and 20 in raw
+        bands = read_store_bands(spark, store)
+        assert bands.where("media_id = 1").count() == 0
+        rej = {(r.media_id, r.dup_of) for r in
+               spark.read.parquet(f"{store}/dupes").collect()}
+        assert (10, 1) in rej  # history survives
+
+
 class TestAnnRetraction:
     def test_retracted_vector_leaves_topk_and_purges(self, spark,
                                                      tmp_path):
