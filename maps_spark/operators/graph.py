@@ -290,8 +290,16 @@ def random_walks(edges: DataFrame, walk_len: int = 5,
            .localCheckpoint()
            .select(F.col("src").alias("asrc"), "dst", "idx"))
     deg = (adj.groupBy("asrc").agg(F.count("*").alias("d"))
-           .withColumnRenamed("asrc", "dsrc"))
-    starts = e.select("src").distinct()
+           .withColumnRenamed("asrc", "dsrc")
+           .localCheckpoint())
+    # start set = every source node = distinct asrc of the already-
+    # checkpointed adjacency; deriving it from ``e`` re-executed the
+    # full upstream edge build (for the bench's interaction graph, a
+    # second orders x lineitem join) — same set, one materialization
+    # (guide §2.4: don't recompute what a checkpoint already holds).
+    # deg is checkpointed for the same reason: it re-aggregated adj
+    # once per walk step inside the loop joins.
+    starts = deg.select(F.col("dsrc").alias("src"))
     frontier = (starts.select(
         F.col("src").alias("start"),
         F.explode(F.sequence(

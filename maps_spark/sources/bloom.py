@@ -105,7 +105,7 @@ def bloom_any(bloom: bytes, values: np.ndarray) -> bool:
 
 
 def write_stats(df: DataFrame, out_dir: str, keys: tuple[str, str],
-                value_col: str) -> int:
+                value_col: str, sub: int | None = None) -> int:
     """Build one Bloom row per (k1, k2) sub-bucket of ``df`` and write
     the stats table to ``out_dir`` (callers pass the staging
     directory's ``_stats`` path so the segment rename publishes data
@@ -113,20 +113,31 @@ def write_stats(df: DataFrame, out_dir: str, keys: tuple[str, str],
     of per-sub-bucket ``n``, read back from the tiny written table
     driver-side) — the segment publish uses it as the validation
     count, so stats and validation share one scan of the staged
-    bytes."""
+    bytes.
+
+    ``sub`` records the segment's adaptive sub-bucket modulus (see
+    ``maintenance._adaptive_sub``) as a constant column so the probe
+    can translate its global (k1, k2) keys into this segment's
+    coarser key space; absent for pre-adaptive stats tables (probe
+    then treats keys as already segment-space)."""
     import glob
 
     import pandas as pd
     import pyarrow.parquet as pq
     k1, k2 = keys
     schema = f"{k1} long, {k2} long, n long, bloom binary"
+    if sub is not None:
+        schema += ", sub long"
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].to_numpy(dtype=np.int64)
-        return pd.DataFrame({k1: [int(pdf[k1].iloc[0])],
-                             k2: [int(pdf[k2].iloc[0])],
-                             "n": [len(vals)],
-                             "bloom": [build_bloom(vals)]})
+        out = {k1: [int(pdf[k1].iloc[0])],
+               k2: [int(pdf[k2].iloc[0])],
+               "n": [len(vals)],
+               "bloom": [build_bloom(vals)]}
+        if sub is not None:
+            out["sub"] = [sub]
+        return pd.DataFrame(out)
 
     (df.select(k1, k2, value_col).groupBy(k1, k2)
      .applyInPandas(_build, schema)
@@ -138,12 +149,17 @@ def write_stats(df: DataFrame, out_dir: str, keys: tuple[str, str],
     return int(total)
 
 
-def load_blooms(stats_dir: str) -> dict[tuple[int, int], bytes] | None:
-    """Driver-side load of an L1 stats table: {(k1, k2) -> bloom}.
-    Returns None when the store has no stats (never compacted, or an
-    older writer) — callers then skip pruning, the safe fallback. The
-    table is fan-out-bounded (<=1024 rows, filter bytes capped), so a
-    direct pyarrow read is milliseconds and avoids a Spark job."""
+def load_blooms(stats_dir: str
+                ) -> tuple[int | None,
+                           dict[tuple[int, int], bytes]] | None:
+    """Driver-side load of an L1 stats table:
+    ``(sub, {(k1, k2) -> bloom})`` where ``sub`` is the segment's
+    adaptive sub-bucket modulus (None for pre-adaptive tables — keys
+    are then already in the probe's global space). Returns None when
+    the store has no stats (never compacted, or an older writer) —
+    callers then skip pruning, the safe fallback. The table is
+    fan-out-bounded (<=1024 rows, filter bytes capped), so a direct
+    pyarrow read is milliseconds and avoids a Spark job."""
     import glob
     import os
     if not os.path.isdir(stats_dir):
@@ -153,15 +169,19 @@ def load_blooms(stats_dir: str) -> dict[tuple[int, int], bytes] | None:
         return None
     import pyarrow.parquet as pq
     out: dict[tuple[int, int], bytes] = {}
+    sub: int | None = None
     for f in files:
         t = pq.read_table(f)
-        cols = [c for c in t.column_names if c not in ("n", "bloom")]
+        cols = [c for c in t.column_names
+                if c not in ("n", "bloom", "sub")]
         k1s = t[cols[0]].to_pylist()
         k2s = t[cols[1]].to_pylist()
         blooms = t["bloom"].to_pylist()
+        if "sub" in t.column_names and len(t):
+            sub = int(t["sub"][0].as_py())
         for a, b, bl in zip(k1s, k2s, blooms):
             out[(int(a), int(b))] = bl
-    return out
+    return sub, out
 
 
 def probe_keys(spark: SparkSession, batch_bands: DataFrame,
@@ -176,8 +196,9 @@ def probe_keys(spark: SparkSession, batch_bands: DataFrame,
       probes (what the L0 row filter and the O(batch) contract
       assert on);
     - ``seg_hits`` — one entry per ``stats_dirs`` element (the L1
-      segments, manifest order): the subset of ``touched`` whose
-      Bloom filter in THAT segment admits at least one of the batch's
+      segments, manifest order): the touched keys, folded into THAT
+      segment's (possibly coarser, adaptive-sub) key space, whose
+      Bloom filter in that segment admits at least one of the batch's
       ``value_col`` keys (what the segment's directory read is pruned
       to), or None for a segment with no stats (the caller falls back
       to reading its full touched set — the safe pre-stats behavior).
@@ -202,6 +223,14 @@ def probe_keys(spark: SparkSession, batch_bands: DataFrame,
     blooms = [load_blooms(d) for d in stats_dirs]
     bc = spark.sparkContext.broadcast(blooms)
 
+    def _seg_key(key: tuple[int, int], sub: int | None
+                 ) -> tuple[int, int]:
+        # a segment written with adaptive sub-bucket modulus ``sub``
+        # partitions on value mod sub; sub divides the global modulus,
+        # so the global (k1, k2) key folds onto the segment's key
+        # space with one mod — no value rereads
+        return key if sub is None else (key[0], key[1] % sub)
+
     def _scan(batches):
         masks: dict[tuple[int, int], int] = {}
         with_stats = sum(1 << i for i, bl in enumerate(bc.value)
@@ -215,7 +244,8 @@ def probe_keys(spark: SparkSession, batch_bands: DataFrame,
                     for i, bl in enumerate(bc.value):
                         if bl is None or mask >> i & 1:
                             continue
-                        filt = bl.get(key)
+                        sub_i, table = bl
+                        filt = table.get(_seg_key(key, sub_i))
                         if filt is not None and bloom_any(filt, vals):
                             mask |= 1 << i
                 masks[key] = mask
@@ -232,8 +262,11 @@ def probe_keys(spark: SparkSession, batch_bands: DataFrame,
         key = (r[k1], r[k2])
         merged[key] = merged.get(key, 0) | r["mask"]
     touched = sorted(merged)
+    # per-segment hits come back in THAT segment's key space (the
+    # directory names its reader prunes to)
     seg_hits: list[list[tuple[int, int]] | None] = [
         None if bl is None
-        else sorted(k for k, m in merged.items() if m >> i & 1)
+        else sorted({_seg_key(k, bl[0])
+                     for k, m in merged.items() if m >> i & 1})
         for i, bl in enumerate(blooms)]
     return touched, seg_hits

@@ -186,6 +186,31 @@ def recover_compaction(path: str) -> str | None:
 SEG_PREFIX = "seg-"
 _SEG_TMP = ".seg-tmp-"
 
+# Scale-adaptive sub-bucket fan-out (guide §2: partitioning must adapt
+# to data size, not be a constant tuned for one scale). A segment's
+# hive fan-out is bands x sub directories; the probe prunes by
+# directory, so a LARGE segment wants the full fan-out (read
+# granularity), while a SMALL segment at the same fan-out pays ~1024
+# directory commits to write a few MB (the measured ~15 s of a ~20 s
+# fold at sf0.1) and ~1024 tiny file opens per stats/merge read.
+# ``_adaptive_sub`` picks the largest power-of-two sub <= max_sub such
+# that each sub-bucket directory still holds >= SUB_TARGET_BYTES /
+# (its band fan-out share) — i.e. fan-out doubles only when the
+# segment doubles past the target. Powers of two dividing the global
+# probe modulus mean ``bh mod sub = (bh mod MAX) mod sub``, so the
+# batch's touched set translates per segment without rereading
+# anything. Each segment records its own ``sub`` in the manifest and
+# its ``_stats`` table; readers fall back to the full fan-out for
+# pre-adaptive segments.
+SUB_TARGET_BYTES = 8 * 1024 * 1024
+
+
+def _adaptive_sub(size_hint: int, max_sub: int) -> int:
+    sub = 1
+    while sub < max_sub and size_hint >= SUB_TARGET_BYTES * sub * 2:
+        sub *= 2
+    return sub
+
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, "_manifest.json")
@@ -268,13 +293,27 @@ def _publish_segment(spark: SparkSession, root: str, df, size_hint: int,
                      partition_by: tuple[str, ...],
                      sort_within: tuple[str, ...],
                      stats: tuple[tuple[str, str], str] | None,
-                     seg_name: str) -> tuple[int, int]:
+                     seg_name: str,
+                     sub_mod: tuple[str, str, int] | None = None
+                     ) -> tuple[int, int, int | None]:
     """Write ``df`` as a validated immutable segment directory
     ``root/seg_name`` (staging + count validation + per-segment Bloom
-    ``_stats`` + one rename). Returns (bytes, rows). The caller swaps
-    the manifest afterwards — until then the directory is invisible
-    to readers and recover_segments may drop it."""
+    ``_stats`` + one rename). Returns (bytes, rows, sub). The caller
+    swaps the manifest afterwards — until then the directory is
+    invisible to readers and recover_segments may drop it.
+
+    ``sub_mod = (sub_col, value_col, max_sub)`` recomputes the
+    sub-bucket partition column as ``value mod _adaptive_sub(...)``
+    before the write (see SUB_TARGET_BYTES above) and returns the
+    chosen sub so the caller can record it in the manifest."""
+    import pyspark.sql.functions as F
     from pyspark.sql import Observation
+    sub = None
+    if sub_mod is not None:
+        sub_col, value_col, max_sub = sub_mod
+        sub = _adaptive_sub(size_hint, max_sub)
+        df = df.withColumn(
+            sub_col, F.pmod(F.col(value_col).cast("long"), F.lit(sub)))
     n_files = max(1, -(-size_hint // target_file_bytes))
     # partitioned writes spread across the cluster: hashing on the
     # partition keys keeps one file per directory per target size,
@@ -303,7 +342,8 @@ def _publish_segment(spark: SparkSession, root: str, df, size_hint: int,
         from maps_spark.sources.bloom import write_stats
         keys, value_col = stats
         staged_rows = write_stats(spark.read.parquet(staging),
-                                  f"{staging}/_stats", keys, value_col)
+                                  f"{staging}/_stats", keys, value_col,
+                                  sub=sub)
     else:
         # footer-only count of the staged bytes, no data scan
         staged_rows = spark.read.parquet(staging).count()
@@ -314,7 +354,7 @@ def _publish_segment(spark: SparkSession, root: str, df, size_hint: int,
             f"{staged_rows} staged rows != {n_rows} source rows")
     _n, size = dir_stats(staging)
     os.rename(staging, os.path.join(root, seg_name))
-    return size, n_rows
+    return size, n_rows, sub
 
 
 def _size_tier(n_bytes: int) -> int:
@@ -328,7 +368,9 @@ def fold_l0_segments(spark: SparkSession, live: str, l0: str,
                      partition_by: tuple[str, ...] = (),
                      sort_within: tuple[str, ...] = (),
                      stats: tuple[tuple[str, str], str] | None = None,
-                     tier_fanout: int = 4) -> dict | None:
+                     tier_fanout: int = 4,
+                     sub_mod: tuple[str, str, int] | None = None
+                     ) -> dict | None:
     """LSM maintenance for a two-level band index: fold the
     unpartitioned L0 append directory into a NEW hive-partitioned
     segment of the ``live`` root — O(L0), never rewriting the
@@ -362,18 +404,20 @@ def fold_l0_segments(spark: SparkSession, live: str, l0: str,
             # fold replays are fingerprint-guarded)
             df = l0_df.select(*sorted(l0_df.columns)).dropDuplicates()
             name = f"{SEG_PREFIX}{m['next']:08d}"
-            size, rows = _publish_segment(
+            size, rows, sub = _publish_segment(
                 spark, live, df, size_l0, target_file_bytes,
-                partition_by, sort_within, stats, name)
-            m = {"segments": m["segments"] + [
-                    {"name": name, "bytes": size, "rows": rows}],
+                partition_by, sort_within, stats, name, sub_mod)
+            entry = {"name": name, "bytes": size, "rows": rows}
+            if sub is not None:
+                entry["sub"] = sub
+            m = {"segments": m["segments"] + [entry],
                  "next": m["next"] + 1, "last_l0": fp}
             _write_segment_manifest(live, m)
             shutil.rmtree(l0)  # folded; the L0 level restarts empty
             folded = {"files": n_l0, "bytes": size, "rows": rows}
     merges = _merge_segment_tiers(spark, live, target_file_bytes,
                                   partition_by, sort_within, stats,
-                                  tier_fanout)
+                                  tier_fanout, sub_mod)
     m = read_segment_manifest(live) or {"segments": []}
     return {"segments": len(m["segments"]),
             "rows": sum(s.get("rows", 0) for s in m["segments"]),
@@ -386,7 +430,9 @@ def _merge_segment_tiers(spark: SparkSession, root: str,
                          partition_by: tuple[str, ...],
                          sort_within: tuple[str, ...],
                          stats: tuple[tuple[str, str], str] | None,
-                         tier_fanout: int) -> list[dict]:
+                         tier_fanout: int,
+                         sub_mod: tuple[str, str, int] | None = None
+                         ) -> list[dict]:
     """Merge segments within a log4 size tier whenever the tier
     accumulates ``tier_fanout`` members; cascade until no tier is
     over-full. The merged output is >= fanout x its inputs, so every
@@ -423,12 +469,14 @@ def _merge_segment_tiers(spark: SparkSession, root: str,
         # shuffle doubled every merge's cost. The purge path, whose
         # inputs CAN overlap, keeps its dropDuplicates.
         name = f"{SEG_PREFIX}{m['next']:08d}"
-        size, rows = _publish_segment(
+        size, rows, sub = _publish_segment(
             spark, root, df, size_hint, target_file_bytes,
-            partition_by, sort_within, stats, name)
+            partition_by, sort_within, stats, name, sub_mod)
         kept = [s for s in m["segments"] if s["name"] not in names]
-        m2 = {"segments": kept + [
-                {"name": name, "bytes": size, "rows": rows}],
+        entry = {"name": name, "bytes": size, "rows": rows}
+        if sub is not None:
+            entry["sub"] = sub
+        m2 = {"segments": kept + [entry],
               "next": m["next"] + 1, "last_l0": m.get("last_l0")}
         _write_segment_manifest(root, m2)
         for s in group:  # manifest no longer names them; drop
@@ -549,7 +597,8 @@ def compact_dedup_store(spark: SparkSession, store_dir: str,
                               f"{store_dir}/bands_l0", target_file_bytes,
                               partition_by=("band", "bb"),
                               sort_within=("bh",),
-                              stats=(("band", "bb"), "bh"))
+                              stats=(("band", "bb"), "bh"),
+                              sub_mod=("bb", "bh", 64))
     if folded is not None:
         out["bands"] = folded
     return out
@@ -609,7 +658,8 @@ def purge_segments(spark: SparkSession, root: str, ids, key: str,
                    partition_by: tuple[str, ...],
                    sort_within: tuple[str, ...] = (),
                    stats: tuple[tuple[str, str], str] | None = None,
-                   target_file_bytes: int = 128 * 1024 * 1024
+                   target_file_bytes: int = 128 * 1024 * 1024,
+                   sub_mod: tuple[str, str, int] | None = None
                    ) -> dict | None:
     """Major compaction of a segmented store: merge EVERY live
     segment minus the tombstoned rows into one new segment and swap
@@ -641,12 +691,15 @@ def purge_segments(spark: SparkSession, root: str, ids, key: str,
         return {"segments": 0, "rows": 0, "bytes": 0}
     size_hint = sum(s.get("bytes", 0) for s in m["segments"])
     name = f"{SEG_PREFIX}{m['next']:08d}"
-    size, rows = _publish_segment(spark, root, df, size_hint,
-                                  target_file_bytes, partition_by,
-                                  sort_within, stats, name)
+    size, rows, sub = _publish_segment(spark, root, df, size_hint,
+                                       target_file_bytes, partition_by,
+                                       sort_within, stats, name, sub_mod)
+    entry = {"name": name, "bytes": size, "rows": rows}
+    if sub is not None:
+        entry["sub"] = sub
     old = [s["name"] for s in m["segments"]]
     _write_segment_manifest(root, {
-        "segments": [{"name": name, "bytes": size, "rows": rows}],
+        "segments": [entry],
         "next": m["next"] + 1, "last_l0": m.get("last_l0")})
     for n in old:
         shutil.rmtree(os.path.join(root, n), ignore_errors=True)
@@ -712,7 +765,8 @@ def purge_dedup_tombstones(spark: SparkSession, store_dir: str,
     fold_l0_segments(spark, f"{store_dir}/bands",
                      f"{store_dir}/bands_l0", target_file_bytes,
                      partition_by=("band", "bb"), sort_within=("bh",),
-                     stats=(("band", "bb"), "bh"))
+                     stats=(("band", "bb"), "bh"),
+                     sub_mod=("bb", "bh", 64))
     for sub, sort in (("sigs", ("doc_id",)),
                       ("hashes", ("text_hash",))):
         p = f"{store_dir}/{sub}"
@@ -722,7 +776,8 @@ def purge_dedup_tombstones(spark: SparkSession, store_dir: str,
                                   target_file_bytes=target_file_bytes)
     seg = purge_segments(spark, f"{store_dir}/bands", ids, "doc_id",
                          ("band", "bb"), ("bh",),
-                         (("band", "bb"), "bh"), target_file_bytes)
+                         (("band", "bb"), "bh"), target_file_bytes,
+                         sub_mod=("bb", "bh", 64))
     if seg is not None:
         out["bands"] = seg
     shutil.rmtree(tpath)
@@ -749,7 +804,8 @@ def purge_media_tombstones(spark: SparkSession, store_dir: str,
                      f"{store_dir}/bands_l0", target_file_bytes,
                      partition_by=("bidx", "bb"),
                      sort_within=("bval",),
-                     stats=(("bidx", "bb"), "bval"))
+                     stats=(("bidx", "bb"), "bval"),
+                     sub_mod=("bb", "bval", 64))
     p = f"{store_dir}/hashes"
     if os.path.isdir(p):
         out["hashes"] = purge_rows(spark, p, ids, "media_id",
@@ -757,7 +813,8 @@ def purge_media_tombstones(spark: SparkSession, store_dir: str,
                                    target_file_bytes=target_file_bytes)
     seg = purge_segments(spark, f"{store_dir}/bands", ids, "media_id",
                          ("bidx", "bb"), ("bval",),
-                         (("bidx", "bb"), "bval"), target_file_bytes)
+                         (("bidx", "bb"), "bval"), target_file_bytes,
+                         sub_mod=("bb", "bval", 64))
     if seg is not None:
         out["bands"] = seg
     shutil.rmtree(tpath)
@@ -781,7 +838,8 @@ def compact_media_store(spark: SparkSession, store_dir: str,
                               f"{store_dir}/bands_l0", target_file_bytes,
                               partition_by=("bidx", "bb"),
                               sort_within=("bval",),
-                              stats=(("bidx", "bb"), "bval"))
+                              stats=(("bidx", "bb"), "bval"),
+                              sub_mod=("bb", "bval", 64))
     if folded is not None:
         out["bands"] = folded
     return out

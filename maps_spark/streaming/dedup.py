@@ -155,14 +155,23 @@ def read_two_level(spark: SparkSession, l1_root: str, l0_root: str,
     touched pairs, with files sorted by (key1, value) so row-group
     stats prune too — L0 is never Bloom-pruned. ``touched=None``
     reads everything (maintenance path)."""
-    from maps_spark.sources.maintenance import list_segments
+    from maps_spark.sources.maintenance import read_segment_manifest
     k1, k2 = keys
     parts: list[DataFrame] = []
-    for i, seg in enumerate(list_segments(l1_root)):
+    m = read_segment_manifest(l1_root)
+    for i, s in enumerate(m["segments"] if m else []):
+        seg = os.path.join(l1_root, s["name"])
         t = touched
         if touched is not None and seg_hits is not None \
                 and i < len(seg_hits) and seg_hits[i] is not None:
+            # already folded into this segment's key space by
+            # probe_keys (adaptive-sub aware)
             t = seg_hits[i]
+        elif touched is not None and s.get("sub"):
+            # no Bloom gate for this segment: fold the global touched
+            # keys onto its adaptive sub-bucket modulus (sub divides
+            # the global modulus, so value mod sub is derivable)
+            t = sorted({(a, b % s["sub"]) for a, b in touched})
         sub = read_partitioned_subset(spark, seg, t, keys)
         if sub is not None:
             parts.append(sub)
@@ -326,7 +335,13 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     (dupes.select("doc_id", "dup_of", "jaccard_est", "batch_id")
      .write.mode("append").parquet(f"{store_dir}/dupes"))
     _mark("append_dupes")
-    (sigs.join(novel_ids, "doc_id", "left_semi")
+    # flat-table appends land as TWO files per batch, not one file
+    # per shuffle partition (32+): every batch's probe re-opens the
+    # whole sigs/hashes file set, and the tiered compaction otherwise
+    # rewrites 32x the file count per pass (guide §6: small files
+    # hurt twice). repartition, not coalesce — coalesce would drag
+    # the semi-join itself down to 2 tasks
+    (sigs.join(novel_ids, "doc_id", "left_semi").repartition(2)
      .write.mode("append").parquet(f"{store_dir}/sigs"))
     _mark("append_sigs")
     # band appends go to the unpartitioned L0 level: a partitioned
@@ -340,7 +355,7 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
      .repartition(2).sortWithinPartitions("band", "bh")
      .write.mode("append").parquet(f"{store_dir}/bands_l0"))
     _mark("append_bands")
-    (hashes.join(novel_ids, "doc_id", "left_semi")
+    (hashes.join(novel_ids, "doc_id", "left_semi").repartition(2)
      .write.mode("append").parquet(f"{store_dir}/hashes"))
     _mark("append_hashes")
     if profile is not None:

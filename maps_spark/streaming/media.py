@@ -149,7 +149,9 @@ def process_media_batch(media: DataFrame, store_dir: str,
 
     novel = h.select("media_id").join(dupes, "media_id", "left_anti")
     dupes.write.mode("append").parquet(f"{store_dir}/dupes")
-    (h.join(novel, "media_id", "left_semi")
+    # one file per batch, not one per shuffle partition: the probe
+    # re-opens the whole hashes file set every batch (guide §6)
+    (h.join(novel, "media_id", "left_semi").repartition(1)
      .write.mode("append").parquet(f"{store_dir}/hashes"))
     # L0 append: one commit per batch; a partitioned append would pay
     # the commit protocol once per touched (bidx, bb) directory (~512)

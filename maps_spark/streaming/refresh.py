@@ -175,6 +175,8 @@ def merge_into_pixels(delta: DataFrame, pixel_store: str,
     accumulate: batch N merges into the result of batches 1..N-1. A
     Delta/Iceberg deployment would use MERGE INTO directly.
     """
+    import shutil
+
     from pyspark.errors import AnalysisException
 
     spark = delta.sparkSession
@@ -192,11 +194,36 @@ def merge_into_pixels(delta: DataFrame, pixel_store: str,
         pass
     merged = (merged
               .groupBy("bucket", "mapKey", "px", "py", "borYear")
-              .agg(F.sum("cnt").alias("cnt"))
-              .localCheckpoint())  # cut lineage: overwrite-in-place is legal
-    (merged.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("bucket").parquet(pixel_store))
+              .agg(F.sum("cnt").alias("cnt")))
+    # ONE materialization, not two: the merged rows go straight to a
+    # staging tree (reads of the live store execute during this write,
+    # so no lineage cut is needed), then the touched bucket
+    # directories swap in by rename. The previous shape —
+    # localCheckpoint() to legalize overwrite-in-place, then a dynamic
+    # partition overwrite — serialized every merged row twice (block
+    # store + parquet), the measured bulk of merge-mode batch cost
+    # (guide §5: materialize once). Crash window is unchanged: a
+    # partially-applied batch is replayed (marker not yet advanced)
+    # exactly as a partially-committed dynamic overwrite was.
+    staging = pixel_store.rstrip("/") + ".merge-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    # repartition by the write's partition key so each bucket directory
+    # receives ONE file, not one per aggregation task (the groupBy
+    # hashes on the full pixel key, spreading every bucket across every
+    # task: |tasks| x |touched buckets| tiny files, re-opened by every
+    # later batch's pruned read — guide §6: small files hurt twice)
+    (merged.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(staging))
+    for b in touched:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(pixel_store, f"bucket={b}")
+        if not os.path.isdir(src):
+            continue  # a bucket whose rows all vanished cannot occur
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(pixel_store, exist_ok=True)
+        os.rename(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def append_pixel_deltas(delta: DataFrame, pixel_store: str,
@@ -214,6 +241,10 @@ def append_pixel_deltas(delta: DataFrame, pixel_store: str,
     (delta.withColumn(
         "bucket", F.pmod(F.xxhash64("mapKey"), F.lit(n_buckets))
         .cast("int"))
+     # one file per touched bucket per batch, not one per delta task
+     # per bucket (guide §6) — the fold-on-read path re-opens every
+     # appended file of a touched bucket on every later read
+     .repartition("bucket")
      .write.mode("append").partitionBy("bucket").parquet(pixel_store))
 
 
@@ -278,7 +309,9 @@ def compact_pixel_store(spark: SparkSession, pixel_store: str) -> dict:
               .agg(F.sum("cnt").alias("cnt")).localCheckpoint())
     staging = pixel_store.rstrip("/") + ".compact"
     shutil.rmtree(staging, ignore_errors=True)
-    (folded.write.mode("overwrite").partitionBy("bucket")
+    # compaction exists to cut file counts: one file per bucket out
+    (folded.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
      .parquet(staging))
     got = spark.read.parquet(staging)
     got_mass, got_rows = got.agg(F.sum("cnt"), F.count("*")).first()
@@ -362,9 +395,25 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
         out = keep.unionByName(fresh)
     except AnalysisException:  # first merge: tile store does not exist
         pass
-    (out.localCheckpoint().write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("bucket").parquet(tile_store))
+    # same single-materialization staging swap as merge_into_pixels:
+    # the upsert rows cover exactly the touched buckets, so writing
+    # them once to staging and renaming those bucket directories in
+    # replaces the localCheckpoint + dynamic-overwrite double write
+    import shutil
+    staging = tile_store.rstrip("/") + ".merge-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    # one file per bucket directory (same rationale as merge_into_pixels)
+    (out.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(staging))
+    for b in touched_buckets:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(tile_store, f"bucket={b}")
+        if not os.path.isdir(src):
+            continue
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(tile_store, exist_ok=True)
+        os.rename(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:

@@ -43,17 +43,22 @@ def test_bloom_size_caps():
     assert bloom_size_bits(10**9) == BLOOM_MAX_BYTES * 8  # capped
 
 
-def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path):
+def test_probe_keys_prunes_l1_but_never_misses(spark, tmp_path,
+                                               monkeypatch):
     """End-to-end on the text dedup store: seed a store with one batch
     and compact it (so L1 + _stats exist), then probe with a batch
     holding ONE true duplicate. The Bloom gate must (a) return a
     seg_hits list that still finds the dup — verdicts identical to an
     ungated probe — and (b) actually prune: the segment's hits are a
     strict subset of the touched sub-buckets for a corpus whose other
-    docs share no band hash."""
+    docs share no band hash. SUB_TARGET_BYTES is pinned tiny so the
+    fold keeps the FULL sub-bucket fan-out at test scale (the
+    adaptive coarse-fan-out path has its own test below)."""
+    from maps_spark.sources import maintenance as M
     from maps_spark.sources.bloom import probe_keys
     from maps_spark.sources.maintenance import (compact_dedup_store,
                                                 list_segments)
+    monkeypatch.setattr(M, "SUB_TARGET_BYTES", 1)
     from maps_spark.streaming.dedup import (_band_table, process_batch,
                                             read_store_bands)
     from maps_spark.operators.dedup import minhash_signatures
@@ -124,3 +129,91 @@ def test_probe_keys_without_stats_returns_full_touched(spark, tmp_path):
     # a store with no segments at all: empty seg_hits, same touched
     touched2, seg_hits2 = probe_keys(spark, df, [], ("band", "bb"), "bh")
     assert seg_hits2 == [] and touched2 == touched
+
+
+def test_adaptive_sub_fold_probes_identically(spark, tmp_path):
+    """Small segments fold with a COARSE adaptive sub-bucket fan-out
+    (maintenance._adaptive_sub: a few-MB segment gets sub=1, i.e.
+    bands-only directories instead of bands x 64): the manifest and
+    _stats record the segment's sub, probe_keys folds its hits onto
+    that key space, and the gated read returns byte-identical rows to
+    the ungated read — dup verdicts cannot change. (No whole-segment
+    skip is asserted here: at coarse fan-out each band's filter is
+    probed with the batch's whole band key set, so ~1% per-value
+    false positives make some admits near-certain — the cost is a
+    directory read, never a verdict change; the fine-fan-out pruning
+    evidence lives in the test above.)"""
+    import os
+
+    from maps_spark.operators.dedup import minhash_signatures
+    from maps_spark.sources.bloom import load_blooms, probe_keys
+    from maps_spark.sources.maintenance import (compact_dedup_store,
+                                                list_segments,
+                                                read_segment_manifest)
+    from maps_spark.streaming.dedup import (_band_table, process_batch,
+                                            read_store_bands)
+    from tests.conftest import SF_SMALL
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+    store = str(tmp_path / "store")
+    seed = docs.where("doc_id % 5 != 0")
+    process_batch(seed, store, batch_id=0)
+    compact_dedup_store(spark, store)
+
+    m = read_segment_manifest(f"{store}/bands")
+    assert len(m["segments"]) == 1
+    sub = m["segments"][0]["sub"]
+    assert 1 <= sub < 64  # tiny segment -> coarse fan-out chosen
+    segs = list_segments(f"{store}/bands")
+    loaded = load_blooms(f"{segs[0]}/_stats")
+    assert loaded is not None and loaded[0] == sub
+    # the physical layout really is the coarse fan-out
+    band_dirs = [d for d in os.listdir(segs[0]) if "=" in d]
+    subdirs = {d2 for d in band_dirs
+               for d2 in os.listdir(os.path.join(segs[0], d))
+               if "=" in d2}
+    assert len(subdirs) <= sub
+
+    # probe with one byte-identical dup under a fresh id
+    kept = seed.orderBy("doc_id").limit(1)
+    dup = kept.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      "text")
+    batch = (docs.where("doc_id % 5 = 0").unionByName(dup)
+             .localCheckpoint())
+    sigs = minhash_signatures(batch, "text", 64, 3, 42, "fast")
+    batch_bands = _band_table(sigs, 16, 4).localCheckpoint()
+    touched, seg_hits = probe_keys(spark, batch_bands,
+                                   [f"{s}/_stats" for s in segs],
+                                   ("band", "bb"), "bh")
+    assert seg_hits[0] is not None
+    folded = {(a, b % sub) for a, b in touched}
+    assert set(seg_hits[0]) <= folded
+
+    gated = read_store_bands(spark, store, touched, seg_hits=seg_hits)
+    ungated = read_store_bands(spark, store, touched)
+    keys = batch_bands.select("band", "bh").distinct()
+    a = set(map(tuple, gated.join(keys, ["band", "bh"])
+                .select("band", "bh", "doc_id").collect()))
+    b = set(map(tuple, ungated.join(keys, ["band", "bh"])
+                .select("band", "bh", "doc_id").collect()))
+    assert a == b and len(a) > 0
+
+    # the full batch body still flags the planted dup
+    process_batch(batch, store, batch_id=1)
+    rej = {(r.doc_id, r.dup_of)
+           for r in spark.read.parquet(f"{store}/dupes").collect()}
+    kept_id = kept.collect()[0]["doc_id"]
+    assert (kept_id + 10_000_000, kept_id) in rej
+
+    # a foreign batch (disjoint band hashes): every admitted key must
+    # still live in the segment's folded key space (false positives
+    # only ever cost a directory read)
+    foreign = batch_bands.select(
+        "doc_id", "band", (F.col("bh") + F.lit(10_000_019)).alias("bh")
+    ).select("doc_id", "band",
+             F.pmod(F.col("bh"), F.lit(64)).alias("bb"), "bh")
+    t2, hits2 = probe_keys(spark, foreign,
+                           [f"{s}/_stats" for s in segs],
+                           ("band", "bb"), "bh")
+    assert set(hits2[0]) <= {(a, b % sub) for a, b in t2}

@@ -257,10 +257,22 @@ class TestDedupStoreLsm:
         assert run(s1, 2) == run(s2, None)
         segs = list_segments(f"{s1}/bands")
         assert len(segs) >= 2  # several folds -> several segments
-        # sum of segment rows == the plain store's band rows
-        lsm_rows = _seg_rows(spark, f"{s1}/bands")
-        plain = {(r["band"], r["bb"], r["bh"], r["doc_id"]) for r in
+        # sum of segment rows == the plain store's band rows. The
+        # sub-bucket routing key bb is adaptive per segment (bb =
+        # bh mod seg.sub), so compare the semantic index content
+        # (band, bh, doc_id) and check each segment's bb is exactly
+        # its recorded fold of bh.
+        from maps_spark.sources.maintenance import read_segment_manifest
+        m = read_segment_manifest(f"{s1}/bands")
+        lsm_rows = set()
+        for s, seg_path in zip(m["segments"], segs):
+            rows6 = spark.read.parquet(seg_path).collect()
+            sub = s.get("sub", 64)
+            assert all(r["bb"] == r["bh"] % sub for r in rows6)
+            lsm_rows |= {(r["band"], r["bh"], r["doc_id"])
+                         for r in rows6}
+        plain = {(r["band"], r["bh"], r["doc_id"]) for r in
                  spark.read.parquet(f"{s2}/bands_l0").collect()}
         assert lsm_rows | {
-            (r["band"], r["bb"], r["bh"], r["doc_id"]) for r in
+            (r["band"], r["bh"], r["doc_id"]) for r in
             spark.read.parquet(f"{s1}/bands_l0").collect()} == plain

@@ -271,19 +271,26 @@ class TestIncrementalDedup:
         assert 103 not in acc and 105 not in acc and 120 not in acc
         assert len(acc) == 10 + 3 + 1
 
-    def test_store_probe_reads_bounded_subset(self, spark, tmp_path):
+    def test_store_probe_reads_bounded_subset(self, spark, tmp_path,
+                                              monkeypatch):
         """The store probe must open only the batch's touched
         (band, bb) L1 sub-bucket directories plus the small L0 append
         level — per-batch read cost is O(batch + L0), never
-        O(accumulated compacted store)."""
+        O(accumulated compacted store). SUB_TARGET_BYTES is pinned
+        tiny so the fold keeps the FULL sub-bucket fan-out at test
+        scale (the file-count bounds below are the full-fan-out
+        contract; the adaptive coarse fan-out for small segments is
+        covered in test_bloom)."""
         import os
 
         import pyspark.sql.functions as F
 
         from maps_spark.operators.dedup import minhash_signatures
+        from maps_spark.sources import maintenance as M
         from maps_spark.sources.maintenance import compact_dedup_store
         from maps_spark.streaming.dedup import (_band_table, process_batch,
                                                 read_store_bands)
+        monkeypatch.setattr(M, "SUB_TARGET_BYTES", 1)
         store = str(tmp_path / "store")
         docs = spark.createDataFrame(
             [(i, " ".join(f"d{i}w{j}" for j in range(30)))
