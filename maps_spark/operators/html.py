@@ -584,12 +584,70 @@ def norm_url_sql(col: str) -> str:
             f"END")
 
 
+def with_norm_url(df: DataFrame, src_col: str,
+                  out_col: str = "norm_href") -> DataFrame:
+    """Staged-column twin of :func:`norm_url_sql`: identical fragment
+    expressions (so results are bitwise the same), but each shared
+    intermediate — the fragment-stripped URL, scheme, authority,
+    path-rest, userinfo, host:port — is computed ONCE in its own
+    projection step instead of being re-expanded everywhere it is
+    referenced.
+
+    Why: the single-expression form expands to ~31 regexp calls; when
+    it becomes an aggregation key (``groupBy("norm_href")`` in the
+    frontier), CollapseProject inlines the whole tree into the
+    hash-aggregate's generated consume method, which blows the JVM's
+    64 KB method limit ("Code grows beyond 64 KB",
+    ``hashAgg_doAggregateWithKeys_0``) and silently drops the stage to
+    interpreted execution. Staged intermediates are non-cheap and
+    referenced more than once, so CollapseProject keeps them as
+    separate projections: each regexp is evaluated once per row,
+    codegen stays within method limits, and the aggregate's key is a
+    small CASE over plain attributes."""
+    p = f"_nu_{out_col}"
+    u, sch, auth = f"{p}_u", f"{p}_scheme", f"{p}_auth"
+    ui, hp, rest = f"{p}_userinfo", f"{p}_hostport", f"{p}_rest"
+    df = df.withColumn(u, F.expr(
+        f"trim(regexp_replace(trim({src_col}), '(?s)#.*', ''))"))
+    df = (df.withColumn(sch, F.expr(
+            f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"))
+          .withColumn(auth, F.expr(
+            f"regexp_extract({u}, '{_SCHEME_RE}([^/?#]*)', 2)"))
+          .withColumn(rest, F.expr(
+            f"regexp_replace({u}, '{_SCHEME_RE}[^/?#]*', '')")))
+    df = (df.withColumn(ui, F.expr(
+            f"regexp_extract({auth}, '^(.*@)', 1)"))
+          .withColumn(hp, F.expr(
+            f"lower(regexp_extract({auth}, '([^@]*)$', 1))")))
+    host = (f"CASE WHEN {sch} = 'http' THEN "
+            f"regexp_replace({hp}, ':80$', '') "
+            f"WHEN {sch} = 'https' THEN "
+            f"regexp_replace({hp}, ':443$', '') "
+            f"ELSE {hp} END")
+    path = (f"CASE WHEN {rest} = '' THEN '/' "
+            f"WHEN substr({rest}, 1, 1) = '?' THEN '/' || {rest} "
+            f"ELSE {rest} END")
+    # shuffle() of a one-element array is a value- and type-identical
+    # no-op, but it is flagged nondeterministic, so the optimizer may
+    # neither inline this projection into a consumer nor substitute it
+    # into a pushed-down filter predicate (guide §4.4's
+    # asNondeterministic pattern, applied to a Column expression).
+    # Without the fence, PushDownPredicates re-expanded the whole
+    # normalization into every filter above it — observed as a
+    # 180-regexp predicate pushed onto the links cache that blew the
+    # 64 KB generated-method limit and dropped the stage to
+    # interpreted execution.
+    df = df.withColumn(out_col, F.shuffle(F.array(F.expr(
+        f"CASE WHEN {sch} = '' THEN {u} "
+        f"ELSE {sch} || '://' || {ui} || {host} || {path} END")))[0])
+    return df.drop(u, sch, auth, ui, hp, rest)
+
+
 def normalize_links(links: DataFrame,
                     href_col: str = "href") -> DataFrame:
     """Append ``norm_href`` to an outlink table — the canonical form
     URL-level dedup / graph building should key on."""
-    return links.withColumn("norm_href",
-                            F.expr(norm_url_sql(href_col)))
+    return with_norm_url(links, href_col)
 
 
 # --------------------------------------------------------------------------
@@ -762,9 +820,10 @@ def site_domain_edges(pages: DataFrame, html_col: str = "html",
     of one domain never split rank mass across two nodes."""
     if links is None:
         links = _links_with_source(pages, html_col, id_col, source_col)
-    dst = F.regexp_extract(F.expr(norm_url_sql("href")), DOMAIN_RE, 1)
-    return (links.select(F.col(source_col).alias("src"),
-                         dst.alias("dst"))
+    normed = with_norm_url(
+        links.select(F.col(source_col).alias("src"), "href"), "href")
+    dst = F.regexp_extract(F.col("norm_href"), DOMAIN_RE, 1)
+    return (normed.select("src", dst.alias("dst"))
             .where(F.col("dst") != ""))
 
 
@@ -785,10 +844,10 @@ def candidate_refs(pages: DataFrame, html_col: str = "html",
         .when(F.col("href").startswith("/"),
               F.concat(F.lit("http://"), F.col(source_col),
                        F.col("href"))))
-    return (links.select(F.col(id_col), abs_href.alias("abs_href"))
-            .where(F.col("abs_href").isNotNull())
-            .select(id_col,
-                    F.expr(norm_url_sql("abs_href")).alias("norm_href")))
+    return with_norm_url(
+        links.select(F.col(id_col), abs_href.alias("abs_href"))
+        .where(F.col("abs_href").isNotNull()), "abs_href"
+    ).select(id_col, "norm_href")
 
 
 def page_urls(pages: DataFrame, id_col: str = "doc_id",
@@ -796,11 +855,11 @@ def page_urls(pages: DataFrame, id_col: str = "doc_id",
     """(norm_href): each page's canonical crawled URL
     ``http://<source>/doc/<id>``, normalized — the seen set the
     frontier anti-joins against."""
-    return (pages.select(
+    return (with_norm_url(pages.select(
         F.concat(F.lit("http://"), F.col(source_col), F.lit("/doc/"),
-                 F.col(id_col).cast("string")).alias("page_url"))
-        .select(F.expr(norm_url_sql("page_url")).alias("norm_href"))
-        .distinct())
+                 F.col(id_col).cast("string")).alias("page_url")),
+        "page_url")
+        .select("norm_href").distinct())
 
 
 def site_domain_edges_select() -> str:

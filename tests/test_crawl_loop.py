@@ -148,6 +148,8 @@ def test_release_transients_is_scoped_by_mark(spark):
     caches an outer pipeline registered earlier (the ownership
     contract behind transient_mark)."""
     from maps_spark.operators import html as H
+    H.release_transients()  # isolate: tests running earlier in this
+    # session may have left pipeline transients registered
     outer = H._persist_transient(
         spark.range(5).toDF("doc_id"))
     mark = H.transient_mark()
