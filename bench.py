@@ -1232,9 +1232,12 @@ def run() -> None:
                     profile_lists.setdefault(
                         "streaming_dedup_8batches_c4", []).append(prof)
                 finally:
+                    # the landing dir is cleaned by the OUTER finally:
+                    # deleting it here broke repeat runs
+                    # (SPARK_GRAFT_BENCH_RUNS >= 2 read a dir the
+                    # first run had removed)
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)
-                    _sh.rmtree(dedup_land8, ignore_errors=True)
 
             # the LSM write-cost curve: 16 batches with compact-every-2
             # is SEVEN compactions over a store that grows every fold.
@@ -1266,9 +1269,10 @@ def run() -> None:
                     profile_lists.setdefault(
                         "streaming_dedup_16batches_c2", []).append(prof)
                 finally:
+                    # see streaming_dedup_8batches_c4: outer finally
+                    # owns the landing dir so repeat runs work
                     _sh.rmtree(os.path.dirname(store),
                                ignore_errors=True)
-                    _sh.rmtree(dedup_land16, ignore_errors=True)
 
             @timed("streaming_dedup_small_batches", n=1)
             def _26c():
