@@ -420,15 +420,15 @@ def synthesize_fetch_dates(docs: DataFrame, id_col: str = "doc_id",
     stale/fresh split is a non-trivial deterministic subset.
 
     Output: (norm_href, fetched_at)."""
-    from maps_spark.operators.html import norm_url_sql
+    from maps_spark.operators.html import with_norm_url
     i = F.col(id_col)
-    return docs.select(
-        F.expr(norm_url_sql(
-            f"concat('http://', {source_col}, '/doc/', "
-            f"cast({id_col} as string))")).alias("norm_href"),
+    return with_norm_url(docs.select(
+        F.concat(F.lit("http://"), F.col(source_col), F.lit("/doc/"),
+                 F.col(id_col).cast("string")).alias("page_url"),
         F.concat(F.lit("2026-01-"),
                  F.lpad(((i * 5) % 28 + 1).cast("string"), 2, "0"))
-        .alias("fetched_at"))
+        .alias("fetched_at")), "page_url").select(
+        "norm_href", "fetched_at")
 
 
 def recrawl_candidates(sitemaps: DataFrame,
@@ -445,11 +445,11 @@ def recrawl_candidates(sitemaps: DataFrame,
     equi-join against the ledger — both on the norm_href key.
 
     Output: (norm_href, domain, lastmod, fetched_at)."""
-    from maps_spark.operators.html import DOMAIN_RE, norm_url_sql
-    ent = (parse_sitemaps(sitemaps)
-           .where(F.col("lastmod") != "")
-           .select(F.expr(norm_url_sql("loc")).alias("norm_href"),
-                   "lastmod")
+    from maps_spark.operators.html import DOMAIN_RE, with_norm_url
+    ent = (with_norm_url(parse_sitemaps(sitemaps)
+                         .where(F.col("lastmod") != "")
+                         .select("loc", "lastmod"), "loc")
+           .select("norm_href", "lastmod")
            .groupBy("norm_href")
            .agg(F.max("lastmod").alias("lastmod")))
     return (ent.join(fetched.select("norm_href", "fetched_at"),
@@ -579,12 +579,16 @@ def apply_redirects(cand: DataFrame, redirects: DataFrame,
     Output: cand's columns (via preserved when present)."""
     from maps_spark.operators.html import (DOMAIN_RE,
                                            _broadcast_if_small,
-                                           norm_url_sql)
+                                           with_norm_url)
     res = resolve_redirects(redirects, max_hops=max_hops)
-    alias_map = (res.select(
-        F.expr(norm_url_sql("src_url")).alias("norm_href"),
-        F.expr(norm_url_sql("final_url")).alias("_final"),
-        F.col("resolved").alias("_resolved")).distinct())
+    # staged normalization (html.with_norm_url): the .distinct() is
+    # an aggregate whose key would otherwise inline BOTH expanded
+    # normalization trees (2 x 31 regexps) into one generated method
+    alias_map = (with_norm_url(with_norm_url(
+        res.select("src_url", "final_url", "resolved"), "src_url"),
+        "final_url", "_final")
+        .select("norm_href", "_final",
+                F.col("resolved").alias("_resolved")).distinct())
     has_via = "via" in cand.columns
     x = (cand.join(_broadcast_if_small(alias_map), "norm_href", "left")
          .where(F.col("_resolved").isNull() | F.col("_resolved"))
@@ -828,9 +832,10 @@ def merge_sitemap_locs(cand: DataFrame, sitemaps: DataFrame,
     table sitemap-only rows are scored against.
 
     Output: cand's columns + ``via`` ('links' | 'sitemap' | 'both')."""
-    from maps_spark.operators.html import DOMAIN_RE, norm_url_sql
-    locs = (parse_sitemaps(sitemaps)
-            .select(F.expr(norm_url_sql("loc")).alias("norm_href"))
+    from maps_spark.operators.html import DOMAIN_RE, with_norm_url
+    locs = (with_norm_url(parse_sitemaps(sitemaps).select("loc"),
+                          "loc")
+            .select("norm_href")
             .distinct()
             .join(seen.select("norm_href"), "norm_href", "left_anti")
             .withColumn("_sm", F.lit(True)))

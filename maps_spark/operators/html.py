@@ -482,10 +482,10 @@ def link_domain_counts(pages: DataFrame, html_col: str = "html",
     Pass a prebuilt ``links`` table to reuse an existing extraction."""
     if links is None:
         links = extract_links(pages, html_col, id_col)
-    d = links.select(
-        id_col,
-        F.regexp_extract(F.expr(norm_url_sql("href")), DOMAIN_RE, 1)
-        .alias("domain"))
+    d = (with_norm_url(links.select(id_col, "href"), "href")
+         .select(id_col,
+                 F.regexp_extract(F.col("norm_href"), DOMAIN_RE, 1)
+                 .alias("domain")))
     return (d.where(F.col("domain") != "")
             .groupBy("domain")
             .agg(F.count("*").alias("n_links"),
@@ -724,7 +724,7 @@ def anchor_text_index(anchors: DataFrame,
     docs, and the sorted distinct anchor texts joined with '|' — the
     aggregation a retrieval/reputation stage keys on. One aggregation
     after the codegen normalize; deterministic (sorted set join)."""
-    n = anchors.withColumn("norm_href", F.expr(norm_url_sql("href")))
+    n = with_norm_url(anchors, "href")
     return (n.groupBy("norm_href")
             .agg(F.count("*").alias("n_anchors"),
                  F.countDistinct(id_col).alias("n_docs"),

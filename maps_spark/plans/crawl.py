@@ -210,7 +210,6 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
     transient release to caches this pipeline registered."""
     from maps_spark.operators.html import (apply_robots,
                                            frontier_shards,
-                                           norm_url_sql,
                                            release_transients)
     release_transients(mark)  # this pipeline's link/block caches
 
@@ -227,8 +226,9 @@ def _plan_and_write(spark: SparkSession, cand, ranks, n_cand: int,
         # candidates are exempt from the 'done' drop — done-but-stale
         # is what a recrawl IS — but a 404'd URL never recrawls.
         from maps_spark.operators.crawl import fetch_schedule
-        sched = fetch_schedule(fetch_log).select(
-            F.expr(norm_url_sql("url")).alias("norm_href"),
+        from maps_spark.operators.html import with_norm_url
+        sched = with_norm_url(fetch_schedule(fetch_log), "url").select(
+            "norm_href",
             F.col("action").alias("_action"), "next_delay_s")
         drops = sched.where(F.col("_action").isin("drop", "done")) \
             .select("norm_href", "_action")
