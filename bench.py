@@ -130,11 +130,24 @@ def run() -> None:
         # regressions.
         def deco(fn):
             runs = []
-            for _ in range(runs_override or n or repeats):
+
+            def one():
                 spark.catalog.clearCache()
                 t0 = time.time()
                 fn()
                 runs.append(round(time.time() - t0, 3))
+
+            for _ in range(runs_override or n or repeats):
+                one()
+            # repeat-count floor (additive, VERDICT r10 #9): sub-5 s
+            # entries are fixed-overhead dominated and were the bulk
+            # of the >10% environmental movers; every short entry gets
+            # at least 3 executions so best-of lands on steady state.
+            # Skipped under BENCH_RUNS (the isolated re-pin protocol
+            # pins exact counts).
+            if not runs_override:
+                while min(runs) < 5.0 and len(runs) < 3:
+                    one()
             timings[name] = min(runs)
             mid = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
                 sum(sorted(runs)[len(runs) // 2 - 1:len(runs) // 2 + 1]) / 2,
@@ -1319,8 +1332,14 @@ def run() -> None:
         pass
 
     checkpoint()
-    print(json.dumps(payload()))
+    # Parse-proof payload contract (VERDICT r10: seven rounds of
+    # driver-side bench captures failed to parse): stop Spark FIRST so
+    # no JVM shutdown chatter can land after the payload, then emit
+    # the one-line JSON as the final stdout line, flushed. The durable
+    # file copy (checkpoint/SPARK_GRAFT_BENCH_OUT) was written above.
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(payload()), flush=True)
 
 
 if __name__ == "__main__":

@@ -1378,12 +1378,38 @@ def canon_href_col(href_col: str) -> Column:
         F.concat(pre, F.lit("?"), qq))
 
 
+def with_canon_href(df: DataFrame, src_col: str,
+                    out_col: str = "canon_href") -> DataFrame:
+    """Staged-column twin of :func:`canon_href_col` (same expressions,
+    so results are bitwise identical): the normalized URL comes from
+    :func:`with_norm_url` (computed ONCE, behind its inlining fence)
+    and the detached query / surviving-params fragments are their own
+    projections, so the plan carries small attribute references
+    instead of re-expanding the ~31-regexp normalization at every use
+    (the 8 KB plan line the single-expression form produced — the
+    last holdout of the r10 URL-family staging)."""
+    p = f"_ch_{out_col}"
+    u, pre, q, qq = f"{p}_u", f"{p}_pre", f"{p}_q", f"{p}_qq"
+    df = with_norm_url(df, src_col, out_col=u)
+    df = (df.withColumn(pre, F.trim(
+              F.regexp_replace(F.col(u), r"\?[^#]*", "")))
+          .withColumn(q, F.regexp_extract(F.col(u), r"\?([^#]*)", 1)))
+    df = df.withColumn(qq, F.array_join(
+        F.filter(F.split(F.col(q), "&"),
+                 lambda x: ~x.rlike(TRACKING_PARAM_RE)), "&"))
+    df = df.withColumn(out_col,
+                       F.when(F.col(qq) == "", F.col(pre))
+                       .otherwise(F.concat(F.col(pre), F.lit("?"),
+                                           F.col(qq))))
+    return df.drop(u, pre, q, qq)
+
+
 def canonicalize_links(links: DataFrame,
                        href_col: str = "href") -> DataFrame:
     """Append ``canon_href`` — the URL-dedup / graph key stronger
     than plain normalization: two shares of one article that differ
     only by campaign tags collapse to one node."""
-    return links.withColumn("canon_href", canon_href_col(href_col))
+    return with_canon_href(links, href_col)
 
 
 def canon_href_sql(col: str) -> str:

@@ -950,7 +950,7 @@ def q_site_clean_extract(spark, sf_dir):
 
 
 def q_url_canonical(spark, sf_dir):
-    from maps_spark.operators.html import canon_href_col
+    from maps_spark.operators.html import with_canon_href
     docs = _docs(spark, sf_dir)
     i = F.col("doc_id").cast("string")
     variants = F.array(
@@ -965,7 +965,7 @@ def q_url_canonical(spark, sf_dir):
                  .cast("string"), F.lit(".example/x?keep="), i))
     messy = docs.select(
         "doc_id", F.posexplode(variants).alias("variant", "href"))
-    return messy.withColumn("canon_href", canon_href_col("href"))
+    return with_canon_href(messy, "href")
 
 
 def q_link_hits(spark, sf_dir):

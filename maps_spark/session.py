@@ -68,6 +68,13 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter"
                 ".algorithm.version", "2")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Shuffle codec, env-parameterized for the A/B protocol
+        # (guide §2.3: zstd trades CPU for ratio; there is no
+        # universal answer — measure at the deployment's real shuffle
+        # sizes). Local default stays lz4 (the measured winner at
+        # sf0.1 shuffle volumes; see OPTIMIZATION_r11.md).
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -66,6 +66,34 @@ SIG_DIRS = ("sigs", "bands", "bands_l0", "hashes", "dupes",
 # a few percent of the store's files.
 BAND_SUBBUCKETS = 64
 
+# Store-side probe pre-filter guard (guide §3.2): the probe semi-joins
+# the store's band rows against a BROADCAST of the batch's exact
+# (band, bh) key set before any per-row work, which is only sane while
+# that key set is broadcast-sized. Batches above the cap fall back to
+# the shuffle-join shape (the right plan at that scale anyway).
+# ~4M keys = two longs x 4M ~= 64 MB framed; env-tunable for clusters.
+PREFILTER_MAX_KEYS = int(os.environ.get(
+    "MAPS_DEDUP_PREFILTER_MAX_KEYS", str(4_000_000)))
+
+# Append file sizing: flat-table appends write ceil(rows / this) files
+# per batch instead of a constant — a tiny batch pays ONE commit and no
+# repartition shuffle, a cluster-scale batch still writes bounded-size
+# files (guide §2/§6: partitioning adapts to data size). Env-tunable.
+APPEND_ROWS_PER_FILE = int(os.environ.get(
+    "MAPS_DEDUP_APPEND_ROWS_PER_FILE", str(100_000)))
+
+
+def _append_sized(df: DataFrame, n_rows: int,
+                  rows_per_file: int | None = None) -> DataFrame:
+    """Coalesce/repartition an append to ``ceil(n_rows /
+    rows_per_file)`` output files. ONE file goes through ``coalesce``
+    (narrow — no shuffle, the right trade for a tiny batch where the
+    extra exchange was the measured per-batch floor); more than one
+    uses ``repartition`` so the upstream join keeps its parallelism."""
+    per = rows_per_file or APPEND_ROWS_PER_FILE
+    parts = max(1, -(-int(n_rows) // per))
+    return df.coalesce(1) if parts == 1 else df.repartition(parts)
+
 
 def _band_table(sigs: DataFrame, bands: int, rows: int,
                 sub: int = BAND_SUBBUCKETS) -> DataFrame:
@@ -231,6 +259,11 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     rows = num_perm // bands
     _t0 = _time.time()
     docs = docs.select("doc_id", text_col).localCheckpoint()
+    # one cheap count over the checkpointed batch drives every
+    # scale-adaptive decision below (broadcast pre-filter gate, append
+    # file sizing) — the batch size is the one quantity the planner
+    # cannot know here and the driver can, for the price of one job
+    n_docs = docs.count()
 
     hashes = docs.select("doc_id", F.md5(text_col).alias("text_hash"))
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_k,
@@ -254,9 +287,11 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     if store_hashes is not None and tomb is not None:
         store_hashes = store_hashes.join(
             tomb.select("doc_id").distinct(), "doc_id", "left_anti")
+    small_batch = n_docs * bands <= PREFILTER_MAX_KEYS
     exact_cross = (
-        hashes.join(store_hashes.withColumnRenamed("doc_id", "dup_of"),
-                    "text_hash")
+        (F.broadcast(hashes) if small_batch else hashes)
+        .join(store_hashes.withColumnRenamed("doc_id", "dup_of"),
+              "text_hash")
         # a re-submitted id (changed doc in incremental curation) must
         # never count as a duplicate of its own stored version
         .where(F.col("doc_id") != F.col("dup_of"))
@@ -285,6 +320,22 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
                                    seg_hits=seg_hits)
     _t_read = _time.time()
     all_sigs = sigs
+    if store_bands is not None and small_batch:
+        # guide §3.2: prune the store side against a broadcast of the
+        # batch's EXACT bucket-key set before any per-row work. The
+        # bucket key IS the join key, so the semi-join keeps or drops
+        # whole buckets: cap_buckets' per-bucket counts are unchanged
+        # for every surviving bucket and the cross join's matches are
+        # identical — but the cap aggregation, the tombstone
+        # anti-join's probe side, and the join itself now see
+        # O(possible matches) rows instead of every row read from the
+        # touched sub-buckets, which is what made probe_verify linear
+        # in the stored-candidate set per batch (BENCH_r10
+        # segment_profile: pv 1.0 -> 4.4 s over 16 batches at sf0.1
+        # touch saturation).
+        batch_keys = batch_bands.select("band", "bh").distinct()
+        store_bands = store_bands.join(F.broadcast(batch_keys),
+                                       ["band", "bh"], "left_semi")
     if store_bands is not None and tomb is not None:
         store_bands = store_bands.join(
             tomb.select("doc_id").distinct(), "doc_id", "left_anti")
@@ -296,10 +347,14 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
             .select(F.col("doc_id").alias("doc_a"), "doc_b"))
         cand = cand.unionByName(cross)
         store_sigs = _try_read(spark, f"{store_dir}/sigs")
-        # verification only needs the candidate old docs' signatures
-        needed = (store_sigs.join(
-            cross.select(F.col("doc_b").alias("doc_id")).distinct(),
-            "doc_id", "left_semi"))
+        # verification only needs the candidate old docs' signatures;
+        # the candidate id set is O(matches) after the pre-filter, so
+        # broadcasting it keeps the sigs table (the store's widest
+        # rows) from being shuffled every batch
+        cand_ids = cross.select(F.col("doc_b").alias("doc_id")).distinct()
+        needed = store_sigs.join(
+            F.broadcast(cand_ids) if small_batch else cand_ids,
+            "doc_id", "left_semi")
         all_sigs = sigs.unionByName(needed)
     cand = cand.distinct()
     near = minhash_verify(cand, all_sigs, threshold).withColumnRenamed(
@@ -318,8 +373,21 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     dupes = (dupes.groupBy("doc_id").agg(best)
              .select("doc_id", (-F.col("b.neg_id")).alias("dup_of"),
                      F.col("b.jaccard_est").alias("jaccard_est"))
-             .withColumn("batch_id", F.lit(batch_id))
-             .localCheckpoint())
+             .withColumn("batch_id", F.lit(batch_id)))
+    _exp = os.environ.get("MAPS_DEDUP_EXPLAIN_DIR")
+    if _exp:
+        # debug hook (off by default): dump the probe+verify DAG's
+        # formatted physical plan before it executes, for plan audits
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            dupes.explain("formatted")
+        os.makedirs(_exp, exist_ok=True)
+        with open(os.path.join(_exp,
+                               f"probe_batch{batch_id}.txt"), "w") as f:
+            f.write(buf.getvalue())
+    dupes = dupes.localCheckpoint()
     _t2 = _time.time()
 
     novel_ids = docs.select("doc_id").join(dupes, "doc_id", "left_anti")
@@ -332,16 +400,20 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
         seg[key] = round(now - _tp, 3)
         _tp = now
 
-    (dupes.select("doc_id", "dup_of", "jaccard_est", "batch_id")
+    # dupes <= batch rows, so the batch size bounds the file sizing
+    (_append_sized(dupes.select("doc_id", "dup_of", "jaccard_est",
+                                "batch_id"), n_docs)
      .write.mode("append").parquet(f"{store_dir}/dupes"))
     _mark("append_dupes")
-    # flat-table appends land as TWO files per batch, not one file
-    # per shuffle partition (32+): every batch's probe re-opens the
-    # whole sigs/hashes file set, and the tiered compaction otherwise
-    # rewrites 32x the file count per pass (guide §6: small files
-    # hurt twice). repartition, not coalesce — coalesce would drag
-    # the semi-join itself down to 2 tasks
-    (sigs.join(novel_ids, "doc_id", "left_semi").repartition(2)
+    # flat-table appends land as ceil(rows / APPEND_ROWS_PER_FILE)
+    # files per batch, not one file per shuffle partition (32+): every
+    # batch's probe re-opens the whole sigs/hashes file set, and the
+    # tiered compaction otherwise rewrites 32x the file count per pass
+    # (guide §6: small files hurt twice). A tiny batch coalesces to
+    # ONE file with no extra exchange (the constant repartition(2) was
+    # the measured ~1 s/batch floor on small-batch entries); a big
+    # batch repartitions so the semi-join keeps its parallelism.
+    (_append_sized(sigs.join(novel_ids, "doc_id", "left_semi"), n_docs)
      .write.mode("append").parquet(f"{store_dir}/sigs"))
     _mark("append_sigs")
     # band appends go to the unpartitioned L0 level: a partitioned
@@ -351,11 +423,13 @@ def process_batch(docs: DataFrame, store_dir: str, batch_id: int = 0,
     # commit of a couple of (band, bh)-sorted files; the compaction
     # cadence folds it into a new path-pruned L1 segment
     # (maintenance.fold_l0_segments)
-    (batch_bands.join(novel_ids, "doc_id", "left_semi")
-     .repartition(2).sortWithinPartitions("band", "bh")
+    (_append_sized(batch_bands.join(novel_ids, "doc_id", "left_semi"),
+                   n_docs * bands)
+     .sortWithinPartitions("band", "bh")
      .write.mode("append").parquet(f"{store_dir}/bands_l0"))
     _mark("append_bands")
-    (hashes.join(novel_ids, "doc_id", "left_semi").repartition(2)
+    (_append_sized(hashes.join(novel_ids, "doc_id", "left_semi"),
+                   n_docs, rows_per_file=1_000_000)
      .write.mode("append").parquet(f"{store_dir}/hashes"))
     _mark("append_hashes")
     if profile is not None:

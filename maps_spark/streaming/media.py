@@ -105,6 +105,17 @@ def process_media_batch(media: DataFrame, store_dir: str,
     # makes the deletion physical
     from maps_spark.streaming.dedup import _try_read
     tomb = _try_read(spark, f"{store_dir}/tombstones")
+    if store_bands is not None:
+        # guide §3.2 (same as the text store's probe): the bucket key
+        # IS the join key, so a broadcast semi-join on the batch's
+        # exact (bidx, bval) set keeps or drops whole buckets —
+        # cap_buckets counts and the cross join's matches are
+        # unchanged, but downstream work is O(possible matches). The
+        # dHash key space is <= 8 x 256 keys, so the broadcast is
+        # always tiny (no batch-size gate needed).
+        batch_keys = batch_bands.select("bidx", "bval").distinct()
+        store_bands = store_bands.join(F.broadcast(batch_keys),
+                                       ["bidx", "bval"], "left_semi")
     if store_bands is not None and tomb is not None:
         store_bands = store_bands.join(
             tomb.select("media_id").distinct(), "media_id",
@@ -148,15 +159,17 @@ def process_media_batch(media: DataFrame, store_dir: str,
              .localCheckpoint())
 
     novel = h.select("media_id").join(dupes, "media_id", "left_anti")
-    dupes.write.mode("append").parquet(f"{store_dir}/dupes")
+    dupes.coalesce(1).write.mode("append").parquet(f"{store_dir}/dupes")
     # one file per batch, not one per shuffle partition: the probe
-    # re-opens the whole hashes file set every batch (guide §6)
-    (h.join(novel, "media_id", "left_semi").repartition(1)
+    # re-opens the whole hashes file set every batch (guide §6).
+    # coalesce, not repartition — narrow, so the tiny per-batch append
+    # pays no extra exchange (the small-batch floor of r10)
+    (h.join(novel, "media_id", "left_semi").coalesce(1)
      .write.mode("append").parquet(f"{store_dir}/hashes"))
     # L0 append: one commit per batch; a partitioned append would pay
     # the commit protocol once per touched (bidx, bb) directory (~512)
     (batch_bands.join(novel, "media_id", "left_semi")
-     .repartition(1).sortWithinPartitions("bidx", "bval")
+     .coalesce(1).sortWithinPartitions("bidx", "bval")
      .write.mode("append").parquet(f"{store_dir}/bands_l0"))
 
 

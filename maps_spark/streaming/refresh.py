@@ -156,8 +156,77 @@ def windowed_event_counts(spark: SparkSession, input_dir: str,
 N_BUCKETS = 256
 
 
+def _applied_marker(batch_id: int) -> str:
+    return f"_applied-{batch_id}"
+
+
+def _recover_bucket_swaps(store: str) -> None:
+    """Repair a crash inside :func:`_swap_buckets`: a bucket renamed
+    aside (``bucket=N.old``) whose replacement never arrived is
+    restored (its accumulated history is the only copy); a leftover
+    ``.old`` beside a live bucket is dropped (the swap completed).
+    Cheap (one listdir) and a no-op outside the crash window."""
+    import shutil
+    if not os.path.isdir(store):
+        return
+    for name in os.listdir(store):
+        if not name.endswith(".old"):
+            continue
+        live = os.path.join(store, name[:-len(".old")])
+        old = os.path.join(store, name)
+        if os.path.isdir(live):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, live)
+
+
+def _buckets_already_applied(store: str, buckets, batch_id) -> set:
+    """Buckets whose LIVE directory already carries this batch's
+    applied marker — i.e. they were swapped by a crashed earlier
+    attempt of the same batch and must not be re-merged (the replay
+    double-count window of VERDICT r10 #5)."""
+    if batch_id is None:
+        return set()
+    return {b for b in buckets
+            if os.path.isfile(os.path.join(
+                store, f"bucket={b}", _applied_marker(batch_id)))}
+
+
+def _swap_buckets(store: str, staging: str, buckets, batch_id) -> None:
+    """Publish staged bucket directories into the live store: mark
+    each staged dir with the applied batch id (an underscore file —
+    invisible to parquet readers; the next successful batch replaces
+    the whole directory, so markers never accumulate), rename the
+    live dir aside, rename staging in, and drop the aside copies only
+    after EVERY bucket swapped — at no instant does a bucket's
+    accumulated history exist nowhere (ADVICE r10), and a replay
+    after a mid-loop crash skips the marked buckets and re-merges the
+    rest from their pre-batch state."""
+    import shutil
+    os.makedirs(store, exist_ok=True)
+    aside = []
+    for b in buckets:
+        src = os.path.join(staging, f"bucket={b}")
+        if not os.path.isdir(src):
+            continue  # a bucket whose rows all vanished cannot occur
+        if batch_id is not None:
+            open(os.path.join(src, _applied_marker(batch_id)),
+                 "w").close()
+        dst = os.path.join(store, f"bucket={b}")
+        old = dst + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+            aside.append(old)
+        os.rename(src, dst)
+    for old in aside:
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def merge_into_pixels(delta: DataFrame, pixel_store: str,
-                      n_buckets: int = N_BUCKETS) -> None:
+                      n_buckets: int = N_BUCKETS,
+                      batch_id: int | None = None) -> None:
     """foreachBatch body: merge a delta micro-batch into the LIVE
     bucketed pixel store (sum on conflict). Parquet has no MERGE, so
     the store is hive-partitioned by ``bucket = xxhash64(mapKey) mod
@@ -180,11 +249,20 @@ def merge_into_pixels(delta: DataFrame, pixel_store: str,
     from pyspark.errors import AnalysisException
 
     spark = delta.sparkSession
+    # repair any crashed earlier swap BEFORE listing/reading the store
+    # (a bucket renamed aside must be restored; a stale .old dropped)
+    _recover_bucket_swaps(pixel_store)
     bucketed = delta.withColumn(
         "bucket", F.pmod(F.xxhash64("mapKey"), F.lit(n_buckets)).cast("int"))
     touched = [r[0] for r in bucketed.select("bucket").distinct().collect()]
+    # buckets a crashed attempt of THIS batch already swapped carry
+    # its applied marker: re-merging them would double-count the delta
+    done = _buckets_already_applied(pixel_store, touched, batch_id)
+    touched = [b for b in touched if b not in done]
     if not touched:
         return
+    if done:
+        bucketed = bucketed.where(F.col("bucket").isin(touched))
     merged = bucketed
     try:
         existing = (spark.read.parquet(pixel_store)
@@ -215,15 +293,7 @@ def merge_into_pixels(delta: DataFrame, pixel_store: str,
     (merged.repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(staging))
-    for b in touched:
-        src = os.path.join(staging, f"bucket={b}")
-        dst = os.path.join(pixel_store, f"bucket={b}")
-        if not os.path.isdir(src):
-            continue  # a bucket whose rows all vanished cannot occur
-        shutil.rmtree(dst, ignore_errors=True)
-        os.makedirs(pixel_store, exist_ok=True)
-        os.rename(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    _swap_buckets(pixel_store, staging, touched, batch_id)
 
 
 def append_pixel_deltas(delta: DataFrame, pixel_store: str,
@@ -335,7 +405,8 @@ def compact_pixel_store(spark: SparkSession, pixel_store: str) -> dict:
 def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
                      srs: str, zoom: int,
                      n_buckets: int = N_BUCKETS,
-                     fold: bool = False) -> None:
+                     fold: bool = False,
+                     batch_id: int | None = None) -> None:
     """Re-encode ONLY the tiles whose pixel set changed and upsert them
     into a bucketed MVT tile store. Call after :func:`merge_into_pixels`
     has folded ``delta`` into ``pixel_store``.
@@ -363,6 +434,7 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
     from maps_spark.operators import pyramid as PY
 
     spark = delta.sparkSession
+    _recover_bucket_swaps(tile_store)
     touched_tiles = (PY.tile_rows(delta, srs, zoom)
                      .select("mapKey", "tileX", "tileY").distinct()
                      .localCheckpoint())
@@ -371,6 +443,13 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
                        .cast("int").alias("bucket"))
                .distinct().collect())
     touched_buckets = [r[0] for r in buckets]
+    # skip buckets a crashed earlier attempt of this batch already
+    # swapped (their tiles are re-encoded from the ALREADY-merged
+    # pixel store, so re-encoding is idempotent — but the skip keeps
+    # replays cheap and the applied markers uniform across stores)
+    done = _buckets_already_applied(tile_store, touched_buckets,
+                                    batch_id)
+    touched_buckets = [b for b in touched_buckets if b not in done]
     if not touched_buckets:
         return
     merged = (spark.read.parquet(pixel_store)
@@ -405,15 +484,7 @@ def merge_into_tiles(delta: DataFrame, pixel_store: str, tile_store: str,
     # one file per bucket directory (same rationale as merge_into_pixels)
     (out.repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(staging))
-    for b in touched_buckets:
-        src = os.path.join(staging, f"bucket={b}")
-        dst = os.path.join(tile_store, f"bucket={b}")
-        if not os.path.isdir(src):
-            continue
-        shutil.rmtree(dst, ignore_errors=True)
-        os.makedirs(tile_store, exist_ok=True)
-        os.rename(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    _swap_buckets(tile_store, staging, touched_buckets, batch_id)
 
 
 def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
@@ -422,6 +493,7 @@ def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
     says whether per-batch deltas need the merge-on-read fold —
     merge-mode stores (already unique-keyed) stay a plain
     partition-prunable scan with no extra shuffle."""
+    _recover_bucket_swaps(pixel_store)  # no-op outside a crash window
     df = spark.read.parquet(pixel_store).drop("bucket")
     return fold_pixels(df) if _store_mode(pixel_store) == "append" \
         else df
@@ -430,6 +502,7 @@ def read_pixel_store(spark: SparkSession, pixel_store: str) -> DataFrame:
 def read_tile_store(spark: SparkSession, tile_store: str) -> DataFrame:
     """Read the incrementally-maintained tile store (mapKey, z, x, y,
     tile) without the internal bucket column."""
+    _recover_bucket_swaps(tile_store)  # no-op outside a crash window
     return spark.read.parquet(tile_store).drop("bucket")
 
 
@@ -501,11 +574,12 @@ def run_refresh(spark: SparkSession, input_dir: str, nation_dir: str,
         if pixel_mode == "append":
             append_pixel_deltas(delta, pixel_store)
         else:
-            merge_into_pixels(delta, pixel_store)
+            merge_into_pixels(delta, pixel_store, batch_id=batch_id)
         _write_store_mode(pixel_store, pixel_mode)
         if tile_store is not None:
             merge_into_tiles(delta, pixel_store, tile_store, srs, zoom,
-                             fold=(pixel_mode == "append"))
+                             fold=(pixel_mode == "append"),
+                             batch_id=batch_id)
         _commit_batch(marker, batch_id)
 
     return (occ.writeStream.foreachBatch(_merge)

@@ -217,3 +217,48 @@ def test_adaptive_sub_fold_probes_identically(spark, tmp_path):
                            [f"{s}/_stats" for s in segs],
                            ("band", "bb"), "bh")
     assert set(hits2[0]) <= {(a, b % sub) for a, b in t2}
+
+
+def test_probe_prefilter_twin_verdicts_identical(spark, tmp_path):
+    """r11 probe optimization twin: the broadcast semi-join pre-filter
+    of the store side against the batch's exact (band, bh) key set
+    must produce byte-identical verdicts to the unfiltered probe —
+    including under a tight cap_buckets limit, where the equivalence
+    rests on the semi-join keeping or dropping WHOLE buckets (the
+    bucket key is the join key, so per-bucket counts cannot change).
+    Two stores are built through the same batch sequence, one per
+    mode, and their dupes/sigs/hashes tables must match exactly."""
+    import maps_spark.streaming.dedup as SD
+    from tests.conftest import SF_SMALL
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "text"))
+    seed = docs.where("doc_id % 5 != 0")
+    # probe batch: fresh docs + near-dup copies of stored docs (small
+    # tail edit keeps most shingles -> LSH candidates, not exact dups)
+    kept = seed.orderBy("doc_id").limit(3)
+    near = kept.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    batch = docs.where("doc_id % 5 = 0").unionByName(near)
+
+    def build(store, gate):
+        old = SD.PREFILTER_MAX_KEYS
+        SD.PREFILTER_MAX_KEYS = gate
+        try:
+            # max_bucket=3 exercises the hot-bucket cap on BOTH sides
+            SD.process_batch(seed, store, batch_id=0, max_bucket=3)
+            SD.process_batch(batch, store, batch_id=1, max_bucket=3)
+        finally:
+            SD.PREFILTER_MAX_KEYS = old
+        out = {}
+        for t in ("dupes", "sigs", "hashes"):
+            out[t] = sorted(map(
+                tuple, spark.read.parquet(f"{store}/{t}")
+                .drop("sig").collect()))
+        return out
+
+    on = build(str(tmp_path / "on"), 1 << 60)
+    off = build(str(tmp_path / "off"), -1)
+    assert on == off
+    assert len(on["dupes"]) > 0  # the twin compared real verdicts

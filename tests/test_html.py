@@ -458,6 +458,56 @@ def test_canonicalize_links_rules(spark):
         assert got[i] == want, (cases[i][0], got[i], want)
 
 
+def test_staged_url_forms_match_single_expression(spark):
+    """ADVICE r10: the staged DataFrame transforms (with_norm_url /
+    with_canon_href) and the single-expression forms (norm_url_sql /
+    canon_href_col) are the same logic written twice for plan-shape
+    reasons — pin them bitwise-equal over the closed canonicalization
+    cases plus a generated messy-URL corpus so an edit to one cannot
+    silently desync the engines."""
+    import random
+
+    from maps_spark.operators.html import (canon_href_col, norm_url_sql,
+                                           with_canon_href,
+                                           with_norm_url)
+    urls = [
+        "http://t.example/p?utm_source=f&id=7&utm_medium=r",
+        "HTTPS://T.Example:443/q?gclid=abc",
+        "/rel/9?a=1&fbclid=zz&b=2",
+        "http://h.example/x?keep=1&UTM_CAMPAIGN=S",
+        "http://h.example/x?gclid",
+        "mailto:a@b?subject=x",
+        "http://h.example/?utm_only=1",
+        "http://h.example/x?a=1&gclidx=2",
+        "", " ", "://", "http://", "?q=1", "#only-fragment",
+        "http://u:p@H.Ex:80/a b/c?x=%20&utm_x#f",
+        "https://h.example:443", "ftp://H.EX:21/d/?utm_source=x&y",
+    ]
+    rng = random.Random(42)
+    schemes = ["http", "HTTPS", "ftp", ""]
+    hosts = ["Ex.AMPLE.com:80", "h.example", "t.example:443", "@",
+             "u:p@host.example:8080"]
+    params = ["a=1", "utm_source=s", "gclid=zz", "fbclid", "b",
+              "gclidx=2", "utm_", "=v", "k=%2F"]
+    for i in range(120):
+        s = rng.choice(schemes)
+        pre = f"{s}://" if s else rng.choice(["", "/", "//"])
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        frag = rng.choice(["", "#f", "#a#b"])
+        pad = rng.choice(["", " ", "\t"])
+        urls.append(f"{pad}{pre}{rng.choice(hosts)}/p{i}"
+                    f"{'?' + q if q else ''}{frag}{pad}")
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, href string")
+    both = (with_canon_href(with_norm_url(df, "href"), "href")
+            .withColumn("norm_ref", F.expr(norm_url_sql("href")))
+            .withColumn("canon_ref", canon_href_col("href")))
+    bad = both.where(
+        ~F.col("norm_href").eqNullSafe(F.col("norm_ref")) |
+        ~F.col("canon_href").eqNullSafe(F.col("canon_ref"))).collect()
+    assert not bad, bad[:5]
+
+
 def test_empty_doc_cross_engine_parity(spark):
     """An empty-text document flows through page synthesis, main-text
     extraction and prose re-punctuation IDENTICALLY in both engines —

@@ -207,6 +207,69 @@ class TestRefresh:
         after = sorted(map(tuple, read_pixel_store(spark, store).collect()))
         assert after == before
 
+    def test_merge_crash_mid_swap_replay_conserves_mass(
+            self, spark, tmp_path, monkeypatch):
+        """VERDICT r10 #5: a crash after SOME bucket directories
+        swapped but before the batch marker commits must not
+        double-apply the delta to those buckets on replay (and a crash
+        between the two renames must not lose a bucket's history).
+        Kill the swap after k renames, replay the same batch, and
+        assert the store equals the uninterrupted result exactly."""
+        import os as _os
+
+        from maps_spark.streaming import refresh as R
+
+        rows = [(f"2:ds-{i}", i, i, 2000 + i, 1) for i in range(50)]
+        schema = "mapKey string, px int, py int, borYear int, cnt bigint"
+        base = spark.createDataFrame(rows, schema)
+        delta = spark.createDataFrame(rows[:20], schema)
+
+        # uninterrupted twin: what the store must equal after replay
+        want_store = str(tmp_path / "want")
+        R.merge_into_pixels(base, want_store, n_buckets=16, batch_id=0)
+        R.merge_into_pixels(delta, want_store, n_buckets=16, batch_id=1)
+        want = sorted(map(tuple,
+                          spark.read.parquet(want_store).collect()))
+
+        for kill_after in (0, 1, 3):  # incl. mid-two-rename (k=0 aside
+            store = str(tmp_path / f"crash{kill_after}")  # done, no src)
+            R.merge_into_pixels(base, store, n_buckets=16, batch_id=0)
+
+            real_rename = _os.rename
+            calls = {"n": 0}
+
+            def boom(src, dst, _real=real_rename, _c=calls,
+                     _k=kill_after):
+                # count only live-store bucket swaps (src in staging)
+                if ".merge-staging" in src and "/bucket=" in dst:
+                    if _c["n"] >= _k:
+                        # crash AFTER renaming the live dir aside for
+                        # kill_after==0: the aside rename (src is the
+                        # live dir) happened via the branch below
+                        raise OSError("injected crash mid-swap")
+                    _c["n"] += 1
+                return _real(src, dst)
+
+            monkeypatch.setattr(R.os, "rename", boom)
+            try:
+                R.merge_into_pixels(delta, store, n_buckets=16,
+                                    batch_id=1)
+            except OSError:
+                pass
+            monkeypatch.setattr(R.os, "rename", real_rename)
+
+            # replay the same batch id (marker not advanced)
+            R.merge_into_pixels(delta, store, n_buckets=16, batch_id=1)
+            got = sorted(map(tuple, R.read_pixel_store(
+                spark, store).collect()))
+            want_nb = sorted(map(tuple, R.read_pixel_store(
+                spark, want_store).collect()))
+            assert got == want_nb, f"kill_after={kill_after}"
+            assert sorted(map(tuple,
+                              spark.read.parquet(store)
+                              .collect())) == want, \
+                f"kill_after={kill_after}"
+
     def test_windowed_watermark_agg(self, spark):
         from maps_spark.streaming.refresh import windowed_event_counts
 

@@ -85,9 +85,9 @@ def main() -> None:
         orig_write_stats = B.write_stats
         stats_t = {}
 
-        def timed_write_stats(df_, out_dir, keys, value_col):
+        def timed_write_stats(df_, out_dir, keys, value_col, **kw):
             ts = time.time()
-            r = orig_write_stats(df_, out_dir, keys, value_col)
+            r = orig_write_stats(df_, out_dir, keys, value_col, **kw)
             stats_t["stats"] = time.time() - ts
             return r
 
