@@ -274,6 +274,53 @@ def cap_buckets(buckets: DataFrame, keys: list[str],
         "left_anti")
 
 
+def _bucket_member_pairs(buckets: DataFrame, keys: list[str],
+                         max_bucket: int,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b) for every same-bucket member pair — the shared
+    one-exchange core of the LSH-family candidate generators (guide
+    §2.4): ONE hash-aggregation collects each bucket's members, which
+    gives the size cap (identical predicate to :func:`cap_buckets`:
+    a bucket survives iff its member count <= max_bucket) AND both
+    pair sides — replacing the {bucket-size agg + broadcast anti-join
+    + two-sided self-join} shape that shuffled the bucket table twice
+    and evaluated its lineage three times. Sorted members give the
+    same doc_a < doc_b orientation as the join's where-clause; arrays
+    are bounded by ``max_bucket`` so the inline pair expansion is
+    O(max_bucket^2) transient per hot bucket, never O(corpus). One
+    output row per (bucket, pair) — callers aggregate or distinct
+    exactly as they did over the join output."""
+    return _expand_pairs(_collect_buckets(buckets, keys, max_bucket,
+                                          id_col))
+
+
+def _collect_buckets(buckets: DataFrame, keys: list[str],
+                     max_bucket: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Sorted member-id array per bucket, oversized buckets dropped —
+    the aggregation half of :func:`_bucket_member_pairs` (singleton
+    buckets are KEPT so callers that also need per-member totals, like
+    the Jaccard set sizes, read them from the same pass)."""
+    return (buckets.groupBy(*keys)
+            .agg(F.collect_list(id_col).alias("ids"))
+            .where(F.size("ids") <= max_bucket)
+            .select(*keys, F.array_sort("ids").alias("ids")))
+
+
+def _expand_pairs(grouped: DataFrame) -> DataFrame:
+    """Inline (doc_a, doc_b) expansion of sorted ``ids`` arrays —
+    the pair half of :func:`_bucket_member_pairs`."""
+    ids = F.col("ids")
+    pairs = F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2),
+                    F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return (grouped.where(F.size("ids") >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, seed: int = 42,
@@ -288,10 +335,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
     """
     rows = num_perm // bands
-    # signatures feed three consumers (bucket sizes + both join sides);
-    # persist so the Arrow UDF runs once, not three times
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_k,
-                              seed, hasher).persist()
+                              seed, hasher)
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  band_key_col("sig", i, rows).alias("bh"))
@@ -300,13 +345,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
                        F.col("b.bh").alias("bh")))
-    buckets = cap_buckets(buckets, ["band", "bh"], max_bucket)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (a.join(b, ["band", "bh"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
+    # one collect-members aggregation instead of {size agg + anti-join
+    # + self-join} — see :func:`_bucket_member_pairs`; n_bands is the
+    # per-pair bucket multiplicity, exactly the old join's row count
+    return (_bucket_member_pairs(buckets, ["band", "bh"], max_bucket)
+            .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_bands")))
 
 
@@ -346,32 +389,29 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     so without the cap one boilerplate phrase dominates the shuffle at
     corpus scale. The oracle SQL applies the identical cap.
     """
-    # materialize the exploded shingle table once: the shingle transform
-    # is a higher-order-function expression (interpreted, re-evaluated
-    # by every consumer), and this plan consumes it five times — df
-    # counts, both anti-join sides, set sizes, both self-join sides.
-    # One pass + a staged table is also the production shape at scale.
-    # Trade-off (deliberate): localCheckpoint materializes eagerly (plan
-    # construction runs a job) and pins executor storage for the
-    # session; lineage is truncated, so executor loss is unrecoverable.
-    # That is acceptable for local/gate runs; a cluster deployment
-    # swaps these barriers for staging-table writes (the backfill
-    # driver's pattern) or reliable checkpoints.
-    sh = (docs.select("doc_id",
-                      F.explode(F.array_distinct(
-                          _shingle_array(text_col, shingle_k)))
-                      .alias("shingle"))
-          .localCheckpoint())
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(F.broadcast(df_counts.where(F.col("df") > max_df)),
-                 ["shingle"], "left_anti").localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, "shingle")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    # The exploded shingle table has exactly ONE consumer now (the
+    # bucket-collect aggregation below), so it flows straight into
+    # that exchange unmaterialized; the barrier this plan needs is on
+    # the far SMALLER grouped table, which two consumers share (set
+    # sizes + pair expansion). Trade-off of localCheckpoint (eager,
+    # session-pinned, lineage-truncated) as before; a cluster
+    # deployment swaps it for a staging-table write.
+    sh = docs.select("doc_id",
+                     F.explode(F.array_distinct(
+                         _shingle_array(text_col, shingle_k)))
+                     .alias("shingle"))
+    # collect each shingle's doc set ONCE (guide §2.4): the bucket
+    # arrays give the df cap (size > max_df dropped — the identical
+    # predicate the anti-join applied), the per-doc set sizes (explode
+    # of the SURVIVING buckets, singletons included), and the pair
+    # expansion, replacing {df agg + broadcast anti-join + second
+    # localCheckpoint + two-sided self-join}. Intersections, sizes and
+    # the Jaccard fold are value-identical.
+    grouped = _collect_buckets(sh, ["shingle"], max_df).localCheckpoint()
+    sizes = (grouped.select(F.explode("ids").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("sz")))
+    inter = (_expand_pairs(grouped)
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
@@ -708,7 +748,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     Band buckets larger than ``max_bucket`` are dropped before the
     self-join (same boilerplate guard as minhash LSH — e.g. all empty
     docs simhash to 0 and would otherwise go quadratic)."""
-    sh = simhash(docs, text_col, hasher=hasher).persist()
+    sh = simhash(docs, text_col, hasher=hasher)
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [F.struct(
@@ -717,12 +757,12 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .bitwiseAND(F.lit(mask)).alias("key")) for i in range(bands)]
     buckets = (sh.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
                .select("doc_id", "b.band", "b.key"))
-    buckets = cap_buckets(buckets, ["band", "key"], max_bucket)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b, ["band", "key"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")).distinct())
+    # same collect-members restructure (and equivalence argument) as
+    # :func:`minhash_lsh_pairs`: one aggregation replaces the size
+    # cap's agg + anti-join + the two-sided self-join, and the simhash
+    # UDF now has ONE consumer, so the persist is gone too
+    return (_bucket_member_pairs(buckets, ["band", "key"], max_bucket)
+            .select("doc_a", "doc_b").distinct())
 
 
 def dup_ngram_coverage(docs: DataFrame, text_col: str = "text",
@@ -916,20 +956,17 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     Output: (doc_a, doc_b, inter, sza, szb, cont_a_scaled,
     cont_b_scaled) with doc_a < doc_b.
     """
-    sh = (docs.select("doc_id",
-                      F.explode(F.array_distinct(
-                          _shingle_array(text_col, shingle_k)))
-                      .alias("shingle"))
-          .localCheckpoint())
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(F.broadcast(df_counts.where(F.col("df") > max_df)),
-                 ["shingle"], "left_anti").localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, "shingle")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    sh = docs.select("doc_id",
+                     F.explode(F.array_distinct(
+                         _shingle_array(text_col, shingle_k)))
+                     .alias("shingle"))
+    # same collect-members restructure (and equivalence argument) as
+    # :func:`ngram_jaccard_pairs`
+    grouped = _collect_buckets(sh, ["shingle"], max_df).localCheckpoint()
+    sizes = (grouped.select(F.explode("ids").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("sz")))
+    inter = (_expand_pairs(grouped)
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("sz").alias("sza"))

@@ -2066,33 +2066,37 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 6,
     from maps_spark.operators.dedup import cap_buckets
     h = (hashes.where(F.col("decode_ok"))
          .select(F.col(id_col).alias("id"), "hash_hi", "hash_lo"))
+    # all eight bands through ONE exploded equi-join on (bidx, bval)
+    # instead of eight sequential {cap agg + self-join} jobs (guide
+    # §2.4; the 8-join chain was ~24 sequential stages of pure fixed
+    # overhead at bench scale and 8 separate shuffles at 100 TB). The
+    # pair set is identical: a (bidx, bval) bucket here is exactly
+    # band b's value-bucket there, the cap predicate (count >
+    # max_band_df) matches per band, and a pair surfaces iff it
+    # shares >= one uncapped band in both shapes.
     bands = []
     for b in range(4):
         bands.append((F.expr(f"hash_lo div {1 << (8 * b)}") % 256)
-                     .cast("int").alias(f"band{b}"))
+                     .cast("int"))
         bands.append((F.expr(f"hash_hi div {1 << (8 * b)}") % 256)
-                     .cast("int").alias(f"band{b + 4}"))
-    hb = h.select("id", "hash_hi", "hash_lo", *bands)
-    cand = None
-    for b in range(8):
-        capped = cap_buckets(hb, [f"band{b}"], max_band_df)
-        a = capped.alias("a")
-        c = capped.alias("c")
-        p = (a.join(c, F.col(f"a.band{b}") == F.col(f"c.band{b}"))
-             .where(F.col("a.id") < F.col("c.id"))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("c.id").alias("id_b"),
-                     F.col("a.hash_hi").alias("hi_a"),
-                     F.col("a.hash_lo").alias("lo_a"),
-                     F.col("c.hash_hi").alias("hi_b"),
-                     F.col("c.hash_lo").alias("lo_b")))
-        cand = p if cand is None else cand.unionByName(p)
-    return (cand.distinct()
-            .select("id_a", "id_b",
-                    (F.bit_count(F.expr("hi_a ^ hi_b"))
-                     + F.bit_count(F.expr("lo_a ^ lo_b")))
+                     .cast("int"))
+    expl = h.select("id", "hash_hi", "hash_lo",
+                    F.posexplode(F.array(*bands)).alias("bidx", "bval"))
+    capped = cap_buckets(expl, ["bidx", "bval"], max_band_df)
+    a = capped.alias("a")
+    c = capped.alias("c")
+    # hamming is a function of the pair, so computing it (and applying
+    # the threshold) BEFORE the dedup both narrows the distinct's
+    # exchange to three small columns and drops non-matches pre-shuffle
+    return (a.join(c, ["bidx", "bval"])
+            .where(F.col("a.id") < F.col("c.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("c.id").alias("id_b"),
+                    (F.bit_count(F.expr("a.hash_hi ^ c.hash_hi"))
+                     + F.bit_count(F.expr("a.hash_lo ^ c.hash_lo")))
                     .cast("int").alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def write_webdataset_shards(media: DataFrame, path: str,
@@ -2234,30 +2238,26 @@ def audio_near_pairs(fps: DataFrame, max_hamming: int = 3,
     Output: (id_a, id_b, hamming)."""
     from maps_spark.operators.dedup import cap_buckets
     h = fps.select(F.col("media_id").alias("id"), "fp")
+    # one exploded equi-join on (bidx, bval) for all eight bands —
+    # same restructure (and same pair-set equivalence argument) as
+    # :func:`dhash_near_pairs`; the upstream fingerprint lineage now
+    # runs once per join side instead of ~24x, so the persist the
+    # 8-join chain needed is gone too
     bands = [(F.expr(f"fp div {1 << (8 * b)}") % 256).cast("int")
-             .alias(f"band{b}") for b in range(8)]
-    # the banded table feeds 8 cap_buckets passes and 16 join sides;
-    # persist so the fingerprint window/agg (and any upstream decode
-    # lineage) runs once, not ~24x — same reason minhash_lsh_pairs
-    # persists its signatures
-    hb = h.select("id", "fp", *bands).persist()
-    cand = None
-    for b in range(8):
-        capped = cap_buckets(hb, [f"band{b}"], max_band_df)
-        a = capped.alias("a")
-        c = capped.alias("c")
-        p = (a.join(c, F.col(f"a.band{b}") == F.col(f"c.band{b}"))
-             .where(F.col("a.id") < F.col("c.id"))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("c.id").alias("id_b"),
-                     F.col("a.fp").alias("fa"),
-                     F.col("c.fp").alias("fb")))
-        cand = p if cand is None else cand.unionByName(p)
-    return (cand.distinct()
-            .select("id_a", "id_b",
-                    F.bit_count(F.expr("fa ^ fb")).cast("int")
+             for b in range(8)]
+    expl = h.select("id", "fp",
+                    F.posexplode(F.array(*bands)).alias("bidx", "bval"))
+    capped = cap_buckets(expl, ["bidx", "bval"], max_band_df)
+    a = capped.alias("a")
+    c = capped.alias("c")
+    return (a.join(c, ["bidx", "bval"])
+            .where(F.col("a.id") < F.col("c.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("c.id").alias("id_b"),
+                    F.bit_count(F.expr("a.fp ^ c.fp")).cast("int")
                     .alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def synthesize_y4m_scene_media(spark: SparkSession, n: int = 64,

@@ -156,20 +156,25 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        dim, n_bits, n_tables, seed0=1000)
     qs = _sketch_table(queries, id_col, vec_col, "query_id", "qvec",
                        dim, n_bits, n_tables, seed0=1000)
-    cands = None
-    for t in range(n_tables):
-        cb = cs.select("neighbor_id", "cvec",
-                       F.col(f"b{t}").alias("bucket"))
-        qb = qs.select("query_id", "qvec", F.col(f"b{t}").alias("bucket"))
-        pair = (cb.join(F.broadcast(qb), "bucket")
-                .where(F.col("neighbor_id") != F.col("query_id"))
-                .select("query_id", "neighbor_id", "qvec", "cvec"))
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        F.floor(cosine_col("qvec", "cvec") * 1e9).cast("long")
-        .alias("cos_scaled"))
+    # one exploded broadcast join for all tables instead of n_tables
+    # sequential probes (each re-scanned the corpus sketch table; the
+    # candidate set — same-bucket-in-the-same-table matches — is
+    # identical), and the cosine is scored BEFORE the cross-table
+    # dedup so that exchange carries one long per row, not two raw
+    # vectors (it is a function of the pair, so dedup-then-score and
+    # score-then-dedup agree)
+    cb = cs.select("neighbor_id", "cvec", F.posexplode(F.array(
+        *[F.col(f"b{t}") for t in range(n_tables)])).alias("tbl",
+                                                           "bucket"))
+    qb = qs.select("query_id", "qvec", F.posexplode(F.array(
+        *[F.col(f"b{t}") for t in range(n_tables)])).alias("tbl",
+                                                           "bucket"))
+    scored = (cb.join(F.broadcast(qb), ["tbl", "bucket"])
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(cosine_col("qvec", "cvec") * 1e9)
+                      .cast("long").alias("cos_scaled"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_scaled").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -364,22 +369,29 @@ def embedding_near_dupes(emb: DataFrame, threshold: float = 0.95,
     sk = _sketch_table(emb, id_col, vec_col, "id", "v",
                        dim, n_bits, n_tables, seed0=99)
     thr = int(threshold * 1e9)
-    cands = None
-    for t in range(n_tables):
-        b = sk.select("id", "v", F.col(f"b{t}").alias("bucket"))
-        b = cap_buckets(b, ["bucket"], max_bucket)
-        a2, b2 = b.alias("x"), b.alias("y")
-        pair = (a2.join(b2, "bucket")
-                .where(F.col("x.id") < F.col("y.id"))
-                .select(F.col("x.id").alias("doc_a"),
-                        F.col("y.id").alias("doc_b"),
-                        F.col("x.v").alias("va"), F.col("y.v").alias("vb")))
-        cands = pair if cands is None else cands.unionByName(pair)
-    return (cands.dropDuplicates(["doc_a", "doc_b"])
-            .select("doc_a", "doc_b",
-                    F.floor(cosine_col("va", "vb") * 1e9).cast("long")
-                    .alias("cos_scaled"))
-            .where(F.col("cos_scaled") >= thr))
+    # all tables through ONE exploded equi-join on (tbl, bucket)
+    # instead of n_tables sequential {cap agg + self-join} jobs (guide
+    # §2.4; same restructure and pair-set equivalence argument as
+    # multimodal.dhash_near_pairs: a (tbl, bucket) group here IS table
+    # t's bucket there, so the cap predicate and the candidate set
+    # match). The cosine is a function of the pair, so scoring before
+    # the cross-table dedup narrows that exchange from two raw vectors
+    # per row to one long — and drops sub-threshold rows with it.
+    expl = sk.select("id", "v", F.posexplode(F.array(
+        *[F.col(f"b{t}") for t in range(n_tables)])).alias("tbl",
+                                                           "bucket"))
+    capped = cap_buckets(expl, ["tbl", "bucket"], max_bucket)
+    x, y = capped.alias("x"), capped.alias("y")
+    cands = (x.join(y, ["tbl", "bucket"])
+             .where(F.col("x.id") < F.col("y.id"))
+             .select(F.col("x.id").alias("doc_a"),
+                     F.col("y.id").alias("doc_b"),
+                     F.col("x.v").alias("va"), F.col("y.v").alias("vb")))
+    return (cands.select("doc_a", "doc_b",
+                         F.floor(cosine_col("va", "vb") * 1e9)
+                         .cast("long").alias("cos_scaled"))
+            .where(F.col("cos_scaled") >= thr)
+            .dropDuplicates(["doc_a", "doc_b"]))
 
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.3,

@@ -439,17 +439,14 @@ def winnow_pairs(docs: DataFrame, text_col: str = "text",
 
     Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
     """
+    from maps_spark.operators.dedup import _bucket_member_pairs
     fps = (winnow_fingerprints(docs, text_col, shingle_k, window)
            .select("doc_id", "gram_hash").distinct())
-    hot = (fps.groupBy("gram_hash")
-           .agg(F.count("*").alias("df"))
-           .where(F.col("df") > max_df)
-           .select("gram_hash"))
-    cold = fps.join(hot, "gram_hash", "left_anti")
-    a = cold.select(F.col("doc_id").alias("doc_a"), "gram_hash")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "gram_hash")
-    return (a.join(b, "gram_hash")
-            .where(F.col("doc_a") < F.col("doc_b"))
+    # one collect-members aggregation instead of {df agg + broadcast
+    # anti-join + two-sided self-join} — see dedup.
+    # _bucket_member_pairs; the df cap predicate (count > max_df drops
+    # the bucket) and the per-pair shared counts are identical
+    return (_bucket_member_pairs(fps, ["gram_hash"], max_df)
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))

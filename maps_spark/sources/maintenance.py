@@ -62,24 +62,32 @@ def dir_stats(path: str) -> tuple[int, int]:
 
 
 def _write_staging_stats(spark: SparkSession, staging: str,
-                         stats: tuple[tuple[str, str], str] | None) -> None:
+                         stats: tuple[tuple[str, str], str] | None,
+                         sub: int | None = None) -> None:
     """Build the per-sub-bucket Bloom stats for a staged band-index
     rewrite, INSIDE the staging dir (``_stats/`` — underscore-hidden
     from parquet readers of the data) so the swap publishes data and
-    stats atomically (:mod:`maps_spark.sources.bloom`)."""
+    stats atomically (:mod:`maps_spark.sources.bloom`).
+
+    ``sub`` must carry the store's adaptive sub-bucket modulus when
+    the rewritten data was folded with one (ADVICE r10: stats written
+    WITHOUT the sub column over coarse-folded data would make
+    ``probe_keys`` look up global-space keys in a coarse-space table —
+    silent Bloom false negatives)."""
     if stats is None:
         return
     from maps_spark.sources.bloom import write_stats
     keys, value_col = stats
     write_stats(spark.read.parquet(staging), f"{staging}/_stats",
-                keys, value_col)
+                keys, value_col, sub=sub)
 
 
 def compact_dir(spark: SparkSession, path: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
                 partition_by: tuple[str, ...] = (),
                 sort_within: tuple[str, ...] = (),
-                stats: tuple[tuple[str, str], str] | None = None) -> dict:
+                stats: tuple[tuple[str, str], str] | None = None,
+                sub: int | None = None) -> dict:
     """Rewrite the parquet directory at ``path`` into
     ``max(1, ceil(total_bytes / target_file_bytes))`` files (per
     partition directory when ``partition_by`` is set), optionally
@@ -118,7 +126,7 @@ def compact_dir(spark: SparkSession, path: str,
         raise RuntimeError(
             f"compaction validation failed for {path}: "
             f"{staged_rows} staged rows != {n_rows} source rows")
-    _write_staging_stats(spark, staging, stats)
+    _write_staging_stats(spark, staging, stats, sub=sub)
     swap_compacted(path, staging)
     n_after, _ = dir_stats(path)
     return {"files_before": n_before, "files_after": n_after,
