@@ -35,8 +35,16 @@ def run() -> None:
     from maps_spark.session import get_spark
     from maps_spark.sources.occurrence import occurrence_df
 
+    # the console progress bar writes \r-terminated fragments to
+    # stderr; a harness capturing stdout+stderr into one stream then
+    # glues the final JSON payload onto a progress fragment and the
+    # line no longer parses (the r03-r09 failure signature — r11
+    # forensics: a 2>&1 capture of this bench had the payload embedded
+    # in one giant progress "line"). Pure noise, so off for the bench.
     spark = get_spark("maps-bench", cpus=CPUS,
-                      shuffle_partitions=max(CPUS * 2, 32))
+                      shuffle_partitions=max(CPUS * 2, 32),
+                      extra_conf={"spark.ui.showConsoleProgress":
+                                  "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the Python UDF workers once (fork + numpy/pandas import is
@@ -1339,7 +1347,10 @@ def run() -> None:
     # file copy (checkpoint/SPARK_GRAFT_BENCH_OUT) was written above.
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(payload()), flush=True)
+    # leading newline: even if a non-newline-terminated stderr
+    # fragment merged into the same combined capture, the payload
+    # still starts at column 0 of its own line
+    print("\n" + json.dumps(payload()), flush=True)
 
 
 if __name__ == "__main__":

